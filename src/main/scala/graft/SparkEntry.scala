@@ -1,13 +1,311 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, BackfillPipeline, OnlineSyncPipeline, PointInTimeJoinPipeline}
+
+/** Driver contract — one entry per operator in SURVEY.md §2, each paired
+  * with ANSI SQL the DuckDB oracle runs on the same parquet tables.
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in the DataFrame code
+  *    and the oracle SQL (the driver's compare is column-name keyed);
+  *  - DuckDB `sum(BIGINT)` returns HUGEINT — always cast back to BIGINT;
+  *  - doubles that aggregate are rounded on both sides so engine-order
+  *    float summation can't flip a hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses outright. Read nanos as raw long (runtime-settable legacy conf)
+    * and truncate to microseconds — integer DIV, not `/`, because ns since
+    * epoch (~1.7e18) exceeds double's 2^53 exact-integer range. DuckDB
+    * truncates ns->us the same way on read, so the oracle agrees.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    BackfillPipeline.transform(
+      events(spark, "/root/testdata/sf0.001"),
+      "2024-01-01", "2024-01-30")
+
+  // ---- backfill fragments shared by q14/q15/q16 ----------------------
+  private val BackfillStart = "2024-01-01"
+  private val BackfillEnd = "2024-01-30"
+
+  private def backfill(s: SparkSession, dir: String): DataFrame =
+    BackfillPipeline.transform(events(s, dir), BackfillStart, BackfillEnd)
+
+  private def labels(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value").as("label"), col("ts").as("as_of_ts"))
+
+  /** Backfill as a DuckDB CTE body (the oracle twin of
+    * [[BackfillPipeline.transform]]).
+    */
+  private val backfillSql: String =
+    s"""WITH spine AS (
+       |  SELECT unnest(generate_series(DATE '$BackfillStart', DATE '$BackfillEnd', INTERVAL 1 DAY))::DATE AS day),
+       |ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS event_date, event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |ud AS (
+       |  SELECT u.user_id, s.day FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s)
+       |SELECT ud.user_id, ud.day,
+       |  CAST(coalesce(sum(CASE WHEN ev.event_date BETWEEN ud.day - 7 AND ud.day THEN ev.cnt ELSE 0 END), 0) AS BIGINT) AS event_count_7d,
+       |  CAST(coalesce(sum(CASE WHEN ev.event_date BETWEEN ud.day - 30 AND ud.day THEN ev.cnt ELSE 0 END), 0) AS BIGINT) AS event_count_30d,
+       |  CAST(min(CASE WHEN ev.event_date IS NOT NULL THEN datediff('day', ev.event_date, ud.day) END) AS INTEGER) AS last_event_days_ago,
+       |  CAST(count(DISTINCT ev.event_type) AS VARCHAR) AS event_type_counts
+       |FROM ud LEFT JOIN ev
+       |  ON ud.user_id = ev.user_id
+       |  AND ev.event_date <= ud.day AND ev.event_date >= ud.day - 30
+       |GROUP BY ud.user_id, ud.day""".stripMargin
+
+  private val labelsSql =
+    "SELECT user_id, value AS label, ts AS as_of_ts FROM events WHERE event_type = 'purchase'"
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1: parquet scan + projection
+    "q01_scan_project" -> ((s, dir) =>
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))),
+
+    // P6/P2: range predicate + derived column (filter must push to scan)
+    "q02_filter_range" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_day"))),
+
+    // A1-A5 shape: TPC-H Q1-style hash aggregate
+    "q03_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // P8: distinct
+    "q04_distinct" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_mktsegment")).distinct()),
+
+    // J1: cross join (small dims; Catalyst broadcasts)
+    "q05_cross_join" -> ((s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))),
+
+    // J4: left equi join + aggregate
+    "q06_left_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey").as("c_custkey"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(o("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+    }),
+
+    // W2/O2: latest row per group via row_number
+    "q07_latest_per_key" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+
+    // O1/O3: global sort + limit with deterministic tie-break
+    "q08_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // P7/A2-A4: conditional aggregates over events
+    "q09_conditional_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2).as("purchase_value"))),
+
+    // A5/P4: exact distinct count + cast to string
+    "q10_count_distinct" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).cast("string").as("n_types"))),
+
+    // F1-F4: date scalar functions
+    "q11_date_functions" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_id"),
+          to_date(col("ts")).as("event_date"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since_start"),
+          date_add(to_date(col("ts")), 7).as("week_later"),
+          date_sub(to_date(col("ts")), 30).as("month_before"))),
+
+    // F6: date-range generator (sequence + explode)
+    "q12_date_spine" -> ((s, _) =>
+      s.range(1).select(explode(sequence(
+        to_date(lit(BackfillStart)), to_date(lit(BackfillEnd)))).as("day"))),
+
+    // J2: band join micro (events in trailing 7d window per user-day)
+    "q13_band_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("event_date", to_date(col("ts")))
+      val daily = ev.groupBy(col("user_id").as("ev_user_id"), col("event_date"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("2024-01-08")), to_date(lit("2024-01-14")))).as("day"))
+      val users = ev.select(col("user_id")).distinct()
+      AsOfJoin.bandJoin(users.crossJoin(broadcast(spine)), daily,
+        "user_id", "ev_user_id", "day", "event_date", 7)
+        .groupBy(col("user_id"), col("day"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("events_7d"))
+    }),
+
+    // Q1 composite: full backfill pipeline
+    "q14_backfill" -> ((s, dir) => backfill(s, dir)),
+
+    // Q2 composite: point-in-time join (single-shuffle union plan)
+    "q15_pit_join" -> ((s, dir) =>
+      PointInTimeJoinPipeline.transform(labels(s, dir), backfill(s, dir))),
+
+    // Q2 composite: same semantics through the join+rank plan
+    "q16_pit_join_rank" -> ((s, dir) =>
+      PointInTimeJoinPipeline.transform(labels(s, dir), backfill(s, dir),
+        useUnionPlan = false)),
+
+    // Q3 composite: online-sync KV payload (fixed cutoff for determinism)
+    "q17_online_payload" -> ((s, dir) =>
+      OnlineSyncPipeline.payload(
+        OnlineSyncPipeline.latestPerUser(backfill(s, dir), lit("2024-01-24").cast("date")))),
+
+    // set ops: users who clicked but never errored
+    "q18_set_ops" -> ((s, dir) => {
+      val ev = events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+    }),
+
+    // semi-structured: JSON field extraction from event props
+    "q19_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q02_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_day
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_discount > 0.05""".stripMargin,
+    "q03_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q04_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q05_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q06_left_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q07_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin,
+    "q08_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "q09_conditional_agg" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q10_count_distinct" ->
+      "SELECT user_id, CAST(count(DISTINCT event_type) AS VARCHAR) AS n_types FROM events GROUP BY user_id",
+    "q11_date_functions" ->
+      """SELECT event_id, CAST(ts AS DATE) AS event_date,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since_start,
+        |  CAST(ts AS DATE) + 7 AS week_later,
+        |  CAST(ts AS DATE) - 30 AS month_before
+        |FROM events""".stripMargin,
+    "q12_date_spine" ->
+      "SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day",
+    "q13_band_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |spine AS (SELECT unnest(generate_series(DATE '2024-01-08', DATE '2024-01-14', INTERVAL 1 DAY))::DATE AS day),
+        |ud AS (SELECT u.user_id, s.day FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN spine s)
+        |SELECT ud.user_id, ud.day, CAST(coalesce(sum(ev.cnt), 0) AS BIGINT) AS events_7d
+        |FROM ud LEFT JOIN ev ON ud.user_id = ev.user_id
+        |  AND ev.event_date <= ud.day AND ev.event_date >= ud.day - 7
+        |GROUP BY ud.user_id, ud.day""".stripMargin,
+    "q14_backfill" -> backfillSql,
+    "q15_pit_join" ->
+      s"""WITH feats AS ($backfillSql),
+         |lab AS ($labelsSql)
+         |SELECT lab.user_id, lab.label, lab.as_of_ts, feats.day,
+         |  feats.event_count_7d, feats.event_count_30d,
+         |  feats.last_event_days_ago, feats.event_type_counts
+         |FROM lab ASOF LEFT JOIN feats
+         |  ON lab.user_id = feats.user_id AND feats.day <= CAST(lab.as_of_ts AS DATE)""".stripMargin,
+    "q16_pit_join_rank" ->
+      s"""WITH feats AS ($backfillSql),
+         |lab AS ($labelsSql)
+         |SELECT lab.user_id, lab.label, lab.as_of_ts, feats.day,
+         |  feats.event_count_7d, feats.event_count_30d,
+         |  feats.last_event_days_ago, feats.event_type_counts
+         |FROM lab ASOF LEFT JOIN feats
+         |  ON lab.user_id = feats.user_id AND feats.day <= CAST(lab.as_of_ts AS DATE)""".stripMargin,
+    "q17_online_payload" ->
+      s"""WITH feats AS ($backfillSql),
+         |latest AS (
+         |  SELECT * FROM feats WHERE day >= DATE '2024-01-24'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY day DESC) = 1)
+         |SELECT 'features:' || CAST(user_id AS VARCHAR) AS key,
+         |  '{"day":' || CASE WHEN day IS NULL THEN 'null' ELSE '"' || strftime(day, '%Y-%m-%d') || '"' END ||
+         |  ',"event_count_7d":' || CASE WHEN event_count_7d IS NULL THEN 'null' ELSE '"' || CAST(event_count_7d AS VARCHAR) || '"' END ||
+         |  ',"event_count_30d":' || CASE WHEN event_count_30d IS NULL THEN 'null' ELSE '"' || CAST(event_count_30d AS VARCHAR) || '"' END ||
+         |  ',"last_event_days_ago":' || CASE WHEN last_event_days_ago IS NULL THEN 'null' ELSE '"' || CAST(last_event_days_ago AS VARCHAR) || '"' END ||
+         |  ',"event_type_counts":' || CASE WHEN event_type_counts IS NULL THEN 'null' ELSE '"' || event_type_counts || '"' END || '}' AS value
+         |FROM latest""".stripMargin,
+    "q18_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+    "q19_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin
+  )
 }

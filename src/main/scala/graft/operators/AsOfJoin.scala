@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) left join: for each left row, attach the single
+  * right row with the greatest right-time <= left-time for the same key —
+  * the leakage-free feature-attachment primitive (reference:
+  * PointInTimeJoinPipeline.scala:9-16, 102-122).
+  *
+  * Two physical formulations with identical semantics:
+  *
+  *  - [[joinRank]]: equi+range join then `row_number` top-1. Simple, but the
+  *    range join fans out to |matching right rows| intermediates per left
+  *    row before the rank filter — fine when the right side is a bounded
+  *    snapshot table, quadratic-ish when a key has deep history.
+  *
+  *  - [[unionSorted]]: the scale formulation. Tag both sides, union, and
+  *    carry the latest right row forward with `last(_, ignoreNulls)` over a
+  *    (key ORDER BY time) running window. ONE shuffle, NO fan-out: cost is
+  *    a sort of |left|+|right| regardless of history depth per key. This is
+  *    the one that survives 100 TB.
+  */
+object AsOfJoin {
+
+  /** join + window-rank formulation (parity with the reference plan). */
+  def joinRank(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    val joined = l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTime") <= col(s"l.$leftTime"),
+      "left")
+    // Deterministic tie-break on rightTime desc (the reference orders by
+    // feature time only; ties cannot arise there because (key, time) is
+    // unique per snapshot — same ordering kept defensively).
+    val w = Window
+      .partitionBy(left.columns.toIndexedSeq.map(c => col(s"l.$c")): _*)
+      .orderBy(col(s"r.$rightTime").desc_nulls_last)
+    val outCols: Seq[Column] =
+      left.columns.toIndexedSeq.map(c => col(s"l.$c").as(c)) ++
+        rightValueCols.map(c => col(s"r.$c").as(c))
+    joined
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .select(outCols: _*)
+  }
+
+  /** union + running-last formulation (single-shuffle scale path).
+    *
+    * Right rows sort BEFORE left rows at equal time (side tag 0 < 1), so a
+    * feature stamped exactly at the label's as-of instant is visible —
+    * matching the reference's `feature_date <= as_of_date` inclusivity.
+    */
+  def unionSorted(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.toSeq.filterNot(_ == key)
+    // Common shape: key, __t (event time), __side, left payload, right values.
+    val taggedRight = right.select(
+      Seq(col(key), col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValueCols.map(c => col(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side")) ++
+        leftPayload.map(c => col(c)) ++
+        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ leftPayload.map(c => col(c)) ++
+        rightValueCols.map(c => col(c)): _*)
+  }
+
+  /** Generic band (range) join: left rows paired with right rows of the same
+    * key whose time falls in [leftTime - windowDays, leftTime]. The band
+    * bound is the optimizer: it caps fan-out to the window width, and with
+    * day-partitioned storage it prunes the scan (reference intent:
+    * BackfillPipeline.scala:22, 124-131).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftDay: String, rightDay: String, windowDays: Int,
+      joinType: String = "left"): DataFrame = {
+    val l = left.alias("__bl")
+    val r = right.alias("__br")
+    l.join(r,
+      col(s"__bl.$leftKey") === col(s"__br.$rightKey") &&
+        col(s"__br.$rightDay") <= col(s"__bl.$leftDay") &&
+        col(s"__br.$rightDay") >= date_sub(col(s"__bl.$leftDay"), windowDays),
+      joinType)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Read-side platform abstraction (reference: platform/Fetchers.scala:11-75).
+  *
+  * Pipelines depend only on this trait, so prod I/O can be swapped for the
+  * in-memory test double without touching query logic. Schemas are passed
+  * explicitly to disable inference (a full-scan at 100 TB just to infer a
+  * schema is never acceptable).
+  */
+trait Fetcher {
+
+  /** Parquet scan (reference: Fetchers.scala:79-90). With an explicit schema
+    * the scan starts instantly (no footer sampling) and column pruning /
+    * predicate pushdown still apply via the vectorized reader.
+    */
+  def readParquet(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).parquet(path)
+  }
+
+  /** JSON scan (reference: Fetchers.scala:92-103). Schema strongly
+    * recommended: inference reads the whole input once.
+    */
+  def readJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** CSV scan with header/delimiter options (reference: Fetchers.scala:105-120). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true, delimiter: String = ","): DataFrame = {
+    val r = spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Catalog-table scan (reference: Fetchers.scala:122-128 reads Iceberg; we
+    * read whatever the session catalog manages — schema comes from the
+    * catalog, partition pruning from the table layout).
+    */
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.read.table(tableName)
+}
+
+/** Production fetcher — the trait defaults are already production-grade. */
+class ProdFetcher extends Fetcher
+
+object ProdFetcher extends ProdFetcher

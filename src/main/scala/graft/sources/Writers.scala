@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Write-side platform abstraction (reference: platform/Writers.scala:27-110).
+  *
+  * Modes mirror `SaveMode` strings: overwrite | append | ignore | error.
+  * `partitionBy` drives directory/partition layout — the features table is
+  * partitioned by `day` so freshness / as-of filters prune partitions at
+  * scale (reference: ProdWriter.scala:57-70, BackfillPipelineConfig.scala:31).
+  */
+trait Writer {
+
+  /** Parquet sink (reference: ProdWriter.scala:23-35). */
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite",
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** JSON sink (reference: ProdWriter.scala:37-42). */
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** CSV sink (reference: ProdWriter.scala:44-55). */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite",
+      header: Boolean = true, delimiter: String = ","): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+
+  /** Atomic full-table insert-overwrite into the session catalog
+    * (reference: ProdWriter.scala:57-70 does the same against Iceberg).
+    * Format is whatever the catalog defaults to (parquet here; Delta/Iceberg
+    * in a deployment that registers those catalogs — the pipelines only name
+    * this method, never a format).
+    */
+  def insertOverwriteTable(df: DataFrame, tableName: String,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(tableName)
+  }
+}
+
+/** Production writer — trait defaults are production-grade. */
+class ProdWriter extends Writer
+
+object ProdWriter extends ProdWriter
