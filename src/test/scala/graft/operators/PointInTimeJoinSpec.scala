@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+import graft.domain.{FeaturesDaily, Label, TrainingData}
+
+/** Parity port of the reference PIT scenarios — most importantly the
+  * data-leakage assertion (reference: TestPointInTimeJoin.scala:18-105).
+  * Every scenario runs through BOTH physical formulations.
+  */
+class PointInTimeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def features(rows: (String, String, Long)*): DataFrame =
+    rows.map { case (u, day, c) =>
+      FeaturesDaily(u, d(day), Some(c), Some(c), Some(0), Some("1"))
+    }.toDF()
+
+  private def run(labels: Seq[Label], feats: DataFrame,
+      union: Boolean): Seq[TrainingData] =
+    PointInTimeJoinPipeline.transform(labels.toDF(), feats, useUnionPlan = union)
+      .as[TrainingData].collect().toSeq
+
+  for (plan <- Seq("union" -> true, "rank" -> false)) {
+    val (name, union) = plan
+
+    test(s"[$name] no leakage: label at day-2 noon takes day-2 features, never day-3") {
+      val feats = features(
+        ("user1", "2024-01-01", 1L),
+        ("user1", "2024-01-02", 2L),
+        ("user1", "2024-01-03", 3L))
+      val labels = Seq(Label("user1", 1.0, ts("2024-01-02 12:00:00")))
+      val out = run(labels, feats, union)
+
+      out should have size 1
+      out.head.day shouldBe Some(d("2024-01-02"))
+      out.head.event_count_7d shouldBe Some(2L)      // NOT 3 — day-3 must not leak
+      out.head.label shouldBe 1.0
+    }
+
+    test(s"[$name] feature dated exactly at the as-of date is visible (inclusive)") {
+      val feats = features(("user1", "2024-01-02", 2L))
+      // as-of at midnight of day 2: day-2 feature still counts (date granularity)
+      val labels = Seq(Label("user1", 1.0, ts("2024-01-02 00:00:00")))
+      val out = run(labels, feats, union)
+      out.head.day shouldBe Some(d("2024-01-02"))
+    }
+
+    test(s"[$name] label with no feature at or before it gets null features, row kept") {
+      val feats = features(("user1", "2024-01-05", 5L))
+      val labels = Seq(Label("user1", 0.0, ts("2024-01-02 12:00:00")))
+      val out = run(labels, feats, union)
+      out should have size 1
+      out.head.day shouldBe None
+      out.head.event_count_7d shouldBe None
+      out.head.event_type_counts shouldBe None
+    }
+
+    test(s"[$name] multi-user: each label matches only its own user's features") {
+      val feats = features(
+        ("user1", "2024-01-01", 10L),
+        ("user2", "2024-01-01", 20L))
+      val labels = Seq(
+        Label("user1", 1.0, ts("2024-01-02 12:00:00")),
+        Label("user2", 0.0, ts("2024-01-02 12:00:00")),
+        Label("user3", 1.0, ts("2024-01-02 12:00:00")))
+      val out = run(labels, feats, union).sortBy(_.user_id)
+
+      out should have size 3
+      out(0).event_count_7d shouldBe Some(10L)
+      out(1).event_count_7d shouldBe Some(20L)
+      out(2).day shouldBe None                        // user3: no features at all
+    }
+
+    test(s"[$name] multiple labels per user pick their own as-of snapshot") {
+      val feats = features(
+        ("user1", "2024-01-01", 1L),
+        ("user1", "2024-01-03", 3L),
+        ("user1", "2024-01-06", 6L))
+      val labels = Seq(
+        Label("user1", 1.0, ts("2024-01-02 09:00:00")),
+        Label("user1", 0.0, ts("2024-01-04 09:00:00")),
+        Label("user1", 1.0, ts("2024-01-07 09:00:00")))
+      val out = run(labels, feats, union).sortBy(_.as_of_ts.getTime)
+
+      out.map(_.day.map(_.toString)) shouldBe
+        Seq(Some("2024-01-01"), Some("2024-01-03"), Some("2024-01-06"))
+    }
+  }
+
+  test("both formulations agree row-for-row on a mixed scenario") {
+    val feats = features(
+      ("a", "2024-01-01", 1L), ("a", "2024-01-04", 4L),
+      ("b", "2024-01-02", 2L), ("c", "2024-01-09", 9L))
+    val labels = Seq(
+      Label("a", 1.0, ts("2024-01-03 10:00:00")),
+      Label("a", 0.0, ts("2024-01-05 10:00:00")),
+      Label("b", 1.0, ts("2024-01-01 10:00:00")),
+      Label("c", 0.0, ts("2024-01-09 00:00:00")),
+      Label("d", 1.0, ts("2024-01-05 10:00:00")))
+    val u = run(labels, feats, union = true)
+      .sortBy(t => (t.user_id, t.as_of_ts.getTime))
+    val r = run(labels, feats, union = false)
+      .sortBy(t => (t.user_id, t.as_of_ts.getTime))
+    u shouldBe r
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.domain.{EventRaw, FeaturesDaily, Label, TrainingData}
+
+/** Property-based invariants over randomized (seeded, reproducible) inputs:
+  *  - leakage: every PIT output row satisfies day <= date(as_of_ts);
+  *  - plan equivalence: union-sorted and join-rank as-of formulations agree;
+  *  - window monotonicity: 0 <= count_7d <= count_30d on every backfill row.
+  *
+  * Generators sampled directly (the scalatestplus bridge isn't on the
+  * offline classpath); each round uses seed 42+i so failures replay.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val userGen = Gen.oneOf("u1", "u2", "u3", "u4", "u5")
+  private val typeGen = Gen.oneOf("click", "view", "purchase")
+  private val dayGen = Gen.choose(1, 28)
+  private val secondGen = Gen.choose(0L, 86399L)
+
+  private def tsOf(day: Int, sec: Long) = java.sql.Timestamp.from(
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00").toInstant.plusSeconds(sec))
+
+  private val eventsGen: Gen[List[EventRaw]] =
+    Gen.listOfN(60, for {
+      u <- userGen; t <- typeGen; day <- dayGen; s <- secondGen
+    } yield EventRaw(u, t, tsOf(day, s)))
+
+  private val labelsGen: Gen[List[Label]] =
+    Gen.listOfN(12, for {
+      u <- userGen; day <- dayGen; s <- secondGen; v <- Gen.oneOf(0.0, 1.0)
+    } yield Label(u, v, tsOf(day, s)))
+
+  private def sample[T](gen: Gen[T], seed: Long): T =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val Rounds = 5
+
+  test("backfill: 0 <= count_7d <= count_30d, recency in [0,30], zero-event semantics") {
+    (1 to Rounds).foreach { i =>
+      val events = sample(eventsGen, 42L + i)
+      val rows = BackfillPipeline.transform(events.toDF(), "2024-01-01", "2024-01-28")
+        .as[FeaturesDaily].collect()
+
+      assert(rows.length == events.map(_.user_id).distinct.size * 28,
+        s"[seed ${42 + i}] row per (user, day)")
+      rows.foreach { r =>
+        val c7 = r.event_count_7d.get
+        val c30 = r.event_count_30d.get
+        assert(c7 >= 0 && c7 <= c30, s"[seed ${42 + i}] window monotonicity: $r")
+        r.last_event_days_ago.foreach(v =>
+          assert(v >= 0 && v <= 30, s"[seed ${42 + i}] recency out of range: $r"))
+        if (c30 == 0)
+          assert(r.last_event_days_ago.isEmpty && r.event_type_counts.contains("0"),
+            s"[seed ${42 + i}] zero-event semantics: $r")
+      }
+      // conservation: summing same-day-only counts equals the event count
+      val dayZeroTotal = rows.map(r => r.event_count_7d.get).sum
+      assert(dayZeroTotal >= events.size, s"[seed ${42 + i}] events undercounted")
+    }
+  }
+
+  test("PIT join: no future features and both physical plans agree") {
+    (1 to Rounds).foreach { i =>
+      val events = sample(eventsGen, 142L + i)
+      val labels = sample(labelsGen, 242L + i)
+      val feats = BackfillPipeline.transform(events.toDF(), "2024-01-01", "2024-01-28")
+      def norm(ts: Seq[TrainingData]) =
+        ts.sortBy(t => (t.user_id, t.as_of_ts.getTime, t.label))
+      val unionOut = norm(PointInTimeJoinPipeline
+        .transform(labels.toDF(), feats, useUnionPlan = true)
+        .as[TrainingData].collect().toSeq)
+      val rankOut = norm(PointInTimeJoinPipeline
+        .transform(labels.toDF(), feats, useUnionPlan = false)
+        .as[TrainingData].collect().toSeq)
+
+      assert(unionOut.size == labels.size, s"[seed ${142 + i}] one row per label")
+      unionOut.foreach { t =>
+        t.day.foreach { day =>
+          assert(!day.toLocalDate.isAfter(t.as_of_ts.toLocalDateTime.toLocalDate),
+            s"[seed ${142 + i}] LEAKAGE: feature $day after label ${t.as_of_ts}")
+        }
+      }
+      assert(unionOut == rankOut, s"[seed ${142 + i}] physical plans disagree")
+    }
+  }
+}
