@@ -75,7 +75,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ TrainingDataQueries.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1: parquet scan + projection
     "q01_scan_project" -> ((s, dir) =>
       t(s, dir, "region").select(col("r_regionkey"), col("r_name"))),
@@ -307,5 +310,5 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin
-  )
+  ) ++ TrainingDataQueries.oracleSql
 }

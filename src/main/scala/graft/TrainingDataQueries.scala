@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Training-data-pipeline queries (dedup, similarity search, text analysis,
+  * multimodal binary plumbing) over the `documents` and `embeddings` tables,
+  * with DuckDB oracle twins.
+  *
+  * Parity strategy: every hash and every floating-point reduction is written
+  * as an explicitly-ordered fold with pinned constants on BOTH sides (Spark
+  * higher-order functions vs DuckDB `list_reduce`/`list_transform`), so the
+  * engines produce bit-identical values — thresholds and top-k cuts cannot
+  * diverge. The oracle SQL is generated from the same constant tables
+  * ([[TextFunctions.MinhashA]] etc.) the Spark expressions use.
+  */
+object TrainingDataQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text quality metrics (row-local, whole-stage codegen)
+    "q20_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)),
+
+    // language-ID heuristic (marker-stopword argmax) vs the labeled lang
+    "q21_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        predictedLang(toks).as("predicted_lang"),
+        (predictedLang(toks) === col("lang")).cast("int").as("is_match"))
+    }),
+
+    // document fingerprint: portable rolling hash of the full text
+    "q22_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), polyHash(col("text")).as("fingerprint"))),
+
+    // exact dedup: content-hash groups with keeper assignment
+    "q23_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    // exact n-gram Jaccard near-dup pairs (shingle inverted-index join)
+    "q24_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+
+    // MinHash + banded LSH candidates, exact-Jaccard verified
+    "q25_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+
+    // SimHash pigeonhole-banded Hamming pairs
+    "q26_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+
+    // embedding-cosine near-dup pairs above threshold
+    "q27_embed_neardup" -> ((s, dir) => SimilaritySearch.nearDupPairs(emb(s, dir), 0.4)),
+
+    // brute-force cosine top-k (broadcast query set)
+    "q28_knn_brute" -> ((s, dir) => SimilaritySearch.bruteKnn(emb(s, dir), "vec_id < 10", 3)),
+
+    // sign-LSH bucketed approximate top-k
+    "q29_knn_lsh" -> ((s, dir) => SimilaritySearch.lshKnn(emb(s, dir), "vec_id < 10", 3)),
+
+    // multimodal binary-column plumbing: payload bytes, content digest,
+    // header-style field extraction (deterministic decode stub)
+    "q30_multimodal_binary" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        (lit(256) + ascii(col("text").substr(1, 1))).as("frame_width"),
+        (lit(256) + ascii(col("text").substr(2, 1))).as("frame_height")))
+  )
+
+  // ==== DuckDB oracle twins ============================================
+
+  /** token list: same regex + empty-filter as [[TextFunctions.tokens]] */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), tk -> tk <> '')"
+
+  /** rolling hash of string expr `e`: fold twin of [[TextFunctions.polyHash]] */
+  private def polyHashSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS BIGINT))), " +
+      s"(acc, c) -> (acc*$HashBase + c) % $HashMod)"
+
+  /** doc shingle-hash sets CTE chain (twin of Dedup.withShingleHashes) */
+  private val docSetsSql =
+    s"""t AS (SELECT doc_id AS id, $toksSql AS w FROM documents),
+       |sh AS (SELECT id, list_transform(range(1, len(w)-1), si -> w[si]||' '||w[si+1]||' '||w[si+2]) AS sgs FROM t),
+       |hs AS (SELECT id, list_distinct(list_transform(sgs, sg -> ${polyHashSql("sg")})) AS hashes FROM sh),
+       |sets AS (SELECT id, hashes FROM hs WHERE len(hashes) > 0)""".stripMargin
+
+  /** exact-Jaccard verification of a `cand(id_a, id_b)` CTE against `sets` */
+  private def verifySql(threshold: Double): String =
+    s"""j AS (SELECT id_a, id_b,
+       |  round(len(list_intersect(sa.hashes, sb.hashes)) * 1.0 /
+       |        (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes))), 6) AS jaccard
+       |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+
+  /** left-fold dot product of double-list exprs `a`,`b` (twin of
+    * [[graft.functions.VectorFunctions.dot]])
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a)+1), di -> $a[di]*$b[di])), (acc, x) -> acc + x)"
+
+  private val embBaseSql =
+    s"""e AS (SELECT vec_id, list_transform(embedding, ei -> CAST(ei AS DOUBLE)) AS v FROM embeddings),
+       |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  /** sign-band key of vector expr `v` for band index expr `band` (8 dims) */
+  private def signKeySql(v: String, band: String): String =
+    (1 to 8).map(i => s"(CASE WHEN $v[$i + 8*($band)] > 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(w) AS n,
+         |  len(list_distinct(w)) AS nd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t2 -> CAST(floor((length(t2)+3)/4) AS BIGINT))), (a2, b2) -> a2 + b2) AS est_subwords,
+         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+         |FROM t)
+         |SELECT doc_id,
+         |  CAST(n AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct, est_subwords,
+         |  round(nd * 1.0 / n, 6) AS distinct_ratio,
+         |  round(sum_len * 1.0 / n, 6) AS avg_token_len,
+         |  round(n_stop * 1.0 / n, 6) AS stopword_ratio,
+         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |FROM m""".stripMargin,
+
+    "q21_lang_id" -> {
+      val scoreCols = LangMarkers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, t_$lang -> t_$lang IN ($list))) AS s_$lang"
+      }.mkString(",\n  ")
+      val maxExpr = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val caseArms = LangMarkers.map { case (l, _) =>
+        s"WHEN s_$l = m AND m > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM t),
+         |mm AS (SELECT doc_id, lang, ${LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $maxExpr AS m FROM sc)
+         |SELECT doc_id, lang,
+         |  CASE $caseArms ELSE 'unknown' END AS predicted_lang,
+         |  CASE WHEN (CASE $caseArms ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS is_match
+         |FROM mm""".stripMargin
+    },
+
+    "q22_fingerprint" ->
+      s"SELECT doc_id, ${polyHashSql("text")} AS fingerprint FROM documents",
+
+    "q23_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 0 ELSE 1 END AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q24_dedup_ngram" ->
+      s"""WITH $docSetsSql,
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id),
+         |${verifySql(0.8)}""".stripMargin,
+
+    "q25_dedup_minhash" -> {
+      val sigExprs = (0 until MinhashK).map { j =>
+        s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
+      }.mkString(", ")
+      val keyArms = (0 until LshBands).map { b =>
+        val parts = (1 to LshRows).map(r => s"CAST(sig[${b * LshRows + r}] AS VARCHAR)").mkString(" || '-' || ")
+        s"WHEN ${b} THEN $parts"
+      }.mkString(" ")
+      s"""WITH $docSetsSql,
+         |sigs AS (SELECT id, hashes, [$sigExprs] AS sig FROM sets),
+         |buckets AS (SELECT id, bb.band AS band,
+         |  CASE bb.band $keyArms END AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(${(0 until LshBands).mkString("[", ", ", "]")}) AS band) bb),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
+         |${verifySql(0.8)}""".stripMargin
+    },
+
+    "q26_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id AS id, unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT id, tok, count(*) AS cnt FROM t GROUP BY id, tok),
+         |tch AS (SELECT id, cnt, ${polyHashSql("tok")} AS th FROM tc),
+         |bits AS (SELECT id, bb.bit AS bit,
+         |  sum(CASE WHEN ((th >> bb.bit) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tch CROSS JOIN (SELECT unnest(range(0, $SimhashBits)) AS bit) bb
+         |  GROUP BY id, bb.bit),
+         |sh AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY id),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM sh a JOIN sh b ON a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3""".stripMargin,
+
+    "q27_embed_neardup" ->
+      s"""WITH $embBaseSql,
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM en a JOIN en b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin,
+
+    "q28_knn_brute" ->
+      s"""WITH $embBaseSql,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM en WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, en.vec_id AS neighbor_id,
+         |  round(${dotSql("en.v", "q.qv")} / (en.nrm * q.qnrm), 6) AS cos_sim
+         |  FROM en CROSS JOIN q WHERE en.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    "q29_knn_lsh" ->
+      s"""WITH $embBaseSql,
+         |bc AS (SELECT vec_id, v, nrm, bb.band AS band, ${signKeySql("v", "bb.band")} AS key
+         |  FROM en CROSS JOIN (SELECT unnest([0, 1]) AS band) bb),
+         |bq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, band, key FROM bc WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, q.query_id
+         |  FROM bc c JOIN bq q ON c.band = q.band AND c.key = q.key AND c.vec_id <> q.query_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand JOIN en a ON cand.neighbor_id = a.vec_id JOIN en b ON cand.query_id = b.vec_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    "q30_multimodal_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256_hex,
+        |  256 + ascii(text[1:1]) AS frame_width,
+        |  256 + ascii(text[2:2]) AS frame_height
+        |FROM documents""".stripMargin
+  )
+}

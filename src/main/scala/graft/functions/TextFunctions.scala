@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale training-data
+  * pipelines: tokenization, shingling, deterministic hashing, MinHash
+  * signatures, SimHash inputs, quality metrics, and a language-ID heuristic.
+  *
+  * Everything here is a pure, row-local Column expression built from Spark's
+  * codegen'd higher-order functions (`transform`/`aggregate`/`filter`) — no
+  * UDFs, no shuffles, no state. At 100 TB these run map-side inside
+  * whole-stage codegen; the only shuffles in the dedup pipelines built on top
+  * (see [[graft.operators.Dedup]]) are the intentional LSH bucket joins.
+  *
+  * Hashing is a polynomial rolling hash with explicitly pinned arithmetic
+  * (base 131, modulus 1e9+7, left fold) rather than Spark's `xxhash64` so the
+  * DuckDB oracle can replicate it bit-for-bit in SQL. Collision rate at the
+  * 1e9 modulus is ~n^2/2e9 per doc pair — acceptable for near-dup candidate
+  * generation (and the oracle computes the identical function, so parity is
+  * unaffected).
+  */
+object TextFunctions {
+
+  /** Modulus/base of the portable rolling hash (shared with the oracle SQL). */
+  val HashMod = 1000000007L
+  val HashBase = 131L
+
+  /** MinHash universal-hash family h_j(x) = (a_j * x + b_j) mod P, P = 2^31-1.
+    * 16 signatures, banded 4x4 for LSH. a_j odd and fixed; literals are part
+    * of the query contract (the oracle embeds the same table).
+    */
+  val MinhashMod = 2147483647L
+  val MinhashA: Seq[Long] = Seq(3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59)
+  val MinhashB: Seq[Long] = Seq(17, 118, 219, 320, 421, 522, 623, 724, 825, 926, 1027, 1128, 1229, 1330, 1431, 1532)
+  val MinhashK = 16
+  val LshBands = 4
+  val LshRows = 4 // MinhashK / LshBands
+
+  /** SimHash uses the low 30 bits of the rolling hash (modulus < 2^30). */
+  val SimhashBits = 30
+
+  /** Lowercase word tokens; empty strings from split boundaries removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Portable rolling hash of a string: fold over characters of
+    * (acc * 131 + ascii(c)) % (1e9+7). Row-local, codegen'd; the oracle's
+    * `list_reduce` twin folds in the same order so values match exactly.
+    */
+  def polyHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * HashBase + ascii(s.substr(i, lit(1)))) % HashMod))
+
+  /** Distinct n-gram word shingles ("w1 w2 w3") of a token array. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
+
+  /** Distinct rolling-hash values of each shingle (the doc's shingle set as
+    * a compact Long set — cheaper to intersect than the strings).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(tokens(text), n), s => polyHash(s)))
+
+  /** k-element MinHash signature of a hash set: sig_j = min_x h_j(x). Null
+    * elements when the set is empty (docs shorter than the shingle width).
+    */
+  def minhashSignature(hashes: Column): Column =
+    array((0 until MinhashK).map { j =>
+      array_min(transform(hashes, h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashMod)))
+    }: _*)
+
+  /** LSH band key: signature rows [b*rows, (b+1)*rows) joined as a string.
+    * Docs agreeing on any one band become candidate pairs.
+    */
+  def lshBandKey(sig: Column, band: Int): Column =
+    concat_ws("-", (0 until LshRows).map(r => element_at(sig, band * LshRows + r + 1).cast("string")): _*)
+
+  /** Exact Jaccard similarity of two pre-distinct arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // ---- quality metrics -------------------------------------------------
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Whitespace token count, distinct ratio, mean token length, stopword
+    * ratio, a BPE-ish subword estimate (ceil(len/4) per token), and a
+    * composite quality score — all row-local integer/double arithmetic with
+    * an exact oracle twin.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // ceil(len/4) via floor((len+3)/4); Spark Column `/` is double division,
+    // so floor() then cast — exact for these magnitudes, and the oracle twin
+    // (DuckDB float division + floor) computes the same value.
+    val subwords = aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast("long"))
+    val nStop = countIn(toks, Stopwords)
+    val distinctRatio = nd.cast("double") / n
+    val avgLen = sumLen.cast("double") / n
+    val stopRatio = nStop.cast("double") / n
+    val quality = round(
+      lit(0.4) * distinctRatio + lit(0.3) * least(avgLen / 8.0, lit(1.0)) + lit(0.3) * (lit(1.0) - stopRatio), 6)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "n_distinct" -> nd.cast("long"),
+      "est_subwords" -> subwords,
+      "distinct_ratio" -> round(distinctRatio, 6),
+      "avg_token_len" -> round(avgLen, 6),
+      "stopword_ratio" -> round(stopRatio, 6),
+      "quality_score" -> quality)
+  }
+
+  // ---- language ID -----------------------------------------------------
+
+  /** Marker stopwords per language; argmax of per-doc marker counts with a
+    * fixed preference order on ties. A real pipeline swaps in char-n-gram
+    * profiles; the operator shape (row-local score -> argmax) is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) => lang -> countIn(toks, words) }
+
+  def predictedLang(toks: Column): Column = {
+    val scores = langScores(toks)
+    // first language (in LangMarkers order) whose score equals the max
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("unknown")) { case ((lang, s), rest) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(rest)
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication for training-data pipelines, four ways:
+  *
+  *  - [[exact]]           — content-hash groupBy (byte-identical dups)
+  *  - [[ngramJaccardPairs]] — exact n-gram Jaccard via a shingle
+  *    inverted-index join (no signatures; exact but superlinear)
+  *  - [[minhashLshPairs]] — MinHash signatures + banded LSH bucket join,
+  *    then exact-Jaccard verification of candidates (the 100 TB path)
+  *  - [[simhashPairs]]    — 30-bit SimHash + pigeonhole-banded Hamming join
+  *
+  * All signature computation is row-local Column math from
+  * [[graft.functions.TextFunctions]]; the only shuffles are the intentional
+  * candidate-generation joins, which shuffle short (key, doc_id) rows — never
+  * document text. Reference scope: the reference system has no dedup
+  * operators; these are the scale extensions its feature-store pipelines
+  * would need upstream (SURVEY.md §7.4).
+  */
+object Dedup {
+
+  /** Exact dedup: every doc annotated with its content group's keeper (min
+    * doc_id) and group size. One shuffle on the md5 content hash; at scale
+    * this is the standard first pass before any near-dup method.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val w = Window.partitionBy(h)
+    docs
+      .withColumn("content_hash", h)
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keeper_id")).cast("int"))
+      .select(col(idCol), col("content_hash"), col("keeper_id"), col("group_size"), col("is_dup"))
+  }
+
+  /** Per-doc shingle-hash set: (id, hashes array). Row-local; reused by the
+    * exact and LSH variants.
+    */
+  private def withShingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+
+  /** Join a candidate-pair set (id_a < id_b) back to the shingle sets and
+    * keep pairs with exact Jaccard >= threshold.
+    */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("hashes").as("h_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hashes").as("h_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("h_a"), col("h_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact n-gram Jaccard near-dup pairs via an inverted index on shingle
+    * hashes: docs sharing >= 1 shingle become candidates, then exact
+    * verification. Exact but O(sum over shingles of df^2) — the LSH variant
+    * below is the scale path; this one is the ground truth it's checked
+    * against.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = withShingleHashes(docs, idCol, textCol, n)
+    val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
+    val candidates = posting.as("a").join(posting.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: k=16 signature, 4 bands of 4 rows; docs
+    * agreeing on any band bucket become candidates; candidates verified by
+    * exact Jaccard on the shingle sets.
+    *
+    * Scale shape: signatures are row-local; the bucket join shuffles 4 short
+    * rows per doc keyed by (band, 4-minhash key) — at 100 TB the bucket join
+    * is the only wide stage, its key space is huge (few collisions beyond
+    * true near-dups), and AQE handles residual bucket skew. The verify join
+    * re-shuffles only the candidate pairs (tiny relative to the corpus).
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = withShingleHashes(docs, idCol, textCol, n)
+    val sigs = sets.withColumn("sig", minhashSignature(col("hashes")))
+    val bandKeys: Column = array((0 until LshBands).map { b =>
+      struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))
+    }: _*)
+    val buckets = sigs.select(col("id"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Per-doc 30-bit SimHash: weighted sign-sum over token hashes, weight =
+    * token frequency in the doc. Built from two narrow aggregations (token
+    * counts, then bit sums) — both shuffle on doc_id only.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokenCounts = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("th", polyHash(col("tok")))
+    val bitSums = tokenCounts
+      .select(col("id"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"),
+        col("cnt"), col("th"))
+      .withColumn("contrib",
+        when(expr("(shiftright(th, bit) & 1)") === 1, col("cnt")).otherwise(-col("cnt")))
+      .groupBy(col("id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+    bitSums
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, using a
+    * pigeonhole-banded join: the 30 bits are cut into 4 blocks (8/8/8/6);
+    * any pair within Hamming distance 3 must agree exactly on at least one
+    * block, so joining per-block finds all such pairs without a quadratic
+    * cross product. Exactness of the band prefilter requires
+    * maxHamming < number of blocks.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < 4, "pigeonhole bands (4 blocks) are only exact for maxHamming <= 3")
+    val sh = simhash(docs, idCol, textCol)
+    val blockKeys = array((0 until 4).map { k =>
+      struct(lit(k).as("blk"), expr(s"shiftright(simhash, ${k * 8}) & 255").as("key"))
+    }: _*)
+    val blocks = sh.select(col("id"), col("simhash"), explode(blockKeys).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.functions.VecDotProduct.{vecDot, vecNorm}
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *  - [[bruteKnn]]    — exact cosine top-k with a broadcast query set: the
+  *    corpus streams map-side against the (small) broadcast queries, so the
+  *    quadratic term is |queries| x |corpus| with no corpus shuffle. This is
+  *    the baseline and the recall oracle for the bucketed variant.
+  *  - [[lshKnn]]      — sign-LSH banded candidate generation, then exact
+  *    rerank inside buckets: the 100 TB path when the query set is itself
+  *    large (corpus shuffles once on short (band, key, id) rows).
+  *  - [[nearDupPairs]] — all pairs above a cosine threshold (embedding-based
+  *    near-dup detection for training-data dedup).
+  *
+  * All cosine math runs through the codegen'd
+  * [[graft.functions.VecDotProduct]] expression, whose left-fold double
+  * accumulation is bit-identical to the interpreted HOF fold in
+  * [[graft.functions.VectorFunctions]] (and to the DuckDB oracle), so
+  * thresholds and top-k cuts are deterministic and oracle-reproducible;
+  * ties broken by neighbor id. Norms are computed once per row in [[prep]],
+  * not per pair.
+  */
+object SimilaritySearch {
+
+  private def prep(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+
+  /** Exact top-k cosine neighbors for each query row (queries selected by
+    * `queryPred` SQL predicate over the raw table). Self-matches excluded.
+    */
+  def bruteKnn(embeddings: DataFrame, queryPred: String, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = prep(embeddings, idCol, vecCol)
+    val queries = prep(embeddings.filter(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus.join(broadcast(queries), col("id") =!= col("query_id"))
+      .withColumn("cos_sim", round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Sign-LSH approximate top-k: vectors bucketed by the sign pattern of
+    * `bands` consecutive 8-dim blocks; query and corpus rows meeting in any
+    * bucket are candidates, reranked by exact cosine. Recall < 1 by design;
+    * determinism (and the oracle twin) hold because bucketing is a pure
+    * function of the vector.
+    */
+  def lshKnn(embeddings: DataFrame, queryPred: String, k: Int, bands: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = prep(embeddings, idCol, vecCol)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("*"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), signBandKey(col("v"), b).as("key"))
+      }: _*)).as("bk"))
+        .select(col("id"), col("v"), col("nrm"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val queries = banded(prep(embeddings.filter(queryPred), idCol, vecCol))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"),
+        col("band"), col("key"))
+    val candidates = banded(corpus).join(broadcast(queries), Seq("band", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("v"), col("nrm"), col("qv"), col("qnrm"))
+      .dropDuplicates("query_id", "id")
+    val scored = candidates
+      .withColumn("cos_sim", round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** All vector pairs (id_a < id_b) with cosine >= threshold. The inner join
+    * condition keeps the pair space triangular; at 100 TB scale the
+    * sign-LSH buckets of [[lshKnn]] serve as the candidate prefilter and
+    * this exact form is the per-bucket verifier.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = prep(embeddings, idCol, vecCol)
+    e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+        col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

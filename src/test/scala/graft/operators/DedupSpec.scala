@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+/** Dedup family: exact groups, n-gram Jaccard, MinHash-LSH vs exact ground
+  * truth, SimHash banding exactness.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  // doc 2 = exact dup of 1; doc 3 = near dup (one word changed); doc 4 unrelated
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (4L, "completely different content with no overlap whatsoever in any shingle at all zero")
+  ).toDF("doc_id", "text")
+
+  test("polyHash matches hand-computed fold") {
+    val got = Seq("ab").toDF("s").select(TextFunctions.polyHash(col("s"))).head.getLong(0)
+    got shouldBe (97L * 131 + 98) // ((0*131+'a')*131+'b') % 1e9+7
+  }
+
+  test("exact dedup groups byte-identical docs and keeps min id") {
+    val out = Dedup.exact(docs).orderBy("doc_id").collect()
+    out.map(_.getAs[Long]("keeper_id")).toSeq shouldBe Seq(1L, 1L, 3L, 4L)
+    out.map(_.getAs[Long]("group_size")).toSeq shouldBe Seq(2L, 2L, 1L, 1L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 0, 0)
+  }
+
+  test("ngram Jaccard finds exact and near dup pairs, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L)) // identical -> jaccard 1.0
+    pairs should contain((1L, 3L)) // one word changed
+    pairs should contain((2L, 3L))
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
+
+  test("minhash LSH finds the same verified pairs as the exact method") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH candidates are a subset of all pairs; after exact verification the
+    // surviving set must be a subset of ground truth, and near-identical
+    // pairs (jaccard ~1) must always be caught.
+    lsh.subsetOf(exact) shouldBe true
+    lsh should contain((1L, 2L))
+  }
+
+  test("simhash of identical docs is identical; banded pairs match quadratic") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    sh(1L) shouldBe sh(2L)
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // quadratic ground truth over the tiny corpus
+    val quad = for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)
+    banded shouldBe quad.toSet
+    banded should contain((1L, 2L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+/** Structured-Streaming ingest: windowed event-time aggregation with
+  * watermark, and stateful running per-user features, driven through
+  * MemoryStream micro-batches.
+  */
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+  import EventStream._
+
+  test("windowed counts aggregate by tumbling event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = windowedCounts(input.toDF(), windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event("u1", "click", ts("2024-01-01 10:05:00"), 1.0),
+        Event("u1", "click", ts("2024-01-01 10:45:00"), 2.0),
+        Event("u1", "click", ts("2024-01-01 11:05:00"), 4.0),
+        Event("u2", "purchase", ts("2024-01-01 10:10:00"), 8.0))
+      query.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("user_id", "event_type", "window_start", "n_events", "sum_value")
+        .as[(String, String, java.sql.Timestamp, Long, Double)].collect().toSet
+      rows should contain(("u1", "click", ts("2024-01-01 10:00:00"), 2L, 3.0))
+      rows should contain(("u1", "click", ts("2024-01-01 11:00:00"), 1L, 4.0))
+      rows should contain(("u2", "purchase", ts("2024-01-01 10:00:00"), 1L, 8.0))
+    } finally query.stop()
+  }
+
+  test("running user features accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = runningUserFeatures(input.toDS())
+      .writeStream.format("memory").queryName("ruf").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0))
+      query.processAllAvailable()
+      input.addData(
+        Event("u1", "purchase", ts("2024-01-01 11:00:00"), 5.0),
+        Event("u1", "click", ts("2024-01-01 12:00:00"), 1.0))
+      query.processAllAvailable()
+      val snaps = spark.table("ruf").as[UserFeatureState].collect()
+        .filter(_.user_id == "u1").sortBy(_.event_count)
+      snaps.last.event_count shouldBe 3L
+      snaps.last.purchase_count shouldBe 1L
+      snaps.last.last_event_ts shouldBe ts("2024-01-01 12:00:00")
+    } finally query.stop()
+  }
+}
