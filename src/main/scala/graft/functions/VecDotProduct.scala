@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -87,8 +87,8 @@ object VecDotProduct {
 
   /** DSL entry: `vecDot(a, b)` as a Column. */
   def vecDot(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      VecDotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftColumnBridge.column(
+      VecDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Codegen'd L2 norm: sqrt(vec_dot(v, v)) — same fold as the HOF norm. */
   def vecNorm(v: Column): Column =
