@@ -45,10 +45,16 @@ case class VecDotProduct(left: Expression, right: Expression) extends BinaryExpr
   private def isFloat(e: Expression): Boolean =
     elemType(e.dataType).contains(FloatType)
 
+  // Mismatched-length inputs yield NULL (malformed embedding, not a silent
+  // truncated product) — matching the DuckDB oracle twin, whose fold indexes
+  // past the shorter list and folds in NULL.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = isFloat(left)
     val rf = isFloat(right)
     var acc = 0.0
@@ -70,12 +76,16 @@ case class VecDotProduct(left: Expression, right: Expression) extends BinaryExpr
       val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ($getX) * ($getY);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($getX) * ($getY);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

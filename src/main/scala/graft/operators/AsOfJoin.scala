@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Point-in-time (as-of) left join: for each left row, attach the single
   * right row with the greatest right-time <= left-time for the same key —
@@ -28,7 +29,10 @@ object AsOfJoin {
   def joinRank(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightValueCols: Seq[String]): DataFrame = {
-    val l = left.alias("l")
+    // Rank per physical left ROW, not per distinct left value: two fully
+    // identical left rows (duplicate labels) must each keep their match,
+    // so partition the window by a synthetic unique id.
+    val l = left.withColumn("__lid", monotonically_increasing_id()).alias("l")
     val r = right.alias("r")
     val joined = l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
@@ -38,7 +42,7 @@ object AsOfJoin {
     // feature time only; ties cannot arise there because (key, time) is
     // unique per snapshot — same ordering kept defensively).
     val w = Window
-      .partitionBy(left.columns.toIndexedSeq.map(c => col(s"l.$c")): _*)
+      .partitionBy(col("l.__lid"))
       .orderBy(col(s"r.$rightTime").desc_nulls_last)
     val outCols: Seq[Column] =
       left.columns.toIndexedSeq.map(c => col(s"l.$c").as(c)) ++
@@ -59,25 +63,29 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightValueCols: Seq[String]): DataFrame = {
     val leftPayload = left.columns.toSeq.filterNot(_ == key)
-    // Common shape: key, __t (event time), __side, left payload, right values.
+    // Pack the right row's values into ONE struct so the running `last`
+    // carries the latest snapshot ATOMICALLY. Carrying each column with its
+    // own last(_, ignoreNulls) would mix snapshots: a newer snapshot's
+    // legitimately-null column inherits an older snapshot's value.
+    val rvStructType = StructType(rightValueCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
+    // Common shape: key, __t (event time), __side, left payload, __rv struct.
     val taggedRight = right.select(
       Seq(col(key), col(rightTime).cast("timestamp").as("__t"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValueCols.map(c => col(c)): _*)
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValueCols.map(c => col(c)): _*).as("__rv"): _*)
     val taggedLeft = left.select(
       Seq(col(key), col(leftTime).cast("timestamp").as("__t"), lit(1).as("__side")) ++
-        leftPayload.map(c => col(c)) ++
-        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftPayload.map(c => col(c)) :+
+        lit(null).cast(rvStructType).as("__rv"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(Seq(col(key)) ++ leftPayload.map(c => col(c)) ++
-        rightValueCols.map(c => col(c)): _*)
+        rightValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
   /** Generic band (range) join: left rows paired with right rows of the same

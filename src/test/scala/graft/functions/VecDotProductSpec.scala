@@ -47,4 +47,14 @@ class VecDotProductSpec extends SparkTestBase {
     df.createOrReplaceTempView("vdp_t")
     sql("SELECT vec_dot(a, b) AS d FROM vdp_t").head.getDouble(0) shouldBe 11.0
   }
+
+  test("vec_dot of mismatched-length arrays is null (oracle parity), not a truncated product") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 4.0))).toDF("a", "b")
+    df.select(vecDot(col("a"), col("b"))).head.isNullAt(0) shouldBe true
+    // and through the interpreted path too
+    val interpreted = df.selectExpr("a", "b")
+      .withColumn("d", vecDot(col("a"), col("b")))
+      .filter(col("d").isNull)
+    interpreted.count() shouldBe 1L
+  }
 }

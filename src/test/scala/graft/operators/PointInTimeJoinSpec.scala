@@ -89,6 +89,35 @@ class PointInTimeJoinSpec extends SparkTestBase {
     }
   }
 
+  for (plan <- Seq("union" -> true, "rank" -> false)) {
+    val (name, union) = plan
+
+    test(s"[$name] a newer snapshot's null column is NOT backfilled from an older snapshot") {
+      // day-1 snapshot has recency 3; day-10 snapshot has recency null (user
+      // idle >30d). A label at day 15 must see the day-10 snapshot verbatim —
+      // recency None — not inherit day-1's stale 3 via per-column carry.
+      val feats = Seq(
+        FeaturesDaily("user1", d("2024-01-01"), Some(5L), Some(9L), Some(3), Some("2")),
+        FeaturesDaily("user1", d("2024-01-10"), Some(0L), Some(0L), None, Some("0"))
+      ).toDF()
+      val labels = Seq(Label("user1", 1.0, ts("2024-01-15 12:00:00")))
+      val out = run(labels, feats, union)
+
+      out should have size 1
+      out.head.day shouldBe Some(d("2024-01-10"))
+      out.head.last_event_days_ago shouldBe None      // the bug returned Some(3)
+      out.head.event_count_7d shouldBe Some(0L)
+    }
+
+    test(s"[$name] fully-duplicate labels each keep their own output row") {
+      val feats = features(("user1", "2024-01-01", 1L))
+      val dup = Label("user1", 1.0, ts("2024-01-02 12:00:00"))
+      val out = run(Seq(dup, dup), feats, union)
+      out should have size 2
+      out.map(_.day) shouldBe Seq(Some(d("2024-01-01")), Some(d("2024-01-01")))
+    }
+  }
+
   test("both formulations agree row-for-row on a mixed scenario") {
     val feats = features(
       ("a", "2024-01-01", 1L), ("a", "2024-01-04", 4L),

@@ -64,6 +64,47 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("PIT join over >30-day histories: null transitions carried faithfully, plans agree") {
+    // Activity only in the first ~10 days of a 75-day backfill, so recency
+    // (last_event_days_ago) transitions non-null -> null mid-history — the
+    // column-mixing bug class a 28-day range can never exercise.
+    def offTs(dayOffset: Int, sec: Long) = java.sql.Timestamp.from(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+        .plusSeconds(dayOffset * 86400L + sec))
+    val sparseEventsGen: Gen[List[EventRaw]] =
+      Gen.listOfN(25, for {
+        u <- userGen; t <- typeGen; day <- Gen.choose(0, 9); s <- secondGen
+      } yield EventRaw(u, t, offTs(day, s)))
+    val wideLabelsGen: Gen[List[Label]] =
+      Gen.listOfN(15, for {
+        u <- userGen; day <- Gen.choose(0, 74); s <- secondGen; v <- Gen.oneOf(0.0, 1.0)
+      } yield Label(u, v, offTs(day, s)))
+
+    (1 to Rounds).foreach { i =>
+      val events = sample(sparseEventsGen, 342L + i)
+      val labels = sample(wideLabelsGen, 442L + i)
+      val feats = BackfillPipeline.transform(events.toDF(), "2024-01-01", "2024-03-15")
+        .cache()
+      def norm(ts: Seq[TrainingData]) =
+        ts.sortBy(t => (t.user_id, t.as_of_ts.getTime, t.label))
+      val unionOut = norm(PointInTimeJoinPipeline
+        .transform(labels.toDF(), feats, useUnionPlan = true)
+        .as[TrainingData].collect().toSeq)
+      val rankOut = norm(PointInTimeJoinPipeline
+        .transform(labels.toDF(), feats, useUnionPlan = false)
+        .as[TrainingData].collect().toSeq)
+
+      assert(unionOut == rankOut, s"[seed ${342 + i}] physical plans disagree on long history")
+      // a label >40 days after a user's last event must see null recency:
+      // its attached snapshot is >30d past the last event by construction
+      unionOut.filter(_.as_of_ts.toInstant.isAfter(offTs(40, 0).toInstant)).foreach { t =>
+        assert(t.last_event_days_ago.isEmpty,
+          s"[seed ${342 + i}] stale recency carried across snapshots: $t")
+      }
+      feats.unpersist()
+    }
+  }
+
   test("PIT join: no future features and both physical plans agree") {
     (1 to Rounds).foreach { i =>
       val events = sample(eventsGen, 142L + i)
