@@ -200,11 +200,17 @@ object SparkEntry {
       OnlineSyncPipeline.payload(
         OnlineSyncPipeline.latestPerUser(backfill(s, dir), lit("2024-01-24").cast("date")))),
 
-    // set ops: users who clicked but never errored
+    // set ops at (user, day) granularity — every user has every event type
+    // in this corpus, so user-level except is vacuously empty; day-level
+    // except AND intersect both return thousands of rows at sf0.01+
     "q18_set_ops" -> ((s, dir) => {
       val ev = events(s, dir)
-      ev.filter(col("event_type") === "click").select(col("user_id")).distinct()
-        .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+      def days(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val clicks = days("click")
+      val purchases = days("purchase")
+      clicks.except(purchases).withColumn("src", lit("click_only"))
+        .unionByName(clicks.intersect(purchases).withColumn("src", lit("both")))
     }),
 
     // semi-structured: JSON field extraction from event props
@@ -302,9 +308,11 @@ object SparkEntry {
          |  ',"event_type_counts":' || CASE WHEN event_type_counts IS NULL THEN 'null' ELSE '"' || event_type_counts || '"' END || '}' AS value
          |FROM latest""".stripMargin,
     "q18_set_ops" ->
-      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
-        |EXCEPT
-        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""".stripMargin,
+      """WITH c AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, day, 'click_only' AS src FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |UNION ALL
+        |SELECT user_id, day, 'both' AS src FROM (SELECT * FROM c INTERSECT SELECT * FROM p)""".stripMargin,
     "q19_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -57,8 +57,15 @@ object TrainingDataQueries {
     // SimHash pigeonhole-banded Hamming pairs
     "q26_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
-    // embedding-cosine near-dup pairs above threshold
+    // embedding-cosine near-dup pairs above threshold: sign-LSH candidate
+    // buckets, exact-cosine verified (deterministic-approximate; the oracle
+    // replays the same candidate generation)
     "q27_embed_neardup" -> ((s, dir) => SimilaritySearch.nearDupPairs(emb(s, dir), 0.4)),
+
+    // exact all-pairs near-dup on a bounded subset — the recall oracle for
+    // q27's bucketed formulation (all-pairs is O(n^2): small-n only)
+    "q31_embed_neardup_exact" -> ((s, dir) =>
+      SimilaritySearch.nearDupPairsExact(emb(s, dir).filter("vec_id < 200"), 0.4)),
 
     // brute-force cosine top-k (broadcast query set)
     "q28_knn_brute" -> ((s, dir) => SimilaritySearch.bruteKnn(emb(s, dir), "vec_id < 10", 3)),
@@ -111,9 +118,11 @@ object TrainingDataQueries {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a)+1), di -> $a[di]*$b[di])), (acc, x) -> acc + x)"
 
-  private val embBaseSql =
-    s"""e AS (SELECT vec_id, list_transform(embedding, ei -> CAST(ei AS DOUBLE)) AS v FROM embeddings),
+  private def embBaseSqlWhere(pred: String): String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, ei -> CAST(ei AS DOUBLE)) AS v FROM embeddings WHERE $pred),
        |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
+
+  private val embBaseSql = embBaseSqlWhere("TRUE")
 
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims) */
   private def signKeySql(v: String, band: String): String =
@@ -212,6 +221,17 @@ object TrainingDataQueries {
 
     "q27_embed_neardup" ->
       s"""WITH $embBaseSql,
+         |bc AS (SELECT vec_id, v, nrm, bb.band AS band, ${signKeySql("v", "bb.band")} AS key
+         |  FROM en CROSS JOIN (SELECT unnest(${(0 until 8).mkString("[", ", ", "]")}) AS band) bb),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |p AS (SELECT cand.id_a, cand.id_b,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand JOIN en a ON cand.id_a = a.vec_id JOIN en b ON cand.id_b = b.vec_id)
+         |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin,
+
+    "q31_embed_neardup_exact" ->
+      s"""WITH ${embBaseSqlWhere("vec_id < 200")},
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
          |  FROM en a JOIN en b ON a.vec_id < b.vec_id)

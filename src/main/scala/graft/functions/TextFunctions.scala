@@ -45,10 +45,17 @@ object TextFunctions {
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Portable rolling hash of a string: fold over characters of
-    * (acc * 131 + ascii(c)) % (1e9+7). Row-local, codegen'd; the oracle's
+    * (acc * 131 + ascii(c)) % (1e9+7). Row-local; the oracle's
     * `list_reduce` twin folds in the same order so values match exactly.
+    * Backed by the native [[PolyHash]] expression — a tight byte loop
+    * instead of one interpreted lambda frame per character.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = PolyHash.polyHash(s)
+
+  /** The original interpreted HOF fold, kept ONLY as the bit-parity witness
+    * for [[PolyHash]] (PolyHashSpec asserts native == HOF on random strings).
+    */
+  def polyHashHof(s: Column): Column =
     when(length(s) === 0, lit(0L)).otherwise(
       aggregate(
         sequence(lit(1), length(s)),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
 
@@ -57,17 +58,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted index on shingle
-    * hashes: docs sharing >= 1 shingle become candidates, then exact
-    * verification. Exact but O(sum over shingles of df^2) — the LSH variant
-    * below is the scale path; this one is the ground truth it's checked
-    * against.
+  /** Exact n-gram Jaccard near-dup pairs via a PREFIX-FILTERED inverted
+    * index (the SSJoin/PPJoin prefix principle): order each doc's shingles
+    * by global document frequency ascending (rarest first), and index only
+    * the first `|S| - ceil(t*|S|) + 1` shingles per doc. Any pair with
+    * Jaccard >= t must share a shingle inside BOTH prefixes, so the filter
+    * is lossless — but a shingle shared by d documents no longer yields d^2
+    * candidate rows unless it survives into prefixes, which high-df
+    * shingles (the d^2 offenders) by construction do not: they sort last.
+    *
+    * Candidates are then verified with exact Jaccard on the full shingle
+    * sets, so the output is identical to the naive all-sharing-pairs join.
+    * The shingle-set stage is persisted: it feeds the prefix index and both
+    * sides of the verify join (3 consumers; at 100 TB this materialization
+    * is a deliberate pipeline stage, not an optimization detail).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sets = withShingleHashes(docs, idCol, textCol, n)
-    val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
-    val candidates = posting.as("a").join(posting.as("b"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posting = sets.select(
+      col("id"), size(col("hashes")).as("m"), explode(col("hashes")).as("h"))
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "h")
+      .withColumn("__rnk",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .filter(col("__rnk") <= col("m") - ceil(lit(threshold) * col("m")) + lit(1))
+      .select(col("id"), col("h"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -86,7 +104,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Persisted: consumed by the signature stage and both sides of the
+    // verify join — without it the whole tokenize/shingle/hash front runs 3x.
     val sets = withShingleHashes(docs, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.withColumn("sig", minhashSignature(col("hashes")))
     val bandKeys: Column = array((0 until LshBands).map { b =>
       struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions._
 import graft.functions.VecDotProduct.{vecDot, vecNorm}
@@ -81,13 +82,48 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
-  /** All vector pairs (id_a < id_b) with cosine >= threshold. The inner join
-    * condition keeps the pair space triangular; at 100 TB scale the
-    * sign-LSH buckets of [[lshKnn]] serve as the candidate prefilter and
-    * this exact form is the per-bucket verifier.
+  /** Embedding near-dup pairs, the 100 TB formulation: sign-LSH band keys
+    * generate candidate pairs (vectors agreeing on any one 8-dim sign
+    * block), which are then verified with exact cosine >= threshold. The
+    * corpus shuffles once on short (band, key, id) rows — never an
+    * unbounded cross product; candidate volume is bounded by bucket
+    * co-occupancy, with AQE absorbing residual bucket skew.
+    *
+    * Deterministic-approximate: bucketing is a pure function of the vector,
+    * so the output is exactly reproducible (the DuckDB oracle twin replays
+    * the identical candidate generation), but pairs sharing NO sign block
+    * are not reported. Recall rises with threshold — near-dup thresholds
+    * (>= ~0.9) imply near-identical sign patterns; at loose thresholds use
+    * more/wider bands or [[nearDupPairsExact]] on a bounded subset.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+  def nearDupPairs(embeddings: DataFrame, threshold: Double, bands: Int = 8,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Persisted: feeds band-key generation and both sides of the verify join.
+    val e = prep(embeddings, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = e.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), signBandKey(col("v"), b).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos_sim", round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+
+  /** All vector pairs (id_a < id_b) with cosine >= threshold — the EXACT
+    * all-pairs form. O(n^2) pairs (BroadcastNestedLoopJoin under the `<`
+    * condition): strictly a small-n tool — the recall oracle for
+    * [[nearDupPairs]] on bounded subsets, never the 100 TB path.
+    */
+  def nearDupPairsExact(embeddings: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = prep(embeddings, idCol, vecCol)
     e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
       .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),

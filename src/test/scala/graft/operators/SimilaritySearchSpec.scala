@@ -24,9 +24,17 @@ class SimilaritySearchSpec extends SparkTestBase {
   }
 
   test("near-dup pairs above threshold are only the parallel pair") {
-    val pairs = SimilaritySearch.nearDupPairs(embs, 0.9)
+    val pairs = SimilaritySearch.nearDupPairs(embs, 0.9, bands = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     pairs shouldBe Set((0L, 1L))
+  }
+
+  test("bucketed near-dup agrees with exact all-pairs at a near-dup threshold") {
+    val lsh = SimilaritySearch.nearDupPairs(embs, 0.9, bands = 2)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val exact = SimilaritySearch.nearDupPairsExact(embs, 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    lsh shouldBe exact // near-parallel vectors share sign blocks -> full recall here
   }
 
   test("sign-LSH buckets the parallel pair together and excludes anti-parallel") {
