@@ -40,6 +40,21 @@ object Schemas {
   /** Point-in-time-join output: label columns + feature columns. */
   val trainingData: StructType = StructType(
     labels.fields ++ featuresDaily.fields.filterNot(_.name == "user_id"))
+
+  /** Normalize an event log's `ts` to TimestampType. Event logs written with
+    * parquet TIMESTAMP(NANOS) arrive as raw nanosecond longs (readers must
+    * set `spark.sql.legacy.parquet.nanosAsLong`; Spark 4 has no nanosecond
+    * timestamp type) — truncate to microseconds with integer division (ns
+    * since epoch exceeds double's 2^53 exact range). Already-timestamp
+    * inputs pass through untouched.
+    */
+  def normalizeEventTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => df
+    }
 }
 
 /** One raw event (reference: domain/EventRaw.scala:9-13). */

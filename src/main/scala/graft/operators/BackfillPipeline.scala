@@ -90,7 +90,13 @@ object BackfillPipeline {
   def run(spark: SparkSession, fetcher: Fetcher, writer: Writer,
       config: BackfillConfig): Dataset[FeaturesDaily] = {
     import spark.implicits._
-    val events = fetcher.readParquet(spark, config.eventsRawPath, Some(Schemas.eventsRaw))
+    // No explicit schema on this read: event logs in the wild carry ts as
+    // TIMESTAMP(MICROS) or TIMESTAMP(NANOS); the legacy conf lets the nanos
+    // variant load (as long), and normalizeEventTs converges both to
+    // TimestampType. Schemas.eventsRaw documents the logical contract.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Schemas.normalizeEventTs(
+      fetcher.readParquet(spark, config.eventsRawPath))
     val features = transform(events, config.startDate, config.endDate).as[FeaturesDaily]
     writer.insertOverwriteTable(features.toDF(), config.outputTable, config.partitionBy)
     features

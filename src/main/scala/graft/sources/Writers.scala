@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.DataFrame
 
 /** Write-side platform abstraction (reference: platform/Writers.scala:27-110).
@@ -37,6 +39,20 @@ trait Writer {
     */
   def insertOverwriteTable(df: DataFrame, tableName: String,
       partitionBy: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    // A session with a fresh catalog can find a stale table DIRECTORY left
+    // by a previous session's warehouse; saveAsTable refuses to adopt it
+    // (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
+    // table wholesale, so clear the orphaned location first. Only managed
+    // default-warehouse layouts are handled — a real deployment points the
+    // catalog at a transactional format where this cannot arise.
+    if (!spark.catalog.tableExists(tableName)) {
+      val parts = tableName.split('.')
+      val rel = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else parts.last
+      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), rel.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(tableName)

@@ -1,0 +1,81 @@
+package graft
+
+import graft.domain._
+import graft.serving.FeatureLookup
+import graft.sources.InMemoryKVStore
+
+/** CLI surface: flag parsing (reference parseArgs App.scala:150-156) and the
+  * full subcommand chain dispatched through [[App.run]] with the in-memory
+  * platform — the same lifecycle a shell user runs (reference App.scala:78-110).
+  */
+class AppSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parseArgs: --k v pairs, later duplicates win, non-flag keys dropped") {
+    App.parseArgs(Seq("--a", "1", "--b", "x y")) shouldBe Map("a" -> "1", "b" -> "x y")
+    App.parseArgs(Seq("--a", "1", "--a", "2")) shouldBe Map("a" -> "2")
+    App.parseArgs(Seq.empty) shouldBe Map.empty
+    App.parseArgs(Seq("stray", "pair")) shouldBe Map.empty
+  }
+
+  test("kvFactory: memory resolves, anything else explains itself") {
+    App.kvFactory("memory")().set("k", "v")
+    InMemoryKVStore.get("k") shouldBe Some("v")
+    an[IllegalArgumentException] should be thrownBy App.kvFactory("redis")
+  }
+
+  test("subcommand chain: backfill -> point-in-time-join -> online-sync -> lookups") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    InMemoryKVStore.clear()
+
+    storage.write("events_raw", Seq(
+      EventRaw("user1", "click", ts("2024-01-01 10:00:00")),
+      EventRaw("user1", "purchase", ts("2024-01-03 14:30:00")),
+      EventRaw("user2", "view", ts("2024-01-02 09:00:00"))).toDF(), "overwrite")
+    storage.write("labels", Seq(
+      Label("user1", 1.0, ts("2024-01-02 12:00:00"))).toDF(), "overwrite")
+
+    App.run(platform, Seq("backfill",
+      "--events-raw-path", "events_raw", "--output-table", "features_daily",
+      "--start-date", "2024-01-01", "--end-date", "2024-01-05"))
+    storage.rows("features_daily") should have size 10
+
+    App.run(platform, Seq("point-in-time-join",
+      "--labels-path", "labels", "--features-table", "features_daily",
+      "--output-path", "training_data"))
+    storage.rows should contain key "training_data"
+
+    App.run(platform, Seq("online-sync",
+      "--features-table", "features_daily", "--cutoff", "2024-01-01"))
+
+    // online serving lookup: synced user decodes, missing user is None (404)
+    val online = FeatureLookup.online(InMemoryKVStore, "user1")
+    online shouldBe defined
+    online.get.day shouldBe Some("2024-01-05")
+    online.get.event_count_7d shouldBe Some(2L)           // Jan-1 click + Jan-3 purchase
+    online.get.event_type_counts shouldBe Some("2")
+    FeatureLookup.online(InMemoryKVStore, "ghost") shouldBe None
+
+    // offline point lookup: as-of picks the right snapshot; 404 semantics
+    val snap = FeatureLookup.offlineFromTable(spark, platform.fetcher,
+      "features_daily", "user1", "2024-01-02")
+    snap.map(_.day) shouldBe Some(d("2024-01-02"))
+    snap.get.event_count_7d shouldBe Some(1L)
+    FeatureLookup.offlineFromTable(spark, platform.fetcher,
+      "features_daily", "ghost", "2024-01-02") shouldBe None
+
+    App.run(platform, Seq("offline-lookup",
+      "--features-table", "features_daily", "--user-id", "user1",
+      "--as-of", "2024-01-03"))
+  }
+
+  test("online lookup decodes null features as None (reference null quirk)") {
+    InMemoryKVStore.clear()
+    InMemoryKVStore.set("features:u9",
+      """{"day":"2024-01-05","event_count_7d":"0","event_count_30d":"0","last_event_days_ago":null,"event_type_counts":"0"}""")
+    val out = FeatureLookup.online(InMemoryKVStore, "u9").get
+    out.last_event_days_ago shouldBe None
+    out.event_count_7d shouldBe Some(0L)
+  }
+}
