@@ -219,7 +219,39 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // S3+S7: CSV sink -> CSV scan round trip through the platform traits;
+    // lossless, so the oracle is the source table itself
+    "q32_csv_roundtrip" -> ((s, dir) => {
+      val region = t(s, dir, "region")
+      val tmp = "/tmp/graft_io/q32_csv"
+      graft.sources.ProdWriter.writeCsv(region, tmp)
+      graft.sources.ProdFetcher.readCsv(s, tmp, Some(region.schema))
+        .select(col("r_regionkey"), col("r_name"))
+    }),
+
+    // S2+S6: JSON sink -> JSON scan round trip
+    "q33_json_roundtrip" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val tmp = "/tmp/graft_io/q33_json"
+      graft.sources.ProdWriter.writeJson(nation, tmp)
+      graft.sources.ProdFetcher.readJson(s, tmp, Some(nation.schema))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    }),
+
+    // S8+S4: insert-overwrite catalog table (partitioned) -> table scan
+    // round trip. Partition values come back via directory inference, so
+    // the final select pins the type to the oracle's.
+    "q34_table_roundtrip" -> ((s, dir) => {
+      val supplier = t(s, dir, "supplier")
+      graft.sources.ProdWriter.insertOverwriteTable(
+        supplier, "graft_q34_supplier", Seq("s_nationkey"))
+      graft.sources.ProdFetcher.readTable(s, "graft_q34_supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("int").as("s_nationkey"),
+          round(col("s_acctbal"), 2).as("s_acctbal"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -317,6 +349,12 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q32_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region",
+    "q33_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q34_table_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier"
   ) ++ TrainingDataQueries.oracleSql
 }
