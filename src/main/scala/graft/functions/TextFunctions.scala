@@ -70,9 +70,16 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
 
   /** Distinct rolling-hash values of each shingle (the doc's shingle set as
-    * a compact Long set — cheaper to intersect than the strings).
+    * a compact Long set — cheaper to intersect than the strings). Backed by
+    * the native one-pass [[ShingleHashes]] expression.
     */
   def shingleHashes(text: Column, n: Int): Column =
+    ShingleHashes.shingleHashes(text, n)
+
+  /** The composed HOF formulation, kept ONLY as the parity witness for the
+    * native [[ShingleHashes]] (ShingleHashesSpec asserts element equality).
+    */
+  def shingleHashesHof(text: Column, n: Int): Column =
     array_distinct(transform(wordShingles(tokens(text), n), s => polyHash(s)))
 
   /** k-element MinHash signature of a hash set: sig_j = min_x h_j(x). Null

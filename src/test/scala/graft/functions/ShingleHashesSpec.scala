@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.{shingleHashes, shingleHashesHof}
+
+/** The native one-pass shingle hasher must produce the exact array the
+  * composed tokens->shingles->polyHash->distinct pipeline produces — same
+  * values, same first-occurrence order — or dedup oracle parity breaks.
+  */
+class ShingleHashesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[T](gen: Gen[T], seed: Long): T =
+    gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def assertParity(strings: Seq[String], n: Int = 3): Unit = {
+    val df = strings.toDF("s").select(
+      col("s"),
+      shingleHashes(col("s"), n).as("native"),
+      shingleHashesHof(col("s"), n).as("hof"))
+    val bad = df.filter(!(col("native") <=> col("hof"))).collect()
+    assert(bad.isEmpty, s"native != HOF on: ${bad.mkString(", ")}")
+  }
+
+  test("native == composed on random word soup") {
+    val word = Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString)
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    assertParity((1 to 40).map(i => sample(doc, 42L + i)))
+  }
+
+  test("native == composed on case, punctuation, unicode, repeats, short docs") {
+    assertParity(Seq(
+      "", "one", "one two", "one two three",
+      "One TWO Three FOUR", "a,b;c d--e f", "  spaced   out  tokens here ",
+      "héllo wörld mixé case Ünicode tokens",
+      "dup dup dup dup dup", "a b c a b c a b c",
+      "tabs\tand\nnewlines between tokens", "123 456 789 0ab"))
+  }
+
+  test("native == composed for n=1 and n=5") {
+    val docs = Seq("alpha beta gamma delta epsilon zeta", "x y", "lone")
+    assertParity(docs, n = 1)
+    assertParity(docs, n = 5)
+  }
+
+  test("null propagates; short doc yields empty array") {
+    Seq(Option.empty[String]).toDF("s")
+      .select(shingleHashes(col("s"), 3)).head.isNullAt(0) shouldBe true
+    Seq("two words").toDF("s")
+      .select(org.apache.spark.sql.functions.size(shingleHashes(col("s"), 3)))
+      .head.getInt(0) shouldBe 0
+  }
+}
