@@ -73,6 +73,9 @@ object TrainingDataQueries {
     // sign-LSH bucketed approximate top-k
     "q29_knn_lsh" -> ((s, dir) => SimilaritySearch.lshKnn(emb(s, dir), "vec_id < 10", 3)),
 
+    // IVF cell-probed approximate top-k (deterministic coarse quantizer)
+    "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnn(emb(s, dir), "vec_id < 10", 3)),
+
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
     "q30_multimodal_binary" -> ((s, dir) =>
@@ -258,6 +261,24 @@ object TrainingDataQueries {
          |scored AS (SELECT cand.query_id, cand.neighbor_id,
          |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
          |  FROM cand JOIN en a ON cand.neighbor_id = a.vec_id JOIN en b ON cand.query_id = b.vec_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    "q35_knn_ivf" ->
+      s"""WITH $embBaseSql,
+         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, cent.cid,
+         |  ${dotSql("en.v", "cent.cv")} / (en.nrm * cent.cnrm) AS cscore
+         |  FROM en CROSS JOIN cent),
+         |cells AS (SELECT vec_id, v, nrm, cid FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+         |qcells AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid FROM cs WHERE vec_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) <= 2),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  round(${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm), 6) AS cos_sim
+         |  FROM cells c JOIN qcells q ON c.cid = q.cid AND c.vec_id <> q.query_id)
          |SELECT query_id, neighbor_id, cos_sim,
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |FROM scored

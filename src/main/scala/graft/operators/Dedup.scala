@@ -123,10 +123,21 @@ object Dedup {
   }
 
   /** Per-doc 30-bit SimHash: weighted sign-sum over token hashes, weight =
-    * token frequency in the doc. Built from two narrow aggregations (token
-    * counts, then bit sums) — both shuffle on doc_id only.
+    * token frequency in the doc. Computed entirely map-side by the native
+    * [[graft.functions.SimHash]] expression — no shuffle; token-less docs
+    * drop out (null hash), matching the aggregation formulation's explode.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.SimHash.simhash(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The two-stage aggregation formulation (token explode -> per-bit
+    * explode -> sign sums), kept ONLY as the parity witness for the native
+    * expression (DedupSpec asserts identical hashes). Two shuffles whose
+    * volume is a multiple of the corpus token count — never the scale path.
+    */
+  def simhashViaAggregation(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tokenCounts = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("id"), col("tok"))

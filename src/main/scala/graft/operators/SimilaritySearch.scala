@@ -82,6 +82,54 @@ object SimilaritySearch {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * cells by nearest centroid; a query probes its `nProbe` nearest cells
+    * and reranks those cells' members by exact cosine.
+    *
+    * Centroids here are a DETERMINISTIC coarse quantizer — the vectors in a
+    * fixed id slice — rather than trained k-means: same plan shape, same
+    * cell-probe semantics, but exactly reproducible (the DuckDB oracle
+    * replays centroid choice, assignment, probing, and rerank bit-for-bit;
+    * k-means would put a nondeterministic training loop in the oracle's
+    * way). A production deployment swaps the centroid source for trained
+    * centroids; nothing downstream changes.
+    *
+    * Scale shape: centroids broadcast; assignment is map-side (argmax over
+    * nCells per row) followed by ONE narrow shuffle of (id, cid, score);
+    * the candidate join shuffles per-cell slices, never the full pair
+    * space. This is the IVF complement to the sign-LSH path of [[lshKnn]].
+    */
+  def ivfKnn(embeddings: DataFrame, queryPred: String, k: Int,
+             centroidPred: String = "vec_id >= 100 AND vec_id < 116",
+             nProbe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = prep(embeddings, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val centroids = prep(embeddings.filter(centroidPred), idCol, vecCol)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def cellScored(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    // corpus: nearest cell per vector, carrying only (id, cid) wide
+    val wCell = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
+    val cellOf = cellScored(e).select(col("id"), col("cid"), col("cscore"))
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
+      .select(col("id"), col("cid"))
+    val cells = e.join(cellOf, "id")
+    // queries: nProbe nearest cells each
+    val queries = prep(embeddings.filter(queryPred), idCol, vecCol)
+    val qcells = cellScored(queries).select(col("id"), col("v"), col("nrm"), col("cid"), col("cscore"))
+      .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid"))
+    val candidates = cells.join(broadcast(qcells), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("id").asc)
+    candidates
+      .withColumn("cos_sim", round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
   /** Embedding near-dup pairs, the 100 TB formulation: sign-LSH band keys
     * generate candidate pairs (vectors agreeing on any one 8-dim sign
     * block), which are then verified with exact cosine >= threshold. The

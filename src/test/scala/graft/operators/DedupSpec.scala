@@ -53,6 +53,12 @@ class DedupSpec extends SparkTestBase {
     lsh should contain((1L, 2L))
   }
 
+  test("native simhash == aggregation-formulation simhash on every doc") {
+    val native = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashViaAggregation(docs).as[(Long, Long)].collect().toMap
+    native shouldBe agg
+  }
+
   test("simhash of identical docs is identical; banded pairs match quadratic") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     sh(1L) shouldBe sh(2L)

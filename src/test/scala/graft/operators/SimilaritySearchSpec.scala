@@ -29,6 +29,20 @@ class SimilaritySearchSpec extends SparkTestBase {
     pairs shouldBe Set((0L, 1L))
   }
 
+  test("ivf knn: probed cells contain the near-parallel vector, rerank is exact") {
+    // centroids = vectors 0 and 2 (orthogonal-ish cells); query = vector 1
+    val out = SimilaritySearch.ivfKnn(embs, "vec_id = 1", 3,
+        centroidPred = "vec_id IN (0, 2)", nProbe = 1)
+      .select("neighbor_id", "cos_sim", "rank").as[(Long, Double, Int)].collect()
+    // v1's nearest centroid is v0's cell; members of that cell: 0 (itself), 3
+    val byRank = out.sortBy(_._3).map(_._1).toSeq
+    byRank.head shouldBe 0L
+    // exact rerank: cos(v1, v0) matches brute force
+    val brute = SimilaritySearch.bruteKnn(embs, "vec_id = 1", 3)
+      .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
+    out.foreach { case (id, cos, _) => brute(id) shouldBe cos }
+  }
+
   test("bucketed near-dup agrees with exact all-pairs at a near-dup threshold") {
     val lsh = SimilaritySearch.nearDupPairs(embs, 0.9, bands = 2)
       .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
