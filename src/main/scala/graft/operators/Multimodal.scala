@@ -86,6 +86,50 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame of a media payload. */
+  case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: treat the payload as a sequence of fixed-size frames
+    * and keep every `stride`-th one — the 1-row -> N-rows generator shape
+    * of video frame extraction. Map-side (mapPartitions with a per-partition
+    * codec handle, one output iterator per input row); only the sampled
+    * frames flow downstream, the full payload is dropped at the source.
+    * The framing itself is the codec stub: a real deployment replaces
+    * fixed-width chunking with container demuxing, same shape.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val _ = StubCodec.open()
+        rows.flatMap { case (id, payload) =>
+          val nFrames = payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            Frame(id, f, java.util.Arrays.copyOfRange(payload, f * frameBytes, (f + 1) * frameBytes))
+          }
+        }
+      }
+  }
+
+  /** Resize: re-decode a payload at a different target "resolution" (here:
+    * feature dimension) — the transform shape of image resizing, where the
+    * decode parameters change but the pipeline around it does not. Output
+    * header fields are scaled; the feature is recomputed at the new dim.
+    */
+  def resize(media: DataFrame, newDim: Int): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        val codec = StubCodec.open()
+        rows.map { case (id, payload, fmt) => codec.decodeOne(id, payload, fmt, newDim) }
+      }
+  }
+
   /** End-to-end demo pipeline over the `documents` table: text bytes stand
     * in for media payloads (this container has no binary media fixtures);
     * decode then drop payloads so only features flow downstream.

@@ -4,7 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.{KVClient, KVSink}
 
 /** Structured-Streaming ingest of the event log — the streaming extension of
   * the reference's batch-only pipelines (reference has no streaming at all:
@@ -83,4 +85,29 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming online-sync: push each micro-batch's per-user snapshots to
+    * the KV store — the streaming twin of
+    * [[graft.operators.OnlineSyncPipeline]] (same key scheme, JSON payload
+    * via to_json). `foreachBatch` hands every micro-batch to the same
+    * distributed [[KVSink]] the batch pipeline uses: one KV connection per
+    * partition, no driver round-trip, so freshness scales with executors
+    * rather than one TCP pipe. Start with `.trigger(...)` and checkpoint
+    * location of the caller's choosing.
+    */
+  def kvSyncWriter(states: Dataset[UserFeatureState],
+                   clientFactory: () => KVClient,
+                   keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =
+    states.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[UserFeatureState], _: Long) =>
+        val payload = batch.toDF().select(
+          concat(lit(keyPrefix), col("user_id")).as("key"),
+          to_json(struct(
+            col("event_count").cast("string").as("event_count"),
+            col("purchase_count").cast("string").as("purchase_count"),
+            col("last_event_ts").cast("string").as("last_event_ts")),
+            Map("ignoreNullFields" -> "false")).as("value"))
+        KVSink.write(payload, clientFactory)
+      }
 }

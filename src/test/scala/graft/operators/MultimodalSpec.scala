@@ -41,4 +41,23 @@ class MultimodalSpec extends SparkTestBase {
     val decoded = Multimodal.decode(back, dim = 4).collect().sortBy(_.media_id)
     decoded(0).width shouldBe 256 + 'h'.toInt
   }
+
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    // "hello world" = 11 bytes -> 5 frames of 2 bytes; stride 2 -> frames 0, 2, 4
+    val frames = Multimodal.frameSample(media, frameBytes = 2, stride = 2)
+      .collect().filter(_.media_id == 1L).sortBy(_.frame_idx)
+    frames.map(_.frame_idx).toSeq shouldBe Seq(0, 2, 4)
+    new String(frames(0).frame) shouldBe "he"
+    new String(frames(1).frame) shouldBe "o "
+    // 3-byte payload -> 1 frame
+    Multimodal.frameSample(media, 2, 2).collect().count(_.media_id == 2L) shouldBe 1
+  }
+
+  test("resize re-decodes at a new feature dimension, same headers") {
+    val d4 = Multimodal.decode(media, dim = 4).collect().sortBy(_.media_id)
+    val d8 = Multimodal.resize(media, newDim = 8).collect().sortBy(_.media_id)
+    d8(0).feature.length shouldBe 8
+    d8(0).width shouldBe d4(0).width
+    d8(0).feature.sum shouldBe 1.0f +- 0.001f
+  }
 }

@@ -53,4 +53,23 @@ class EventStreamSpec extends SparkTestBase {
       snaps.last.last_event_ts shouldBe ts("2024-01-01 12:00:00")
     } finally query.stop()
   }
+
+  test("streaming KV sync pushes fresh snapshots per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.InMemoryKVStore
+    InMemoryKVStore.clear()
+    val input = MemoryStream[Event]
+    val query = kvSyncWriter(runningUserFeatures(input.toDS()), () => InMemoryKVStore)
+      .option("checkpointLocation", s"/tmp/graft-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      input.addData(Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0))
+      query.processAllAvailable()
+      input.addData(Event("u1", "purchase", ts("2024-01-01 11:00:00"), 5.0))
+      query.processAllAvailable()
+      val json = InMemoryKVStore.get("features_rt:u1").get
+      json should include(""""event_count":"2"""")
+      json should include(""""purchase_count":"1"""")
+    } finally query.stop()
+  }
 }
