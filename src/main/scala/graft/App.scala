@@ -44,11 +44,17 @@ object App {
     args.head match {
       case "backfill" =>
         val o = parseArgs(args.tail)
-        val features = BackfillPipeline.run(spark, fetcher, writer, BackfillConfig(
+        val config = BackfillConfig(
           eventsRawPath = o("events-raw-path"),
           outputTable = o("output-table"),
           startDate = o("start-date"),
-          endDate = o("end-date")))
+          endDate = o("end-date"))
+        // --incremental true: replace only the range's day partitions
+        // instead of overwriting the whole table
+        val features =
+          if (o.get("incremental").exists(_.toBoolean))
+            BackfillPipeline.runIncremental(spark, fetcher, writer, config)
+          else BackfillPipeline.run(spark, fetcher, writer, config)
         println(s"[graft] backfill: wrote ${features.count()} feature rows to ${o("output-table")}")
 
       case "point-in-time-join" =>
@@ -106,6 +112,7 @@ object App {
       |Pipelines:
       |  backfill           --events-raw-path <path> --output-table <table>
       |                     --start-date <date> --end-date <date>
+      |                     [--incremental true]
       |  point-in-time-join --labels-path <path> --features-table <table>
       |                     --output-path <path>
       |  online-sync        --features-table <table> [--hours-back <n=24>]

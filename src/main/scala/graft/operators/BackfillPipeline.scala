@@ -101,4 +101,25 @@ object BackfillPipeline {
     writer.insertOverwriteTable(features.toDF(), config.outputTable, config.partitionBy)
     features
   }
+
+  /** Incremental backfill: compute features ONLY for [startDate, endDate]
+    * and replace exactly those day partitions, leaving history untouched
+    * (dynamic partition overwrite). Equivalent to a full recompute restricted
+    * to the range — each day's features depend only on events in
+    * [day - 30d, day], so day partitions are independent — but the event
+    * scan prunes to a ~(range + 30d) window and the write touches only the
+    * new day directories. The reference recomputes and rewrites the whole
+    * table every run (ProdWriter.scala:57-70); at 100 TB that is the
+    * difference between touching a month and rewriting years.
+    */
+  def runIncremental(spark: SparkSession, fetcher: Fetcher, writer: Writer,
+      config: BackfillConfig): Dataset[FeaturesDaily] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Schemas.normalizeEventTs(
+      fetcher.readParquet(spark, config.eventsRawPath))
+    val features = transform(events, config.startDate, config.endDate).as[FeaturesDaily]
+    writer.overwritePartitions(features.toDF(), config.outputTable, config.partitionBy)
+    features
+  }
 }

@@ -57,6 +57,36 @@ trait Writer {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(tableName)
   }
+
+  /** Replace ONLY the partitions present in `df`, leaving all others
+    * untouched (dynamic partition overwrite). This is the incremental-write
+    * primitive: a backfill of days [d1, d2] into a day-partitioned table
+    * rewrites those day directories and nothing else — at 100 TB the
+    * difference between touching a month and rewriting years. Falls back to
+    * a full [[insertOverwriteTable]] when the table doesn't exist yet.
+    *
+    * `insertInto` matches columns BY POSITION (partition columns last in a
+    * catalog table's schema), so the input is reordered by NAME against the
+    * table's declared layout before writing.
+    */
+  def overwritePartitions(df: DataFrame, tableName: String,
+      partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(tableName)) {
+      insertOverwriteTable(df, tableName, partitionBy)
+    } else {
+      val tableOrder = spark.table(tableName).columns
+      val aligned = df.select(tableOrder.map(df.col).toIndexedSeq: _*)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try aligned.write.mode("overwrite").insertInto(tableName)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
 
 /** Production writer — trait defaults are production-grade. */

@@ -59,4 +59,22 @@ class TestWriter(storage: InMemoryStorage) extends Writer {
       header: Boolean, delimiter: String): Unit = storage.write(path, df, mode)
   override def insertOverwriteTable(df: DataFrame, tableName: String,
       partitionBy: Seq[String]): Unit = storage.write(tableName, df, "overwrite")
+
+  /** Dynamic-partition-overwrite emulation: replace stored rows whose
+    * partition values appear in `df`, keep all others.
+    */
+  override def overwritePartitions(df: DataFrame, tableName: String,
+      partitionBy: Seq[String]): Unit = storage.synchronized {
+    storage.rows.get(tableName) match {
+      case None => storage.write(tableName, df, "overwrite")
+      case Some(existing) =>
+        val idx = partitionBy.map(df.schema.fieldIndex)
+        val newRows = df.collect().toSeq
+        val touched = newRows.map(r => idx.map(r.get)).toSet
+        val oldSchema = storage.schemas(tableName)
+        val oldIdx = partitionBy.map(oldSchema.fieldIndex)
+        storage.rows(tableName) =
+          existing.filterNot(r => touched.contains(oldIdx.map(r.get))) ++ newRows
+    }
+  }
 }

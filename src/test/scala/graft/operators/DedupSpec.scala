@@ -53,6 +53,48 @@ class DedupSpec extends SparkTestBase {
     lsh should contain((1L, 2L))
   }
 
+  test("prefix-filtered ngram pairs == brute-force jaccard pairs on random corpora") {
+    // The prefix filter's losslessness claim (any pair with J >= t shares a
+    // shingle in both df-ordered prefixes) checked empirically: random docs
+    // with planted near-duplicates, engine output vs an all-pairs driver
+    // computation over the same shingle sets.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](gen: Gen[T], seed: Long): T =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    val vocab = Gen.oneOf((1 to 25).map(i => s"w$i"))
+    val baseDoc = Gen.listOfN(14, vocab).map(_.mkString(" "))
+    (1 to 3).foreach { round =>
+      val bases = (1 to 15).map(i => sample(baseDoc, 1000L * round + i))
+      // plant near-dups: copy each base, mutate one word position
+      val mutated = bases.zipWithIndex.map { case (d, i) =>
+        val ws = d.split(" "); ws(i % ws.length) = "zz"; ws.mkString(" ")
+      }
+      val corpus = (bases ++ mutated).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val df = corpus.toDF("doc_id", "text")
+
+      val engine = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+      // driver-side ground truth from the same shingle sets
+      val sets = df.select(col("doc_id"),
+          graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("h"))
+        .as[(Long, Seq[Long])].collect().toMap.view.mapValues(_.toSet).toMap
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        j = BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.8
+      } yield (a, b)).toSet
+
+      assert(engine == brute, s"[round $round] engine=$engine brute=$brute")
+      assert(brute.nonEmpty, s"[round $round] fixture planted no near-dups")
+    }
+  }
+
   test("native simhash == aggregation-formulation simhash on every doc") {
     val native = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val agg = Dedup.simhashViaAggregation(docs).as[(Long, Long)].collect().toMap
