@@ -79,6 +79,22 @@ object App {
           cutoffOverride = cutoff)
         println(s"[graft] online-sync: wrote $n keys")
 
+      case "serve" =>
+        // single-process demo loop: sync the freshness window into the
+        // in-JVM KV store, then serve it over HTTP until interrupted
+        val o = parseArgs(args.tail)
+        val cutoff = o.get("cutoff").map(c => to_date(lit(c)))
+        val n = OnlineSyncPipeline.run(spark, fetcher,
+          OnlineSyncConfig(
+            featuresTable = o("features-table"),
+            hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
+          kvFactory(o.getOrElse("kv", "memory")),
+          cutoffOverride = cutoff)
+        val server = graft.serving.FeatureServer.start(
+          o.getOrElse("port", "8080").toInt, InMemoryKVStore)
+        println(s"[graft] serve: synced $n users; GET http://localhost:${server.port}/features/online/{user_id}")
+        Thread.currentThread().join()
+
       case "offline-lookup" =>
         val o = parseArgs(args.tail)
         FeatureLookup.offlineFromTable(spark, fetcher,
@@ -118,5 +134,7 @@ object App {
       |  online-sync        --features-table <table> [--hours-back <n=24>]
       |                     [--cutoff <date>] [--kv memory]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
+      |  serve              --features-table <table> [--port <p=8080>]
+      |                     [--hours-back <n=24>] [--cutoff <date>]
       |""".stripMargin
 }
