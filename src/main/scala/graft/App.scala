@@ -51,11 +51,13 @@ object App {
           endDate = o("end-date"))
         // --incremental true: replace only the range's day partitions
         // instead of overwriting the whole table
-        val features =
-          if (o.get("incremental").exists(_.toBoolean))
-            BackfillPipeline.runIncremental(spark, fetcher, writer, config)
-          else BackfillPipeline.run(spark, fetcher, writer, config)
-        println(s"[graft] backfill: wrote ${features.count()} feature rows to ${o("output-table")}")
+        if (o.get("incremental").exists(_.toBoolean))
+          BackfillPipeline.runIncremental(spark, fetcher, writer, config)
+        else BackfillPipeline.run(spark, fetcher, writer, config)
+        // count what landed, not the plan — counting the returned dataset
+        // would re-execute the whole scan + band join
+        val written = fetcher.readTable(spark, config.outputTable).count()
+        println(s"[graft] backfill: table ${o("output-table")} now holds $written feature rows")
 
       case "point-in-time-join" =>
         val o = parseArgs(args.tail)
@@ -64,34 +66,24 @@ object App {
           featuresTable = o("features-table"),
           outputPath = o("output-path")))
         out match {
+          // ds is cached by the pipeline (emptiness check), so this count is cheap
           case Some(ds) => println(s"[graft] point-in-time-join: wrote ${ds.count()} training rows to ${o("output-path")}")
           case None => println("[graft] point-in-time-join: empty join, nothing written")
         }
 
       case "online-sync" =>
         val o = parseArgs(args.tail)
-        val cutoff = o.get("cutoff").map(c => to_date(lit(c)))
-        val n = OnlineSyncPipeline.run(spark, fetcher,
-          OnlineSyncConfig(
-            featuresTable = o("features-table"),
-            hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
-          kvFactory(o.getOrElse("kv", "memory")),
-          cutoffOverride = cutoff)
+        val n = runOnlineSync(spark, fetcher, o)
         println(s"[graft] online-sync: wrote $n keys")
 
       case "serve" =>
-        // single-process demo loop: sync the freshness window into the
-        // in-JVM KV store, then serve it over HTTP until interrupted
+        // single-process demo loop: sync the freshness window into the KV
+        // store, then serve THE SAME store over HTTP until interrupted
         val o = parseArgs(args.tail)
-        val cutoff = o.get("cutoff").map(c => to_date(lit(c)))
-        val n = OnlineSyncPipeline.run(spark, fetcher,
-          OnlineSyncConfig(
-            featuresTable = o("features-table"),
-            hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
-          kvFactory(o.getOrElse("kv", "memory")),
-          cutoffOverride = cutoff)
+        val n = runOnlineSync(spark, fetcher, o)
         val server = graft.serving.FeatureServer.start(
-          o.getOrElse("port", "8080").toInt, InMemoryKVStore)
+          o.getOrElse("port", "8080").toInt,
+          kvFactory(o.getOrElse("kv", "memory"))())
         println(s"[graft] serve: synced $n users; GET http://localhost:${server.port}/features/online/{user_id}")
         Thread.currentThread().join()
 
@@ -109,10 +101,31 @@ object App {
     }
   }
 
-  /** Naive `--key value` pair parsing (reference: App.scala:150-156). */
+  /** shared flag handling for online-sync and serve */
+  private def runOnlineSync(spark: org.apache.spark.sql.SparkSession,
+      fetcher: graft.sources.Fetcher, o: Map[String, String]): Long =
+    OnlineSyncPipeline.run(spark, fetcher,
+      OnlineSyncConfig(
+        featuresTable = o("features-table"),
+        hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
+      kvFactory(o.getOrElse("kv", "memory")),
+      cutoffOverride = o.get("cutoff").map(c => to_date(lit(c))))
+
+  /** `--key value` pair parsing (reference: App.scala:150-156), hardened:
+    * a flag without a value, or a bare token where a flag belongs, aborts
+    * with a pointed message instead of silently shifting every later
+    * binding onto the wrong flag.
+    */
   def parseArgs(args: Seq[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    args.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+      case Seq(k, v) if k.startsWith("--") =>
+        throw new IllegalArgumentException(s"missing value for $k (got flag '$v' instead)")
+      case Seq(k, _) =>
+        throw new IllegalArgumentException(s"expected a --flag, got '$k'")
+      case Seq(k) =>
+        throw new IllegalArgumentException(s"dangling argument '$k' (flags come in --key value pairs)")
     }.toMap
 
   def kvFactory(kind: String): () => KVClient = kind match {

@@ -73,8 +73,10 @@ object TrainingDataQueries {
     // sign-LSH bucketed approximate top-k
     "q29_knn_lsh" -> ((s, dir) => SimilaritySearch.lshKnn(emb(s, dir), "vec_id < 10", 3)),
 
-    // IVF cell-probed approximate top-k (deterministic coarse quantizer)
-    "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnn(emb(s, dir), "vec_id < 10", 3)),
+    // IVF cell-probed approximate top-k (deterministic coarse quantizer:
+    // a fixed id slice, replayed verbatim by the oracle)
+    "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnn(emb(s, dir), "vec_id < 10", 3,
+      centroidPred = "vec_id >= 100 AND vec_id < 116")),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)

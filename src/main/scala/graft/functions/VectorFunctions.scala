@@ -36,13 +36,21 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-LSH band key: the sign bits of 8 consecutive dimensions, rendered
-    * as an 8-char '0'/'1' string. Vectors agreeing on any band are candidate
-    * neighbors. Axis-aligned hyperplanes keep the key oracle-expressible; a
-    * production variant rotates by a seeded random matrix first (same plan
-    * shape, map-side projection then this key).
+    * as an 8-char '0'/'1' string — or NULL when the vector is shorter than
+    * the band's dimension range. Null keys never satisfy an equi-join, so a
+    * band that falls off the end of the vector contributes no candidates;
+    * without the guard every short vector would share a degenerate
+    * all-zeros key and the candidate join would silently turn into the
+    * all-pairs cross product the banding exists to avoid.
+    *
+    * Vectors agreeing on any (in-range) band are candidate neighbors.
+    * Axis-aligned hyperplanes keep the key oracle-expressible; a production
+    * variant rotates by a seeded random matrix first (same plan shape,
+    * map-side projection then this key).
     */
   def signBandKey(v: Column, band: Int, width: Int = 8): Column =
-    concat_ws("", (1 to width).map { i =>
-      when(element_at(v, band * width + i) > 0, lit("1")).otherwise(lit("0"))
-    }: _*)
+    when(size(v) >= (band + 1) * width,
+      concat_ws("", (1 to width).map { i =>
+        when(element_at(v, band * width + i) > 0, lit("1")).otherwise(lit("0"))
+      }: _*))
 }

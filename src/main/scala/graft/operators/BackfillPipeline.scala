@@ -87,20 +87,39 @@ object BackfillPipeline {
   /** Full pipeline: read events, transform, insert-overwrite the features
     * table partitioned by day (reference: BackfillPipeline.scala:81-90).
     */
-  def run(spark: SparkSession, fetcher: Fetcher, writer: Writer,
-      config: BackfillConfig): Dataset[FeaturesDaily] = {
+  /** Read the raw event log with `ts` normalized to TimestampType. No
+    * explicit schema on this read: event logs in the wild carry ts as
+    * TIMESTAMP(MICROS) or TIMESTAMP(NANOS); the legacy conf lets the nanos
+    * variant load (as a raw long), and normalizeEventTs converges both to
+    * TimestampType. Schemas.eventsRaw documents the logical contract.
+    * The conf is restored after the read — footer schema resolution happens
+    * eagerly inside readParquet, so session-global state doesn't leak into
+    * later unrelated reads.
+    */
+  private def readEvents(spark: SparkSession, fetcher: Fetcher, path: String): DataFrame = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try Schemas.normalizeEventTs(fetcher.readParquet(spark, path))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def runWith(spark: SparkSession, fetcher: Fetcher, config: BackfillConfig)(
+      write: DataFrame => Unit): Dataset[FeaturesDaily] = {
     import spark.implicits._
-    // No explicit schema on this read: event logs in the wild carry ts as
-    // TIMESTAMP(MICROS) or TIMESTAMP(NANOS); the legacy conf lets the nanos
-    // variant load (as long), and normalizeEventTs converges both to
-    // TimestampType. Schemas.eventsRaw documents the logical contract.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = Schemas.normalizeEventTs(
-      fetcher.readParquet(spark, config.eventsRawPath))
+    val events = readEvents(spark, fetcher, config.eventsRawPath)
     val features = transform(events, config.startDate, config.endDate).as[FeaturesDaily]
-    writer.insertOverwriteTable(features.toDF(), config.outputTable, config.partitionBy)
+    write(features.toDF())
     features
   }
+
+  def run(spark: SparkSession, fetcher: Fetcher, writer: Writer,
+      config: BackfillConfig): Dataset[FeaturesDaily] =
+    runWith(spark, fetcher, config)(
+      writer.insertOverwriteTable(_, config.outputTable, config.partitionBy))
 
   /** Incremental backfill: compute features ONLY for [startDate, endDate]
     * and replace exactly those day partitions, leaving history untouched
@@ -113,13 +132,7 @@ object BackfillPipeline {
     * difference between touching a month and rewriting years.
     */
   def runIncremental(spark: SparkSession, fetcher: Fetcher, writer: Writer,
-      config: BackfillConfig): Dataset[FeaturesDaily] = {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = Schemas.normalizeEventTs(
-      fetcher.readParquet(spark, config.eventsRawPath))
-    val features = transform(events, config.startDate, config.endDate).as[FeaturesDaily]
-    writer.overwritePartitions(features.toDF(), config.outputTable, config.partitionBy)
-    features
-  }
+      config: BackfillConfig): Dataset[FeaturesDaily] =
+    runWith(spark, fetcher, config)(
+      writer.overwritePartitions(_, config.outputTable, config.partitionBy))
 }

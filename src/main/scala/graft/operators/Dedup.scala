@@ -22,6 +22,13 @@ import graft.functions.TextFunctions._
   * document text. Reference scope: the reference system has no dedup
   * operators; these are the scale extensions its feature-store pipelines
   * would need upstream (SURVEY.md §7.4).
+  *
+  * Cache lifecycle: the near-dup operators persist their shingle-set stage
+  * (it feeds 2-3 downstream consumers). The cached blocks live until Spark's
+  * LRU evicts them or the session ends — sized for batch-job lifecycles. A
+  * long-lived session driving many corpora should call
+  * `spark.sharedState.cacheManager.clearCache()` between runs (or recreate
+  * the session) to reclaim disk-spilled blocks.
   */
 object Dedup {
 

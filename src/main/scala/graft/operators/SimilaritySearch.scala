@@ -100,12 +100,17 @@ object SimilaritySearch {
     * space. This is the IVF complement to the sign-LSH path of [[lshKnn]].
     */
   def ivfKnn(embeddings: DataFrame, queryPred: String, k: Int,
-             centroidPred: String = "vec_id >= 100 AND vec_id < 116",
+             centroidPred: String,
              nProbe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = prep(embeddings, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = prep(embeddings.filter(centroidPred), idCol, vecCol)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // An empty centroid set would silently return zero neighbors for every
+    // query (empty cells) — fail loudly instead; the predicate is
+    // corpus-specific and the caller must pick one that selects rows.
+    require(!centroids.isEmpty,
+      s"ivfKnn: centroidPred '$centroidPred' selects no rows — no cells to probe")
     def cellScored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(centroids))
         .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))

@@ -37,25 +37,31 @@ object FeatureServer {
       clock: () => String = () => java.time.Instant.now().toString): FeatureServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/features/online", (exchange: HttpExchange) => {
+      // getPath is already percent-DECODED by URI, so an encoded id
+      // (u%311) resolves to the same KV key the sync wrote
       val path = exchange.getRequestURI.getPath
-      val response =
-        if (!"GET".equals(exchange.getRequestMethod)) Some(405 -> """{"detail":"method not allowed"}""")
-        else if (!path.startsWith(Prefix) || path.length <= Prefix.length) Some(404 -> """{"detail":"not found"}""")
+      def detail(msg: String): String = {
+        val node = mapper.createObjectNode()
+        node.put("detail", msg) // Jackson-escaped: ids can't break the JSON
+        mapper.writeValueAsString(node)
+      }
+      val (status, body) =
+        if (!"GET".equals(exchange.getRequestMethod)) 405 -> detail("method not allowed")
+        else if (!path.startsWith(Prefix) || path.length <= Prefix.length) 404 -> detail("not found")
         else {
           val userId = path.substring(Prefix.length)
           client.get(keyPrefix + userId) match {
             case None =>
-              Some(404 -> s"""{"detail":"Features not found for user_id: $userId"}""")
+              404 -> detail(s"Features not found for user_id: $userId")
             case Some(json) =>
               val root = mapper.createObjectNode()
               root.put("user_id", userId)
               root.put("as_of", clock())
               root.set[com.fasterxml.jackson.databind.JsonNode]("features", mapper.readTree(json))
               root.put("source", "online")
-              Some(200 -> mapper.writeValueAsString(root))
+              200 -> mapper.writeValueAsString(root)
           }
         }
-      val (status, body) = response.get
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       exchange.getResponseHeaders.set("Content-Type", "application/json")
       exchange.sendResponseHeaders(status, bytes.length.toLong)

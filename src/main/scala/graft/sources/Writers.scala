@@ -43,15 +43,29 @@ trait Writer {
     // A session with a fresh catalog can find a stale table DIRECTORY left
     // by a previous session's warehouse; saveAsTable refuses to adopt it
     // (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
-    // table wholesale, so clear the orphaned location first. Only managed
-    // default-warehouse layouts are handled — a real deployment points the
-    // catalog at a transactional format where this cannot arise.
+    // table wholesale, so clear the orphaned location first. The location
+    // is derived from the owning DATABASE's registered locationUri (never a
+    // guessed warehouse-relative path — a wrong guess could delete another
+    // table's data); names whose database can't be resolved are left for
+    // saveAsTable to report. A real deployment points the catalog at a
+    // transactional format where orphaned locations cannot arise.
     if (!spark.catalog.tableExists(tableName)) {
-      val parts = tableName.split('.')
-      val rel = if (parts.length == 2) s"${parts(0)}.db/${parts(1)}" else parts.last
-      val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), rel.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      val parts = tableName.split('.').toSeq match {
+        case "spark_catalog" +: rest => rest
+        case other => other
+      }
+      val dbTable = parts match {
+        case Seq(t) => Some((spark.catalog.currentDatabase, t))
+        case Seq(d, t) => Some((d, t))
+        case _ => None
+      }
+      dbTable.foreach { case (db, tbl) =>
+        if (spark.catalog.databaseExists(db)) {
+          val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+      }
     }
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)

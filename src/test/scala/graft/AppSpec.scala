@@ -11,11 +11,16 @@ import graft.sources.InMemoryKVStore
 class AppSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("parseArgs: --k v pairs, later duplicates win, non-flag keys dropped") {
+  test("parseArgs: --k v pairs, later duplicates win, malformed input aborts loudly") {
     App.parseArgs(Seq("--a", "1", "--b", "x y")) shouldBe Map("a" -> "1", "b" -> "x y")
     App.parseArgs(Seq("--a", "1", "--a", "2")) shouldBe Map("a" -> "2")
     App.parseArgs(Seq.empty) shouldBe Map.empty
-    App.parseArgs(Seq("stray", "pair")) shouldBe Map.empty
+    // a value-less flag must not silently shift later bindings
+    the[IllegalArgumentException] thrownBy
+      App.parseArgs(Seq("--a", "--b", "1", "x")) should have message
+      "missing value for --a (got flag '--b' instead)"
+    an[IllegalArgumentException] should be thrownBy App.parseArgs(Seq("stray", "pair"))
+    an[IllegalArgumentException] should be thrownBy App.parseArgs(Seq("--dangling"))
   }
 
   test("kvFactory: memory resolves, anything else explains itself") {
