@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards over the driver query suite at sf0.001.
+  *
+  * Correctness tests prove the right ROWS come back; these prove the right
+  * PLAN produces them — the properties that decide whether a query
+  * survives a 100x scale-up: filters reaching the parquet scan, projection
+  * pruning the read schema, and no accidental nested-loop pair blowups.
+  * A refactor that silently un-pushes a filter or degrades a bucketed join
+  * to a cross product fails here, not in a 100 TB incident.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: range+discount filters are pushed into the parquet scan") {
+    val p = plan("q02_filter_range")
+    p should include("PushedFilters: [")
+    p should include("l_discount")             // pushed, not post-scan only
+  }
+
+  test("q01: projection prunes the read schema to the selected columns") {
+    val p = plan("q01_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    read should include("r_regionkey")
+    read should not include "r_comment"
+  }
+
+  test("q14 backfill: date-spine and daily-summary sides broadcast; events scan prunes columns") {
+    val p = plan("q14_backfill")
+    p should include("BroadcastExchange")
+    // raw text/props columns must never enter the backfill scan
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      l should not include "props"
+    }
+  }
+
+  test("no accidental nested-loop joins: only sanctioned queries may use BNLJ/cartesian") {
+    // q05 is an explicit cross join; q31 is the documented small-n exact
+    // all-pairs verifier; q28/q35 broadcast a tiny side across the corpus
+    // by design (query set / centroids); q14-q17 embed the backfill
+    // subplan, whose broadcast date-spine densification is the sanctioned
+    // cross join
+    val sanctioned = Set(
+      "q05_cross_join", "q31_embed_neardup_exact",
+      "q28_knn_brute", "q35_knn_ivf",
+      "q13_band_join", "q14_backfill", "q15_pit_join", "q16_pit_join_rank",
+      "q17_online_payload")
+    SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
+      val p = plan(name)
+      withClue(s"$name uses a pair-blowup join:") {
+        p should not include "BroadcastNestedLoopJoin"
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  test("dedup/similarity bucket joins are hash or sort-merge joins on bucket keys") {
+    Seq("q24_dedup_ngram", "q25_dedup_minhash", "q26_dedup_simhash",
+        "q27_embed_neardup", "q29_knn_lsh").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+          p.contains("ShuffledHashJoin")) shouldBe true
+      }
+    }
+  }
+
+  test("whole-stage codegen covers the scan->project pipelines (native expressions fuse)") {
+    // the native expressions must not break codegen: fingerprinting
+    // (PolyHash) and quality metrics stay inside codegen stages (formatted
+    // explain tags fused operators with "[codegen id : N]")
+    plan("q22_fingerprint") should include("[codegen id :")
+    plan("q20_text_quality") should include("[codegen id :")
+  }
+}
