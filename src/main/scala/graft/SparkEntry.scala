@@ -240,6 +240,14 @@ object SparkEntry {
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     }),
 
+    // skew-resilient exact distinct: two-phase (dedup on (key, value),
+    // then count) — identical result to countDistinct, but the wide phase
+    // shuffles on both columns so one dominant key can't pack its whole
+    // distinct set into a single task
+    "q36_distinct_two_phase" -> ((s, dir) =>
+      graft.operators.Skew.distinctCountTwoPhase(
+        events(s, dir), Seq(col("event_type")), col("user_id"), "n_users")),
+
     // S8+S4: insert-overwrite catalog table (partitioned) -> table scan
     // round trip. Partition values come back via directory inference, so
     // the final select pins the type to the oracle's.
@@ -349,6 +357,9 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q36_distinct_two_phase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
     "q32_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",

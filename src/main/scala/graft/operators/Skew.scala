@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient aggregation shapes.
+  *
+  * AQE (on by default in every [[graft.PlatformProvider]] session) already
+  * splits skewed JOIN partitions at runtime; what it cannot fix is an
+  * aggregation whose per-key STATE is itself the problem — a
+  * `countDistinct` where one group key owns most of the corpus packs that
+  * key's entire distinct-set build into one task. These helpers re-shape
+  * such aggregations so the heavy phase shuffles on a wider key.
+  */
+object Skew {
+
+  /** Exact distinct count per key, two-phase: dedup on (key, value) first
+    * — that shuffle spreads by BOTH columns, so a key with a billion rows
+    * still fans across the cluster — then a plain count per key over the
+    * deduped rows (map-side combinable). Result is identical to
+    * `groupBy(key).agg(countDistinct(value))`; the difference is that no
+    * single task ever holds one key's full distinct set during the wide
+    * phase. Use when one key dominates the corpus; the single-phase form
+    * is fine (and one shuffle cheaper) when keys are balanced.
+    */
+  def distinctCountTwoPhase(df: DataFrame, keyCols: Seq[Column],
+      valueCol: Column, outName: String): DataFrame =
+    df.select(keyCols :+ valueCol.as("__v"): _*)
+      .filter(col("__v").isNotNull) // countDistinct ignores nulls; match it
+      .distinct()
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as(outName))
+}
