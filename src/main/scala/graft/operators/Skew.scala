@@ -26,8 +26,10 @@ object Skew {
   def distinctCountTwoPhase(df: DataFrame, keyCols: Seq[Column],
       valueCol: Column, outName: String): DataFrame =
     df.select(keyCols :+ valueCol.as("__v"): _*)
-      .filter(col("__v").isNotNull) // countDistinct ignores nulls; match it
       .distinct()
       .groupBy(keyCols: _*)
-      .agg(count(lit(1)).as(outName))
+      // count(col) skips nulls, so a key whose values are ALL null still
+      // yields a row with 0 — exactly countDistinct's behavior (filtering
+      // null rows out before the distinct would drop the key entirely)
+      .agg(count(col("__v")).as(outName))
 }
