@@ -38,6 +38,23 @@ object EventStream {
         col("window.end").as("window_end"),
         col("user_id"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Session-window aggregation: events gapped less than `gap` apart merge
+    * into one session per user; a session closes when the watermark passes
+    * its end + gap. The standard sessionization primitive (visit metrics,
+    * session-level training features); state is bounded by the watermark.
+    */
+  def sessionStats(events: DataFrame,
+                   gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   case class Event(user_id: String, event_type: String, ts: Timestamp, value: Double)
 
   /** Running per-user feature snapshot (streaming twin of the online-sync

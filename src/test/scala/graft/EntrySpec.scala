@@ -1,0 +1,23 @@
+package graft
+
+/** The driver smoke-checks `SparkEntry.entry` returns rows — guard it here
+  * so a refactor can't break the flagship path silently.
+  */
+class EntrySpec extends SparkTestBase {
+
+  test("flagship entry query returns feature rows on sf0.001") {
+    val out = SparkEntry.entry(spark)
+    out.columns should contain allOf ("user_id", "day", "event_count_7d",
+      "event_count_30d", "last_event_days_ago", "event_type_counts")
+    out.count() should be > 0L
+  }
+
+  test("every query has either an oracle twin or a documented omission") {
+    // the driver records a weaker rows-only check for queries missing
+    // oracleSql; today every query has a twin — keep it that way
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    missing shouldBe empty
+    // and no orphaned oracle entries for queries that don't exist
+    (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
+  }
+}

@@ -34,6 +34,30 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("session windows merge gapped events and split distant ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // session aggregation only supports Append: a session emits once the
+    // watermark passes its close — so a later event must advance the clock
+    val query = sessionStats(input.toDF(), gap = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event("u1", "view", ts("2024-01-01 10:20:00"), 2.0),  // <30m gap: same session
+        Event("u1", "click", ts("2024-01-01 12:00:00"), 4.0)) // >30m gap: new session
+      query.processAllAvailable()
+      // advance the watermark to 14:00 (16:00 - 2h) so both sessions close
+      input.addData(Event("u2", "click", ts("2024-01-01 16:00:00"), 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .as[(String, java.sql.Timestamp, Long, Double)].collect().toSet
+      rows should contain(("u1", ts("2024-01-01 10:00:00"), 2L, 3.0))
+      rows should contain(("u1", ts("2024-01-01 12:00:00"), 1L, 4.0))
+    } finally query.stop()
+  }
+
   test("running user features accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
