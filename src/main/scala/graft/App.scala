@@ -38,6 +38,12 @@ object App {
     finally platform.stop()
   }
 
+  /** missing-flag errors name the flag, not a map key */
+  private implicit class Flags(o: Map[String, String]) {
+    def required(key: String): String = o.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required flag --$key"))
+  }
+
   /** Dispatch on a provided platform (tests inject the in-memory one). */
   def run(platform: Platform, args: Seq[String]): Unit = {
     val Platform(spark, fetcher, writer) = platform
@@ -45,10 +51,10 @@ object App {
       case "backfill" =>
         val o = parseArgs(args.tail)
         val config = BackfillConfig(
-          eventsRawPath = o("events-raw-path"),
-          outputTable = o("output-table"),
-          startDate = o("start-date"),
-          endDate = o("end-date"))
+          eventsRawPath = o.required("events-raw-path"),
+          outputTable = o.required("output-table"),
+          startDate = o.required("start-date"),
+          endDate = o.required("end-date"))
         // --incremental true: replace only the range's day partitions
         // instead of overwriting the whole table
         if (o.get("incremental").exists(_.toBoolean))
@@ -62,9 +68,9 @@ object App {
       case "point-in-time-join" =>
         val o = parseArgs(args.tail)
         val out = PointInTimeJoinPipeline.run(spark, fetcher, writer, PointInTimeJoinConfig(
-          labelsPath = o("labels-path"),
-          featuresTable = o("features-table"),
-          outputPath = o("output-path")))
+          labelsPath = o.required("labels-path"),
+          featuresTable = o.required("features-table"),
+          outputPath = o.required("output-path")))
         out match {
           // ds is cached by the pipeline (emptiness check), so this count is cheap
           case Some(ds) => println(s"[graft] point-in-time-join: wrote ${ds.count()} training rows to ${o("output-path")}")
@@ -90,7 +96,7 @@ object App {
       case "offline-lookup" =>
         val o = parseArgs(args.tail)
         FeatureLookup.offlineFromTable(spark, fetcher,
-          o("features-table"), o("user-id"), o("as-of")) match {
+          o.required("features-table"), o.required("user-id"), o.required("as-of")) match {
           case Some(row) => println(s"[graft] offline-lookup: $row")
           case None => println(s"[graft] offline-lookup: no snapshot for ${o("user-id")} (404)")
         }
@@ -106,7 +112,7 @@ object App {
       fetcher: graft.sources.Fetcher, o: Map[String, String]): Long =
     OnlineSyncPipeline.run(spark, fetcher,
       OnlineSyncConfig(
-        featuresTable = o("features-table"),
+        featuresTable = o.required("features-table"),
         hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
       kvFactory(o.getOrElse("kv", "memory")),
       cutoffOverride = o.get("cutoff").map(c => to_date(lit(c))))
