@@ -12,17 +12,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop-format write: every expression executes (a count() would let
-      // Spark prune the very columns the query exists to compute)
-      def once(): Double = {
+      // Spark prune the very columns the query exists to compute). A failed
+      // run yields None — a crash must never enter the min as a fast sample.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      // min of two consecutive runs: the box runs other tenants, and a
-      // single sample regularly swings 2-3x on load spikes; the min is the
-      // stable signal the 2x regression budget compares against
-      name -> math.min(once(), once())
+      // min of two consecutive successful runs: the box runs other tenants,
+      // and a single sample regularly swings 2-3x on load spikes; the min is
+      // the stable signal the 2x regression budget compares against. Both
+      // runs failing reports -1 (visibly broken, not fast).
+      val samples = Seq(once(), once()).flatten
+      name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

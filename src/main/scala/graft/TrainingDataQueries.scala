@@ -129,10 +129,16 @@ object TrainingDataQueries {
 
   private val embBaseSql = embBaseSqlWhere("TRUE")
 
-  /** sign-band key of vector expr `v` for band index expr `band` (8 dims) */
-  private def signKeySql(v: String, band: String): String =
-    (1 to 8).map(i => s"(CASE WHEN $v[$i + 8*($band)] > 0 THEN '1' ELSE '0' END)")
+  /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
+    * NULL when the vector is shorter than the band's range — mirroring
+    * [[graft.functions.VectorFunctions.signBandKey]]'s guard, so Spark and
+    * oracle agree that out-of-range bands contribute no candidates.
+    */
+  private def signKeySql(v: String, band: String): String = {
+    val bits = (1 to 8).map(i => s"(CASE WHEN $v[$i + 8*($band)] > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
+    s"(CASE WHEN len($v) >= 8*(($band)+1) THEN $bits END)"
+  }
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 

@@ -93,8 +93,11 @@ object BackfillPipeline {
     * variant load (as a raw long), and normalizeEventTs converges both to
     * TimestampType. Schemas.eventsRaw documents the logical contract.
     * The conf is restored after the read — footer schema resolution happens
-    * eagerly inside readParquet, so session-global state doesn't leak into
-    * later unrelated reads.
+    * eagerly inside readParquet and the hadoop conf is captured into the
+    * relation at plan time, so later actions on the returned frame still
+    * decode nanos correctly (verified empirically on TIMESTAMP(NANOS)
+    * parquet: plan with the conf set, unset it, then count — succeeds) and
+    * session-global state doesn't leak into later unrelated reads.
     */
   private def readEvents(spark: SparkSession, fetcher: Fetcher, path: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"

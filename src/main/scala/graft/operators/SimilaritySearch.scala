@@ -108,8 +108,10 @@ object SimilaritySearch {
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     // An empty centroid set would silently return zero neighbors for every
     // query (empty cells) — fail loudly instead; the predicate is
-    // corpus-specific and the caller must pick one that selects rows.
-    require(!centroids.isEmpty,
+    // corpus-specific and the caller must pick one that selects rows. The
+    // limit(1) bounds the guard to an early-exit scan of one row (this is
+    // the one eager check in this file; every other builder stays lazy).
+    require(!embeddings.filter(centroidPred).limit(1).isEmpty,
       s"ivfKnn: centroidPred '$centroidPred' selects no rows — no cells to probe")
     def cellScored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(centroids))

@@ -24,12 +24,18 @@ object Skew {
     * is fine (and one shuffle cheaper) when keys are balanced.
     */
   def distinctCountTwoPhase(df: DataFrame, keyCols: Seq[Column],
-      valueCol: Column, outName: String): DataFrame =
-    df.select(keyCols :+ valueCol.as("__v"): _*)
+      valueCol: Column, outName: String): DataFrame = {
+    // group by the projected output's own column names, not the input
+    // expressions — an expression key (e.g. upper(col)) would fail to
+    // re-resolve against the post-select frame
+    val projected = df.select(keyCols :+ valueCol.as("__v"): _*)
+    val keyNames = projected.columns.dropRight(1)
+    projected
       .distinct()
-      .groupBy(keyCols: _*)
+      .groupBy(keyNames.map(col).toIndexedSeq: _*)
       // count(col) skips nulls, so a key whose values are ALL null still
       // yields a row with 0 — exactly countDistinct's behavior (filtering
       // null rows out before the distinct would drop the key entirely)
       .agg(count(col("__v")).as(outName))
+  }
 }

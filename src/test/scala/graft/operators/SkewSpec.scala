@@ -27,4 +27,12 @@ class SkewSpec extends SparkTestBase {
     twoPhase("view") shouldBe 1L
     twoPhase("error") shouldBe 0L // all-null key survives with 0, like countDistinct
   }
+
+  test("expression keys resolve (grouping happens on the projected output)") {
+    val df = Seq(("Click", "u1"), ("CLICK", "u2"), ("view", "u1")).toDF("event_type", "user_id")
+    val out = Skew.distinctCountTwoPhase(df, Seq(upper(col("event_type")).as("et")), col("user_id"), "n")
+      .as[(String, Long)].collect().toMap
+    out("CLICK") shouldBe 2L
+    out("VIEW") shouldBe 1L
+  }
 }
