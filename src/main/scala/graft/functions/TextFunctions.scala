@@ -84,8 +84,15 @@ object TextFunctions {
 
   /** k-element MinHash signature of a hash set: sig_j = min_x h_j(x). Null
     * elements when the set is empty (docs shorter than the shingle width).
+    * Backed by the native one-pass [[MinHashSignature]] expression.
     */
   def minhashSignature(hashes: Column): Column =
+    MinHashSignature.minhashSignature(hashes)
+
+  /** The composed k-chain formulation, kept ONLY as the parity witness for
+    * the native [[MinHashSignature]] (MinHashSignatureSpec).
+    */
+  def minhashSignatureHof(hashes: Column): Column =
     array((0 until MinhashK).map { j =>
       array_min(transform(hashes, h => (lit(MinhashA(j)) * h + lit(MinhashB(j))) % lit(MinhashMod)))
     }: _*)
