@@ -33,13 +33,11 @@ object TrainingDataQueries {
         col("doc_id") +: qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)),
 
     // language-ID heuristic (marker-stopword argmax) vs the labeled lang
-    "q21_lang_id" -> ((s, dir) => {
-      val toks = tokens(col("text"))
+    "q21_lang_id" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"), col("lang"),
-        predictedLang(toks).as("predicted_lang"),
-        (predictedLang(toks) === col("lang")).cast("int").as("is_match"))
-    }),
+        predictedLangText(col("text")).as("predicted_lang"),
+        (predictedLangText(col("text")) === col("lang")).cast("int").as("is_match"))),
 
     // document fingerprint: portable rolling hash of the full text
     "q22_fingerprint" -> ((s, dir) =>

@@ -118,19 +118,38 @@ object TextFunctions {
 
   /** Whitespace token count, distinct ratio, mean token length, stopword
     * ratio, a BPE-ish subword estimate (ceil(len/4) per token), and a
-    * composite quality score — all row-local integer/double arithmetic with
-    * an exact oracle twin.
+    * composite quality score. Counting runs in the native one-pass
+    * [[TextStats]] kernel; the ratio/score arithmetic below is identical to
+    * the HOF witness, so outputs match bit-for-bit (TextStatsSpec).
     */
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val st = TextStats.textStats(text)
+    metricsFrom(
+      st.getField("n_tokens"), st.getField("n_distinct"),
+      st.getField("sum_len"), st.getField("est_subwords"), st.getField("n_stop"))
+  }
+
+  /** The composed HOF formulation, kept ONLY as the bit-parity witness for
+    * [[TextStats]]-backed [[qualityMetrics]].
+    */
+  def qualityMetricsHof(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
-    val n = size(toks)
-    val nd = size(array_distinct(toks))
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     // ceil(len/4) via floor((len+3)/4); Spark Column `/` is double division,
     // so floor() then cast — exact for these magnitudes, and the oracle twin
     // (DuckDB float division + floor) computes the same value.
-    val subwords = aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast("long"))
-    val nStop = countIn(toks, Stopwords)
+    metricsFrom(
+      size(toks),
+      size(array_distinct(toks)),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)),
+      aggregate(toks, lit(0L), (acc, t) => acc + floor((length(t) + lit(3)) / lit(4)).cast("long")),
+      countIn(toks, Stopwords))
+  }
+
+  /** Shared ratio/score arithmetic over the five counts — one body, so the
+    * native and witness paths cannot drift.
+    */
+  private def metricsFrom(n: Column, nd: Column, sumLen: Column,
+      subwords: Column, nStop: Column): Seq[(String, Column)] = {
     val distinctRatio = nd.cast("double") / n
     val avgLen = sumLen.cast("double") / n
     val stopRatio = nStop.cast("double") / n
@@ -139,7 +158,7 @@ object TextFunctions {
     Seq(
       "n_tokens" -> n.cast("long"),
       "n_distinct" -> nd.cast("long"),
-      "est_subwords" -> subwords,
+      "est_subwords" -> subwords.cast("long"),
       "distinct_ratio" -> round(distinctRatio, 6),
       "avg_token_len" -> round(avgLen, 6),
       "stopword_ratio" -> round(stopRatio, 6),
@@ -162,8 +181,22 @@ object TextFunctions {
   def langScores(toks: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, words) => lang -> countIn(toks, words) }
 
-  def predictedLang(toks: Column): Column = {
-    val scores = langScores(toks)
+  /** Language-ID from raw text, marker counts from the native [[TextStats]]
+    * kernel. Argmax with a fixed preference order on ties, exactly like the
+    * token-based witness below.
+    */
+  def predictedLangText(text: Column): Column = {
+    val st = TextStats.textStats(text)
+    argmaxLang(LangMarkers.map { case (lang, _) => lang -> st.getField(s"s_$lang") })
+  }
+
+  /** Token-based formulation, kept as the parity witness for
+    * [[predictedLangText]] (TextStatsSpec) and for callers that already
+    * hold a token array.
+    */
+  def predictedLang(toks: Column): Column = argmaxLang(langScores(toks))
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     // first language (in LangMarkers order) whose score equals the max
     val maxScore = greatest(scores.map(_._2): _*)
     scores.foldRight(lit("unknown")) { case ((lang, s), rest) =>
