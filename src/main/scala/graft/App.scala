@@ -54,7 +54,8 @@ object App {
           eventsRawPath = o.required("events-raw-path"),
           outputTable = o.required("output-table"),
           startDate = o.required("start-date"),
-          endDate = o.required("end-date"))
+          endDate = o.required("end-date"),
+          buckets = o.get("buckets").map(_.toInt))
         // --incremental true: replace only the range's day partitions
         // instead of overwriting the whole table
         if (o.get("incremental").exists(_.toBoolean))
@@ -147,7 +148,7 @@ object App {
       |Pipelines:
       |  backfill           --events-raw-path <path> --output-table <table>
       |                     --start-date <date> --end-date <date>
-      |                     [--incremental true]
+      |                     [--incremental true] [--buckets <n>]
       |  point-in-time-join --labels-path <path> --features-table <table>
       |                     --output-path <path>
       |  online-sync        --features-table <table> [--hours-back <n=24>]

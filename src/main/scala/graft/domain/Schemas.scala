@@ -92,7 +92,10 @@ final case class BackfillConfig(
     outputTable: String,
     startDate: String,
     endDate: String,
-    partitionBy: Seq[String] = Seq("day"))
+    partitionBy: Seq[String] = Seq("day"),
+    // bucket the output by user_id into N buckets: downstream per-user
+    // windows/joins (online sync, as-of join) then scan without an exchange
+    buckets: Option[Int] = None)
 
 final case class PointInTimeJoinConfig(
     labelsPath: String,

@@ -121,8 +121,14 @@ object BackfillPipeline {
 
   def run(spark: SparkSession, fetcher: Fetcher, writer: Writer,
       config: BackfillConfig): Dataset[FeaturesDaily] =
-    runWith(spark, fetcher, config)(
-      writer.insertOverwriteTable(_, config.outputTable, config.partitionBy))
+    runWith(spark, fetcher, config) { out =>
+      config.buckets match {
+        case Some(n) => writer.insertOverwriteBucketedTable(
+          out, config.outputTable, n, "user_id", config.partitionBy)
+        case None => writer.insertOverwriteTable(
+          out, config.outputTable, config.partitionBy)
+      }
+    }
 
   /** Incremental backfill: compute features ONLY for [startDate, endDate]
     * and replace exactly those day partitions, leaving history untouched

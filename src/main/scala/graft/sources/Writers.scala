@@ -39,16 +39,24 @@ trait Writer {
     */
   def insertOverwriteTable(df: DataFrame, tableName: String,
       partitionBy: Seq[String] = Seq.empty): Unit = {
+    clearOrphanedLocation(df, tableName)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(tableName)
+  }
+
+  /** A session with a fresh catalog can find a stale table DIRECTORY left
+    * by a previous session's warehouse; saveAsTable refuses to adopt it
+    * (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
+    * table wholesale, so clear the orphaned location first. The location
+    * is derived from the owning DATABASE's registered locationUri (never a
+    * guessed warehouse-relative path — a wrong guess could delete another
+    * table's data); names whose database can't be resolved are left for
+    * saveAsTable to report. A real deployment points the catalog at a
+    * transactional format where orphaned locations cannot arise.
+    */
+  private def clearOrphanedLocation(df: DataFrame, tableName: String): Unit = {
     val spark = df.sparkSession
-    // A session with a fresh catalog can find a stale table DIRECTORY left
-    // by a previous session's warehouse; saveAsTable refuses to adopt it
-    // (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
-    // table wholesale, so clear the orphaned location first. The location
-    // is derived from the owning DATABASE's registered locationUri (never a
-    // guessed warehouse-relative path — a wrong guess could delete another
-    // table's data); names whose database can't be resolved are left for
-    // saveAsTable to report. A real deployment points the catalog at a
-    // transactional format where orphaned locations cannot arise.
     if (!spark.catalog.tableExists(tableName)) {
       val parts = tableName.split('.').toSeq match {
         case "spark_catalog" +: rest => rest
@@ -67,7 +75,25 @@ trait Writer {
         }
       }
     }
+  }
+
+  /** Insert-overwrite a table BUCKETED by a key (and optionally
+    * partitioned): rows are hash-clustered into `numBuckets` files per
+    * partition by `bucketCol`, and the scan's output partitioning then
+    * satisfies any downstream distribution requirement on that key — the
+    * per-user window of the online sync and the as-of join's key shuffle
+    * read a bucketed features table WITHOUT an exchange. At 100 TB this
+    * converts every consumer's widest shuffle into a co-located scan; the
+    * one-time cost is the cluster-by at write.
+    */
+  def insertOverwriteBucketedTable(df: DataFrame, tableName: String,
+      numBuckets: Int, bucketCol: String,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    clearOrphanedLocation(df, tableName)
     val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .saveAsTable(tableName)
   }

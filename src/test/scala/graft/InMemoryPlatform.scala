@@ -60,6 +60,10 @@ class TestWriter(storage: InMemoryStorage) extends Writer {
   override def insertOverwriteTable(df: DataFrame, tableName: String,
       partitionBy: Seq[String]): Unit = storage.write(tableName, df, "overwrite")
 
+  override def insertOverwriteBucketedTable(df: DataFrame, tableName: String,
+      numBuckets: Int, bucketCol: String,
+      partitionBy: Seq[String]): Unit = storage.write(tableName, df, "overwrite")
+
   /** Dynamic-partition-overwrite emulation: replace stored rows whose
     * partition values appear in `df`, keep all others.
     */

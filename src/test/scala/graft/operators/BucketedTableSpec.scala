@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.domain.FeaturesDaily
+import graft.sources.ProdWriter
+
+/** Bucketing the features table by user_id must let per-user consumers
+  * (the online-sync window, the as-of join's key clustering) scan without
+  * an exchange — the plan-level payoff the bucketed writer exists for.
+  */
+class BucketedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def explain(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("per-user window over a bucketed features table plans without an exchange") {
+    val table = s"graft_test_bucketed_${System.nanoTime()}"
+    val feats = Seq(
+      FeaturesDaily("u1", d("2024-01-01"), Some(1L), Some(1L), Some(0), Some("1")),
+      FeaturesDaily("u1", d("2024-01-02"), Some(2L), Some(2L), Some(0), Some("1")),
+      FeaturesDaily("u2", d("2024-01-01"), Some(3L), Some(3L), Some(0), Some("1"))).toDF()
+    ProdWriter.insertOverwriteBucketedTable(feats, table, numBuckets = 4, bucketCol = "user_id")
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+    val latest = spark.table(table)
+      .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1)
+
+    val plan = explain(latest)
+    plan should include("SelectedBucketsCount")     // bucketed scan in effect
+    plan should not include "Exchange"              // bucket layout satisfies the window
+
+    // and the unbucketed twin DOES need the exchange (the guard guards something)
+    val plainTable = s"${table}_plain"
+    ProdWriter.insertOverwriteTable(feats, plainTable)
+    val plainPlan = explain(spark.table(plainTable)
+      .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1))
+    plainPlan should include("Exchange")
+
+    // rows are identical either way
+    val a = latest.drop("__rank").as[FeaturesDaily].collect().sortBy(_.user_id).toSeq
+    a.map(_.user_id) shouldBe Seq("u1", "u2")
+    a.head.day shouldBe d("2024-01-02")
+  }
+}
