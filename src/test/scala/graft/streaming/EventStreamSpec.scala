@@ -78,6 +78,29 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("file-source readStream drives the same windowed aggregation") {
+    // the real ingestion shape: readStream over a parquet directory with
+    // an explicit schema (streaming sources cannot infer), new files
+    // become micro-batches
+    val dir = s"/tmp/graft-stream-src-${System.nanoTime()}"
+    Seq(
+      Event("u1", "click", ts("2024-01-01 10:05:00"), 1.0),
+      Event("u1", "click", ts("2024-01-01 10:45:00"), 2.0)).toDS()
+      .write.parquet(dir)
+    val stream = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema)
+      .parquet(dir)
+    val query = windowedCounts(stream, windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("fwc").outputMode(OutputMode.Update()).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("fwc")
+        .select("user_id", "n_events", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      rows shouldBe Set(("u1", 2L, 3.0))
+    } finally query.stop()
+  }
+
   test("streaming KV sync pushes fresh snapshots per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.InMemoryKVStore
