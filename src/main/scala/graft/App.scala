@@ -71,7 +71,13 @@ object App {
         val out = PointInTimeJoinPipeline.run(spark, fetcher, writer, PointInTimeJoinConfig(
           labelsPath = o.required("labels-path"),
           featuresTable = o.required("features-table"),
-          outputPath = o.required("output-path")))
+          outputPath = o.required("output-path"),
+          useUnionPlan = o.getOrElse("plan", "union") match {
+            case "union" => true
+            case "rank" => false
+            case other => throw new IllegalArgumentException(
+              s"--plan must be 'union' or 'rank', got '$other'")
+          }))
         out match {
           // ds is cached by the pipeline (emptiness check), so this count is cheap
           case Some(ds) => println(s"[graft] point-in-time-join: wrote ${ds.count()} training rows to ${o("output-path")}")
@@ -150,7 +156,7 @@ object App {
       |                     --start-date <date> --end-date <date>
       |                     [--incremental true] [--buckets <n>]
       |  point-in-time-join --labels-path <path> --features-table <table>
-      |                     --output-path <path>
+      |                     --output-path <path> [--plan union|rank]
       |  online-sync        --features-table <table> [--hours-back <n=24>]
       |                     [--cutoff <date>] [--kv memory]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>

@@ -101,7 +101,10 @@ final case class PointInTimeJoinConfig(
     labelsPath: String,
     featuresTable: String,
     outputPath: String,
-    partitionBy: Seq[String] = Seq("as_of_ts"))
+    partitionBy: Seq[String] = Seq("as_of_ts"),
+    // union: single-shuffle running-last plan (default, no fan-out at deep
+    // history); rank: reference-shaped join+row_number plan
+    useUnionPlan: Boolean = true)
 
 final case class OnlineSyncConfig(
     featuresTable: String,

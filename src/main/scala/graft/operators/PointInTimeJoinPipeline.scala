@@ -57,7 +57,7 @@ object PointInTimeJoinPipeline {
     import spark.implicits._
     val labels = fetcher.readParquet(spark, config.labelsPath, Some(Schemas.labels))
     val features = fetcher.readTable(spark, config.featuresTable)
-    val training = transform(labels, features).as[TrainingData].cache()
+    val training = transform(labels, features, config.useUnionPlan).as[TrainingData].cache()
     if (training.isEmpty) { training.unpersist(); None }
     else {
       writer.writeParquet(training.toDF(), config.outputPath,

@@ -51,6 +51,12 @@ class AppSpec extends SparkTestBase {
       "--output-path", "training_data"))
     storage.rows should contain key "training_data"
 
+    // the rank plan produces the identical training set through the CLI
+    App.run(platform, Seq("point-in-time-join",
+      "--labels-path", "labels", "--features-table", "features_daily",
+      "--output-path", "training_data_rank", "--plan", "rank"))
+    storage.rows("training_data_rank").toSet shouldBe storage.rows("training_data").toSet
+
     App.run(platform, Seq("online-sync",
       "--features-table", "features_daily", "--cutoff", "2024-01-01"))
 
