@@ -25,20 +25,26 @@ object MinHashSignatureImpl {
     * transform result per signature row).
     */
   def eval(hashes: ArrayData): ArrayData = {
-    val n = hashes.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](K))
     val mins = Array.fill(K)(Long.MaxValue)
+    var sawValue = false
+    val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val x = hashes.getLong(i)
-      var j = 0
-      while (j < K) {
-        val h = (A(j) * x + B(j)) % Mod
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      // skip null elements like the witness's array_min-over-transform does
+      // (transform maps null -> null, array_min ignores nulls)
+      if (!hashes.isNullAt(i)) {
+        sawValue = true
+        val x = hashes.getLong(i)
+        var j = 0
+        while (j < K) {
+          val h = (A(j) * x + B(j)) % Mod
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
+    if (!sawValue) return new GenericArrayData(new Array[Any](K))
     new GenericArrayData(mins)
   }
 }

@@ -32,21 +32,10 @@ object ShingleHashesImpl {
     */
   def eval(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.toLowerCase.getBytes
-    // token boundaries
+    // token boundaries via the shared scan kernel
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      val isTok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      if (isTok) {
-        starts.add(i)
-        while (i < bytes.length && {
-          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        }) i += 1
-        ends.add(i)
-      } else i += 1
-    }
+    TokenScan.foreachRun(bytes) { (st, en) => starts.add(st); ends.add(en) }
     val nToks = starts.size()
     if (nToks < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()

@@ -30,24 +30,19 @@ object SimHashImpl {
     val bytes = s.toLowerCase.getBytes
     val sums = new Array[Long](bits)
     var sawToken = false
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
-        sawToken = true
-        var acc = 0L
-        while (i < bytes.length && {
-          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        }) {
-          acc = (acc * TextFunctions.HashBase + bytes(i)) % TextFunctions.HashMod
-          i += 1
-        }
-        var bit = 0
-        while (bit < bits) {
-          sums(bit) += (if (((acc >> bit) & 1L) == 1L) 1L else -1L)
-          bit += 1
-        }
-      } else i += 1
+    TokenScan.foreachRun(bytes) { (start, end) =>
+      sawToken = true
+      var acc = 0L
+      var j = start
+      while (j < end) {
+        acc = (acc * TextFunctions.HashBase + bytes(j)) % TextFunctions.HashMod
+        j += 1
+      }
+      var bit = 0
+      while (bit < bits) {
+        sums(bit) += (if (((acc >> bit) & 1L) == 1L) 1L else -1L)
+        bit += 1
+      }
     }
     if (!sawToken) return null
     var out = 0L

@@ -38,27 +38,19 @@ class TextStatsImpl(stopwords: Array[String], markerSets: Array[Array[String]])
     var subwords = 0L
     var nStop = 0L
     val langHits = new Array[Long](markers.length)
-    var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i)
-      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
-        val start = i
-        while (i < bytes.length && {
-          val c = bytes(i); (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-        }) i += 1
-        val len = i - start
-        val tok = new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII)
-        nTokens += 1
-        sumLen += len
-        subwords += (len + 3) / 4
-        seen.add(tok)
-        if (stopSet.contains(tok)) nStop += 1
-        var m = 0
-        while (m < markers.length) {
-          if (markers(m).contains(tok)) langHits(m) += 1
-          m += 1
-        }
-      } else i += 1
+    TokenScan.foreachRun(bytes) { (start, end) =>
+      val len = end - start
+      val tok = new String(bytes, start, len, java.nio.charset.StandardCharsets.US_ASCII)
+      nTokens += 1
+      sumLen += len
+      subwords += (len + 3) / 4
+      seen.add(tok)
+      if (stopSet.contains(tok)) nStop += 1
+      var m = 0
+      while (m < markers.length) {
+        if (markers(m).contains(tok)) langHits(m) += 1
+        m += 1
+      }
     }
     val out = new Array[Any](5 + markers.length)
     out(0) = nTokens

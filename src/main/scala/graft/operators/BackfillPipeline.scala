@@ -142,6 +142,14 @@ object BackfillPipeline {
     */
   def runIncremental(spark: SparkSession, fetcher: Fetcher, writer: Writer,
       config: BackfillConfig): Dataset[FeaturesDaily] =
-    runWith(spark, fetcher, config)(
-      writer.overwritePartitions(_, config.outputTable, config.partitionBy))
+    runWith(spark, fetcher, config) { out =>
+      // A fresh table honors config.buckets so `--incremental --buckets N`
+      // doesn't silently create an unbucketed table; an EXISTING table's
+      // layout (bucketed or not) is preserved by the partition-level insert.
+      if (!spark.catalog.tableExists(config.outputTable) && config.buckets.isDefined)
+        writer.insertOverwriteBucketedTable(
+          out, config.outputTable, config.buckets.get, "user_id", config.partitionBy)
+      else
+        writer.overwritePartitions(out, config.outputTable, config.partitionBy)
+    }
 }

@@ -80,11 +80,12 @@ trait Writer {
   /** Insert-overwrite a table BUCKETED by a key (and optionally
     * partitioned): rows are hash-clustered into `numBuckets` files per
     * partition by `bucketCol`, and the scan's output partitioning then
-    * satisfies any downstream distribution requirement on that key — the
-    * per-user window of the online sync and the as-of join's key shuffle
-    * read a bucketed features table WITHOUT an exchange. At 100 TB this
-    * converts every consumer's widest shuffle into a co-located scan; the
-    * one-time cost is the cluster-by at write.
+    * satisfies a downstream distribution requirement on that key — the
+    * per-user window of the online sync reads a bucketed features table
+    * WITHOUT an exchange (BucketedTableSpec), and a join's bucketed side
+    * skips ITS exchange (the other side still shuffles; a union, as in the
+    * as-of union plan, discards partitioning info entirely). The one-time
+    * cost is the cluster-by at write.
     */
   def insertOverwriteBucketedTable(df: DataFrame, tableName: String,
       numBuckets: Int, bucketCol: String,

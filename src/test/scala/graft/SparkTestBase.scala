@@ -34,4 +34,10 @@ trait SparkTestBase extends AnyFunSuite with Matchers with BeforeAndAfterAll {
 
   /** Date literal helper. */
   def d(s: String): java.sql.Date = java.sql.Date.valueOf(s)
+
+  /** Sample a ScalaCheck generator deterministically (the scalatestplus
+    * bridge isn't on the offline classpath; seeded so failures replay).
+    */
+  def sample[T](gen: org.scalacheck.Gen[T], seed: Long): T =
+    gen.apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
 }

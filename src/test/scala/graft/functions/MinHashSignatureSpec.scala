@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.functions.TextFunctions.{minhashSignature, minhashSignatureHof}
@@ -14,9 +13,6 @@ import graft.functions.TextFunctions.{minhashSignature, minhashSignatureHof}
 class MinHashSignatureSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
-
   test("native == composed on random hash sets") {
     val setGen = Gen.listOfN(40, Gen.chooseNum(0L, TextFunctions.HashMod - 1))
     val sets = (1 to 25).map(i => sample(setGen, 42L + i)) ++
@@ -25,6 +21,17 @@ class MinHashSignatureSpec extends SparkTestBase {
       minhashSignature(col("hashes")).as("native"),
       minhashSignatureHof(col("hashes")).as("hof"))
     df.filter(!(col("native") <=> col("hof"))).collect() shouldBe empty
+  }
+
+  test("null elements are skipped like the witness's array_min") {
+    val df = Seq(1).toDF("i").select(
+      minhashSignature(array(lit(7L), lit(null).cast("bigint"), lit(11L))).as("native"),
+      minhashSignatureHof(array(lit(7L), lit(null).cast("bigint"), lit(11L))).as("hof"))
+    df.filter(!(col("native") <=> col("hof"))).collect() shouldBe empty
+    // all-null elements behave like the empty set
+    Seq(1).toDF("i")
+      .select(minhashSignature(array(lit(null).cast("bigint"))))
+      .head.getSeq[Any](0).forall(_ == null) shouldBe true
   }
 
   test("empty set yields a k-length all-null signature; null propagates") {

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.functions.TextFunctions.{polyHash, polyHashHof}
@@ -15,9 +14,6 @@ import graft.functions.TextFunctions.{polyHash, polyHashHof}
   */
 class PolyHashSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
 
   private def assertParity(strings: Seq[String]): Unit = {
     val df = strings.toDF("s")

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.functions.TextFunctions.{shingleHashes, shingleHashesHof}
@@ -13,9 +12,6 @@ import graft.functions.TextFunctions.{shingleHashes, shingleHashesHof}
   */
 class ShingleHashesSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
 
   private def assertParity(strings: Seq[String], n: Int = 3): Unit = {
     val df = strings.toDF("s").select(

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.functions.TextFunctions._
@@ -13,9 +12,6 @@ import graft.functions.TextFunctions._
   */
 class TextStatsSpec extends SparkTestBase {
   import spark.implicits._
-
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
 
   private val tokenful = {
     val word = Gen.oneOf(

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.functions.VecDotProduct.vecDot
@@ -20,9 +19,6 @@ class VecDotProductSpec extends SparkTestBase {
   import spark.implicits._
 
   private val genVec: Gen[List[Float]] = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
-
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
 
   test("vec_dot == HOF fold, bit for bit, on random float vectors") {
     (1 to 30).foreach { i =>

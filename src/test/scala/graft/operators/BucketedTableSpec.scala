@@ -20,30 +20,53 @@ class BucketedTableSpec extends SparkTestBase {
 
   test("per-user window over a bucketed features table plans without an exchange") {
     val table = s"graft_test_bucketed_${System.nanoTime()}"
+    val plainTable = s"${table}_plain"
     val feats = Seq(
       FeaturesDaily("u1", d("2024-01-01"), Some(1L), Some(1L), Some(0), Some("1")),
       FeaturesDaily("u1", d("2024-01-02"), Some(2L), Some(2L), Some(0), Some("1")),
       FeaturesDaily("u2", d("2024-01-01"), Some(3L), Some(3L), Some(0), Some("1"))).toDF()
-    ProdWriter.insertOverwriteBucketedTable(feats, table, numBuckets = 4, bucketCol = "user_id")
+    try {
+      ProdWriter.insertOverwriteBucketedTable(feats, table, numBuckets = 4, bucketCol = "user_id")
 
-    val w = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
-    val latest = spark.table(table)
-      .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").desc)
+      val latest = spark.table(table)
+        .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1)
 
-    val plan = explain(latest)
-    plan should include("SelectedBucketsCount")     // bucketed scan in effect
-    plan should not include "Exchange"              // bucket layout satisfies the window
+      val plan = explain(latest)
+      plan should include("SelectedBucketsCount")     // bucketed scan in effect
+      plan should not include "Exchange"              // bucket layout satisfies the window
 
-    // and the unbucketed twin DOES need the exchange (the guard guards something)
-    val plainTable = s"${table}_plain"
-    ProdWriter.insertOverwriteTable(feats, plainTable)
-    val plainPlan = explain(spark.table(plainTable)
-      .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1))
-    plainPlan should include("Exchange")
+      // and the unbucketed twin DOES need the exchange (the guard guards something)
+      ProdWriter.insertOverwriteTable(feats, plainTable)
+      val plainPlan = explain(spark.table(plainTable)
+        .withColumn("__rank", row_number().over(w)).filter(col("__rank") === 1))
+      plainPlan should include("Exchange")
 
-    // rows are identical either way
-    val a = latest.drop("__rank").as[FeaturesDaily].collect().sortBy(_.user_id).toSeq
-    a.map(_.user_id) shouldBe Seq("u1", "u2")
-    a.head.day shouldBe d("2024-01-02")
+      // rows are identical either way
+      val a = latest.drop("__rank").as[FeaturesDaily].collect().sortBy(_.user_id).toSeq
+      a.map(_.user_id) shouldBe Seq("u1", "u2")
+      a.head.day shouldBe d("2024-01-02")
+    } finally {
+      sql(s"DROP TABLE IF EXISTS $table")
+      sql(s"DROP TABLE IF EXISTS $plainTable")
+    }
+  }
+
+  test("partition-level insert preserves an existing bucketed layout") {
+    val table = s"graft_test_bkt_incr_${System.nanoTime()}"
+    def feats(day: String, c: Long) =
+      Seq(FeaturesDaily("u1", d(day), Some(c), Some(c), Some(0), Some("1")),
+        FeaturesDaily("u2", d(day), Some(c), Some(c), Some(0), Some("1"))).toDF()
+    try {
+      ProdWriter.insertOverwriteBucketedTable(
+        feats("2024-01-01", 1L), table, numBuckets = 4, bucketCol = "user_id",
+        partitionBy = Seq("day"))
+      ProdWriter.overwritePartitions(feats("2024-01-02", 2L), table, Seq("day"))
+
+      spark.table(table).count() shouldBe 4
+      // the scan is still bucketed after the incremental insert
+      explain(spark.table(table).groupBy(col("user_id")).count()) should
+        include("SelectedBucketsCount")
+    } finally sql(s"DROP TABLE IF EXISTS $table")
   }
 }

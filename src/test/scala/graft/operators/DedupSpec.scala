@@ -59,9 +59,6 @@ class DedupSpec extends SparkTestBase {
     // with planted near-duplicates, engine output vs an all-pairs driver
     // computation over the same shingle sets.
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-    def sample[T](gen: Gen[T], seed: Long): T =
-      gen.apply(Gen.Parameters.default, Seed(seed)).get
     val vocab = Gen.oneOf((1 to 25).map(i => s"w$i"))
     val baseDoc = Gen.listOfN(14, vocab).map(_.mkString(" "))
     (1 to 3).foreach { round =>

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 
 import graft.SparkTestBase
 import graft.domain.{EventRaw, FeaturesDaily, Label, TrainingData}
@@ -34,9 +33,6 @@ class PropertySpec extends SparkTestBase {
     Gen.listOfN(12, for {
       u <- userGen; day <- dayGen; s <- secondGen; v <- Gen.oneOf(0.0, 1.0)
     } yield Label(u, v, tsOf(day, s)))
-
-  private def sample[T](gen: Gen[T], seed: Long): T =
-    gen.apply(Gen.Parameters.default, Seed(seed)).get
 
   private val Rounds = 5
 

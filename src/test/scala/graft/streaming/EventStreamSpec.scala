@@ -98,7 +98,10 @@ class EventStreamSpec extends SparkTestBase {
         .select("user_id", "n_events", "sum_value")
         .as[(String, Long, Double)].collect().toSet
       rows shouldBe Set(("u1", 2L, 3.0))
-    } finally query.stop()
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("streaming KV sync pushes fresh snapshots per micro-batch") {
