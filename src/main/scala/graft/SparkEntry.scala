@@ -26,11 +26,31 @@ object SparkEntry {
     * and truncate to microseconds — integer DIV, not `/`, because ns since
     * epoch (~1.7e18) exceeds double's 2^53 exact-integer range. DuckDB
     * truncates ns->us the same way on read, so the oracle agrees.
+    *
+    * The legacy conf is restored after the (eager) footer-schema read — the
+    * same try/finally pattern as BackfillPipeline.readEvents, so no session
+    * conf leaks into later queries; post-restore actions still decode nanos
+    * because the hadoop conf is captured into the relation at plan time.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
+
+  /** Per-run scratch tag for the I/O round-trip queries: two concurrent
+    * driver runs (e.g. a verify racing a bench) must not stomp each other's
+    * scratch paths or catalog tables. The Spark application id is unique per
+    * JVM/run and contains no wall-clock the oracle could see; the sf dir
+    * disambiguates back-to-back runs against different scales in one app.
+    */
+  private def scratchTag(s: SparkSession, dir: String): String =
+    (s.sparkContext.applicationId + "_" + dir).replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -225,7 +245,7 @@ object SparkEntry {
     // lossless, so the oracle is the source table itself
     "q32_csv_roundtrip" -> ((s, dir) => {
       val region = t(s, dir, "region")
-      val tmp = "/tmp/graft_io/q32_csv"
+      val tmp = s"/tmp/graft_io/q32_csv_${scratchTag(s, dir)}"
       graft.sources.ProdWriter.writeCsv(region, tmp)
       graft.sources.ProdFetcher.readCsv(s, tmp, Some(region.schema))
         .select(col("r_regionkey"), col("r_name"))
@@ -234,7 +254,7 @@ object SparkEntry {
     // S2+S6: JSON sink -> JSON scan round trip
     "q33_json_roundtrip" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
-      val tmp = "/tmp/graft_io/q33_json"
+      val tmp = s"/tmp/graft_io/q33_json_${scratchTag(s, dir)}"
       graft.sources.ProdWriter.writeJson(nation, tmp)
       graft.sources.ProdFetcher.readJson(s, tmp, Some(nation.schema))
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
@@ -253,9 +273,10 @@ object SparkEntry {
     // the final select pins the type to the oracle's.
     "q34_table_roundtrip" -> ((s, dir) => {
       val supplier = t(s, dir, "supplier")
+      val tbl = s"graft_q34_supplier_${scratchTag(s, dir)}"
       graft.sources.ProdWriter.insertOverwriteTable(
-        supplier, "graft_q34_supplier", Seq("s_nationkey"))
-      graft.sources.ProdFetcher.readTable(s, "graft_q34_supplier")
+        supplier, tbl, Seq("s_nationkey"))
+      graft.sources.ProdFetcher.readTable(s, tbl)
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("int").as("s_nationkey"),
           round(col("s_acctbal"), 2).as("s_acctbal"))

@@ -26,11 +26,17 @@ import graft.functions.TextFunctions._
   * Cache lifecycle: the near-dup operators persist their shingle-set stage
   * (it feeds 2-3 downstream consumers). The cached blocks live until Spark's
   * LRU evicts them or the session ends — sized for batch-job lifecycles. A
-  * long-lived session driving many corpora should call
+  * long-lived session driving many corpora can pass
+  * `storage = StorageLevel.NONE` to skip the persist entirely (trading
+  * recomputation for zero cache residency), or call
   * `spark.sharedState.cacheManager.clearCache()` between runs (or recreate
   * the session) to reclaim disk-spilled blocks.
   */
 object Dedup {
+
+  /** persist unless the caller opted out with StorageLevel.NONE */
+  private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
+    if (storage == StorageLevel.NONE) df else df.persist(storage)
 
   /** Exact dedup: every doc annotated with its content group's keeper (min
     * doc_id) and group size. One shuffle on the md5 content hash; at scale
@@ -81,16 +87,21 @@ object Dedup {
     * is a deliberate pipeline stage, not an optimization detail).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = withShingleHashes(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                        idCol: String = "doc_id", textCol: String = "text",
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sets = maybePersist(withShingleHashes(docs, idCol, textCol, n), storage)
     val posting = sets.select(
       col("id"), size(col("hashes")).as("m"), explode(col("hashes")).as("h"))
     val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Prefix bound with an epsilon guard: for thresholds whose double
+    // representation rounds UP, t_d * m could land just above an exact
+    // integer t*m and ceil() would then shorten the prefix — dropping pairs
+    // at exactly the threshold. Subtracting 1e-9 means FP error can only
+    // LENGTHEN the prefix (still lossless, a few extra candidates at most).
     val prefix = posting.join(dfreq, "h")
       .withColumn("__rnk",
         row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
-      .filter(col("__rnk") <= col("m") - ceil(lit(threshold) * col("m")) + lit(1))
+      .filter(col("__rnk") <= col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + lit(1))
       .select(col("id"), col("h"))
     val candidates = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -110,11 +121,11 @@ object Dedup {
     * re-shuffles only the candidate pairs (tiny relative to the corpus).
     */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // Persisted: consumed by the signature stage and both sides of the
     // verify join — without it the whole tokenize/shingle/hash front runs 3x.
-    val sets = withShingleHashes(docs, idCol, textCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = maybePersist(withShingleHashes(docs, idCol, textCol, n), storage)
     val sigs = sets.withColumn("sig", minhashSignature(col("hashes")))
     val bandKeys: Column = array((0 until LshBands).map { b =>
       struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))

@@ -35,6 +35,10 @@ object SimilaritySearch {
     embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
 
+  /** persist unless the caller opted out with StorageLevel.NONE */
+  private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
+    if (storage == StorageLevel.NONE) df else df.persist(storage)
+
   /** Exact top-k cosine neighbors for each query row (queries selected by
     * `queryPred` SQL predicate over the raw table). Self-matches excluded.
     */
@@ -102,8 +106,9 @@ object SimilaritySearch {
   def ivfKnn(embeddings: DataFrame, queryPred: String, k: Int,
              centroidPred: String,
              nProbe: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = prep(embeddings, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
     val centroids = prep(embeddings.filter(centroidPred), idCol, vecCol)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     // An empty centroid set would silently return zero neighbors for every
@@ -152,9 +157,10 @@ object SimilaritySearch {
     * more/wider bands or [[nearDupPairsExact]] on a bounded subset.
     */
   def nearDupPairs(embeddings: DataFrame, threshold: Double, bands: Int = 8,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // Persisted: feeds band-key generation and both sides of the verify join.
-    val e = prep(embeddings, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
     val banded = e.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), signBandKey(col("v"), b).as("key"))
       }: _*)).as("bk"))

@@ -48,9 +48,14 @@ trait Writer {
   /** A session with a fresh catalog can find a stale table DIRECTORY left
     * by a previous session's warehouse; saveAsTable refuses to adopt it
     * (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
-    * table wholesale, so clear the orphaned location first. The location
+    * table wholesale, so move the orphaned location ASIDE first — a rename,
+    * not a delete: if the directory actually belongs to a table still live
+    * in another metastore pointed at a shared warehouse, its data survives
+    * at `<loc>.__orphan.<appId>` instead of being destroyed before the new
+    * write even commits. A pre-existing aside dir with the same name is this
+    * application's own earlier garbage and is removed first. The location
     * is derived from the owning DATABASE's registered locationUri (never a
-    * guessed warehouse-relative path — a wrong guess could delete another
+    * guessed warehouse-relative path — a wrong guess could touch another
     * table's data); names whose database can't be resolved are left for
     * saveAsTable to report. A real deployment points the catalog at a
     * transactional format where orphaned locations cannot arise.
@@ -71,7 +76,14 @@ trait Writer {
         if (spark.catalog.databaseExists(db)) {
           val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) fs.delete(loc, true)
+          if (fs.exists(loc)) {
+            val aside = new Path(
+              loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
+            if (fs.exists(aside)) fs.delete(aside, true)
+            fs.rename(loc, aside)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"orphaned table location $loc moved aside to $aside before overwrite of $tableName")
+          }
         }
       }
     }
@@ -109,6 +121,16 @@ trait Writer {
     * `insertInto` matches columns BY POSITION (partition columns last in a
     * catalog table's schema), so the input is reordered by NAME against the
     * table's declared layout before writing.
+    *
+    * Overwrite mode: the per-writer `.option("partitionOverwriteMode",
+    * "dynamic")` is honored only by the datasource-table insert path;
+    * Hive-serde tables (the metastore catalog this repo runs against) read
+    * the SESSION conf exclusively — verified: option-only leaves the full
+    * table overwritten. So both are set: the option scopes the datasource
+    * path per-write, and the session conf (try/finally restored) covers the
+    * Hive path. The restore window is the one place a concurrent write on
+    * the same session could observe the altered mode — documented residual,
+    * removable only by a transactional catalog format.
     */
   def overwritePartitions(df: DataFrame, tableName: String,
       partitionBy: Seq[String]): Unit = {
@@ -121,7 +143,9 @@ trait Writer {
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "dynamic")
-      try aligned.write.mode("overwrite").insertInto(tableName)
+      try aligned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .insertInto(tableName)
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)

@@ -90,12 +90,15 @@ object EventStream {
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(UserFeatureState(userId, 0L, 0L, new Timestamp(0L)))
-            val batch = rows.toSeq
-            val next = UserFeatureState(
-              userId,
-              prev.event_count + batch.size,
-              prev.purchase_count + batch.count(_.event_type == "purchase"),
-              batch.map(_.ts).foldLeft(prev.last_event_ts)((a, b) => if (b.after(a)) b else a))
+            // single fold over the iterator — never materialize the
+            // micro-batch's rows for one user as a Seq
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              UserFeatureState(
+                userId,
+                acc.event_count + 1,
+                acc.purchase_count + (if (e.event_type == "purchase") 1 else 0),
+                if (e.ts.after(acc.last_event_ts)) e.ts else acc.last_event_ts)
+            }
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator.single(next)

@@ -8,9 +8,9 @@ import graft.functions.TextFunctions.{polyHash, polyHashHof}
 
 /** The native poly_hash must be bit-identical to the interpreted
   * `aggregate(sequence(...))` fold it replaces — same per-character value
-  * (first UTF-8 byte as signed int, i.e. Spark's `ascii` on the 1-char
-  * substring), same left-fold order, same `%` remainder semantics — or the
-  * dedup oracle parity breaks.
+  * (the Unicode CODE POINT of the character, i.e. Spark 4's `ascii` on the
+  * 1-char substring), same left-fold order, same `%` remainder semantics —
+  * or the dedup oracle parity breaks.
   */
 class PolyHashSpec extends SparkTestBase {
   import spark.implicits._
@@ -28,7 +28,7 @@ class PolyHashSpec extends SparkTestBase {
       Seq("", "a", "  ", "the quick brown fox", "a" * 500))
   }
 
-  test("native == HOF fold on multi-byte UTF-8 (lead-byte semantics)") {
+  test("native == HOF fold on multi-byte UTF-8 (code-point semantics)") {
     assertParity(Seq("héllo wörld", "日本語テキスト", "mixé 中 ascii", "émoji 🎉 test", "ß"))
   }
 
