@@ -52,6 +52,14 @@ object TrainingDataQueries {
     // MinHash + banded LSH candidates, exact-Jaccard verified
     "q25_dedup_minhash" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
 
+    // pairs -> connected components -> keeper: dedup's actual deliverable.
+    // Clusters the q25 pair graph; every doc gets a row (singletons keep
+    // themselves). CacheManager dedupes the shingle stage with q25's.
+    "q37_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
+    }),
+
     // SimHash pigeonhole-banded Hamming pairs
     "q26_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -106,13 +114,36 @@ object TrainingDataQueries {
        |hs AS (SELECT id, list_distinct(list_transform(sgs, sg -> ${polyHashSql("sg")})) AS hashes FROM sh),
        |sets AS (SELECT id, hashes FROM hs WHERE len(hashes) > 0)""".stripMargin
 
-  /** exact-Jaccard verification of a `cand(id_a, id_b)` CTE against `sets` */
-  private def verifySql(threshold: Double): String =
+  /** exact-Jaccard CTE over a `cand(id_a, id_b)` CTE and `sets` */
+  private val verifyCte: String =
     s"""j AS (SELECT id_a, id_b,
        |  round(len(list_intersect(sa.hashes, sb.hashes)) * 1.0 /
        |        (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes))), 6) AS jaccard
-       |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold""".stripMargin
+       |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id)""".stripMargin
+
+  private def verifySql(threshold: Double): String =
+    s"$verifyCte\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold"
+
+  /** CTE chain producing the MinHash-LSH verified pairs in `j` (shared by
+    * q25 and q37's cluster oracle).
+    */
+  private lazy val minhashCtes: String = {
+    val sigExprs = (0 until MinhashK).map { j =>
+      s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
+    }.mkString(", ")
+    val keyArms = (0 until LshBands).map { b =>
+      val parts = (1 to LshRows).map(r => s"CAST(sig[${b * LshRows + r}] AS VARCHAR)").mkString(" || '-' || ")
+      s"WHEN ${b} THEN $parts"
+    }.mkString(" ")
+    s"""$docSetsSql,
+       |sigs AS (SELECT id, hashes, [$sigExprs] AS sig FROM sets),
+       |buckets AS (SELECT id, bb.band AS band,
+       |  CASE bb.band $keyArms END AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(${(0 until LshBands).mkString("[", ", ", "]")}) AS band) bb),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
+       |$verifyCte""".stripMargin
+  }
 
   /** left-fold dot product of double-list exprs `a`,`b` (twin of
     * [[graft.functions.VectorFunctions.dot]])
@@ -195,23 +226,27 @@ object TrainingDataQueries {
          |  FROM posting a JOIN posting b ON a.h = b.h AND a.id < b.id),
          |${verifySql(0.8)}""".stripMargin,
 
-    "q25_dedup_minhash" -> {
-      val sigExprs = (0 until MinhashK).map { j =>
-        s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
-      }.mkString(", ")
-      val keyArms = (0 until LshBands).map { b =>
-        val parts = (1 to LshRows).map(r => s"CAST(sig[${b * LshRows + r}] AS VARCHAR)").mkString(" || '-' || ")
-        s"WHEN ${b} THEN $parts"
-      }.mkString(" ")
-      s"""WITH $docSetsSql,
-         |sigs AS (SELECT id, hashes, [$sigExprs] AS sig FROM sets),
-         |buckets AS (SELECT id, bb.band AS band,
-         |  CASE bb.band $keyArms END AS key
-         |  FROM sigs CROSS JOIN (SELECT unnest(${(0 until LshBands).mkString("[", ", ", "]")}) AS band) bb),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
-         |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
-         |${verifySql(0.8)}""".stripMargin
-    },
+    "q25_dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    // connected components over the q25 pair graph: the recursive CTE walks
+    // reachability from every node; min reachable id = the component keeper
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |nodes AS (SELECT doc_id AS id FROM documents),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size,
+         |  CASE WHEN lab.id = lab.cluster_id THEN 0 ELSE 1 END AS is_dup
+         |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,
 
     "q26_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id AS id, unnest($toksSql) AS tok FROM documents),

@@ -53,6 +53,69 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("keeper_id"), col("group_size"), col("is_dup"))
   }
 
+  /** Cluster assignment: the step that turns near-dup PAIRS into dedup's
+    * actual deliverable — which docs to drop. Connected components over the
+    * candidate-pair graph by iterative min-label propagation: every node
+    * starts labeled with its own id; each round a node adopts the minimum of
+    * its own label and its neighbors' labels. The minimum id of a component
+    * spreads outward one hop per round (BFS from the keeper), so the loop
+    * converges in at most ecc(min-node) <= diameter rounds — near-dup
+    * components are short chains in practice, so typically 2-4. Iterations
+    * are bounded by `maxIter`; a non-converged exit LOGS loudly and returns
+    * the partial labels (never a silent cap).
+    *
+    * Scale shape: the edge list (near-dup pairs) is tiny relative to the
+    * corpus; each round shuffles (id, label) rows on id — the same key both
+    * joins use. Each round's labels are `localCheckpoint`ed (eager): that
+    * both materializes the round AND truncates the LOGICAL plan to the
+    * checkpointed RDD — a plain persist leaves the logical plan nesting one
+    * level per round, so analysis cost grows quadratically and a deep
+    * iteration overflows the analyzer's stack. On a multi-executor cluster
+    * prefer reliable `checkpoint()` (localCheckpoint blocks are lost with
+    * an executor); the loop structure is unchanged.
+    *
+    * Output reuses [[exact]]'s keeper semantics: every doc in `docs` gets a
+    * row — singletons form their own cluster — with cluster_id = min doc id
+    * of its component, the component size, and is_dup = 1 for every member
+    * except the keeper.
+    */
+  def assignClusters(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id", maxIter: Int = 20,
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val nodes = docs.select(col(idCol).as("id"))
+    val edges = maybePersist(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      storage)
+    // eager localCheckpoint: materializes AND truncates the logical plan —
+    // see scaladoc. Old rounds' blocks are released by the ContextCleaner
+    // once unreferenced.
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaEdges = edges.join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") =!= col("__old")).isEmpty
+      labels = next
+      it += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"assignClusters stopped after maxIter=$maxIter rounds WITHOUT converging; " +
+          "labels are partial (some components carry a non-minimal cluster_id). " +
+          "Raise maxIter above the pair graph's diameter.")
+    if (storage != StorageLevel.NONE) edges.unpersist()
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"), (col("id") =!= col("label")).cast("int").as("is_dup"))
+  }
+
   /** Per-doc shingle-hash set: (id, hashes array). Row-local; reused by the
     * exact and LSH variants.
     */

@@ -111,4 +111,36 @@ class DedupSpec extends SparkTestBase {
     banded shouldBe quad.toSet
     banded should contain((1L, 2L))
   }
+
+  test("cluster assignment: chained pairs merge into one component") {
+    // a-b and b-c but NO a-c pair: transitivity must still cluster {a,b,c}
+    val nodes = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b")
+    val out = Dedup.assignClusters(nodes, pairs).orderBy("doc_id").collect()
+    out.map(_.getAs[Long]("cluster_id")).toSeq shouldBe Seq(10L, 10L, 10L, 40L)
+    out.map(_.getAs[Long]("cluster_size")).toSeq shouldBe Seq(3L, 3L, 3L, 1L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 1, 0)
+  }
+
+  test("cluster assignment converges on a long chain and honors maxIter") {
+    // path graph 1-2-3-...-12: min label must walk the full diameter
+    val n = 12L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.assignClusters(nodes, pairs).collect()
+    out.map(_.getAs[Long]("cluster_id")).distinct.toSeq shouldBe Seq(1L)
+    out.map(_.getAs[Long]("cluster_size")).distinct.toSeq shouldBe Seq(n)
+    // a too-small iteration budget returns partial labels (and logs) rather
+    // than hanging — every node still gets a row
+    val partial = Dedup.assignClusters(nodes, pairs, maxIter = 2).collect()
+    partial.length shouldBe n.toInt
+  }
+
+  test("cluster assignment over real near-dup pairs reuses keeper semantics") {
+    val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5).select("id_a", "id_b")
+    val out = Dedup.assignClusters(docs, pairs).orderBy("doc_id").collect()
+    // docs 1,2,3 near-dup cluster; doc 4 singleton keeper
+    out.map(_.getAs[Long]("cluster_id")).toSeq shouldBe Seq(1L, 1L, 1L, 4L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 1, 0)
+  }
 }
