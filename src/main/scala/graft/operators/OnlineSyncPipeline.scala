@@ -29,8 +29,29 @@ object OnlineSyncPipeline {
     * than read from the wall clock (reference hardcodes
     * date_sub(current_date(), hoursBack/24) — integer division, so
     * hoursBack=36 means 1 day; compute that in [[cutoffFor]]).
+    *
+    * Formulated as `max_by(struct(cols), day)` — an aggregate, not a
+    * window: the partial (map-side) aggregate combines before the shuffle
+    * and AQE can split a hot user's partial rows across tasks, whereas a
+    * `row_number() over (partition by user_id)` window is un-splittable —
+    * one pathological user serializes into one task at 100 TB. `day` is
+    * unique per (user, day) feature row, so max_by has no ties and the two
+    * forms agree row-for-row (OnlineSyncSpec asserts it).
     */
   def latestPerUser(features: DataFrame, cutoff: Column): DataFrame = {
+    val others = features.columns.filterNot(_ == "user_id")
+    features
+      .filter(col("day") >= cutoff)
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(others.map(col): _*), col("day")).as("__latest"))
+      .select(col("user_id") +: others.map(c => col("__latest").getField(c).as(c)): _*)
+  }
+
+  /** The window formulation, kept ONLY as the parity witness for
+    * [[latestPerUser]] (and as the plan-shape foil in BucketedTableSpec:
+    * bucketing eliminates its exchange; skew still can't split it).
+    */
+  def latestPerUserWindow(features: DataFrame, cutoff: Column): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("day").desc)
     features

@@ -72,6 +72,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q17: latest-per-user is a combinable aggregate, not an un-splittable window") {
+    val p = plan("q17_online_payload")
+    p should include("max_by")
+    p should not include "Window"
+  }
+
   test("whole-stage codegen covers the scan->project pipelines (native expressions fuse)") {
     // the native expressions must not break codegen: fingerprinting
     // (PolyHash) and quality metrics stay inside codegen stages (formatted

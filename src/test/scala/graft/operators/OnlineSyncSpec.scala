@@ -29,6 +29,22 @@ class OnlineSyncSpec extends SparkTestBase {
     latest("user1").event_count_7d shouldBe Some(4L)
   }
 
+  test("max_by aggregate form == window form (parity witness)") {
+    val cutoff = lit("2024-01-01").cast("date")
+    val agg = OnlineSyncPipeline.latestPerUser(feats.toDF(), cutoff)
+      .as[FeaturesDaily].collect().sortBy(_.user_id).toSeq
+    val win = OnlineSyncPipeline.latestPerUserWindow(feats.toDF(), cutoff)
+      .as[FeaturesDaily].collect().sortBy(_.user_id).toSeq
+    agg shouldBe win
+    // and the aggregate form's plan combines map-side BEFORE the shuffle
+    // (partial_max_by; struct-valued buffers plan as SortAggregate) with no
+    // un-splittable Window operator
+    val plan = OnlineSyncPipeline.latestPerUser(feats.toDF(), cutoff)
+      .queryExecution.executedPlan.toString
+    plan should include("partial_max_by")
+    plan should not include "Window"
+  }
+
   test("JSON payload: counts quoted as strings, missing values unquoted null") {
     val latest = OnlineSyncPipeline.latestPerUser(feats.toDF(), lit("2024-01-01").cast("date"))
     val payload = OnlineSyncPipeline.payload(latest)
