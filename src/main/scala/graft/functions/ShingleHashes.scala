@@ -26,7 +26,11 @@ object ShingleHashesImpl {
     *  3. shingle hash = the [[PolyHashImpl]] fold over the shingle string
     *     "tok_i tok_i+1 ... tok_i+n-1" — token bytes are ASCII so code
     *     point == byte, and the joining space folds in as 32;
-    *  4. distinct via insertion-ordered set (matches array_distinct).
+    *  4. distinct via set, then sorted ASCENDING — the sort is the
+    *     precondition [[SortedIntersectCount]]'s linear merge relies on,
+    *     paid once per doc here instead of per candidate pair in the
+    *     verify join. (Set semantics are order-insensitive everywhere else:
+    *     MinHash takes a min over the set, Jaccard intersects it.)
     *
     * Fewer than n tokens -> empty array (the composed `when(size < n, [])`).
     */
@@ -60,12 +64,13 @@ object ShingleHashesImpl {
     val it = seen.iterator()
     var o = 0
     while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 }
 
 /** Native codegen'd `shingle_hashes(text, n)`: distinct polynomial hashes of
-  * a document's word n-gram shingles as `array<long>`.
+  * a document's word n-gram shingles as `array<long>`, sorted ascending.
   *
   * Replaces the composed HOF pipeline (`array_distinct(transform(
   * wordShingles(tokens(text), n), polyHash))` — see

@@ -103,7 +103,19 @@ object TextFunctions {
   def lshBandKey(sig: Column, band: Int): Column =
     concat_ws("-", (0 until LshRows).map(r => element_at(sig, band * LshRows + r + 1).cast("string")): _*)
 
-  /** Exact Jaccard similarity of two pre-distinct arrays. */
+  /** Exact Jaccard similarity of two SORTED pre-distinct long arrays, via
+    * the native [[SortedIntersectCount]] merge kernel — the verify-join hot
+    * path (one evaluation per candidate pair).
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = SortedIntersectCount.sortedIntersectCount(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact Jaccard of two pre-distinct arrays in ANY order, via interpreted
+    * `array_intersect` — kept as the parity witness for [[jaccardSorted]]
+    * (SortedIntersectCountSpec) and for callers with unsorted sets.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)

@@ -124,13 +124,15 @@ object Dedup {
       .filter(size(col("hashes")) > 0)
 
   /** Join a candidate-pair set (id_a < id_b) back to the shingle sets and
-    * keep pairs with exact Jaccard >= threshold.
+    * keep pairs with exact Jaccard >= threshold. The per-pair intersection
+    * runs in the native sorted-merge kernel ([[jaccardSorted]]) — the
+    * shingle arrays arrive sorted from [[graft.functions.ShingleHashes]].
     */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(sets.select(col("id").as("id_a"), col("hashes").as("h_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("hashes").as("h_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("h_a"), col("h_b")), 6))
+      .withColumn("jaccard", round(jaccardSorted(col("h_a"), col("h_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
