@@ -26,6 +26,11 @@ object TrainingDataQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Embedding width of the testdata corpus — the q35 oracle unrolls the
+    * k-means mean over exactly this many dimensions.
+    */
+  private val EmbeddingDim = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // text quality metrics (row-local, whole-stage codegen)
     "q20_text_quality" -> ((s, dir) =>
@@ -79,10 +84,11 @@ object TrainingDataQueries {
     // sign-LSH bucketed approximate top-k
     "q29_knn_lsh" -> ((s, dir) => SimilaritySearch.lshKnn(emb(s, dir), "vec_id < 10", 3)),
 
-    // IVF cell-probed approximate top-k (deterministic coarse quantizer:
-    // a fixed id slice, replayed verbatim by the oracle)
-    "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnn(emb(s, dir), "vec_id < 10", 3,
-      centroidPred = "vec_id >= 100 AND vec_id < 116")),
+    // IVF cell-probed approximate top-k with a TRAINED coarse quantizer:
+    // deterministic Lloyd k-means (fixed seed slice, 2 unrolled rounds,
+    // ordered-fold means) that the oracle replays bit-for-bit
+    "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnnTrained(emb(s, dir), "vec_id < 10", 3,
+      initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
@@ -170,6 +176,28 @@ object TrainingDataQueries {
   }
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** One unrolled Lloyd iteration: assign to nearest `prev` centroid, then
+    * per-(cell, dim) ordered-fold mean — `list(x ORDER BY vec_id)` replays
+    * the exact member-id summation order of the Spark side's
+    * `sort_array(collect_list(...))` fold, so centroids are bit-identical.
+    * Emits CTEs a/m/x/s/v/cc/c suffixed with `i`; the result is `c$i`.
+    */
+  private def kmeansIterSql(prev: String, i: Int, dim: Int): String =
+    s"""a$i AS (SELECT en.vec_id, en.v, en.nrm, $prev.cid,
+       |  ${dotSql("en.v", s"$prev.cv")} / (en.nrm * $prev.cnrm) AS cscore
+       |  FROM en CROSS JOIN $prev),
+       |m$i AS (SELECT vec_id, v, cid FROM a$i
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+       |x$i AS (SELECT cid, dd.di AS di, v[dd.di] AS x, vec_id
+       |  FROM m$i CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS di) dd),
+       |s$i AS (SELECT cid, di,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)), (acc, xx) -> acc + xx) AS sx,
+       |  CAST(count(*) AS DOUBLE) AS n FROM x$i GROUP BY cid, di),
+       |v$i AS (SELECT cid, list(sx / n ORDER BY di) AS cv FROM s$i GROUP BY cid),
+       |cc$i AS (SELECT cp.cid, coalesce(v$i.cv, cp.cv) AS cv
+       |  FROM $prev cp LEFT JOIN v$i ON cp.cid = v$i.cid),
+       |c$i AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cc$i)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q20_text_quality" ->
@@ -309,10 +337,12 @@ object TrainingDataQueries {
 
     "q35_knn_ivf" ->
       s"""WITH $embBaseSql,
-         |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
-         |cs AS (SELECT en.vec_id, en.v, en.nrm, cent.cid,
-         |  ${dotSql("en.v", "cent.cv")} / (en.nrm * cent.cnrm) AS cscore
-         |  FROM en CROSS JOIN cent),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim)},
+         |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
          |cells AS (SELECT vec_id, v, nrm, cid FROM cs
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
          |qcells AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid FROM cs WHERE vec_id < 10

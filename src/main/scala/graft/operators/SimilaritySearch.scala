@@ -90,13 +90,11 @@ object SimilaritySearch {
     * cells by nearest centroid; a query probes its `nProbe` nearest cells
     * and reranks those cells' members by exact cosine.
     *
-    * Centroids here are a DETERMINISTIC coarse quantizer — the vectors in a
-    * fixed id slice — rather than trained k-means: same plan shape, same
-    * cell-probe semantics, but exactly reproducible (the DuckDB oracle
-    * replays centroid choice, assignment, probing, and rerank bit-for-bit;
-    * k-means would put a nondeterministic training loop in the oracle's
-    * way). A production deployment swaps the centroid source for trained
-    * centroids; nothing downstream changes.
+    * Centroids here are the UNTRAINED quantizer — the raw vectors of a
+    * fixed id slice. [[ivfKnnTrained]] runs deterministic Lloyd k-means
+    * from the same seed slice and is the quality path; this form is kept
+    * as the zero-training baseline the recall measurement compares against
+    * (SimilaritySearchSpec).
     *
     * Scale shape: centroids broadcast; assignment is map-side (argmax over
     * nCells per row) followed by ONE narrow shuffle of (id, cid, score);
@@ -114,10 +112,90 @@ object SimilaritySearch {
     // An empty centroid set would silently return zero neighbors for every
     // query (empty cells) — fail loudly instead; the predicate is
     // corpus-specific and the caller must pick one that selects rows. The
-    // limit(1) bounds the guard to an early-exit scan of one row (this is
-    // the one eager check in this file; every other builder stays lazy).
+    // limit(1) bounds the guard to an early-exit scan of one row (this and
+    // the same guard in ivfKnnTrained are the only eager checks in this
+    // file; every other builder stays lazy).
     require(!embeddings.filter(centroidPred).limit(1).isEmpty,
       s"ivfKnn: centroidPred '$centroidPred' selects no rows — no cells to probe")
+    ivfProbe(e, centroids, prep(embeddings.filter(queryPred), idCol, vecCol), k, nProbe)
+  }
+
+  /** IVF top-k with a TRAINED coarse quantizer: same cell-probe plan as
+    * [[ivfKnn]], but the centroids come from [[trainedCentroids]] (Lloyd
+    * k-means seeded by the `initPred` id slice) instead of being raw
+    * corpus vectors. Same determinism guarantee — training is replayed
+    * bit-for-bit by the oracle — with the recall a trained quantizer buys
+    * (SimilaritySearchSpec measures it against [[bruteKnn]]).
+    */
+  def ivfKnnTrained(embeddings: DataFrame, queryPred: String, k: Int,
+                    initPred: String, iters: Int = 2,
+                    nProbe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"ivfKnnTrained: initPred '$initPred' selects no rows — nothing to train from")
+    val centroids = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    ivfProbe(e, centroids, prep(embeddings.filter(queryPred), idCol, vecCol), k, nProbe)
+  }
+
+  /** Deterministic Lloyd k-means over the prepped corpus `e` (id, v, nrm).
+    *
+    * Every floating-point reduction is an EXPLICITLY ORDERED left fold —
+    * member contributions to a cell mean are summed in ascending member-id
+    * order (`sort_array(collect_list(...))` then `aggregate`), dimensions
+    * reassembled in index order — so the DuckDB oracle replays the whole
+    * training loop bit-for-bit and cell assignments can never diverge on a
+    * last-bit tie (this determinism is why the quantizer was an id slice
+    * until now; the ordered fold removes the blocker).
+    *
+    * Mechanics per round: assignment is a broadcast of the (tiny) centroid
+    * set + map-side argmax; the recompute shuffles (cid, dim) partial rows
+    * — k*dims groups, independent of corpus size. A centroid whose cell
+    * emptied keeps its previous position (left join + coalesce), so k is
+    * stable. Centroid identity = the seeding vector's id (stable across
+    * rounds, and the tie-break key the probe's argmax orders by).
+    *
+    * At 100 TB the per-round corpus pass dominates; `iters` is a small
+    * fixed constant (the oracle unrolls it), and the assignment reuses the
+    * persisted corpus. Initialization from a fixed id slice is the
+    * deterministic stand-in for kmeans||-style seeding.
+    */
+  private[operators] def trainedCentroids(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cent = init.select(
+      col("id").as("cid"), toDoubleVec(col("v")).as("cv"), col("nrm").as("cnrm"))
+    val wCell = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
+    for (_ <- 1 to iters) {
+      val members = e.crossJoin(broadcast(cent))
+        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .select(col("id"), col("v"), col("cid"), col("cscore"))
+        .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
+        .select(col("id"), col("v"), col("cid"))
+      val dims = members
+        .select(col("id"), col("cid"), posexplode(col("v")))
+        .select(col("id"), col("cid"), col("pos"), col("col").cast("double").as("x"))
+      val sums = dims.groupBy(col("cid"), col("pos"))
+        .agg(
+          sort_array(collect_list(struct(col("id"), col("x")))).as("xs"),
+          count(lit(1)).cast("double").as("n"))
+        .withColumn("sx", aggregate(col("xs"), lit(0.0), (acc, s) => acc + s.getField("x")))
+        .withColumn("mean", col("sx") / col("n"))
+      val newCv = sums.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cv"))
+      cent = cent.select(col("cid"), col("cv").as("cv0"))
+        .join(newCv, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .withColumn("cnrm", vecNorm(col("cv")))
+    }
+    cent
+  }
+
+  /** The shared IVF probe: assign the corpus to nearest cells, probe each
+    * query's nProbe nearest cells, exact-rerank inside them.
+    */
+  private def ivfProbe(e: DataFrame, centroids: DataFrame, queries: DataFrame,
+                       k: Int, nProbe: Int): DataFrame = {
     def cellScored(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(centroids))
         .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -128,7 +206,6 @@ object SimilaritySearch {
       .select(col("id"), col("cid"))
     val cells = e.join(cellOf, "id")
     // queries: nProbe nearest cells each
-    val queries = prep(embeddings.filter(queryPred), idCol, vecCol)
     val qcells = cellScored(queries).select(col("id"), col("v"), col("nrm"), col("cid"), col("cscore"))
       .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid"))

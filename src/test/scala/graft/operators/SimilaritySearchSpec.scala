@@ -1,8 +1,16 @@
 package graft.operators
 
-import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Cosine top-k and sign-LSH candidate generation on hand-built vectors. */
+import graft.SparkTestBase
+import graft.functions.VecDotProduct.{vecDot, vecNorm}
+import graft.functions.VectorFunctions.toDoubleVec
+
+/** Cosine top-k and sign-LSH candidate generation on hand-built vectors;
+  * trained-quantizer quality on the real embeddings corpus.
+  */
 class SimilaritySearchSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -64,5 +72,63 @@ class SimilaritySearchSpec extends SparkTestBase {
     val lsh = SimilaritySearch.lshKnn(embs, "vec_id = 0", 3)
       .select("neighbor_id", "cos_sim").as[(Long, Double)].collect().toMap
     lsh.foreach { case (id, cos) => brute(id) shouldBe cos }
+  }
+
+  // ---- trained quantizer on the real corpus ---------------------------
+
+  private val RealDir = "/root/testdata/sf0.001"
+  private val InitPred = "id >= 100 AND id < 116"
+
+  /** mean cosine of every corpus vector to its assigned centroid — the
+    * (spherical) k-means objective Lloyd iterations optimize.
+    */
+  private def quantizationQuality(e: DataFrame, cent: DataFrame): Double = {
+    val w = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .agg(avg(col("cscore"))).head.getDouble(0)
+  }
+
+  test("k-means training improves the quantization objective monotonically") {
+    val e = spark.read.parquet(s"$RealDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+    val init = e.filter(InitPred)
+    val untrained = init.select(
+      col("id").as("cid"), toDoubleVec(col("v")).as("cv"), col("nrm").as("cnrm"))
+    val q0 = quantizationQuality(e, untrained)
+    val qs = (1 to 3).map(it => quantizationQuality(e, SimilaritySearch.trainedCentroids(e, init, it)))
+    withClue(s"objective path untrained=$q0 trained=$qs:") {
+      qs.head should be > q0                       // one round already beats raw slice
+      qs.sliding(2).foreach { case Seq(a, b) => b should be >= a }  // Lloyd monotone
+    }
+  }
+
+  test("trained IVF recall@k reported vs brute force; output well-formed") {
+    val emb = spark.read.parquet(s"$RealDir/embeddings.parquet")
+    def resultPairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = resultPairs(SimilaritySearch.bruteKnn(emb, "vec_id < 10", 3))
+    val slicePred = "vec_id >= 100 AND vec_id < 116"
+    val trained = SimilaritySearch.ivfKnnTrained(emb, "vec_id < 10", 3, slicePred, iters = 2)
+    val sliced = SimilaritySearch.ivfKnn(emb, "vec_id < 10", 3, slicePred)
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    val (rTrained, rSlice) = (recall(resultPairs(trained)), recall(resultPairs(sliced)))
+    // Report, don't over-assert: at a FIXED nProbe the untrained slice's
+    // imbalanced cells scan more candidates per probe, so its recall can
+    // edge out the trained quantizer's on this corpus — the trained win is
+    // the objective above (tighter cells = fewer scanned candidates for
+    // the same probes, the cost that matters at scale), not raw recall at
+    // equal probe count.
+    info(f"recall@3 vs brute: trained=$rTrained%.3f untrained-slice=$rSlice%.3f")
+    rTrained should be > 0.0
+    // well-formed: <= k rows per query, ranks contiguous from 1
+    val byQuery = trained.select("query_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).values
+    byQuery.foreach { rows =>
+      rows.length should be <= 3
+      rows.map(_._2).sorted.toSeq shouldBe (1 to rows.length)
+    }
   }
 }
