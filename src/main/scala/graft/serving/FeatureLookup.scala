@@ -20,11 +20,29 @@ final case class OnlineFeatures(
     event_type_counts: Option[String],
     source: String = "online")
 
+/** One user's decoded REALTIME feature snapshot — the streaming sync's
+  * running counters (see [[graft.streaming.EventStream.kvSyncWriter]]), as
+  * opposed to the batch pipeline's daily snapshot.
+  */
+final case class RealtimeFeatures(
+    user_id: String,
+    event_count: Option[Long],
+    purchase_count: Option[Long],
+    last_event_ts: Option[String],
+    source: String = "online_rt")
+
 /** Serving-path point lookups (reference: api/online.py:19-51 and
   * api/offline.py:52-125). Not Spark operators — the online path is a
   * single KV GET + JSON decode, exactly what a request-time feature
   * service does; the offline path is the README-documented
   * `ORDER BY day DESC LIMIT 1` debug query.
+  *
+  * Keyspace contract: batch online-sync writes the DAILY snapshot under
+  * `features:{user_id}` (decoded by [[online]]); the streaming sync writes
+  * RUNNING counters under `features_rt:{user_id}` (decoded by
+  * [[onlineRealtime]]). Same store, disjoint prefixes — a serving tier
+  * reads both and merges: the batch row for the modeled features, the
+  * realtime row for freshness between backfills.
   */
 object FeatureLookup {
 
@@ -48,6 +66,24 @@ object FeatureLookup {
         event_count_30d = field("event_count_30d").map(_.toLong),
         last_event_days_ago = field("last_event_days_ago").map(_.toInt),
         event_type_counts = field("event_type_counts"))
+    }
+
+  /** `GET features_rt:{user_id}` -> the streaming sync's running counters;
+    * `None` when the user has never streamed. Same string-quoted payload
+    * convention as the batch sync (both go through the same cast-to-string
+    * struct + to_json).
+    */
+  def onlineRealtime(client: KVClient, userId: String,
+      keyPrefix: String = "features_rt:"): Option[RealtimeFeatures] =
+    client.get(keyPrefix + userId).map { json =>
+      val node = mapper.readTree(json)
+      def field(f: String): Option[String] =
+        Option(node.get(f)).filterNot(_.isNull).map(_.asText)
+      RealtimeFeatures(
+        user_id = userId,
+        event_count = field("event_count").map(_.toLong),
+        purchase_count = field("purchase_count").map(_.toLong),
+        last_event_ts = field("last_event_ts"))
     }
 
   /** Latest snapshot for one user at or before `asOfDate` (inclusive):

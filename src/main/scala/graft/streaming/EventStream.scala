@@ -108,12 +108,21 @@ object EventStream {
 
   /** Streaming online-sync: push each micro-batch's per-user snapshots to
     * the KV store — the streaming twin of
-    * [[graft.operators.OnlineSyncPipeline]] (same key scheme, JSON payload
-    * via to_json). `foreachBatch` hands every micro-batch to the same
+    * [[graft.operators.OnlineSyncPipeline]] (same JSON string-quoting
+    * convention). `foreachBatch` hands every micro-batch to the same
     * distributed [[KVSink]] the batch pipeline uses: one KV connection per
     * partition, no driver round-trip, so freshness scales with executors
     * rather than one TCP pipe. Start with `.trigger(...)` and checkpoint
     * location of the caller's choosing.
+    *
+    * Keyspace contract: the default `features_rt:` prefix is DELIBERATELY
+    * disjoint from the batch sync's `features:` — the payloads carry
+    * different features (running counters vs daily snapshot), so sharing a
+    * key would let a streaming write clobber a batch row with a
+    * differently-shaped value mid-read. A serving tier reads both:
+    * [[graft.serving.FeatureLookup.online]] for the batch row,
+    * [[graft.serving.FeatureLookup.onlineRealtime]] for this one
+    * (EventStreamSpec drives the full stream -> KV -> serving-read path).
     */
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,

@@ -122,4 +122,31 @@ class EventStreamSpec extends SparkTestBase {
       json should include(""""purchase_count":"1"""")
     } finally query.stop()
   }
+
+  test("serving read sees a streaming-synced user (stream -> KV -> lookup E2E)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.serving.FeatureLookup
+    import graft.sources.InMemoryKVStore
+    InMemoryKVStore.clear()
+    val input = MemoryStream[Event]
+    val query = kvSyncWriter(runningUserFeatures(input.toDS()), () => InMemoryKVStore)
+      .option("checkpointLocation", s"/tmp/graft-ckpt-${System.nanoTime()}")
+      .start()
+    try {
+      input.addData(
+        Event("u9", "click", ts("2024-01-01 10:00:00"), 1.0),
+        Event("u9", "purchase", ts("2024-01-01 11:30:00"), 9.0))
+      query.processAllAvailable()
+      // the serving-tier decode, not a raw KV peek
+      val got = FeatureLookup.onlineRealtime(InMemoryKVStore, "u9").get
+      got.event_count shouldBe Some(2L)
+      got.purchase_count shouldBe Some(1L)
+      got.last_event_ts shouldBe Some("2024-01-01 11:30:00")
+      got.source shouldBe "online_rt"
+      // unknown user is the serving 404
+      FeatureLookup.onlineRealtime(InMemoryKVStore, "nobody") shouldBe None
+      // and the realtime keyspace never shadows the batch one
+      FeatureLookup.online(InMemoryKVStore, "u9") shouldBe None
+    } finally query.stop()
+  }
 }
