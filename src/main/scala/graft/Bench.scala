@@ -10,28 +10,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      // noop-format write: every expression executes (a count() would let
-      // Spark prune the very columns the query exists to compute). A failed
-      // run yields None — a crash must never enter the min as a fast sample.
-      def once(): Option[Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case _: Throwable => None }
-      }
-      // min of two consecutive successful runs: the box runs other tenants,
-      // and a single sample regularly swings 2-3x on load spikes; the min is
-      // the stable signal the 2x regression budget compares against. Both
-      // runs failing reports -1 (visibly broken, not fast).
-      val samples = Seq(once(), once()).flatten
-      name -> (if (samples.isEmpty) -1.0 else samples.min)
+    // noop-format write: every expression executes (a count() would let
+    // Spark prune the very columns the query exists to compute). A failed
+    // run yields None — a crash must never enter the min as a fast sample.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // min of two consecutive successful runs: the box runs other tenants,
+    // and a single sample regularly swings 2-3x on load spikes; the min is
+    // the stable signal the 2x regression budget compares against. Both
+    // runs failing reports -1 (visibly broken, not fast).
+    def minOf2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val samples = Seq(once(fn), once(fn)).flatten
+      if (samples.isEmpty) -1.0 else samples.min
+    }
+    val results = SparkEntry.queries.map { case (name, fn) => name -> minOf2(fn) }
+    // Attribution twins (BASELINE.md "Bench attribution"): q15/q16/q17 time
+    // backfill+operator together; the b-keys time the operator alone
+    // against a pre-materialized features table. Reported alongside the
+    // contract queries but EXCLUDED from the headline total, which stays
+    // comparable across rounds.
+    val featPath = s"/tmp/graft_bench_features_${spark.sparkContext.applicationId}"
+    val attribution =
+      try {
+        SparkEntry.materializeFeatures(spark, sfDir, featPath)
+        SparkEntry.attributionQueries(featPath).map { case (name, fn) => name -> minOf2(fn) }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    val qs = (results ++ attribution).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
     spark.stop()
   }
 }

@@ -283,6 +283,34 @@ object SparkEntry {
     })
   )
 
+  // ---- bench-only attribution twins -----------------------------------
+
+  /** Materialize the backfill output once (parquet at `path`) so the
+    * attribution twins below can time their own operator in isolation.
+    */
+  def materializeFeatures(s: SparkSession, dir: String, path: String): Unit =
+    backfill(s, dir).write.mode("overwrite").parquet(path)
+
+  /** Bench-only twins of q15/q16/q17: those contract queries recompute the
+    * FULL backfill inside their own timing (a backfill regression shows up
+    * 4x; a PIT-only regression is diluted). These read the features from a
+    * pre-materialized parquet table instead, so BENCH attributes cost to
+    * the operator itself. NOT part of the oracle contract — correctness of
+    * the same operators is already gated by q15-q17; Bench reports these
+    * under separate b-keys excluded from the headline total.
+    */
+  def attributionQueries(featuresPath: String): Map[String, (SparkSession, String) => DataFrame] = {
+    def feats(s: SparkSession) = s.read.parquet(featuresPath)
+    Map(
+      "b15_pit_join_only" -> ((s, dir) =>
+        PointInTimeJoinPipeline.transform(labels(s, dir), feats(s))),
+      "b16_pit_rank_only" -> ((s, dir) =>
+        PointInTimeJoinPipeline.transform(labels(s, dir), feats(s), useUnionPlan = false)),
+      "b17_online_only" -> ((s, _) =>
+        OnlineSyncPipeline.payload(
+          OnlineSyncPipeline.latestPerUser(feats(s), lit("2024-01-24").cast("date")))))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT r_regionkey, r_name FROM region",
