@@ -23,11 +23,12 @@ import graft.sources.{InMemoryKVStore, KVClient}
   * }}}
   *
   * The KV store behind online-sync is selected by `--kv`: `memory` (the
-  * in-JVM store, default — this build is offline and ships no Redis
-  * client). A Redis deployment implements [[graft.sources.KVClient]] over
-  * its driver of choice and registers it here; pipelines and payload
-  * format don't change. `--cutoff` pins the freshness cutoff for
-  * reproducible runs (the reference anchors to current_date()).
+  * in-JVM store, default) or `redis:host:port[:password]` — the vendored
+  * dependency-free [[graft.sources.RespKVClient]], since SET/GET need no
+  * driver jar. Any other store implements [[graft.sources.KVClient]] and
+  * registers here; pipelines and payload format don't change. `--cutoff`
+  * pins the freshness cutoff for reproducible runs (the reference anchors
+  * to current_date()).
   */
 object App {
 
@@ -143,9 +144,21 @@ object App {
 
   def kvFactory(kind: String): () => KVClient = kind match {
     case "memory" => () => InMemoryKVStore
+    case redis if redis.startsWith("redis:") =>
+      // redis:host:port[:password] — the vendored RESP client; each
+      // partition of the distributed sink opens its own connection
+      redis.stripPrefix("redis:").split(':') match {
+        case Array(host, port) =>
+          () => new graft.sources.RespKVClient(host, port.toInt)
+        case Array(host, port, password) =>
+          () => new graft.sources.RespKVClient(host, port.toInt, Some(password))
+        case _ => throw new IllegalArgumentException(
+          s"malformed --kv '$redis': expected redis:host:port[:password]")
+      }
     case other => throw new IllegalArgumentException(
-      s"unknown --kv '$other': this offline build ships only 'memory'; " +
-        "implement graft.sources.KVClient over your store's driver and register it here")
+      s"unknown --kv '$other': supported are 'memory' (in-JVM) and " +
+        "'redis:host:port[:password]' (vendored RESP client); or implement " +
+        "graft.sources.KVClient over your store's driver and register it here")
   }
 
   private val usage =
