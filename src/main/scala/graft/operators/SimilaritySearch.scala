@@ -39,6 +39,22 @@ object SimilaritySearch {
   private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
     if (storage == StorageLevel.NONE) df else df.persist(storage)
 
+  /** Nearest-centroid id per corpus vector: (id, cid).
+    *
+    * The broadcast cross join emits k scored rows per vector; the argmax is
+    * a `max_by` AGGREGATE, not a window — the partial aggregate collapses
+    * the ×k fan-out map-side, so the shuffle carries one row per vector
+    * instead of k (at 100 TB the difference between shuffling the corpus
+    * and shuffling it k times), and no un-splittable window partition
+    * exists. Tie-break parity with the window form (`cscore DESC, cid
+    * ASC`): maximize the (cscore, -cid) pair.
+    */
+  private def assignCells(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("cscore"), (-col("cid")).as("nc"))).as("cid"))
+
   /** Exact top-k cosine neighbors for each query row (queries selected by
     * `queryPred` SQL predicate over the raw table). Self-matches excluded.
     */
@@ -164,13 +180,8 @@ object SimilaritySearch {
   private[operators] def trainedCentroids(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cent = init.select(
       col("id").as("cid"), toDoubleVec(col("v")).as("cv"), col("nrm").as("cnrm"))
-    val wCell = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
     for (_ <- 1 to iters) {
-      val members = e.crossJoin(broadcast(cent))
-        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .select(col("id"), col("v"), col("cid"), col("cscore"))
-        .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
-        .select(col("id"), col("v"), col("cid"))
+      val members = e.select(col("id"), col("v")).join(assignCells(e, cent), "id")
       val dims = members
         .select(col("id"), col("cid"), posexplode(col("v")))
         .select(col("id"), col("cid"), col("pos"), col("col").cast("double").as("x"))
@@ -196,17 +207,14 @@ object SimilaritySearch {
     */
   private def ivfProbe(e: DataFrame, centroids: DataFrame, queries: DataFrame,
                        k: Int, nProbe: Int): DataFrame = {
-    def cellScored(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    // corpus: nearest cell per vector, carrying only (id, cid) wide
+    // corpus: nearest cell per vector via the map-side-combining argmax
+    val cells = e.join(assignCells(e, centroids), "id")
+    // queries: nProbe nearest cells each — a top-N, so this one is a
+    // window; the query set is the small side by construction
     val wCell = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)
-    val cellOf = cellScored(e).select(col("id"), col("cid"), col("cscore"))
-      .withColumn("__r", row_number().over(wCell)).filter(col("__r") === 1)
-      .select(col("id"), col("cid"))
-    val cells = e.join(cellOf, "id")
-    // queries: nProbe nearest cells each
-    val qcells = cellScored(queries).select(col("id"), col("v"), col("nrm"), col("cid"), col("cscore"))
+    val qcells = queries.crossJoin(broadcast(centroids))
+      .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("cscore"))
       .withColumn("__r", row_number().over(wCell)).filter(col("__r") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"), col("cid"))
     val candidates = cells.join(broadcast(qcells), Seq("cid"))
