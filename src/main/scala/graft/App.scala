@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{lit, to_date}
+import org.apache.spark.sql.functions.{col, lit, to_date}
 
 import graft.domain.{BackfillConfig, OnlineSyncConfig, PointInTimeJoinConfig}
 import graft.operators.{BackfillPipeline, OnlineSyncPipeline, PointInTimeJoinPipeline}
@@ -20,7 +20,12 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *                      [--kv memory]
   *   graft.App offline-lookup --features-table <table> --user-id <id>
   *                      --as-of <yyyy-MM-dd>
+  *   graft.App demo     [--events-raw-path <path>]
   * }}}
+  *
+  * `demo` is the reference's `make demo` equivalent: the full
+  * backfill -> point-in-time join -> online-sync -> serving-lookup chain in
+  * one command against the bundled sample events.
   *
   * The KV store behind online-sync is selected by `--kv`: `memory` (the
   * in-JVM store, default) or `redis:host:port[:password]` — the vendored
@@ -109,6 +114,62 @@ object App {
           case None => println(s"[graft] offline-lookup: no snapshot for ${o("user-id")} (404)")
         }
 
+      // one-command walkthrough (the reference's `make demo`): backfill ->
+      // derive labels -> point-in-time join -> online sync -> both serving
+      // lookups, against the bundled sample events unless overridden
+      case "demo" =>
+        val o = parseArgs(args.tail)
+        val eventsPath = o.getOrElse("events-raw-path", "/root/testdata/sf0.001/events.parquet")
+        val tag = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+        val table = s"graft_demo_features_$tag"
+        val scratch = s"/tmp/graft_demo_$tag"
+        val (start, end, cutoff) = ("2024-01-01", "2024-01-30", "2024-01-24")
+
+        // normalize ONCE up front: the feature-store contract keys users as
+        // strings and timestamps as micros; sample event logs differ
+        // (numeric ids, nanos ts) — one pass writes a conforming copy every
+        // later stage reads
+        val events = BackfillPipeline.readEvents(spark, fetcher, eventsPath)
+          .withColumn("user_id", col("user_id").cast("string"))
+        writer.writeParquet(events, s"$scratch/events")
+
+        println(s"[graft] demo 1/4: backfill $eventsPath -> $table ($start..$end)")
+        BackfillPipeline.run(spark, fetcher, writer, BackfillConfig(
+          eventsRawPath = s"$scratch/events", outputTable = table,
+          startDate = start, endDate = end))
+        val features = fetcher.readTable(spark, table)
+        println(s"[graft] demo: ${features.count()} feature rows")
+
+        println("[graft] demo 2/4: labels (purchase events) -> point-in-time join")
+        val labelCol = // sample generators differ on carrying a value column
+          if (events.columns.contains("value")) col("value").cast("double") else lit(1.0)
+        writer.writeParquet(events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), labelCol.as("label"), col("ts").as("as_of_ts")),
+          s"$scratch/labels")
+        PointInTimeJoinPipeline.run(spark, fetcher, writer, PointInTimeJoinConfig(
+          labelsPath = s"$scratch/labels", featuresTable = table,
+          outputPath = s"$scratch/training")) match {
+          case Some(ds) =>
+            println(s"[graft] demo: ${ds.count()} leakage-free training rows, e.g.")
+            ds.show(3, truncate = false)
+          case None => println("[graft] demo: no labels joined (empty purchase set?)")
+        }
+
+        println("[graft] demo 3/4: online-sync (in-memory KV) + HTTP-style lookups")
+        val synced = OnlineSyncPipeline.run(spark, fetcher, OnlineSyncConfig(table),
+          () => InMemoryKVStore, cutoffOverride = Some(to_date(lit(cutoff))))
+        val sampleUser = features.select(col("user_id")).orderBy(col("user_id"))
+          .limit(1).collect().head.getString(0)
+        println(s"[graft] demo: synced $synced users; online($sampleUser) = " +
+          FeatureLookup.online(InMemoryKVStore, sampleUser))
+        println(s"[graft] demo: offline($sampleUser @ $cutoff) = " +
+          FeatureLookup.offline(features, sampleUser, cutoff))
+
+        println("[graft] demo 4/4: cleanup")
+        if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+        println("[graft] demo complete")
+
       case other =>
         println(s"Unknown pipeline: $other\n$usage")
         sys.exit(1)
@@ -175,5 +236,6 @@ object App {
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
+      |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

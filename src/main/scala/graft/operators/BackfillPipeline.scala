@@ -99,7 +99,7 @@ object BackfillPipeline {
     * parquet: plan with the conf set, unset it, then count — succeeds) and
     * session-global state doesn't leak into later unrelated reads.
     */
-  private def readEvents(spark: SparkSession, fetcher: Fetcher, path: String): DataFrame = {
+  private[graft] def readEvents(spark: SparkSession, fetcher: Fetcher, path: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")

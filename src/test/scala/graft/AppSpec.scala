@@ -81,6 +81,25 @@ class AppSpec extends SparkTestBase {
       "--as-of", "2024-01-03"))
   }
 
+  test("demo subcommand runs the whole walkthrough on injected events") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    InMemoryKVStore.clear()
+    storage.write("demo_events", Seq(
+      EventRaw("user1", "click", ts("2024-01-02 10:00:00")),
+      EventRaw("user1", "purchase", ts("2024-01-25 14:30:00")),
+      EventRaw("user2", "view", ts("2024-01-26 09:00:00"))).toDF(), "overwrite")
+
+    App.run(platform, Seq("demo", "--events-raw-path", "demo_events"))
+
+    // features were built and labels joined through the scratch tables
+    storage.rows.keys.exists(_.endsWith("/labels")) shouldBe true
+    storage.rows.keys.exists(_.endsWith("/training")) shouldBe true
+    // the sync inside demo used cutoff 2024-01-24: both users are fresh
+    FeatureLookup.online(InMemoryKVStore, "user1") shouldBe defined
+    FeatureLookup.online(InMemoryKVStore, "user2") shouldBe defined
+  }
+
   test("online lookup decodes null features as None (reference null quirk)") {
     InMemoryKVStore.clear()
     InMemoryKVStore.set("features:u9",
