@@ -30,7 +30,14 @@ class RespKVClient(host: String, port: Int, password: Option[String] = None,
   private val out = new BufferedOutputStream(socket.getOutputStream)
   private val in = new BufferedInputStream(socket.getInputStream)
 
-  password.foreach { pw => command("AUTH", pw) }
+  password.foreach { pw =>
+    command("AUTH", pw) match {
+      case Right(_) => ()
+      case Left(err) =>
+        close()
+        throw new IOException(s"redis AUTH failed: $err")
+    }
+  }
 
   override def set(key: String, value: String): Unit =
     command("SET", key, value) match {
