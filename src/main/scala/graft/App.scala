@@ -125,50 +125,59 @@ object App {
         val scratch = s"/tmp/graft_demo_$tag"
         val (start, end, cutoff) = ("2024-01-01", "2024-01-30", "2024-01-24")
 
-        // normalize ONCE up front: the feature-store contract keys users as
-        // strings and timestamps as micros; sample event logs differ
-        // (numeric ids, nanos ts) — one pass writes a conforming copy every
-        // later stage reads
-        val events = BackfillPipeline.readEvents(spark, fetcher, eventsPath)
-          .withColumn("user_id", col("user_id").cast("string"))
-        writer.writeParquet(events, s"$scratch/events")
+        // cleanup runs whether the walkthrough finishes or dies mid-stage —
+        // a failed demo must not leak its scratch dir or catalog table
+        try {
+          // normalize ONCE up front: the feature-store contract keys users
+          // as strings and timestamps as micros; sample event logs differ
+          // (numeric ids, nanos ts) — one pass writes a conforming copy
+          // every later stage reads
+          val events = BackfillPipeline.readEvents(spark, fetcher, eventsPath)
+            .withColumn("user_id", col("user_id").cast("string"))
+          writer.writeParquet(events, s"$scratch/events")
 
-        println(s"[graft] demo 1/4: backfill $eventsPath -> $table ($start..$end)")
-        BackfillPipeline.run(spark, fetcher, writer, BackfillConfig(
-          eventsRawPath = s"$scratch/events", outputTable = table,
-          startDate = start, endDate = end))
-        val features = fetcher.readTable(spark, table)
-        println(s"[graft] demo: ${features.count()} feature rows")
+          println(s"[graft] demo 1/4: backfill $eventsPath -> $table ($start..$end)")
+          BackfillPipeline.run(spark, fetcher, writer, BackfillConfig(
+            eventsRawPath = s"$scratch/events", outputTable = table,
+            startDate = start, endDate = end))
+          val features = fetcher.readTable(spark, table)
+          println(s"[graft] demo: ${features.count()} feature rows")
 
-        println("[graft] demo 2/4: labels (purchase events) -> point-in-time join")
-        val labelCol = // sample generators differ on carrying a value column
-          if (events.columns.contains("value")) col("value").cast("double") else lit(1.0)
-        writer.writeParquet(events.filter(col("event_type") === "purchase")
-          .select(col("user_id"), labelCol.as("label"), col("ts").as("as_of_ts")),
-          s"$scratch/labels")
-        PointInTimeJoinPipeline.run(spark, fetcher, writer, PointInTimeJoinConfig(
-          labelsPath = s"$scratch/labels", featuresTable = table,
-          outputPath = s"$scratch/training")) match {
-          case Some(ds) =>
-            println(s"[graft] demo: ${ds.count()} leakage-free training rows, e.g.")
-            ds.show(3, truncate = false)
-          case None => println("[graft] demo: no labels joined (empty purchase set?)")
+          println("[graft] demo 2/4: labels (purchase events) -> point-in-time join")
+          val labelCol = // sample generators differ on carrying a value column
+            if (events.columns.contains("value")) col("value").cast("double") else lit(1.0)
+          writer.writeParquet(events.filter(col("event_type") === "purchase")
+            .select(col("user_id"), labelCol.as("label"), col("ts").as("as_of_ts")),
+            s"$scratch/labels")
+          PointInTimeJoinPipeline.run(spark, fetcher, writer, PointInTimeJoinConfig(
+            labelsPath = s"$scratch/labels", featuresTable = table,
+            outputPath = s"$scratch/training")) match {
+            case Some(ds) =>
+              println(s"[graft] demo: ${ds.count()} leakage-free training rows, e.g.")
+              ds.show(3, truncate = false)
+            case None => println("[graft] demo: no labels joined (empty purchase set?)")
+          }
+
+          println("[graft] demo 3/4: online-sync (in-memory KV) + HTTP-style lookups")
+          val synced = OnlineSyncPipeline.run(spark, fetcher, OnlineSyncConfig(table),
+            () => InMemoryKVStore, cutoffOverride = Some(to_date(lit(cutoff))))
+          features.select(col("user_id")).orderBy(col("user_id"))
+            .limit(1).collect().headOption.map(_.getString(0)) match {
+            case Some(sampleUser) =>
+              println(s"[graft] demo: synced $synced users; online($sampleUser) = " +
+                FeatureLookup.online(InMemoryKVStore, sampleUser))
+              println(s"[graft] demo: offline($sampleUser @ $cutoff) = " +
+                FeatureLookup.offline(features, sampleUser, cutoff))
+            case None =>
+              println(s"[graft] demo: synced $synced users; event log produced no " +
+                "feature rows — nothing to look up (empty input?)")
+          }
+          println("[graft] demo complete")
+        } finally {
+          println("[graft] demo 4/4: cleanup")
+          if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
         }
-
-        println("[graft] demo 3/4: online-sync (in-memory KV) + HTTP-style lookups")
-        val synced = OnlineSyncPipeline.run(spark, fetcher, OnlineSyncConfig(table),
-          () => InMemoryKVStore, cutoffOverride = Some(to_date(lit(cutoff))))
-        val sampleUser = features.select(col("user_id")).orderBy(col("user_id"))
-          .limit(1).collect().head.getString(0)
-        println(s"[graft] demo: synced $synced users; online($sampleUser) = " +
-          FeatureLookup.online(InMemoryKVStore, sampleUser))
-        println(s"[graft] demo: offline($sampleUser @ $cutoff) = " +
-          FeatureLookup.offline(features, sampleUser, cutoff))
-
-        println("[graft] demo 4/4: cleanup")
-        if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
-        println("[graft] demo complete")
 
       case other =>
         println(s"Unknown pipeline: $other\n$usage")
@@ -207,14 +216,18 @@ object App {
     case "memory" => () => InMemoryKVStore
     case redis if redis.startsWith("redis:") =>
       // redis:host:port[:password] — the vendored RESP client; each
-      // partition of the distributed sink opens its own connection
-      redis.stripPrefix("redis:").split(':') match {
-        case Array(host, port) =>
+      // partition of the distributed sink opens its own connection.
+      // split limit 3: the password may itself contain ':'; limit -1
+      // semantics via the third segment keeps a trailing ':' (empty
+      // password) a loud parse error, not a silent no-AUTH connection
+      redis.stripPrefix("redis:").split(":", 3) match {
+        case Array(host, port) if host.nonEmpty =>
           () => new graft.sources.RespKVClient(host, port.toInt)
-        case Array(host, port, password) =>
+        case Array(host, port, password) if host.nonEmpty && password.nonEmpty =>
           () => new graft.sources.RespKVClient(host, port.toInt, Some(password))
         case _ => throw new IllegalArgumentException(
-          s"malformed --kv '$redis': expected redis:host:port[:password]")
+          s"malformed --kv '$redis': expected redis:host:port[:password] " +
+            "(non-empty host; non-empty password when the third segment is present)")
       }
     case other => throw new IllegalArgumentException(
       s"unknown --kv '$other': supported are 'memory' (in-JVM) and " +

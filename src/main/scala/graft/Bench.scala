@@ -39,12 +39,18 @@ object Bench {
       try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
         SparkEntry.attributionQueries(featPath).map { case (name, fn) => name -> minOf2(fn) }
-      } catch { case _: Throwable => Map.empty[String, Double] }
+      } catch { case _: Throwable =>
+        // materialization failed: report every twin as the -1 sentinel —
+        // same "visibly broken, not fast" convention as a failed query,
+        // never silently-missing keys
+        SparkEntry.attributionQueries(featPath).map { case (name, _) => name -> -1.0 }
+      }
     val qs = (results ++ attribution).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
+    SparkEntry.cleanupScratch(spark, sfDir)
     spark.stop()
   }
 }

@@ -52,6 +52,20 @@ object SparkEntry {
   private def scratchTag(s: SparkSession, dir: String): String =
     (s.sparkContext.applicationId + "_" + dir).replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Delete THIS run's I/O-query scratch outputs — the q32/q33 dirs and the
+    * q34 catalog table. The Verify/Bench mains call this after their last
+    * query: per-run names stop concurrent runs from stomping each other,
+    * and this stops the run-scoped names from accumulating one table + two
+    * dirs per run forever. Concurrent runs only ever delete their own tag.
+    */
+  def cleanupScratch(s: SparkSession, dir: String): Unit = {
+    val tag = scratchTag(s, dir)
+    Seq(s"/tmp/graft_io/q32_csv_$tag", s"/tmp/graft_io/q33_json_$tag")
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val tbl = s"graft_q34_supplier_$tag"
+    if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     BackfillPipeline.transform(

@@ -14,8 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleHashesImpl {
 
-  /** text -> distinct rolling-hash values of its word n-gram shingles, in
-    * first-occurrence order. One pass, no intermediate strings:
+  /** text -> distinct rolling-hash values of its word n-gram shingles,
+    * sorted ascending. One pass, no intermediate strings:
     *
     *  1. lowercase via UTF8String.toLowerCase — the exact `lower()` kernel,
     *     so case folding cannot diverge from the composed pipeline;
@@ -42,7 +42,7 @@ object ShingleHashesImpl {
     TokenScan.foreachRun(bytes) { (st, en) => starts.add(st); ends.add(en) }
     val nToks = starts.size()
     if (nToks < n) return new GenericArrayData(Array.empty[Long])
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
     var w = 0
     while (w <= nToks - n) {
       var acc = 0L

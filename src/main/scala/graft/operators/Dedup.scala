@@ -34,9 +34,7 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** persist unless the caller opted out with StorageLevel.NONE */
-  private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
-    if (storage == StorageLevel.NONE) df else df.persist(storage)
+  import Caching.maybePersist
 
   /** Exact dedup: every doc annotated with its content group's keeper (min
     * doc_id) and group size. One shuffle on the md5 content hash; at scale
@@ -76,8 +74,10 @@ object Dedup {
     *
     * Output reuses [[exact]]'s keeper semantics: every doc in `docs` gets a
     * row — singletons form their own cluster — with cluster_id = min doc id
-    * of its component, the component size, and is_dup = 1 for every member
-    * except the keeper.
+    * of its component, the component size (docs-only members), and
+    * is_dup = 1 for every member except the keeper. Pair endpoints absent
+    * from `docs` conduct merges (a-x, x-b clusters a with b even when x was
+    * filtered out) but never appear as rows, keepers, or size counts.
     */
   def assignClusters(docs: DataFrame, pairs: DataFrame,
                      idCol: String = "doc_id", maxIter: Int = 20,
@@ -87,10 +87,24 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
       storage)
+    // Labels start from the union of docs and pair endpoints: an endpoint
+    // outside `docs` still CONDUCTS merges (a-x, x-b with x filtered out of
+    // docs must still cluster a with b); the output below is restricted
+    // back to docs, so phantom conduits never surface as rows or counts.
+    val endpoints = edges.select(col("src").as("id"))
     // eager localCheckpoint: materializes AND truncates the logical plan —
     // see scaladoc. Old rounds' blocks are released by the ContextCleaner
     // once unreferenced.
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = nodes.union(endpoints).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // Convergence: labels only ever DECREASE, so the (exact, decimal —
+    // long ids could overflow a bigint sum) label total strictly drops on
+    // any change; a stable total means a fixpoint. One map-side-combinable
+    // aggregate over the already-checkpointed round — no join, no second
+    // shuffle of the label set.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -99,8 +113,9 @@ object Dedup {
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") =!= col("__old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
@@ -110,10 +125,17 @@ object Dedup {
           "labels are partial (some components carry a non-minimal cluster_id). " +
           "Raise maxIter above the pair graph's diameter.")
     if (storage != StorageLevel.NONE) edges.unpersist()
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as(idCol), col("label").as("cluster_id"),
-        col("cluster_size"), (col("id") =!= col("label")).cast("int").as("is_dup"))
+    // Restrict to the documented population: only docs get rows, sizes
+    // count docs-only members, and the keeper is the min DOC id of the
+    // component — a phantom conduit may hold the component's min label but
+    // can never be a keeper (when pairs ⊆ docs, min doc id == label and
+    // this is the identity).
+    val docLabels = labels.join(nodes, "id")
+    val keepers = docLabels.groupBy(col("label"))
+      .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("cluster_size"))
+    docLabels.join(keepers, "label")
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
+        (col("id") =!= col("cluster_id")).cast("int").as("is_dup"))
   }
 
   /** Per-doc shingle-hash set: (id, hashes array). Row-local; reused by the

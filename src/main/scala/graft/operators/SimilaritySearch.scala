@@ -35,9 +35,7 @@ object SimilaritySearch {
     embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
 
-  /** persist unless the caller opted out with StorageLevel.NONE */
-  private def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
-    if (storage == StorageLevel.NONE) df else df.persist(storage)
+  import Caching.maybePersist
 
   /** Nearest-centroid id per corpus vector: (id, cid).
     *

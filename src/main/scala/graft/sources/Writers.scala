@@ -80,7 +80,14 @@ trait Writer {
             val aside = new Path(
               loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
             if (fs.exists(aside)) fs.delete(aside, true)
-            fs.rename(loc, aside)
+            // Hadoop rename reports failure by returning false, not
+            // throwing — fail here with the real story rather than letting
+            // saveAsTable die on LOCATION_ALREADY_EXISTS under a log line
+            // claiming the location was cleared
+            if (!fs.rename(loc, aside))
+              throw new java.io.IOException(
+                s"could not move orphaned table location $loc aside to $aside " +
+                  s"before overwrite of $tableName (rename returned false)")
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"orphaned table location $loc moved aside to $aside before overwrite of $tableName")
           }

@@ -20,13 +20,13 @@ object FakeRespServer {
     override def close(): Unit = server.close()
   }
 
-  def start(): Handle = {
+  def start(requiredPassword: Option[String] = None): Handle = {
     val server = new ServerSocket(0)
     val store = new ConcurrentHashMap[String, String]()
     val acceptor = new Thread(() => {
       try while (true) {
         val sock = server.accept()
-        new Thread(() => serve(sock, store)).start()
+        new Thread(() => serve(sock, store, requiredPassword)).start()
       } catch { case _: Throwable => () } // server closed
     })
     acceptor.setDaemon(true)
@@ -34,7 +34,8 @@ object FakeRespServer {
     new Handle(server, store)
   }
 
-  private def serve(sock: Socket, store: ConcurrentHashMap[String, String]): Unit = {
+  private def serve(sock: Socket, store: ConcurrentHashMap[String, String],
+      requiredPassword: Option[String]): Unit = {
     val in = new BufferedInputStream(sock.getInputStream)
     val out = new BufferedOutputStream(sock.getOutputStream)
     def readLine(): String = {
@@ -69,7 +70,9 @@ object FakeRespServer {
             reply(s"$$${b.length}\r\n"); out.write(b); reply("\r\n")
           case None => reply("$-1\r\n")
         }
-        case "AUTH" => reply("+OK\r\n")
+        case "AUTH" =>
+          if (requiredPassword.forall(_ == parts(1))) reply("+OK\r\n")
+          else reply("-ERR invalid password\r\n")
         case other => reply(s"-ERR unknown command '$other'\r\n")
       }
     } catch { case _: Throwable => () } finally sock.close()
@@ -97,14 +100,19 @@ class RespKVClientSpec extends SparkTestBase {
     } finally srv.close()
   }
 
-  test("AUTH is sent on connect when a password is configured") {
-    val srv = FakeRespServer.start()
+  test("AUTH is sent on connect; a rejected password fails loudly at construction") {
+    val srv = FakeRespServer.start(requiredPassword = Some("hunter2"))
     try {
       val client = new RespKVClient("127.0.0.1", srv.port, password = Some("hunter2"))
       try {
         client.set("k", "v")
         client.get("k") shouldBe Some("v")
       } finally client.close()
+      // wrong password: constructor must raise with the server's message,
+      // never connect un-authed and fail later with a confusing NOAUTH
+      val ex = the[java.io.IOException] thrownBy
+        new RespKVClient("127.0.0.1", srv.port, password = Some("wrong"))
+      ex.getMessage should include("AUTH failed")
     } finally srv.close()
   }
 
@@ -136,6 +144,9 @@ class RespKVClientSpec extends SparkTestBase {
       try { c.set("k", "v"); c.get("k") shouldBe Some("v") } finally c.close()
     } finally srv.close()
     an[IllegalArgumentException] should be thrownBy graft.App.kvFactory("redis:hostonly")
+    // trailing colon (e.g. an empty shell variable) must be a parse error,
+    // not a silent connection with no AUTH
+    an[IllegalArgumentException] should be thrownBy graft.App.kvFactory("redis:h:6379:")
     an[IllegalArgumentException] should be thrownBy graft.App.kvFactory("dynamo")
   }
 }
