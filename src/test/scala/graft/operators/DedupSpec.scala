@@ -136,6 +136,43 @@ class DedupSpec extends SparkTestBase {
     partial.length shouldBe n.toInt
   }
 
+  test("cluster assignment == driver-side union-find on random graphs") {
+    import org.scalacheck.Gen
+    (1 to 3).foreach { round =>
+      val n = 40
+      val edgeGen = Gen.listOfN(35, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+      val edges = sample(edgeGen, 7000L + round).distinct
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.assignClusters(nodes, pairs)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+
+      // ground truth: textbook union-find with min-id representative
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expect = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      withClue(s"[round $round] edges=$edges:") { got shouldBe expect }
+    }
+  }
+
+  test("pair endpoints outside docs conduct merges but never surface") {
+    // doc 2 was filtered out of the population but still links 1 and 3:
+    // they must cluster, keeper = min DOC id, and 2 gets no row
+    val nodes = Seq(1L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.assignClusters(nodes, pairs).orderBy("doc_id").collect()
+    out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 3L)
+    out.map(_.getAs[Long]("cluster_id")).toSeq shouldBe Seq(1L, 1L)
+    out.map(_.getAs[Long]("cluster_size")).toSeq shouldBe Seq(2L, 2L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1)
+  }
+
   test("cluster assignment over real near-dup pairs reuses keeper semantics") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5).select("id_a", "id_b")
     val out = Dedup.assignClusters(docs, pairs).orderBy("doc_id").collect()
