@@ -23,14 +23,41 @@ import graft.sources.{KVClient, KVSink}
   */
 object EventStream {
 
+  /** Apply the event-time watermark unless the plan already carries one:
+    * Spark disallows REDEFINING a watermark once multiple stateful
+    * operators are chained, so every entry point here is idempotent about
+    * it — `dedupedEvents(...)` composes into `windowedCounts(...)` with
+    * the ingest stage's watermark winning.
+    */
+  private def ensureWatermark(events: DataFrame, watermark: String): DataFrame = {
+    val hasWatermark = events.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }.isDefined
+    if (hasWatermark) events else events.withWatermark("ts", watermark)
+  }
+
+  /** Exactly-once-ish ingest dedup: drop events whose `idCols` key was
+    * already seen within the watermark window. At-least-once sources
+    * (replayed Kafka offsets, retried producers) make duplicate event ids
+    * the NORM at ingest; `dropDuplicatesWithinWatermark` keeps one row per
+    * key while the watermark bounds the dedup state (a plain
+    * dropDuplicates on a stream would grow state forever). Place this
+    * FIRST in a streaming pipeline — the aggregations downstream then
+    * count each event once.
+    */
+  def dedupedEvents(events: DataFrame,
+                    idCols: Seq[String] = Seq("user_id", "event_type", "ts"),
+                    watermark: String = "2 hours"): DataFrame =
+    ensureWatermark(events, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Tumbling event-time window counts per (user, event_type), late rows
     * beyond the watermark dropped and window state garbage-collected.
     */
   def windowedCounts(events: DataFrame,
                      windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    ensureWatermark(events, watermark)
       .groupBy(window(col("ts"), windowLen), col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(
@@ -46,8 +73,7 @@ object EventStream {
   def sessionStats(events: DataFrame,
                    gap: String = "30 minutes",
                    watermark: String = "2 hours"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    ensureWatermark(events, watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(

@@ -13,6 +13,26 @@ class EventStreamSpec extends SparkTestBase {
   import spark.implicits._
   import EventStream._
 
+  test("ingest dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // dedup -> windowed counts: each event counted once despite replays
+    val query = windowedCounts(dedupedEvents(input.toDF()))
+      .writeStream.format("memory").queryName("dwc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event("u1", "click", ts("2024-01-01 10:05:00"), 1.0),
+        Event("u1", "click", ts("2024-01-01 10:05:00"), 1.0)) // same-batch dup
+      query.processAllAvailable()
+      // replay of the same event in a LATER micro-batch (at-least-once source)
+      input.addData(Event("u1", "click", ts("2024-01-01 10:05:00"), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("dwc")
+        .select("user_id", "n_events").as[(String, Long)].collect().toSet
+      rows shouldBe Set(("u1", 1L))
+    } finally query.stop()
+  }
+
   test("windowed counts aggregate by tumbling event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
