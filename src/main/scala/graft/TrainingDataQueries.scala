@@ -65,6 +65,23 @@ object TrainingDataQueries {
       Dedup.assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
     }),
 
+    // the composite corpus-prep pipeline a training-data user actually
+    // runs: quality gate + language gate + near-dup keeper filter, all
+    // from the operators above — output is the cleaned corpus manifest
+    "q38_corpus_prep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup
+        .assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
+        .filter(col("is_dup") === 0).select(col("doc_id"))
+      val quality = d.select(
+        col("doc_id") +: qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      d.select(col("doc_id"), predictedLangText(col("text")).as("predicted_lang"))
+        .join(quality.select(col("doc_id"), col("n_tokens"), col("quality_score")), "doc_id")
+        .join(keepers, "doc_id")
+        .filter(col("quality_score") >= 0.6 && col("predicted_lang") === "en")
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("predicted_lang"))
+    }),
+
     // SimHash pigeonhole-banded Hamming pairs
     "q26_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -177,6 +194,33 @@ object TrainingDataQueries {
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  // lang-ID SQL fragments over a token-list column `w` (shared by q21/q38)
+  private lazy val langScoreCols = LangMarkers.map { case (lang, words) =>
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(w, t_$lang -> t_$lang IN ($list))) AS s_$lang"
+  }.mkString(",\n  ")
+  private lazy val langScoreNames =
+    LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")
+  private lazy val langMaxExpr =
+    LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+  private lazy val langCaseArms = LangMarkers.map { case (l, _) =>
+    s"WHEN s_$l = m AND m > 0 THEN '$l'"
+  }.mkString(" ")
+
+  /** q37's recursive-CTE component chain over the `j` pairs CTE: emits
+    * `lab(id, cluster_id)` (shared by q37/q38).
+    */
+  private val componentCtes: String =
+    """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |nodes AS (SELECT doc_id AS id FROM documents),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   /** One unrolled Lloyd iteration: assign to nearest `prev` centroid, then
     * per-(cell, dim) ordered-fold mean — `list(x ORDER BY vec_id)` replays
     * the exact member-id summation order of the Spark side's
@@ -217,25 +261,16 @@ object TrainingDataQueries {
          |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
          |FROM m""".stripMargin,
 
-    "q21_lang_id" -> {
-      val scoreCols = LangMarkers.map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(w, t_$lang -> t_$lang IN ($list))) AS s_$lang"
-      }.mkString(",\n  ")
-      val maxExpr = LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-      val caseArms = LangMarkers.map { case (l, _) =>
-        s"WHEN s_$l = m AND m > 0 THEN '$l'"
-      }.mkString(" ")
+    "q21_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
          |sc AS (SELECT doc_id, lang,
-         |  $scoreCols
+         |  $langScoreCols
          |FROM t),
-         |mm AS (SELECT doc_id, lang, ${LangMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")}, $maxExpr AS m FROM sc)
+         |mm AS (SELECT doc_id, lang, $langScoreNames, $langMaxExpr AS m FROM sc)
          |SELECT doc_id, lang,
-         |  CASE $caseArms ELSE 'unknown' END AS predicted_lang,
-         |  CASE WHEN (CASE $caseArms ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS is_match
-         |FROM mm""".stripMargin
-    },
+         |  CASE $langCaseArms ELSE 'unknown' END AS predicted_lang,
+         |  CASE WHEN (CASE $langCaseArms ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS is_match
+         |FROM mm""".stripMargin,
 
     "q22_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fingerprint FROM documents",
@@ -262,19 +297,32 @@ object TrainingDataQueries {
     // reachability from every node; min reachable id = the component keeper
     "q37_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-         |nodes AS (SELECT doc_id AS id FROM documents),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
-         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |$componentCtes,
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size,
          |  CASE WHEN lab.id = lab.cluster_id THEN 0 ELSE 1 END AS is_dup
          |FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id""".stripMargin,
+
+    // the composite corpus-prep pipeline: near-dup keepers that pass the
+    // quality and language gates — every stage reuses the operator oracles
+    "q38_corpus_prep" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
+         |tq AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |mq AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+         |FROM tq),
+         |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |FROM mq),
+         |sc AS (SELECT doc_id, $langScoreCols FROM tq),
+         |mm AS (SELECT doc_id, $langScoreNames, $langMaxExpr AS m FROM sc),
+         |lng AS (SELECT doc_id, CASE $langCaseArms ELSE 'unknown' END AS predicted_lang FROM mm)
+         |SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang
+         |FROM qual q JOIN lng l ON q.doc_id = l.doc_id JOIN keepers k ON q.doc_id = k.id
+         |WHERE q.quality_score >= 0.6 AND l.predicted_lang = 'en'""".stripMargin,
 
     "q26_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id AS id, unnest($toksSql) AS tok FROM documents),
