@@ -132,9 +132,13 @@ object App {
           // as strings and timestamps as micros; sample event logs differ
           // (numeric ids, nanos ts) — one pass writes a conforming copy
           // every later stage reads
-          val events = BackfillPipeline.readEvents(spark, fetcher, eventsPath)
-            .withColumn("user_id", col("user_id").cast("string"))
-          writer.writeParquet(events, s"$scratch/events")
+          writer.writeParquet(
+            BackfillPipeline.readEvents(spark, fetcher, eventsPath)
+              .withColumn("user_id", col("user_id").cast("string")),
+            s"$scratch/events")
+          // every later stage reads the normalized COPY — no second scan of
+          // the raw source, no reliance on the nanos conf-capture quirk
+          val events = fetcher.readParquet(spark, s"$scratch/events", None)
 
           println(s"[graft] demo 1/4: backfill $eventsPath -> $table ($start..$end)")
           BackfillPipeline.run(spark, fetcher, writer, BackfillConfig(
@@ -175,7 +179,12 @@ object App {
           println("[graft] demo complete")
         } finally {
           println("[graft] demo 4/4: cleanup")
-          if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+          // cleanup must never MASK the original demo failure: an unhealthy
+          // session can make the catalog ops themselves throw
+          try if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+          catch { case e: Throwable =>
+            println(s"[graft] demo: could not drop $table (${e.getMessage})")
+          }
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
         }
 
@@ -220,11 +229,20 @@ object App {
       // split limit 3: the password may itself contain ':'; limit -1
       // semantics via the third segment keeps a trailing ':' (empty
       // password) a loud parse error, not a silent no-AUTH connection
+      // port validated HERE, not in the executor-side closure: a bad port
+      // must be a driver-side parse error, not a mid-job task failure
+      def parsePort(p: String): Int =
+        try p.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"malformed --kv '$redis': port '$p' is not a number")
+        }
       redis.stripPrefix("redis:").split(":", 3) match {
         case Array(host, port) if host.nonEmpty =>
-          () => new graft.sources.RespKVClient(host, port.toInt)
+          val p = parsePort(port)
+          () => new graft.sources.RespKVClient(host, p)
         case Array(host, port, password) if host.nonEmpty && password.nonEmpty =>
-          () => new graft.sources.RespKVClient(host, port.toInt, Some(password))
+          val p = parsePort(port)
+          () => new graft.sources.RespKVClient(host, p, Some(password))
         case _ => throw new IllegalArgumentException(
           s"malformed --kv '$redis': expected redis:host:port[:password] " +
             "(non-empty host; non-empty password when the third segment is present)")

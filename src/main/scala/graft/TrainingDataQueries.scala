@@ -309,7 +309,7 @@ object TrainingDataQueries {
       s"""WITH RECURSIVE $minhashCtes,
          |$componentCtes,
          |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
-         |tq AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tq AS (SELECT id AS doc_id, w FROM t),
          |mq AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
          |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop

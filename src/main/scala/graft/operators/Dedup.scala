@@ -82,7 +82,9 @@ object Dedup {
   def assignClusters(docs: DataFrame, pairs: DataFrame,
                      idCol: String = "doc_id", maxIter: Int = 20,
                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val nodes = docs.select(col(idCol).as("id"))
+    // distinct: dirty inputs may repeat a doc id; without it the final
+    // join would duplicate output rows and inflate cluster_size
+    val nodes = docs.select(col(idCol).as("id")).distinct()
     val edges = maybePersist(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
@@ -103,7 +105,10 @@ object Dedup {
     // aggregate over the already-checkpointed round — no join, no second
     // shuffle of the label set.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      // empty frame -> sum is SQL NULL -> treat as zero (empty input is a
+      // fixpoint, not an NPE)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0

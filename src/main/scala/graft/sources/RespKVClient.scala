@@ -31,12 +31,12 @@ class RespKVClient(host: String, port: Int, password: Option[String] = None,
   private val in = new BufferedInputStream(socket.getInputStream)
 
   password.foreach { pw =>
-    command("AUTH", pw) match {
+    // any AUTH failure — a parsed -ERR OR an exchange that throws (server
+    // closed the connection, read timeout) — must release the socket
+    try command("AUTH", pw) match {
       case Right(_) => ()
-      case Left(err) =>
-        close()
-        throw new IOException(s"redis AUTH failed: $err")
-    }
+      case Left(err) => throw new IOException(s"redis AUTH failed: $err")
+    } catch { case e: Throwable => close(); throw e }
   }
 
   override def set(key: String, value: String): Unit =

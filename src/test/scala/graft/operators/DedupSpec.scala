@@ -161,6 +161,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cluster assignment: empty input is a fixpoint, duplicate ids collapse") {
+    // empty corpus must return empty, not NPE on a null label sum
+    Dedup.assignClusters(
+      Seq.empty[Long].toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() shouldBe 0L
+    // a repeated doc id (dirty input) yields one row, not inflated sizes
+    val out = Dedup.assignClusters(
+      Seq(1L, 1L, 2L).toDF("doc_id"), Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .orderBy("doc_id").collect()
+    out.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 2L)
+    out.map(_.getAs[Long]("cluster_size")).toSeq shouldBe Seq(2L, 2L)
+  }
+
   test("pair endpoints outside docs conduct merges but never surface") {
     // doc 2 was filtered out of the population but still links 1 and 3:
     // they must cluster, keeper = min DOC id, and 2 gets no row
