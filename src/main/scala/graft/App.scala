@@ -102,7 +102,7 @@ object App {
         val n = runOnlineSync(spark, fetcher, o)
         val server = graft.serving.FeatureServer.start(
           o.getOrElse("port", "8080").toInt,
-          kvFactory(o.getOrElse("kv", "memory"))())
+          kvFactory(kvSpecFrom(o))())
         println(s"[graft] serve: synced $n users; GET http://localhost:${server.port}/features/online/{user_id}")
         Thread.currentThread().join()
 
@@ -201,8 +201,21 @@ object App {
       OnlineSyncConfig(
         featuresTable = o.required("features-table"),
         hoursBack = o.get("hours-back").map(_.toInt).getOrElse(24)),
-      kvFactory(o.getOrElse("kv", "memory")),
+      kvFactory(kvSpecFrom(o)),
       cutoffOverride = o.get("cutoff").map(c => to_date(lit(c))))
+
+  /** KV spec resolution: the reference CLI takes `--redis-host`/
+    * `--redis-port` (reference App.scala:99-110) — accept those verbatim
+    * for drop-in parity, folding them into the `redis:` spec; otherwise
+    * `--kv` (default memory).
+    */
+  private[graft] def kvSpecFrom(o: Map[String, String]): String =
+    o.get("redis-host") match {
+      case Some(host) =>
+        val port = o.getOrElse("redis-port", "6379")
+        s"redis:$host:$port" + o.get("redis-password").map(":" + _).getOrElse("")
+      case None => o.getOrElse("kv", "memory")
+    }
 
   /** `--key value` pair parsing (reference: App.scala:150-156), hardened:
     * a flag without a value, or a bare token where a flag belongs, aborts
@@ -263,7 +276,8 @@ object App {
       |  point-in-time-join --labels-path <path> --features-table <table>
       |                     --output-path <path> [--plan union|rank]
       |  online-sync        --features-table <table> [--hours-back <n=24>]
-      |                     [--cutoff <date>] [--kv memory]
+      |                     [--cutoff <date>] [--kv memory|redis:host:port[:pw]]
+      |                     [--redis-host <h> [--redis-port <p=6379>]]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]

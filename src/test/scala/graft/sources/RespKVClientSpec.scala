@@ -136,6 +136,14 @@ class RespKVClientSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("kvSpecFrom honors the reference CLI's --redis-host/--redis-port flags") {
+    graft.App.kvSpecFrom(Map("redis-host" -> "h")) shouldBe "redis:h:6379"
+    graft.App.kvSpecFrom(Map("redis-host" -> "h", "redis-port" -> "7000")) shouldBe "redis:h:7000"
+    graft.App.kvSpecFrom(Map("redis-host" -> "h", "redis-password" -> "pw")) shouldBe "redis:h:6379:pw"
+    graft.App.kvSpecFrom(Map("kv" -> "redis:x:1")) shouldBe "redis:x:1"
+    graft.App.kvSpecFrom(Map.empty) shouldBe "memory"
+  }
+
   test("kvFactory parses memory and redis specs, rejects malformed") {
     graft.App.kvFactory("memory")() shouldBe InMemoryKVStore
     val srv = FakeRespServer.start()
