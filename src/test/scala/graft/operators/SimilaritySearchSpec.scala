@@ -74,6 +74,19 @@ class SimilaritySearchSpec extends SparkTestBase {
     lsh.foreach { case (id, cos) => brute(id) shouldBe cos }
   }
 
+  test("embedding near-dup pairs feed cluster assignment (cross-operator composition)") {
+    // assignClusters is pair-source agnostic: the embedding near-dup pairs
+    // cluster exactly like the text-based ones
+    val pairs = SimilaritySearch.nearDupPairs(embs, 0.9, bands = 2)
+      .select("id_a", "id_b")
+    val out = Dedup.assignClusters(
+      embs.select(org.apache.spark.sql.functions.col("vec_id").as("doc_id")), pairs)
+      .orderBy("doc_id").collect()
+    // vectors 0,1 are the near-parallel pair; 2 and 3 stay singletons
+    out.map(_.getAs[Long]("cluster_id")).toSeq shouldBe Seq(0L, 0L, 2L, 3L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 0, 0)
+  }
+
   // ---- trained quantizer on the real corpus ---------------------------
 
   private val RealDir = "/root/testdata/sf0.001"
