@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, Sampling, SimilaritySearch}
 
 /** Training-data-pipeline queries (dedup, similarity search, text analysis,
   * multimodal binary plumbing) over the `documents` and `embeddings` tables,
@@ -106,6 +106,13 @@ object TrainingDataQueries {
     // ordered-fold means) that the oracle replays bit-for-bit
     "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnnTrained(emb(s, dir), "vec_id < 10", 3,
       initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+
+    // deterministic content-addressed train/val/test split: membership is
+    // a pure function of the text's rolling hash — stable across reruns,
+    // re-sharding, and engines; zero shuffle (row-local filter)
+    "q39_train_split" -> ((s, dir) =>
+      Sampling.assignSplit(docs(s, dir), "text")
+        .select(col("doc_id"), col("split"))),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
@@ -402,6 +409,14 @@ object TrainingDataQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    "q39_train_split" ->
+      s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
 
     "q30_multimodal_binary" ->
       """SELECT doc_id,

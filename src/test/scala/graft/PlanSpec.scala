@@ -78,6 +78,12 @@ class PlanSpec extends SparkTestBase {
     p should not include "Window"
   }
 
+  test("q39: content-hash split is row-local — zero shuffles in the plan") {
+    val p = plan("q39_train_split")
+    p should not include "Exchange"
+    p should include("[codegen id :")               // hash + case fuse into the scan
+  }
+
   test("whole-stage codegen covers the scan->project pipelines (native expressions fuse)") {
     // the native expressions must not break codegen: fingerprinting
     // (PolyHash) and quality metrics stay inside codegen stages (formatted

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Deterministic sampling/splitting invariants: stability, disjointness,
+  * duplicate-coherence, and sane proportions on the real corpus.
+  */
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("split assignment is deterministic, exhaustive, and id-independent") {
+    val a = Sampling.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    a shouldBe b                                  // rerun-stable
+    a.values.toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+    // content-addressed: shuffling ids does not move any document
+    val reId = Sampling.assignSplit(
+        docs.withColumn("doc_id", col("doc_id") + 100000L), "text")
+      .select((col("doc_id") - 100000L).as("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    reId shouldBe a
+  }
+
+  test("proportions land near the requested cut on the real corpus") {
+    val counts = Sampling.assignSplit(docs, "text")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = counts.values.sum.toDouble
+    counts("train") / n shouldBe 0.8 +- 0.08      // hash noise at 500 docs
+    (counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L)) / n shouldBe 0.2 +- 0.08
+  }
+
+  test("byte-identical duplicates land in the same split; sample is a subset") {
+    val dup = Seq((1L, "same text here"), (2L, "same text here"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val splits = Sampling.assignSplit(dup, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    splits(1L) shouldBe splits(2L)
+    val sampled = Sampling.deterministicSample(docs, "text", 30)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    sampled.subsetOf(all) shouldBe true
+    sampled.size.toDouble / all.size shouldBe 0.3 +- 0.1
+  }
+
+  test("guards reject nonsense percentages") {
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.deterministicSample(docs, "text", 101)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.assignSplit(docs, "text", trainPct = 80, valPct = 30)
+  }
+}
