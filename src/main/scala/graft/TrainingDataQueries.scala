@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling, SimilaritySearch}
+import graft.operators.{Dedup, Sampling, SimilaritySearch, Vocabulary}
 
 /** Training-data-pipeline queries (dedup, similarity search, text analysis,
   * multimodal binary plumbing) over the `documents` and `embeddings` tables,
@@ -106,6 +106,10 @@ object TrainingDataQueries {
     // ordered-fold means) that the oracle replays bit-for-bit
     "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnnTrained(emb(s, dir), "vec_id < 10", 3,
       initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+
+    // corpus vocabulary head: term + document frequency per token (the
+    // stopword/IDF/vocab-building aggregate), deterministic top-k
+    "q40_vocab_topk" -> ((s, dir) => Vocabulary.topTokens(docs(s, dir), 50)),
 
     // deterministic content-addressed train/val/test split: membership is
     // a pure function of the text's rolling hash — stable across reruns,
@@ -409,6 +413,16 @@ object TrainingDataQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    "q40_vocab_topk" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(w) AS token FROM tok) GROUP BY token),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(list_distinct(w)) AS token FROM tok) GROUP BY token)
+         |SELECT tf.token, tf.tf, df.df
+         |FROM tf JOIN df ON tf.token = df.token
+         |ORDER BY tf.tf DESC, tf.token ASC LIMIT 50""".stripMargin,
 
     "q39_train_split" ->
       s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents)

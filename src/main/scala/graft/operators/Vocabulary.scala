@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-level vocabulary statistics — the aggregate the per-doc text
+  * metrics ([[graft.functions.TextFunctions]]) don't cover: term frequency
+  * and document frequency per token, the raw material for stopword lists,
+  * IDF weights, and tokenizer vocabularies.
+  *
+  * Scale shape: both counts are plain hash aggregates over exploded
+  * tokens — map-side combinable, so the shuffle carries one partial row
+  * per (partition, token), not one row per occurrence. df explodes the
+  * per-doc DISTINCT token set (array_distinct is row-local), which also
+  * caps a spammy document's contribution at 1 per token. Top-k is a
+  * TakeOrdered over the aggregated vocabulary (vocab << corpus).
+  */
+object Vocabulary {
+
+  /** (token, tf, df) for every token: tf = total occurrences across the
+    * corpus, df = number of documents containing it.
+    */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tf = docs.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val df = docs.select(explode(array_distinct(toks)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+  }
+
+  /** The k most frequent tokens by tf, ties broken by token — the
+    * deterministic head of the vocabulary.
+    */
+  def topTokens(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    tokenStats(docs, textCol)
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(k)
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Vocabulary statistics: hand-checked counts on a tiny corpus plus the
+  * structural invariants (df <= tf, df <= |docs|) on the real one.
+  */
+class VocabularySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tf counts occurrences, df counts documents, top-k is deterministic") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "delta")).toDF("doc_id", "text")
+    val stats = Vocabulary.tokenStats(docs)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    stats("alpha") shouldBe ((3L, 2L))    // 3 occurrences across 2 docs
+    stats("beta") shouldBe ((1L, 1L))
+    stats("gamma") shouldBe ((1L, 1L))
+    stats("delta") shouldBe ((1L, 1L))
+    // ties on tf=1 break by token: beta < delta < gamma
+    Vocabulary.topTokens(docs, 3).as[(String, Long, Long)].collect()
+      .map(_._1).toSeq shouldBe Seq("alpha", "beta", "delta")
+  }
+
+  test("invariants hold on the real corpus: df <= tf and df <= n_docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    val bad = Vocabulary.tokenStats(docs)
+      .filter(org.apache.spark.sql.functions.col("df") >
+        org.apache.spark.sql.functions.col("tf") ||
+        org.apache.spark.sql.functions.col("df") > n)
+      .count()
+    bad shouldBe 0L
+  }
+}
