@@ -38,4 +38,26 @@ object Vocabulary {
     tokenStats(docs, textCol)
       .orderBy(col("tf").desc, col("token").asc)
       .limit(k)
+
+  /** Per-(doc, token) TF-IDF: tf(d,t) * ln(N / df(t)). The per-doc tf
+    * explode shuffles on (doc, token); the df side is the (small)
+    * aggregated vocabulary, broadcast into the join.
+    *
+    * Deliberately NOT in the oracle contract: `ln` is a transcendental
+    * whose last ulp may differ across engines' libm, so hash-exactness
+    * can't be promised — VocabularySpec pins hand-computed values instead.
+    * Rank/threshold consumers should round before comparing.
+    */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    perDoc.join(broadcast(df), "token")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
 }

@@ -24,6 +24,22 @@ class VocabularySpec extends SparkTestBase {
       .map(_._1).toSeq shouldBe Seq("alpha", "beta", "delta")
   }
 
+  test("tfidf matches hand computation; corpus-wide tokens score zero") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha gamma"),
+      (3L, "delta alpha")).toDF("doc_id", "text")
+    val out = Vocabulary.tfIdf(docs)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // alpha appears in every doc: idf = ln(3/3) = 0
+    out((1L, "alpha")) shouldBe 0.0
+    // beta: tf=1 in doc 1, df=1 -> 1 * ln(3)
+    out((1L, "beta")) shouldBe (math.log(3.0) +- 1e-12)
+    // doc 1's alpha tf=2 still zero (tf scales a zero idf)
+    out((2L, "gamma")) shouldBe (math.log(3.0) +- 1e-12)
+  }
+
   test("invariants hold on the real corpus: df <= tf and df <= n_docs") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = docs.count()
