@@ -282,6 +282,18 @@ object SparkEntry {
       graft.operators.Skew.distinctCountTwoPhase(
         events(s, dir), Seq(col("event_type")), col("user_id"), "n_users")),
 
+    // skew tool: salted inner equi-join — row-identical to the plain join
+    // (the oracle IS the plain join), but a hot key spreads across salts
+    "q41_salted_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(o, c, "c_custkey", numSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    }),
+
     // S8+S4: insert-overwrite catalog table (partitioned) -> table scan
     // round trip. Partition values come back via directory inference, so
     // the final select pins the type to the oracle's.
@@ -424,6 +436,11 @@ object SparkEntry {
     "q36_distinct_two_phase" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+    "q41_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q32_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region",
     "q33_json_roundtrip" ->

@@ -38,4 +38,31 @@ object Skew {
       // null rows out before the distinct would drop the key entirely)
       .agg(count(col("__v")).as(outName))
   }
+
+  /** Salted inner equi-join for a skewed LEFT side: left rows get a
+    * deterministic salt in [0, numSalts) hashed from the whole row, the
+    * right side is replicated once per salt, and the join key becomes
+    * (key, salt) — one hot key's rows now spread across numSalts
+    * partitions instead of one.
+    *
+    * Result is row-for-row identical to `left.join(right, key)`: each left
+    * row carries exactly one salt and each right row exists once per salt,
+    * so every (l, r) key match pairs exactly once (SkewSpec asserts the
+    * equivalence; q41 rides it against a plain-join oracle). Cost: the
+    * right side shuffles numSalts times its size — use when the right side
+    * is small-ish but too big to broadcast and AQE's runtime skew split
+    * can't apply (e.g. the join feeds a co-partitioned aggregation).
+    *
+    * Null join keys never match in an inner equi-join; salting preserves
+    * that (nulls keep a salt but `<=>` is not used).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(numSalts - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

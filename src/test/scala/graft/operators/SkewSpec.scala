@@ -35,4 +35,30 @@ class SkewSpec extends SparkTestBase {
     out("CLICK") shouldBe 2L
     out("VIEW") shouldBe 1L
   }
+
+  test("salted join is row-identical to the plain join, incl. a hot key") {
+    // one pathological key owns most of the left side
+    val left = ((1 to 200).map(i => ("hot", s"l$i")) ++
+      Seq(("a", "x"), ("b", "y"), ("miss", "z"))).toDF("k", "lv")
+    val right = Seq(("hot", "H"), ("a", "A"), ("b", "B"), ("other", "O"))
+      .toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", numSalts = 8)
+      .as[(String, String, String)].collect().sorted.toSeq
+    val plain = left.join(right, "k")
+      .as[(String, String, String)].collect().sorted.toSeq
+    salted shouldBe plain
+    salted.count(_._1 == "hot") shouldBe 200 // every hot pair exactly once
+  }
+
+  test("salted join: null keys never match, multiple right rows fan out once per salt-match") {
+    val left = Seq((Option("a"), "l1"), (Option.empty[String], "l2")).toDF("k", "lv")
+    val right = Seq((Option("a"), "r1"), (Option("a"), "r2"), (Option.empty[String], "r3"))
+      .toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", numSalts = 4)
+      .as[(String, String, String)].collect().sorted.toSeq
+    val plain = left.join(right, "k")
+      .as[(String, String, String)].collect().sorted.toSeq
+    salted shouldBe plain
+    salted.map(_._3).sorted shouldBe Seq("r1", "r2") // null key dropped, dup right rows kept
+  }
 }
