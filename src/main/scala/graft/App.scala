@@ -17,7 +17,8 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *                      --features-table <table> --output-path <path>
   *   graft.App online-sync --features-table <table>
   *                      [--hours-back <n=24>] [--cutoff <yyyy-MM-dd>]
-  *                      [--kv memory]
+  *                      [--kv memory|redis:host:port[:pw]]
+  *                      [--redis-host <h> [--redis-port <p>] [--redis-password <pw>]]
   *   graft.App offline-lookup --features-table <table> --user-id <id>
   *                      --as-of <yyyy-MM-dd>
   *   graft.App demo     [--events-raw-path <path>]
@@ -212,9 +213,19 @@ object App {
   private[graft] def kvSpecFrom(o: Map[String, String]): String =
     o.get("redis-host") match {
       case Some(host) =>
+        // conflicting specs abort loudly — silently preferring one would
+        // sync into the wrong store with exit code 0
+        if (o.contains("kv")) throw new IllegalArgumentException(
+          "--kv and --redis-host are mutually exclusive; pass one KV spec")
         val port = o.getOrElse("redis-port", "6379")
         s"redis:$host:$port" + o.get("redis-password").map(":" + _).getOrElse("")
-      case None => o.getOrElse("kv", "memory")
+      case None =>
+        // redis-* flags WITHOUT the host would fall through to the
+        // in-memory store: a sync that "succeeds" into a JVM-local map
+        val orphans = Seq("redis-port", "redis-password").filter(o.contains)
+        if (orphans.nonEmpty) throw new IllegalArgumentException(
+          s"${orphans.map("--" + _).mkString(", ")} given without --redis-host")
+        o.getOrElse("kv", "memory")
     }
 
   /** `--key value` pair parsing (reference: App.scala:150-156), hardened:
@@ -277,10 +288,12 @@ object App {
       |                     --output-path <path> [--plan union|rank]
       |  online-sync        --features-table <table> [--hours-back <n=24>]
       |                     [--cutoff <date>] [--kv memory|redis:host:port[:pw]]
-      |                     [--redis-host <h> [--redis-port <p=6379>]]
+      |                     [--redis-host <h> [--redis-port <p=6379>]
+      |                      [--redis-password <pw>]]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
+      |                     [--kv ...|--redis-host ... as online-sync]
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

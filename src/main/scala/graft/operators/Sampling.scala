@@ -26,8 +26,12 @@ object Sampling {
   /** Stable bucket in [0, buckets) from the rolling hash of `text`.
     * polyHash is non-negative (mod 1e9+7), so plain `%` is exact.
     */
-  def contentBucket(text: Column, buckets: Int = 100): Column =
+  def contentBucket(text: Column, buckets: Int = 100): Column = {
+    // driver-side guard: buckets=0 would otherwise surface as an ANSI
+    // divide-by-zero inside executor tasks
+    require(buckets > 0, "buckets must be positive")
     polyHash(text) % buckets
+  }
 
   /** Keep rows whose content bucket falls below `pct` of `buckets` — a
     * deterministic ~pct/buckets sample. Row-local; the filter runs inside
@@ -35,6 +39,7 @@ object Sampling {
     */
   def deterministicSample(df: DataFrame, textCol: String, pct: Int,
                           buckets: Int = 100): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
     require(pct >= 0 && pct <= buckets, s"pct must be in [0, $buckets]")
     df.filter(contentBucket(col(textCol), buckets) < pct)
   }

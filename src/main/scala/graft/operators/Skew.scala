@@ -39,28 +39,35 @@ object Skew {
       .agg(count(col("__v")).as(outName))
   }
 
-  /** Salted inner equi-join for a skewed LEFT side: left rows get a
-    * deterministic salt in [0, numSalts) hashed from the whole row, the
-    * right side is replicated once per salt, and the join key becomes
-    * (key, salt) — one hot key's rows now spread across numSalts
-    * partitions instead of one.
+  /** Salted inner equi-join for a skewed LEFT side: left rows get a salt
+    * in [0, numSalts) from their partition-local row position
+    * (`monotonically_increasing_id`), the right side is replicated once
+    * per salt, and the join key becomes (key, salt) — one hot key's rows
+    * now spread across numSalts partitions instead of one.
     *
-    * Result is row-for-row identical to `left.join(right, key)`: each left
-    * row carries exactly one salt and each right row exists once per salt,
-    * so every (l, r) key match pairs exactly once (SkewSpec asserts the
-    * equivalence; q41 rides it against a plain-join oracle). Cost: the
-    * right side shuffles numSalts times its size — use when the right side
-    * is small-ish but too big to broadcast and AQE's runtime skew split
-    * can't apply (e.g. the join feeds a co-partitioned aggregation).
+    * The salt source matters: position-based salting spreads even
+    * BYTE-IDENTICAL duplicate rows of a hot key (raw logs are full of
+    * them), where a whole-row hash would send every duplicate to the same
+    * salt and deliver zero relief; it also accepts any column types (a
+    * row hash rejects maps). The RESULT is independent of salt values —
+    * each left row carries exactly one salt and each right row exists once
+    * per salt, so every (l, r) key match pairs exactly once regardless of
+    * which salt a row drew (SkewSpec asserts row-identity with the plain
+    * join; q41 rides it against a plain-join oracle).
     *
-    * Null join keys never match in an inner equi-join; salting preserves
-    * that (nulls keep a salt but `<=>` is not used).
+    * Cost: the right side shuffles numSalts times its size — use when the
+    * right side is too big to broadcast and AQE's runtime skew split can't
+    * apply (e.g. the join feeds a co-partitioned aggregation). Null join
+    * keys never match, as in the plain inner equi-join.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       numSalts: Int): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    // the internal column must not clobber (then drop) a real user column
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it in the inputs")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(numSalts)))
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(numSalts - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -19,16 +19,20 @@ import graft.functions.TextFunctions.tokens
   */
 object Vocabulary {
 
+  /** token -> document frequency (number of docs containing it); the
+    * per-doc distinct explode caps any one document's contribution at 1.
+    */
+  private def docFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
   /** (token, tf, df) for every token: tf = total occurrences across the
     * corpus, df = number of documents containing it.
     */
   def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val tf = docs.select(explode(toks).as("token"))
+    val tf = docs.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-    val df = docs.select(explode(array_distinct(toks)).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(df, "token")
+    tf.join(docFreq(docs, textCol), "token")
   }
 
   /** The k most frequent tokens by tf, ties broken by token — the
@@ -47,17 +51,21 @@ object Vocabulary {
     * whose last ulp may differ across engines' libm, so hash-exactness
     * can't be promised — VocabularySpec pins hand-computed values instead.
     * Rank/threshold consumers should round before comparing.
+    *
+    * Stays LAZY like every other operator: N is a 1-row count aggregate
+    * broadcast into the plan, not a driver-side action at construction
+    * time. The corpus is still read three ways (per-doc tf, df, N) —
+    * persist `docs` first when the upstream is expensive.
     */
   def tfIdf(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
     val perDoc = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = docs.select(explode(array_distinct(tokens(col(textCol)))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    perDoc.join(broadcast(df), "token")
-      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    perDoc.join(broadcast(docFreq(docs, textCol)), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 }

@@ -50,6 +50,23 @@ class SkewSpec extends SparkTestBase {
     salted.count(_._1 == "hot") shouldBe 200 // every hot pair exactly once
   }
 
+  test("salted join: identical hot rows spread across salts; reserved column rejected") {
+    // byte-identical duplicates of one hot key must still draw multiple
+    // salts (position-based salting) — a whole-row hash would put them all
+    // in one partition and deliver zero relief
+    val left = (1 to 64).map(_ => ("hot", "same")).toDF("k", "lv").repartition(4)
+    val right = Seq(("hot", "H")).toDF("k", "rv")
+    val salts = left.withColumn("__probe",
+        pmod(monotonically_increasing_id(), lit(8L)))
+      .select("__probe").distinct().count()
+    salts should be > 1L
+    Skew.saltedJoin(left, right, "k", numSalts = 8).count() shouldBe 64
+    // a real __salt column in the input must be a loud error, not silent
+    // clobber-then-drop
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedJoin(left.withColumn("__salt", lit(1)), right, "k", 4)
+  }
+
   test("salted join: null keys never match, multiple right rows fan out once per salt-match") {
     val left = Seq((Option("a"), "l1"), (Option.empty[String], "l2")).toDF("k", "lv")
     val right = Seq((Option("a"), "r1"), (Option("a"), "r2"), (Option.empty[String], "r3"))

@@ -142,6 +142,12 @@ class RespKVClientSpec extends SparkTestBase {
     graft.App.kvSpecFrom(Map("redis-host" -> "h", "redis-password" -> "pw")) shouldBe "redis:h:6379:pw"
     graft.App.kvSpecFrom(Map("kv" -> "redis:x:1")) shouldBe "redis:x:1"
     graft.App.kvSpecFrom(Map.empty) shouldBe "memory"
+    // orphaned redis-* flags must not silently fall back to the in-JVM
+    // store, and a conflicting --kv + --redis-host pair must abort
+    an[IllegalArgumentException] should be thrownBy
+      graft.App.kvSpecFrom(Map("redis-port" -> "6380"))
+    an[IllegalArgumentException] should be thrownBy
+      graft.App.kvSpecFrom(Map("kv" -> "memory", "redis-host" -> "h"))
   }
 
   test("kvFactory parses memory and redis specs, rejects malformed") {
