@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * round-trips, metadata rides in a struct, and decode happens inside
   * `mapPartitions` so a codec can be initialized once per partition (the
   * standard pattern for JNI/native decoders: open the library per task, not
-  * per row). The codec itself is a STUB — this container has no image/audio
-  * libraries — implemented as a deterministic fake that derives header
-  * fields and a feature vector from the payload bytes, so tests are exact.
+  * per row). IMAGE decode is REAL ([[decodeImages]] — the JDK's ImageIO
+  * parses PNG/JPEG/BMP/GIF with no external library); audio/video decode
+  * remains a deterministic STUB (those codecs genuinely aren't in the JVM),
+  * so tests stay exact on both paths.
   *
   * Scale notes (100 TB): payloads never shuffle — decode is map-side and the
   * output drops the payload, so downstream stages move only features +
@@ -73,6 +74,69 @@ object Multimodal {
       DecodedMedia(id, format, payload.length.toLong, 256 + b0, 256 + b1, feat)
     }
   }
+
+  /** REAL image decode via the JDK's ImageIO — the PNG/JPEG/BMP/GIF
+    * readers ship inside the JVM, so this path needs no external library
+    * and actually parses the payload: width/height come from the decoded
+    * raster, the feature vector is the mean luminance of `dim` vertical
+    * image bands (a crude but genuine visual signature, deterministic for
+    * lossless formats). A payload ImageIO cannot parse yields a sentinel
+    * row (format "undecodable", -1 dimensions, zero feature) rather than
+    * killing the task — at 100 TB a corrupt file is data, not an error.
+    *
+    * Same per-partition-handle shape as the stub codec: ImageIO's
+    * temp-file cache is disabled once per partition (the "codec init"),
+    * then rows stream through. Audio/video stay on the documented stub —
+    * their codecs genuinely aren't in the JVM.
+    */
+  def decodeImages(media: DataFrame, dim: Int = 8): Dataset[DecodedMedia] = {
+    require(dim > 0, "dim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, payload, _) => decodeOneImage(id, payload, dim) }
+      }
+  }
+
+  private def decodeOneImage(id: Long, payload: Array[Byte], dim: Int): DecodedMedia = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null)
+      DecodedMedia(id, "undecodable", payload.length.toLong, -1, -1, new Array[Float](dim))
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      // mean luminance per vertical band: bands partition the x range
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+          val band = math.min(dim - 1, x * dim / w)
+          sums(band) += lum
+          counts(band) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feat = Array.tabulate(dim)(k => if (counts(k) == 0) 0f else (sums(k) / counts(k)).toFloat)
+      DecodedMedia(id, detectFormat(payload), payload.length.toLong, w, h, feat)
+    }
+  }
+
+  /** Magic-byte format sniffing for the formats the JDK decodes. */
+  private def detectFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') "gif"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else "unknown"
 
   /** Decode a media frame to features, one codec handle per partition. */
   def decode(media: DataFrame, dim: Int = 8): Dataset[DecodedMedia] = {

@@ -60,4 +60,64 @@ class MultimodalSpec extends SparkTestBase {
     d8(0).width shouldBe d4(0).width
     d8(0).feature.sum shouldBe 1.0f +- 0.001f
   }
+
+  // ---- REAL image decode (JDK ImageIO) --------------------------------
+
+  /** encode a width x height gradient/solid image as real PNG bytes */
+  private def pngBytes(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG decode: actual dimensions, sniffed format, band luminance") {
+    // left half black, right half white, 40x10 -> bands: [0, 0, 1, 1]
+    val halfAndHalf = pngBytes(40, 10)((x, _) => if (x < 20) 0x000000 else 0xffffff)
+    val solidGray = pngBytes(8, 8)((_, _) => 0x808080) // every band 128/255
+    val imgs = Seq(
+      (1L, halfAndHalf, "img"),
+      (2L, solidGray, "img"),
+      (3L, Array.fill[Byte](64)(42), "img")) // not an image at all
+      .toDF("media_id", "payload", "format")
+    val out = Multimodal.decodeImages(
+        Multimodal.asMedia(imgs, "media_id", "payload", "format"), dim = 4)
+      .collect().sortBy(_.media_id)
+
+    out(0).width shouldBe 40
+    out(0).height shouldBe 10
+    out(0).format shouldBe "png"
+    out(0).feature(0) shouldBe 0f +- 0.01f
+    out(0).feature(1) shouldBe 0f +- 0.01f
+    out(0).feature(2) shouldBe 1f +- 0.01f
+    out(0).feature(3) shouldBe 1f +- 0.01f
+
+    out(1).width shouldBe 8
+    out(1).feature.foreach(_ shouldBe (0x80 / 255.0f) +- 0.01f)
+
+    // corrupt payload: sentinel row, not a task failure
+    out(2).format shouldBe "undecodable"
+    out(2).width shouldBe -1
+    out(2).feature.toSeq shouldBe Seq(0f, 0f, 0f, 0f)
+  }
+
+  test("real decode survives the parquet round-trip like the stub path") {
+    val png = pngBytes(6, 3)((x, y) => if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val path = s"/tmp/graft-test-img-${System.nanoTime()}"
+    Multimodal.asMedia(
+        Seq((7L, png, "img")).toDF("media_id", "payload", "format"),
+        "media_id", "payload", "format")
+      .write.parquet(path)
+    val back = Multimodal.decodeImages(spark.read.parquet(path), dim = 2).collect()
+    back.head.width shouldBe 6
+    back.head.height shouldBe 3
+    back.head.format shouldBe "png"
+    // checkerboard, 3x3 pixels per band: band 0 starts on white parity
+    // (5 of 9 white), band 1 on black parity (4 of 9 white)
+    back.head.feature(0) shouldBe (5f / 9f) +- 0.01f
+    back.head.feature(1) shouldBe (4f / 9f) +- 0.01f
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
 }
