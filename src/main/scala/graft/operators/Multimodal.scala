@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so a codec can be initialized once per partition (the
   * standard pattern for JNI/native decoders: open the library per task, not
   * per row). IMAGE decode is REAL ([[decodeImages]] — the JDK's ImageIO
-  * parses PNG/JPEG/BMP/GIF with no external library); audio/video decode
-  * remains a deterministic STUB (those codecs genuinely aren't in the JVM),
-  * so tests stay exact on both paths.
+  * parses PNG/JPEG/BMP/GIF with no external library) and so is AUDIO
+  * ([[decodeAudio]] — javax.sound.sampled parses WAV/AIFF/AU); only VIDEO
+  * decode remains a deterministic STUB (no container demuxer ships in the
+  * JVM), so tests stay exact on every path.
   *
   * Scale notes (100 TB): payloads never shuffle — decode is map-side and the
   * output drops the payload, so downstream stages move only features +
@@ -129,6 +130,98 @@ object Multimodal {
       DecodedMedia(id, detectFormat(payload), payload.length.toLong, w, h, feat)
     }
   }
+
+  /** Real audio decode output: container header fields + a per-band RMS
+    * amplitude signature over the PCM samples.
+    */
+  case class DecodedAudio(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      sample_rate: Float,
+      channels: Int,
+      n_frames: Long,
+      feature: Array[Float])
+
+  /** REAL audio decode via the JDK's sampled-sound stack — WAV/AIFF/AU
+    * parsers ship in the JVM (javax.sound.sampled), no external library:
+    * sample rate / channel count / frame count come from the actual
+    * container header, and the feature is the RMS amplitude of `dim`
+    * consecutive time bands of the decoded PCM stream (mono-mixed).
+    * Unparseable payloads yield a sentinel row, like [[decodeImages]].
+    * Compressed codecs (mp3, aac) are NOT in the JVM and report as
+    * undecodable — that boundary is the honest one.
+    */
+  def decodeAudio(media: DataFrame, dim: Int = 8): Dataset[DecodedAudio] = {
+    require(dim > 0, "dim must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) => decodeOneAudio(id, payload, dim) }
+      }
+  }
+
+  private def decodeOneAudio(id: Long, payload: Array[Byte], dim: Int): DecodedAudio = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        // decode only PCM_SIGNED 16-bit (what WAV fixtures carry); anything
+        // else keeps real header fields with an empty signature
+        val nFrames = in.getFrameLength
+        val feature = new Array[Float](dim)
+        if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          bytesPerSample == 2 && nFrames > 0) {
+          val data = in.readAllBytes()
+          val frameBytes = bytesPerSample * fmt.getChannels
+          val total = data.length / frameBytes
+          val sumSq = new Array[Double](dim)
+          val counts = new Array[Long](dim)
+          var f = 0
+          while (f < total) {
+            // mono mix: mean of channels
+            var c = 0
+            var acc = 0.0
+            while (c < fmt.getChannels) {
+              val off = f * frameBytes + c * 2
+              val lo = data(off) & 0xff
+              val hi = data(off + 1).toInt
+              val sample = (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo).toShort
+              acc += sample / 32768.0
+              c += 1
+            }
+            val band = math.min(dim - 1, f * dim / total)
+            val v = acc / fmt.getChannels
+            sumSq(band) += v * v
+            counts(band) += 1
+            f += 1
+          }
+          var k = 0
+          while (k < dim) {
+            feature(k) = if (counts(k) == 0) 0f else math.sqrt(sumSq(k) / counts(k)).toFloat
+            k += 1
+          }
+        }
+        DecodedAudio(id, detectAudioFormat(payload), payload.length.toLong,
+          fmt.getSampleRate, fmt.getChannels, nFrames, feature)
+      } finally in.close()
+    } catch {
+      case _: Throwable =>
+        DecodedAudio(id, "undecodable", payload.length.toLong, -1f, -1, -1L,
+          new Array[Float](dim))
+    }
+  }
+
+  private def detectAudioFormat(p: Array[Byte]): String =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+    else if (p.length >= 4 && p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') "aiff"
+    else if (p.length >= 4 && p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd') "au"
+    else "unknown"
 
   /** Magic-byte format sniffing for the formats the JDK decodes. */
   private def detectFormat(p: Array[Byte]): String =

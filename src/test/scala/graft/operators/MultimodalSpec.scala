@@ -120,4 +120,48 @@ class MultimodalSpec extends SparkTestBase {
     back.head.feature(1) shouldBe (4f / 9f) +- 0.01f
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
+
+  // ---- REAL audio decode (JDK javax.sound.sampled) --------------------
+
+  /** encode 16-bit mono little-endian PCM samples as real WAV bytes */
+  private def wavBytes(samples: Array[Short], rate: Float): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV decode: header fields and per-band RMS from actual PCM") {
+    // 400 frames: first half silence, second half full-scale square wave
+    val samples = Array.tabulate[Short](400)(i =>
+      if (i < 200) 0
+      else if (i % 2 == 0) 32767 else -32768)
+    val wav = wavBytes(samples, rate = 8000f)
+    val rows = Seq(
+      (1L, wav, "audio"),
+      (2L, Array.fill[Byte](32)(7), "audio")) // not audio
+      .toDF("media_id", "payload", "format")
+    val out = Multimodal.decodeAudio(
+        Multimodal.asMedia(rows, "media_id", "payload", "format"), dim = 2)
+      .collect().sortBy(_.media_id)
+
+    out(0).format shouldBe "wav"
+    out(0).sample_rate shouldBe 8000f
+    out(0).channels shouldBe 1
+    out(0).n_frames shouldBe 400L
+    out(0).feature(0) shouldBe 0f +- 0.001f   // silent half
+    out(0).feature(1) shouldBe 1f +- 0.001f   // full-scale square: RMS ~ 1
+
+    out(1).format shouldBe "undecodable"
+    out(1).sample_rate shouldBe -1f
+    out(1).feature.toSeq shouldBe Seq(0f, 0f)
+  }
 }
