@@ -87,8 +87,8 @@ object Multimodal {
     *
     * Same per-partition-handle shape as the stub codec: ImageIO's
     * temp-file cache is disabled once per partition (the "codec init"),
-    * then rows stream through. Audio/video stay on the documented stub —
-    * their codecs genuinely aren't in the JVM.
+    * then rows stream through. Audio is real too ([[decodeAudio]]); only
+    * video stays on the documented stub.
     */
   def decodeImages(media: DataFrame, dim: Int = 8): Dataset[DecodedMedia] = {
     require(dim > 0, "dim must be positive")
