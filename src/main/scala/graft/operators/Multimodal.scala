@@ -98,37 +98,55 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
-        rows.map { case (id, payload, _) => decodeOneImage(id, payload, dim) }
+        rows.map { case (id, payload, fmt) => decodeOneImage(id, payload, fmt, dim) }
       }
   }
 
-  private def decodeOneImage(id: Long, payload: Array[Byte], dim: Int): DecodedMedia = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: Throwable => null }
-    if (img == null)
-      DecodedMedia(id, "undecodable", payload.length.toLong, -1, -1, new Array[Float](dim))
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      // mean luminance per vertical band: bands partition the x range
-      val sums = new Array[Double](dim)
-      val counts = new Array[Long](dim)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
-          val band = math.min(dim - 1, x * dim / w)
-          sums(band) += lum
-          counts(band) += 1
-          x += 1
+  private def decodeOneImage(id: Long, payload: Array[Byte], metaFormat: String,
+      dim: Int): DecodedMedia = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    def sentinel = DecodedMedia(id, "undecodable", nBytes, -1, -1, new Array[Float](dim))
+    if (payload == null) return sentinel
+    // NonFatal only: OOM from a decompression-bomb header or a task-kill
+    // interrupt must PROPAGATE, not become a quiet sentinel row. The whole
+    // decode (read + pixel walk) is inside the try — getRGB can throw on
+    // broken color models too.
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) sentinel
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        // mean luminance per vertical band: bands partition the x range.
+        // Row-buffered getRGB — the per-pixel overload re-runs the color
+        // model conversion per call, 5-20x slower on the decode hot path.
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        val rowBuf = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, rowBuf, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = rowBuf(x)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+            // long math: x * dim would wrap for pathologically wide rasters
+            val band = math.min(dim - 1, (x.toLong * dim / w).toInt)
+            sums(band) += lum
+            counts(band) += 1
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        val feat = Array.tabulate(dim)(k => if (counts(k) == 0) 0f else (sums(k) / counts(k)).toFloat)
+        // sniffing knows the common formats; JDK ImageIO decodes more
+        // (TIFF since JDK 9) — fall back to the caller's metadata label
+        val label = detectFormat(payload) match {
+          case "unknown" => metaFormat
+          case sniffed => sniffed
+        }
+        DecodedMedia(id, label, nBytes, w, h, feat)
       }
-      val feat = Array.tabulate(dim)(k => if (counts(k) == 0) 0f else (sums(k) / counts(k)).toFloat)
-      DecodedMedia(id, detectFormat(payload), payload.length.toLong, w, h, feat)
-    }
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
   }
 
   /** Real audio decode output: container header fields + a per-band RMS
@@ -165,6 +183,12 @@ object Multimodal {
 
   private def decodeOneAudio(id: Long, payload: Array[Byte], dim: Int): DecodedAudio = {
     import javax.sound.sampled.AudioSystem
+    // sentinel must not touch payload.length on the null path — the error
+    // handler crashing is the one failure mode this design forbids
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    def sentinel = DecodedAudio(id, "undecodable", nBytes, -1f, -1, -1L,
+      new Array[Float](dim))
+    if (payload == null) return sentinel
     try {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
       try {
@@ -194,7 +218,9 @@ object Multimodal {
               acc += sample / 32768.0
               c += 1
             }
-            val band = math.min(dim - 1, f * dim / total)
+            // long math: f * dim wraps Int past ~268M frames (a ~100-min
+            // mono WAV) and the negative index would mis-sentinel the file
+            val band = math.min(dim - 1, (f.toLong * dim / total).toInt)
             val v = acc / fmt.getChannels
             sumSq(band) += v * v
             counts(band) += 1
@@ -210,9 +236,7 @@ object Multimodal {
           fmt.getSampleRate, fmt.getChannels, nFrames, feature)
       } finally in.close()
     } catch {
-      case _: Throwable =>
-        DecodedAudio(id, "undecodable", payload.length.toLong, -1f, -1, -1L,
-          new Array[Float](dim))
+      case scala.util.control.NonFatal(_) => sentinel
     }
   }
 

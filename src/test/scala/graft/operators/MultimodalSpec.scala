@@ -164,4 +164,16 @@ class MultimodalSpec extends SparkTestBase {
     out(1).sample_rate shouldBe -1f
     out(1).feature.toSeq shouldBe Seq(0f, 0f)
   }
+
+  test("null payloads sentinel through both real decoders, never crash the task") {
+    val rows = Seq((1L, Option.empty[Array[Byte]], "img"))
+      .toDF("media_id", "payload", "format")
+    val media = Multimodal.asMedia(rows, "media_id", "payload", "format")
+    val img = Multimodal.decodeImages(media, dim = 2).collect().head
+    img.format shouldBe "undecodable"
+    img.n_bytes shouldBe 0L
+    val aud = Multimodal.decodeAudio(media, dim = 2).collect().head
+    aud.format shouldBe "undecodable"
+    aud.n_frames shouldBe -1L
+  }
 }
