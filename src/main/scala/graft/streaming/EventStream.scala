@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.sources.{KVClient, KVSink}
 
@@ -116,21 +116,72 @@ object EventStream {
             Iterator.empty
           } else {
             val prev = state.getOption.getOrElse(UserFeatureState(userId, 0L, 0L, new Timestamp(0L)))
-            // single fold over the iterator — never materialize the
-            // micro-batch's rows for one user as a Seq
-            val next = rows.foldLeft(prev) { (acc, e) =>
-              UserFeatureState(
-                userId,
-                acc.event_count + 1,
-                acc.purchase_count + (if (e.event_type == "purchase") 1 else 0),
-                if (e.ts.after(acc.last_event_ts)) e.ts else acc.last_event_ts)
-            }
+            val next = foldEvents(prev, rows)
             state.update(next)
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator.single(next)
           }
       }
   }
+
+  /** single fold over the iterator — never materialize the micro-batch's
+    * rows for one user as a Seq; shared by both stateful formulations
+    */
+  private def foldEvents(prev: UserFeatureState, rows: Iterator[Event]): UserFeatureState =
+    rows.foldLeft(prev) { (acc, e) =>
+      UserFeatureState(
+        prev.user_id,
+        acc.event_count + 1,
+        acc.purchase_count + (if (e.event_type == "purchase") 1 else 0),
+        if (e.ts.after(acc.last_event_ts)) e.ts else acc.last_event_ts)
+    }
+
+  /** The Spark-4 arbitrary-state processor behind
+    * [[runningUserFeaturesTws]]: typed ValueState (here without TTL — pass
+    * a TTLConfig to bound idle users' state the declarative way, replacing
+    * the manual timeout dance of flatMapGroupsWithState).
+    */
+  private class UserFeatureProcessor
+      extends StatefulProcessor[String, Event, UserFeatureState] {
+    @transient private var state: ValueState[UserFeatureState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState(
+        "features", Encoders.product[UserFeatureState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserFeatureState] = {
+      val prev =
+        if (state.exists()) state.get()
+        else UserFeatureState(userId, 0L, 0L, new Timestamp(0L))
+      val next = foldEvents(prev, rows)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserFeatures]] on the transformWithState API — Spark 4's
+    * successor to flatMapGroupsWithState: typed state handles
+    * (Value/List/MapState) with declarative TTL instead of hand-rolled
+    * timeouts, timers, and RocksDB backing. Requires the RocksDB state
+    * store provider; set [[rocksdbStateStoreConf]] on the session. Both
+    * formulations produce identical snapshots (EventStreamSpec asserts
+    * it); new pipelines should prefer this one.
+    */
+  def runningUserFeaturesTws(events: Dataset[Event]): Dataset[UserFeatureState] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserFeatureProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Session conf required by [[runningUserFeaturesTws]] (transformWithState
+    * is implemented on the RocksDB state store only).
+    */
+  val rocksdbStateStoreConf: (String, String) =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Streaming online-sync: push each micro-batch's per-user snapshots to
     * the KV store — the streaming twin of

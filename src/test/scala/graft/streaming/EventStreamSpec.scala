@@ -143,6 +143,38 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("transformWithState twin matches flatMapGroupsWithState snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(rocksdbStateStoreConf._1, rocksdbStateStoreConf._2)
+    try {
+      val input = MemoryStream[Event]
+      val query = runningUserFeaturesTws(input.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"/tmp/graft-tws-ckpt-${System.nanoTime()}")
+        .start()
+      try {
+        input.addData(Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0))
+        query.processAllAvailable()
+        input.addData(
+          Event("u1", "purchase", ts("2024-01-01 11:00:00"), 5.0),
+          Event("u1", "click", ts("2024-01-01 12:00:00"), 1.0))
+        query.processAllAvailable()
+        // identical snapshots to the flatMapGroupsWithState run in the
+        // "running user features" test above: 1-event then 3-event states
+        val snaps = spark.table("tws").as[UserFeatureState].collect()
+          .filter(_.user_id == "u1").sortBy(_.event_count)
+        snaps.map(_.event_count).toSeq shouldBe Seq(1L, 3L)
+        snaps.last.purchase_count shouldBe 1L
+        snaps.last.last_event_ts shouldBe ts("2024-01-01 12:00:00")
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("serving read sees a streaming-synced user (stream -> KV -> lookup E2E)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.serving.FeatureLookup
