@@ -107,7 +107,7 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // empty frame -> sum is SQL NULL -> treat as zero (empty input is a
       // fixpoint, not an NPE)
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false

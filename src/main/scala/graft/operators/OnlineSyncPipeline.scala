@@ -39,7 +39,7 @@ object OnlineSyncPipeline {
     * forms agree row-for-row (OnlineSyncSpec asserts it).
     */
   def latestPerUser(features: DataFrame, cutoff: Column): DataFrame = {
-    val others = features.columns.filterNot(_ == "user_id")
+    val others = features.columns.filterNot(_ == "user_id").toIndexedSeq
     features
       .filter(col("day") >= cutoff)
       .groupBy(col("user_id"))

@@ -31,15 +31,15 @@ class MinHashSignatureSpec extends SparkTestBase {
     // all-null elements behave like the empty set
     Seq(1).toDF("i")
       .select(minhashSignature(array(lit(null).cast("bigint"))))
-      .head.getSeq[Any](0).forall(_ == null) shouldBe true
+      .head().getSeq[Any](0).forall(_ == null) shouldBe true
   }
 
   test("empty set yields a k-length all-null signature; null propagates") {
     val row = Seq(Seq.empty[Long]).toDF("hashes")
-      .select(minhashSignature(col("hashes"))).head.getSeq[Any](0)
+      .select(minhashSignature(col("hashes"))).head().getSeq[Any](0)
     row should have size TextFunctions.MinhashK.toLong
     row.forall(_ == null) shouldBe true
     Seq(Option.empty[Seq[Long]]).toDF("hashes")
-      .select(minhashSignature(col("hashes"))).head.isNullAt(0) shouldBe true
+      .select(minhashSignature(col("hashes"))).head().isNullAt(0) shouldBe true
   }
 }

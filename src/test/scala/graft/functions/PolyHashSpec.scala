@@ -34,17 +34,17 @@ class PolyHashSpec extends SparkTestBase {
 
   test("known values stay pinned (oracle contract)") {
     // "ab" -> ((0*131+97) % M)*131 + 98 = 12805 (M = 1e9+7 never reached)
-    Seq("ab").toDF("s").select(polyHash(col("s"))).head.getLong(0) shouldBe 12805L
-    Seq("").toDF("s").select(polyHash(col("s"))).head.getLong(0) shouldBe 0L
+    Seq("ab").toDF("s").select(polyHash(col("s"))).head().getLong(0) shouldBe 12805L
+    Seq("").toDF("s").select(polyHash(col("s"))).head().getLong(0) shouldBe 0L
   }
 
   test("SQL registration works") {
     PolyHash.register(spark)
-    sql("SELECT poly_hash('ab') AS h").head.getLong(0) shouldBe 12805L
+    sql("SELECT poly_hash('ab') AS h").head().getLong(0) shouldBe 12805L
   }
 
   test("null propagates") {
     Seq(Option.empty[String]).toDF("s")
-      .select(polyHash(col("s"))).head.isNullAt(0) shouldBe true
+      .select(polyHash(col("s"))).head().isNullAt(0) shouldBe true
   }
 }

@@ -47,9 +47,9 @@ class ShingleHashesSpec extends SparkTestBase {
 
   test("null propagates; short doc yields empty array") {
     Seq(Option.empty[String]).toDF("s")
-      .select(shingleHashes(col("s"), 3)).head.isNullAt(0) shouldBe true
+      .select(shingleHashes(col("s"), 3)).head().isNullAt(0) shouldBe true
     Seq("two words").toDF("s")
       .select(org.apache.spark.sql.functions.size(shingleHashes(col("s"), 3)))
-      .head.getInt(0) shouldBe 0
+      .head().getInt(0) shouldBe 0
   }
 }

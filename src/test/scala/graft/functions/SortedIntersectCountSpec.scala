@@ -47,7 +47,7 @@ class SortedIntersectCountSpec extends SparkTestBase {
     Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
       .toDF("a", "b")
       .select(sortedIntersectCount(col("a"), col("b")))
-      .head.isNullAt(0) shouldBe true
+      .head().isNullAt(0) shouldBe true
   }
 
   test("jaccardSorted == jaccard witness on real shingle sets") {

@@ -46,6 +46,6 @@ class TextStatsSpec extends SparkTestBase {
 
   test("null text propagates through the struct") {
     Seq(Option.empty[String]).toDF("s")
-      .select(TextStats.textStats(col("s"))).head.isNullAt(0) shouldBe true
+      .select(TextStats.textStats(col("s"))).head().isNullAt(0) shouldBe true
   }
 }

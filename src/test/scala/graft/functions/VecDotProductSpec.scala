@@ -25,8 +25,8 @@ class VecDotProductSpec extends SparkTestBase {
       val a = sample(genVec, 42L + i)
       val b = sample(genVec, 4242L + i)
       val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
-      val native = df.select(vecDot(col("a"), col("b"))).head.getDouble(0)
-      val hof = df.select(dot(toDoubleVec(col("a")), toDoubleVec(col("b")))).head.getDouble(0)
+      val native = df.select(vecDot(col("a"), col("b"))).head().getDouble(0)
+      val hof = df.select(dot(toDoubleVec(col("a")), toDoubleVec(col("b")))).head().getDouble(0)
       assert(java.lang.Double.doubleToLongBits(native) == java.lang.Double.doubleToLongBits(hof),
         s"[seed ${42 + i}] native=$native hof=$hof")
     }
@@ -34,19 +34,19 @@ class VecDotProductSpec extends SparkTestBase {
 
   test("vec_dot handles double arrays, nulls, and SQL registration") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
-    df.select(vecDot(col("a"), col("b"))).head.getDouble(0) shouldBe 11.0
+    df.select(vecDot(col("a"), col("b"))).head().getDouble(0) shouldBe 11.0
     // null propagation
     val withNull = df.select(vecDot(lit(null).cast("array<double>"), col("b")))
-    withNull.head.isNullAt(0) shouldBe true
+    withNull.head().isNullAt(0) shouldBe true
     // SQL surface
     VecDotProduct.register(spark)
     df.createOrReplaceTempView("vdp_t")
-    sql("SELECT vec_dot(a, b) AS d FROM vdp_t").head.getDouble(0) shouldBe 11.0
+    sql("SELECT vec_dot(a, b) AS d FROM vdp_t").head().getDouble(0) shouldBe 11.0
   }
 
   test("vec_dot of mismatched-length arrays is null (oracle parity), not a truncated product") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 4.0))).toDF("a", "b")
-    df.select(vecDot(col("a"), col("b"))).head.isNullAt(0) shouldBe true
+    df.select(vecDot(col("a"), col("b"))).head().isNullAt(0) shouldBe true
     // and through the interpreted path too
     val interpreted = df.selectExpr("a", "b")
       .withColumn("d", vecDot(col("a"), col("b")))

@@ -21,7 +21,7 @@ class DedupSpec extends SparkTestBase {
   ).toDF("doc_id", "text")
 
   test("polyHash matches hand-computed fold") {
-    val got = Seq("ab").toDF("s").select(TextFunctions.polyHash(col("s"))).head.getLong(0)
+    val got = Seq("ab").toDF("s").select(TextFunctions.polyHash(col("s"))).head().getLong(0)
     got shouldBe (97L * 131 + 98) // ((0*131+'a')*131+'b') % 1e9+7
   }
 

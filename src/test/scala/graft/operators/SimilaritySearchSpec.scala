@@ -100,7 +100,7 @@ class SimilaritySearchSpec extends SparkTestBase {
     e.crossJoin(broadcast(cent))
       .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .agg(avg(col("cscore"))).head.getDouble(0)
+      .agg(avg(col("cscore"))).head().getDouble(0)
   }
 
   test("k-means training improves the quantization objective monotonically") {
