@@ -137,23 +137,24 @@ object EventStream {
     }
 
   /** The Spark-4 arbitrary-state processor behind
-    * [[runningUserFeaturesTws]]: typed ValueState (here without TTL — pass
-    * a TTLConfig to bound idle users' state the declarative way, replacing
-    * the manual timeout dance of flatMapGroupsWithState).
+    * [[runningUserFeaturesTws]]: typed ValueState, with the TTL config
+    * injected by the caller (declarative state expiry — no hand-rolled
+    * timeout dance).
     */
-  private class UserFeatureProcessor
+  private class UserFeatureProcessor(ttl: TTLConfig)
       extends StatefulProcessor[String, Event, UserFeatureState] {
     @transient private var state: ValueState[UserFeatureState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState(
-        "features", Encoders.product[UserFeatureState], TTLConfig.NONE)
+        "features", Encoders.product[UserFeatureState], ttl)
 
     override def handleInputRows(userId: String, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[UserFeatureState] = {
-      val prev =
-        if (state.exists()) state.get()
-        else UserFeatureState(userId, 0L, 0L, new Timestamp(0L))
+      // one state-store read: get() returns null when absent — exists()
+      // first would double the RocksDB point lookups on the hot path
+      val prev = Option(state.get())
+        .getOrElse(UserFeatureState(userId, 0L, 0L, new Timestamp(0L)))
       val next = foldEvents(prev, rows)
       state.update(next)
       Iterator.single(next)
@@ -163,17 +164,25 @@ object EventStream {
   /** [[runningUserFeatures]] on the transformWithState API — Spark 4's
     * successor to flatMapGroupsWithState: typed state handles
     * (Value/List/MapState) with declarative TTL instead of hand-rolled
-    * timeouts, timers, and RocksDB backing. Requires the RocksDB state
-    * store provider; set [[rocksdbStateStoreConf]] on the session. Both
-    * formulations produce identical snapshots (EventStreamSpec asserts
-    * it); new pipelines should prefer this one.
+    * timeouts, timers, and RocksDB backing. `idleTtl` bounds an idle
+    * user's state the declarative way (TTL requires processing-time mode,
+    * so passing it switches the TimeMode accordingly — the twin of
+    * [[runningUserFeatures]]'s `idleTimeout`). Requires the RocksDB state
+    * store provider; set [[rocksdbStateStoreConf]] on the session.
+    * EventStreamSpec runs BOTH formulations on identical input and asserts
+    * snapshot-for-snapshot parity; new pipelines should prefer this one.
     */
-  def runningUserFeaturesTws(events: Dataset[Event]): Dataset[UserFeatureState] = {
+  def runningUserFeaturesTws(events: Dataset[Event],
+      idleTtl: Option[java.time.Duration] = None): Dataset[UserFeatureState] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val (ttl, timeMode) = idleTtl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     events
       .groupByKey(_.user_id)
-      .transformWithState(new UserFeatureProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new UserFeatureProcessor(ttl), timeMode, OutputMode.Append())
   }
 
   /** Session conf required by [[runningUserFeaturesTws]] (transformWithState

@@ -143,35 +143,43 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
-  test("transformWithState twin matches flatMapGroupsWithState snapshots") {
+  test("transformWithState twin matches flatMapGroupsWithState snapshots (true parity)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
+    val prevConf = spark.conf.getOption(key)
     spark.conf.set(rocksdbStateStoreConf._1, rocksdbStateStoreConf._2)
+    val ckpt = s"/tmp/graft-tws-ckpt-${System.nanoTime()}"
     try {
-      val input = MemoryStream[Event]
-      val query = runningUserFeaturesTws(input.toDS())
-        .writeStream.format("memory").queryName("tws").outputMode(OutputMode.Append())
-        .option("checkpointLocation", s"/tmp/graft-tws-ckpt-${System.nanoTime()}")
-        .start()
-      try {
-        input.addData(Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0))
-        query.processAllAvailable()
-        input.addData(
-          Event("u1", "purchase", ts("2024-01-01 11:00:00"), 5.0),
-          Event("u1", "click", ts("2024-01-01 12:00:00"), 1.0))
-        query.processAllAvailable()
-        // identical snapshots to the flatMapGroupsWithState run in the
-        // "running user features" test above: 1-event then 3-event states
-        val snaps = spark.table("tws").as[UserFeatureState].collect()
-          .filter(_.user_id == "u1").sortBy(_.event_count)
-        snaps.map(_.event_count).toSeq shouldBe Seq(1L, 3L)
-        snaps.last.purchase_count shouldBe 1L
-        snaps.last.last_event_ts shouldBe ts("2024-01-01 12:00:00")
-      } finally query.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+      // BOTH formulations consume the identical micro-batch sequence —
+      // multiple users, purchase-first user, cross-batch accumulation —
+      // and every emitted snapshot must match, not just a scripted final
+      val batches = Seq(
+        Seq(Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0),
+          Event("u2", "purchase", ts("2024-01-01 10:10:00"), 9.0)),
+        Seq(Event("u1", "purchase", ts("2024-01-01 11:00:00"), 5.0),
+          Event("u1", "click", ts("2024-01-01 12:00:00"), 1.0),
+          Event("u3", "view", ts("2024-01-01 11:30:00"), 0.5)))
+      def run(name: String, mk: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[UserFeatureState]): Set[UserFeatureState] = {
+        val input = MemoryStream[Event]
+        val query = mk(input.toDS())
+          .writeStream.format("memory").queryName(name).outputMode(OutputMode.Append())
+          .option("checkpointLocation", s"$ckpt/$name")
+          .start()
+        try {
+          batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+          spark.table(name).as[UserFeatureState].collect().toSet
+        } finally query.stop()
+      }
+      val tws = run("tws_par", ds => runningUserFeaturesTws(ds))
+      val fmgws = run("fmgws_par", ds => runningUserFeatures(ds))
+      tws shouldBe fmgws
+      tws.exists(s => s.user_id == "u1" && s.event_count == 3L) shouldBe true
+    } finally {
+      prevConf match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
 
