@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions._
@@ -99,17 +100,27 @@ object Dedup {
     // once unreferenced.
     var labels = nodes.union(endpoints).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
-    // Convergence: labels only ever DECREASE, so the (exact, decimal —
-    // long ids could overflow a bigint sum) label total strictly drops on
-    // any change; a stable total means a fixpoint. One map-side-combinable
-    // aggregate over the already-checkpointed round — no join, no second
-    // shuffle of the label set.
+    // Convergence, numeric ids: labels only ever DECREASE, so the (exact,
+    // decimal — long ids could overflow a bigint sum) label total strictly
+    // drops on any change; a stable total means a fixpoint. One
+    // map-side-combinable aggregate over the already-checkpointed round —
+    // no join, no second shuffle of the label set. The sum trick is ONLY
+    // sound for numeric ids: a non-numeric label cast to decimal throws
+    // under ANSI mode but yields NULL in a non-ANSI session, where both
+    // sums would read as zero and the loop would "converge" after one
+    // round with partial clusters — so non-numeric ids take the
+    // type-agnostic changed-label join below instead.
+    val idIsNumeric = nodes.schema("id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _: DecimalType => true
+      case _ => false
+    }
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // empty frame -> sum is SQL NULL -> treat as zero (empty input is a
       // fixpoint, not an NPE)
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    var prevSum = if (idIsNumeric) labelSum(labels) else java.math.BigDecimal.ZERO
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -118,9 +129,20 @@ object Dedup {
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      converged =
+        if (idIsNumeric) {
+          val nextSum = labelSum(next)
+          val same = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
+          same
+        } else {
+          // exact for ANY id type: a fixpoint means no node's label moved.
+          // Costs a co-keyed join of two checkpointed label sets per round
+          // (vs the numeric path's single aggregate); both sides are
+          // (id, label) rows, never documents.
+          next.join(labels.withColumnRenamed("label", "prev_label"), "id")
+            .where(col("label") =!= col("prev_label")).isEmpty
+        }
       labels = next
       it += 1
     }

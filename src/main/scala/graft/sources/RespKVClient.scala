@@ -25,10 +25,17 @@ class RespKVClient(host: String, port: Int, password: Option[String] = None,
     connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000) extends KVClient {
 
   private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
-  socket.setSoTimeout(readTimeoutMs)
-  private val out = new BufferedOutputStream(socket.getOutputStream)
-  private val in = new BufferedInputStream(socket.getInputStream)
+  // a failed connect (timeout, refused) or stream setup leaves a socket
+  // holding an fd; per-partition factories retried across tasks would leak
+  // one per attempt until GC — release it before rethrowing, like the AUTH
+  // path below
+  private val (out, in) =
+    try {
+      socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+      socket.setSoTimeout(readTimeoutMs)
+      (new BufferedOutputStream(socket.getOutputStream),
+        new BufferedInputStream(socket.getInputStream))
+    } catch { case e: Throwable => socket.close(); throw e }
 
   password.foreach { pw =>
     // any AUTH failure — a parsed -ERR OR an exchange that throws (server

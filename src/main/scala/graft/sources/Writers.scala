@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Write-side platform abstraction (reference: platform/Writers.scala:27-110).
   *
@@ -77,6 +77,7 @@ trait Writer {
           val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(loc)) {
+            sweepStaleAsides(spark, fs, loc)
             val aside = new Path(
               loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
             if (fs.exists(aside)) fs.delete(aside, true)
@@ -92,6 +93,36 @@ trait Writer {
               s"orphaned table location $loc moved aside to $aside before overwrite of $tableName")
           }
         }
+      }
+    }
+  }
+
+  /** Asides are keyed by application id, so every distinct app run that hits
+    * an orphaned location leaves one behind — unbounded warehouse growth
+    * unless something reaps them. Reap here, on the next overwrite of the
+    * same table: delete `<table>.__orphan.*` siblings older than the
+    * retention window (`spark.graft.orphanAsideRetentionHours`, default 168
+    * = 7 days — long enough for an operator to notice the aside warning and
+    * recover data from a genuinely shared warehouse), and log what is
+    * retained so the pending garbage is visible, not silent.
+    */
+  private def sweepStaleAsides(spark: SparkSession, fs: FileSystem, loc: Path): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val retentionMs = spark.conf
+      .get("spark.graft.orphanAsideRetentionHours", "168").toLong * 3600L * 1000L
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val asides =
+      try fs.globStatus(new Path(loc.getParent, loc.getName + ".__orphan.*"))
+      catch { case _: java.io.FileNotFoundException => null }
+    Option(asides).getOrElse(Array.empty).foreach { st =>
+      if (st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, true))
+          log.warn(s"deleted stale orphan aside ${st.getPath} " +
+            s"(older than ${retentionMs / 3600000L}h)")
+      } else {
+        log.warn(s"retaining orphan aside ${st.getPath} until the " +
+          s"${retentionMs / 3600000L}h retention window passes; delete it " +
+          "manually once its data is confirmed recovered or unneeded")
       }
     }
   }

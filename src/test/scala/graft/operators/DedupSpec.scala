@@ -186,6 +186,24 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1)
   }
 
+  test("cluster assignment with STRING ids: chained pairs merge (type-agnostic convergence)") {
+    // string labels can't ride the numeric decimal-sum convergence check (a
+    // non-ANSI session would cast them to NULL and "converge" immediately);
+    // this pins the changed-label-join path to the same transitive semantics
+    val nodes = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("doc_id")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val out = Dedup.assignClusters(nodes, pairs).orderBy("doc_id").collect()
+    out.map(_.getAs[String]("cluster_id")).toSeq shouldBe
+      Seq("doc-a", "doc-a", "doc-a", "doc-z")
+    out.map(_.getAs[Long]("cluster_size")).toSeq shouldBe Seq(3L, 3L, 3L, 1L)
+    out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 1, 0)
+    // the long-chain shape must also converge under the join-based check
+    val chainNodes = (1 to 9).map(i => f"d$i%02d").toDF("doc_id")
+    val chainPairs = (1 until 9).map(i => (f"d$i%02d", f"d${i + 1}%02d")).toDF("id_a", "id_b")
+    val chain = Dedup.assignClusters(chainNodes, chainPairs).collect()
+    chain.map(_.getAs[String]("cluster_id")).distinct.toSeq shouldBe Seq("d01")
+  }
+
   test("cluster assignment over real near-dup pairs reuses keeper semantics") {
     val pairs = Dedup.minhashLshPairs(docs, threshold = 0.5).select("id_a", "id_b")
     val out = Dedup.assignClusters(docs, pairs).orderBy("doc_id").collect()
