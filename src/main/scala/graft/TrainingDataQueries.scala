@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling, SimilaritySearch, Vocabulary}
+import graft.operators.{Contamination, Dedup, Packing, Quantiles, Sampling, SimilaritySearch, Vocabulary}
 
 /** Training-data-pipeline queries (dedup, similarity search, text analysis,
   * multimodal binary plumbing) over the `documents` and `embeddings` tables,
@@ -117,6 +117,38 @@ object TrainingDataQueries {
     "q39_train_split" -> ((s, dir) =>
       Sampling.assignSplit(docs(s, dir), "text")
         .select(col("doc_id"), col("split"))),
+
+    // sequence packing: token-budget chunk assignment via the scalable
+    // two-phase prefix sum (chunk = floor(cumulative-tokens-before/budget))
+    "q42_pack_chunks" -> ((s, dir) =>
+      Packing.packChunks(
+        docs(s, dir).select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens")),
+        budget = 512L, bucketWidth = 64L)),
+
+    // quantile quality gate: keep docs at/above the p25 quality score,
+    // threshold read exactly off a bounded-precision histogram (no global
+    // sort, no in-memory percentile buffer)
+    "q43_quantile_gate" -> ((s, dir) => {
+      val quality = docs(s, dir).select(
+        col("doc_id") +: qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), col("quality_score"))
+      Quantiles.quantileGate(quality, "quality_score", qNum = 1L, qDen = 4L, precision = 6)
+        .select(col("doc_id"), col("quality_score"), col("threshold"))
+    }),
+
+    // source rebalancing: cap every language at ~100 docs by deterministic
+    // content-hash thresholding (the data-mixing step)
+    "q44_rebalance_sources" -> ((s, dir) =>
+      Sampling.rebalanceToQuota(docs(s, dir), "lang", "text", quota = 100L)
+        .select(col("doc_id"), col("lang"), col("category_n"))),
+
+    // benchmark contamination: which "training" docs (id > 25) share any
+    // verbatim 3-gram with the "benchmark" slice (id <= 25)?
+    "q45_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
+    }),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
@@ -431,6 +463,55 @@ object TrainingDataQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    // the two-phase prefix sum equals the plain ordered cumsum by
+    // construction, so the oracle IS the single-window formulation
+    "q42_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |FROM t)
+         |SELECT doc_id, n_tokens, start_offset,
+         |  CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id,
+         |  start_offset % 512 AS chunk_offset
+         |FROM c""".stripMargin,
+
+    "q43_quantile_gate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |FROM m),
+         |h AS (SELECT round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
+         |hc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM h),
+         |thr AS (SELECT min(v) AS threshold FROM hc, tot WHERE cum >= (nn * 1 + 3) // 4)
+         |SELECT q.doc_id, q.quality_score, thr.threshold
+         |FROM q, thr WHERE round(q.quality_score, 6) >= thr.threshold""".stripMargin,
+
+    "q44_rebalance_sources" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS category_n FROM documents GROUP BY lang)
+         |SELECT d.doc_id, d.lang, c.category_n
+         |FROM documents d JOIN c ON d.lang = c.lang
+         |WHERE c.category_n <= 100
+         |   OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}""".stripMargin,
+
+    "q45_contamination" ->
+      s"""WITH $docSetsSql,
+         |bench AS (SELECT DISTINCT unnest(hashes) AS h FROM sets WHERE id <= 25),
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets WHERE id > 25),
+         |shared AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM posting JOIN bench USING (h) GROUP BY id)
+         |SELECT sets.id AS doc_id,
+         |  CAST(len(sets.hashes) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CAST(coalesce(shared.n_shared, 0) AS BIGINT) * 1.0 / len(sets.hashes), 6) AS share_ratio,
+         |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM sets LEFT JOIN shared ON sets.id = shared.id
+         |WHERE sets.id > 25""".stripMargin,
 
     "q30_multimodal_binary" ->
       """SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.shingleHashes
+
+/** Benchmark contamination check: which training documents share verbatim
+  * n-grams with a held-out evaluation set?
+  *
+  * Training on text that overlaps the benchmark inflates eval scores, so a
+  * training-data pipeline runs this gate before every release. For each
+  * training doc the operator reports how many of its distinct n-gram
+  * shingles also occur anywhere in the benchmark corpus
+  * (`n_shared`), the doc's total distinct shingles (`n_shingles`), the
+  * ratio, and a binary `contaminated` flag (any overlap at all — the
+  * conservative cut used in practice; gate on `share_ratio` for a softer
+  * policy).
+  *
+  * Scale shape — this is NOT the near-dup self-join: the benchmark is the
+  * small side by construction (eval sets are MBs; the crawl is TBs), so
+  * its distinct shingle-hash set broadcasts, and the training side needs
+  * only a map-side-combinable per-doc aggregate after a broadcast semi
+  * match — the 100 TB side never shuffles its shingles anywhere. Shingle
+  * hashing itself is the same row-local native kernel the dedup family
+  * uses ([[graft.functions.ShingleHashes]]).
+  *
+  * Docs with fewer than `n` tokens have no shingles and are excluded (no
+  * signal to test — mirroring the dedup operators' population rule).
+  */
+object Contamination {
+
+  def check(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = train.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+    val benchHashes = benchmark
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val posting = sets.select(col("id"), size(col("hashes")).as("n_shingles"),
+      explode(col("hashes")).as("h"))
+    // shingleHashes emits DISTINCT hashes per doc, so count(*) after the
+    // broadcast match is the per-doc count of distinct shared shingles
+    val shared = posting.join(broadcast(benchHashes), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    sets.join(shared, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("hashes"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .select(
+        col(idCol),
+        size(col("hashes")).cast("long").as("n_shingles"),
+        col("n_shared"),
+        round(col("n_shared") / size(col("hashes")), 6).as("share_ratio"),
+        (col("n_shared") > 0).cast("int").as("contaminated"))
+  }
+}

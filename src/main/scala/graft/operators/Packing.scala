@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-size training chunks.
+  *
+  * An LLM training pipeline concatenates documents (in a deterministic
+  * order) into one token stream and cuts it into context-window-sized
+  * chunks. The operator computes, for every document, where in that stream
+  * it starts — `start_offset` = total tokens of all preceding documents —
+  * and derives `chunk_id = start_offset / budget` and
+  * `chunk_offset = start_offset % budget`. A document longer than the
+  * remaining space in its chunk simply spans into the next one (stream
+  * semantics — the downstream loader handles splitting); the assignment is
+  * a pure function of (id order, token counts, budget).
+  *
+  * The heart is a GLOBAL prefix sum, which is exactly the thing a naive
+  * `Window.orderBy(id)` gets wrong at scale: an unpartitioned window
+  * collapses the whole corpus into ONE task. This implementation uses the
+  * standard two-phase decomposition instead:
+  *
+  *   1. coarse bucket = `id / bucketWidth` (floor division — monotone in
+  *      id, so buckets are contiguous ranges of the global order);
+  *   2. per-bucket token totals via one map-side-combinable aggregate;
+  *   3. an exclusive running sum over the BUCKET TOTALS — a frame with one
+  *      row per bucket, thousands of rows at most, where a single-task
+  *      window is the right plan, not a bottleneck;
+  *   4. bucket offsets broadcast back; within each bucket a window
+  *      partitioned BY bucket computes the local exclusive prefix sum.
+  *
+  * The result is identical to the single-window formulation for every
+  * `bucketWidth` (PackingSpec pins this), so the knob tunes parallelism
+  * only. Sparse or skewed ids make buckets uneven — pick `bucketWidth`
+  * so the densest id range fits a task (at 100 TB: ~1e6 rows/bucket).
+  */
+object Packing {
+
+  def packChunks(docs: DataFrame, budget: Long,
+                 idCol: String = "doc_id", tokenCol: String = "n_tokens",
+                 bucketWidth: Long = 4096L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("id") / lit(bucketWidth)).cast("long"))
+    // tiny frame: one row per bucket — the only unpartitioned window, by
+    // design (see scaladoc step 3)
+    val bucketOffsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(
+          sum(col("bucket_total")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val localWin = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("start_offset",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(localWin), lit(0L)))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("start_offset"),
+        floor(col("start_offset") / lit(budget)).cast("long").as("chunk_id"),
+        (col("start_offset") % lit(budget)).as("chunk_offset"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable exact quantiles over a bounded-precision value column, and the
+  * quantile-threshold filter ("quality gate") built on them.
+  *
+  * The obvious formulations both fail at 100 TB: Spark's exact
+  * `percentile` buffers every value of the group in one aggregation
+  * buffer, and `approx_percentile`'s t-digest merge is
+  * partition-order-sensitive — not replayable by an oracle. This operator
+  * instead discretizes: values are rounded to `precision` decimals, the
+  * distribution collapses to a HISTOGRAM of at most ~10^precision distinct
+  * rows (bounded by the value domain, independent of corpus size) via one
+  * map-side-combinable aggregate, and the quantile is read exactly off the
+  * histogram's running counts. The returned threshold is the type-1 (lower)
+  * quantile of the ROUNDED distribution: the smallest rounded value v with
+  * `count(values <= v) >= ceil(q * N)`.
+  *
+  * Determinism: counts are integers, the quantile rank is computed with
+  * integer arithmetic from a RATIONAL q = qNum/qDen (never a float
+  * multiply), and rounding is fixed-precision — the DuckDB oracle replays
+  * every step bit-for-bit.
+  */
+object Quantiles {
+
+  /** Histogram of `valueCol` rounded to `precision` decimals: (v, cnt). */
+  def histogram(df: DataFrame, valueCol: String, precision: Int): DataFrame =
+    df.groupBy(round(col(valueCol), precision).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** One row: the type-1 quantile threshold of the rounded distribution at
+    * q = qNum/qDen. The window over the histogram is unpartitioned by
+    * design — its frame is the bounded histogram, not the corpus.
+    */
+  def quantileThreshold(df: DataFrame, valueCol: String,
+                        qNum: Long, qDen: Long, precision: Int): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"q must be a rational in [0, 1]: got $qNum/$qDen")
+    val h = histogram(df, valueCol, precision)
+      .withColumn("cum",
+        sum(col("cnt")).over(
+          Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+    val total = h.agg(sum(col("cnt")).as("n"))
+    // rank k = ceil(qNum*N / qDen) in pure integer math — `div`, not `/`
+    // (Column./ on longs is a DOUBLE divide, inexact past 2^53)
+    h.crossJoin(total)
+      .withColumn("k", expr(s"(n * $qNum + ${qDen - 1L}) div $qDen"))
+      .filter(col("cum") >= col("k"))
+      .agg(min(col("v")).as("threshold"))
+  }
+
+  /** Keep rows whose rounded value is >= the q-th quantile threshold (the
+    * "top 1-q by score" gate). The threshold rides along as a column so
+    * the cut is auditable. The threshold side is one row — broadcast by
+    * construction; the gate itself is a row-local filter.
+    */
+  def quantileGate(df: DataFrame, valueCol: String,
+                   qNum: Long, qDen: Long, precision: Int): DataFrame =
+    df.crossJoin(broadcast(quantileThreshold(df, valueCol, qNum, qDen, precision)))
+      .filter(round(col(valueCol), precision) >= col("threshold"))
+}

@@ -44,6 +44,39 @@ object Sampling {
     df.filter(contentBucket(col(textCol), buckets) < pct)
   }
 
+  /** Rebalance a corpus toward a per-category quota (the "data mixing"
+    * step: cap the dominant language/source so the training mix isn't
+    * whatever the crawl happened to fetch). Categories at or under `quota`
+    * rows pass through untouched; an over-quota category is downsampled to
+    * ~quota rows by CONTENT-HASH thresholding — a row is kept iff its
+    * content bucket falls under the category's keep-rate, so membership
+    * stays a pure row-local function of the text (same guarantees as
+    * [[deterministicSample]]: stable across reruns, re-sharding, engines).
+    *
+    * The keep-rate is exact integer arithmetic — category counts (one tiny
+    * map-side-combinable aggregate, one row per category) are joined back
+    * by broadcast and the filter is `bucket * cnt < quota * buckets`, i.e.
+    * bucket < buckets*quota/cnt without any float division — so the DuckDB
+    * oracle replays the cut bit-for-bit. The kept count is approximate
+    * (hash buckets are ~uniform, not exact-N): expected kept ≈ quota, not
+    * == quota — an exact-N cut would need a per-category rank (a window
+    * over the hot category, the very skew this operator exists to avoid).
+    */
+  def rebalanceToQuota(df: DataFrame, categoryCol: String, textCol: String,
+                       quota: Long, buckets: Int = 10000): DataFrame = {
+    require(quota >= 0, "quota must be non-negative")
+    require(buckets > 0, "buckets must be positive")
+    require(quota <= Long.MaxValue / buckets,
+      s"quota * buckets overflows a long: quota=$quota buckets=$buckets")
+    val counts = df.groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("category_n"))
+    df.join(broadcast(counts), categoryCol)
+      .filter(
+        col("category_n") <= quota ||
+          contentBucket(col(textCol), buckets).cast("long") * col("category_n")
+            < lit(quota * buckets))
+  }
+
   /** Assign each row a train/val/test split by content bucket:
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val, rest ->
     * test. Disjoint and exhaustive by construction.

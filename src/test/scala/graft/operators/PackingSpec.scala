@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Sequence packing: hand-computed chunk math, and the property that makes
+  * the two-phase prefix sum trustworthy — every bucketWidth produces the
+  * identical assignment (the knob tunes parallelism, never results).
+  */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunk assignment matches hand-computed offsets; long docs span chunks") {
+    // stream: 0 | 60 | 100 | 350 | 360 | 505 with budget 100
+    val docs = Seq((1L, 60L), (2L, 40L), (3L, 250L), (4L, 10L), (5L, 145L), (6L, 30L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packChunks(docs, budget = 100L).orderBy("doc_id")
+      .select("doc_id", "start_offset", "chunk_id", "chunk_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 0L, 0L, 0L),     // starts chunk 0
+      (2L, 60L, 0L, 60L),
+      (3L, 100L, 1L, 0L),   // 250 tokens: spans chunks 1..3 (stream semantics)
+      (4L, 350L, 3L, 50L),
+      (5L, 360L, 3L, 60L),
+      (6L, 505L, 5L, 5L))
+  }
+
+  test("two-phase result is identical for every bucketWidth (incl. the real corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), (expr("length(text)") % 97).cast("long").as("n_tokens"))
+    def run(w: Long) = Packing.packChunks(docs, budget = 256L, bucketWidth = w)
+      .select("doc_id", "start_offset", "chunk_id", "chunk_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ref = run(1L)   // one doc per bucket: degenerate but well-defined
+    run(7L) shouldBe ref
+    run(64L) shouldBe ref
+    run(1000000L) shouldBe ref  // everything in one bucket = the naive window
+    // and the naive single-window formulation agrees
+    val naive = docs
+      .withColumn("start_offset", coalesce(
+        sum(col("n_tokens")).over(
+          Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("start_offset"),
+        floor(col("start_offset") / 256).cast("long").as("chunk_id"),
+        (col("start_offset") % 256).as("chunk_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    ref shouldBe naive
+  }
+
+  test("guards reject non-positive budget and bucketWidth") {
+    val docs = Seq((1L, 5L)).toDF("doc_id", "n_tokens")
+    an[IllegalArgumentException] should be thrownBy Packing.packChunks(docs, budget = 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packChunks(docs, budget = 10L, bucketWidth = 0L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Histogram quantiles: the type-1 definition against hand-computed ranks,
+  * edge quantiles, tie handling, and gate membership.
+  */
+class QuantilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def values(vs: Double*) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "score")
+
+  private def threshold(df: org.apache.spark.sql.DataFrame,
+                        qNum: Long, qDen: Long): Double =
+    Quantiles.quantileThreshold(df, "score", qNum, qDen, precision = 6)
+      .as[Double].head()
+
+  test("type-1 quantile: smallest v with count(<= v) >= ceil(q*N)") {
+    val df = values(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    threshold(df, 1L, 4L) shouldBe 0.3 // ceil(10/4)=3rd smallest
+    threshold(df, 1L, 2L) shouldBe 0.5 // median, N even -> lower
+    threshold(df, 9L, 10L) shouldBe 0.9
+    threshold(df, 1L, 1L) shouldBe 1.0 // q=1 -> max
+  }
+
+  test("ties collapse into one histogram row but keep their full count") {
+    // 5 copies of 0.2 then one 0.9: p50 rank = 3 -> still 0.2
+    val df = values(0.2, 0.2, 0.2, 0.2, 0.2, 0.9)
+    threshold(df, 1L, 2L) shouldBe 0.2
+    threshold(df, 11L, 12L) shouldBe 0.9 // ceil(11*6/12)=6th
+  }
+
+  test("q=0 keeps everything; gate compares on ROUNDED values") {
+    val df = values(0.30000004, 0.3, 0.7)
+    // both 0.3-ish values round into the same histogram row at 6dp
+    threshold(df, 0L, 1L) shouldBe 0.3
+    Quantiles.quantileGate(df, "score", 0L, 1L, precision = 6)
+      .select("id").as[Long].collect().toSet shouldBe Set(0L, 1L, 2L)
+    // p66 threshold is the shared rounded value, so BOTH 0.3-ish rows pass
+    Quantiles.quantileGate(df, "score", 2L, 3L, precision = 6)
+      .select("id").as[Long].collect().toSet shouldBe Set(0L, 1L, 2L)
+  }
+
+  test("gate keeps exactly the rows at/above the threshold") {
+    val df = values(0.1, 0.4, 0.4, 0.8, 0.9)
+    // p50: rank ceil(5/2)=3 -> threshold 0.4; gate keeps ids 1,2,3,4
+    val kept = Quantiles.quantileGate(df, "score", 1L, 2L, precision = 6)
+      .select("id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 2L, 3L, 4L)
+  }
+
+  test("guards reject an out-of-range rational q") {
+    val df = values(0.5)
+    an[IllegalArgumentException] should be thrownBy threshold(df, 5L, 4L)
+    an[IllegalArgumentException] should be thrownBy threshold(df, 1L, 0L)
+    an[IllegalArgumentException] should be thrownBy threshold(df, -1L, 4L)
+  }
+}

@@ -49,6 +49,40 @@ class SamplingSpec extends SparkTestBase {
     sampled.size.toDouble / all.size shouldBe 0.3 +- 0.1
   }
 
+  test("rebalance: under-quota categories pass through; hot ones shrink to ~quota") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val before = docs01.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = Sampling.rebalanceToQuota(docs01, "lang", "text", quota = 100L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    before.foreach { case (lang, n) =>
+      if (n <= 100L) after(lang) shouldBe n              // untouched
+      else {
+        // hash thresholding: expected ~quota, tolerate hash noise
+        after(lang).toDouble shouldBe 100.0 +- 35.0
+        after(lang) should be < n
+      }
+    }
+    // kept rows are a SUBSET (never rewritten, never duplicated)
+    val keptIds = Sampling.rebalanceToQuota(docs01, "lang", "text", quota = 100L)
+      .select("doc_id").as[Long].collect()
+    keptIds.distinct.length shouldBe keptIds.length
+    // and the cut is deterministic across reruns
+    Sampling.rebalanceToQuota(docs01, "lang", "text", quota = 100L)
+      .select("doc_id").as[Long].collect().toSet shouldBe keptIds.toSet
+  }
+
+  test("rebalance: quota 0 empties every category; guards reject bad args") {
+    val dup = Seq((1L, "a text", "en"), (2L, "b text", "fr"))
+      .toDF("doc_id", "text", "lang")
+    Sampling.rebalanceToQuota(dup, "lang", "text", quota = 0L).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.rebalanceToQuota(dup, "lang", "text", quota = -1L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.rebalanceToQuota(dup, "lang", "text", quota = 1L, buckets = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.rebalanceToQuota(dup, "lang", "text", quota = Long.MaxValue, buckets = 2)
+  }
+
   test("guards reject nonsense percentages") {
     an[IllegalArgumentException] should be thrownBy
       Sampling.deterministicSample(docs, "text", 101)
