@@ -36,19 +36,17 @@ object Contamination {
       .filter(size(col("hashes")) > 0)
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
-    val posting = sets.select(col("id"), size(col("hashes")).as("n_shingles"),
-      explode(col("hashes")).as("h"))
+    // the exploded training rows carry only (id, h) through the hot
+    // broadcast-match stage; per-doc totals are recomputed from `sets`
+    val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
     // shingleHashes emits DISTINCT hashes per doc, so count(*) after the
     // broadcast match is the per-doc count of distinct shared shingles
     val shared = posting.join(broadcast(benchHashes), "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
     sets.join(shared, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(
         col("id").as(idCol),
-        col("hashes"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .select(
-        col(idCol),
         size(col("hashes")).cast("long").as("n_shingles"),
         col("n_shared"),
         round(col("n_shared") / size(col("hashes")), 6).as("share_ratio"),

@@ -112,7 +112,10 @@ object Dedup {
     // type-agnostic changed-label join below instead.
     val idIsNumeric = nodes.schema("id").dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
-      case _: DecimalType => true
+      // a SCALED decimal would ROUND under cast to decimal(38,0) — distinct
+      // labels could collide in the sum and fake a fixpoint; only scale-0
+      // decimals ride the sum path
+      case d: DecimalType if d.scale == 0 => true
       case _ => false
     }
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -42,9 +42,21 @@ object Packing {
                  bucketWidth: Long = 4096L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the stream order is numeric-id order; a non-numeric id column would
+    // cast to NULL row-by-row in a non-ANSI session (silently empty
+    // output) — reject it at plan time instead
+    require(docs.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packChunks orders by a NUMERIC id; '$idCol' is ${docs.schema(idCol).dataType.sql}")
     val base = docs.select(
-      col(idCol).cast("long").as("id"),
-      col(tokenCol).cast("long").as("n_tokens"))
+      // a NULL id has no position in the stream: its bucket would sort
+      // before every real bucket (NULLS FIRST) and poison every offset
+      // while the bucket join dropped the row — fail loudly per-row
+      when(col(idCol).isNull,
+        raise_error(lit(s"packChunks: NULL $idCol has no stream position")))
+        .otherwise(col(idCol).cast("long")).as("id"),
+      // a NULL token count contributes no tokens (sum skips NULLs anyway);
+      // make that explicit so the row itself still gets a chunk
+      coalesce(col(tokenCol).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("bucket", floor(col("id") / lit(bucketWidth)).cast("long"))
     // tiny frame: one row per bucket — the only unpartitioned window, by
     // design (see scaladoc step 3)

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Scalable exact quantiles over a bounded-precision value column, and the
   * quantile-threshold filter ("quality gate") built on them.
@@ -19,6 +20,12 @@ import org.apache.spark.sql.functions._
   * quantile of the ROUNDED distribution: the smallest rounded value v with
   * `count(values <= v) >= ceil(q * N)`.
   *
+  * NULL values carry no rank information and are EXCLUDED before the
+  * histogram (N counts non-null values only) — Spark's window would sort a
+  * NULL group first while DuckDB sorts it last, so admitting NULLs would
+  * both skew the rank and break oracle parity. A NULL can never pass the
+  * gate either way (`round(NULL) >= t` is NULL).
+  *
   * Determinism: counts are integers, the quantile rank is computed with
   * integer arithmetic from a RATIONAL q = qNum/qDen (never a float
   * multiply), and rounding is fixed-precision — the DuckDB oracle replays
@@ -26,9 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Histogram of `valueCol` rounded to `precision` decimals: (v, cnt). */
+  /** Histogram of non-null `valueCol` rounded to `precision` decimals:
+    * (v, cnt).
+    */
   def histogram(df: DataFrame, valueCol: String, precision: Int): DataFrame =
-    df.groupBy(round(col(valueCol), precision).as("v"))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(round(col(valueCol), precision).as("v"))
       .agg(count(lit(1)).as("cnt"))
 
   /** One row: the type-1 quantile threshold of the rounded distribution at
@@ -45,9 +55,14 @@ object Quantiles {
           Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
     val total = h.agg(sum(col("cnt")).as("n"))
     // rank k = ceil(qNum*N / qDen) in pure integer math — `div`, not `/`
-    // (Column./ on longs is a DOUBLE divide, inexact past 2^53)
+    // (Column./ on longs is a DOUBLE divide, inexact past 2^53), and
+    // decomposed as (N div qDen)*qNum + ceil((N mod qDen)*qNum / qDen) so
+    // no intermediate exceeds max(N, qDen^2): N*qNum itself would overflow
+    // a long for petabyte-scale row counts at fine-grained q
+    require(qDen <= 1000000000L, s"qDen must be <= 1e9 (got $qDen)")
     h.crossJoin(total)
-      .withColumn("k", expr(s"(n * $qNum + ${qDen - 1L}) div $qDen"))
+      .withColumn("k", expr(
+        s"(n div $qDen) * $qNum + ((n % $qDen) * $qNum + ${qDen - 1L}) div $qDen"))
       .filter(col("cum") >= col("k"))
       .agg(min(col("v")).as("threshold"))
   }
@@ -55,10 +70,16 @@ object Quantiles {
   /** Keep rows whose rounded value is >= the q-th quantile threshold (the
     * "top 1-q by score" gate). The threshold rides along as a column so
     * the cut is auditable. The threshold side is one row — broadcast by
-    * construction; the gate itself is a row-local filter.
+    * construction; the gate itself is a row-local filter. `df` is consumed
+    * twice (threshold pass + gate pass): `storage` persists it across the
+    * two, the same policy knob as the dedup operators — pass
+    * StorageLevel.NONE when upstream is a cheap scan.
     */
   def quantileGate(df: DataFrame, valueCol: String,
-                   qNum: Long, qDen: Long, precision: Int): DataFrame =
-    df.crossJoin(broadcast(quantileThreshold(df, valueCol, qNum, qDen, precision)))
+                   qNum: Long, qDen: Long, precision: Int,
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val d = Caching.maybePersist(df, storage)
+    d.crossJoin(broadcast(quantileThreshold(d, valueCol, qNum, qDen, precision)))
       .filter(round(col(valueCol), precision) >= col("threshold"))
+  }
 }

@@ -70,7 +70,12 @@ object Sampling {
       s"quota * buckets overflows a long: quota=$quota buckets=$buckets")
     val counts = df.groupBy(col(categoryCol))
       .agg(count(lit(1)).as("category_n"))
-    df.join(broadcast(counts), categoryCol)
+      .withColumnRenamed(categoryCol, "__rebalance_cat")
+    // null-safe join: a NULL category (e.g. undetected language) is a real
+    // category with a real count — a plain equi-join would silently drop
+    // every such row instead of capping them
+    df.join(broadcast(counts), col(categoryCol) <=> col("__rebalance_cat"))
+      .drop("__rebalance_cat")
       .filter(
         col("category_n") <= quota ||
           contentBucket(col(textCol), buckets).cast("long") * col("category_n")

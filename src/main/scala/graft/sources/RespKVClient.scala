@@ -35,7 +35,14 @@ class RespKVClient(host: String, port: Int, password: Option[String] = None,
       socket.setSoTimeout(readTimeoutMs)
       (new BufferedOutputStream(socket.getOutputStream),
         new BufferedInputStream(socket.getInputStream))
-    } catch { case e: Throwable => socket.close(); throw e }
+    } catch {
+      case e: Throwable =>
+        // a close() failure must not REPLACE the real connect error in
+        // task logs — suppress it, like try-with-resources would
+        try socket.close()
+        catch { case c: Throwable => e.addSuppressed(c) }
+        throw e
+    }
 
   password.foreach { pw =>
     // any AUTH failure — a parsed -ERR OR an exchange that throws (server

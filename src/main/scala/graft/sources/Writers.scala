@@ -62,22 +62,15 @@ trait Writer {
     */
   private def clearOrphanedLocation(df: DataFrame, tableName: String): Unit = {
     val spark = df.sparkSession
+    // sweep stale asides on EVERY overwrite, not only the orphan branch:
+    // once saveAsTable registers the table, tableExists is true forever in
+    // a persistent metastore and a sweep gated behind it would never run
+    resolveWarehouseLocation(spark, tableName).foreach { case (fs, loc) =>
+      sweepStaleAsides(spark, fs, loc)
+    }
     if (!spark.catalog.tableExists(tableName)) {
-      val parts = tableName.split('.').toSeq match {
-        case "spark_catalog" +: rest => rest
-        case other => other
-      }
-      val dbTable = parts match {
-        case Seq(t) => Some((spark.catalog.currentDatabase, t))
-        case Seq(d, t) => Some((d, t))
-        case _ => None
-      }
-      dbTable.foreach { case (db, tbl) =>
-        if (spark.catalog.databaseExists(db)) {
-          val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
-          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(loc)) {
-            sweepStaleAsides(spark, fs, loc)
+      resolveWarehouseLocation(spark, tableName).foreach { case (fs, loc) =>
+        if (fs.exists(loc)) {
             val aside = new Path(
               loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
             if (fs.exists(aside)) fs.delete(aside, true)
@@ -91,9 +84,31 @@ trait Writer {
                   s"before overwrite of $tableName (rename returned false)")
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"orphaned table location $loc moved aside to $aside before overwrite of $tableName")
-          }
         }
       }
+    }
+  }
+
+  /** The table's default warehouse directory: `<db location>/<table>`,
+    * derived from the owning DATABASE's registered locationUri (never a
+    * guessed warehouse-relative path — a wrong guess could touch another
+    * table's data). None when the name doesn't resolve to an existing
+    * database.
+    */
+  private def resolveWarehouseLocation(
+      spark: SparkSession, tableName: String): Option[(FileSystem, Path)] = {
+    val parts = tableName.split('.').toSeq match {
+      case "spark_catalog" +: rest => rest
+      case other => other
+    }
+    val dbTable = parts match {
+      case Seq(t) => Some((spark.catalog.currentDatabase, t))
+      case Seq(d, t) => Some((d, t))
+      case _ => None
+    }
+    dbTable.collect { case (db, tbl) if spark.catalog.databaseExists(db) =>
+      val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
+      (loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
     }
   }
 

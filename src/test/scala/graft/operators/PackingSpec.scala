@@ -57,4 +57,25 @@ class PackingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Packing.packChunks(docs, budget = 10L, bucketWidth = 0L)
   }
+
+  test("dirty input: string ids rejected at plan time, NULL id raises, NULL tokens = 0") {
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packChunks(Seq(("a", 5L)).toDF("doc_id", "n_tokens"), budget = 10L)
+    // a NULL id has no stream position: loud per-row failure, never a
+    // silently-shifted offset
+    val withNull = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(7L)))
+      .toDF("doc_id", "n_tokens")
+    a[Exception] should be thrownBy
+      Packing.packChunks(withNull, budget = 10L).collect()
+    // a NULL token count packs as zero width; the row keeps its position
+    val nullTokens = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(6L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(4L)))
+      .toDF("doc_id", "n_tokens")
+    Packing.packChunks(nullTokens, budget = 10L).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 6L, 0L), (2L, 0L, 6L), (3L, 4L, 6L))
+  }
 }

@@ -50,6 +50,18 @@ class QuantilesSpec extends SparkTestBase {
     kept shouldBe Set(1L, 2L, 3L, 4L)
   }
 
+  test("NULL values are excluded from both N and the histogram") {
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(0.2)), (2L, java.lang.Double.valueOf(0.4)),
+      (3L, null.asInstanceOf[java.lang.Double]), (4L, null.asInstanceOf[java.lang.Double]),
+      (5L, java.lang.Double.valueOf(0.8))).toDF("id", "score")
+    // non-null distribution {0.2, 0.4, 0.8}: p50 rank ceil(3/2)=2 -> 0.4
+    // (if NULLs counted, N=5 -> rank 3 -> 0.8)
+    threshold(df, 1L, 2L) shouldBe 0.4
+    Quantiles.quantileGate(df, "score", 1L, 2L, precision = 6)
+      .select("id").as[Long].collect().toSet shouldBe Set(2L, 5L)
+  }
+
   test("guards reject an out-of-range rational q") {
     val df = values(0.5)
     an[IllegalArgumentException] should be thrownBy threshold(df, 5L, 4L)

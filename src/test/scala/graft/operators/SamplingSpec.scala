@@ -71,6 +71,16 @@ class SamplingSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet shouldBe keptIds.toSet
   }
 
+  test("rebalance: a NULL category is capped like any other, never dropped") {
+    val rows = (1L to 10L).map(i => (i, s"text number $i",
+      if (i <= 6) null else "en")).toDF("doc_id", "text", "lang")
+    // NULL lang has 6 rows, en has 4: quota 100 keeps ALL 10 (both under)
+    Sampling.rebalanceToQuota(rows, "lang", "text", quota = 100L)
+      .count() shouldBe 10L
+    // quota 0 empties the NULL category too — it was counted, not dropped
+    Sampling.rebalanceToQuota(rows, "lang", "text", quota = 0L).count() shouldBe 0L
+  }
+
   test("rebalance: quota 0 empties every category; guards reject bad args") {
     val dup = Seq((1L, "a text", "en"), (2L, "b text", "fr"))
       .toDF("doc_id", "text", "lang")
