@@ -192,6 +192,38 @@ object EventStream {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Stream-stream interval join: attribute each label to the SAME user's
+    * events in the `lookback` window before its `as_of_ts` (the streaming
+    * twin of the batch point-in-time join's leakage rule — an event after
+    * the label's timestamp never matches). This is the click-attribution /
+    * online-training-example shape: labels and events both arrive as
+    * unbounded streams, and the result streams out attributed rows.
+    *
+    * Both sides carry watermarks and the join condition bounds BOTH
+    * event-time columns, which is exactly what lets Spark garbage-collect
+    * join state: a buffered event can be dropped once the label watermark
+    * passes `ts + lookback`, a buffered label once the event watermark
+    * passes its `as_of_ts`. Without the interval bound the state would
+    * grow forever — the streaming analogue of the unbounded as-of fan-out
+    * the batch union plan avoids. State is keyed by user_id like every
+    * other pipeline here.
+    */
+  def attributedLabels(events: DataFrame, labels: DataFrame,
+                       lookback: String = "1 hour",
+                       eventsWatermark: String = "2 hours",
+                       labelsWatermark: String = "2 hours"): DataFrame = {
+    val e = ensureWatermark(events, eventsWatermark).alias("e")
+    val l = labels.withWatermark("as_of_ts", labelsWatermark).alias("l")
+    e.join(l, expr(
+      s"""e.user_id = l.user_id AND
+         |e.ts <= l.as_of_ts AND
+         |e.ts >= l.as_of_ts - INTERVAL '$lookback'""".stripMargin))
+      .select(
+        col("l.user_id").as("user_id"), col("l.as_of_ts").as("as_of_ts"),
+        col("l.label").as("label"), col("e.event_type").as("event_type"),
+        col("e.ts").as("event_ts"), col("e.value").as("value"))
+  }
+
   /** Streaming online-sync: push each micro-batch's per-user snapshots to
     * the KV store — the streaming twin of
     * [[graft.operators.OnlineSyncPipeline]] (same JSON string-quoting

@@ -86,6 +86,30 @@ class PlanSpec extends SparkTestBase {
     p should include("[codegen id :")               // hash + case fuse into the scan
   }
 
+  test("q44: rebalance never windows or sorts the corpus — counts broadcast, filter row-local") {
+    val p = plan("q44_rebalance_sources")
+    p should not include "Window"
+    p should not include "Sort"
+    p should include("BroadcastHashJoin")
+  }
+
+  test("q45: contamination matches the benchmark side via broadcast hash join") {
+    val p = plan("q45_contamination")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("q42: packing's corpus-wide windows are bucket-partitioned (no global corpus sort)") {
+    // two windows exist: the corpus one partitioned by bucket, and the
+    // bucket-offset one whose frame is the per-bucket AGGREGATE (one row
+    // per bucket). The aggregate must sit below the unpartitioned window,
+    // so every unpartitioned Sort covers only aggregated bucket totals.
+    val p = plan("q42_pack_chunks")
+    p should include("Window")
+    // the corpus-side window shuffles by bucket, never into one partition:
+    p should include("hashpartitioning(bucket")
+  }
+
   test("whole-stage codegen covers the scan->project pipelines (native expressions fuse)") {
     // the native expressions must not break codegen: fingerprinting
     // (PolyHash) and quality metrics stay inside codegen stages (formatted

@@ -209,4 +209,30 @@ class EventStreamSpec extends SparkTestBase {
       FeatureLookup.online(InMemoryKVStore, "u9") shouldBe None
     } finally query.stop()
   }
+
+  test("stream-stream attribution joins labels to prior-interval events only") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[Event]
+    val labels = MemoryStream[LabelAt]
+    val query = attributedLabels(events.toDF(), labels.toDF(), lookback = "1 hour")
+      .writeStream.format("memory").queryName("attr").outputMode(OutputMode.Append()).start()
+    try {
+      events.addData(
+        Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0),    // in window (= boundary)
+        Event("u1", "view", ts("2024-01-01 10:50:00"), 2.0),     // in window
+        Event("u1", "purchase", ts("2024-01-01 11:30:00"), 9.0), // AFTER label: leakage, excluded
+        Event("u2", "click", ts("2024-01-01 09:00:00"), 1.0))    // other user
+      labels.addData(
+        LabelAt("u1", 1.0, ts("2024-01-01 11:00:00")),
+        LabelAt("u3", 0.0, ts("2024-01-01 11:00:00")))           // no events: inner join drops
+      query.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("user_id", "event_type", "value")
+        .as[(String, String, Double)].collect().toSet
+      rows shouldBe Set(("u1", "click", 1.0), ("u1", "view", 2.0))
+    } finally query.stop()
+  }
 }
+
+/** streaming label row for the attribution test */
+case class LabelAt(user_id: String, label: Double, as_of_ts: java.sql.Timestamp)
