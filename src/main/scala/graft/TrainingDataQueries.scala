@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Contamination, Dedup, Packing, Quantiles, Sampling, SimilaritySearch, Vocabulary}
+import graft.operators.{Contamination, Dedup, Packing, Quantiles, Sampling, SimilaritySearch, Sketches, Vocabulary}
 
 /** Training-data-pipeline queries (dedup, similarity search, text analysis,
   * multimodal binary plumbing) over the `documents` and `embeddings` tables,
@@ -148,6 +148,21 @@ object TrainingDataQueries {
     "q45_contamination" -> ((s, dir) => {
       val d = docs(s, dir)
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
+    }),
+
+    // relational HyperLogLog: per-language approx distinct texts, with the
+    // exact count alongside so the sketch error is visible
+    "q46_approx_distinct" -> ((s, dir) =>
+      Sketches.approxDistinctWithExact(docs(s, dir), "lang", "text")),
+
+    // per-group quantiles: the per-language p50 quality score (the cut a
+    // multilingual corpus gates each language against)
+    "q47_grouped_quantile" -> ((s, dir) => {
+      val quality = docs(s, dir).select(
+        col("doc_id") +: col("lang") +:
+          qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      Quantiles.groupedQuantileThreshold(
+        quality, "lang", "quality_score", qNum = 1L, qDen = 2L, precision = 6)
     }),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
@@ -512,6 +527,46 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // relational HLL twin: identical register/rho integer math, identical
+    // index-ordered float fold; alpha*m^2 interpolated from the SAME Scala
+    // double so both engines parse the same literal
+    "q46_approx_distinct" ->
+      s"""WITH hh AS (SELECT lang, ${polyHashSql("text")} AS h FROM documents),
+         |rr AS (SELECT lang, CAST(h % ${Sketches.Registers} AS INT) AS reg,
+         |  CASE WHEN h // ${Sketches.Registers} = 0 THEN ${Sketches.MaxRho}
+         |       ELSE bit_count(((h // ${Sketches.Registers}) & (-(h // ${Sketches.Registers}))) - 1) + 1
+         |  END AS rho
+         |FROM hh),
+         |rg AS (SELECT lang, reg, max(rho) AS r FROM rr GROUP BY lang, reg),
+         |f AS (SELECT lang,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list(r ORDER BY reg), rv -> 1.0 / (CAST(1 AS BIGINT) << rv))), (a, b) -> a + b)
+         |    + CAST(${Sketches.Registers} - count(*) AS DOUBLE) AS inv_sum
+         |FROM rg GROUP BY lang),
+         |ex AS (SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
+         |  FROM documents GROUP BY lang)
+         |SELECT f.lang, round(${Sketches.Alpha * Sketches.Registers * Sketches.Registers} / f.inv_sum, 6) AS approx_distinct,
+         |  ex.exact_distinct
+         |FROM f JOIN ex ON f.lang = ex.lang""".stripMargin,
+
+    "q47_grouped_quantile" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
+         |m AS (SELECT doc_id, lang, len(w) AS n, len(list_distinct(w)) AS nd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+         |FROM t),
+         |q AS (SELECT doc_id, lang,
+         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |FROM m),
+         |h AS (SELECT lang, round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY lang, v),
+         |hc AS (SELECT lang, v,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |FROM h)
+         |SELECT lang, min(v) AS threshold
+         |FROM hc WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2
+         |GROUP BY lang""".stripMargin,
 
     "q30_multimodal_binary" ->
       """SELECT doc_id,

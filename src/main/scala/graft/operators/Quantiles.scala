@@ -67,6 +67,32 @@ object Quantiles {
       .agg(min(col("v")).as("threshold"))
   }
 
+  /** Per-group type-1 quantile thresholds: one row per group value. Same
+    * histogram construction as [[quantileThreshold]], but every window is
+    * PARTITIONED by the group — per-group frames are bounded by the
+    * histogram size, so a hot group never serializes the corpus into one
+    * task (the per-group analogue of the scalar version's tiny-frame
+    * argument). The per-language quality cut of a multilingual corpus is
+    * the motivating use.
+    */
+  def groupedQuantileThreshold(df: DataFrame, groupCol: String, valueCol: String,
+                               qNum: Long, qDen: Long, precision: Int): DataFrame = {
+    require(qDen > 0 && qNum >= 0 && qNum <= qDen,
+      s"q must be a rational in [0, 1]: got $qNum/$qDen")
+    require(qDen <= 1000000000L, s"qDen must be <= 1e9 (got $qDen)")
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), round(col(valueCol), precision).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val grp = Window.partitionBy(col(groupCol))
+    h.withColumn("cum",
+        sum(col("cnt")).over(grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(grp))
+      .withColumn("k", expr(
+        s"(n div $qDen) * $qNum + ((n % $qDen) * $qNum + ${qDen - 1L}) div $qDen"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col(groupCol)).agg(min(col("v")).as("threshold"))
+  }
+
   /** Keep rows whose rounded value is >= the q-th quantile threshold (the
     * "top 1-q by score" gate). The threshold rides along as a column so
     * the cut is auditable. The threshold side is one row — broadcast by

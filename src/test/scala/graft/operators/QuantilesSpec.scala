@@ -62,6 +62,16 @@ class QuantilesSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet shouldBe Set(2L, 5L)
   }
 
+  test("grouped thresholds: each group gets its own type-1 quantile") {
+    val df = Seq(
+      ("en", 0.1), ("en", 0.2), ("en", 0.9),   // p50 rank 2 -> 0.2
+      ("fr", 0.5), ("fr", 0.6), ("fr", 0.7), ("fr", 0.8)) // rank 2 -> 0.6
+      .toDF("lang", "score")
+    val out = Quantiles.groupedQuantileThreshold(df, "lang", "score", 1L, 2L, 6)
+      .as[(String, Double)].collect().toMap
+    out shouldBe Map("en" -> 0.2, "fr" -> 0.6)
+  }
+
   test("guards reject an out-of-range rational q") {
     val df = values(0.5)
     an[IllegalArgumentException] should be thrownBy threshold(df, 5L, 4L)
