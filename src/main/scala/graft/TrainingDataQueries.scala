@@ -165,6 +165,34 @@ object TrainingDataQueries {
         quality, "lang", "quality_score", qNum = 1L, qDen = 2L, precision = 6)
     }),
 
+    // the END-TO-END corpus pipeline a training-data team actually ships:
+    // near-dup dedup (keepers) -> quantile quality gate (p25 threshold
+    // computed on the DEDUPED corpus) -> per-language rebalance to quota
+    // -> sequence packing of the survivors into 512-token chunks. Every
+    // stage is one of this library's operators; the oracle composes their
+    // SQL twins into one statement.
+    "q48_corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup
+        .assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
+        .filter(col("is_dup") === 0).select(col("doc_id"))
+      val quality = d.select(
+        col("doc_id") +: col("lang") +: col("text") +:
+          qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("n_tokens"), col("quality_score"))
+      val deduped = quality.join(keepers, "doc_id")
+      val gated = Quantiles
+        .quantileGate(deduped, "quality_score", qNum = 1L, qDen = 4L, precision = 6)
+        .drop("threshold")
+      val balanced = Sampling.rebalanceToQuota(gated, "lang", "text", quota = 100L)
+      val packed = Packing.packChunks(
+        balanced.select(col("doc_id"), col("n_tokens")),
+        budget = 512L, bucketWidth = 64L)
+      balanced.select(col("doc_id"), col("lang"), col("quality_score"))
+        .join(packed.select(col("doc_id"), col("n_tokens"), col("chunk_id")), "doc_id")
+    }),
+
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
     "q30_multimodal_binary" -> ((s, dir) =>
@@ -567,6 +595,40 @@ object TrainingDataQueries {
          |SELECT lang, min(v) AS threshold
          |FROM hc WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2
          |GROUP BY lang""".stripMargin,
+
+    // the composed pipeline oracle: dedup keepers (recursive components)
+    // -> p25 gate on the deduped histogram -> per-lang rebalance -> packed
+    // chunk ids from the survivors' ordered prefix sum
+    "q48_corpus_pipeline" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |$componentCtes,
+         |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
+         |tq AS (SELECT id AS doc_id, w FROM t),
+         |mq AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+         |FROM tq),
+         |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |FROM mq),
+         |deduped AS (SELECT qual.* FROM qual JOIN keepers k ON qual.doc_id = k.id),
+         |hst AS (SELECT round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM deduped GROUP BY 1),
+         |hcum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM hst),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM hst),
+         |thr AS (SELECT min(v) AS threshold FROM hcum, tot WHERE cum >= (nn // 4) * 1 + ((nn % 4) * 1 + 3) // 4),
+         |gated AS (SELECT dd.* FROM deduped dd, thr WHERE round(dd.quality_score, 6) >= thr.threshold),
+         |cnt AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS category_n
+         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id GROUP BY d.lang),
+         |bal AS (SELECT g.doc_id, d.lang, g.n_tokens, g.quality_score
+         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id JOIN cnt c ON d.lang = c.lang
+         |  WHERE c.category_n <= 100
+         |     OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}),
+         |packed AS (SELECT doc_id, lang, quality_score, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |FROM bal)
+         |SELECT doc_id, lang, quality_score, n_tokens,
+         |  CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id
+         |FROM packed""".stripMargin,
 
     "q30_multimodal_binary" ->
       """SELECT doc_id,
