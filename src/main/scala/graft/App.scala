@@ -21,6 +21,8 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *                      [--redis-host <h> [--redis-port <p>] [--redis-password <pw>]]
   *   graft.App offline-lookup --features-table <table> --user-id <id>
   *                      --as-of <yyyy-MM-dd>
+  *   graft.App corpus-prep --docs-path <path> --output-path <path>
+  *                      [--quota <n=100>] [--budget <tokens=512>] [--quality-pct <p=25>]
   *   graft.App demo     [--events-raw-path <path>]
   * }}}
   *
@@ -95,6 +97,19 @@ object App {
         val o = parseArgs(args.tail)
         val n = runOnlineSync(spark, fetcher, o)
         println(s"[graft] online-sync: wrote $n keys")
+
+      case "corpus-prep" =>
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val prepared = operators.CorpusPipeline.prepare(
+          docs,
+          quota = o.get("quota").map(_.toLong).getOrElse(100L),
+          budget = o.get("budget").map(_.toLong).getOrElse(512L),
+          qNum = o.get("quality-pct").map(_.toLong).getOrElse(25L),
+          qDen = 100L)
+        writer.writeParquet(prepared, o.required("output-path"))
+        val kept = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] corpus-prep: wrote $kept packed docs to ${o("output-path")}")
 
       case "serve" =>
         // single-process demo loop: sync the freshness window into the KV
@@ -294,6 +309,10 @@ object App {
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
       |                     [--kv ...|--redis-host ... as online-sync]
+      |  corpus-prep        --docs-path <path> --output-path <path>
+      |                     [--quota <n=100>] [--budget <tokens=512>]
+      |                     [--quality-pct <p=25>]
+      |                     dedup -> quality gate -> rebalance -> pack
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Contamination, Dedup, Packing, Quantiles, Sampling, SimilaritySearch, Sketches, Vocabulary}
+import graft.operators.{Contamination, CorpusPipeline, Dedup, Packing, Quantiles, Sampling, SimilaritySearch, Sketches, Vocabulary}
 
 /** Training-data-pipeline queries (dedup, similarity search, text analysis,
   * multimodal binary plumbing) over the `documents` and `embeddings` tables,
@@ -171,27 +171,7 @@ object TrainingDataQueries {
     // -> sequence packing of the survivors into 512-token chunks. Every
     // stage is one of this library's operators; the oracle composes their
     // SQL twins into one statement.
-    "q48_corpus_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val keepers = Dedup
-        .assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
-        .filter(col("is_dup") === 0).select(col("doc_id"))
-      val quality = d.select(
-        col("doc_id") +: col("lang") +: col("text") +:
-          qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("n_tokens"), col("quality_score"))
-      val deduped = quality.join(keepers, "doc_id")
-      val gated = Quantiles
-        .quantileGate(deduped, "quality_score", qNum = 1L, qDen = 4L, precision = 6)
-        .drop("threshold")
-      val balanced = Sampling.rebalanceToQuota(gated, "lang", "text", quota = 100L)
-      val packed = Packing.packChunks(
-        balanced.select(col("doc_id"), col("n_tokens")),
-        budget = 512L, bucketWidth = 64L)
-      balanced.select(col("doc_id"), col("lang"), col("quality_score"))
-        .join(packed.select(col("doc_id"), col("n_tokens"), col("chunk_id")), "doc_id")
-    }),
+    "q48_corpus_pipeline" -> ((s, dir) => CorpusPipeline.prepare(docs(s, dir))),
 
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.qualityMetrics
+
+/** The end-to-end corpus preparation pipeline a training-data team ships
+  * (q48's implementation, and the `graft.App corpus-prep` subcommand):
+  *
+  *   1. near-dup dedup — MinHash-LSH pairs -> connected components ->
+  *      keepers only ([[Dedup.minhashLshPairs]], [[Dedup.assignClusters]]);
+  *   2. quality gate — keep docs at/above the q-th quantile of
+  *      quality_score, with the threshold computed on the DEDUPED corpus
+  *      (the distribution that matters; duplicates would weight it)
+  *      ([[Quantiles.quantileGate]]);
+  *   3. per-language rebalance to `quota` docs
+  *      ([[Sampling.rebalanceToQuota]]);
+  *   4. sequence packing of the survivors into `budget`-token chunks
+  *      ([[Packing.packChunks]]).
+  *
+  * Output: one row per surviving doc — (doc_id, lang, quality_score,
+  * n_tokens, chunk_id). Deterministic end to end: every stage is a pure
+  * function of the corpus (content hashes, integer rank math, id-ordered
+  * prefix sums), so reruns and the DuckDB oracle (q48) reproduce it
+  * exactly.
+  */
+object CorpusPipeline {
+
+  def prepare(docs: DataFrame, quota: Long = 100L, budget: Long = 512L,
+              qNum: Long = 1L, qDen: Long = 4L): DataFrame = {
+    val keepers = Dedup
+      .assignClusters(docs, Dedup.minhashLshPairs(docs).select("id_a", "id_b"))
+      .filter(col("is_dup") === 0).select(col("doc_id"))
+    val quality = docs.select(
+      col("doc_id") +: col("lang") +: col("text") +:
+        qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("n_tokens"), col("quality_score"))
+    val deduped = quality.join(keepers, "doc_id")
+    val gated = Quantiles
+      .quantileGate(deduped, "quality_score", qNum, qDen, precision = 6)
+      .drop("threshold")
+    val balanced = Sampling.rebalanceToQuota(gated, "lang", "text", quota)
+    val packed = Packing.packChunks(
+      balanced.select(col("doc_id"), col("n_tokens")),
+      budget = budget, bucketWidth = 64L)
+    balanced.select(col("doc_id"), col("lang"), col("quality_score"))
+      .join(packed.select(col("doc_id"), col("n_tokens"), col("chunk_id")), "doc_id")
+  }
+}

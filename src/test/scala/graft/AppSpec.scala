@@ -81,6 +81,29 @@ class AppSpec extends SparkTestBase {
       "--as-of", "2024-01-03"))
   }
 
+  test("corpus-prep subcommand runs the full pipeline and writes packed docs") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    // real corpus slice so every stage (dedup pairs, quantile gate,
+    // rebalance, packing) has signal
+    storage.write("docs_in",
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "overwrite")
+    App.run(platform, Seq("corpus-prep",
+      "--docs-path", "docs_in", "--output-path", "corpus_out",
+      "--quota", "30", "--budget", "256"))
+    val out = storage.rows("corpus_out")
+    out.size should be > 0
+    out.size should be < storage.rows("docs_in").size // gates actually dropped docs
+    storage.schemas("corpus_out").fieldNames.toSet shouldBe
+      Set("doc_id", "lang", "quality_score", "n_tokens", "chunk_id")
+    // packing invariant: the stream starts at chunk 0, and no chunk id can
+    // exceed total-tokens/budget (a long doc may SPAN chunks, so ids need
+    // not be contiguous)
+    val chunks = out.map(_.getAs[Long]("chunk_id"))
+    chunks.min shouldBe 0L
+    chunks.max should be <= out.map(_.getAs[Long]("n_tokens")).sum / 256L
+  }
+
   test("demo subcommand runs the whole walkthrough on injected events") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
