@@ -70,9 +70,7 @@ object TrainingDataQueries {
     // from the operators above — output is the cleaned corpus manifest
     "q38_corpus_prep" -> ((s, dir) => {
       val d = docs(s, dir)
-      val keepers = Dedup
-        .assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
-        .filter(col("is_dup") === 0).select(col("doc_id"))
+      val keepers = Dedup.minhashKeepers(d)
       val quality = d.select(
         col("doc_id") +: qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
       d.select(col("doc_id"), predictedLangText(col("text")).as("predicted_lang"))
@@ -260,6 +258,38 @@ object TrainingDataQueries {
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** n/nd/sum_len/n_stop token-stat CTE body over `src`(…, w) with `keep`
+    * columns riding along — the shared intermediate of every quality-score
+    * oracle (q38/q43/q47/q48), factored so the stat definitions can't drift
+    * between them.
+    */
+  private def tokenStatsSql(src: String, keep: String): String =
+    s"""(SELECT $keep, len(w) AS n, len(list_distinct(w)) AS nd,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
+       |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
+       |FROM $src)""".stripMargin
+
+  /** quality_score over the token stats: twin of
+    * [[TextFunctions.qualityMetrics]]'s composite score.
+    */
+  private val qualityScoreSql =
+    "round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6)"
+
+  /** h/hc/tot/thr CTE chain reading the type-1 quantile threshold of
+    * non-null rounded `valueCol` off `src`'s histogram — twin of
+    * [[Quantiles.quantileThreshold]], including its NULL exclusion (a NULL
+    * score carries no rank information; admitting it would inflate N and
+    * shift the rank k relative to the Scala side) and its decomposed
+    * integer rank math.
+    */
+  private def thresholdCtes(src: String, valueCol: String, qNum: Long, qDen: Long): String =
+    s"""h AS (SELECT round($valueCol, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $src WHERE $valueCol IS NOT NULL GROUP BY 1),
+       |hc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM h),
+       |thr AS (SELECT min(v) AS threshold FROM hc, tot
+       |  WHERE cum >= (nn // $qDen) * $qNum + ((nn % $qDen) * $qNum + ${qDen - 1L}) // $qDen)""".stripMargin
+
   // lang-ID SQL fragments over a token-list column `w` (shared by q21/q38)
   private lazy val langScoreCols = LangMarkers.map { case (lang, words) =>
     val list = words.map(w => s"'$w'").mkString(", ")
@@ -324,7 +354,7 @@ object TrainingDataQueries {
          |  round(nd * 1.0 / n, 6) AS distinct_ratio,
          |  round(sum_len * 1.0 / n, 6) AS avg_token_len,
          |  round(n_stop * 1.0 / n, 6) AS stopword_ratio,
-         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM m""".stripMargin,
 
     "q21_lang_id" ->
@@ -376,12 +406,9 @@ object TrainingDataQueries {
          |$componentCtes,
          |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
          |tq AS (SELECT id AS doc_id, w FROM t),
-         |mq AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
-         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
-         |FROM tq),
+         |mq AS ${tokenStatsSql("tq", "doc_id")},
          |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM mq),
          |sc AS (SELECT doc_id, $langScoreCols FROM tq),
          |mm AS (SELECT doc_id, $langScoreNames, $langMaxExpr AS m FROM sc),
@@ -501,24 +528,19 @@ object TrainingDataQueries {
 
     "q43_quantile_gate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
-         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
-         |FROM t),
-         |q AS (SELECT doc_id,
-         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
-         |FROM m),
-         |h AS (SELECT round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1),
-         |hc AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM h),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM h),
-         |thr AS (SELECT min(v) AS threshold FROM hc, tot WHERE cum >= (nn * 1 + 3) // 4)
+         |m AS ${tokenStatsSql("t", "doc_id")},
+         |q AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM m),
+         |${thresholdCtes("q", "quality_score", 1L, 4L)}
          |SELECT q.doc_id, q.quality_score, thr.threshold
          |FROM q, thr WHERE round(q.quality_score, 6) >= thr.threshold""".stripMargin,
 
+    // null-safe category join (IS NOT DISTINCT FROM): a NULL lang is a real
+    // capped category on the Scala side (rebalanceToQuota joins with <=>);
+    // a plain equi-join would silently drop those rows here only
     "q44_rebalance_sources" ->
       s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS category_n FROM documents GROUP BY lang)
          |SELECT d.doc_id, d.lang, c.category_n
-         |FROM documents d JOIN c ON d.lang = c.lang
+         |FROM documents d JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
          |WHERE c.category_n <= 100
          |   OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}""".stripMargin,
 
@@ -558,16 +580,15 @@ object TrainingDataQueries {
          |  ex.exact_distinct
          |FROM f JOIN ex ON f.lang = ex.lang""".stripMargin,
 
+    // per-group histogram excludes NULL scores, mirroring
+    // groupedQuantileThreshold's isNotNull filter (a NULL would inflate the
+    // group's N and shift its rank k)
     "q47_grouped_quantile" ->
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS w FROM documents),
-         |m AS (SELECT doc_id, lang, len(w) AS n, len(list_distinct(w)) AS nd,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
-         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
-         |FROM t),
-         |q AS (SELECT doc_id, lang,
-         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
-         |FROM m),
-         |h AS (SELECT lang, round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY lang, v),
+         |m AS ${tokenStatsSql("t", "doc_id, lang")},
+         |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score FROM m),
+         |h AS (SELECT lang, round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM q WHERE quality_score IS NOT NULL GROUP BY lang, v),
          |hc AS (SELECT lang, v,
          |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
          |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
@@ -584,23 +605,18 @@ object TrainingDataQueries {
          |$componentCtes,
          |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
          |tq AS (SELECT id AS doc_id, w FROM t),
-         |mq AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t1 -> CAST(length(t1) AS BIGINT))), (a1, b1) -> a1 + b1) AS sum_len,
-         |  len(list_filter(w, t3 -> t3 IN ($stopList))) AS n_stop
-         |FROM tq),
+         |mq AS ${tokenStatsSql("tq", "doc_id")},
          |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  round(0.4 * (nd * 1.0 / n) + 0.3 * least(sum_len * 1.0 / n / 8.0, 1.0) + 0.3 * (1.0 - n_stop * 1.0 / n), 6) AS quality_score
+         |  $qualityScoreSql AS quality_score
          |FROM mq),
          |deduped AS (SELECT qual.* FROM qual JOIN keepers k ON qual.doc_id = k.id),
-         |hst AS (SELECT round(quality_score, 6) AS v, CAST(count(*) AS BIGINT) AS cnt FROM deduped GROUP BY 1),
-         |hcum AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM hst),
-         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM hst),
-         |thr AS (SELECT min(v) AS threshold FROM hcum, tot WHERE cum >= (nn // 4) * 1 + ((nn % 4) * 1 + 3) // 4),
+         |${thresholdCtes("deduped", "quality_score", 1L, 4L)},
          |gated AS (SELECT dd.* FROM deduped dd, thr WHERE round(dd.quality_score, 6) >= thr.threshold),
          |cnt AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS category_n
          |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id GROUP BY d.lang),
          |bal AS (SELECT g.doc_id, d.lang, g.n_tokens, g.quality_score
-         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id JOIN cnt c ON d.lang = c.lang
+         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+         |  JOIN cnt c ON d.lang IS NOT DISTINCT FROM c.lang
          |  WHERE c.category_n <= 100
          |     OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}),
          |packed AS (SELECT doc_id, lang, quality_score, n_tokens,

@@ -29,15 +29,17 @@ object CorpusPipeline {
 
   def prepare(docs: DataFrame, quota: Long = 100L, budget: Long = 512L,
               qNum: Long = 1L, qDen: Long = 4L): DataFrame = {
-    val keepers = Dedup
-      .assignClusters(docs, Dedup.minhashLshPairs(docs).select("id_a", "id_b"))
-      .filter(col("is_dup") === 0).select(col("doc_id"))
-    val quality = docs.select(
-      col("doc_id") +: col("lang") +: col("text") +:
-        qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val keepers = Dedup.minhashKeepers(docs)
+    // keeper join FIRST, metrics second: the TextStats tokenization kernel
+    // runs only over dedup survivors, not over the duplicates the previous
+    // stage just marked for discard (the threshold below is computed on the
+    // deduped distribution either way — output is identical)
+    val deduped = docs.join(keepers, "doc_id")
+      .select(
+        col("doc_id") +: col("lang") +: col("text") +:
+          qualityMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
       .select(col("doc_id"), col("lang"), col("text"),
         col("n_tokens"), col("quality_score"))
-    val deduped = quality.join(keepers, "doc_id")
     val gated = Quantiles
       .quantileGate(deduped, "quality_score", qNum, qDen, precision = 6)
       .drop("threshold")

@@ -168,6 +168,16 @@ object Dedup {
         (col("id") =!= col("cluster_id")).cast("int").as("is_dup"))
   }
 
+  /** The ids that SURVIVE MinHash-LSH near-dup clustering: one `doc_id`
+    * column, exactly the component keepers of [[minhashLshPairs]]'s pair
+    * graph under [[assignClusters]]. The standard "deduped corpus" filter —
+    * shared by the q38 corpus-prep query and [[CorpusPipeline.prepare]] so
+    * the keeper definition can't drift between them.
+    */
+  def minhashKeepers(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    assignClusters(docs, minhashLshPairs(docs, idCol = idCol).select("id_a", "id_b"), idCol = idCol)
+      .filter(col("is_dup") === 0).select(col(idCol))
+
   /** Per-doc shingle-hash set: (id, hashes array). Row-local; reused by the
     * exact and LSH variants.
     */

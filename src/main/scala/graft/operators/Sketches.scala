@@ -63,6 +63,10 @@ object Sketches {
     // exact and the truncating cast is a floor
     val w = (h / lit(Registers)).cast("long")
     val regs = df
+      // countDistinct ignores NULLs; the sketch must too — an unfiltered
+      // NULL value would hash to a NULL register whose NULL rho poisons
+      // the whole group's fold to NULL
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol),
         (h % Registers).cast("int").as("reg"),
         rho(w).as("rho"))
@@ -73,7 +77,10 @@ object Sketches {
     // 2^-r is an exact integer shift + one exact division (SQL shiftleft
     // accepts a column shift amount; the Scala helper does not)
     val folded = regs
-      .withColumn("inv", expr("1.0 / shiftleft(CAST(1 AS BIGINT), r)"))
+      // CAST(1 AS DOUBLE), not the literal 1.0: Spark parses 1.0 as
+      // DECIMAL(2,1) and decimal division's scale-22 result ROUNDS 2^-r
+      // for r >= 23 — breaking the exactness the oracle fold relies on
+      .withColumn("inv", expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), r)"))
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("reg"), col("inv")))).as("rs"))
       .withColumn("inv_sum",
@@ -89,9 +96,14 @@ object Sketches {
     * (The exact side shuffles (group, value) pairs; it exists for audit
     * and tests, not for the 100 TB hot path.)
     */
-  def approxDistinctWithExact(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+  def approxDistinctWithExact(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // null-safe join: a NULL group key is a real group (same rule as
+    // Sampling.rebalanceToQuota) — a plain equi-join would silently drop it
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("exact_distinct"))
+      .withColumnRenamed(groupCol, "__sk_group")
     approxDistinct(df, groupCol, valueCol)
-      .join(
-        df.groupBy(col(groupCol)).agg(countDistinct(col(valueCol)).as("exact_distinct")),
-        groupCol)
+      .join(exact, col(groupCol) <=> col("__sk_group"))
+      .drop("__sk_group")
+  }
 }
