@@ -149,9 +149,24 @@ object TrainingDataQueries {
     }),
 
     // relational HyperLogLog: per-language approx distinct texts, with the
-    // exact count alongside so the sketch error is visible
+    // exact count alongside so the sketch error is visible (61-bit hash,
+    // m = 2^14 registers, linear-counting small-range correction)
     "q46_approx_distinct" -> ((s, dir) =>
       Sketches.approxDistinctWithExact(docs(s, dir), "lang", "text")),
+
+    // mergeable sketch column: per-(lang, source) DENSE register vectors,
+    // element-wise max-merged per lang, estimate read off the merged
+    // vector. Because max-merge is associative, the result hash-matches a
+    // single-pass sketch of all data — the oracle computes exactly that.
+    "q50_sketch_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val perSource = Sketches.sketchVector(d, Seq("lang", "source"), "text")
+      val merged = Sketches.mergeSketches(perSource, Seq("lang"), "sketch")
+      val est = Sketches.estimateVector(merged, Seq("lang"), "sketch")
+      val shards = perSource.groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
+        .withColumnRenamed("lang", "__sh_lang")
+      est.join(shards, col("lang") <=> col("__sh_lang")).drop("__sh_lang")
+    }),
 
     // per-group quantiles: the per-language p50 quality score (the cut a
     // multilingual corpus gates each language against)
@@ -193,6 +208,53 @@ object TrainingDataQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS BIGINT))), " +
       s"(acc, c) -> (acc*$HashBase + c) % $HashMod)"
+
+  /** 61-bit avalanching hash twin of [[graft.functions.PolyHash61]], as
+    * lateral-aliased SELECT steps ending in `h`: the rolling fold with
+    * HUGEINT intermediates (the ~122-bit product of a < 2^61 accumulator
+    * and the ~2^60 base overflows BIGINT but fits HUGEINT), then the
+    * two-round xor-shift/multiply finalizer — every step exact integer
+    * math, so the twin is bit-identical.
+    */
+  private def polyHash61StepsSql(e: String): String = {
+    val M = graft.functions.PolyHash61Impl.Mod61
+    val fold = s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+      s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS HUGEINT))), " +
+      s"(acc, c) -> (acc*${graft.functions.PolyHash61Impl.Base61} + c) % $M) AS BIGINT)"
+    s"""$fold AS h0,
+       |  xor(h0, h0 >> 30) AS h1,
+       |  CAST(CAST(h1 AS HUGEINT) * ${graft.functions.PolyHash61Impl.Mix1} % $M AS BIGINT) AS h2,
+       |  xor(h2, h2 >> 27) AS h3,
+       |  CAST(CAST(h3 AS HUGEINT) * ${graft.functions.PolyHash61Impl.Mix2} % $M AS BIGINT) AS h4,
+       |  xor(h4, h4 >> 31) % $M AS h""".stripMargin
+  }
+
+  /** Relational-HLL CTE chain over (lang, text) of `documents`, ending in
+    * `e2(lang, ..., approx_distinct)` — twin of [[Sketches.registers]] +
+    * [[Sketches.estimateSparse]]. Register index/rho are integer bit math
+    * on the 61-bit hash; the 2^-r fold runs in register-index order with
+    * the zero-register mass added once; the estimator tail (including the
+    * linear-counting series) is the LITERAL same expression text Spark
+    * evaluates ([[Sketches.estimateSteps]]), so both engines produce
+    * bit-identical doubles.
+    */
+  private def hllCtes(logM: Int): String = {
+    val m = 1L << logM
+    val cap = Sketches.maxRho(logM)
+    s"""hh AS (SELECT lang, ${polyHash61StepsSql("text")} FROM documents WHERE text IS NOT NULL),
+       |rr AS (SELECT lang, CAST(h % $m AS INT) AS reg,
+       |  CASE WHEN h // $m = 0 THEN $cap
+       |       ELSE bit_count(((h // $m) & (-(h // $m))) - 1) + 1 END AS rho
+       |FROM hh),
+       |rg AS (SELECT lang, reg, max(rho) AS r FROM rr GROUP BY lang, reg),
+       |f AS (SELECT lang,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list(r ORDER BY reg), rv -> CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rv))), (a, b) -> a + b)
+       |    + CAST($m - count(*) AS DOUBLE) AS inv_sum,
+       |  CAST(count(*) AS BIGINT) AS nregs
+       |FROM rg GROUP BY lang),
+       |e2 AS (SELECT lang, ${Sketches.estimateSelectSql(logM)} FROM f)""".stripMargin
+  }
 
   /** doc shingle-hash sets CTE chain (twin of Dedup.withShingleHashes) */
   private val docSetsSql =
@@ -558,27 +620,29 @@ object TrainingDataQueries {
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
 
-    // relational HLL twin: identical register/rho integer math, identical
-    // index-ordered float fold; alpha*m^2 interpolated from the SAME Scala
-    // double so both engines parse the same literal
+    // relational HLL twin: identical register/rho integer math on the
+    // 61-bit hash, identical index-ordered float fold, and the estimator
+    // tail (incl. linear counting) evaluated from the LITERAL same
+    // expression text as the Spark side
     "q46_approx_distinct" ->
-      s"""WITH hh AS (SELECT lang, ${polyHashSql("text")} AS h FROM documents),
-         |rr AS (SELECT lang, CAST(h % ${Sketches.Registers} AS INT) AS reg,
-         |  CASE WHEN h // ${Sketches.Registers} = 0 THEN ${Sketches.MaxRho}
-         |       ELSE bit_count(((h // ${Sketches.Registers}) & (-(h // ${Sketches.Registers}))) - 1) + 1
-         |  END AS rho
-         |FROM hh),
-         |rg AS (SELECT lang, reg, max(rho) AS r FROM rr GROUP BY lang, reg),
-         |f AS (SELECT lang,
-         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(list(r ORDER BY reg), rv -> 1.0 / (CAST(1 AS BIGINT) << rv))), (a, b) -> a + b)
-         |    + CAST(${Sketches.Registers} - count(*) AS DOUBLE) AS inv_sum
-         |FROM rg GROUP BY lang),
+      s"""WITH ${hllCtes(Sketches.DefaultLogRegisters)},
          |ex AS (SELECT lang, CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct
          |  FROM documents GROUP BY lang)
-         |SELECT f.lang, round(${Sketches.Alpha * Sketches.Registers * Sketches.Registers} / f.inv_sum, 6) AS approx_distinct,
-         |  ex.exact_distinct
-         |FROM f JOIN ex ON f.lang = ex.lang""".stripMargin,
+         |SELECT e2.lang, e2.approx_distinct, ex.exact_distinct
+         |FROM e2 JOIN ex ON e2.lang IS NOT DISTINCT FROM ex.lang""".stripMargin,
+
+    // mergeable-sketch twin: max-merge of per-source registers IS the
+    // all-data register table (max is associative), so the oracle computes
+    // the single-pass sketch; n_shards counts (lang, source) sketch rows —
+    // a NULL source is a real shard, hence the DISTINCT subquery instead
+    // of count(DISTINCT source) (which would skip NULL)
+    "q50_sketch_merge" ->
+      s"""WITH ${hllCtes(Sketches.DefaultLogRegisters)},
+         |sh AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shards
+         |  FROM (SELECT DISTINCT lang, source FROM documents WHERE text IS NOT NULL)
+         |  GROUP BY lang)
+         |SELECT e2.lang, e2.approx_distinct, sh.n_shards
+         |FROM e2 JOIN sh ON e2.lang IS NOT DISTINCT FROM sh.lang""".stripMargin,
 
     // per-group histogram excludes NULL scores, mirroring
     // groupedQuantileThreshold's isNotNull filter (a NULL would inflate the

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 /** Relational HLL: duplicate-insensitivity (the sketch property), accuracy
-  * vs the exact count on the real corpus, and group isolation.
+  * at small range (linear counting) AND at >= 10^6 distinct values (the
+  * published sketch bound — the old 30-bit hash could not pass this),
+  * group isolation, and merge-of-parts == sketch-of-whole for the dense
+  * mergeable vectors.
   */
 class SketchesSpec extends SparkTestBase {
   import spark.implicits._
@@ -23,18 +26,28 @@ class SketchesSpec extends SparkTestBase {
     tripled shouldBe once
   }
 
-  test("estimate tracks the exact count within sketch error on the real corpus") {
+  test("small range: linear counting tracks the exact count tightly") {
     val rows = Sketches.approxDistinctWithExact(docs, "lang", "text")
       .as[(String, Double, Long)].collect()
     rows.length should be >= 4
     rows.foreach { case (lang, approx, exact) =>
-      // raw estimator (no small-range correction) at 64 registers and
-      // 60-220 distinct values/lang: generous but meaningful bound
+      // 60-220 distinct/lang at m=2^14 is deep in linear-counting range,
+      // where expected relative error is well under 1% — allow 5%
       withClue(s"$lang approx=$approx exact=$exact:") {
-        approx should be > exact * 0.5
-        approx should be < exact * 1.7
+        math.abs(approx - exact) / exact.toDouble should be < 0.05
       }
     }
+  }
+
+  test("mid range: >= 10^6 distinct values within the published HLL bound") {
+    // 1e6 >> 2.5m, so this exercises the RAW estimator on the 61-bit hash;
+    // 3 * 1.04/sqrt(2^14) = 2.4% (3 sigma of the published error)
+    val n = 1000000L
+    val df = spark.range(n)
+      .select(lit("g").as("g"), concat(lit("value-"), col("id")).as("v"))
+    val est = Sketches.approxDistinct(df, "g", "v")
+      .as[(String, Double)].head()._2
+    math.abs(est - n) / n.toDouble should be < (3 * 1.04 / math.sqrt(1 << 14))
   }
 
   test("groups are isolated: a huge group does not move a small group's estimate") {
@@ -46,5 +59,26 @@ class SketchesSpec extends SparkTestBase {
     val together = Sketches.approxDistinct(noisy, "g", "v")
       .filter(col("g") === "a").as[(String, Double)].head()._2
     together shouldBe alone
+  }
+
+  test("dense vector: length m, and merge-of-parts == sketch-of-whole exactly") {
+    val logM = 10 // smaller m keeps the collected arrays cheap in-test
+    val whole = Sketches.sketchVector(docs, Seq("lang"), "text", logM)
+      .as[(String, Seq[Int])].collect().toMap
+    whole.values.foreach(_.length shouldBe (1 << logM))
+    val perSource = Sketches.sketchVector(docs, Seq("lang", "source"), "text", logM)
+    val merged = Sketches.mergeSketches(perSource, Seq("lang"), "sketch", logM)
+      .as[(String, Seq[Int])].collect().toMap
+    merged shouldBe whole
+  }
+
+  test("estimate off a merged vector == single-pass sparse estimate, bit for bit") {
+    val perSource = Sketches.sketchVector(docs, Seq("lang", "source"), "text")
+    val merged = Sketches.mergeSketches(perSource, Seq("lang"), "sketch")
+    val viaMerge = Sketches.estimateVector(merged, Seq("lang"), "sketch")
+      .as[(String, Double)].collect().toMap
+    val direct = Sketches.approxDistinct(docs, "lang", "text")
+      .as[(String, Double)].collect().toMap
+    viaMerge shouldBe direct
   }
 }
