@@ -23,6 +23,7 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *                      --as-of <yyyy-MM-dd>
   *   graft.App corpus-prep --docs-path <path> --output-path <path>
   *                      [--quota <n=100>] [--budget <tokens=512>] [--quality-pct <p=25>]
+  *                      [--bucket-width <ids=4096>] [--gate-storage <level=MEMORY_AND_DISK>]
   *   graft.App demo     [--events-raw-path <path>]
   * }}}
   *
@@ -106,7 +107,13 @@ object App {
           quota = o.get("quota").map(_.toLong).getOrElse(100L),
           budget = o.get("budget").map(_.toLong).getOrElse(512L),
           qNum = o.get("quality-pct").map(_.toLong).getOrElse(25L),
-          qDen = 100L)
+          qDen = 100L,
+          // packing parallelism knob (output-invariant — see
+          // CorpusPipeline's scaladoc for sizing at scale)
+          bucketWidth = o.get("bucket-width").map(_.toLong).getOrElse(4096L),
+          gateStorage = o.get("gate-storage")
+            .map(org.apache.spark.storage.StorageLevel.fromString)
+            .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         writer.writeParquet(prepared, o.required("output-path"))
         val kept = fetcher.readParquet(spark, o.required("output-path")).count()
         println(s"[graft] corpus-prep: wrote $kept packed docs to ${o("output-path")}")
@@ -311,7 +318,8 @@ object App {
       |                     [--kv ...|--redis-host ... as online-sync]
       |  corpus-prep        --docs-path <path> --output-path <path>
       |                     [--quota <n=100>] [--budget <tokens=512>]
-      |                     [--quality-pct <p=25>]
+      |                     [--quality-pct <p=25>] [--bucket-width <ids=4096>]
+      |                     [--gate-storage <level=MEMORY_AND_DISK>]
       |                     dedup -> quality gate -> rebalance -> pack
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin

@@ -6,7 +6,15 @@ import org.apache.spark.storage.StorageLevel
 /** Shared persist policy for operators exposing a `storage` parameter. */
 private[operators] object Caching {
 
-  /** persist unless the caller opted out with StorageLevel.NONE */
+  /** persist unless the caller opted out with StorageLevel.NONE — or the
+    * plan is ALREADY cached (`df.storageLevel` is a CacheManager lookup by
+    * logical plan, so this also detects an identical plan persisted by an
+    * earlier operator in the same session, e.g. the shingle-set stage
+    * shared by the minhash/cluster/pipeline queries). Re-persisting would
+    * be a no-op plus a "Asked to cache already cached data" warning per
+    * call.
+    */
   def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
-    if (storage == StorageLevel.NONE) df else df.persist(storage)
+    if (storage == StorageLevel.NONE || df.storageLevel != StorageLevel.NONE) df
+    else df.persist(storage)
 }

@@ -102,6 +102,18 @@ class AppSpec extends SparkTestBase {
     val chunks = out.map(_.getAs[Long]("chunk_id"))
     chunks.min shouldBe 0L
     chunks.max should be <= out.map(_.getAs[Long]("n_tokens")).sum / 256L
+
+    // the scale knobs reach the pipeline, and a non-default bucketWidth /
+    // uncached gate leave the output IDENTICAL (bucketWidth only tunes
+    // packing parallelism; gate-storage only tunes recomputation)
+    App.run(platform, Seq("corpus-prep",
+      "--docs-path", "docs_in", "--output-path", "corpus_out_bw",
+      "--quota", "30", "--budget", "256",
+      "--bucket-width", "7", "--gate-storage", "NONE"))
+    def canon(name: String) = storage.rows(name)
+      .map(r => storage.schemas(name).fieldNames.sorted.map(f => String.valueOf(r.getAs[Any](f))).toSeq)
+      .sortBy(_.mkString("|"))
+    canon("corpus_out_bw") shouldBe canon("corpus_out")
   }
 
   test("demo subcommand runs the whole walkthrough on injected events") {
