@@ -148,6 +148,12 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // cross-split leakage: train-split docs sharing any verbatim 3-gram
+    // with the val/test splits (split assignment = the q39 content-hash
+    // split; nothing broadcasts — the holdout is a fifth of the corpus)
+    "q51_split_contamination" -> ((s, dir) =>
+      Contamination.crossSplitCheck(docs(s, dir))),
+
     // relational HyperLogLog: per-language approx distinct texts, with the
     // exact count alongside so the sketch error is visible (61-bit hash,
     // m = 2^14 registers, linear-counting small-range correction)
@@ -619,6 +625,28 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // cross-split leakage twin: q39's split CTE gates q45's posting/bench
+    // pattern — train docs on the posting side, val+test hashes on the
+    // reference side
+    "q51_split_contamination" ->
+      s"""WITH $docSetsSql,
+         |sp AS (SELECT doc_id, CASE WHEN ${polyHashSql("text")} % 100 < 80 THEN 'train'
+         |  WHEN ${polyHashSql("text")} % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |bench AS (SELECT DISTINCT unnest(hashes) AS h
+         |  FROM sets JOIN sp ON sets.id = sp.doc_id WHERE sp.split <> 'train'),
+         |posting AS (SELECT id, unnest(hashes) AS h
+         |  FROM sets JOIN sp ON sets.id = sp.doc_id WHERE sp.split = 'train'),
+         |shared AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM posting JOIN bench USING (h) GROUP BY id)
+         |SELECT sets.id AS doc_id,
+         |  CAST(len(sets.hashes) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared,
+         |  round(CAST(coalesce(shared.n_shared, 0) AS BIGINT) * 1.0 / len(sets.hashes), 6) AS share_ratio,
+         |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM sets JOIN sp ON sets.id = sp.doc_id LEFT JOIN shared ON sets.id = shared.id
+         |WHERE sp.split = 'train'""".stripMargin,
 
     // relational HLL twin: identical register/rho integer math on the
     // 61-bit hash, identical index-ordered float fold, and the estimator

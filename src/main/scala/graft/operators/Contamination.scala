@@ -30,18 +30,32 @@ import graft.functions.TextFunctions.shingleHashes
   */
 object Contamination {
 
+  /** `broadcastReference = false` switches the match stage from a
+    * broadcast join to a plain shuffle hash join on the shingle hash —
+    * for reference sides too big to broadcast (e.g. a whole held-out
+    * SPLIT in [[crossSplitCheck]], ~20% of the corpus, vs an MB-scale
+    * benchmark suite). Both sides then shuffle only short
+    * (hash[, doc_id]) rows, keyed on the same column.
+    */
   def check(train: DataFrame, benchmark: DataFrame, n: Int = 3,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+            idCol: String = "doc_id", textCol: String = "text",
+            broadcastReference: Boolean = true): DataFrame = {
     val sets = train.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hashes"))
       .filter(size(col("hashes")) > 0)
     val benchHashes = benchmark
       .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
     // the exploded training rows carry only (id, h) through the hot
-    // broadcast-match stage; per-doc totals are recomputed from `sets`
+    // match stage; per-doc totals are recomputed from `sets`
     val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
     // shingleHashes emits DISTINCT hashes per doc, so count(*) after the
-    // broadcast match is the per-doc count of distinct shared shingles
-    val shared = posting.join(broadcast(benchHashes), "h")
+    // match is the per-doc count of distinct shared shingles
+    // non-broadcast path: pin a shuffled hash join (the reference side
+    // scales with the corpus, so size stats must never tempt the planner
+    // into building a broadcast of it; the hinted side is the build side)
+    val matchSide =
+      if (broadcastReference) broadcast(benchHashes)
+      else benchHashes.hint("shuffle_hash")
+    val shared = posting.join(matchSide, "h")
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
     sets.join(shared, Seq("id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
@@ -51,5 +65,30 @@ object Contamination {
         col("n_shared"),
         round(col("n_shared") / size(col("hashes")), 6).as("share_ratio"),
         (col("n_shared") > 0).cast("int").as("contaminated"))
+  }
+
+  /** The leakage check every team runs AFTER splitting: which TRAIN-split
+    * docs share verbatim n-grams with the val/test splits? Content-hash
+    * splitting ([[Sampling.assignSplit]]) keeps byte-identical duplicates
+    * in one split, but near-duplicates can still straddle — this composes
+    * the split with [[check]] to measure exactly that (one row per train
+    * doc with >= n tokens; `contaminated = 1` means at least one of its
+    * n-grams also occurs in val or test).
+    *
+    * Scale shape: unlike the benchmark gate, the reference side here is a
+    * constant FRACTION of the corpus, so nothing broadcasts — the match is
+    * a shuffle join of (hash) rows keyed identically on both sides. Split
+    * assignment itself is row-local (zero shuffle), so the whole plan has
+    * exactly the two intentional wide stages (match + per-doc count).
+    */
+  def crossSplitCheck(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val split = Sampling.assignSplit(docs, textCol, trainPct, valPct)
+    check(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") =!= "train"),
+      n, idCol, textCol,
+      broadcastReference = false)
   }
 }

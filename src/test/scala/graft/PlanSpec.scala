@@ -100,6 +100,18 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q51: cross-split contamination must NOT broadcast the holdout (it scales with the corpus)") {
+    // the match stage joins posting x holdout-hashes on h: a shuffle join
+    // keyed on both sides. Size stats would auto-broadcast the holdout at
+    // sf0.001, so the operator pins shuffle_hash — assert the hint survives
+    val p = plan("q51_split_contamination")
+    withClue(p.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+      p should include("ShuffledHashJoin")
+    }
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q42: packing's corpus-wide windows are bucket-partitioned (no global corpus sort)") {
     // two windows exist: the corpus one partitioned by bucket, and the
     // bucket-offset one whose frame is the per-bucket AGGREGATE (one row

@@ -46,4 +46,33 @@ class ContaminationSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     ids shouldBe Set(8L) // doc 7 has < 3 tokens -> no shingles -> no row
   }
+
+  test("crossSplitCheck flags a planted near-dup straddling train and a holdout split") {
+    import org.apache.spark.sql.functions.col
+    // near-dups: a shared core sentence plus a varying suffix. Split
+    // membership is a pure function of the text hash, so probe suffixes
+    // until one variant lands in train and another in val/test — the
+    // straddle assignSplit's scaladoc warns about.
+    val core = "large scale training corpora require careful deduplication before splitting"
+    val candidates = (0 until 64)
+      .map(i => (100L + i, s"$core variant$i"))
+      .toDF("doc_id", "text")
+    val bySplit = Sampling.assignSplit(candidates, "text")
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val trainId = bySplit.collectFirst { case (id, "train") => id }.get
+    val holdoutId = bySplit.collectFirst { case (id, s) if s != "train" => id }.get
+    val docs = candidates.filter(col("doc_id").isin(trainId, holdoutId)) // the straddling pair
+      .union(Seq((1L, "completely unrelated filler text about catalyst plans")).toDF("doc_id", "text"))
+    val rows = Contamination.crossSplitCheck(docs)
+      .as[(Long, Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    // only train-split docs are reported
+    rows.keySet should contain(trainId)
+    rows.keySet should not contain holdoutId
+    // the planted pair shares the core sentence's shingles
+    withClue(s"train=$trainId holdout=$holdoutId: ") {
+      rows(trainId)._3 should be > 0L
+      rows(trainId)._5 shouldBe 1
+    }
+  }
 }
