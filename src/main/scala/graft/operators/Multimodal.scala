@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so a codec can be initialized once per partition (the
   * standard pattern for JNI/native decoders: open the library per task, not
   * per row). IMAGE decode is REAL ([[decodeImages]] — the JDK's ImageIO
-  * parses PNG/JPEG/BMP/GIF with no external library) and so is AUDIO
-  * ([[decodeAudio]] — javax.sound.sampled parses WAV/AIFF/AU); only VIDEO
-  * decode remains a deterministic STUB (no container demuxer ships in the
-  * JVM), so tests stay exact on every path.
+  * parses PNG/JPEG/BMP/GIF with no external library), AUDIO is REAL
+  * ([[decodeAudio]] — javax.sound.sampled parses WAV/AIFF/AU), and VIDEO
+  * *header* parsing is REAL ([[parseVideoHeaders]] — a pure-JVM MP4 box
+  * walker reads width/height/duration/track-count from the container);
+  * only video FRAME decode remains a deterministic STUB (no codec ships in
+  * the JVM), so tests stay exact on every path.
   *
   * Scale notes (100 TB): payloads never shuffle — decode is map-side and the
   * output drops the payload, so downstream stages move only features +
@@ -265,6 +267,108 @@ object Multimodal {
         val codec = StubCodec.open()
         rows.map { case (id, payload, fmt) => codec.decodeOne(id, payload, fmt, dim) }
       }
+  }
+
+  // ---- video: real MP4 header parsing (no codec needed) ----------------
+
+  /** Parsed MP4 container header fields. */
+  case class VideoMeta(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      duration_ms: Long,
+      n_tracks: Int)
+
+  /** REAL video *header* parsing: a pure-JVM MP4/ISO-BMFF box walker —
+    * boxes are `[32-bit size][4-char type][payload]` (size 1 -> 64-bit
+    * largesize follows; size 0 -> to end), `moov` holds the movie header
+    * (`mvhd`: timescale + duration) and one `trak` per track (`tkhd`:
+    * 16.16-fixed width/height). None of that needs a codec, so the
+    * metadata path is honest: width/height/duration/track-count come from
+    * the actual container bytes. FRAME decode stays out of scope (no
+    * demuxer/codec ships in the JVM — [[frameSample]] remains the
+    * documented stub for that). Unparseable payloads sentinel like the
+    * image/audio decoders: corrupt files are data, not errors.
+    */
+  def parseVideoHeaders(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, p) => parseOneVideo(id, p) })
+  }
+
+  /** unsigned big-endian reads (MP4 is big-endian throughout) */
+  private def be32(p: Array[Byte], off: Long): Long = {
+    val o = off.toInt
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  }
+  private def be64(p: Array[Byte], off: Long): Long =
+    (be32(p, off) << 32) | be32(p, off + 4)
+  private def boxType(p: Array[Byte], off: Long): String =
+    new String(p, off.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Child box ranges [payloadStart, payloadEnd) of `tpe` within
+    * [start, end); malformed sizes terminate the walk (the caller then
+    * sees whatever was parsed so far — truncation-tolerant, like real
+    * demuxers' header scan).
+    */
+  private def childBoxes(p: Array[Byte], start: Long, end: Long, tpe: String): List[(Long, Long)] = {
+    var pos = start
+    val out = List.newBuilder[(Long, Long)]
+    while (end - pos >= 8) {
+      var size = be32(p, pos)
+      var hdr = 8L
+      if (size == 1L && end - pos >= 16) { size = be64(p, pos + 8); hdr = 16L }
+      else if (size == 0L) size = end - pos
+      if (size < hdr || pos + size > end) { pos = end } // malformed: stop
+      else {
+        if (boxType(p, pos) == tpe) out += ((pos + hdr, pos + size))
+        pos += size
+      }
+    }
+    out.result()
+  }
+
+  private def parseOneVideo(id: Long, p: Array[Byte]): VideoMeta = {
+    val nBytes = if (p == null) 0L else p.length.toLong
+    def sentinel = VideoMeta(id, "undecodable", nBytes, -1, -1, -1L, -1)
+    if (p == null || p.length < 12 || boxType(p, 0) != "ftyp") return sentinel
+    try {
+      childBoxes(p, 0, p.length.toLong, "moov") match {
+        case Nil => sentinel
+        case (ms, me) :: _ =>
+          // mvhd: version(1) flags(3), then v0: c/m times 4+4, timescale 4,
+          // duration 4; v1: c/m times 8+8, timescale 4, duration 8
+          val durationMs = childBoxes(p, ms, me, "mvhd") match {
+            case (hs, he) :: _ if he - hs >= 24 =>
+              val v = p(hs.toInt) & 0xff
+              val (timescale, duration) =
+                if (v == 1 && he - hs >= 32) (be32(p, hs + 20), be64(p, hs + 24))
+                else (be32(p, hs + 12), be32(p, hs + 16))
+              if (timescale > 0) duration * 1000L / timescale else -1L
+            case _ => -1L
+          }
+          val traks = childBoxes(p, ms, me, "trak")
+          // tkhd width/height: 16.16 fixed point at payload offset 76 (v0)
+          // / 88 (v1); audio tracks carry zero — take the first non-zero
+          val dims = traks.iterator.flatMap { case (ts, te) =>
+            childBoxes(p, ts, te, "tkhd").headOption.flatMap { case (hs, he) =>
+              val v = p(hs.toInt) & 0xff
+              val off = if (v == 1) hs + 88 else hs + 76
+              if (he - off >= 8) {
+                val (w, h) = ((be32(p, off) >> 16).toInt, (be32(p, off + 4) >> 16).toInt)
+                if (w > 0 && h > 0) Some((w, h)) else None
+              } else None
+            }
+          }.take(1).toList
+          val (w, h) = dims.headOption.getOrElse((-1, -1))
+          VideoMeta(id, "mp4", nBytes, w, h, durationMs, traks.length)
+      }
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
   }
 
   /** One sampled frame of a media payload. */

@@ -176,4 +176,81 @@ class MultimodalSpec extends SparkTestBase {
     aud.format shouldBe "undecodable"
     aud.n_frames shouldBe -1L
   }
+
+  // ---- MP4 header fixtures: real ISO-BMFF boxes built byte-by-byte ----
+
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(tpe.getBytes("US-ASCII"))
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** mvhd v0: ver+flags, creation, modification, timescale, duration, then
+    * rate/volume/matrix/next-track padding to the spec's 100-byte payload
+    */
+  private def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(100)
+    bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+    mp4Box("mvhd", bb.array())
+  }
+
+  /** tkhd v0: 16.16-fixed width/height at payload offsets 76/80 */
+  private def tkhd(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(84)
+    bb.position(76)
+    bb.putInt(w << 16).putInt(h << 16)
+    mp4Box("tkhd", bb.array())
+  }
+
+  private def trak(w: Int, h: Int): Array[Byte] = mp4Box("trak", tkhd(w, h))
+
+  test("real MP4 header parse: width/height/duration/tracks from actual boxes") {
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4) ++ "mp41".getBytes("US-ASCII"))
+    // video track (640x360) after an audio track (zero dims) — the parser
+    // must skip to the first track with real dimensions
+    val moov = mp4Box("moov", mvhd(timescale = 600, duration = 1500) ++ trak(0, 0) ++ trak(640, 360))
+    val mdat = mp4Box("mdat", Array.fill[Byte](32)(7))
+    val good = ftyp ++ moov ++ mdat
+    val corrupt = Array.fill[Byte](64)(0x5a)
+    val truncated = good.take(ftyp.length + 20) // moov size field points past EOF
+    val media = Multimodal.asMedia(
+      Seq((1L, good), (2L, corrupt), (3L, truncated))
+        .toDF("media_id", "payload").withColumn("format", org.apache.spark.sql.functions.lit("mp4")),
+      "media_id", "payload", "format")
+    val out = Multimodal.parseVideoHeaders(media).collect().sortBy(_.media_id)
+    out(0).format shouldBe "mp4"
+    out(0).width shouldBe 640
+    out(0).height shouldBe 360
+    out(0).duration_ms shouldBe 2500L // 1500 / 600 ticks = 2.5s
+    out(0).n_tracks shouldBe 2
+    out(1).format shouldBe "undecodable"
+    out(1).width shouldBe -1
+    // truncated: ftyp present but the moov walk finds nothing parseable
+    out(2).format shouldBe "undecodable"
+  }
+
+  test("MP4 64-bit largesize boxes and v1 headers parse too") {
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"))
+    // mvhd v1: 8-byte times, 4-byte timescale at offset 20, 8-byte duration
+    val mv = java.nio.ByteBuffer.allocate(112)
+    mv.put(0, 1.toByte) // version 1
+    mv.putInt(20, 1000).putLong(24, 7250L)
+    val moovPayload = mp4Box("mvhd", mv.array()) ++ trak(1920, 1080)
+    // moov with size=1 + 64-bit largesize header
+    val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+    bb.putInt(1).put("moov".getBytes("US-ASCII")).putLong(16L + moovPayload.length).put(moovPayload)
+    val payload = ftyp ++ bb.array()
+    val media = Multimodal.asMedia(
+      Seq((9L, payload)).toDF("media_id", "payload")
+        .withColumn("format", org.apache.spark.sql.functions.lit("mp4")),
+      "media_id", "payload", "format")
+    val out = Multimodal.parseVideoHeaders(media).collect().head
+    out.format shouldBe "mp4"
+    out.duration_ms shouldBe 7250L
+    out.width shouldBe 1920
+    out.height shouldBe 1080
+    out.n_tracks shouldBe 1
+  }
 }
