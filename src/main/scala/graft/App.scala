@@ -24,6 +24,7 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *   graft.App corpus-prep --docs-path <path> --output-path <path>
   *                      [--quota <n=100>] [--budget <tokens=512>] [--quality-pct <p=25>]
   *                      [--bucket-width <ids=4096>] [--gate-storage <level=MEMORY_AND_DISK>]
+  *                      [--state-path <dir>]
   *   graft.App demo     [--events-raw-path <path>]
   * }}}
   *
@@ -102,18 +103,53 @@ object App {
       case "corpus-prep" =>
         val o = parseArgs(args.tail)
         val docs = fetcher.readParquet(spark, o.required("docs-path"))
-        val prepared = operators.CorpusPipeline.prepare(
-          docs,
-          quota = o.get("quota").map(_.toLong).getOrElse(100L),
-          budget = o.get("budget").map(_.toLong).getOrElse(512L),
-          qNum = o.get("quality-pct").map(_.toLong).getOrElse(25L),
-          qDen = 100L,
-          // packing parallelism knob (output-invariant — see
-          // CorpusPipeline's scaladoc for sizing at scale)
-          bucketWidth = o.get("bucket-width").map(_.toLong).getOrElse(4096L),
-          gateStorage = o.get("gate-storage")
-            .map(org.apache.spark.storage.StorageLevel.fromString)
-            .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val quota = o.get("quota").map(_.toLong).getOrElse(100L)
+        val budget = o.get("budget").map(_.toLong).getOrElse(512L)
+        val qNum = o.get("quality-pct").map(_.toLong).getOrElse(25L)
+        // packing parallelism knob (output-invariant — see
+        // CorpusPipeline's scaladoc for sizing at scale)
+        val bucketWidth = o.get("bucket-width").map(_.toLong).getOrElse(4096L)
+        val gateStorage = o.get("gate-storage")
+          .map(org.apache.spark.storage.StorageLevel.fromString)
+          .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prepared = o.get("state-path") match {
+          case None =>
+            operators.CorpusPipeline.prepare(
+              docs, quota, budget, qNum, 100L, bucketWidth, gateStorage)
+          case Some(statePath) =>
+            // incremental mode: --docs-path is ONE SHARD. If state exists,
+            // only the shard's text is shingled/scored; the stored corpus
+            // re-enters as metadata + signatures. The three state tables
+            // then grow by APPEND (never overwritten — appends read only
+            // the shard plus, for pairs, the other tables' files, so a
+            // reader of the pre-append snapshot is never clobbered).
+            import operators.CorpusPipeline
+            def readState() = CorpusPipeline.CorpusState(
+              fetcher.readParquet(spark, s"$statePath/meta"),
+              fetcher.readParquet(spark, s"$statePath/signatures"),
+              fetcher.readParquet(spark, s"$statePath/pairs"))
+            val prior =
+              try Some(readState())
+              catch { case scala.util.control.NonFatal(_) => None }
+            prior match {
+              case None =>
+                val st = CorpusPipeline.buildState(docs)
+                writer.writeParquet(st.meta, s"$statePath/meta")
+                writer.writeParquet(st.signatures, s"$statePath/signatures")
+                writer.writeParquet(st.pairs, s"$statePath/pairs")
+                println(s"[graft] corpus-prep: initialized state at $statePath")
+              case Some(st0) =>
+                val inc = CorpusPipeline.shardIncrement(st0, docs)
+                // pairs FIRST: its job reads the signatures table's
+                // current files; appending sigs before it would race
+                writer.writeParquet(inc.pairs, s"$statePath/pairs", mode = "append")
+                writer.writeParquet(inc.signatures, s"$statePath/signatures", mode = "append")
+                writer.writeParquet(inc.meta, s"$statePath/meta", mode = "append")
+                println(s"[graft] corpus-prep: appended shard state at $statePath")
+            }
+            CorpusPipeline.prepareFromState(readState(),
+              quota, budget, qNum, 100L, bucketWidth, gateStorage)
+        }
         writer.writeParquet(prepared, o.required("output-path"))
         val kept = fetcher.readParquet(spark, o.required("output-path")).count()
         println(s"[graft] corpus-prep: wrote $kept packed docs to ${o("output-path")}")
@@ -320,6 +356,8 @@ object App {
       |                     [--quota <n=100>] [--budget <tokens=512>]
       |                     [--quality-pct <p=25>] [--bucket-width <ids=4096>]
       |                     [--gate-storage <level=MEMORY_AND_DISK>]
+      |                     [--state-path <dir>]  incremental: docs-path is a
+      |                     SHARD; state tables init on first run, append after
       |                     dedup -> quality gate -> rebalance -> pack
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin

@@ -192,6 +192,18 @@ object TrainingDataQueries {
     // SQL twins into one statement.
     "q48_corpus_pipeline" -> ((s, dir) => CorpusPipeline.prepare(docs(s, dir))),
 
+    // INCREMENTAL corpus pipeline: build dedup/metadata state on the first
+    // half of the corpus, increment with the second half (text stages run
+    // only on the shard; pairs come from shard-vs-stored signatures), then
+    // run the metadata stages off the combined state. Must hash-match the
+    // one-shot full recompute — the oracle IS q48's oracle.
+    "q49_corpus_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val st0 = CorpusPipeline.buildState(d.filter(col("doc_id") <= 250))
+      val st1 = CorpusPipeline.incrementState(st0, d.filter(col("doc_id") > 250))
+      CorpusPipeline.prepareFromState(st1)
+    }),
+
     // multimodal binary-column plumbing: payload bytes, content digest,
     // header-style field extraction (deterministic decode stub)
     "q30_multimodal_binary" -> ((s, dir) =>
@@ -406,6 +418,38 @@ object TrainingDataQueries {
        |cc$i AS (SELECT cp.cid, coalesce(v$i.cv, cp.cv) AS cv
        |  FROM $prev cp LEFT JOIN v$i ON cp.cid = v$i.cid),
        |c$i AS (SELECT cid, cv, sqrt(${dotSql("cv", "cv")}) AS cnrm FROM cc$i)""".stripMargin
+
+  /** One-shot corpus pipeline oracle: dedup keepers (recursive components)
+    * -> p25 gate on the deduped histogram -> per-lang rebalance -> packed
+    * chunk ids from the survivors' ordered prefix sum. Shared by q48 (the
+    * direct pipeline) and q49 (the incremental formulation, whose defining
+    * property is hash-matching this full recompute).
+    */
+  private lazy val corpusPipelineOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |$componentCtes,
+       |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
+       |tq AS (SELECT id AS doc_id, w FROM t),
+       |mq AS ${tokenStatsSql("tq", "doc_id")},
+       |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  $qualityScoreSql AS quality_score
+       |FROM mq),
+       |deduped AS (SELECT qual.* FROM qual JOIN keepers k ON qual.doc_id = k.id),
+       |${thresholdCtes("deduped", "quality_score", 1L, 4L)},
+       |gated AS (SELECT dd.* FROM deduped dd, thr WHERE round(dd.quality_score, 6) >= thr.threshold),
+       |cnt AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS category_n
+       |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id GROUP BY d.lang),
+       |bal AS (SELECT g.doc_id, d.lang, g.n_tokens, g.quality_score
+       |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
+       |  JOIN cnt c ON d.lang IS NOT DISTINCT FROM c.lang
+       |  WHERE c.category_n <= 100
+       |     OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}),
+       |packed AS (SELECT doc_id, lang, quality_score, n_tokens,
+       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |FROM bal)
+       |SELECT doc_id, lang, quality_score, n_tokens,
+       |  CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id
+       |FROM packed""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q20_text_quality" ->
@@ -692,32 +736,14 @@ object TrainingDataQueries {
     // the composed pipeline oracle: dedup keepers (recursive components)
     // -> p25 gate on the deduped histogram -> per-lang rebalance -> packed
     // chunk ids from the survivors' ordered prefix sum
-    "q48_corpus_pipeline" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |$componentCtes,
-         |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
-         |tq AS (SELECT id AS doc_id, w FROM t),
-         |mq AS ${tokenStatsSql("tq", "doc_id")},
-         |qual AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  $qualityScoreSql AS quality_score
-         |FROM mq),
-         |deduped AS (SELECT qual.* FROM qual JOIN keepers k ON qual.doc_id = k.id),
-         |${thresholdCtes("deduped", "quality_score", 1L, 4L)},
-         |gated AS (SELECT dd.* FROM deduped dd, thr WHERE round(dd.quality_score, 6) >= thr.threshold),
-         |cnt AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS category_n
-         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id GROUP BY d.lang),
-         |bal AS (SELECT g.doc_id, d.lang, g.n_tokens, g.quality_score
-         |  FROM gated g JOIN documents d ON g.doc_id = d.doc_id
-         |  JOIN cnt c ON d.lang IS NOT DISTINCT FROM c.lang
-         |  WHERE c.category_n <= 100
-         |     OR (${polyHashSql("d.text")} % 10000) * c.category_n < ${100L * 10000}),
-         |packed AS (SELECT doc_id, lang, quality_score, n_tokens,
-         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
-         |FROM bal)
-         |SELECT doc_id, lang, quality_score, n_tokens,
-         |  CAST(floor(start_offset / 512) AS BIGINT) AS chunk_id
-         |FROM packed""".stripMargin,
+    "q48_corpus_pipeline" -> corpusPipelineOracle,
 
+    // incremental == full recompute, by construction: the oracle is the
+    // one-shot pipeline over the whole corpus
+    "q49_corpus_incremental" -> corpusPipelineOracle,
+
+    // incremental == full recompute, by construction: the oracle is the
+    // one-shot pipeline over the whole corpus
     "q30_multimodal_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

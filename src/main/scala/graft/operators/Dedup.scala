@@ -254,17 +254,55 @@ object Dedup {
     // verify join — without it the whole tokenize/shingle/hash front runs 3x.
     val sets = maybePersist(withShingleHashes(docs, idCol, textCol, n), storage)
     val sigs = sets.withColumn("sig", minhashSignature(col("hashes")))
-    val bandKeys: Column = array((0 until LshBands).map { b =>
-      struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))
-    }: _*)
-    val buckets = sigs.select(col("id"), explode(bandKeys).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = bandBuckets(sigs)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** The PERSISTABLE dedup state of a corpus (or shard): one row per doc
+    * with >= 1 shingle — (id, hashes: the distinct shingle-hash set,
+    * sig: the MinHash signature). Everything the LSH pipeline ever needs
+    * from the TEXT lives here, so an incremental run
+    * ([[lshPairsFromSignatures]], [[CorpusPipeline.incrementState]]) never
+    * re-reads or re-shingles previously ingested documents.
+    */
+  def signatures(docs: DataFrame, n: Int = 3,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withShingleHashes(docs, idCol, textCol, n)
+      .withColumn("sig", minhashSignature(col("hashes")))
+
+  /** (id, band, key) LSH bucket rows of a signatures frame. */
+  private def bandBuckets(sigs: DataFrame): DataFrame = {
+    val bandKeys: Column = array((0 until LshBands).map { b =>
+      struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))
+    }: _*)
+    sigs.select(col("id"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash-LSH near-dup pairs between a PROBE signature set and an INDEX
+    * signature set — the incremental formulation: probe = the new shard,
+    * index = all signatures (stored ∪ new), and the result is exactly the
+    * full-corpus pairs that touch at least one probe doc. Pairs are
+    * normalized (id_a = least, id_b = greatest) and verified with exact
+    * Jaccard on the index's shingle sets, so
+    * `storedPairs ∪ lshPairsFromSignatures(newSigs, allSigs)` equals
+    * `minhashLshPairs(old ∪ new)` row for row (IncrementalCorpusSpec pins
+    * it). Probe ⊆ index is required (probe docs must be verifiable).
+    */
+  def lshPairsFromSignatures(probe: DataFrame, index: DataFrame,
+                             threshold: Double = 0.8): DataFrame = {
+    val candidates = bandBuckets(probe).as("a").join(bandBuckets(index).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, index.select(col("id"), col("hashes")), threshold)
   }
 
   /** Per-doc 30-bit SimHash: weighted sign-sum over token hashes, weight =

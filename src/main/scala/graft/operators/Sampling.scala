@@ -63,7 +63,20 @@ object Sampling {
     * over the hot category, the very skew this operator exists to avoid).
     */
   def rebalanceToQuota(df: DataFrame, categoryCol: String, textCol: String,
-                       quota: Long, buckets: Int = 10000): DataFrame = {
+                       quota: Long, buckets: Int = 10000): DataFrame =
+    rebalanceToQuotaOnBucket(
+      df.withColumn("__rebalance_bucket", contentBucket(col(textCol), buckets)),
+      categoryCol, "__rebalance_bucket", quota, buckets)
+      .drop("__rebalance_bucket")
+
+  /** [[rebalanceToQuota]] over a PRECOMPUTED content-bucket column —
+    * the incremental-pipeline path, where the text was hashed once at
+    * ingest and only metadata flows through later runs. `bucketCol` must
+    * hold `contentBucket(text, buckets)` values for the SAME `buckets`,
+    * or the keep-rate arithmetic silently skews.
+    */
+  def rebalanceToQuotaOnBucket(df: DataFrame, categoryCol: String, bucketCol: String,
+                               quota: Long, buckets: Int = 10000): DataFrame = {
     require(quota >= 0, "quota must be non-negative")
     require(buckets > 0, "buckets must be positive")
     require(quota <= Long.MaxValue / buckets,
@@ -78,8 +91,7 @@ object Sampling {
       .drop("__rebalance_cat")
       .filter(
         col("category_n") <= quota ||
-          contentBucket(col(textCol), buckets).cast("long") * col("category_n")
-            < lit(quota * buckets))
+          col(bucketCol).cast("long") * col("category_n") < lit(quota * buckets))
   }
 
   /** Assign each row a train/val/test split by content bucket:

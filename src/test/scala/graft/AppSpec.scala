@@ -116,6 +116,36 @@ class AppSpec extends SparkTestBase {
     canon("corpus_out_bw") shouldBe canon("corpus_out")
   }
 
+  test("corpus-prep --state-path: two shard runs converge on the one-shot output") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs_all", all, "overwrite")
+    storage.write("shard1", all.filter(col("doc_id") <= 50), "overwrite")
+    storage.write("shard2", all.filter(col("doc_id") > 50), "overwrite")
+    // one-shot reference
+    App.run(platform, Seq("corpus-prep",
+      "--docs-path", "docs_all", "--output-path", "out_full",
+      "--quota", "30", "--budget", "256"))
+    // incremental: first run initializes state, second appends the shard
+    App.run(platform, Seq("corpus-prep",
+      "--docs-path", "shard1", "--output-path", "out_inc1",
+      "--quota", "30", "--budget", "256", "--state-path", "cstate"))
+    App.run(platform, Seq("corpus-prep",
+      "--docs-path", "shard2", "--output-path", "out_inc2",
+      "--quota", "30", "--budget", "256", "--state-path", "cstate"))
+    // state accumulated both shards
+    storage.rows("cstate/meta").size shouldBe storage.rows("docs_all").size
+    def canon(name: String) = storage.rows(name)
+      .map(r => storage.schemas(name).fieldNames.sorted.map(f => String.valueOf(r.getAs[Any](f))).toSeq)
+      .sortBy(_.mkString("|"))
+    // after the second shard, incremental output == one-shot full output
+    canon("out_inc2") shouldBe canon("out_full")
+    // and the first run was itself a valid one-shot over shard1
+    storage.rows("out_inc1").size should be > 0
+  }
+
   test("demo subcommand runs the whole walkthrough on injected events") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))

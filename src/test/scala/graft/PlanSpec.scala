@@ -48,13 +48,14 @@ class PlanSpec extends SparkTestBase {
     // subplan, whose broadcast date-spine densification is the sanctioned
     // cross join; q43 cross-joins two SCALAR frames (total count, then the
     // one-row quantile threshold) against the corpus — a broadcast of one
-    // row, the canonical scalar-join shape; q48 embeds that same
-    // quantile-gate subplan as its quality stage
+    // row, the canonical scalar-join shape; q48/q49 embed that same
+    // quantile-gate subplan as their quality stage
     val sanctioned = Set(
       "q05_cross_join", "q31_embed_neardup_exact",
       "q28_knn_brute", "q35_knn_ivf",
       "q13_band_join", "q14_backfill", "q15_pit_join", "q16_pit_join_rank",
-      "q17_online_payload", "q43_quantile_gate", "q48_corpus_pipeline")
+      "q17_online_payload", "q43_quantile_gate", "q48_corpus_pipeline",
+      "q49_corpus_incremental")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
