@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPipeline, Dedup, Sketches, SimilaritySearch}
+
+/** Scale-GROWTH probe for the iterative/composite operators: times each at
+  * 1x and Nx (default 10x) the corpus and reports the growth ratio — the
+  * empirical check behind BASELINE.md's "flat overhead amortizes" claims,
+  * which a single-SF bench can only extrapolate.
+  *
+  * The Nx corpus is synthesized from the driver-provided tables (no new
+  * inputs invented): replica i shifts ids by a 10M stride and
+  * Caesar-rotates the TEXT alphabet by i — a cheap codegen'd `translate`
+  * that rewrites every token, so replicas are NOT near-duplicates of each
+  * other and the near-dup pair graph grows LINEARLY with replicas (suffix
+  * perturbation would make every doc a near-dup of its k-1 copies and
+  * quadratically inflate the pair graph instead — a different, unrepresentative
+  * workload). Embeddings scale each replica's vectors by a constant
+  * (cosine structure preserved; query/init sets stay in replica 0).
+  *
+  * Same harness conventions as [[Bench]]: noop-format writes (no column
+  * pruning of the very expressions under test), min of 2 samples per
+  * point, cache cleared between scale points so the 1x cache can't serve
+  * the Nx run.
+  */
+object ScaleBench {
+
+  private val Stride = 10000000L
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val rot = Alpha.drop(i % 26) + Alpha.take(i % 26)
+        docs0.select(
+          (col("doc_id") + lit(Stride * i)).as("doc_id"),
+          translate(col("text"), Alpha, rot).as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionByName _)
+
+    def scaledEmb(k: Int): DataFrame =
+      (0 until k).map { i =>
+        emb0.select(
+          (col("vec_id") + lit(Stride * i)).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.0f + i * 0.01f)).as("embedding"))
+      }.reduce(_ unionByName _)
+
+    val workloads: Seq[(String, Int => DataFrame)] = Seq(
+      // q37 shape: LSH pairs -> iterative component propagation
+      "dedup_clusters" -> (k => {
+        val d = scaledDocs(k)
+        Dedup.assignClusters(d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
+      }),
+      // q46 contract shape (sketch + exact audit twin)...
+      "approx_distinct" -> (k => Sketches.approxDistinctWithExact(scaledDocs(k), "lang", "text")),
+      // ...and the sketch alone — the actual 100 TB path, whose shuffle is
+      // bounded by groups x registers regardless of corpus size
+      "approx_distinct_sketch_only" -> (k => Sketches.approxDistinct(scaledDocs(k), "lang", "text")),
+      // q48 shape: the full dedup->gate->rebalance->pack composite
+      "corpus_pipeline" -> (k => CorpusPipeline.prepare(scaledDocs(k))),
+      // q35 shape: trained-IVF kNN (2 Lloyd rounds; queries/init stay 1x)
+      "knn_ivf" -> (k => SimilaritySearch.ivfKnnTrained(scaledEmb(k), "vec_id < 10", 3,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)))
+
+    def once(df: => DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => None }
+    }
+    def minOf2(df: => DataFrame): Double = {
+      val samples = Seq(once(df), once(df)).flatten
+      if (samples.isEmpty) -1.0 else samples.min
+    }
+
+    val rows = workloads.map { case (name, fn) =>
+      spark.sharedState.cacheManager.clearCache()
+      val t1 = minOf2(fn(1))
+      spark.sharedState.cacheManager.clearCache()
+      val tN = minOf2(fn(mult))
+      val growth = if (t1 > 0 && tN > 0) tN / t1 else -1.0
+      s""""$name":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100}}"""
+    }
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${rows.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
