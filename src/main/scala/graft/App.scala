@@ -25,6 +25,9 @@ import graft.sources.{InMemoryKVStore, KVClient}
   *                      [--quota <n=100>] [--budget <tokens=512>] [--quality-pct <p=25>]
   *                      [--bucket-width <ids=4096>] [--gate-storage <level=MEMORY_AND_DISK>]
   *                      [--state-path <dir>]
+  *   graft.App sketch   (--docs-path <path> | --merge <p1,p2,...>) --output-path <path>
+  *                      [--group-col <c=lang>] [--value-col <c=text>] [--log-m <p=14>]
+  *                      [--estimate-path <path>]
   *   graft.App demo     [--events-raw-path <path>]
   * }}}
   *
@@ -153,6 +156,37 @@ object App {
         writer.writeParquet(prepared, o.required("output-path"))
         val kept = fetcher.readParquet(spark, o.required("output-path")).count()
         println(s"[graft] corpus-prep: wrote $kept packed docs to ${o("output-path")}")
+
+      // mergeable cardinality sketches: `sketch --docs-path` builds one
+      // dense HLL vector per group for a shard; `sketch --merge a,b,...`
+      // element-wise-max-merges shard sketch tables (merge-of-parts ==
+      // sketch-of-whole exactly); `--estimate-path` also writes the
+      // per-group approx_distinct read off the (merged) vectors
+      case "sketch" =>
+        val o = parseArgs(args.tail)
+        val groupCol = o.getOrElse("group-col", "lang")
+        val logM = o.get("log-m").map(_.toInt)
+          .getOrElse(operators.Sketches.DefaultLogRegisters)
+        val sketches = o.get("merge") match {
+          case Some(paths) =>
+            val parts = paths.split(",").map(_.trim).filter(_.nonEmpty)
+              .map(p => fetcher.readParquet(spark, p))
+              .reduce(_ unionByName _)
+            operators.Sketches.mergeSketches(parts, Seq(groupCol), "sketch", logM)
+          case None =>
+            operators.Sketches.sketchVector(
+              fetcher.readParquet(spark, o.required("docs-path")),
+              Seq(groupCol), o.getOrElse("value-col", "text"), logM)
+        }
+        writer.writeParquet(sketches, o.required("output-path"))
+        o.get("estimate-path").foreach { ep =>
+          writer.writeParquet(
+            operators.Sketches.estimateVector(
+              fetcher.readParquet(spark, o.required("output-path")),
+              Seq(groupCol), "sketch", logM), ep)
+        }
+        val n = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] sketch: wrote $n group sketches to ${o("output-path")}")
 
       case "serve" =>
         // single-process demo loop: sync the freshness window into the KV
@@ -359,6 +393,11 @@ object App {
       |                     [--state-path <dir>]  incremental: docs-path is a
       |                     SHARD; state tables init on first run, append after
       |                     dedup -> quality gate -> rebalance -> pack
+      |  sketch             --docs-path <path> --output-path <path> build, or
+      |                     --merge <p1,p2,...> --output-path <path> max-merge
+      |                     [--group-col <c=lang>] [--value-col <c=text>]
+      |                     [--log-m <p=14>] [--estimate-path <path>]
+      |                     mergeable per-group HLL vectors (shard -> union)
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

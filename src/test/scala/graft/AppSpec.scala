@@ -146,6 +146,24 @@ class AppSpec extends SparkTestBase {
     storage.rows("out_inc1").size should be > 0
   }
 
+  test("sketch subcommand: per-shard vectors merge to the whole-corpus estimate") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("sk_shard1", all.filter(col("doc_id") <= 50), "overwrite")
+    storage.write("sk_shard2", all.filter(col("doc_id") > 50), "overwrite")
+    App.run(platform, Seq("sketch", "--docs-path", "sk_shard1", "--output-path", "sk1"))
+    App.run(platform, Seq("sketch", "--docs-path", "sk_shard2", "--output-path", "sk2"))
+    App.run(platform, Seq("sketch", "--merge", "sk1,sk2",
+      "--output-path", "sk_merged", "--estimate-path", "sk_est"))
+    val viaCli = storage.rows("sk_est")
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("approx_distinct")).toMap
+    val direct = operators.Sketches.approxDistinct(all, "lang", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    viaCli shouldBe direct // merge-of-shards == single-pass, bit for bit
+  }
+
   test("demo subcommand runs the whole walkthrough on injected events") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))

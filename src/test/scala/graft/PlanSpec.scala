@@ -113,6 +113,19 @@ class PlanSpec extends SparkTestBase {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q46/q50: sketch registers max-combine map-side; no windows anywhere in the sketch path") {
+    // the whole point of the relational HLL: the shuffle carries partial
+    // maxes (<= groups x m rows), never raw values — and the merge path
+    // (q50) keeps that property through posexplode/re-aggregate
+    Seq("q46_approx_distinct", "q50_sketch_merge").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should include("partial_max")
+        p should not include "Window"
+      }
+    }
+  }
+
   test("q42: packing's corpus-wide windows are bucket-partitioned (no global corpus sort)") {
     // two windows exist: the corpus one partitioned by bucket, and the
     // bucket-offset one whose frame is the per-bucket AGGREGATE (one row
