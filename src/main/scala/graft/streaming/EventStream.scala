@@ -65,6 +65,24 @@ object EventStream {
         col("window.end").as("window_end"),
         col("user_id"), col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming approximate distinct counting — the relational HLL
+    * ([[graft.operators.Sketches]]) composed with a streaming aggregate.
+    * Register maxes are exactly the shape Structured Streaming can hold
+    * as state: one monotone `max(rho)` per (group, register), so state is
+    * bounded by groups × 2^logM short rows FOREVER, no watermark needed
+    * (a distinct-count over all history never needs eviction — registers
+    * only ratchet upward). Downstream, [[graft.operators.Sketches
+    * .estimateSparse]] reads the estimate off the sink's register table —
+    * Spark cannot chain a second streaming aggregate, and the estimator
+    * is a batch-side read anyway. Because max-merge is associative and
+    * insensitive to batch boundaries, the streaming registers equal the
+    * batch registers over the same rows EXACTLY (EventStreamSpec pins the
+    * estimate bit-for-bit).
+    */
+  def approxDistinctRegisters(events: DataFrame, groupCol: String, valueCol: String,
+                              logM: Int = graft.operators.Sketches.DefaultLogRegisters): DataFrame =
+    graft.operators.Sketches.registers(events, Seq(groupCol), valueCol, logM)
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per user; a session closes when the watermark passes
     * its end + gap. The standard sessionization primitive (visit metrics,

@@ -33,6 +33,34 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming HLL registers across micro-batches == batch sketch, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    // complete mode: the sink table holds the full register state each
+    // trigger — registers only ratchet upward, state stays <= groups x m
+    val query = EventStream.approxDistinctRegisters(
+        input.toDF().toDF("g", "v"), "g", "v")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1 to 400).map(i => ("a", s"user-$i")) :+ (("b", "x1"))
+      val batch2 = (201 to 600).map(i => ("a", s"user-$i")) :+ (("b", "x2")) // 200 dups replayed
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val streamed = graft.operators.Sketches
+        .estimateSparse(spark.table("hllregs"), Seq("g"))
+        .as[(String, Double)].collect().toMap
+      val batch = graft.operators.Sketches
+        .approxDistinct((batch1 ++ batch2).toDF("g", "v"), "g", "v")
+        .as[(String, Double)].collect().toMap
+      streamed shouldBe batch // batch boundaries invisible to max-merge
+      // and the estimate is actually tracking: 600 distinct in group a
+      streamed("a") should (be > 550.0 and be < 650.0)
+    } finally query.stop()
+  }
+
   test("windowed counts aggregate by tumbling event-time window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
