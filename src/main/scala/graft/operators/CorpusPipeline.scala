@@ -96,7 +96,7 @@ object CorpusPipeline {
                  storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): CorpusState = {
     val sigs = Caching.maybePersist(Dedup.signatures(docs), storage)
     CorpusState(metaOf(docs), sigs,
-      Dedup.lshPairsFromSignatures(sigs, sigs).select(col("id_a"), col("id_b")))
+      Dedup.lshPairsAmong(sigs).select(col("id_a"), col("id_b")))
   }
 
   /** The state INCREMENT a new shard contributes: text stages over ONLY

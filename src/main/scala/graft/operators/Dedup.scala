@@ -253,14 +253,24 @@ object Dedup {
     // Persisted: consumed by the signature stage and both sides of the
     // verify join — without it the whole tokenize/shingle/hash front runs 3x.
     val sets = maybePersist(withShingleHashes(docs, idCol, textCol, n), storage)
-    val sigs = sets.withColumn("sig", minhashSignature(col("hashes")))
+    lshPairsAmong(sets.withColumn("sig", minhashSignature(col("hashes"))), threshold)
+  }
+
+  /** MinHash-LSH near-dup pairs AMONG one signatures frame (id_a < id_b on
+    * the bucket self-join — the self case must not ride the probe-vs-index
+    * formulation, whose `!=` join would emit every candidate twice before
+    * the distinct). [[minhashLshPairs]] = [[signatures]] + this;
+    * [[CorpusPipeline.buildState]] calls it directly on a stored-shape
+    * signatures frame.
+    */
+  def lshPairsAmong(sigs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val buckets = bandBuckets(sigs)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, sets, threshold)
+    verifyJaccard(candidates, sigs.select(col("id"), col("hashes")), threshold)
   }
 
   /** The PERSISTABLE dedup state of a corpus (or shard): one row per doc
