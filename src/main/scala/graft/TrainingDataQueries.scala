@@ -148,6 +148,13 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // within-doc repetition metrics (Gopher-style): duplicate-line and
+    // top-bigram coverage — the boilerplate/generator-loop filter that
+    // cross-doc dedup cannot express
+    "q52_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)),
+
     // cross-split leakage: train-split docs sharing any verbatim 3-gram
     // with the val/test splits (split assignment = the q39 content-hash
     // split; nothing broadcasts — the holdout is a fifth of the corpus)
@@ -669,6 +676,40 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // repetition twin: integer line/char sums are order-independent, the
+    // bigram argmax is (max count, then min gram) — expressed as
+    // list_max + list_filter + list_min rather than a struct-accumulator
+    // list_reduce, which DuckDB 1.0 mis-vectorizes across rows (verified:
+    // the folded struct could arrive from a DIFFERENT row; scalar folds
+    // like the hash chains are unaffected)
+    "q52_repetition" ->
+      s"""WITH l AS (SELECT doc_id, text,
+         |  list_filter(list_transform(string_split(text, chr(10)), li -> trim(li)), li -> li <> '') AS lines,
+         |  $toksSql AS w
+         |FROM documents),
+         |g AS (SELECT doc_id, text, lines, w,
+         |  CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+         |       ELSE list_transform(range(1, len(w)), gi -> w[gi] || ' ' || w[gi+1]) END AS grams
+         |FROM l),
+         |c AS (SELECT doc_id, text, lines, grams,
+         |  list_transform(list_distinct(grams), dg -> {'cnt': len(list_filter(grams, g2 -> g2 = dg)), 'g': dg}) AS cand
+         |FROM g),
+         |b AS (SELECT *, list_max(list_transform(cand, x1 -> x1.cnt)) AS best_cnt FROM c),
+         |m AS (SELECT doc_id, text, best_cnt,
+         |  list_min(list_transform(list_filter(cand, x2 -> x2.cnt = best_cnt), x3 -> x3.g)) AS best_g,
+         |  len(lines) AS n_lines,
+         |  len(list_distinct(lines)) AS nd_lines,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(lines, l1 -> CAST(length(l1) AS BIGINT))), (a1, b1) -> a1 + b1) AS total_line_chars,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_distinct(lines), dl -> CAST(len(list_filter(lines, l2 -> l2 = dl)) - 1 AS BIGINT) * length(dl))), (a2, b2) -> a2 + b2) AS dup_line_chars
+         |FROM b)
+         |SELECT doc_id,
+         |  CAST(n_lines AS BIGINT) AS n_lines,
+         |  CASE WHEN n_lines = 0 THEN 0.0 ELSE round((n_lines - nd_lines) * 1.0 / n_lines, 6) END AS dup_line_ratio,
+         |  CASE WHEN total_line_chars = 0 THEN 0.0 ELSE round(dup_line_chars * 1.0 / total_line_chars, 6) END AS dup_line_char_ratio,
+         |  CASE WHEN length(text) = 0 OR best_cnt IS NULL THEN 0.0
+         |       ELSE round(CAST(best_cnt AS BIGINT) * length(best_g) * 1.0 / length(text), 6) END AS top_bigram_ratio
+         |FROM m""".stripMargin,
 
     // cross-split leakage twin: q39's split CTE gates q45's posting/bench
     // pattern — train docs on the posting side, val+test hashes on the

@@ -177,6 +177,60 @@ object TextFunctions {
       "quality_score" -> quality)
   }
 
+  // ---- repetition metrics (Gopher-style within-doc filters) ------------
+
+  /** Within-document repetition metrics — the Gopher/RefinedWeb-family
+    * quality rules that catch boilerplate and generator loops n-gram
+    * dedup can't (repetition INSIDE one doc, not across docs):
+    *
+    *  - `n_lines`               non-blank (trimmed) line count
+    *  - `dup_line_ratio`        fraction of non-blank lines that are
+    *                            repeats of an earlier line
+    *  - `dup_line_char_ratio`   fraction of non-blank-line characters in
+    *                            those repeats
+    *  - `top_bigram_ratio`      characters covered by occurrences of the
+    *                            most frequent word 2-gram / total text
+    *                            chars (ties: lexicographically smallest
+    *                            bigram, so engines agree)
+    *
+    * Row-local Column math only. The per-distinct-value occurrence counts
+    * are O(lines^2)/O(tokens^2) per doc — fine for document-sized rows,
+    * and entirely map-side. All sums are integer (order-independent), the
+    * argmax tie-break is total, and each ratio is one rounded division —
+    * so the DuckDB twin is bit-identical even though its `list_distinct`
+    * order differs.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val dLines = array_distinct(lines)
+    val totalLineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    val dupLineChars = aggregate(dLines, lit(0L), (acc, dl) =>
+      acc + (size(filter(lines, l => l === dl)) - 1).cast("long") * length(dl))
+    val toks = tokens(text)
+    val grams = when(size(toks) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val best = aggregate(
+      array_distinct(grams),
+      struct(lit(0).as("cnt"), lit("").as("g")),
+      (acc, dg) => {
+        val c = size(filter(grams, g => g === dg))
+        when(c > acc.getField("cnt") ||
+            (c === acc.getField("cnt") && dg < acc.getField("g")),
+          struct(c.as("cnt"), dg.as("g"))).otherwise(acc)
+      })
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "dup_line_ratio" -> ratio(nLines - size(dLines), nLines),
+      "dup_line_char_ratio" -> ratio(dupLineChars, totalLineChars),
+      "top_bigram_ratio" -> ratio(
+        best.getField("cnt").cast("long") * length(best.getField("g")),
+        length(text)))
+  }
+
   // ---- language ID -----------------------------------------------------
 
   /** Marker stopwords per language; argmax of per-doc marker counts with a
