@@ -105,6 +105,20 @@ object TrainingDataQueries {
     "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnnTrained(emb(s, dir), "vec_id < 10", 3,
       initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
 
+    // INCREMENTAL ANN index: train the IVF quantizer on the first slice,
+    // add the rest WITHOUT retraining (assignment to frozen centroids),
+    // query the grown index. Assign-at-add == assign-all-at-once because
+    // the centroids are frozen, so the oracle trains on the slice and
+    // assigns everything in one pass.
+    "q53_knn_ivf_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = SimilaritySearch.addToIndex(
+        SimilaritySearch.buildIvfIndex(e.filter(col("vec_id") <= 300),
+          initPred = "vec_id >= 100 AND vec_id < 116", iters = 2),
+        e.filter(col("vec_id") > 300))
+      SimilaritySearch.queryIndex(idx, e.filter(col("vec_id") < 10), 3)
+    }),
+
     // corpus vocabulary head: term + document frequency per token (the
     // stopword/IDF/vocab-building aggregate), deterministic top-k
     "q40_vocab_topk" -> ((s, dir) => Vocabulary.topTokens(docs(s, dir), 50)),
@@ -410,10 +424,10 @@ object TrainingDataQueries {
     * `sort_array(collect_list(...))` fold, so centroids are bit-identical.
     * Emits CTEs a/m/x/s/v/cc/c suffixed with `i`; the result is `c$i`.
     */
-  private def kmeansIterSql(prev: String, i: Int, dim: Int): String =
-    s"""a$i AS (SELECT en.vec_id, en.v, en.nrm, $prev.cid,
-       |  ${dotSql("en.v", s"$prev.cv")} / (en.nrm * $prev.cnrm) AS cscore
-       |  FROM en CROSS JOIN $prev),
+  private def kmeansIterSql(prev: String, i: Int, dim: Int, rel: String = "en"): String =
+    s"""a$i AS (SELECT $rel.vec_id, $rel.v, $rel.nrm, $prev.cid,
+       |  ${dotSql(s"$rel.v", s"$prev.cv")} / ($rel.nrm * $prev.cnrm) AS cscore
+       |  FROM $rel CROSS JOIN $prev),
        |m$i AS (SELECT vec_id, v, cid FROM a$i
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
        |x$i AS (SELECT cid, dd.di AS di, v[dd.di] AS x, vec_id
@@ -600,6 +614,31 @@ object TrainingDataQueries {
          |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
          |${kmeansIterSql("c0", 1, EmbeddingDim)},
          |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
+         |cells AS (SELECT vec_id, v, nrm, cid FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+         |qcells AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid FROM cs WHERE vec_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) <= 2),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |  round(${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm), 6) AS cos_sim
+         |  FROM cells c JOIN qcells q ON c.cid = q.cid AND c.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    // incremental-IVF twin: train on the <=300 slice (ent), assign the
+    // WHOLE corpus to the frozen centroids in one pass (equivalent to the
+    // Spark side's build-then-add because frozen-centroid assignment is
+    // row-local), probe + rerank like q35
+    "q53_knn_ivf_incremental" ->
+      s"""WITH $embBaseSql,
+         |ent AS (SELECT * FROM en WHERE vec_id <= 300),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim, rel = "ent")},
+         |${kmeansIterSql("c1", 2, EmbeddingDim, rel = "ent")},
          |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
          |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
          |  FROM en CROSS JOIN c2),

@@ -200,13 +200,65 @@ object SimilaritySearch {
     cent
   }
 
+  /** Persistable IVF index state: `centroids(cid, cv, cnrm)` — the trained
+    * coarse quantizer — and `assignments(id, v, nrm, cid)` — the corpus
+    * with each vector's cell. Two parquet tables; the assignments table
+    * APPENDS as shards arrive ([[addToIndex]]) — the ANN analogue of
+    * [[CorpusPipeline.CorpusState]].
+    */
+  case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Train the quantizer and assign the initial corpus — the expensive,
+    * once-per-index step.
+    */
+  def buildIvfIndex(embeddings: DataFrame, initPred: String, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): IvfIndex = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"buildIvfIndex: initPred '$initPred' selects no rows — nothing to train from")
+    val centroids = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    IvfIndex(centroids, e.join(assignCells(e, centroids), "id"))
+  }
+
+  /** Add a shard to an existing index WITHOUT retraining — the standard
+    * IVF add path: new vectors are assigned to the FROZEN centroids
+    * (map-side argmax over k cells), and only the shard's assignment rows
+    * are new (a persistent deployment appends exactly
+    * `result.assignments minus index.assignments`, i.e. the shard's
+    * rows). Queries immediately see the added vectors; periodic retrains
+    * rebuild the index when drift warrants — the same recompute-vs-append
+    * split as the corpus state.
+    */
+  def addToIndex(index: IvfIndex, newEmbeddings: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val e = prep(newEmbeddings, idCol, vecCol)
+    IvfIndex(index.centroids,
+      index.assignments.unionByName(e.join(assignCells(e, index.centroids), "id")))
+  }
+
+  /** Top-k query against a (possibly incrementally grown) index: probe
+    * each query's nProbe nearest cells, exact-rerank their members.
+    * Queries need not be index members.
+    */
+  def queryIndex(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfProbeCells(index.assignments, index.centroids,
+      prep(queries, idCol, vecCol), k, nProbe)
+
   /** The shared IVF probe: assign the corpus to nearest cells, probe each
     * query's nProbe nearest cells, exact-rerank inside them.
     */
   private def ivfProbe(e: DataFrame, centroids: DataFrame, queries: DataFrame,
-                       k: Int, nProbe: Int): DataFrame = {
+                       k: Int, nProbe: Int): DataFrame =
     // corpus: nearest cell per vector via the map-side-combining argmax
-    val cells = e.join(assignCells(e, centroids), "id")
+    ivfProbeCells(e.join(assignCells(e, centroids), "id"), centroids, queries, k, nProbe)
+
+  /** [[ivfProbe]] over PRE-ASSIGNED cells (an [[IvfIndex]]'s stored
+    * assignments skip the per-query re-assignment entirely).
+    */
+  private def ivfProbeCells(cells: DataFrame, centroids: DataFrame, queries: DataFrame,
+                            k: Int, nProbe: Int): DataFrame = {
     // queries: nProbe nearest cells each — a top-N, so this one is a
     // window; the query set is the small side by construction
     val wCell = Window.partitionBy(col("id")).orderBy(col("cscore").desc, col("cid").asc)

@@ -52,7 +52,7 @@ class PlanSpec extends SparkTestBase {
     // quantile-gate subplan as their quality stage
     val sanctioned = Set(
       "q05_cross_join", "q31_embed_neardup_exact",
-      "q28_knn_brute", "q35_knn_ivf",
+      "q28_knn_brute", "q35_knn_ivf", "q53_knn_ivf_incremental",
       "q13_band_join", "q14_backfill", "q15_pit_join", "q16_pit_join_rank",
       "q17_online_payload", "q43_quantile_gate", "q48_corpus_pipeline",
       "q49_corpus_incremental")

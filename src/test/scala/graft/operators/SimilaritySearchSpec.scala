@@ -144,4 +144,45 @@ class SimilaritySearchSpec extends SparkTestBase {
       rows.map(_._2).sorted.toSeq shouldBe (1 to rows.length)
     }
   }
+
+  private lazy val realEmb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("incremental IVF: an added near-copy becomes the top neighbor without retraining") {
+    val idx0 = SimilaritySearch.buildIvfIndex(
+      realEmb.filter(col("vec_id") <= 300), "vec_id >= 100 AND vec_id < 116")
+    // plant a near-copy of query vector 5 in the NEW shard (id 9999):
+    // same direction, scaled — cosine 1.0 with the query
+    val planted = realEmb.filter(col("vec_id") === 5)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f)).as("embedding"),
+        col("label"))
+    val idx1 = SimilaritySearch.addToIndex(idx0,
+      realEmb.filter(col("vec_id") > 300).unionByName(planted))
+    val top = SimilaritySearch.queryIndex(idx1, realEmb.filter(col("vec_id") === 5), 3)
+      .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    top shouldBe 9999L // searchable immediately; centroids untouched
+    // and the index state is appendable: assignments grew by exactly the shard
+    idx1.assignments.count() - idx0.assignments.count() shouldBe
+      realEmb.filter(col("vec_id") > 300).count() + 1
+  }
+
+  test("incremental IVF query is deterministic and matches one-shot frozen-centroid assignment") {
+    def results(idx: SimilaritySearch.IvfIndex) =
+      SimilaritySearch.queryIndex(idx, realEmb.filter(col("vec_id") < 10), 3)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val incremental = SimilaritySearch.addToIndex(
+      SimilaritySearch.buildIvfIndex(realEmb.filter(col("vec_id") <= 300),
+        "vec_id >= 100 AND vec_id < 116"),
+      realEmb.filter(col("vec_id") > 300))
+    // one-shot: same frozen centroids (trained on <= 300), everything
+    // assigned at build time — must be indistinguishable
+    val trainSlice = SimilaritySearch.buildIvfIndex(
+      realEmb.filter(col("vec_id") <= 300), "vec_id >= 100 AND vec_id < 116")
+    val oneShot = SimilaritySearch.addToIndex(
+      SimilaritySearch.IvfIndex(trainSlice.centroids,
+        trainSlice.assignments.limit(0)),
+      realEmb)
+    results(incremental) shouldBe results(oneShot)
+  }
 }
