@@ -32,7 +32,7 @@ object SparkEntry {
     * conf leaks into later queries; post-restore actions still decode nanos
     * because the hadoop conf is captured into the relation at plan time.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
@@ -110,7 +110,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ TrainingDataQueries.queries
+    baseQueries ++ TrainingDataQueries.queries ++ AnalyticsQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1: parquet scan + projection
@@ -447,5 +447,5 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q34_table_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier"
-  ) ++ TrainingDataQueries.oracleSql
+  ) ++ TrainingDataQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization: group each user's event stream into sessions
+  * separated by inactivity gaps, then aggregate per session.
+  *
+  * The batch twin of [[graft.streaming.EventStream]]'s
+  * `session_window` aggregation (reference: mini-feature-store computes
+  * per-user activity features; sessions are the standard unit an analytics
+  * engine derives from a raw event log — funnel/duration/attribution work
+  * all starts here).
+  *
+  * Semantics: events of one user, ordered by (event time, event id), start
+  * a new session whenever the gap to the previous event exceeds
+  * `gapSeconds`. `session_seq` numbers a user's sessions from 1 in time
+  * order; the (user_id, session_seq) pair is the session key. The event-id
+  * tiebreak makes the order — and therefore the assignment — fully
+  * deterministic even for same-timestamp events.
+  *
+  * Scale shape: ONE shuffle, partitioned by `user_id` — the same key
+  * layout every feature pipeline here shuffles on, so a pre-bucketed
+  * events table (Writers `--buckets`) serves this without an exchange.
+  * Both windows ride that single partitioning (lag and the running
+  * session count use the same (user, time) sort), and the per-session
+  * aggregate is map-side combinable on the already-co-located key. A
+  * user's rows serialize into one task — bounded by per-user history, not
+  * corpus size (the as-of-join skew note in SCALING.md applies verbatim).
+  *
+  * Times flow as microsecond longs (`unix_micros`), not timestamps: exact
+  * integer gap math, no sub-second precision loss crossing engines.
+  */
+object Sessionize {
+
+  /** Per-event session assignment: adds `ts_us` (event time in micros),
+    * `session_seq` (1-based per-user session number).
+    */
+  def assign(events: DataFrame, gapSeconds: Long,
+             userCol: String = "user_id", tsCol: String = "ts",
+             idCol: String = "event_id"): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val gapMicros = gapSeconds * 1000000L
+    val order = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col(idCol))
+    // a NULL event time has no position in the stream — same loud-failure
+    // rule as Packing's NULL id (a silent NULLS FIRST placement would
+    // split/merge real sessions depending on engine sort defaults)
+    events.withColumn("ts_us",
+        when(col(tsCol).isNull,
+          raise_error(lit(s"sessionize: NULL $tsCol has no stream position")))
+          .otherwise(unix_micros(col(tsCol))))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(order) > gapMicros, 1L)
+          .otherwise(when(lag(col("ts_us"), 1).over(order).isNull, 1L).otherwise(0L)))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("new_session")
+  }
+
+  /** Per-session rollup: event count, span, and distinct event types.
+    * Integer-exact outputs only (micros, counts) — bit-stable across
+    * engines by construction.
+    */
+  def sessions(events: DataFrame, gapSeconds: Long,
+               userCol: String = "user_id", tsCol: String = "ts",
+               idCol: String = "event_id",
+               typeCol: String = "event_type"): DataFrame =
+    assign(events, gapSeconds, userCol, tsCol, idCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+        countDistinct(col(typeCol)).as("n_event_types"))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Gap-based sessionization: hand-computed assignments, tiebreak
+  * determinism, and the rollup's integer-exact session stats.
+  */
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // user 1: three events within the 600s gap, then a 2h break, then one
+  // more; user 2: a lone event
+  private def events = Seq(
+    (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+    (3L, 1L, ts("2024-01-01 10:12:00"), "purchase"),
+    (4L, 1L, ts("2024-01-01 12:30:00"), "view"),
+    (5L, 2L, ts("2024-01-01 09:00:00"), "signup")
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("gap cut splits sessions exactly; seq numbers from 1 in time order") {
+    val out = Sessionize.assign(events, gapSeconds = 600L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L)
+  }
+
+  test("a gap of exactly gapSeconds does NOT split (strictly-greater cut)") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:10:00"), "view"),      // == 600s
+      (3L, 1L, ts("2024-01-01 10:20:00.000001"), "view") // 600s + 1us
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.assign(e, gapSeconds = 600L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L)
+  }
+
+  test("same-timestamp events order by event_id — assignment is deterministic") {
+    val e = Seq(
+      (20L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (10L, 1L, ts("2024-01-01 10:00:00"), "click"),
+      (30L, 1L, ts("2024-01-01 13:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.assign(e, gapSeconds = 600L)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    out shouldBe Map(10L -> 1L, 20L -> 1L, 30L -> 2L)
+  }
+
+  test("session rollup: counts, span, distinct types — integer-exact") {
+    val out = Sessionize.sessions(events, gapSeconds = 600L)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "duration_us", "n_event_types")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 3L, 720L * 1000000L, 3L),
+      (1L, 2L, 1L, 0L, 1L),
+      (2L, 1L, 1L, 0L, 1L))
+  }
+
+  test("NULL event time fails loudly; non-positive gap rejected") {
+    val e = Seq((1L, 1L, Option.empty[Timestamp], Option("view")))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    an[Exception] should be thrownBy
+      Sessionize.assign(e, gapSeconds = 600L).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.assign(events, gapSeconds = 0L)
+  }
+}
