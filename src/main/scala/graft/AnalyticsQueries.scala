@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sessionize
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions.{collapseRepeats, shingleHashes}
+import graft.operators.{BloomFilter, FrequencySketch, Packing, Sampling, Sessionize, Vocabulary}
+import graft.TrainingDataQueries.{docSetsSql, polyHashSql, toksSql}
 
 /** Round-6 analytics operators: event sessionization, frequency sketches,
   * Bloom pruning, OLAP reporting shapes, and corpus mixing — each with a
@@ -24,8 +27,104 @@ object AnalyticsQueries {
     // gap-based sessionization + per-session rollup: one shuffle on
     // user_id, integer-exact outputs (micros, counts)
     "q54_sessionize" -> ((s, dir) =>
-      Sessionize.sessions(SparkEntry.events(s, dir), SessionGapSeconds))
+      Sessionize.sessions(SparkEntry.events(s, dir), SessionGapSeconds)),
+
+    // count-min sketch term frequencies: per-SOURCE shard sketches,
+    // sum-merged to the corpus sketch (merge-of-parts == single-pass, the
+    // property the oracle pins), probed for the exact top-50 tokens so the
+    // upper-bound estimate sits next to the true tf
+    "q55_token_freq_cms" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val occ = docs.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("token"))
+      val merged = FrequencySketch.merge(
+        FrequencySketch.sketch(occ, "token", Seq("source")))
+      FrequencySketch.estimate(merged, Vocabulary.topTokens(docs, 50), "token")
+    }),
+
+    // Bloom-pruned contamination gate: the benchmark's shingle set
+    // collapses to a broadcast 8 KiB bit array instead of q45's full
+    // distinct-hash broadcast. No false negatives (every q45 contaminated
+    // doc flags here too — BloomFilterSpec pins it); false positives only
+    // send extra docs to the exact verifier
+    "q56_bloom_contamination" -> ((s, dir) => {
+      val sets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), shingleHashes(col("text"), 3).as("hashes"))
+        .filter(size(col("hashes")) > 0)
+      val bloom = BloomFilter.build(
+        sets.filter(col("id") <= 25).select(explode(col("hashes")).as("h")).distinct(), "h")
+      val posting = sets.filter(col("id") > 25)
+        .select(col("id"), explode(col("hashes")).as("h"))
+      BloomFilter.mightContain(bloom, posting, "h", Seq("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("in_bloom")).as("n_bloom_hits"))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+          (col("n_bloom_hits") > 0).cast("int").as("maybe_contaminated"))
+    }),
+
+    // OLAP rollup report: corpus size by (lang, source) with subtotal and
+    // grand-total rows — ONE aggregate producing all three grouping levels
+    // (never three scans + union), the standard reporting shape
+    "q57_rollup_report" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .rollup(col("lang"), col("source"))
+        .agg(
+          grouping_id().as("grouping_level"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select("lang", "source", "grouping_level", "n_docs", "total_chars")),
+
+    // pivot to a wide per-user feature row: event-type counts as columns,
+    // expressed as ONE conditional aggregate over a PINNED type list.
+    // Deliberately not RelationalGroupedDataset.pivot: even with explicit
+    // values that lowers to a two-phase aggregate — a (user, type) shuffle
+    // feeding a second user shuffle — where this shape is a single
+    // map-side-combinable pass (PlanSpec pins the 1-Exchange plan)
+    "q58_pivot_event_counts" -> ((s, dir) =>
+      SparkEntry.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === EventTypes.head, 1)).as(s"n_${EventTypes.head}"),
+          EventTypes.tail.map(t =>
+            count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)),
+
+    // temperature mixing (unigram^0.5): flatten the language head without
+    // the hard quota cut of q44 — per-category keep-rates from one tiny
+    // aggregate, membership row-local content hashing
+    "q59_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", "text", targetTotal = 300L)
+        .select(col("doc_id"), col("lang"), col("category_n"), col("mix_rate_ppm"))),
+
+    // overlapping sliding-window chunking (window 96, stride 64 — the
+    // long-context training cut; sized so the sf corpus' docs actually
+    // produce multi-window output): row-local explode, zero shuffle
+    "q60_sliding_chunks" -> ((s, dir) =>
+      Packing.slidingWindows(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), size(TextFunctions.tokens(col("text"))).as("n_tokens")),
+        windowTokens = 96L, strideTokens = 64L)),
+
+    // consecutive-duplicate collapse: the stutter normalization, with the
+    // normalized fingerprint so downstream exact-dedup can run on the
+    // cleaned form without materializing it
+    "q61_collapse_repeats" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), toks.as("w"), collapseRepeats(toks).as("kept"))
+        .select(
+          col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("n_collapsed"),
+          TextFunctions.polyHash(array_join(col("kept"), " ")).as("norm_hash"))
+    })
   )
+
+  /** Pinned event-type pivot columns (the values the synthetic events
+    * table contains; a new type would land nowhere — pivot contracts pin
+    * their columns, that's the point).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   def oracleSql: Map[String, String] = Map(
     // lag/running-sum session assignment over (ts_us, event_id) — the
@@ -41,6 +140,137 @@ object AnalyticsQueries {
          |  min(ts_us) AS start_us, max(ts_us) AS end_us,
          |  max(ts_us) - min(ts_us) AS duration_us,
          |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
-         |FROM sess GROUP BY user_id, session_seq""".stripMargin
+         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+
+    // CMS twin: identical row-hash CASE arms generated from the SAME
+    // constants the Spark expressions use; the oracle builds the sketch in
+    // one pass — which IS the merge-of-shards by sum-associativity
+    "q55_token_freq_cms" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |occ AS (SELECT unnest(w) AS token FROM tok),
+         |oh AS (SELECT ${polyHashSql("token")} AS h FROM occ),
+         |rr AS (SELECT unnest([${(0 until FrequencySketch.Depth).mkString(", ")}]) AS r),
+         |cells AS (SELECT rr.r AS r, ${cmsIdxSql("rr.r", "h")} AS idx,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |  FROM oh CROSS JOIN rr GROUP BY 1, 2),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY token),
+         |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT unnest(list_distinct(w)) AS token FROM tok) GROUP BY token),
+         |top AS (SELECT tf.token, tf.tf, dfr.df FROM tf JOIN dfr ON tf.token = dfr.token
+         |  ORDER BY tf.tf DESC, tf.token ASC LIMIT 50),
+         |ph AS (SELECT token, tf, df, ${polyHashSql("token")} AS h FROM top),
+         |probes AS (SELECT token, tf, df, rr.r AS r, ${cmsIdxSql("rr.r", "h")} AS idx
+         |  FROM ph CROSS JOIN rr)
+         |SELECT probes.token, probes.tf, probes.df,
+         |  CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_est
+         |FROM probes LEFT JOIN cells ON probes.r = cells.r AND probes.idx = cells.idx
+         |GROUP BY probes.token, probes.tf, probes.df""".stripMargin,
+
+    // Bloom twin: same probe CASE arms, same 32-bit word/mask layout; the
+    // shared docSetsSql keeps the shingle population identical to q45's
+    "q56_bloom_contamination" ->
+      s"""WITH $docSetsSql,
+         |bh AS (SELECT DISTINCT unnest(hashes) AS h FROM sets WHERE id <= 25),
+         |kk AS (SELECT unnest([${(0 until BloomFilter.K).mkString(", ")}]) AS k),
+         |bp AS (SELECT ${bloomPosSql("kk.k", "h")} AS pos FROM bh CROSS JOIN kk),
+         |bw AS (SELECT CAST(pos // 32 AS INT) AS word,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM bp GROUP BY 1),
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets WHERE id > 25),
+         |pp AS (SELECT id, h, ${bloomPosSql("kk.k", "h")} AS pos FROM posting CROSS JOIN kk),
+         |hit AS (SELECT id, h,
+         |  min(CASE WHEN bw.bits IS NOT NULL
+         |           AND (bw.bits & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INT))) <> 0
+         |      THEN 1 ELSE 0 END) AS in_bloom
+         |  FROM pp LEFT JOIN bw ON pp.pos // 32 = bw.word GROUP BY id, h)
+         |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(in_bloom) AS BIGINT) AS n_bloom_hits,
+         |  CASE WHEN sum(in_bloom) > 0 THEN 1 ELSE 0 END AS maybe_contaminated
+         |FROM hit GROUP BY id""".stripMargin,
+
+    // ROLLUP twin: GROUPING() bit-encodes the same levels as Spark's
+    // grouping_id (0 = leaf, 1 = per-lang subtotal, 3 = grand total)
+    "q57_rollup_report" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS grouping_level,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q58_pivot_event_counts" ->
+      ("SELECT user_id, " + EventTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS n_$t")
+        .mkString(", ") + " FROM events GROUP BY user_id"),
+
+    // temperature twin: the per-category rate replays Spark's float ops in
+    // the SAME order — sqrt of exact integers, an ordered fold for S
+    // (NULLS FIRST matches sort_array's struct order), floor(rate * 1e6)
+    // — so the ppm threshold is bit-identical
+    "q59_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS category_n FROM documents GROUP BY lang),
+         |sw AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(sqrt(CAST(category_n AS DOUBLE)) ORDER BY lang NULLS FIRST)),
+         |    (a, b) -> a + b) AS sum_w FROM c),
+         |r AS (SELECT lang, category_n,
+         |  CAST(floor(least(CAST(1 AS DOUBLE),
+         |    CAST(300 AS DOUBLE) * sqrt(CAST(category_n AS DOUBLE))
+         |      / (sw.sum_w * CAST(category_n AS DOUBLE)))
+         |    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mix_rate_ppm
+         |  FROM c, sw)
+         |SELECT d.doc_id, d.lang, r.category_n, r.mix_rate_ppm
+         |FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang
+         |WHERE (${polyHashSql("d.text")} % 1000000) < r.mix_rate_ppm""".stripMargin,
+
+    "q60_sliding_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |w AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens <= 96 THEN 1
+         |       ELSE 1 + (n_tokens - 96 + 63) // 64 END AS n_wins
+         |  FROM t WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, n_tokens, unnest(range(0, n_wins)) AS win_idx FROM w)
+         |SELECT doc_id, n_tokens, win_idx,
+         |  win_idx * 64 AS win_start,
+         |  least(96, n_tokens - win_idx * 64) AS win_len
+         |FROM e""".stripMargin,
+
+    // collapse twin: position-indexed CASE keeps first-of-run tokens in
+    // order; the normalized fingerprint hashes the re-joined string with
+    // the shared rolling-hash fold
+    "q61_collapse_repeats" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |k AS (SELECT doc_id, len(w) AS n_tokens,
+         |  list_filter(list_transform(range(1, len(w)+1),
+         |    i -> CASE WHEN i = 1 OR w[i] <> w[i-1] THEN w[i] END),
+         |    x -> x IS NOT NULL) AS kept
+         |  FROM t),
+         |j AS (SELECT doc_id, n_tokens, len(kept) AS n_kept,
+         |  array_to_string(kept, ' ') AS norm_text FROM k)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_tokens - n_kept AS BIGINT) AS n_collapsed,
+         |  ${polyHashSql("norm_text")} AS norm_hash
+         |FROM j""".stripMargin
   )
+
+  /** Bloom probe position for probe-index expr `k` over hash expr `h` —
+    * CASE arms generated from [[BloomFilter]]'s pinned constants.
+    */
+  private def bloomPosSql(k: String, h: String): String = {
+    val aArms = BloomFilter.ProbeA.zipWithIndex
+      .map { case (a, i) => s"WHEN $i THEN $a" }.mkString(" ")
+    val bArms = BloomFilter.ProbeB.zipWithIndex
+      .map { case (b, i) => s"WHEN $i THEN $b" }.mkString(" ")
+    s"((CASE $k $aArms END * $h + CASE $k $bArms END) % ${BloomFilter.ProbeMod}) % ${BloomFilter.Bits}"
+  }
+
+  /** CMS cell index for row expr `r` over hash expr `h` — CASE arms
+    * generated from [[FrequencySketch]]'s pinned constants so the twin
+    * can't drift.
+    */
+  private def cmsIdxSql(r: String, h: String): String = {
+    val aArms = FrequencySketch.RowA.zipWithIndex
+      .map { case (a, i) => s"WHEN $i THEN $a" }.mkString(" ")
+    val bArms = FrequencySketch.RowB.zipWithIndex
+      .map { case (b, i) => s"WHEN $i THEN $b" }.mkString(" ")
+    s"((CASE $r $aArms END * $h + CASE $r $bArms END) % ${FrequencySketch.RowMod}) % ${FrequencySketch.Width}"
+  }
 }

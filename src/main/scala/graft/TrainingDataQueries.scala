@@ -239,11 +239,11 @@ object TrainingDataQueries {
   // ==== DuckDB oracle twins ============================================
 
   /** token list: same regex + empty-filter as [[TextFunctions.tokens]] */
-  private val toksSql =
+  private[graft] val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), tk -> tk <> '')"
 
   /** rolling hash of string expr `e`: fold twin of [[TextFunctions.polyHash]] */
-  private def polyHashSql(e: String): String =
+  private[graft] def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS BIGINT))), " +
       s"(acc, c) -> (acc*$HashBase + c) % $HashMod)"
@@ -296,7 +296,7 @@ object TrainingDataQueries {
   }
 
   /** doc shingle-hash sets CTE chain (twin of Dedup.withShingleHashes) */
-  private val docSetsSql =
+  private[graft] val docSetsSql =
     s"""t AS (SELECT doc_id AS id, $toksSql AS w FROM documents),
        |sh AS (SELECT id, list_transform(range(1, len(w)-1), si -> w[si]||' '||w[si+1]||' '||w[si+2]) AS sgs FROM t),
        |hs AS (SELECT id, list_distinct(list_transform(sgs, sg -> ${polyHashSql("sg")})) AS hashes FROM sh),

@@ -62,6 +62,20 @@ object TextFunctions {
         lit(0L),
         (acc, i) => (acc * HashBase + ascii(s.substr(i, lit(1)))) % HashMod))
 
+  /** Tokens with runs of CONSECUTIVE duplicates collapsed to one ("a a the"
+    * -> "a the") — the cheap generator-stutter normalization a cleaning
+    * pass runs before hashing/dedup (cross-doc dedup can't see it; q52's
+    * repetition metrics only measure it). Row-local; position-indexed so
+    * the oracle's `range`/`list_filter` twin keeps the identical order.
+    */
+  def collapseRepeats(toks: Column): Column =
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      filter(
+        transform(sequence(lit(1), size(toks)), i =>
+          when(i === 1 || element_at(toks, i) =!= element_at(toks, i - 1),
+            element_at(toks, i))),
+        t => t.isNotNull))
+
   /** Distinct n-gram word shingles ("w1 w2 w3") of a token array. */
   def wordShingles(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(

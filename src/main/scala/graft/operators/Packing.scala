@@ -37,6 +37,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Overlapping sliding-window chunking of long documents: windows of
+    * `windowTokens` starting every `strideTokens` (stride < window =
+    * overlap, the standard long-context training cut). Entirely row-local
+    * — one explode of a per-row integer sequence, zero shuffle; the window
+    * COUNT math is exact on both engines (token counts sit far below
+    * 2^53, so floor-of-division can't round):
+    * `n_wins = 1 + ceil((n - window) / stride)` for n > window, else 1
+    * (docs with zero tokens emit no windows). The last window is short
+    * (`win_len = min(window, n - start)`), never empty: the final start is
+    * strictly below n by construction.
+    */
+  def slidingWindows(docs: DataFrame, windowTokens: Long, strideTokens: Long,
+                     idCol: String = "doc_id", tokenCol: String = "n_tokens"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      "strideTokens must be in (0, windowTokens]")
+    val n = col(tokenCol).cast("long")
+    val nWins = when(n <= windowTokens, lit(1L))
+      .otherwise(lit(1L) + floor((n - windowTokens + strideTokens - 1L) / lit(strideTokens)).cast("long"))
+    docs.filter(n > 0L)
+      .select(col(idCol), n.as("n_tokens"), explode(sequence(lit(0L), nWins - 1L)).as("win_idx"))
+      .withColumn("win_start", col("win_idx") * strideTokens)
+      .withColumn("win_len", least(lit(windowTokens), col("n_tokens") - col("win_start")))
+  }
+
   def packChunks(docs: DataFrame, budget: Long,
                  idCol: String = "doc_id", tokenCol: String = "n_tokens",
                  bucketWidth: Long = 4096L): DataFrame = {

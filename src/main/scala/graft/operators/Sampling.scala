@@ -94,6 +94,50 @@ object Sampling {
           col(bucketCol).cast("long") * col("category_n") < lit(quota * buckets))
   }
 
+  /** Temperature-based source mixing (the "unigram^alpha" reweighting LLM
+    * data recipes use, here at the standard alpha = 0.5): category c keeps
+    * rows at rate `min(1, target * sqrt(n_c) / (S * n_c))` where
+    * `S = sum_c sqrt(n_c)` — i.e. the kept corpus approximates `target`
+    * rows distributed proportionally to sqrt(category size), flattening
+    * the head without discarding the tail the way a hard quota does.
+    *
+    * Same scale shape as [[rebalanceToQuota]]: category counts are one
+    * tiny combinable aggregate broadcast back; membership is row-local
+    * content-hash thresholding (stable across reruns/engines). The only
+    * float math is the rate itself, computed once per CATEGORY in a
+    * pinned order the oracle replays exactly: sqrt of an exact integer is
+    * correctly rounded IEEE, S folds over categories in category order
+    * (NULL first), and the comparison threshold is `floor(rate * 1e6)`
+    * against a ppm content bucket — so the cut is bit-stable even though
+    * a temperature weight is irrational.
+    */
+  def temperatureMix(df: DataFrame, categoryCol: String, textCol: String,
+                     targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, "targetTotal must be positive")
+    val counts = df.groupBy(col(categoryCol))
+      .agg(count(lit(1)).as("category_n"))
+      .withColumnRenamed(categoryCol, "__mix_cat")
+    // ONE ordered fold over the per-category sqrt weights: sort_array on
+    // (category, weight) structs orders by category with NULL first —
+    // the same order the oracle's `list(... ORDER BY c NULLS FIRST)` uses
+    val sumW = counts
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__mix_cat"),
+          sqrt(col("category_n").cast("double")).as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("__sum_w"))
+    val rates = counts.crossJoin(broadcast(sumW))
+      .withColumn("mix_rate_ppm",
+        floor(least(lit(1.0),
+          lit(targetTotal.toDouble) * sqrt(col("category_n").cast("double"))
+            / (col("__sum_w") * col("category_n").cast("double")))
+          * lit(1000000.0)).cast("long"))
+      .select(col("__mix_cat"), col("category_n"), col("mix_rate_ppm"))
+    // null-safe category join, same rule as rebalanceToQuota
+    df.join(broadcast(rates), col(categoryCol) <=> col("__mix_cat"))
+      .drop("__mix_cat")
+      .filter(contentBucket(col(textCol), 1000000) < col("mix_rate_ppm"))
+  }
+
   /** Assign each row a train/val/test split by content bucket:
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val, rest ->
     * test. Disjoint and exhaustive by construction.

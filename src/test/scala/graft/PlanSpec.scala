@@ -19,6 +19,12 @@ class PlanSpec extends SparkTestBase {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Count Exchange OPERATOR headers ("(n) Exchange") in a formatted
+    * explain — each physical exchange prints exactly one such line.
+    */
+  private def exchangeCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+
   test("q02: range+discount filters are pushed into the parquet scan") {
     val p = plan("q02_filter_range")
     p should include("PushedFilters: [")
@@ -55,7 +61,11 @@ class PlanSpec extends SparkTestBase {
       "q28_knn_brute", "q35_knn_ivf", "q53_knn_ivf_incremental",
       "q13_band_join", "q14_backfill", "q15_pit_join", "q16_pit_join_rank",
       "q17_online_payload", "q43_quantile_gate", "q48_corpus_pipeline",
-      "q49_corpus_incremental")
+      "q49_corpus_incremental",
+      // q59's sqrt-weight normalizer S is a one-row aggregate cross-joined
+      // against the (tiny) per-category counts — the same sanctioned
+      // scalar-broadcast shape as q43's threshold
+      "q59_temperature_mix")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -143,5 +153,51 @@ class PlanSpec extends SparkTestBase {
     // explain tags fused operators with "[codegen id : N]")
     plan("q22_fingerprint") should include("[codegen id :")
     plan("q20_text_quality") should include("[codegen id :")
+  }
+
+  test("q54: sessionization rides ONE user_id shuffle (windows + rollup share it)") {
+    // lag, the running session count, and the (user, session) aggregate
+    // all cluster by user_id — one Exchange, reused down the plan
+    val p = plan("q54_sessionize")
+    exchangeCount(p) shouldBe 1
+    p should include("hashpartitioning(user_id")
+  }
+
+  test("q55/q56: sketch and Bloom sides broadcast — the corpus side never shuffles to meet them") {
+    Seq("q55_token_freq_cms", "q56_bloom_contamination").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should include("BroadcastHashJoin")
+        p should not include "SortMergeJoin"
+      }
+    }
+  }
+
+  test("q57/q58: rollup and pivot are each ONE combinable aggregate — single shuffle, no join") {
+    Seq("q57_rollup_report", "q58_pivot_event_counts").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        exchangeCount(p) shouldBe 1
+        p should not include "Join"
+        p should include("partial_")        // map-side combine before the shuffle
+      }
+    }
+  }
+
+  test("q59: temperature mix never windows or sorts the corpus; membership is row-local") {
+    val p = plan("q59_temperature_mix")
+    p should not include "Window"
+    p should not include "SortMergeJoin"
+    p should include("BroadcastHashJoin")   // per-category rates broadcast back
+  }
+
+  test("q60/q61: chunking and collapse are row-local — zero shuffles, codegen-fused") {
+    Seq("q60_sliding_chunks", "q61_collapse_repeats").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        p should not include "Exchange"
+        p should include("[codegen id :")
+      }
+    }
   }
 }

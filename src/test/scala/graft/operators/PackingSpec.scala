@@ -78,4 +78,40 @@ class PackingSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq shouldBe
       Seq((1L, 6L, 0L), (2L, 0L, 6L), (3L, 4L, 6L))
   }
+
+  test("sliding windows: counts, starts, and short tails are exact") {
+    val docs = Seq((1L, 0L), (2L, 50L), (3L, 96L), (4L, 97L), (5L, 224L), (6L, 225L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.slidingWindows(docs, windowTokens = 96L, strideTokens = 64L)
+      .select("doc_id", "win_idx", "win_start", "win_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (2L, 0L, 0L, 50L),                       // short doc: one short window
+      (3L, 0L, 0L, 96L),                       // exactly one full window
+      (4L, 0L, 0L, 96L), (4L, 1L, 64L, 33L),   // one token over: overlap tail
+      (5L, 0L, 0L, 96L), (5L, 1L, 64L, 96L), (5L, 2L, 128L, 96L),
+      (6L, 0L, 0L, 96L), (6L, 1L, 64L, 96L), (6L, 2L, 128L, 96L), (6L, 3L, 192L, 33L))
+    // doc 1 (zero tokens) emits nothing — asserted by the Set above
+  }
+
+  test("sliding windows: every window is non-empty and covers all tokens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "CAST(length(text) % 311 AS BIGINT) AS n_tokens")
+    val wins = Packing.slidingWindows(docs, windowTokens = 96L, strideTokens = 64L)
+    wins.filter("win_len <= 0 OR win_start >= n_tokens").count() shouldBe 0L
+    // last window reaches the end of every doc
+    wins.groupBy("doc_id", "n_tokens")
+      .agg(max(col("win_start") + col("win_len")).as("covered"))
+      .filter("covered <> n_tokens").count() shouldBe 0L
+  }
+
+  test("sliding windows: guards reject bad window/stride") {
+    val docs = Seq((1L, 5L)).toDF("doc_id", "n_tokens")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.slidingWindows(docs, windowTokens = 0L, strideTokens = 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.slidingWindows(docs, windowTokens = 10L, strideTokens = 11L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.slidingWindows(docs, windowTokens = 10L, strideTokens = 0L)
+  }
 }

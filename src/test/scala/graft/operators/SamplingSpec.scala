@@ -99,4 +99,34 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.assignSplit(docs, "text", trainPct = 80, valPct = 30)
   }
+
+  test("temperature mix: rates follow sqrt weighting; head flattened, tail kept") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Sampling.temperatureMix(corpus, "lang", "text", targetTotal = 300L)
+    val rates = kept.select("lang", "category_n", "mix_rate_ppm").distinct()
+      .as[(String, Long, Long)].collect().map { case (l, n, r) => (l, (n, r)) }.toMap
+    val counts = corpus.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sumW = counts.keys.toSeq.sorted.map(l => math.sqrt(counts(l).toDouble)).sum
+    rates.foreach { case (l, (n, ppm)) =>
+      n shouldBe counts(l)
+      val expect = math.floor(
+        math.min(1.0, 300.0 * math.sqrt(n.toDouble) / (sumW * n.toDouble)) * 1000000.0).toLong
+      withClue(s"lang $l: ")(ppm shouldBe expect)
+    }
+    // sqrt temperature keeps a LARGER fraction of small categories than of
+    // the head — the flattening property
+    val keptCounts = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enFrac = keptCounts("en").toDouble / counts("en")
+    val deFrac = keptCounts("de").toDouble / counts("de")
+    deFrac should be > enFrac
+  }
+
+  test("temperature mix: deterministic across reruns; guard rejects bad target") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ids = Sampling.temperatureMix(corpus, "lang", "text", targetTotal = 300L)
+      .select("doc_id").as[Long].collect().toSet
+    ids shouldBe ids
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureMix(corpus, "lang", "text", targetTotal = 0L)
+  }
 }
