@@ -62,6 +62,19 @@ object TextFunctions {
         lit(0L),
         (acc, i) => (acc * HashBase + ascii(s.substr(i, lit(1)))) % HashMod))
 
+  /** Expression-level `let`: evaluate `value` ONCE per row and hand it to
+    * `body` as a bound lambda variable — the binding Spark's expression
+    * language lacks. Interpreted higher-order functions re-evaluate every
+    * subtree reference on every lambda invocation, so a fold that consults
+    * its source array per step turns an O(n) pass into O(n^2)
+    * re-tokenizations; routing the array through a one-element `transform`
+    * makes every inner reference a cheap variable read. (Column-level
+    * projection would also work, but callers compose these as single
+    * expressions — the binding keeps the fix inside the function.)
+    */
+  private def letBound(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Tokens with runs of CONSECUTIVE duplicates collapsed to one ("a a the"
     * -> "a the") — the cheap generator-stutter normalization a cleaning
     * pass runs before hashing/dedup (cross-doc dedup can't see it; q52's
@@ -69,12 +82,13 @@ object TextFunctions {
     * the oracle's `range`/`list_filter` twin keeps the identical order.
     */
   def collapseRepeats(toks: Column): Column =
-    when(size(toks) === 0, array().cast("array<string>")).otherwise(
-      filter(
-        transform(sequence(lit(1), size(toks)), i =>
-          when(i === 1 || element_at(toks, i) =!= element_at(toks, i - 1),
-            element_at(toks, i))),
-        t => t.isNotNull))
+    letBound(toks, w =>   // w: one tokenization per row, not one per element
+      when(size(w) === 0, array().cast("array<string>")).otherwise(
+        filter(
+          transform(sequence(lit(1), size(w)), i =>
+            when(i === 1 || element_at(w, i) =!= element_at(w, i - 1),
+              element_at(w, i))),
+          t => t.isNotNull)))
 
   /** Distinct n-gram word shingles ("w1 w2 w3") of a token array. */
   def wordShingles(toks: Column, n: Int): Column =
@@ -207,38 +221,77 @@ object TextFunctions {
     *                            chars (ties: lexicographically smallest
     *                            bigram, so engines agree)
     *
-    * Row-local Column math only. The per-distinct-value occurrence counts
-    * are O(lines^2)/O(tokens^2) per doc — fine for document-sized rows,
-    * and entirely map-side. All sums are integer (order-independent), the
-    * argmax tie-break is total, and each ratio is one rounded division —
-    * so the DuckDB twin is bit-identical even though its `list_distinct`
-    * order differs.
+    * Counting runs in the native one-pass [[RepStats]] kernel (hash-map
+    * line/bigram counts in a tight JIT'd loop); only the ratio arithmetic
+    * stays in Column math. All counts are integer (order-independent),
+    * the argmax tie-break is total, and each ratio is one rounded
+    * division — so the DuckDB twin is bit-identical even though its
+    * `list_distinct` order differs.
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val st = RepStats.repStats(text)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+    Seq(
+      "n_lines" -> st.getField("n_lines"),
+      "dup_line_ratio" -> ratio(
+        st.getField("n_lines") - st.getField("nd_lines"), st.getField("n_lines")),
+      "dup_line_char_ratio" -> ratio(
+        st.getField("dup_line_chars"), st.getField("line_chars")),
+      "top_bigram_ratio" -> ratio(
+        st.getField("best_cnt") * st.getField("best_len"), length(text)))
+  }
+
+  /** The composed HOF formulation, kept ONLY as the bit-parity witness for
+    * the native [[RepStats]] kernel (RepetitionMetricsSpec asserts value
+    * equality on the corpus and the edge shapes). Let-bound arrays keep
+    * even the witness polynomial: interpreted HOFs re-evaluate subtree
+    * references per lambda frame, so the unbound original re-tokenized the
+    * document per (distinct x element) pair.
+    */
+  def repetitionMetricsHof(text: Column): Seq[(String, Column)] = {
     val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    // toks let-bound here too: element_at inside the transform lambda
+    // would otherwise re-tokenize the document per bigram element
+    val grams = letBound(tokens(text), w =>
+      when(size(w) < 2, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))))
+    // both quadratic folds run over LET-BOUND arrays: `filter(ls, ...)` /
+    // `filter(g, ...)` inside the fold lambdas reference a lambda VARIABLE
+    // (an in-memory array), never the building expression tree. Without
+    // the binding, interpreted HOF evaluation re-tokenizes the document
+    // for every (distinct value x element) pair — a constant-factor
+    // catastrophe that turned this row-local metric into minutes per
+    // partition at sf0.1.
+    val dupLineChars = letBound(lines, ls => aggregate(array_distinct(ls), lit(0L), (acc, dl) =>
+      acc + (size(filter(ls, l => l === dl)) - 1).cast("long") * length(dl)))
+    // argmax as ONE O(n) pass over the SORTED grams: equal grams are
+    // adjacent, so the max count is the longest run, and strict `>` keeps
+    // the FIRST (= lexicographically smallest) gram on ties — identical to
+    // the distinct-then-count formulation it replaces, which cost
+    // O(distinct x grams) interpreted lambda frames (the next constant
+    // factor after the letBound fix; 80x fewer frames on typical docs)
+    val best = letBound(sort_array(grams), g => aggregate(
+      g,
+      struct(lit(0).as("cnt"), lit("").as("g"), lit(0).as("run"), lit("").as("prev")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        val better = run > acc.getField("cnt")
+        struct(
+          when(better, run).otherwise(acc.getField("cnt")).as("cnt"),
+          when(better, x).otherwise(acc.getField("g")).as("g"),
+          run.as("run"),
+          x.as("prev"))
+      }))
     val nLines = size(lines)
-    val dLines = array_distinct(lines)
     val totalLineChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
-    val dupLineChars = aggregate(dLines, lit(0L), (acc, dl) =>
-      acc + (size(filter(lines, l => l === dl)) - 1).cast("long") * length(dl))
-    val toks = tokens(text)
-    val grams = when(size(toks) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-    val best = aggregate(
-      array_distinct(grams),
-      struct(lit(0).as("cnt"), lit("").as("g")),
-      (acc, dg) => {
-        val c = size(filter(grams, g => g === dg))
-        when(c > acc.getField("cnt") ||
-            (c === acc.getField("cnt") && dg < acc.getField("g")),
-          struct(c.as("cnt"), dg.as("g"))).otherwise(acc)
-      })
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
     Seq(
       "n_lines" -> nLines.cast("long"),
-      "dup_line_ratio" -> ratio(nLines - size(dLines), nLines),
+      "dup_line_ratio" -> ratio(nLines - size(array_distinct(lines)), nLines),
       "dup_line_char_ratio" -> ratio(dupLineChars, totalLineChars),
       "top_bigram_ratio" -> ratio(
         best.getField("cnt").cast("long") * length(best.getField("g")),

@@ -43,4 +43,19 @@ class RepetitionMetricsSpec extends SparkTestBase {
     dupChars should be > 0.97
     top should be > 0.2 // one dominant bigram covers a big char share
   }
+
+  test("native RepStats == HOF witness on the corpus and the edge shapes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "hello\nworld\n  hello  \n\nhello"), (-2L, ""),
+        (-3L, "a b a b a b"), (-4L, "x y x y z z z z"), (-5L, "single"),
+        (-6L, "  \n \n"), (-7L, "A A a a the the THE")).toDF("doc_id", "text"))
+    val native = docs.select(col("doc_id") +:
+        TextFunctions.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    val hof = docs.select(col("doc_id") +:
+        TextFunctions.repetitionMetricsHof(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    native shouldBe hof
+  }
 }
