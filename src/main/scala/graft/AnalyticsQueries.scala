@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions.{collapseRepeats, shingleHashes}
-import graft.operators.{BloomFilter, FrequencySketch, Packing, Sampling, Sessionize, Vocabulary}
+import graft.operators.{BloomFilter, FrequencySketch, Packing, Quantiles, Sampling, Sessionize, Vocabulary}
 import graft.TrainingDataQueries.{docSetsSql, polyHashSql, toksSql}
 
 /** Round-6 analytics operators: event sessionization, frequency sketches,
@@ -117,7 +117,24 @@ object AnalyticsQueries {
           size(col("w")).cast("long").as("n_tokens"),
           (size(col("w")) - size(col("kept"))).cast("long").as("n_collapsed"),
           TextFunctions.polyHash(array_join(col("kept"), " ")).as("norm_hash"))
-    })
+    }),
+
+    // robust per-language length gate: keep docs within 2 MADs of their
+    // language's median length (2, not the textbook 3: this corpus' length
+    // spread sits inside 3 MADs, which would make the gate a no-op) —
+    // medians off bounded per-group histograms, the gate a row-local
+    // rational comparison
+    "q62_mad_outliers" -> ((s, dir) =>
+      Quantiles.madOutlierGate(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("n_chars")),
+        "lang", "n_chars", kNum = 2L, kDen = 1L, precision = 6)
+        .select("doc_id", "lang", "n_chars", "group_median", "abs_dev", "group_mad")),
+
+    // within-session transition matrix (Markov next-action counts):
+    // composes q54's session assignment; output is at most |types|^2 rows
+    "q63_session_transitions" -> ((s, dir) =>
+      Sessionize.transitions(SparkEntry.events(s, dir), SessionGapSeconds))
   )
 
   /** Pinned event-type pivot columns (the values the synthetic events
@@ -248,7 +265,47 @@ object AnalyticsQueries {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(n_tokens - n_kept AS BIGINT) AS n_collapsed,
          |  ${polyHashSql("norm_text")} AS norm_hash
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+
+    // MAD twin: two grouped type-1 medians off per-lang histograms (the
+    // q47 window pattern), the same integer-rational rank math, and the
+    // row-local gate `abs_dev * kDen <= mad * kNum`
+    "q62_mad_outliers" ->
+      s"""WITH v0 AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars FROM documents),
+         |h1 AS (SELECT lang, round(n_chars, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM v0 WHERE n_chars IS NOT NULL GROUP BY lang, v),
+         |hc1 AS (SELECT lang, v,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |FROM h1),
+         |med AS (SELECT lang, min(v) AS group_median
+         |  FROM hc1 WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2 GROUP BY lang),
+         |d2 AS (SELECT v0.doc_id, v0.lang, v0.n_chars, med.group_median,
+         |  abs(round(v0.n_chars, 6) - med.group_median) AS abs_dev
+         |  FROM v0 JOIN med ON v0.lang IS NOT DISTINCT FROM med.lang),
+         |h2 AS (SELECT lang, round(abs_dev, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM d2 WHERE abs_dev IS NOT NULL GROUP BY lang, v),
+         |hc2 AS (SELECT lang, v,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |FROM h2),
+         |mad AS (SELECT lang, min(v) AS group_mad
+         |  FROM hc2 WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2 GROUP BY lang)
+         |SELECT d2.doc_id, d2.lang, d2.n_chars, d2.group_median, d2.abs_dev, mad.group_mad
+         |FROM d2 JOIN mad ON d2.lang IS NOT DISTINCT FROM mad.lang
+         |WHERE d2.abs_dev * 1 <= mad.group_mad * 2""".stripMargin,
+
+    // transition twin: q54's session CTEs + one more lag within (user,
+    // session), then the pair count
+    "q63_session_transitions" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
+         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n),
+         |tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS from_type,
+         |  event_type AS to_type FROM sess)
+         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+         |FROM tr WHERE from_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin
   )
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —

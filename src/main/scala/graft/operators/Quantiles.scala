@@ -93,6 +93,40 @@ object Quantiles {
       .groupBy(col(groupCol)).agg(min(col("v")).as("threshold"))
   }
 
+  /** Robust per-group outlier gate: keep rows within `kNum/kDen` MADs
+    * (median absolute deviations) of their group median — the
+    * length/score sanity filter a corpus pass runs per language, robust
+    * where a mean/stddev cut is dragged by the very outliers it should
+    * remove. Both medians are [[groupedQuantileThreshold]]s (bounded
+    * per-group histogram frames, never a corpus sort), the per-group
+    * stats broadcast back, and the gate is a row-local integer-rational
+    * comparison `abs_dev * kDen <= mad * kNum` — fully oracle-replayable.
+    *
+    * `group_median`, `abs_dev`, and `group_mad` ride along as columns so
+    * the cut is auditable. `df` feeds three passes (median, MAD, gate);
+    * `storage` persists it across them — same policy knob as
+    * [[quantileGate]].
+    */
+  def madOutlierGate(df: DataFrame, groupCol: String, valueCol: String,
+                     kNum: Long, kDen: Long, precision: Int,
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(kNum >= 0 && kDen > 0, s"k must be a non-negative rational: got $kNum/$kDen")
+    val d = Caching.maybePersist(df, storage)
+    val med = groupedQuantileThreshold(d, groupCol, valueCol, 1L, 2L, precision)
+      .withColumnRenamed("threshold", "group_median")
+      .withColumnRenamed(groupCol, "__mad_grp")
+    // null-safe group join throughout: a NULL group has a real median
+    val withMed = d.join(broadcast(med), col(groupCol) <=> col("__mad_grp"))
+      .drop("__mad_grp")
+      .withColumn("abs_dev", abs(round(col(valueCol), precision) - col("group_median")))
+    val mad = groupedQuantileThreshold(withMed, groupCol, "abs_dev", 1L, 2L, precision)
+      .withColumnRenamed("threshold", "group_mad")
+      .withColumnRenamed(groupCol, "__mad_grp")
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__mad_grp"))
+      .drop("__mad_grp")
+      .filter(col("abs_dev") * lit(kDen) <= col("group_mad") * lit(kNum))
+  }
+
   /** Keep rows whose rounded value is >= the q-th quantile threshold (the
     * "top 1-q by score" gate). The threshold rides along as a column so
     * the cut is auditable. The threshold side is one row — broadcast by

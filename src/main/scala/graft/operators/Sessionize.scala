@@ -60,6 +60,28 @@ object Sessionize {
       .drop("new_session")
   }
 
+  /** Within-session transition counts: how often does event type A
+    * immediately precede event type B inside one session? The Markov
+    * transition matrix of product analytics (drop-off analysis, next-action
+    * models) — and a session-level training feature source. Rides the SAME
+    * single user_id shuffle as [[assign]] (the lag window clusters by a
+    * superset of the user key); the final count is a tiny combinable
+    * aggregate over (from, to) pairs — at most |types|^2 rows.
+    */
+  def transitions(events: DataFrame, gapSeconds: Long,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  idCol: String = "event_id",
+                  typeCol: String = "event_type"): DataFrame = {
+    val sessionOrder = Window
+      .partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col("ts_us"), col(idCol))
+    assign(events, gapSeconds, userCol, tsCol, idCol)
+      .withColumn("from_type", lag(col(typeCol), 1).over(sessionOrder))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Per-session rollup: event count, span, and distinct event types.
     * Integer-exact outputs only (micros, counts) — bit-stable across
     * engines by construction.

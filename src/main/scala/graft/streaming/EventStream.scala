@@ -83,6 +83,20 @@ object EventStream {
                               logM: Int = graft.operators.Sketches.DefaultLogRegisters): DataFrame =
     graft.operators.Sketches.registers(events, Seq(groupCol), valueCol, logM)
 
+  /** Streaming count-min sketch: the frequency twin of
+    * [[approxDistinctRegisters]]. One streaming aggregate whose state is
+    * bounded at depth x width cells FOREVER (counts only grow — no
+    * watermark needed); per-batch increments sum into the cells, and
+    * because count addition is associative and batch-boundary-blind, the
+    * streamed cells equal [[graft.operators.FrequencySketch.sketch]] over
+    * the same rows EXACTLY (EventStreamSpec pins it). Estimates are a
+    * batch-side read of the sink table via
+    * [[graft.operators.FrequencySketch.estimate]] — same division of
+    * labor as the HLL's estimator.
+    */
+  def freqSketchCells(events: DataFrame, valueCol: String): DataFrame =
+    graft.operators.FrequencySketch.sketch(events, valueCol)
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per user; a session closes when the watermark passes
     * its end + gap. The standard sessionization primitive (visit metrics,

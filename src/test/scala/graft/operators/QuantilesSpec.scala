@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.SparkTestBase
 
 /** Histogram quantiles: the type-1 definition against hand-computed ranks,
@@ -77,5 +79,36 @@ class QuantilesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy threshold(df, 5L, 4L)
     an[IllegalArgumentException] should be thrownBy threshold(df, 1L, 0L)
     an[IllegalArgumentException] should be thrownBy threshold(df, -1L, 4L)
+  }
+
+  test("MAD gate: hand-computed medians; outliers cut, inliers keep their stats") {
+    // group g: values 10,10,11,12,13,100 -> median 11 (type-1 lower),
+    // devs 1,1,0,1,2,89 -> MAD 1 -> gate at 3*1: keeps devs <= 3 (drops 100)
+    val rows = Seq((1L, "g", 10.0), (2L, "g", 10.0), (3L, "g", 11.0),
+      (4L, "g", 12.0), (5L, "g", 13.0), (6L, "g", 100.0),
+      (7L, "h", 5.0))   // singleton group: median 5, MAD 0, keeps itself
+      .toDF("id", "grp", "x")
+    val out = Quantiles.madOutlierGate(rows, "grp", "x", kNum = 3L, kDen = 1L,
+        precision = 6, storage = StorageLevel.NONE)
+      .select("id", "group_median", "abs_dev", "group_mad")
+      .as[(Long, Double, Double, Double)].collect().toSet
+    out shouldBe Set(
+      (1L, 11.0, 1.0, 1.0), (2L, 11.0, 1.0, 1.0), (3L, 11.0, 0.0, 1.0),
+      (4L, 11.0, 1.0, 1.0), (5L, 11.0, 2.0, 1.0),
+      (7L, 5.0, 0.0, 0.0))
+  }
+
+  test("MAD gate: NULL group is real; NULL values carry no rank; guards reject bad k") {
+    val rows = Seq((1L, Option("g"), Option(1.0)), (2L, Option("g"), Option(1.0)),
+      (3L, Option("g"), Option.empty[Double]),      // NULL value: excluded from both medians
+      (4L, Option.empty[String], Option(7.0)))      // NULL group: its own median/MAD
+      .toDF("id", "grp", "x")
+    val kept = Quantiles.madOutlierGate(rows, "grp", "x", kNum = 3L, kDen = 1L,
+        precision = 6, storage = StorageLevel.NONE)
+      .select("id").as[Long].collect().toSet
+    // ids 1,2 inliers of g; 4 inlier of NULL group; 3's NULL value can't pass
+    kept shouldBe Set(1L, 2L, 4L)
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.madOutlierGate(rows, "grp", "x", kNum = 1L, kDen = 0L, precision = 6)
   }
 }

@@ -69,4 +69,13 @@ class SessionizeSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sessionize.assign(events, gapSeconds = 0L)
   }
+
+  test("transitions: counted within sessions only, ordered, at most types^2 rows") {
+    // user 1 session 1: view->click->purchase; session 2 starts fresh (no
+    // cross-session pair); user 2: singleton (no pairs)
+    val out = Sessionize.transitions(events, gapSeconds = 600L)
+      .select("from_type", "to_type", "n_transitions")
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("view", "click", 1L), ("click", "purchase", 1L))
+  }
 }

@@ -260,6 +260,72 @@ class EventStreamSpec extends SparkTestBase {
       rows shouldBe Set(("u1", "click", 1.0), ("u1", "view", 2.0))
     } finally query.stop()
   }
+
+  test("streaming CMS cells across micro-batches == batch sketch, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // complete mode: the sink holds the full cell table each trigger —
+    // state stays <= depth x width rows forever (counts only grow)
+    val query = EventStream.freqSketchCells(input.toDF().toDF("v"), "v")
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1 to 300).map(i => s"tok-${i % 40}")
+      val batch2 = (1 to 200).map(i => s"tok-${i % 25}")   // heavy overlap
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val streamed = spark.table("cmscells")
+        .select("r", "idx", "cnt").as[(Int, Long, Long)].collect().toSet
+      val batch = graft.operators.FrequencySketch
+        .sketch((batch1 ++ batch2).toDF("v"), "v")
+        .select("r", "idx", "cnt").as[(Int, Long, Long)].collect().toSet
+      streamed shouldBe batch // batch boundaries invisible to sum-merge
+      // and estimates read off the streamed cells bound the true counts
+      val est = graft.operators.FrequencySketch
+        .estimate(spark.table("cmscells"), Seq("tok-1").toDF("v"), "v")
+        .select("cms_est").as[Long].head()
+      est should be >= (batch1 ++ batch2).count(_ == "tok-1").toLong
+    } finally query.stop()
+  }
+
+  test("batch sessionize agrees with streaming session windows on session structure") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = sessionStats(input.toDF(), gap = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessparity")
+      .outputMode(OutputMode.Append()).start()
+    val evs = Seq(
+      Event("u1", "click", ts("2024-01-01 10:00:00"), 1.0),
+      Event("u1", "view", ts("2024-01-01 10:20:00"), 2.0),
+      Event("u1", "click", ts("2024-01-01 12:00:00"), 4.0),
+      Event("u1", "purchase", ts("2024-01-01 12:10:00"), 8.0),
+      Event("u2", "signup", ts("2024-01-01 09:00:00"), 0.0))
+    try {
+      input.addData(evs)
+      query.processAllAvailable()
+      // closer event advances the watermark so all real sessions emit
+      input.addData(Event("u3", "click", ts("2024-01-01 20:00:00"), 0.0))
+      query.processAllAvailable()
+      val streamed = spark.table("sessparity")
+        .filter("user_id <> 'u3'")
+        .select("user_id", "session_start", "n_events")
+        .as[(String, java.sql.Timestamp, Long)].collect()
+        .map { case (u, start, n) => (u, start.getTime * 1000L, n) }.toSet
+      // batch twin over the SAME rows (event ids synthesized in input
+      // order; none of the test gaps sits exactly on the 30m boundary,
+      // where the two definitions differ: batch merges an exactly-gap
+      // successor, streaming's [ts, ts+gap) window excludes it)
+      val batchDf = evs.zipWithIndex
+        .map { case (e, i) => (i.toLong, e.user_id, e.ts, e.event_type) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+      val batch = graft.operators.Sessionize.sessions(batchDf, gapSeconds = 1800L)
+        .select("user_id", "start_us", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      streamed shouldBe batch
+    } finally query.stop()
+  }
 }
 
 /** streaming label row for the attribution test */
