@@ -134,7 +134,76 @@ object AnalyticsQueries {
     // within-session transition matrix (Markov next-action counts):
     // composes q54's session assignment; output is at most |types|^2 rows
     "q63_session_transitions" -> ((s, dir) =>
-      Sessionize.transitions(SparkEntry.events(s, dir), SessionGapSeconds))
+      Sessionize.transitions(SparkEntry.events(s, dir), SessionGapSeconds)),
+
+    // the decontamination APPLY step: q45 reports overlap, this one acts
+    // on it — drop every training doc sharing any verbatim 3-gram with
+    // the benchmark slice, via LEFT ANTI against the (broadcast)
+    // contaminated-id set. The kept corpus is what ships to training
+    "q64_decontaminate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val contaminated = graft.operators.Contamination
+        .check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
+        .filter(col("contaminated") === 1)
+        .select(col("doc_id").as("bad_id"))
+      d.filter(col("doc_id") > 25)
+        .join(broadcast(contaminated), col("doc_id") === col("bad_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // time-series OLAP over the orders fact: daily revenue, 7-day moving
+    // window, day-over-day delta. Revenue sums in DECIMAL(18,2) — exact
+    // and order-independent, so the oracle matches without float-sum
+    // rounding tricks; the moving average alone converts to double in a
+    // pinned expression. The date window's frame is bounded (days, not
+    // orders): the per-day aggregate collapses the fact table FIRST
+    "q65_revenue_trend" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      daily
+        .withColumn("revenue_7d", sum(col("revenue")).over(w.rowsBetween(-6, 0)))
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .select(
+          col("day"),
+          col("revenue").cast("decimal(18,2)").as("revenue"),
+          col("n_orders"),
+          col("revenue_7d").cast("decimal(20,2)").as("revenue_7d"),
+          round((col("revenue") - coalesce(col("prev_revenue"), col("revenue")))
+            .cast("double"), 2).as("dod_delta"))
+    }),
+
+    // grouped top-k (the per-category leaderboard shape q07/q08 don't
+    // cover: k > 1 WITH ties broken deterministically): 3 longest docs
+    // per language
+    "q66_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          row_number().over(w).as("rank"))
+        .filter(col("rank") <= 3)
+    }),
+
+    // per-row percentile rank via the bounded histogram + broadcast
+    // lookup — cume_dist semantics WITHOUT sorting each group's rows in
+    // one task (the per-lang length percentile as a training feature)
+    "q67_length_percentile" -> ((s, dir) =>
+      Quantiles.percentileRank(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("n_chars")),
+        "lang", "n_chars", precision = 6)
+        .select("doc_id", "lang", "n_chars", "pct_rank")),
+
+    // ordered session funnel signup -> view -> purchase: sessions collapse
+    // to one bounded row each (min ts per step), the chain walk is
+    // row-local, and the report is a |steps|+1-row cumulative
+    "q68_session_funnel" -> ((s, dir) =>
+      Sessionize.funnel(SparkEntry.events(s, dir), SessionGapSeconds,
+        steps = Seq("signup", "view", "purchase")))
   )
 
   /** Pinned event-type pivot columns (the values the synthetic events
@@ -305,7 +374,76 @@ object AnalyticsQueries {
          |tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS from_type,
          |  event_type AS to_type FROM sess)
          |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
-         |FROM tr WHERE from_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin
+         |FROM tr WHERE from_type IS NOT NULL GROUP BY from_type, to_type""".stripMargin,
+
+    // decontaminate twin: q45's overlap CTEs, then NOT IN the overlap set.
+    // Docs too short to shingle never enter `sets` — they can't match, so
+    // they're kept on both sides
+    "q64_decontaminate" ->
+      s"""WITH $docSetsSql,
+         |bench AS (SELECT DISTINCT unnest(hashes) AS h FROM sets WHERE id <= 25),
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets WHERE id > 25),
+         |bad AS (SELECT DISTINCT id FROM posting JOIN bench USING (h))
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id > 25 AND doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
+
+    // revenue twin: DECIMAL sums are exact and order-independent on both
+    // engines — no float-sum rounding tricks needed anywhere but the
+    // explicitly-pinned moving-average/delta doubles
+    "q65_revenue_trend" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1)
+        |SELECT day, revenue, n_orders,
+        |  CAST(sum(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS revenue_7d,
+        |  round(CAST(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue) AS DOUBLE), 2) AS dod_delta
+        |FROM daily""".stripMargin,
+
+    "q66_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3""".stripMargin,
+
+    // percentile twin: running counts over the per-lang histogram (q47's
+    // window pattern), joined back on (lang, rounded value)
+    "q67_length_percentile" ->
+      """WITH v0 AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars FROM documents),
+        |h AS (SELECT lang, round(n_chars, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v0 WHERE n_chars IS NOT NULL GROUP BY lang, v),
+        |hc AS (SELECT lang, v,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |FROM h)
+        |SELECT v0.doc_id, v0.lang, v0.n_chars,
+        |  round(CAST(hc.cum AS DOUBLE) / hc.n, 6) AS pct_rank
+        |FROM v0 JOIN hc ON v0.lang IS NOT DISTINCT FROM hc.lang AND round(v0.n_chars, 6) = hc.v""".stripMargin,
+
+    // funnel twin: q54's session CTEs -> per-session min ts per step ->
+    // strict-after chain walk -> depth -> level explode -> spine join
+    "q68_session_funnel" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
+         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n),
+         |ps AS (SELECT user_id, session_seq,
+         |  min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t0,
+         |  min(CASE WHEN event_type = 'view' THEN ts_us END) AS r1,
+         |  min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS r2
+         |FROM sess GROUP BY user_id, session_seq),
+         |wk AS (SELECT *, CASE WHEN r1 > t0 THEN r1 END AS t1 FROM ps),
+         |wk2 AS (SELECT *, CASE WHEN r2 > t1 THEN r2 END AS t2 FROM wk),
+         |d AS (SELECT CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+         |  WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS depth FROM wk2),
+         |lv AS (SELECT unnest(range(0, depth + 1)) AS depth_level FROM d),
+         |lc AS (SELECT depth_level, CAST(count(*) AS BIGINT) AS n_sessions FROM lv GROUP BY depth_level),
+         |spine AS (SELECT unnest([0, 1, 2, 3]) AS depth_level,
+         |  unnest(['(all sessions)', 'signup', 'view', 'purchase']) AS step)
+         |SELECT CAST(spine.depth_level AS INT) AS depth_level, spine.step,
+         |  CAST(coalesce(lc.n_sessions, 0) AS BIGINT) AS n_sessions
+         |FROM spine LEFT JOIN lc ON spine.depth_level = lc.depth_level""".stripMargin
   )
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —

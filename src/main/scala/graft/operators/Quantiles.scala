@@ -93,6 +93,42 @@ object Quantiles {
       .groupBy(col(groupCol)).agg(min(col("v")).as("threshold"))
   }
 
+  /** Per-row percentile rank WITHOUT a corpus-wide window: the fraction of
+    * the row's group with value <= the row's (rounded) value. The naive
+    * formulation — `cume_dist() OVER (PARTITION BY group ORDER BY v)` —
+    * sorts every group's rows inside one task each; this one aggregates
+    * the bounded per-group HISTOGRAM (same state as
+    * [[groupedQuantileThreshold]]), computes running counts over histogram
+    * rows, and broadcasts the tiny (group, v, cum, n) table back for a
+    * row-local lookup join. Identical result to cume_dist on the rounded
+    * values (`cum / n`, rounded to 6), at histogram cost instead of a
+    * per-group sort of the corpus.
+    *
+    * The rank table is bounded by groups x 10^precision x value-range
+    * rows — broadcastable at the coarse precisions percentile FEATURES
+    * use (3-4 decimals). For fine precisions over wide domains pass
+    * `broadcastRanks = false`: the lookup becomes a shuffle join keyed on
+    * (group, rounded value), both sides short rows.
+    */
+  def percentileRank(df: DataFrame, groupCol: String, valueCol: String,
+                     precision: Int, broadcastRanks: Boolean = true): DataFrame = {
+    val grp = Window.partitionBy(col("__pr_grp"))
+    val h = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("__pr_grp"), round(col(valueCol), precision).as("__pr_v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranks = h
+      .withColumn("__pr_cum",
+        sum(col("cnt")).over(grp.orderBy(col("__pr_v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__pr_n", sum(col("cnt")).over(grp))
+      .select(col("__pr_grp"), col("__pr_v"),
+        round(col("__pr_cum").cast("double") / col("__pr_n"), 6).as("pct_rank"))
+    val lookup = if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
+    df.filter(col(valueCol).isNotNull)
+      .join(lookup,
+        col(groupCol) <=> col("__pr_grp") && round(col(valueCol), precision) === col("__pr_v"))
+      .drop("__pr_grp", "__pr_v")
+  }
+
   /** Robust per-group outlier gate: keep rows within `kNum/kDen` MADs
     * (median absolute deviations) of their group median — the
     * length/score sanity filter a corpus pass runs per language, robust

@@ -82,6 +82,67 @@ object Sessionize {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Ordered funnel over sessions: how far through `steps` does each
+    * session get, requiring each step to happen strictly AFTER the
+    * previous one? Returns one row per funnel depth with the session
+    * count that reached at least that depth (depth 0 = all sessions).
+    *
+    * The scalable shape: sessions collapse FIRST to one row with a
+    * bounded min-timestamp-per-step struct (a conditional aggregate per
+    * step — map-side combinable on the session key the assignment
+    * already shuffled on); the step-ordering walk is then row-local over
+    * |steps| columns, and the final depth histogram is a |steps|+1-row
+    * aggregate. The corpus-sized data is never windowed per step and no
+    * self-join per step exists — the two ways naive funnel queries blow
+    * up.
+    *
+    * Strict-after semantics: step k counts only if some event of step k
+    * happens at a strictly later micros timestamp than the chosen
+    * occurrence of step k-1 (the earliest valid one). Simultaneous-tick
+    * events do NOT chain — deterministic under the micros clock.
+    */
+  def funnel(events: DataFrame, gapSeconds: Long, steps: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             idCol: String = "event_id",
+             typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      "steps must be a non-empty list of distinct event types")
+    val perSession = assign(events, gapSeconds, userCol, tsCol, idCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(when(col(typeCol) === steps.head, col("ts_us"))).as("ts_0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col(typeCol) === s, col("ts_us"))).as(s"raw_${i + 1}")
+        }: _*)
+    // row-local walk: step k's chosen occurrence is its per-session MIN
+    // timestamp, valid only when strictly after step k-1's chosen one.
+    // (Deliberately min-of-step, not earliest-after-previous: a stray
+    // step-k event BEFORE step k-1 breaks the chain. Stricter than some
+    // funnel definitions, deterministic, and exactly what the oracle
+    // replays.)
+    val walked = steps.tail.zipWithIndex.foldLeft(perSession) { case (d, (_, i)) =>
+      d.withColumn(s"ts_${i + 1}",
+        when(col(s"raw_${i + 1}") > col(s"ts_$i"), col(s"raw_${i + 1}")))
+    }
+    // depth = deepest k with a surviving chain; the walk nulls everything
+    // past a break, so "last non-null ts_k" is well-defined
+    val depth = steps.indices.foldLeft(lit(0)) { (acc, k) =>
+      when(col(s"ts_$k").isNotNull, lit(k + 1)).otherwise(acc)
+    }
+    // each session emits one row per level it reached (bounded by
+    // |steps|+1); counting those rows IS the "reached at least depth d"
+    // cumulative — no window, no non-equi join, fully lazy
+    val levelCounts = walked.withColumn("depth", depth)
+      .select(explode(sequence(lit(0), col("depth"))).as("depth_level"))
+      .groupBy(col("depth_level")).agg(count(lit(1)).as("n_sessions"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val spine = (0 to steps.length).map(d =>
+      (d, if (d == 0) "(all sessions)" else steps(d - 1))).toDF("depth_level", "step")
+    spine.join(levelCounts, Seq("depth_level"), "left")
+      .withColumn("n_sessions", coalesce(col("n_sessions"), lit(0L)))
+  }
+
   /** Per-session rollup: event count, span, and distinct event types.
     * Integer-exact outputs only (micros, counts) — bit-stable across
     * engines by construction.

@@ -200,4 +200,26 @@ class PlanSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q64: decontamination is a broadcast anti join — the corpus never shuffles to drop bad ids") {
+    val p = plan("q64_decontaminate")
+    p should include("BroadcastHashJoin")
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q65: the fact table collapses to a per-day aggregate BEFORE any window") {
+    // the only unpartitioned window runs over day rows (thousands), never
+    // order rows — the same tiny-frame argument as packing's bucket offsets
+    val p = plan("q65_revenue_trend")
+    p should include("partial_sum")      // map-side combine of the daily rollup
+    p should include("Window")
+    p should not include "Join"
+  }
+
+  test("q66: grouped top-k windows by the group key, one exchange") {
+    val p = plan("q66_topk_per_group")
+    exchangeCount(p) shouldBe 1
+    p should include("hashpartitioning(lang")
+  }
 }

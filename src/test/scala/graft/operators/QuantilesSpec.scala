@@ -111,4 +111,26 @@ class QuantilesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Quantiles.madOutlierGate(rows, "grp", "x", kNum = 1L, kDen = 0L, precision = 6)
   }
+
+  test("percentile rank equals cume_dist on the rounded values, per group") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "lang", "CAST(n_chars AS DOUBLE) AS n_chars")
+    val viaHistogram = Quantiles.percentileRank(docs, "lang", "n_chars", precision = 6)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    val viaWindow = docs.selectExpr("doc_id",
+        "round(cume_dist() OVER (PARTITION BY lang ORDER BY round(n_chars, 6)), 6) AS pct_rank")
+      .as[(Long, Double)].collect().toMap
+    viaHistogram shouldBe viaWindow
+    // sanity: ranks span (0, 1] and the max doc of each lang ranks 1.0
+    viaHistogram.values.max shouldBe 1.0
+    all(viaHistogram.values) should be > 0.0
+  }
+
+  test("percentile rank: shuffle-join variant returns identical rows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "lang", "CAST(n_chars AS DOUBLE) AS n_chars")
+    def run(b: Boolean) = Quantiles.percentileRank(docs, "lang", "n_chars", 6, broadcastRanks = b)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toSet
+    run(true) shouldBe run(false)
+  }
 }

@@ -78,4 +78,40 @@ class SessionizeSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     out shouldBe Set(("view", "click", 1L), ("click", "purchase", 1L))
   }
+
+  test("funnel: strict-after chaining, depth histogram is cumulative, spine complete") {
+    // session A (user 1): view -> click -> purchase — no signup: depth 0
+    // session B (user 3): signup -> view -> purchase in order: depth 3
+    // session C (user 4): signup, then purchase BEFORE view: chain breaks
+    //   at view even though purchase exists: depth 1... but the later view
+    //   (after signup) rescues step 2? min(view)=after signup -> t1 ok;
+    //   purchase min is BEFORE view -> r2 < t1 -> depth 2.
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (4L, 3L, ts("2024-01-01 09:00:00"), "signup"),
+      (5L, 3L, ts("2024-01-01 09:05:00"), "view"),
+      (6L, 3L, ts("2024-01-01 09:10:00"), "purchase"),
+      (7L, 4L, ts("2024-01-01 08:00:00"), "signup"),
+      (8L, 4L, ts("2024-01-01 08:01:00"), "purchase"),
+      (9L, 4L, ts("2024-01-01 08:02:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.funnel(e, gapSeconds = 3600L,
+        steps = Seq("signup", "view", "purchase"))
+      .select("depth_level", "step", "n_sessions")
+      .as[(Int, String, Long)].collect().toSet
+    out shouldBe Set(
+      (0, "(all sessions)", 3L),
+      (1, "signup", 2L),
+      (2, "view", 2L),
+      (3, "purchase", 1L))
+  }
+
+  test("funnel: guards reject empty or duplicated step lists") {
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.funnel(events, 600L, steps = Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.funnel(events, 600L, steps = Seq("view", "view"))
+  }
 }
