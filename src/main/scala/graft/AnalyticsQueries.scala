@@ -203,7 +203,18 @@ object AnalyticsQueries {
     // row-local, and the report is a |steps|+1-row cumulative
     "q68_session_funnel" -> ((s, dir) =>
       Sessionize.funnel(SparkEntry.events(s, dir), SessionGapSeconds,
-        steps = Seq("signup", "view", "purchase")))
+        steps = Seq("signup", "view", "purchase"))),
+
+    // q66's leaderboard re-shaped for a skewed group: two-phase salted
+    // top-k — no task ever sorts more than hot-group/numSalts rows; the
+    // oracle is the SAME single-window SQL as q66 because the result is
+    // salt-invariant
+    "q69_topk_salted" -> ((s, dir) =>
+      graft.operators.Skew.groupedTopK(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank")))
   )
 
   /** Pinned event-type pivot columns (the values the synthetic events
@@ -443,7 +454,16 @@ object AnalyticsQueries {
          |  unnest(['(all sessions)', 'signup', 'view', 'purchase']) AS step)
          |SELECT CAST(spine.depth_level AS INT) AS depth_level, spine.step,
          |  CAST(coalesce(lc.n_sessions, 0) AS BIGINT) AS n_sessions
-         |FROM spine LEFT JOIN lc ON spine.depth_level = lc.depth_level""".stripMargin
+         |FROM spine LEFT JOIN lc ON spine.depth_level = lc.depth_level""".stripMargin,
+
+    // salt-invariant by construction: the oracle IS the single-window
+    // formulation (same as q66's shape)
+    "q69_topk_salted" ->
+      """SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3""".stripMargin
   )
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —

@@ -162,6 +162,24 @@ object App {
       // element-wise-max-merges shard sketch tables (merge-of-parts ==
       // sketch-of-whole exactly); `--estimate-path` also writes the
       // per-group approx_distinct read off the (merged) vectors
+      case "sessionize" =>
+        val o = parseArgs(args.tail)
+        val events = BackfillPipeline.readEvents(spark, fetcher, o.required("events-raw-path"))
+        val gap = o.get("gap-seconds").map(_.toLong).getOrElse(1800L)
+        val sessions = operators.Sessionize.sessions(events, gap)
+        writer.writeParquet(sessions, o.required("output-path"))
+        // funnel/transition reports are tiny (<= types^2 rows) — print them
+        // instead of demanding more output flags
+        o.get("funnel-steps").foreach { stepsCsv =>
+          val steps = stepsCsv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          operators.Sessionize.funnel(events, gap, steps)
+            .orderBy("depth_level").collect().foreach { r =>
+              println(s"[graft] funnel depth ${r.getInt(0)} (${r.getString(1)}): ${r.getLong(2)} sessions")
+            }
+        }
+        val n = fetcher.readParquet(spark, o("output-path")).count()
+        println(s"[graft] sessionize: wrote $n sessions to ${o("output-path")}")
+
       case "sketch" =>
         val o = parseArgs(args.tail)
         val groupCol = o.getOrElse("group-col", "lang")
@@ -398,6 +416,10 @@ object App {
       |                     [--group-col <c=lang>] [--value-col <c=text>]
       |                     [--log-m <p=14>] [--estimate-path <path>]
       |                     mergeable per-group HLL vectors (shard -> union)
+      |  sessionize         --events-raw-path <path> --output-path <path>
+      |                     [--gap-seconds <n=1800>] [--funnel-steps a,b,c]
+      |                     gap-cut sessions -> per-session rollup parquet;
+      |                     optional ordered-funnel report on stdout
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

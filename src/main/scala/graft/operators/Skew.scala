@@ -39,6 +39,40 @@ object Skew {
       .agg(count(col("__v")).as(outName))
   }
 
+  /** Skew-immune grouped top-k, two-phase: the plain
+    * `row_number() OVER (PARTITION BY group ORDER BY ...)` formulation
+    * (q66) serializes each group's ENTIRE row set through one task — fine
+    * for balanced groups, a straggler when one group owns the corpus.
+    * Here every row first draws a deterministic position salt, phase one
+    * takes a LOCAL top-k within each (group, salt) slice — bounding any
+    * task's sort at the hot group's rows / numSalts — and phase two ranks
+    * only the surviving <= numSalts x k candidates per group. A group's
+    * true top-k always survives phase one (each candidate is top-k of
+    * whatever slice it landed in), so the result is row-identical to the
+    * single-window form for any numSalts (SkewSpec pins it; q69 rides it
+    * against the single-window oracle).
+    *
+    * Ordering must be total for determinism — `orderCols` should end in a
+    * unique tiebreak column, exactly like the single-window form.
+    */
+  def groupedTopK(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                  k: Int, numSalts: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(numSalts > 0, "numSalts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__tk_salt",
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+    val local = Window.partitionBy(col(groupCol), col("__tk_salt"))
+      .orderBy(orderCols: _*)
+    val global = Window.partitionBy(col(groupCol)).orderBy(orderCols: _*)
+    salted
+      .withColumn("__tk_local", row_number().over(local))
+      .filter(col("__tk_local") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__tk_salt", "__tk_local")
+  }
+
   /** Salted inner equi-join for a skewed LEFT side: left rows get a salt
     * in [0, numSalts) from their partition-local row position
     * (`monotonically_increasing_id`), the right side is replicated once

@@ -191,4 +191,27 @@ class AppSpec extends SparkTestBase {
     out.last_event_days_ago shouldBe None
     out.event_count_7d shouldBe Some(0L)
   }
+
+  test("sessionize subcommand writes session rollups and prints the funnel") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    storage.write("events_s", Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, 7L, ts("2024-01-01 10:05:00"), "view"),
+      (3L, 7L, ts("2024-01-01 10:09:00"), "purchase"),
+      (4L, 7L, ts("2024-01-01 15:00:00"), "view"),   // > gap: second session
+      (5L, 8L, ts("2024-01-01 09:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type"), "overwrite")
+    App.run(platform, Seq("sessionize",
+      "--events-raw-path", "events_s", "--output-path", "sessions_out",
+      "--gap-seconds", "600", "--funnel-steps", "signup,view,purchase"))
+    val out = storage.rows("sessions_out")
+    out should have size 3
+    storage.schemas("sessions_out").fieldNames.toSet shouldBe
+      Set("user_id", "session_seq", "n_events", "start_us", "end_us",
+        "duration_us", "n_event_types")
+    out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) ->
+      r.getAs[Long]("n_events")).toMap shouldBe
+      Map((7L, 1L) -> 3L, (7L, 2L) -> 1L, (8L, 1L) -> 1L)
+  }
 }

@@ -78,4 +78,34 @@ class SkewSpec extends SparkTestBase {
     salted shouldBe plain
     salted.map(_._3).sorted shouldBe Seq("r1", "r2") // null key dropped, dup right rows kept
   }
+
+  test("grouped top-k: salted two-phase is row-identical to the single window, any salt count") {
+    import org.apache.spark.sql.expressions.Window
+    // hot group: 'en' holds most rows (the skew the operator exists for)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val single = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "lang", "n_chars", "rank")
+      .as[(Long, String, Long, Int)].collect().toSet
+    for (salts <- Seq(1, 3, 16, 64)) {
+      val salted = Skew.groupedTopK(docs, "lang",
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 5, numSalts = salts)
+        .select("doc_id", "lang", "n_chars", "rank")
+        .as[(Long, String, Long, Int)].collect().toSet
+      withClue(s"numSalts=$salts:")(salted shouldBe single)
+    }
+  }
+
+  test("grouped top-k: k larger than any group returns whole groups, ranked") {
+    val tiny = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "g", "v")
+    val out = Skew.groupedTopK(tiny, "g", Seq(col("v").desc, col("id").asc), k = 10)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    out shouldBe Map(2L -> 1, 1L -> 2, 3L -> 1)
+    an[IllegalArgumentException] should be thrownBy
+      Skew.groupedTopK(tiny, "g", Seq(col("v").desc), k = 0)
+  }
 }
