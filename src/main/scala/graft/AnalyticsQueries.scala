@@ -214,7 +214,25 @@ object AnalyticsQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("n_chars")),
         "lang", Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank")))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))),
+
+    // cohort retention: users bucketed by first-seen week, activity
+    // counted per (cohort, week offset) — the classic retention matrix.
+    // First-seen is ONE combinable min aggregate; the join back is keyed
+    // on user_id (the layout every pipeline here shuffles on — a bucketed
+    // events table serves it exchange-free); the matrix aggregate's
+    // distinct-user count shuffles (cohort, offset, user) short rows
+    "q70_cohort_retention" -> ((s, dir) => {
+      val ev = SparkEntry.events(s, dir)
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id").as("__co_user"),
+          date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+      ev.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("activity_week"))
+        .join(cohorts, col("user_id") === col("__co_user"))
+        .groupBy(col("cohort_week"),
+          expr("CAST(datediff(activity_week, cohort_week) DIV 7 AS INT)").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    })
   )
 
   /** Pinned event-type pivot columns (the values the synthetic events
@@ -463,7 +481,20 @@ object AnalyticsQueries {
         |  SELECT doc_id, lang, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
         |  FROM documents)
-        |WHERE rank <= 3""".stripMargin
+        |WHERE rank <= 3""".stripMargin,
+
+    // cohort twin: both engines truncate weeks to Monday; offsets are
+    // exact multiples of 7 days by construction (integer div is safe)
+    "q70_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+        |c AS (SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week FROM f),
+        |a AS (SELECT e.user_id, c.cohort_week,
+        |  CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+        |  FROM events e JOIN c ON e.user_id = c.user_id)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, activity_week) // 7 AS INT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM a GROUP BY cohort_week, week_offset""".stripMargin
   )
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —

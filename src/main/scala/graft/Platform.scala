@@ -41,7 +41,11 @@ object PlatformProvider {
     // every table at JVM exit.
     val b = SparkSession.builder().appName(appName).master(master).enableHiveSupport()
     (defaults ++ config).foreach { case (k, v) => b.config(k, v) }
-    Platform(b.getOrCreate(), fetcher, writer)
+    val spark = b.getOrCreate()
+    // every platform session speaks the full native-function SQL surface
+    // (poly_hash, vec_dot, text_stats, ... — SURVEY §2.8)
+    graft.functions.SqlFunctions.registerAll(spark)
+    Platform(spark, fetcher, writer)
   }
 
   /** Local-mode platform: all cores, shuffle partitions = core count (the
