@@ -44,14 +44,15 @@ object ScaleBench {
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+    def docReplica(i: Int): DataFrame = {
+      val rot = Alpha.drop(i % 26) + Alpha.take(i % 26)
+      docs0.select(
+        (col("doc_id") + lit(Stride * i)).as("doc_id"),
+        translate(col("text"), Alpha, rot).as("text"),
+        col("lang"), col("source"))
+    }
     def scaledDocs(k: Int): DataFrame =
-      (0 until k).map { i =>
-        val rot = Alpha.drop(i % 26) + Alpha.take(i % 26)
-        docs0.select(
-          (col("doc_id") + lit(Stride * i)).as("doc_id"),
-          translate(col("text"), Alpha, rot).as("text"),
-          col("lang"), col("source"))
-      }.reduce(_ unionByName _)
+      (0 until k).map(docReplica).reduce(_ unionByName _)
 
     def scaledEmb(k: Int): DataFrame =
       (0 until k).map { i =>
@@ -97,7 +98,35 @@ object ScaleBench {
       val growth = if (t1 > 0 && tN > 0) tN / t1 else -1.0
       s""""$name":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100}}"""
     }
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${rows.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+
+    // increment-vs-full: the q49 claim is that adding ONE shard to stored
+    // state costs ~shard + metadata stages, not ~corpus. State on the
+    // first (mult-1) replicas is materialized to parquet OUTSIDE the
+    // timed region (exactly the --state-path workflow); timed =
+    // incrementState(one 1x shard) + prepareFromState off the reloaded
+    // tables, vs the full one-shot prepare over all mult replicas.
+    val incRow = {
+      spark.sharedState.cacheManager.clearCache()
+      val stateDir = s"/tmp/graft_scalebench_state_${spark.sparkContext.applicationId}"
+      val base = CorpusPipeline.buildState(scaledDocs(mult - 1))
+      base.meta.write.mode("overwrite").parquet(s"$stateDir/meta")
+      base.signatures.write.mode("overwrite").parquet(s"$stateDir/signatures")
+      base.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+      val stored = CorpusPipeline.CorpusState(
+        spark.read.parquet(s"$stateDir/meta"),
+        spark.read.parquet(s"$stateDir/signatures"),
+        spark.read.parquet(s"$stateDir/pairs"))
+      // the new shard is replica mult-1 (disjoint ids/text by construction)
+      val shard = docReplica(mult - 1)
+      val tInc = minOf2(
+        CorpusPipeline.prepareFromState(CorpusPipeline.incrementState(stored, shard)))
+      spark.sharedState.cacheManager.clearCache()
+      val tFull = minOf2(CorpusPipeline.prepare(scaledDocs(mult)))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+      val ratio = if (tInc > 0 && tFull > 0) tInc / tFull else -1.0
+      s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
+    }
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows :+ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

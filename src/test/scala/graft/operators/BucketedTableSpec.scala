@@ -69,4 +69,25 @@ class BucketedTableSpec extends SparkTestBase {
         include("SelectedBucketsCount")
     } finally sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("sessionization over a user_id-bucketed events table plans without an exchange") {
+    val table = s"graft_test_bkt_events_${System.nanoTime()}"
+    try {
+      val events = Seq(
+        (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+        (2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+        (3L, 2L, ts("2024-01-01 09:00:00"), "signup")
+      ).toDF("event_id", "user_id", "ts", "event_type")
+      ProdWriter.insertOverwriteBucketedTable(events, table, numBuckets = 4, bucketCol = "user_id")
+      val sessions = Sessionize.sessions(spark.table(table), gapSeconds = 600L)
+      val plan = explain(sessions)
+      plan should include("SelectedBucketsCount")
+      // the lag window, running session count, and rollup all cluster on
+      // user_id — the bucket layout feeds every one of them exchange-free
+      plan should not include "Exchange"
+      sessions.select("user_id", "session_seq", "n_events")
+        .as[(Long, Long, Long)].collect().toSet shouldBe
+        Set((1L, 1L, 2L), (2L, 1L, 1L))
+    } finally sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
