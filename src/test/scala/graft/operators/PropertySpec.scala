@@ -125,4 +125,55 @@ class PropertySpec extends SparkTestBase {
       assert(unionOut == rankOut, s"[seed ${142 + i}] physical plans disagree")
     }
   }
+
+  test("sessionize: partition, contiguity, and gap invariants on random event streams") {
+    val gap = 3600L
+    (1 to Rounds).foreach { i =>
+      val evs = sample(eventsGen, 42L + i).zipWithIndex
+        .map { case (e, idx) => (idx.toLong, e.user_id, e.ts, e.event_type) }
+      val df = evs.toDF("event_id", "user_id", "ts", "event_type")
+      val assigned = Sessionize.assign(df, gap)
+        .select("event_id", "user_id", "ts_us", "session_seq")
+        .as[(Long, String, Long, Long)].collect()
+
+      // every event lands in exactly one session
+      assigned.length shouldBe evs.length
+      assigned.groupBy(_._2).foreach { case (u, rows) =>
+        val bySeq = rows.groupBy(_._4)
+        // session numbers are contiguous from 1
+        bySeq.keySet shouldBe (1L to bySeq.keySet.max).toSet
+        // within a session, consecutive events gap <= g; across session
+        // boundaries, the gap is > g (the defining cut, both directions)
+        val ordered = rows.sortBy(r => (r._3, r._1))
+        ordered.sliding(2).foreach {
+          case Array((_, _, t1, s1), (_, _, t2, s2)) =>
+            if (s1 == s2) assert(t2 - t1 <= gap * 1000000L,
+              s"user $u: intra-session gap ${t2 - t1} exceeds the cut")
+            else {
+              s2 shouldBe s1 + 1
+              assert(t2 - t1 > gap * 1000000L,
+                s"user $u: sessions split on a gap of only ${t2 - t1}")
+            }
+          case _ =>
+        }
+      }
+
+      // the rollup agrees with the assignment it aggregates
+      val rolled = Sessionize.sessions(df, gap)
+        .select("user_id", "session_seq", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      val expected = assigned.groupBy(r => (r._2, r._4))
+        .map { case ((u, s), rows) => (u, s, rows.length.toLong) }.toSet
+      rolled shouldBe expected
+
+      // funnel: reach counts are monotone non-increasing in depth
+      val funnel = Sessionize.funnel(df, gap, Seq("click", "view", "purchase"))
+        .orderBy("depth_level").select("n_sessions").as[Long].collect()
+      funnel.sliding(2).foreach {
+        case Array(a, b) => assert(b <= a, s"funnel not monotone: $a -> $b")
+        case _ =>
+      }
+      funnel.head shouldBe rolled.size.toLong  // depth 0 counts every session
+    }
+  }
 }
