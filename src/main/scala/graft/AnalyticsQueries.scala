@@ -232,6 +232,23 @@ object AnalyticsQueries {
         .groupBy(col("cohort_week"),
           expr("CAST(datediff(activity_week, cohort_week) DIV 7 AS INT)").as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
+    // the third mergeable sketch: per-(lang, source) HISTOGRAMS sum-merge
+    // per lang, and the median read off the merged bins hash-matches the
+    // single-pass per-lang median — bin addition is associative, so the
+    // oracle computes the direct answer (same contract shape as q50's
+    // HLL max-merge and q55's CMS sum-merge)
+    "q71_histogram_merge" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("source"), col("n_chars").cast("double").as("n_chars"))
+      val perSource = Quantiles.groupedHistogram(d, Seq("lang", "source"), "n_chars", 6)
+      val merged = Quantiles.mergeHistograms(perSource, Seq("lang"))
+      val thr = Quantiles.thresholdFromHistogram(merged, "lang", qNum = 1L, qDen = 2L)
+      val shards = perSource.select(col("lang"), col("source")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
+        .withColumnRenamed("lang", "__hm_lang")
+      thr.join(shards, col("lang") <=> col("__hm_lang")).drop("__hm_lang")
     })
   )
 
@@ -494,7 +511,25 @@ object AnalyticsQueries {
         |SELECT cohort_week,
         |  CAST(datediff('day', cohort_week, activity_week) // 7 AS INT) AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
-        |FROM a GROUP BY cohort_week, week_offset""".stripMargin
+        |FROM a GROUP BY cohort_week, week_offset""".stripMargin,
+
+    // merged-histogram twin: merge-of-shards == histogram-of-whole by
+    // associativity, so the oracle is the DIRECT per-lang median (q47's
+    // pattern over n_chars) + the shard count
+    "q71_histogram_merge" ->
+      """WITH v0 AS (SELECT lang, source, CAST(n_chars AS DOUBLE) AS v0v FROM documents),
+        |h AS (SELECT lang, round(v0v, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v0 WHERE v0v IS NOT NULL GROUP BY lang, v),
+        |hc AS (SELECT lang, v,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |FROM h),
+        |thr AS (SELECT lang, min(v) AS threshold
+        |  FROM hc WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2 GROUP BY lang),
+        |sh AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shards
+        |  FROM (SELECT DISTINCT lang, source FROM v0 WHERE v0v IS NOT NULL) GROUP BY lang)
+        |SELECT thr.lang, thr.threshold, sh.n_shards
+        |FROM thr JOIN sh ON thr.lang IS NOT DISTINCT FROM sh.lang""".stripMargin
   )
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —

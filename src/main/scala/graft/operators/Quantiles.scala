@@ -76,13 +76,41 @@ object Quantiles {
     * the motivating use.
     */
   def groupedQuantileThreshold(df: DataFrame, groupCol: String, valueCol: String,
-                               qNum: Long, qDen: Long, precision: Int): DataFrame = {
+                               qNum: Long, qDen: Long, precision: Int): DataFrame =
+    thresholdFromHistogram(
+      groupedHistogram(df, Seq(groupCol), valueCol, precision), groupCol, qNum, qDen)
+
+  /** Per-group histogram of non-null rounded values: (groupCols..., v,
+    * cnt) — the quantile sketch in relational form, and (with `sum` as the
+    * merge) the third MERGEABLE sketch alongside the HLL (`max`) and the
+    * CMS (`sum` over cells): bin addition is associative, so per-shard
+    * histograms merged with [[mergeHistograms]] are EXACTLY the histogram
+    * of the union — and any quantile read off the merged bins equals the
+    * single-pass answer (q71 pins it against the oracle).
+    */
+  def groupedHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                       precision: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ round(col(valueCol), precision).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge sharded histograms down to `keepGroupCols` (drop the shard
+    * key) — bounded state per group, no rescan of the shards' raw values.
+    */
+  def mergeHistograms(hists: DataFrame, keepGroupCols: Seq[String]): DataFrame =
+    hists.groupBy((keepGroupCols :+ "v").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Type-1 quantile thresholds per `groupCol`, read off an existing
+    * (groupCol, v, cnt) histogram — the shared tail of
+    * [[groupedQuantileThreshold]] and the merged-sketch path. Windows are
+    * partitioned by the group and framed by the bounded histogram.
+    */
+  def thresholdFromHistogram(h: DataFrame, groupCol: String,
+                             qNum: Long, qDen: Long): DataFrame = {
     require(qDen > 0 && qNum >= 0 && qNum <= qDen,
       s"q must be a rational in [0, 1]: got $qNum/$qDen")
     require(qDen <= 1000000000L, s"qDen must be <= 1e9 (got $qDen)")
-    val h = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), round(col(valueCol), precision).as("v"))
-      .agg(count(lit(1)).as("cnt"))
     val grp = Window.partitionBy(col(groupCol))
     h.withColumn("cum",
         sum(col("cnt")).over(grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))

@@ -133,4 +133,24 @@ class QuantilesSpec extends SparkTestBase {
       .select("doc_id", "pct_rank").as[(Long, Double)].collect().toSet
     run(true) shouldBe run(false)
   }
+
+  test("histogram sum-merge of shards equals the single-pass histogram and its quantiles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("lang", "source", "CAST(n_chars AS DOUBLE) AS n_chars")
+    val whole = Quantiles.groupedHistogram(docs, Seq("lang"), "n_chars", 6)
+      .select("lang", "v", "cnt").as[(String, Double, Long)].collect().toSet
+    val merged = Quantiles.mergeHistograms(
+        Quantiles.groupedHistogram(docs, Seq("lang", "source"), "n_chars", 6), Seq("lang"))
+      .select("lang", "v", "cnt").as[(String, Double, Long)].collect().toSet
+    merged shouldBe whole
+    // and the quantile read off merged bins equals the direct grouped quantile
+    val viaMerge = Quantiles.thresholdFromHistogram(
+        Quantiles.mergeHistograms(
+          Quantiles.groupedHistogram(docs, Seq("lang", "source"), "n_chars", 6), Seq("lang")),
+        "lang", 1L, 2L)
+      .as[(String, Double)].collect().toMap
+    val direct = Quantiles.groupedQuantileThreshold(docs, "lang", "n_chars", 1L, 2L, 6)
+      .as[(String, Double)].collect().toMap
+    viaMerge shouldBe direct
+  }
 }
