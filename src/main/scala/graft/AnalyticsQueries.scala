@@ -155,16 +155,26 @@ object AnalyticsQueries {
     // window, day-over-day delta. Revenue sums in DECIMAL(18,2) — exact
     // and order-independent, so the oracle matches without float-sum
     // rounding tricks; the moving average alone converts to double in a
-    // pinned expression. The date window's frame is bounded (days, not
-    // orders): the per-day aggregate collapses the fact table FIRST
+    // pinned expression. The per-day aggregate collapses the fact table
+    // FIRST, then a calendar DATE SPINE densifies gap days to zero-revenue
+    // rows — without it the ROWS frames would silently span whatever days
+    // happen to be present, and "7-day window" / "day-over-day" would be
+    // row-counting lies on sparse calendars. The window's frame is still
+    // bounded (calendar days, not orders)
     "q65_revenue_trend" -> ((s, dir) => {
       val daily = s.read.parquet(s"$dir/orders.parquet")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(
           sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
           count(lit(1)).as("n_orders"))
+      val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val dense = spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("revenue"), lit(0).cast("decimal(18,2)")).as("revenue"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
-      daily
+      dense
         .withColumn("revenue_7d", sum(col("revenue")).over(w.rowsBetween(-6, 0)))
         .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
         .select(
@@ -258,15 +268,24 @@ object AnalyticsQueries {
     */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** The q54 session-assignment CTE chain (micros timestamps, lag gap
+    * cut, running session number), shared VERBATIM by the q54/q63/q68
+    * oracles — one definition so the three twins can never desynchronize
+    * from each other or from [[Sessionize.assign]] (the docSetsSql
+    * pattern from [[TrainingDataQueries]]).
+    */
+  private lazy val sessionCtesSql: String =
+    s"""e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
+         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // lag/running-sum session assignment over (ts_us, event_id) — the
     // deterministic order Sessionize.assign uses; ts crosses engines as
     // floor-truncated micros (epoch_ns // 1000 == Spark's `ts DIV 1000`)
     "q54_sessionize" ->
-      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
-         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
-         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n)
+      s"""WITH $sessionCtesSql
          |SELECT user_id, session_seq,
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  min(ts_us) AS start_us, max(ts_us) AS end_us,
@@ -413,10 +432,7 @@ object AnalyticsQueries {
     // transition twin: q54's session CTEs + one more lag within (user,
     // session), then the pair count
     "q63_session_transitions" ->
-      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
-         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
-         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n),
+      s"""WITH $sessionCtesSql,
          |tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS from_type,
          |  event_type AS to_type FROM sess)
          |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
@@ -434,17 +450,23 @@ object AnalyticsQueries {
          |WHERE doc_id > 25 AND doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
 
     // revenue twin: DECIMAL sums are exact and order-independent on both
-    // engines — no float-sum rounding tricks needed anywhere but the
-    // explicitly-pinned moving-average/delta doubles
+    // engines; the generate_series spine mirrors the Spark side's calendar
+    // densification so both engines' ROWS frames mean calendar days
     "q65_revenue_trend" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_orders
-        |FROM orders GROUP BY 1)
+        |FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |dense AS (SELECT spine.day,
+        |  coalesce(daily.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+        |  CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day)
         |SELECT day, revenue, n_orders,
         |  CAST(sum(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS revenue_7d,
         |  round(CAST(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue) AS DOUBLE), 2) AS dod_delta
-        |FROM daily""".stripMargin,
+        |FROM dense""".stripMargin,
 
     "q66_topk_per_group" ->
       """SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (
@@ -470,10 +492,7 @@ object AnalyticsQueries {
     // funnel twin: q54's session CTEs -> per-session min ts per step ->
     // strict-after chain walk -> depth -> level explode -> spine join
     "q68_session_funnel" ->
-      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
-         |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
-         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${SessionGapSeconds * 1000000L} THEN 1 ELSE 0 END AS new_session FROM l),
-         |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM n),
+      s"""WITH $sessionCtesSql,
          |ps AS (SELECT user_id, session_seq,
          |  min(CASE WHEN event_type = 'signup' THEN ts_us END) AS t0,
          |  min(CASE WHEN event_type = 'view' THEN ts_us END) AS r1,

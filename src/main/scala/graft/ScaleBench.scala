@@ -34,6 +34,9 @@ object ScaleBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // the growth comparison and the (mult-1)-replica increment base are
+    // both meaningless below 2x — and scaledDocs(0) would empty-reduce
+    require(mult >= 2, s"ScaleBench needs a multiplier >= 2, got $mult")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,23 +111,24 @@ object ScaleBench {
     val incRow = {
       spark.sharedState.cacheManager.clearCache()
       val stateDir = s"/tmp/graft_scalebench_state_${spark.sparkContext.applicationId}"
-      val base = CorpusPipeline.buildState(scaledDocs(mult - 1))
-      base.meta.write.mode("overwrite").parquet(s"$stateDir/meta")
-      base.signatures.write.mode("overwrite").parquet(s"$stateDir/signatures")
-      base.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
-      val stored = CorpusPipeline.CorpusState(
-        spark.read.parquet(s"$stateDir/meta"),
-        spark.read.parquet(s"$stateDir/signatures"),
-        spark.read.parquet(s"$stateDir/pairs"))
-      // the new shard is replica mult-1 (disjoint ids/text by construction)
-      val shard = docReplica(mult - 1)
-      val tInc = minOf2(
-        CorpusPipeline.prepareFromState(CorpusPipeline.incrementState(stored, shard)))
-      spark.sharedState.cacheManager.clearCache()
-      val tFull = minOf2(CorpusPipeline.prepare(scaledDocs(mult)))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
-      val ratio = if (tInc > 0 && tFull > 0) tInc / tFull else -1.0
-      s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
+      try {
+        val base = CorpusPipeline.buildState(scaledDocs(mult - 1))
+        base.meta.write.mode("overwrite").parquet(s"$stateDir/meta")
+        base.signatures.write.mode("overwrite").parquet(s"$stateDir/signatures")
+        base.pairs.write.mode("overwrite").parquet(s"$stateDir/pairs")
+        val stored = CorpusPipeline.CorpusState(
+          spark.read.parquet(s"$stateDir/meta"),
+          spark.read.parquet(s"$stateDir/signatures"),
+          spark.read.parquet(s"$stateDir/pairs"))
+        // the new shard is replica mult-1 (disjoint ids/text by construction)
+        val shard = docReplica(mult - 1)
+        val tInc = minOf2(
+          CorpusPipeline.prepareFromState(CorpusPipeline.incrementState(stored, shard)))
+        spark.sharedState.cacheManager.clearCache()
+        val tFull = minOf2(CorpusPipeline.prepare(scaledDocs(mult)))
+        val ratio = if (tInc > 0 && tFull > 0) tInc / tFull else -1.0
+        s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
     println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows :+ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()

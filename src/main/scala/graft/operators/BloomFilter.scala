@@ -57,7 +57,11 @@ object BloomFilter {
   def mightContain(bloom: DataFrame, df: DataFrame, hashCol: String,
                    keyCols: Seq[String]): DataFrame = {
     val probeCols = keyCols :+ hashCol
-    df.withColumn("__probe", explode(array((0 until K).map(j =>
+    // NULL probes are excluded, mirroring build()'s NULL-member rule — a
+    // NULL hash has no positions to test, and letting it through would
+    // surface as a spurious in_bloom=0 row skewing per-key hit ratios
+    df.filter(col(hashCol).isNotNull)
+      .withColumn("__probe", explode(array((0 until K).map(j =>
         probePos(col(hashCol), j)): _*)))
       .select(probeCols.map(col) ++ Seq(
         shiftright(col("__probe"), 5).cast("int").as("__word"),

@@ -209,12 +209,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q65: the fact table collapses to a per-day aggregate BEFORE any window") {
-    // the only unpartitioned window runs over day rows (thousands), never
-    // order rows — the same tiny-frame argument as packing's bucket offsets
+    // the only unpartitioned window runs over calendar-day rows
+    // (thousands), never order rows — the same tiny-frame argument as
+    // packing's bucket offsets. The date-spine densification joins two
+    // DAY-level frames (spine x daily rollup) — broadcast, never a sort
+    // of anything order-sized
     val p = plan("q65_revenue_trend")
     p should include("partial_sum")      // map-side combine of the daily rollup
     p should include("Window")
-    p should not include "Join"
+    p should not include "SortMergeJoin"
   }
 
   test("q66: grouped top-k windows by the group key, one exchange") {

@@ -54,9 +54,21 @@ class PropertySpec extends SparkTestBase {
           assert(r.last_event_days_ago.isEmpty && r.event_type_counts.contains("0"),
             s"[seed ${42 + i}] zero-event semantics: $r")
       }
-      // conservation: summing same-day-only counts equals the event count
-      val dayZeroTotal = rows.map(r => r.event_count_7d.get).sum
-      assert(dayZeroTotal >= events.size, s"[seed ${42 + i}] events undercounted")
+      // conservation, EXACT: each event at date e contributes to day d's
+      // 7d count for every backfill day d in [e, e+7] (the window is
+      // BETWEEN day-7 AND day — 8 calendar days, reference semantics), so
+      // the sum of all 7d counts must equal the sum of per-event coverage
+      val start = java.time.LocalDate.parse("2024-01-01")
+      val end = java.time.LocalDate.parse("2024-01-28")
+      val expected = events.map { e =>
+        val d = e.ts.toLocalDateTime.toLocalDate
+        val lo = Seq(d, start).max[java.time.LocalDate](Ordering.by(_.toEpochDay))
+        val hi = Seq(d.plusDays(7), end).min[java.time.LocalDate](Ordering.by(_.toEpochDay))
+        math.max(0L, hi.toEpochDay - lo.toEpochDay + 1)
+      }.sum
+      val total7d = rows.map(_.event_count_7d.get).sum
+      assert(total7d == expected,
+        s"[seed ${42 + i}] 7d-count conservation: got $total7d, expected $expected")
     }
   }
 
