@@ -127,13 +127,19 @@ object App {
             // the shard plus, for pairs, the other tables' files, so a
             // reader of the pre-append snapshot is never clobbered).
             import operators.CorpusPipeline
-            def readState() = CorpusPipeline.CorpusState(
+            // normalizeState on read: meta is the append COMMIT ANCHOR
+            // (written last), so signature/pair rows from a crashed
+            // partial append — or duplicates from its retry — are
+            // discarded until their shard's meta lands
+            def readState() = CorpusPipeline.normalizeState(CorpusPipeline.CorpusState(
               fetcher.readParquet(spark, s"$statePath/meta"),
               fetcher.readParquet(spark, s"$statePath/signatures"),
-              fetcher.readParquet(spark, s"$statePath/pairs"))
+              fetcher.readParquet(spark, s"$statePath/pairs")))
+            // EXISTENCE decides init-vs-append; a read failure of existing
+            // state must abort loudly, never silently re-init (the init
+            // branch overwrites — it would destroy every prior shard)
             val prior =
-              try Some(readState())
-              catch { case scala.util.control.NonFatal(_) => None }
+              if (fetcher.exists(spark, s"$statePath/meta")) Some(readState()) else None
             prior match {
               case None =>
                 val st = CorpusPipeline.buildState(docs)

@@ -18,7 +18,7 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     // min of two consecutive successful runs: the box runs other tenants,
     // and a single sample regularly swings 2-3x on load spikes; the min is
@@ -39,7 +39,7 @@ object Bench {
       try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
         SparkEntry.attributionQueries(featPath).map { case (name, fn) => name -> minOf2(fn) }
-      } catch { case _: Throwable =>
+      } catch { case scala.util.control.NonFatal(_) =>
         // materialization failed: report every twin as the -1 sentinel —
         // same "visibly broken, not fast" convention as a failed query,
         // never silently-missing keys

@@ -86,7 +86,7 @@ object ScaleBench {
       try {
         df.write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
     def minOf2(df: => DataFrame): Double = {
       val samples = Seq(once(df), once(df)).flatten

@@ -822,8 +822,6 @@ object TrainingDataQueries {
     // one-shot pipeline over the whole corpus
     "q49_corpus_incremental" -> corpusPipelineOracle,
 
-    // incremental == full recompute, by construction: the oracle is the
-    // one-shot pipeline over the whole corpus
     "q30_multimodal_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

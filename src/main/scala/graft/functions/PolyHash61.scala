@@ -32,7 +32,7 @@ object PolyHash61Impl {
     * decorrelate them to well inside the sketch's published error.
     */
   val Mix1: Long = 0x2545F4914F6CDD1DL % Mod61 // = 379978648522644766
-  val Mix2: Long = java.lang.Long.remainderUnsigned(-6148914691236517205L, Mod61) // 0x9E3779B97F4A7C15 % M = 2177342782468422681
+  val Mix2: Long = java.lang.Long.remainderUnsigned(-7046029254386353131L, Mod61) // 0x9E3779B97F4A7C15 % M = 2177342782468422681
 
   /** `x mod (2^61-1)` for the unsigned 128-bit product `hi:lo`.
     * 2^61 === 1 (mod M), so x = q*2^61 + r === q + r with

@@ -15,6 +15,15 @@ private[operators] object Caching {
     * call.
     */
   def maybePersist(df: DataFrame, storage: StorageLevel): DataFrame =
-    if (storage == StorageLevel.NONE || df.storageLevel != StorageLevel.NONE) df
-    else df.persist(storage)
+    persistIfNew(df, storage)._1
+
+  /** [[maybePersist]] plus OWNERSHIP: returns whether THIS call persisted
+    * the plan. Callers that later unpersist must gate on it — blindly
+    * unpersisting would evict a cache entry some earlier operator in the
+    * session still relies on (the skip above makes shared entries normal,
+    * so eviction must stay with the owner).
+    */
+  def persistIfNew(df: DataFrame, storage: StorageLevel): (DataFrame, Boolean) =
+    if (storage == StorageLevel.NONE || df.storageLevel != StorageLevel.NONE) (df, false)
+    else (df.persist(storage), true)
 }

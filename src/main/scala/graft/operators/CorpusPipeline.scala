@@ -126,6 +126,30 @@ object CorpusPipeline {
       state.pairs.unionByName(inc.pairs))
   }
 
+  /** Repair a PERSISTED state after partial appends: the CLI writes the
+    * three tables in the order pairs -> signatures -> meta, making meta
+    * the commit anchor — so a crash mid-append leaves signature/pair rows
+    * whose doc ids have no meta row yet, and a retry of the same shard
+    * can then duplicate them. This filters both tables to meta-registered
+    * ids (both endpoints, for pairs) and drops exact duplicates, so a
+    * partial append degrades to "shard not yet added" and a retry is
+    * idempotent. Joins and dedups run at metadata scale (short rows, the
+    * same keys the pipeline already shuffles on); in-memory states built
+    * by [[buildState]]/[[incrementState]] are consistent by construction
+    * and don't need it.
+    */
+  def normalizeState(st: CorpusState): CorpusState = {
+    val meta = st.meta.dropDuplicates("doc_id")
+    val ids = meta.select(col("doc_id"))
+    CorpusState(
+      meta,
+      st.signatures.dropDuplicates("id")
+        .join(ids.withColumnRenamed("doc_id", "id"), Seq("id"), "left_semi"),
+      st.pairs.dropDuplicates("id_a", "id_b")
+        .join(ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi"))
+  }
+
   /** Metadata stages over a (combined) state: components -> keepers ->
     * gate -> rebalance -> pack. No text is touched.
     */

@@ -86,7 +86,7 @@ object Dedup {
     // distinct: dirty inputs may repeat a doc id; without it the final
     // join would duplicate output rows and inflate cluster_size
     val nodes = docs.select(col(idCol).as("id")).distinct()
-    val edges = maybePersist(
+    val (edges, ownsEdgesCache) = Caching.persistIfNew(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
       storage)
@@ -154,7 +154,7 @@ object Dedup {
         s"assignClusters stopped after maxIter=$maxIter rounds WITHOUT converging; " +
           "labels are partial (some components carry a non-minimal cluster_id). " +
           "Raise maxIter above the pair graph's diameter.")
-    if (storage != StorageLevel.NONE) edges.unpersist()
+    if (ownsEdgesCache) edges.unpersist()
     // Restrict to the documented population: only docs get rows, sizes
     // count docs-only members, and the keeper is the min DOC id of the
     // component — a phantom conduit may hold the component's min label but

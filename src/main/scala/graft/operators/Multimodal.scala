@@ -344,12 +344,24 @@ object Multimodal {
           // mvhd: version(1) flags(3), then v0: c/m times 4+4, timescale 4,
           // duration 4; v1: c/m times 8+8, timescale 4, duration 8
           val durationMs = childBoxes(p, ms, me, "mvhd") match {
-            case (hs, he) :: _ if he - hs >= 24 =>
+            case (hs, he) :: _ =>
+              // version gates the layout EXCLUSIVELY: a v1 box truncated
+              // below its 32-byte minimum must sentinel, not fall through
+              // to v0 offsets and read the middle of its 64-bit times as
+              // timescale/duration (plausible-looking garbage)
               val v = p(hs.toInt) & 0xff
-              val (timescale, duration) =
-                if (v == 1 && he - hs >= 32) (be32(p, hs + 20), be64(p, hs + 24))
-                else (be32(p, hs + 12), be32(p, hs + 16))
-              if (timescale > 0) duration * 1000L / timescale else -1L
+              val parsed =
+                if (v == 1 && he - hs >= 32) Some((be32(p, hs + 20), be64(p, hs + 24)))
+                else if (v == 0 && he - hs >= 24) Some((be32(p, hs + 12), be32(p, hs + 16)))
+                else None
+              parsed match {
+                // the ms conversion must not overflow into a bogus
+                // positive: v1 durations are attacker-controlled 64-bit
+                case Some((timescale, duration))
+                    if timescale > 0 && duration >= 0 && duration <= Long.MaxValue / 1000L =>
+                  duration * 1000L / timescale
+                case _ => -1L
+              }
             case _ => -1L
           }
           val traks = childBoxes(p, ms, me, "trak")

@@ -12,6 +12,18 @@ import org.apache.spark.sql.types.StructType
   */
 trait Fetcher {
 
+  /** Does `path` exist in this fetcher's storage? Default: a Hadoop
+    * filesystem probe (works for local paths, object stores, HDFS). The
+    * in-memory test double overrides with a map lookup. Callers use this
+    * to distinguish "no state yet" from "state exists but failed to read"
+    * — a distinction a bare read + catch cannot make, and getting it
+    * wrong turns a transient read error into silent state re-init.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Parquet scan (reference: Fetchers.scala:79-90). With an explicit schema
     * the scan starts instantly (no footer sampling) and column pruning /
     * predicate pushdown still apply via the vectorized reader.

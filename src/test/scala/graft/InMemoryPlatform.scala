@@ -31,6 +31,8 @@ class InMemoryStorage {
     }
   }
 
+  def contains(key: String): Boolean = synchronized { rows.contains(key) }
+
   def read(spark: SparkSession, key: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows(key), 2), schemas(key))
@@ -39,6 +41,8 @@ class InMemoryStorage {
 }
 
 class TestFetcher(storage: InMemoryStorage) extends Fetcher {
+  override def exists(spark: SparkSession, path: String): Boolean =
+    storage.contains(path)
   override def readParquet(spark: SparkSession, path: String,
       schema: Option[StructType]): DataFrame = storage.read(spark, path)
   override def readJson(spark: SparkSession, path: String,

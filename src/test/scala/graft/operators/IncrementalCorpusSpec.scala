@@ -63,4 +63,33 @@ class IncrementalCorpusSpec extends SparkTestBase {
       .filter(expr("size(h) > 0")).count()
     assert(st.signatures.count() == expected)
   }
+
+  test("normalizeState repairs partial appends: orphans dropped, retry idempotent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half1 = docs.filter(col("doc_id") <= 250)
+    val half2 = docs.filter(col("doc_id") > 250)
+    val st1 = CorpusPipeline.buildState(half1)
+    val inc = CorpusPipeline.shardIncrement(st1, half2)
+
+    // crash BETWEEN appends: pairs + signatures landed, meta (the commit
+    // anchor, written last) did not — the shard must be invisible
+    val partial = CorpusPipeline.CorpusState(
+      st1.meta,
+      st1.signatures.unionByName(inc.signatures),
+      st1.pairs.unionByName(inc.pairs))
+    def canon(s: CorpusPipeline.CorpusState) = (
+      s.meta.select("doc_id").as[Long].collect().toSet,
+      s.signatures.select("id").as[Long].collect().toSet,
+      s.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    canon(CorpusPipeline.normalizeState(partial)) shouldBe canon(CorpusPipeline.normalizeState(st1))
+
+    // retry after the crash: the shard's rows append AGAIN (duplicates of
+    // the orphans) plus meta — normalize must converge on the clean state
+    val retried = CorpusPipeline.CorpusState(
+      st1.meta.unionByName(inc.meta),
+      st1.signatures.unionByName(inc.signatures).unionByName(inc.signatures),
+      st1.pairs.unionByName(inc.pairs).unionByName(inc.pairs))
+    val clean = CorpusPipeline.incrementState(st1, half2)
+    canon(CorpusPipeline.normalizeState(retried)) shouldBe canon(CorpusPipeline.normalizeState(clean))
+  }
 }
