@@ -244,6 +244,37 @@ object AnalyticsQueries {
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
 
+    // character-level verification layered on the LSH pairs: edit distance
+    // and normalized similarity for every MinHash near-dup pair — the
+    // char-granular confirmation set-based Jaccard can't give (catches
+    // e.g. high-overlap shingle sets from reordered text). Distance runs
+    // only on CANDIDATE pairs, never all pairs
+    "q72_dedup_editdist" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.operators.Dedup.minhashLshPairs(d)
+      val ta = d.select(col("doc_id").as("id_a"), col("text").as("__text_a"))
+      val tb = d.select(col("doc_id").as("id_b"), col("text").as("__text_b"))
+      pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          levenshtein(col("__text_a"), col("__text_b")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("__text_a"), col("__text_b"))
+            / greatest(length(col("__text_a")), length(col("__text_b"))), 6).as("edit_sim"))
+    }),
+
+    // split drift: total-variation distance between the train and val
+    // splits' length distributions — the post-split sanity check that the
+    // content-hash assignment didn't skew a feature (exact integer
+    // numerator, one pinned double division)
+    "q73_split_drift" -> ((s, dir) => {
+      val split = Sampling.assignSplit(
+        s.read.parquet(s"$dir/documents.parquet"), "text")
+        .select(col("split"), col("n_chars").cast("double").as("n_chars"))
+      Quantiles.tvDistance(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "val"),
+        "n_chars", precision = 6)
+    }),
+
     // the third mergeable sketch: per-(lang, source) HISTOGRAMS sum-merge
     // per lang, and the median read off the merged bins hash-matches the
     // single-pass per-lang median — bin addition is associative, so the
@@ -531,6 +562,36 @@ object AnalyticsQueries {
         |  CAST(datediff('day', cohort_week, activity_week) // 7 AS INT) AS week_offset,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
         |FROM a GROUP BY cohort_week, week_offset""".stripMargin,
+
+    // edit-distance twin: DuckDB's levenshtein is the same unit-cost DP;
+    // the candidate set is q25's verified pair CTE
+    "q72_dedup_editdist" ->
+      s"""WITH ${graft.TrainingDataQueries.minhashCtesSql}
+         |SELECT j.id_a, j.id_b, j.jaccard,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  round(CAST(1 AS DOUBLE) - levenshtein(da.text, db.text)
+         |    / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+         |FROM j JOIN documents da ON j.id_a = da.doc_id
+         |       JOIN documents db ON j.id_b = db.doc_id
+         |WHERE j.jaccard >= 0.8""".stripMargin,
+
+    // TV twin: same full-outer bin union, same HUGEINT-exact numerator,
+    // same pinned final division
+    "q73_split_drift" ->
+      s"""WITH sp AS (SELECT CASE WHEN ${polyHashSql("text")} % 100 < 80 THEN 'train'
+         |    WHEN ${polyHashSql("text")} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(n_chars AS DOUBLE) AS v0 FROM documents),
+         |ha AS (SELECT round(v0, 6) AS v, CAST(count(*) AS BIGINT) AS cnt_a
+         |  FROM sp WHERE split = 'train' AND v0 IS NOT NULL GROUP BY 1),
+         |hb AS (SELECT round(v0, 6) AS v, CAST(count(*) AS BIGINT) AS cnt_b
+         |  FROM sp WHERE split = 'val' AND v0 IS NOT NULL GROUP BY 1),
+         |jj AS (SELECT coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+         |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a, CAST(sum(cnt_b) AS BIGINT) AS n_b FROM jj)
+         |SELECT t.n_a, t.n_b,
+         |  round(CAST(sum(abs(CAST(jj.cnt_a AS HUGEINT) * t.n_b - CAST(jj.cnt_b AS HUGEINT) * t.n_a)) AS DOUBLE)
+         |    / (CAST(2 AS DOUBLE) * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS tv_distance
+         |FROM jj CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
 
     // merged-histogram twin: merge-of-shards == histogram-of-whole by
     // associativity, so the oracle is the DIRECT per-lang median (q47's

@@ -315,7 +315,7 @@ object TrainingDataQueries {
   /** CTE chain producing the MinHash-LSH verified pairs in `j` (shared by
     * q25 and q37's cluster oracle).
     */
-  private lazy val minhashCtes: String = {
+  private[graft] lazy val minhashCtesSql: String = {
     val sigExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
     }.mkString(", ")
@@ -447,7 +447,7 @@ object TrainingDataQueries {
     * property is hash-matching this full recompute).
     */
   private lazy val corpusPipelineOracle: String =
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE $minhashCtesSql,
        |$componentCtes,
        |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
        |tq AS (SELECT id AS doc_id, w FROM t),
@@ -519,13 +519,13 @@ object TrainingDataQueries {
          |${verifySql(0.8)}""".stripMargin,
 
     "q25_dedup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH $minhashCtesSql
          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8""".stripMargin,
 
     // connected components over the q25 pair graph: the recursive CTE walks
     // reachability from every node; min reachable id = the component keeper
     "q37_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE $minhashCtesSql,
          |$componentCtes,
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
          |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_size,
@@ -535,7 +535,7 @@ object TrainingDataQueries {
     // the composite corpus-prep pipeline: near-dup keepers that pass the
     // quality and language gates — every stage reuses the operator oracles
     "q38_corpus_prep" ->
-      s"""WITH RECURSIVE $minhashCtes,
+      s"""WITH RECURSIVE $minhashCtesSql,
          |$componentCtes,
          |keepers AS (SELECT id FROM lab WHERE id = cluster_id),
          |tq AS (SELECT id AS doc_id, w FROM t),

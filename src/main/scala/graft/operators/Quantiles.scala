@@ -121,6 +121,47 @@ object Quantiles {
       .groupBy(col(groupCol)).agg(min(col("v")).as("threshold"))
   }
 
+  /** Total-variation distance between two samples' value distributions —
+    * the drift check a pipeline runs between train/val splits, or between
+    * yesterday's and today's corpus (PSI without the logarithm: TV is
+    * `0.5 * sum_v |p_v - q_v|`, equally standard and — unlike PSI —
+    * expressible in EXACT arithmetic both engines replay bit-for-bit).
+    *
+    * Shape: two bounded histograms (combinable aggregates), FULL OUTER
+    * joined on the bin (a bin present on one side only contributes its
+    * whole mass), then ONE integer-exact aggregate: the numerator
+    * `sum_v |cnt_a * n_b - cnt_b * n_a|` sums DECIMAL(38) products —
+    * exact and order-independent where a float p-q fold would be
+    * order-sensitive — and only the final `num / (2 * n_a * n_b)` runs in
+    * (pinned) double. Returns one row: (n_a, n_b, tv_distance in [0,1]).
+    */
+  def tvDistance(a: DataFrame, b: DataFrame, valueCol: String,
+                 precision: Int): DataFrame = {
+    val ha = histogram(a, valueCol, precision).withColumnRenamed("cnt", "cnt_a")
+    val hb = histogram(b, valueCol, precision).withColumnRenamed("cnt", "cnt_b")
+    val joined = ha.join(hb, Seq("v"), "full_outer")
+      .select(
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // one-row totals cross-joined back — the q43 scalar-broadcast shape
+    val totals = joined.agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        // decimal(19,0) operands: a long always fits, and the product's
+        // inferred precision (39 -> capped 38) still holds every
+        // long x long value exactly — no float, no overflow, order-free
+        sum(abs(
+          col("cnt_a").cast("decimal(19,0)") * col("n_b").cast("decimal(19,0)")
+            - col("cnt_b").cast("decimal(19,0)") * col("n_a").cast("decimal(19,0)")))
+          .as("num"))
+      .select(col("n_a"), col("n_b"),
+        round(col("num").cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("tv_distance"))
+  }
+
   /** Per-row percentile rank WITHOUT a corpus-wide window: the fraction of
     * the row's group with value <= the row's (rounded) value. The naive
     * formulation — `cume_dist() OVER (PARTITION BY group ORDER BY v)` —

@@ -153,4 +153,17 @@ class QuantilesSpec extends SparkTestBase {
       .as[(String, Double)].collect().toMap
     viaMerge shouldBe direct
   }
+
+  test("TV distance: hand-computed, zero on identical samples, one on disjoint") {
+    def df(vs: Double*) = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    // a: {1:2, 2:2}; b: {1:1, 2:1, 3:2} -> p=(.5,.5,0), q=(.25,.25,.5)
+    // TV = .5*(|.5-.25| + |.5-.25| + |0-.5|) = 0.5
+    val out = Quantiles.tvDistance(df(1, 1, 2, 2), df(1, 2, 3, 3), "x", 6)
+      .select("n_a", "n_b", "tv_distance").as[(Long, Long, Double)].head()
+    out shouldBe ((4L, 4L, 0.5))
+    Quantiles.tvDistance(df(1, 2, 3), df(1, 2, 3), "x", 6)
+      .select("tv_distance").as[Double].head() shouldBe 0.0
+    Quantiles.tvDistance(df(1, 2), df(3, 4), "x", 6)
+      .select("tv_distance").as[Double].head() shouldBe 1.0
+  }
 }
