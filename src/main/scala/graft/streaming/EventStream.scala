@@ -97,6 +97,19 @@ object EventStream {
   def freqSketchCells(events: DataFrame, valueCol: String): DataFrame =
     graft.operators.FrequencySketch.sketch(events, valueCol)
 
+  /** Streaming histogram: the quantile sketch as a streaming aggregate,
+    * completing the mergeable-sketch trilogy's streaming face (HLL
+    * registers ratchet by max, CMS cells and histogram BINS grow by sum).
+    * State is bounded by the value domain (~10^precision bins), no
+    * watermark needed; streamed bins equal [[graft.operators.Quantiles
+    * .histogram]] over the same rows exactly, and any quantile reads off
+    * the sink table batch-side via [[graft.operators.Quantiles
+    * .thresholdFromHistogram]] / [[graft.operators.Quantiles
+    * .mergeHistograms]].
+    */
+  def histogramBins(events: DataFrame, valueCol: String, precision: Int): DataFrame =
+    graft.operators.Quantiles.histogram(events, valueCol, precision)
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per user; a session closes when the watermark passes
     * its end + gap. The standard sessionization primitive (visit metrics,

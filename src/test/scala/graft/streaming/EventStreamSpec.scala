@@ -326,6 +326,36 @@ class EventStreamSpec extends SparkTestBase {
       streamed shouldBe batch
     } finally query.stop()
   }
+
+  test("streaming histogram bins across micro-batches == batch histogram, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Double]
+    val query = EventStream.histogramBins(input.toDF().toDF("x"), "x", precision = 2)
+      .writeStream.format("memory").queryName("histbins")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1 to 200).map(i => (i % 37) * 0.125)
+      val batch2 = (1 to 150).map(i => (i % 23) * 0.25)
+      input.addData(batch1)
+      query.processAllAvailable()
+      input.addData(batch2)
+      query.processAllAvailable()
+      val streamed = spark.table("histbins")
+        .select("v", "cnt").as[(Double, Long)].collect().toSet
+      val batch = graft.operators.Quantiles
+        .histogram((batch1 ++ batch2).toDF("x"), "x", precision = 2)
+        .select("v", "cnt").as[(Double, Long)].collect().toSet
+      streamed shouldBe batch
+      // and a quantile read off the streamed bins matches the batch one
+      val thrStream = graft.operators.Quantiles.thresholdFromHistogram(
+          spark.table("histbins").withColumn("g", org.apache.spark.sql.functions.lit(1)),
+          "g", 1L, 2L).select("threshold").as[Double].head()
+      val thrBatch = graft.operators.Quantiles.quantileThreshold(
+          (batch1 ++ batch2).toDF("x"), "x", 1L, 2L, 2)
+        .select("threshold").as[Double].head()
+      thrStream shouldBe thrBatch
+    } finally query.stop()
+  }
 }
 
 /** streaming label row for the attribution test */
