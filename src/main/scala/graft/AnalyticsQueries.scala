@@ -578,8 +578,7 @@ object AnalyticsQueries {
     // TV twin: same full-outer bin union, same HUGEINT-exact numerator,
     // same pinned final division
     "q73_split_drift" ->
-      s"""WITH sp AS (SELECT CASE WHEN ${polyHashSql("text")} % 100 < 80 THEN 'train'
-         |    WHEN ${polyHashSql("text")} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+      s"""WITH sp AS (SELECT ${graft.TrainingDataQueries.splitCaseSql("text")} AS split,
          |  CAST(n_chars AS DOUBLE) AS v0 FROM documents),
          |ha AS (SELECT round(v0, 6) AS v, CAST(count(*) AS BIGINT) AS cnt_a
          |  FROM sp WHERE split = 'train' AND v0 IS NOT NULL GROUP BY 1),
@@ -591,7 +590,8 @@ object AnalyticsQueries {
          |SELECT t.n_a, t.n_b,
          |  round(CAST(sum(abs(CAST(jj.cnt_a AS HUGEINT) * t.n_b - CAST(jj.cnt_b AS HUGEINT) * t.n_a)) AS DOUBLE)
          |    / (CAST(2 AS DOUBLE) * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS tv_distance
-         |FROM jj CROSS JOIN t GROUP BY t.n_a, t.n_b""".stripMargin,
+         |FROM jj CROSS JOIN t GROUP BY t.n_a, t.n_b
+         |HAVING t.n_a > 0 AND t.n_b > 0""".stripMargin,
 
     // merged-histogram twin: merge-of-shards == histogram-of-whole by
     // associativity, so the oracle is the DIRECT per-lang median (q47's

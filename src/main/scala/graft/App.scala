@@ -143,9 +143,14 @@ object App {
             prior match {
               case None =>
                 val st = CorpusPipeline.buildState(docs)
-                writer.writeParquet(st.meta, s"$statePath/meta")
-                writer.writeParquet(st.signatures, s"$statePath/signatures")
+                // meta LAST here too: it is the existence probe AND the
+                // commit anchor, so a crash mid-init leaves no meta and
+                // the retry takes this branch again (meta-first would
+                // wedge the path: exists=true, signatures missing, every
+                // later run aborting until manual cleanup)
                 writer.writeParquet(st.pairs, s"$statePath/pairs")
+                writer.writeParquet(st.signatures, s"$statePath/signatures")
+                writer.writeParquet(st.meta, s"$statePath/meta")
                 println(s"[graft] corpus-prep: initialized state at $statePath")
               case Some(st0) =>
                 val inc = CorpusPipeline.shardIncrement(st0, docs)

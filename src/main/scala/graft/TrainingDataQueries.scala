@@ -248,6 +248,15 @@ object TrainingDataQueries {
       s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS BIGINT))), " +
       s"(acc, c) -> (acc*$HashBase + c) % $HashMod)"
 
+  /** train/val/test split CASE over the content hash of `textExpr` —
+    * twin of [[graft.operators.Sampling.assignSplit]] at the default
+    * 80/10 percentages, shared by the q39/q51/q73 oracles (one
+    * definition, three twins that cannot desynchronize).
+    */
+  private[graft] def splitCaseSql(textExpr: String): String =
+    s"CASE WHEN ${polyHashSql(textExpr)} % 100 < 80 THEN 'train' " +
+      s"WHEN ${polyHashSql(textExpr)} % 100 < 90 THEN 'val' ELSE 'test' END"
+
   /** 61-bit avalanching hash twin of [[graft.functions.PolyHash61]], as
     * lateral-aliased SELECT steps ending in `h`: the rolling fold with
     * HUGEINT intermediates (the ~122-bit product of a < 2^61 accumulator
@@ -665,12 +674,7 @@ object TrainingDataQueries {
          |ORDER BY tf.tf DESC, tf.token ASC LIMIT 50""".stripMargin,
 
     "q39_train_split" ->
-      s"""WITH b AS (SELECT doc_id, ${polyHashSql("text")} % 100 AS bucket FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN bucket < 80 THEN 'train'
-         |       WHEN bucket < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM b""".stripMargin,
+      s"SELECT doc_id, ${splitCaseSql("text")} AS split FROM documents",
 
     // the two-phase prefix sum equals the plain ordered cumsum by
     // construction, so the oracle IS the single-window formulation
@@ -755,9 +759,7 @@ object TrainingDataQueries {
     // reference side
     "q51_split_contamination" ->
       s"""WITH $docSetsSql,
-         |sp AS (SELECT doc_id, CASE WHEN ${polyHashSql("text")} % 100 < 80 THEN 'train'
-         |  WHEN ${polyHashSql("text")} % 100 < 90 THEN 'val' ELSE 'test' END AS split
-         |  FROM documents),
+         |sp AS (SELECT doc_id, ${splitCaseSql("text")} AS split FROM documents),
          |bench AS (SELECT DISTINCT unnest(hashes) AS h
          |  FROM sets JOIN sp ON sets.id = sp.doc_id WHERE sp.split <> 'train'),
          |posting AS (SELECT id, unnest(hashes) AS h

@@ -31,6 +31,14 @@ object PolyHash61Impl {
     * exactly replayable in DuckDB: `xor`, `>>`, HUGEINT multiply, `%`)
     * decorrelate them to well inside the sketch's published error.
     */
+  // COMPATIBILITY: these constants are part of every PERSISTED
+  // hash-derived artifact's format — corpus-state signature tables,
+  // stored HLL register/sketch tables. Changing any of them makes old
+  // and new hashes live in different spaces: appends/merges across the
+  // boundary silently miss matches rather than erroring. Rebuild
+  // persisted state when they change (they changed once, pre-release:
+  // Mix2's literal was corrected to the splitmix64 constant its
+  // documentation always claimed).
   val Mix1: Long = 0x2545F4914F6CDD1DL % Mod61 // = 379978648522644766
   val Mix2: Long = java.lang.Long.remainderUnsigned(-7046029254386353131L, Mod61) // 0x9E3779B97F4A7C15 % M = 2177342782468422681
 

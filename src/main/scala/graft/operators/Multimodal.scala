@@ -344,7 +344,9 @@ object Multimodal {
           // mvhd: version(1) flags(3), then v0: c/m times 4+4, timescale 4,
           // duration 4; v1: c/m times 8+8, timescale 4, duration 8
           val durationMs = childBoxes(p, ms, me, "mvhd") match {
-            case (hs, he) :: _ =>
+            // >= 1: the version byte itself needs payload (a header-only
+            // box's payload start may sit AT the buffer end)
+            case (hs, he) :: _ if he - hs >= 1 =>
               // version gates the layout EXCLUSIVELY: a v1 box truncated
               // below its 32-byte minimum must sentinel, not fall through
               // to v0 offsets and read the middle of its 64-bit times as
@@ -369,12 +371,17 @@ object Multimodal {
           // / 88 (v1); audio tracks carry zero — take the first non-zero
           val dims = traks.iterator.flatMap { case (ts, te) =>
             childBoxes(p, ts, te, "tkhd").headOption.flatMap { case (hs, he) =>
-              val v = p(hs.toInt) & 0xff
-              val off = if (v == 1) hs + 88 else hs + 76
-              if (he - off >= 8) {
-                val (w, h) = ((be32(p, off) >> 16).toInt, (be32(p, off + 4) >> 16).toInt)
-                if (w > 0 && h > 0) Some((w, h)) else None
-              } else None
+              // same >= 1 guard as mvhd: a header-only tkhd has no
+              // version byte to read (payload start may be buffer end)
+              if (he - hs < 1) None
+              else {
+                val v = p(hs.toInt) & 0xff
+                val off = if (v == 1) hs + 88 else hs + 76
+                if (he - off >= 8) {
+                  val (w, h) = ((be32(p, off) >> 16).toInt, (be32(p, off + 4) >> 16).toInt)
+                  if (w > 0 && h > 0) Some((w, h)) else None
+                } else None
+              }
             }
           }.take(1).toList
           val (w, h) = dims.headOption.getOrElse((-1, -1))

@@ -160,6 +160,10 @@ object Quantiles {
         round(col("num").cast("double")
           / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
           .as("tv_distance"))
+      // an empty side makes TV undefined (0/0 — and Spark's NULL vs
+      // DuckDB's NaN would even disagree): emit NO row rather than a
+      // sentinel, deterministically on both engines
+      .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
   /** Per-row percentile rank WITHOUT a corpus-wide window: the fraction of

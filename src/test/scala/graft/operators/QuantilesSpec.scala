@@ -165,5 +165,8 @@ class QuantilesSpec extends SparkTestBase {
       .select("tv_distance").as[Double].head() shouldBe 0.0
     Quantiles.tvDistance(df(1, 2), df(3, 4), "x", 6)
       .select("tv_distance").as[Double].head() shouldBe 1.0
+    // an empty side: TV undefined -> zero rows, never a NULL/NaN sentinel
+    Quantiles.tvDistance(df(1, 2), df(), "x", 6).count() shouldBe 0L
+    Quantiles.tvDistance(df(), df(), "x", 6).count() shouldBe 0L
   }
 }
