@@ -20,6 +20,32 @@ trait Writer {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Range-CLUSTERED parquet sink: rows are range-partitioned on
+    * `clusterCols` and sorted within each file, so every output file (and
+    * every parquet row group inside it) covers a narrow, pairwise-disjoint
+    * key range. This is the data-LAYOUT lever for scan pruning at 100 TB:
+    * parquet's min/max statistics then let a pushed key predicate skip
+    * whole row groups — the same reads that scan everything on a
+    * write-order layout, where every row group's [min, max] spans the full
+    * key domain. Sorting costs one range shuffle at write time, paid once;
+    * every selective read after that wins (WritersSpec asserts the
+    * disjoint-range layout and that the plain writer does NOT have it).
+    *
+    * `numFiles` sizes the range partitioning (aim for ~128 MB-1 GB files
+    * at scale); pass 0 to keep the input partitioning and only sort
+    * within it (no extra shuffle — for data already clustered upstream).
+    */
+  def writeClusteredParquet(df: DataFrame, path: String, clusterCols: Seq[String],
+      numFiles: Int = 0, mode: String = "overwrite"): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(numFiles >= 0, "numFiles must be >= 0")
+    val cols = clusterCols.map(org.apache.spark.sql.functions.col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df
+    ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(path)
+  }
+
   /** JSON sink (reference: ProdWriter.scala:37-42). */
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
