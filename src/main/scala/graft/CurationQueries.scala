@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Packing, Quantiles, Sampling, Vocabulary}
+import graft.TrainingDataQueries.{polyHashSql, toksSql}
+
+/** Round-7 corpus-curation operators: sub-document segment dedup, PII
+  * redaction, epoch-weighted upsampling, context truncation, mergeable
+  * vocabulary shards, and per-group winsorization — each with a DuckDB
+  * oracle twin under the house parity rules (pinned driver-side constants,
+  * integer/rational math at every cross-engine comparison, generated SQL
+  * sharing the exact regexes/weights the Spark plan uses, so the twins
+  * cannot drift from the operators).
+  */
+object CurationQueries {
+
+  /** Segment delimiter for q74. The synthetic corpus is one line per doc
+    * (no `"\n\n"` paragraphs), so the query cuts on a frequent token
+    * instead — mechanically identical to a paragraph cut, and it yields a
+    * real duplicate population (~4% of segments at sf0.01). Production
+    * callers pass `"\n\n"` or `"\n"`.
+    */
+  private val SegDelim = " the "
+
+  /** Epoch weights for q76: upsample the tail languages, downsample the
+    * `en` head, leave `fr` on the implicit default 1.0 — exercising the
+    * whole-copies path, the fractional path, and the sub-1.0 drop path in
+    * one query.
+    */
+  private val EpochWeights = Map("en" -> 0.7, "zh" -> 2.5, "es" -> 2.0, "de" -> 1.5)
+
+  /** q77's context budget, sized to actually split the sf corpus (docs run
+    * ~8-100 tokens).
+    */
+  private val TruncTokens = 32
+
+  /** q79's winsor band: [p05, p95] per language. */
+  private val WinsorLo = 1L
+  private val WinsorHi = 19L
+  private val WinsorDen = 20L
+
+  /** Deterministic PII injection for q75: the corpus contains no PII, so
+    * both engines append the same synthetic email/IP/phone tail (a pure
+    * function of doc_id) before redacting. The OPERATOR is exercised on
+    * real PII shapes in PiiRedactSpec; the oracle query exercises the
+    * cross-engine regex/count parity.
+    */
+  private def injectedPii: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.org ip 10."), (col("doc_id") % 250).cast("string"),
+    lit(".0."), (col("doc_id") % 200).cast("string"),
+    lit(" tel 555-010-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  private val injectedPiiSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.org ip 10.' || CAST(doc_id % 250 AS VARCHAR) || " +
+      "'.0.' || CAST(doc_id % 200 AS VARCHAR) || " +
+      "' tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-wide segment dedup + document reassembly (the FineWeb-style
+    // sub-document pass): first occurrence by (doc_id, pos) wins, docs
+    // rebuilt from survivors in order
+    "q74_segment_dedup" -> ((s, dir) =>
+      Dedup.dedupSegments(
+        s.read.parquet(s"$dir/documents.parquet"), delimiter = SegDelim)),
+
+    // ordered PII redaction chain + per-pattern counts, all row-local;
+    // counts are taken on the text each pattern actually saw (post earlier
+    // redactions), so counts and redaction can never disagree
+    "q75_pii_redact" -> ((s, dir) => {
+      val t = injectedPii
+      val counts = TextFunctions.piiCounts(t).map { case (n, c) => c.as(n) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +: counts :+
+          TextFunctions.redactPii(t).as("text_redacted"): _*)
+    }),
+
+    // epoch-weighted mixing WITH upsampling: floor(w) copies + a
+    // content-hash-gated fractional copy; weights resolve driver-side to
+    // integer literals both engines replay
+    "q76_epoch_mix" -> ((s, dir) =>
+      Sampling.epochMix(
+        s.read.parquet(s"$dir/documents.parquet"), "lang", "text", EpochWeights)
+        .select(col("doc_id"), col("lang"), col("epoch"), col("n_copies"))),
+
+    // context-length truncation: first-N-tokens cut, row-local
+    "q77_truncate_budget" -> ((s, dir) =>
+      Packing.truncateToBudget(
+        s.read.parquet(s"$dir/documents.parquet"), maxTokens = TruncTokens)),
+
+    // mergeable vocabulary: per-source tf shards sum-merge to EXACTLY the
+    // single-pass corpus tf (the oracle computes the direct answer); the
+    // shard-count column only the sharded form can report rides along
+    "q78_vocab_merge" -> ((s, dir) =>
+      Vocabulary.mergeShardCounts(
+        Vocabulary.shardCounts(s.read.parquet(s"$dir/documents.parquet"), "source"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(30)),
+
+    // per-language winsorization: clamp lengths into the [p05, p95] band
+    // read off one bounded histogram
+    "q79_winsorize" -> ((s, dir) =>
+      Quantiles.winsorize(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("n_chars")),
+        "lang", "n_chars", WinsorLo, WinsorHi, WinsorDen, precision = 6)
+        .select("doc_id", "lang", "n_chars", "group_lo", "group_hi", "clamped"))
+  )
+
+  // ==== DuckDB oracle twins ============================================
+
+  /** q75's redaction CTE chain, GENERATED from [[TextFunctions.PiiPatterns]]
+    * — the same regex literals, the same order, counts on the same
+    * intermediate text — so the twin cannot drift from the operator.
+    */
+  private def piiChainSql: String = {
+    val steps = TextFunctions.PiiPatterns.zipWithIndex.map {
+      case ((name, re, tok), i) =>
+        s"""s${i + 1} AS (SELECT *,
+           |  CAST(len(regexp_extract_all(t$i, '$re')) AS BIGINT) AS n_$name,
+           |  regexp_replace(t$i, '$re', '$tok', 'g') AS t${i + 1} FROM s$i)""".stripMargin
+    }
+    (s"s0 AS (SELECT doc_id, $injectedPiiSql AS t0 FROM documents)" +: steps)
+      .mkString(",\n")
+  }
+
+  /** The `(n DIV qDen) * qNum + ceil((n % qDen) * qNum / qDen)` type-1
+    * rank, shared with [[Quantiles.thresholdFromHistogram]]'s expression.
+    */
+  private def rankSql(qNum: Long, qDen: Long): String =
+    s"(n // $qDen) * $qNum + ((n % $qDen) * $qNum + ${qDen - 1L}) // $qDen"
+
+  def oracleSql: Map[String, String] = Map(
+    // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
+    // row_number over (doc_id, pos), ordered string_agg rebuild, LEFT JOIN
+    // so fully-deduped docs survive with empty text
+    "q74_segment_dedup" ->
+      s"""WITH p0 AS (SELECT doc_id, string_split(text, '$SegDelim') AS l FROM documents),
+         |p AS (SELECT doc_id, unnest(l) AS seg,
+         |  unnest(generate_series(0, len(l) - 1)) AS pos FROM p0),
+         |k AS (SELECT doc_id, seg, pos,
+         |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM p),
+         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(seg, '$SegDelim' ORDER BY pos) AS text_dedup
+         |  FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT p0.doc_id, CAST(len(p0.l) AS BIGINT) AS n_segments,
+         |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+         |  CAST(len(p0.l) AS BIGINT) - coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+         |  coalesce(r.text_dedup, '') AS text_dedup
+         |FROM p0 LEFT JOIN r ON p0.doc_id = r.doc_id""".stripMargin,
+
+    "q75_pii_redact" ->
+      s"""WITH $piiChainSql
+         |SELECT doc_id, ${TextFunctions.PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")},
+         |  t${TextFunctions.PiiPatterns.size} AS text_redacted
+         |FROM s${TextFunctions.PiiPatterns.size}""".stripMargin,
+
+    // epoch-mix twin: the SAME driver-side (whole, frac-ppm) literals the
+    // Spark CASE chain embeds, re-generated from the shared helpers
+    "q76_epoch_mix" -> {
+      def caseOf(of: Double => Long): String =
+        "CASE lang " + EpochWeights.toSeq.sortBy(_._1).map { case (c, w) =>
+          s"WHEN '$c' THEN ${of(w)}"
+        }.mkString(" ") + s" ELSE ${of(1.0)} END"
+      s"""WITH w AS (SELECT doc_id, lang,
+         |  ${caseOf(Sampling.epochWhole)}
+         |  + CASE WHEN (${polyHashSql("text")} % 1000000) < ${caseOf(Sampling.epochFracPpm)}
+         |    THEN 1 ELSE 0 END AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch,
+         |  CAST(n AS BIGINT) AS n_copies
+         |FROM w""".stripMargin
+    },
+
+    "q77_truncate_budget" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(least(len(w), $TruncTokens) AS BIGINT) AS n_kept,
+         |  CASE WHEN len(w) > $TruncTokens THEN 1 ELSE 0 END AS truncated,
+         |  array_to_string(w[1:$TruncTokens], ' ') AS text_trunc
+         |FROM t""".stripMargin,
+
+    // merge-of-shards == single-pass by sum-associativity, so the twin is
+    // the DIRECT corpus tf; n_shards = distinct sources containing the token
+    "q78_vocab_merge" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_shards
+         |  FROM tok GROUP BY token)
+         |SELECT token, tf, n_shards FROM tf
+         |ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+
+    // winsorize twin: two type-1 thresholds off the shared per-lang
+    // histogram CTE (q47's window pattern), row-local clamp
+    "q79_winsorize" ->
+      s"""WITH v0 AS (SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars FROM documents),
+         |h AS (SELECT lang, round(n_chars, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM v0 WHERE n_chars IS NOT NULL GROUP BY lang, v),
+         |hc AS (SELECT lang, v,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |FROM h),
+         |lo AS (SELECT lang, min(v) AS group_lo FROM hc
+         |  WHERE cum >= ${rankSql(WinsorLo, WinsorDen)} GROUP BY lang),
+         |hi AS (SELECT lang, min(v) AS group_hi FROM hc
+         |  WHERE cum >= ${rankSql(WinsorHi, WinsorDen)} GROUP BY lang)
+         |SELECT v0.doc_id, v0.lang, v0.n_chars, lo.group_lo, hi.group_hi,
+         |  greatest(lo.group_lo, least(hi.group_hi, round(v0.n_chars, 6))) AS clamped
+         |FROM v0 JOIN lo ON v0.lang IS NOT DISTINCT FROM lo.lang
+         |        JOIN hi ON v0.lang IS NOT DISTINCT FROM hi.lang""".stripMargin
+  )
+}

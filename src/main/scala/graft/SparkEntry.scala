@@ -110,7 +110,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ TrainingDataQueries.queries ++ AnalyticsQueries.queries
+    baseQueries ++ TrainingDataQueries.queries ++ AnalyticsQueries.queries ++ CurationQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1: parquet scan + projection
@@ -447,5 +447,5 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q34_table_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier"
-  ) ++ TrainingDataQueries.oracleSql ++ AnalyticsQueries.oracleSql
+  ) ++ TrainingDataQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ CurationQueries.oracleSql
 }

@@ -336,4 +336,45 @@ object TextFunctions {
       when(s === maxScore && maxScore > 0, lit(lang)).otherwise(rest)
     }
   }
+
+  // ---- PII redaction -----------------------------------------------------
+
+  /** PII patterns, ordered: each (name, regex, replacement token). The
+    * regexes stay inside the syntax both Java's engine and RE2 (the
+    * DuckDB oracle's) interpret identically — character classes, bounded
+    * repetition, and `\b`; no backreferences or lookaround — and they are
+    * applied in THIS order (emails first, so an address's digit runs are
+    * gone before the looser numeric patterns scan). The list is the
+    * minimal standard set (email, IPv4, NANP-style phone), not a
+    * compliance-grade detector: real pipelines extend the table; the
+    * operator shape (ordered regex chain + per-pattern counts, all
+    * row-local) is what scales.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b", "<PHONE>"))
+
+  /** Text with every [[PiiPatterns]] match replaced by its token — a
+    * row-local chain of codegen'd regexp_replace calls (NULL in, NULL
+    * out). Counting and redaction see the same matches by construction.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, tok)) =>
+      regexp_replace(acc, re, tok)
+    }
+
+  /** Per-pattern match counts as (n_<name>, count) pairs, each counted on
+    * the text AFTER the earlier patterns were redacted — the exact matches
+    * [[redactPii]] replaces, so counts and redaction can never disagree
+    * (an IP-looking run inside an email is an email, not an IP).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val (_, counts) = PiiPatterns.foldLeft((text, Seq.empty[(String, Column)])) {
+      case ((acc, out), (name, re, tok)) =>
+        (regexp_replace(acc, re, tok),
+          out :+ (s"n_$name" -> regexp_count(acc, lit(re)).cast("long")))
+    }
+    counts
+  }
 }

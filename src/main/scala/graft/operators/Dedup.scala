@@ -372,4 +372,61 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Corpus-wide SEGMENT-level dedup with document reassembly — the
+    * sub-document pass web-corpus recipes run after whole-doc dedup:
+    * boilerplate (nav bars, cookie banners, license headers) repeats
+    * across millions of pages whose full texts are all distinct, so
+    * whole-doc methods never see it. Split every document on `delimiter`
+    * (paragraphs for `"\n\n"`, lines for `"\n"`), keep only the FIRST
+    * corpus-wide occurrence of each distinct segment (ordered by
+    * (document id, position) — deterministic, replayable), and rebuild
+    * each document from its surviving segments in original order.
+    *
+    * Output: one row per input document — (idCol, n_segments, n_kept,
+    * n_dropped, text_dedup). A document whose every segment appeared
+    * earlier comes back with n_kept = 0 and an empty rebuilt text (the
+    * caller's gate decides whether to drop it — this operator never loses
+    * the row).
+    *
+    * Scale shape: the keeper choice shuffles (segment, id, pos) rows keyed
+    * by the segment — content-uniform by construction, same key discipline
+    * as [[exact]] — and each segment's window frame is its duplicate
+    * count, never the corpus. Reassembly is one combinable-input groupBy
+    * on the document id; the per-doc collect is bounded by segments per
+    * document (a document's own size), not corpus size. Segment text
+    * crosses the wire once — unavoidable for a global first-occurrence
+    * rule — but documents are never compared pairwise and nothing is
+    * quadratic.
+    */
+  def dedupSegments(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", delimiter: String = "\n\n"): DataFrame = {
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    // literal (quoted) delimiter: split() takes a Java regex
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+    val segs = docs.select(col(idCol).as("__sd_id"), posexplode(parts).as(Seq("pos", "seg")))
+    // first corpus-wide occurrence wins; (id, pos) order makes the keeper
+    // deterministic under any physical row order
+    val first = Window.partitionBy(col("seg"))
+      .orderBy(col("__sd_id").asc, col("pos").asc)
+    val rebuilt = segs
+      .withColumn("__sd_rnk", row_number().over(first))
+      .filter(col("__sd_rnk") === 1)
+      .groupBy(col("__sd_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg")),
+          delimiter).as("text_dedup"))
+    docs
+      .select(col(idCol), size(parts).cast("long").as("n_segments"))
+      .join(rebuilt, col(idCol) === col("__sd_id"), "left")
+      .select(
+        col(idCol),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

@@ -105,4 +105,30 @@ object Packing {
         floor(col("start_offset") / lit(budget)).cast("long").as("chunk_id"),
         (col("start_offset") % lit(budget)).as("chunk_offset"))
   }
+
+  /** Context-length truncation: keep each document's first `maxTokens`
+    * tokens (the hard cut every trainer applies when a document exceeds
+    * the model's context and [[slidingWindows]]' overlap isn't wanted).
+    * Entirely row-local — tokenize, slice, re-join inside one projection;
+    * zero shuffle, and the fingerprint of the truncated text means
+    * downstream exact-dedup can run on the cut form without materializing
+    * it twice.
+    *
+    * Output: (idCol, n_tokens, n_kept = min(n_tokens, maxTokens),
+    * truncated flag, text_trunc).
+    */
+  def truncateToBudget(docs: DataFrame, maxTokens: Int,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(
+        col(idCol),
+        toks.as("__tb_w"))
+      .select(
+        col(idCol),
+        size(col("__tb_w")).cast("long").as("n_tokens"),
+        least(size(col("__tb_w")).cast("long"), lit(maxTokens.toLong)).as("n_kept"),
+        (size(col("__tb_w")) > maxTokens).cast("int").as("truncated"),
+        array_join(slice(col("__tb_w"), 1, maxTokens), " ").as("text_trunc"))
+  }
 }

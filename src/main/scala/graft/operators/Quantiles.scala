@@ -251,4 +251,34 @@ object Quantiles {
     d.crossJoin(broadcast(quantileThreshold(d, valueCol, qNum, qDen, precision)))
       .filter(round(col(valueCol), precision) >= col("threshold"))
   }
+
+  /** Per-group winsorization: clamp each row's value into its group's
+    * [lo, hi] quantile band (the outlier treatment that KEEPS the row —
+    * [[madOutlierGate]] drops; this caps — standard before averaging
+    * heavy-tailed features). Both thresholds read off ONE bounded
+    * per-group histogram (built once, two threshold passes over its
+    * already-aggregated bins), joined back null-safe and broadcast; the
+    * clamp is a row-local greatest/least. Adds (group_lo, group_hi,
+    * clamped) — clamped in the rounded domain the histogram lives in,
+    * exact on both engines.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loNum: Long, hiNum: Long, qDen: Long, precision: Int,
+                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(loNum <= hiNum, s"lo quantile must be <= hi: got $loNum/$qDen > $hiNum/$qDen")
+    // d feeds three consumers (two threshold passes + the clamp join);
+    // the histogram itself is bounded, so caching the INPUT is the win
+    val d = Caching.maybePersist(df, storage)
+    val hist = groupedHistogram(d, Seq(groupCol), valueCol, precision)
+    val lo = thresholdFromHistogram(hist, groupCol, loNum, qDen)
+      .withColumnRenamed("threshold", "group_lo")
+      .withColumnRenamed(groupCol, "__wz_grp")
+    val hi = thresholdFromHistogram(hist, groupCol, hiNum, qDen)
+      .withColumnRenamed("threshold", "group_hi")
+      .withColumnRenamed(groupCol, "__wz_grp")
+    d.join(broadcast(lo), col(groupCol) <=> col("__wz_grp")).drop("__wz_grp")
+      .join(broadcast(hi), col(groupCol) <=> col("__wz_grp")).drop("__wz_grp")
+      .withColumn("clamped",
+        greatest(col("group_lo"), least(col("group_hi"), round(col(valueCol), precision))))
+  }
 }

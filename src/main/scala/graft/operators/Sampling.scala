@@ -138,6 +138,61 @@ object Sampling {
       .filter(contentBucket(col(textCol), 1000000) < col("mix_rate_ppm"))
   }
 
+  /** Epoch-weighted corpus mixing with UPSAMPLING — the data-mixing step
+    * [[temperatureMix]] and [[rebalanceToQuota]] can't express: those only
+    * drop rows, but LLM data recipes repeat high-quality sources at
+    * fractional epoch counts (e.g. wiki x 2.5, web x 0.7). Each row is
+    * replicated `floor(w)` times for its category's weight `w`, plus one
+    * more copy iff its content bucket falls under the fractional
+    * remainder — so a category's expected output is exactly `w * n_c`
+    * rows, the decision is a pure row-local function of the text (stable
+    * across reruns, re-sharding, engines), and weights below 1 degrade to
+    * deterministic downsampling.
+    *
+    * Output: the input row replicated, plus (epoch in [1, n_copies],
+    * n_copies). Weights resolve DRIVER-side to exact integer literals
+    * (whole copies + fractional ppm) — no float crosses the executors, so
+    * an oracle can replay the mix bit-for-bit.
+    *
+    * Scale shape: one row-local explode of an at-most-ceil(w)-element
+    * integer sequence — zero shuffle, zero aggregation; output volume is
+    * the product the caller asked for, not an intermediate.
+    */
+  /** An epoch weight's whole-copy count — resolved DRIVER-side, exposed so
+    * oracle generators embed the identical literal (never re-derived in
+    * executor or oracle float math).
+    */
+  private[graft] def epochWhole(w: Double): Long = math.floor(w).toLong
+
+  /** An epoch weight's fractional remainder as parts-per-million, floor
+    * semantics — same driver-side-literal contract as [[epochWhole]].
+    */
+  private[graft] def epochFracPpm(w: Double): Long =
+    math.floor((w - math.floor(w)) * 1e6).toLong
+
+  def epochMix(df: DataFrame, categoryCol: String, textCol: String,
+               weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
+      "epoch weights must be non-negative")
+    require(weights.values.forall(_ <= 1000) && defaultWeight <= 1000,
+      "epoch weights above 1000 are almost certainly a bug")
+    // category -> (whole, ppm) CASE chains from the driver-side literals;
+    // sorted for a deterministic plan (Map order is not)
+    val cases = weights.toSeq.sortBy(_._1)
+    def caseChain(of: Double => Long, dflt: Long): Column =
+      cases.foldRight(lit(dflt)) { case ((cat, w), rest) =>
+        when(col(categoryCol) === lit(cat), lit(of(w))).otherwise(rest)
+      }
+    val nCopies = caseChain(epochWhole, epochWhole(defaultWeight)) +
+      when(contentBucket(col(textCol), 1000000) <
+        caseChain(epochFracPpm, epochFracPpm(defaultWeight)), 1L).otherwise(0L)
+    df.withColumn("n_copies", nCopies)
+      // sequence(1, 0) would count DOWN ([1, 0]); guard the empty case
+      .withColumn("epoch",
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Assign each row a train/val/test split by content bucket:
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val, rest ->
     * test. Disjoint and exhaustive by construction.

@@ -68,4 +68,27 @@ object Vocabulary {
       .withColumn("tfidf", col("tf") * log(col("__n") / col("df")))
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Per-shard token counts — the PERSISTABLE vocabulary state: one
+    * (shard, token, tf) row per shard-token, built by a map-side
+    * combinable aggregate over that shard alone. Per-day/per-source
+    * vocabularies accumulate as appended shard rows; nothing global is
+    * recomputed at ingest.
+    */
+  def shardCounts(docs: DataFrame, shardCol: String,
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(shardCol).as("shard"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("shard"), col("token")).agg(count(lit(1)).as("tf"))
+
+  /** Sum-merge sharded counts into the corpus vocabulary — count addition
+    * is associative, so merge-of-shards equals the single-pass tf EXACTLY
+    * (the fourth mergeable sketch, after the HLL's max, the CMS's and
+    * histogram's sum — except here the "sketch" is the exact vocabulary).
+    * Also reports how many shards contain each token (each shard holds at
+    * most one row per token, so a row count is a shard count). Shuffle is
+    * bounded by distinct (shard, token) pairs, never raw token volume.
+    */
+  def mergeShardCounts(shards: DataFrame): DataFrame =
+    shards.groupBy(col("token"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_shards"))
 }

@@ -114,4 +114,32 @@ class PackingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Packing.slidingWindows(docs, windowTokens = 10L, strideTokens = 0L)
   }
+
+  test("truncate to budget: short docs untouched, long docs cut to exactly N") {
+    val docs = Seq(
+      (1L, "one two three"),
+      (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val out = Packing.truncateToBudget(docs, maxTokens = 5).orderBy("doc_id")
+      .select("n_tokens", "n_kept", "truncated", "text_trunc")
+      .as[(Long, Long, Int, String)].collect()
+    out(0) shouldBe ((3L, 3L, 0, "one two three"))
+    out(1) shouldBe ((7L, 5L, 1, "a b c d e"))
+    an[IllegalArgumentException] should be thrownBy
+      Packing.truncateToBudget(docs, maxTokens = 0)
+  }
+
+  test("truncate to budget: corpus invariants — n_kept = min(n, N), re-cut is idempotent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Packing.truncateToBudget(docs, maxTokens = 32)
+    out.filter(col("n_kept") =!=
+      least(col("n_tokens"), lit(32L))).count() shouldBe 0L
+    out.filter(col("truncated") === 0 && col("n_tokens") > 32).count() shouldBe 0L
+    // cutting the already-cut text changes nothing
+    val twice = Packing.truncateToBudget(
+      out.select(col("doc_id"), col("text_trunc").as("text")), maxTokens = 32)
+    twice.filter(col("truncated") =!= 0).count() shouldBe 0L
+    twice.select(sum(col("n_tokens"))).as[Long].head() shouldBe
+      out.select(sum(col("n_kept"))).as[Long].head()
+  }
 }

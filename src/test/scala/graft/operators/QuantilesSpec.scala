@@ -169,4 +169,26 @@ class QuantilesSpec extends SparkTestBase {
     Quantiles.tvDistance(df(1, 2), df(), "x", 6).count() shouldBe 0L
     Quantiles.tvDistance(df(), df(), "x", 6).count() shouldBe 0L
   }
+
+  test("winsorize: clamps into the per-group band, keeps every row, leaves the middle alone") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("v"))
+    val out = Quantiles.winsorize(docs, "lang", "v", 1L, 19L, 20L, precision = 6,
+      storage = org.apache.spark.storage.StorageLevel.NONE)
+    out.count() shouldBe docs.count()
+    out.filter(col("clamped") < col("group_lo") ||
+      col("clamped") > col("group_hi")).count() shouldBe 0L
+    // in-band values pass through; out-of-band pin to the violated edge
+    out.filter(col("v") >= col("group_lo") && col("v") <= col("group_hi") &&
+      col("clamped") =!= round(col("v"), 6)).count() shouldBe 0L
+    out.filter(col("v") < col("group_lo") &&
+      col("clamped") =!= col("group_lo")).count() shouldBe 0L
+    out.filter(col("v") > col("group_hi") &&
+      col("clamped") =!= col("group_hi")).count() shouldBe 0L
+    // the band is real on this corpus: something actually clamps
+    out.filter(col("clamped") =!= round(col("v"), 6)).count() should be > 0L
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.winsorize(docs, "lang", "v", 19L, 1L, 20L, 6)
+  }
 }

@@ -129,4 +129,37 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.temperatureMix(corpus, "lang", "text", targetTotal = 0L)
   }
+
+  test("epoch mix: integer weights replicate exactly; epochs number 1..n") {
+    val docs = Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"))
+      .toDF("doc_id", "cat", "text")
+    val out = Sampling.epochMix(docs, "cat", "text", Map("a" -> 3.0, "b" -> 1.0))
+      .select("doc_id", "epoch", "n_copies")
+      .as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (1L, 1L, 3L), (1L, 2L, 3L), (1L, 3L, 3L),
+      (2L, 1L, 3L), (2L, 2L, 3L), (2L, 3L, 3L),
+      (3L, 1L, 1L))
+  }
+
+  test("epoch mix: fractional weights land near w*n, sub-1 weights downsample, all content-addressed") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Sampling.epochMix(corpus, "lang", "text",
+      Map("en" -> 0.5, "de" -> 2.5), defaultWeight = 1.0)
+    val inCounts = corpus.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val outCounts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // expected = w * n with hash noise on the fractional copy
+    outCounts("de").toDouble / inCounts("de") shouldBe 2.5 +- 0.5
+    outCounts("en").toDouble / inCounts("en") shouldBe 0.5 +- 0.25
+    outCounts("fr") shouldBe inCounts("fr") // default weight 1.0 exactly
+    // the sub-1.0 category is a SUBSET (downsampling, never substitution)
+    val enKept = out.filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    val enAll = corpus.filter($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    enKept.subsetOf(enAll) shouldBe true
+    // rerun-stable
+    Sampling.epochMix(corpus, "lang", "text", Map("en" -> 0.5, "de" -> 2.5))
+      .count() shouldBe out.count()
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.epochMix(corpus, "lang", "text", Map("en" -> -1.0))
+  }
 }

@@ -50,4 +50,20 @@ class VocabularySpec extends SparkTestBase {
       .count()
     bad shouldBe 0L
   }
+
+  test("merged shard counts equal the single-pass corpus tf exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merged = Vocabulary.mergeShardCounts(Vocabulary.shardCounts(docs, "source"))
+      .select("token", "tf").as[(String, Long)].collect().toMap
+    val direct = Vocabulary.tokenStats(docs)
+      .select("token", "tf").as[(String, Long)].collect().toMap
+    merged shouldBe direct
+    // n_shards is bounded by the shard population and never exceeds tf
+    val nSources = docs.select("source").distinct().count()
+    Vocabulary.mergeShardCounts(Vocabulary.shardCounts(docs, "source"))
+      .filter(col("n_shards") > nSources || col("n_shards") > col("tf") ||
+        col("n_shards") < 1)
+      .count() shouldBe 0L
+  }
 }
