@@ -226,4 +226,32 @@ class PlanSpec extends SparkTestBase {
     exchangeCount(p) shouldBe 1
     p should include("hashpartitioning(lang")
   }
+
+  test("q75/q76/q77: the row-local curation ops never shuffle — zero exchanges") {
+    Seq("q75_pii_redact", "q76_epoch_mix", "q77_truncate_budget").foreach { name =>
+      val p = plan(name)
+      withClue(s"$name:") {
+        exchangeCount(p) shouldBe 0
+        p should include("codegen id")
+      }
+    }
+  }
+
+  test("q74: segment keeper windows by the SEGMENT key (uniform by content, never by doc)") {
+    val p = plan("q74_segment_dedup")
+    p should include("hashpartitioning(seg")
+    // the rebuild joins back on the doc id as a real hash/merge join
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("q78: merged-vocab top-k is TakeOrdered over the aggregate, never a global sort") {
+    val p = plan("q78_vocab_merge")
+    p should include("TakeOrderedAndProject")
+  }
+
+  test("q79: winsor thresholds broadcast back to the corpus (bounded histogram side)") {
+    val p = plan("q79_winsorize")
+    p should include("BroadcastHashJoin")
+  }
 }

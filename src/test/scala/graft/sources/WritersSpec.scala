@@ -70,4 +70,92 @@ class WritersSpec extends SparkTestBase {
         ProdWriter.writeClusteredParquet(df, s"$dir/x", Seq.empty)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("interleave16 matches a driver-side Morton reference bit-for-bit") {
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (43690L, 21845L), (12345L, 54321L), (65535L, 0L), (0L, 65535L))
+    val got = pairs.toDF("x", "y")
+      .select(ProdWriter.interleave16(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    got shouldBe pairs.map { case (x, y) => morton(x, y) }
+    // hand-pinned: x=1 -> bit 0; y=1 -> bit 1
+    morton(1, 0) shouldBe 1L
+    morton(0, 1) shouldBe 2L
+    morton(65535, 65535) shouldBe (1L << 32) - 1
+  }
+
+  private def boxes(path: String): Seq[(Long, Long, Long, Long)] = {
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    files.map { f =>
+      spark.read.parquet(f)
+        .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+        .as[(Long, Long, Long, Long)].head()
+    }
+  }
+
+  test("z-ordered files cover small 2D rectangles; single-key clustering spans the full secondary axis") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // a full 100x100 grid in interleaved write order: both axes uniform,
+    // no correlation a lexicographic sort could exploit
+    val rows = (0 until 10000).map(i => (i % 100, (i * 37) % 100))
+      .map { case (x, y) => (x.toLong, y.toLong, s"p$x-$y") }
+      .toDF("x", "y", "payload")
+    try {
+      ProdWriter.writeZOrderedParquet(rows, s"$dir/z", "x", "y", numFiles = 16)
+      val zb = boxes(s"$dir/z")
+      zb.size should be >= 8
+      // every file's bounding box is a small fraction of the 2D domain
+      val areaFracs = zb.map { case (mnx, mxx, mny, mxy) =>
+        ((mxx - mnx + 1) * (mxy - mny + 1)).toDouble / (100.0 * 100.0)
+      }
+      withClue(s"z-order boxes too large: $zb:")(
+        areaFracs.sum / areaFracs.size should be < 0.3)
+      // rows survive the layout change
+      spark.read.parquet(s"$dir/z").count() shouldBe 10000L
+
+      // the comparison layout: clustered on x alone — perfect on x, but
+      // every file spans (essentially) the whole y domain
+      ProdWriter.writeClusteredParquet(rows, s"$dir/lex",
+        clusterCols = Seq("x", "y"), numFiles = 16)
+      val lex = boxes(s"$dir/lex")
+      val lexYSpan = lex.map { case (_, _, mny, mxy) => (mxy - mny + 1).toDouble / 100.0 }
+      val zYSpan = zb.map { case (_, _, mny, mxy) => (mxy - mny + 1).toDouble / 100.0 }
+      withClue(s"lex=$lex z=$zb:")(
+        zYSpan.sum / zYSpan.size should be < 0.8 * (lexYSpan.sum / lexYSpan.size))
+
+      // pruning in action: a selective 2D box touches a minority of files
+      val qx = (0L, 20L); val qy = (0L, 20L)
+      val touched = zb.count { case (mnx, mxx, mny, mxy) =>
+        mnx <= qx._2 && mxx >= qx._1 && mny <= qy._2 && mxy >= qy._1
+      }
+      withClue(s"boxes=$zb:")(touched.toDouble / zb.size should be < 0.5)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("z-order: degenerate domains, NULL keys, and static bounds stay safe") {
+    val dir = Files.createTempDirectory("graft_zorder2").toString
+    try {
+      // constant x: every row lands in bucket 0 on that axis; still writes
+      val const = (0 until 100).map(i => (5L, i.toLong)).toDF("x", "y")
+      ProdWriter.writeZOrderedParquet(const, s"$dir/c", "x", "y", numFiles = 2)
+      spark.read.parquet(s"$dir/c").count() shouldBe 100L
+      // NULL keys map to bucket 0, never lost
+      val withNulls = Seq((Some(1L), Some(1L)), (None, Some(2L)), (Some(3L), None))
+        .toDF("x", "y")
+      ProdWriter.writeZOrderedParquet(withNulls, s"$dir/n", "x", "y", numFiles = 1)
+      spark.read.parquet(s"$dir/n").count() shouldBe 3L
+      // static bounds skip the min/max pass; out-of-bounds values clamp
+      val df = (0 until 100).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+      ProdWriter.writeZOrderedParquet(df, s"$dir/b", "x", "y", numFiles = 2,
+        bounds = Some((0.0, 50.0, 0.0, 50.0)))
+      spark.read.parquet(s"$dir/b").count() shouldBe 100L
+      an[IllegalArgumentException] should be thrownBy
+        ProdWriter.writeZOrderedParquet(df, s"$dir/x", "x", "y", numFiles = 0)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
