@@ -191,6 +191,62 @@ object App {
         val n = fetcher.readParquet(spark, o("output-path")).count()
         println(s"[graft] sessionize: wrote $n sessions to ${o("output-path")}")
 
+      case "curate" =>
+        // one-command text curation: segment dedup (optionally incremental
+        // against a stored segment-state table) -> PII redaction ->
+        // optional context truncation -> curated parquet
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val delim = o.getOrElse("delimiter", "\n\n")
+        import org.apache.spark.sql.functions.{array_join, col, least, lit, size, slice}
+        import graft.functions.TextFunctions
+        val (deduped, appendState) = o.get("state-path") match {
+          case None =>
+            (operators.Dedup.dedupSegments(docs, delimiter = delim), () => ())
+          case Some(sp) =>
+            // same existence-probe discipline as corpus-prep: a read
+            // failure of existing state aborts loudly, never silently
+            // re-initializes
+            if (!fetcher.exists(spark, s"$sp/segments")) {
+              (operators.Dedup.dedupSegments(docs, delimiter = delim), () => {
+                writer.writeParquet(
+                  operators.Dedup.segmentState(docs, delimiter = delim), s"$sp/segments")
+                println(s"[graft] curate: initialized segment state at $sp")
+              })
+            } else {
+              val st = fetcher.readParquet(spark, s"$sp/segments")
+              (operators.Dedup.dedupSegmentsIncremental(docs, st, delimiter = delim), () => {
+                writer.writeParquet(
+                  operators.Dedup.incrementSegmentState(docs, st, delimiter = delim),
+                  s"$sp/segments", mode = "append")
+                println(s"[graft] curate: appended shard segments at $sp")
+              })
+            }
+        }
+        val counts = TextFunctions.piiCounts(col("text_dedup")).map { case (n, c) => c.as(n) }
+        val clean = TextFunctions.redactPii(col("text_dedup"))
+        val curated = o.get("max-tokens").map(_.toInt) match {
+          case None =>
+            deduped.select(Seq(col("doc_id"), col("n_segments"), col("n_kept")) ++
+              counts :+ clean.as("text_curated"): _*)
+          case Some(maxTokens) =>
+            require(maxTokens > 0, "--max-tokens must be positive")
+            val toks = TextFunctions.tokens(clean)
+            deduped.select(Seq(col("doc_id"), col("n_segments"), col("n_kept")) ++
+              counts ++ Seq(
+                size(toks).cast("long").as("n_tokens"),
+                least(size(toks).cast("long"), lit(maxTokens.toLong)).as("n_tokens_kept"),
+                array_join(slice(toks, 1, maxTokens), " ").as("text_curated")): _*)
+        }
+        // OUTPUT first, state append after: a crash between the two leaves
+        // state un-appended and the retry redoes the shard idempotently —
+        // appending first would make the retry treat the shard's own
+        // segments as already seen and drop them all
+        writer.writeParquet(curated, o.required("output-path"))
+        appendState()
+        val nCur = fetcher.readParquet(spark, o("output-path")).count()
+        println(s"[graft] curate: wrote $nCur curated docs to ${o("output-path")}")
+
       case "sketch" =>
         val o = parseArgs(args.tail)
         val groupCol = o.getOrElse("group-col", "lang")
@@ -431,6 +487,11 @@ object App {
       |                     [--gap-seconds <n=1800>] [--funnel-steps a,b,c]
       |                     gap-cut sessions -> per-session rollup parquet;
       |                     optional ordered-funnel report on stdout
+      |  curate             --docs-path <path> --output-path <path>
+      |                     [--delimiter <s="\n\n">] [--max-tokens <n>]
+      |                     [--state-path <dir>]  incremental: docs-path is a
+      |                     SHARD deduped against the stored segment state
+      |                     segment dedup -> PII redaction -> truncation
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

@@ -109,8 +109,46 @@ object CurationQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("n_chars").cast("double").as("n_chars")),
         "lang", "n_chars", WinsorLo, WinsorHi, WinsorDen, precision = 6)
-        .select("doc_id", "lang", "n_chars", "group_lo", "group_hi", "clamped"))
+        .select("doc_id", "lang", "n_chars", "group_lo", "group_hi", "clamped")),
+
+    // INCREMENTAL segment dedup: docs <= 250 are the stored corpus (their
+    // state table is all the increment ever reads), docs > 250 the new
+    // shard; the oracle is the FULL recompute over everything restricted
+    // to the shard — the q49 increment == full contract for q74
+    "q80_segment_dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.dedupSegmentsIncremental(
+        d.filter(col("doc_id") > IncrSplitId),
+        Dedup.segmentState(d.filter(col("doc_id") <= IncrSplitId), delimiter = SegDelim),
+        delimiter = SegDelim)
+    }),
+
+    // cluster-coherent split: every member of a near-dup cluster lands in
+    // its REPRESENTATIVE's split — the leakage-proof version of q39 (and
+    // the prevention q51 only detects). CacheManager dedupes the LSH
+    // stages with q25/q37's
+    "q81_cluster_split" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val clusters = Dedup.assignClusters(
+        d, Dedup.minhashLshPairs(d).select("id_a", "id_b"))
+      Sampling.clusterCoherentSplit(d, clusters)
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+    }),
+
+    // out-of-vocabulary rate vs the corpus' own top-20 vocabulary: the
+    // integer-exact perplexity stand-in (no transcendental, so the rate
+    // crosses engines bit-for-bit where an LM log-prob could not)
+    "q82_oov_rate" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Vocabulary.oovRate(d, Vocabulary.topTokens(d, OovVocabK))
+    })
   )
+
+  /** q82's reference-vocabulary size. */
+  private val OovVocabK = 20
+
+  /** q80's stored-vs-shard id split. */
+  private val IncrSplitId = 250L
 
   // ==== DuckDB oracle twins ============================================
 
@@ -135,24 +173,58 @@ object CurationQueries {
   private def rankSql(qNum: Long, qDen: Long): String =
     s"(n // $qDen) * $qNum + ((n % $qDen) * $qNum + ${qDen - 1L}) // $qDen"
 
+  /** q74's full-recompute SQL — and, restricted to the shard ids, q80's
+    * oracle (one definition, so the increment contract can never drift
+    * from the batch twin).
+    */
+  private val segmentDedupSql: String =
+    s"""WITH p0 AS (SELECT doc_id, string_split(text, '$SegDelim') AS l FROM documents),
+       |p AS (SELECT doc_id, unnest(l) AS seg,
+       |  unnest(generate_series(0, len(l) - 1)) AS pos FROM p0),
+       |k AS (SELECT doc_id, seg, pos,
+       |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM p),
+       |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |  string_agg(seg, '$SegDelim' ORDER BY pos) AS text_dedup
+       |  FROM k WHERE rn = 1 GROUP BY doc_id)
+       |SELECT p0.doc_id, CAST(len(p0.l) AS BIGINT) AS n_segments,
+       |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  CAST(len(p0.l) AS BIGINT) - coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+       |  coalesce(r.text_dedup, '') AS text_dedup
+       |FROM p0 LEFT JOIN r ON p0.doc_id = r.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
     // row_number over (doc_id, pos), ordered string_agg rebuild, LEFT JOIN
     // so fully-deduped docs survive with empty text
-    "q74_segment_dedup" ->
-      s"""WITH p0 AS (SELECT doc_id, string_split(text, '$SegDelim') AS l FROM documents),
-         |p AS (SELECT doc_id, unnest(l) AS seg,
-         |  unnest(generate_series(0, len(l) - 1)) AS pos FROM p0),
-         |k AS (SELECT doc_id, seg, pos,
-         |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM p),
-         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         |  string_agg(seg, '$SegDelim' ORDER BY pos) AS text_dedup
-         |  FROM k WHERE rn = 1 GROUP BY doc_id)
-         |SELECT p0.doc_id, CAST(len(p0.l) AS BIGINT) AS n_segments,
-         |  coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
-         |  CAST(len(p0.l) AS BIGINT) - coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
-         |  coalesce(r.text_dedup, '') AS text_dedup
-         |FROM p0 LEFT JOIN r ON p0.doc_id = r.doc_id""".stripMargin,
+    "q74_segment_dedup" -> segmentDedupSql,
+
+    // increment == full: the one-shot recompute over (stored ∪ shard),
+    // keeping only the shard's rows
+    "q80_segment_dedup_incremental" ->
+      s"SELECT * FROM ($segmentDedupSql) WHERE doc_id > $IncrSplitId",
+
+    // cluster twin: q37's recursive-CTE components, split decided by the
+    // KEEPER's text through the shared split CASE
+    "q81_cluster_split" ->
+      s"""WITH RECURSIVE ${TrainingDataQueries.minhashCtesSql},
+         |${TrainingDataQueries.componentCtes}
+         |SELECT d.doc_id, lab.cluster_id,
+         |  ${TrainingDataQueries.splitCaseSql("kd.text")} AS split
+         |FROM documents d
+         |JOIN lab ON d.doc_id = lab.id
+         |JOIN documents kd ON lab.cluster_id = kd.doc_id""".stripMargin,
+
+    // OOV twin: the same (tf desc, token asc) top-k vocabulary, a LEFT
+    // JOIN membership probe, integer counts and one pinned round division
+    "q82_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+         |top AS (SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT $OovVocabK)
+         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN top.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(sum(CASE WHEN top.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+         |FROM tok LEFT JOIN top ON tok.token = top.token
+         |GROUP BY tok.doc_id""".stripMargin,
 
     "q75_pii_redact" ->
       s"""WITH $piiChainSql

@@ -416,7 +416,7 @@ object TrainingDataQueries {
   /** q37's recursive-CTE component chain over the `j` pairs CTE: emits
     * `lab(id, cluster_id)` (shared by q37/q38).
     */
-  private val componentCtes: String =
+  private[graft] val componentCtes: String =
     """pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),

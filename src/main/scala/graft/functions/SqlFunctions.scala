@@ -49,5 +49,15 @@ object SqlFunctions {
     register(spark, "simhash", classOf[SimHash], Set(1, 2),
       es => if (es.length == 1) SimHash(es.head)
             else SimHash(es.head, intLit(es(1), "simhash", "bits")))
+    // redact_pii(s): the same ordered RegExpReplace chain
+    // TextFunctions.redactPii composes — built directly as catalyst
+    // expressions so the SQL surface shares one source of truth
+    // (PiiPatterns) with the DataFrame operator
+    register(spark, "redact_pii",
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace], Set(1),
+      es => TextFunctions.PiiPatterns.foldLeft(es.head) { case (acc, (_, re, tok)) =>
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+          acc, Literal(re), Literal(tok))
+      })
   }
 }

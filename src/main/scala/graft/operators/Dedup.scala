@@ -400,18 +400,81 @@ object Dedup {
     * quadratic.
     */
   def dedupSegments(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", delimiter: String = "\n\n"): DataFrame = {
+                    textCol: String = "text", delimiter: String = "\n\n"): DataFrame =
+    rebuildDocs(docs, firstOccurrence(segmented(docs, idCol, textCol, delimiter)),
+      idCol, textCol, delimiter)
+
+  /** The PERSISTABLE segment-dedup state: one row per DISTINCT segment seen
+    * so far — (seg_hash, first_id, first_pos), the md5 fingerprint plus its
+    * first owner for audit. GBs of boilerplate text collapse to fixed-width
+    * hash rows; [[dedupSegmentsIncremental]] needs only membership, so
+    * stored shards' raw text is never rescanned (the same
+    * state-table discipline as [[signatures]]/CorpusPipeline). Built by one
+    * combinable min aggregate keyed on the hash.
+    */
+  def segmentState(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", delimiter: String = "\n\n"): DataFrame =
+    segmented(docs, idCol, textCol, delimiter)
+      .groupBy(md5(col("seg").cast("binary")).as("seg_hash"))
+      .agg(min(struct(col("__sd_id").as("first_id"), col("pos").as("first_pos"))).as("__o"))
+      .select(col("seg_hash"), col("__o.first_id").as("first_id"),
+        col("__o.first_pos").as("first_pos"))
+
+  /** The state rows a new shard ADDS: its first-occurrence segments not in
+    * `state`. Append the result to the stored state table and the chain
+    * continues — state grows by distinct NEW segments only.
+    */
+  def incrementSegmentState(docs: DataFrame, state: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            delimiter: String = "\n\n"): DataFrame =
+    segmentState(docs, idCol, textCol, delimiter)
+      .join(state.select(col("seg_hash").as("__st_h")),
+        col("seg_hash") === col("__st_h"), "left_anti")
+
+  /** [[dedupSegments]] for a NEW shard against a stored [[segmentState]]:
+    * a segment survives iff its hash is absent from the state AND this is
+    * its first occurrence within the shard. When shard ids sort after every
+    * stored id (the append-only ingest order), the output row-matches the
+    * full recompute over (stored ∪ shard) restricted to the shard — the
+    * same increment == full contract as the corpus pipeline's q49, pinned
+    * by q80's oracle. The state side joins by HASH (fixed-width rows); the
+    * shard's text crosses the wire once, stored shards' text never.
+    */
+  def dedupSegmentsIncremental(docs: DataFrame, state: DataFrame,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               delimiter: String = "\n\n"): DataFrame = {
+    val fresh = segmented(docs, idCol, textCol, delimiter)
+      .join(state.select(col("seg_hash").as("__st_h")),
+        md5(col("seg").cast("binary")) === col("__st_h"), "left_anti")
+    rebuildDocs(docs, firstOccurrence(fresh), idCol, textCol, delimiter)
+  }
+
+  /** One (id, pos, segment) row per segment of every document. */
+  private def segmented(docs: DataFrame, idCol: String, textCol: String,
+                        delimiter: String): DataFrame = {
     require(delimiter.nonEmpty, "delimiter must be non-empty")
     // literal (quoted) delimiter: split() takes a Java regex
     val parts = split(col(textCol), java.util.regex.Pattern.quote(delimiter))
-    val segs = docs.select(col(idCol).as("__sd_id"), posexplode(parts).as(Seq("pos", "seg")))
-    // first corpus-wide occurrence wins; (id, pos) order makes the keeper
-    // deterministic under any physical row order
+    docs.select(col(idCol).as("__sd_id"), posexplode(parts).as(Seq("pos", "seg")))
+  }
+
+  /** First corpus-wide occurrence of each distinct segment wins; (id, pos)
+    * order makes the keeper deterministic under any physical row order.
+    */
+  private def firstOccurrence(segs: DataFrame): DataFrame = {
     val first = Window.partitionBy(col("seg"))
       .orderBy(col("__sd_id").asc, col("pos").asc)
-    val rebuilt = segs
-      .withColumn("__sd_rnk", row_number().over(first))
+    segs.withColumn("__sd_rnk", row_number().over(first))
       .filter(col("__sd_rnk") === 1)
+  }
+
+  /** Reassemble each document from its surviving segments in original
+    * order; every input row survives (empty text when nothing did).
+    */
+  private def rebuildDocs(docs: DataFrame, kept: DataFrame, idCol: String,
+                          textCol: String, delimiter: String): DataFrame = {
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+    val rebuilt = kept
       .groupBy(col("__sd_id"))
       .agg(
         count(lit(1)).as("n_kept"),

@@ -207,4 +207,39 @@ object Sampling {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** CLUSTER-coherent split — [[assignSplit]]'s documented caveat, closed:
+    * near-duplicates straddle content-hash splits because each member
+    * hashes its own slightly-different text (the leakage
+    * `Contamination.crossSplitCheck` then detects). Hashing the cluster
+    * REPRESENTATIVE's text instead sends every member of a near-dup
+    * cluster to the same split; singletons (their own representative)
+    * degrade to exactly [[assignSplit]]. `clusters` is
+    * [[Dedup.assignClusters]]' output — (idCol, cluster_id) where
+    * cluster_id is the keeper's doc id.
+    *
+    * Scale shape: two id-keyed hash joins — docs x clusters on the doc id,
+    * then members x representative text on the keeper id. The keeper side
+    * has ONE row per cluster; a mega-cluster fans its single keeper row
+    * out to its members (a join, never a pairwise product), and AQE's
+    * skew split absorbs a hot keeper key.
+    */
+  def clusterCoherentSplit(docs: DataFrame, clusters: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "trainPct/valPct must be non-negative and sum to <= 100")
+    val keeperText = docs.select(col(idCol).as("__ccs_kid"), col(textCol).as("__ccs_ktext"))
+    val b = contentBucket(col("__ccs_ktext"), 100)
+    docs
+      .join(clusters.select(col(idCol).as("__ccs_id"), col("cluster_id")),
+        col(idCol) === col("__ccs_id"))
+      .drop("__ccs_id")
+      .join(keeperText, col("cluster_id") === col("__ccs_kid"))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__ccs_kid", "__ccs_ktext")
+  }
 }

@@ -91,4 +91,24 @@ object Vocabulary {
   def mergeShardCounts(shards: DataFrame): DataFrame =
     shards.groupBy(col("token"))
       .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_shards"))
+
+  /** Per-document out-of-vocabulary rate against a reference vocabulary
+    * (`vocab`: any frame with a `token` column — typically [[topTokens]]
+    * of a trusted corpus): the integer-exact quality signal that stands in
+    * for LM perplexity without a transcendental (gibberish, wrong-language
+    * and OCR-damaged docs score high). The vocabulary broadcasts (it is
+    * small by construction); the per-doc aggregate is one combinable
+    * shuffle keyed by the doc id. Documents with zero tokens emit no row
+    * (0/0 has no rate) — same convention as [[Packing.slidingWindows]].
+    */
+  def oovRate(docs: DataFrame, vocab: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token").as("__ov_tok")).distinct()),
+        col("token") === col("__ov_tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__ov_tok").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_tokens"), 6))
 }

@@ -214,4 +214,36 @@ class AppSpec extends SparkTestBase {
       r.getAs[Long]("n_events")).toMap shouldBe
       Map((7L, 1L) -> 3L, (7L, 2L) -> 1L, (8L, 1L) -> 1L)
   }
+
+  test("curate subcommand: dedup + redact + truncate in one pass; incremental shards match") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    storage.write("docs_c", Seq(
+      (1L, "BANNER\n\nmail bob@x.io and call 555-123-4567 here"),
+      (2L, "BANNER\n\nunique body two with many extra words to cut")
+    ).toDF("doc_id", "text"), "overwrite")
+    App.run(platform, Seq("curate",
+      "--docs-path", "docs_c", "--output-path", "curated", "--max-tokens", "5"))
+    val rows = storage.rows("curated")
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_email"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("text_curated"))).toMap
+    // doc 1 keeps both segments, loses the email and phone, truncates to 5 tokens
+    rows(1L) shouldBe ((2L, 1L, 1L, "banner mail email and call"))
+    // doc 2 loses the shared banner, keeps its body
+    rows(2L) shouldBe ((1L, 0L, 0L, "unique body two with many"))
+
+    // incremental: shard 1 initializes state, shard 2 dedups against it
+    storage.write("shard1", Seq((1L, "BANNER\n\none")).toDF("doc_id", "text"), "overwrite")
+    storage.write("shard2", Seq((2L, "BANNER\n\ntwo")).toDF("doc_id", "text"), "overwrite")
+    App.run(platform, Seq("curate",
+      "--docs-path", "shard1", "--output-path", "cur1", "--state-path", "segstate"))
+    App.run(platform, Seq("curate",
+      "--docs-path", "shard2", "--output-path", "cur2", "--state-path", "segstate"))
+    storage.rows("cur2").map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("text_curated"))) shouldBe Seq((2L, 1L, "two"))
+    // state grew by shard 2's new segment only
+    storage.rows("segstate/segments") should have size 3 // BANNER, one, two
+  }
 }

@@ -50,4 +50,19 @@ class SqlFunctionsSpec extends SparkTestBase {
     an[Exception] should be thrownBy
       sql("SELECT shingle_hashes(text, id) FROM (SELECT 'a' AS text, 2 AS id)").collect()
   }
+
+  test("redact_pii runs from SQL and matches the Column operator") {
+    sql("SELECT redact_pii('mail bob@x.io from 8.8.8.8 tel 555-123-4567') AS r")
+      .as[String].head() shouldBe "mail <EMAIL> from <IP> tel <PHONE>"
+    val pii = Seq((1L, "ask eve@a.de or 10.0.0.1"), (2L, "none here"))
+      .toDF("id", "text")
+    pii.createOrReplaceTempView("sqlfn_pii")
+    val viaSql = sql("SELECT redact_pii(text) AS r FROM sqlfn_pii ORDER BY id")
+      .as[String].collect().toSeq
+    val viaCol = pii.orderBy("id")
+      .select(TextFunctions.redactPii(org.apache.spark.sql.functions.col("text")).as("r"))
+      .as[String].collect().toSeq
+    viaSql shouldBe viaCol
+    an[Exception] should be thrownBy sql("SELECT redact_pii('a', 'b')").collect()
+  }
 }

@@ -162,4 +162,27 @@ class SamplingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sampling.epochMix(corpus, "lang", "text", Map("en" -> -1.0))
   }
+
+  test("cluster-coherent split: near-dup pairs never straddle; singletons match assignSplit") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(corpus).select("id_a", "id_b")
+    val clusters = Dedup.assignClusters(corpus, pairs)
+    val split = Sampling.clusterCoherentSplit(corpus, clusters)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    split.size shouldBe corpus.count()
+    // the q51 leakage shape is impossible by construction
+    val straddling = pairs.as[(Long, Long)].collect()
+      .count { case (a, b) => split(a) != split(b) }
+    straddling shouldBe 0
+    // a cluster member inherits its keeper's split, not its own text's
+    val byCluster = clusters.select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    byCluster.foreach { case (id, keeper) => split(id) shouldBe split(keeper) }
+    // singletons (their own keeper) degrade to exactly assignSplit
+    val plain = Sampling.assignSplit(corpus, "text")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    byCluster.filter { case (id, k) => id == k &&
+      byCluster.count(_._2 == k) == 1
+    }.keys.foreach(id => split(id) shouldBe plain(id))
+  }
 }

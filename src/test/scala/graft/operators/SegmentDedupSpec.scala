@@ -83,4 +83,37 @@ class SegmentDedupSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Dedup.dedupSegments(docs, delimiter = "")
   }
+
+  test("incremental == full recompute restricted to the new shard (real corpus)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stored = docs.filter(col("doc_id") <= 250)
+    val shard = docs.filter(col("doc_id") > 250)
+    val incr = Dedup.dedupSegmentsIncremental(shard,
+        Dedup.segmentState(stored, delimiter = " the "), delimiter = " the ")
+      .collect().map(_.toSeq).toSet
+    val full = Dedup.dedupSegments(docs, delimiter = " the ")
+      .filter(col("doc_id") > 250)
+      .collect().map(_.toSeq).toSet
+    incr shouldBe full
+  }
+
+  test("chained increments with state appends stay equivalent to one full pass") {
+    val docs = Seq(
+      (1L, "banner\n\none"), (2L, "banner\n\ntwo"),
+      (3L, "two\n\nthree"), (4L, "three\n\nbanner\n\nfour"))
+      .toDF("doc_id", "text")
+    def shard(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    // shard 1 initializes; shards 2 and 3 append increments
+    var state = Dedup.segmentState(shard(1, 1))
+    val out2 = Dedup.dedupSegmentsIncremental(shard(2, 3), state)
+    state = state.unionByName(Dedup.incrementSegmentState(shard(2, 3), state))
+    val out3 = Dedup.dedupSegmentsIncremental(shard(4, 4), state)
+    val full = Dedup.dedupSegments(docs)
+    val got = (out2.unionByName(out3)).collect().map(_.toSeq).toSet
+    val exp = full.filter(col("doc_id") >= 2).collect().map(_.toSeq).toSet
+    got shouldBe exp
+    // the state after two appends covers exactly the distinct segments of docs 1-3
+    state.count() shouldBe 4L // banner, one, two, three
+  }
 }

@@ -66,4 +66,26 @@ class VocabularySpec extends SparkTestBase {
         col("n_shards") < 1)
       .count() shouldBe 0L
   }
+
+  test("OOV rate: hand-computed on a planted vocab; bounds hold on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta alpha"),   // all in vocab
+      (2L, "alpha zork"),         // half out
+      (3L, "zork grue qux"))      // all out
+      .toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta").toDF("token")
+    val out = Vocabulary.oovRate(docs, vocab).orderBy("doc_id")
+      .select("n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Double)].collect()
+    out(0) shouldBe ((3L, 0L, 0.0))
+    out(1) shouldBe ((2L, 1L, 0.5))
+    out(2) shouldBe ((3L, 3L, 1.0))
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rated = Vocabulary.oovRate(corpus, Vocabulary.topTokens(corpus, 100))
+    rated.filter(col("oov_rate") < 0 || col("oov_rate") > 1 ||
+      col("n_oov") > col("n_tokens")).count() shouldBe 0L
+    // a 100-token vocab over this corpus' ~50-word vocabulary: everything known
+    rated.filter(col("n_oov") > 0).count() shouldBe 0L
+  }
 }
