@@ -141,8 +141,32 @@ object CurationQueries {
     "q82_oov_rate" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Vocabulary.oovRate(d, Vocabulary.topTokens(d, OovVocabK))
-    })
+    }),
+
+    // DIRECTED containment pairs: the snippet-in-page relation symmetric
+    // Jaccard misses; threshold 0.6 so asymmetric overlaps actually
+    // surface on this corpus (at 0.8 the output is just the q24 pairs in
+    // both orientations)
+    "q83_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        s.read.parquet(s"$dir/documents.parquet"), threshold = ContainThreshold)),
+
+    // exact-N stratified sample: exactly 30 docs per language by salted
+    // two-phase rank over the content hash — the guarantee q44's
+    // hash-threshold cut deliberately trades away
+    "q84_exact_n_sample" -> ((s, dir) =>
+      Sampling.exactNSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text")),
+        "lang", "text", n = ExactN)
+        .select(col("doc_id"), col("lang"), col("rank")))
   )
+
+  /** q83's containment threshold. */
+  private val ContainThreshold = 0.6
+
+  /** q84's per-category sample size. */
+  private val ExactN = 30
 
   /** q82's reference-vocabulary size. */
   private val OovVocabK = 20
@@ -213,6 +237,30 @@ object CurationQueries {
          |FROM documents d
          |JOIN lab ON d.doc_id = lab.id
          |JOIN documents kd ON lab.cluster_id = kd.doc_id""".stripMargin,
+
+    // containment twin: the prefix filter is a lossless optimization, so
+    // the oracle is the NAIVE all-sharing-pairs join + directed verify
+    // (same equivalence q24's oracle relies on); shares docSetsSql so the
+    // shingle population can't drift
+    "q83_dedup_containment" ->
+      s"""WITH ${TrainingDataQueries.docSetsSql},
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM posting a JOIN posting b ON a.h = b.h AND a.id <> b.id),
+         |j AS (SELECT id_a, id_b,
+         |  round(len(list_intersect(sa.hashes, sb.hashes)) * 1.0 / len(sa.hashes), 6) AS containment
+         |  FROM cand JOIN sets sa ON cand.id_a = sa.id JOIN sets sb ON cand.id_b = sb.id)
+         |SELECT id_a, id_b, containment FROM j WHERE containment >= $ContainThreshold""".stripMargin,
+
+    // exact-N twin: the single-window formulation (salt-invariant, like
+    // q69's oracle), ordered by the shared content hash then id
+    "q84_exact_n_sample" ->
+      s"""SELECT doc_id, lang, CAST(rank AS INT) AS rank FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${polyHashSql("text")}, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= $ExactN""".stripMargin,
 
     // OOV twin: the same (tf desc, token asc) top-k vocabulary, a LEFT
     // JOIN membership probe, integer counts and one pinned round division

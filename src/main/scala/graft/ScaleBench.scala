@@ -79,7 +79,13 @@ object ScaleBench {
       "corpus_pipeline" -> (k => CorpusPipeline.prepare(scaledDocs(k))),
       // q35 shape: trained-IVF kNN (2 Lloyd rounds; queries/init stay 1x)
       "knn_ivf" -> (k => SimilaritySearch.ivfKnnTrained(scaledEmb(k), "vec_id < 10", 3,
-        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)))
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+      // q74 shape: corpus-wide segment keeper + reassembly. The Caesar
+      // rotation rewrites the delimiter token too, so added replicas
+      // contribute distinct single-segment docs — the segment shuffle
+      // still carries every byte of the corpus (the cost under test) and
+      // the duplicate population grows linearly, never quadratically
+      "segment_dedup" -> (k => Dedup.dedupSegments(scaledDocs(k), delimiter = " the ")))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -449,6 +449,52 @@ object Dedup {
     rebuildDocs(docs, firstOccurrence(fresh), idCol, textCol, delimiter)
   }
 
+  /** ASYMMETRIC containment near-dup pairs: `containment(A in B) =
+    * |A ∩ B| / |A|` over the n-gram shingle sets — the snippet-in-page
+    * relation symmetric Jaccard structurally misses (a paragraph quoted
+    * inside a long article has tiny Jaccard but containment 1.0), and the
+    * MinHash bands tuned for Jaccard can't even generate as a candidate.
+    * Output is DIRECTED: one (id_a, id_b, containment) row means A's
+    * shingles sit inside B at >= threshold; a mutual pair yields both
+    * orientations.
+    *
+    * Candidates use the prefix principle adapted to containment: B must
+    * hold >= t*|A| of A's shingles, so at least one of A's
+    * `|A| - ceil(t*|A|) + 1` RAREST shingles appears in B — the A-side
+    * prefix joins the FULL posting index (the B side cannot be
+    * prefix-filtered: containment puts no lower bound on |A|/|B|).
+    * Lossless, same epsilon guard as [[ngramJaccardPairs]]; the high-df
+    * d² offenders still sort out of every prefix. Verification touches
+    * candidates only, in the native sorted-merge kernel.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val sets = maybePersist(withShingleHashes(docs, idCol, textCol, n), storage)
+    val posting = sets.select(
+      col("id"), size(col("hashes")).as("m"), explode(col("hashes")).as("h"))
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefix = posting.join(dfreq, "h")
+      .withColumn("__rnk",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("h"))))
+      .filter(col("__rnk") <= col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + lit(1))
+      .select(col("id"), col("h"))
+    val candidates = prefix.as("a")
+      .join(posting.select(col("id"), col("h")).as("b"),
+        col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("hashes").as("h_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hashes").as("h_b")), "id_b")
+      .withColumn("containment", round(
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("h_a"), col("h_b")).cast("double")
+          / size(col("h_a")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** One (id, pos, segment) row per segment of every document. */
   private def segmented(docs: DataFrame, idCol: String, textCol: String,
                         delimiter: String): DataFrame = {

@@ -208,6 +208,22 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** EXACT-N stratified sample: precisely `n` rows per category (every
+    * category with >= n rows yields exactly n; smaller ones pass whole) —
+    * the guarantee [[rebalanceToQuota]] explicitly trades away (its
+    * hash-threshold cut is ~quota in expectation). Exact-N needs a
+    * per-category rank; ranking a hot category in one task is the skew
+    * this module avoids everywhere, so the rank rides
+    * [[Skew.groupedTopK]]'s salted two-phase form — no task ever sorts
+    * more than hot-category/numSalts rows. Order is the content hash
+    * (ties by id), so the sample is pseudo-random yet deterministic,
+    * stable across reruns and engines. Output adds `rank` in [1, n].
+    */
+  def exactNSample(df: DataFrame, categoryCol: String, textCol: String,
+                   n: Int, idCol: String = "doc_id"): DataFrame =
+    Skew.groupedTopK(df, categoryCol,
+      Seq(polyHash(col(textCol)).asc, col(idCol).asc), k = n)
+
   /** CLUSTER-coherent split — [[assignSplit]]'s documented caveat, closed:
     * near-duplicates straddle content-hash splits because each member
     * hashes its own slightly-different text (the leakage

@@ -211,4 +211,36 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getAs[Long]("cluster_id")).toSeq shouldBe Seq(1L, 1L, 1L, 4L)
     out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 1, 0)
   }
+
+  test("containment: snippet-in-page found in ONE direction where Jaccard misses both") {
+    import spark.implicits._
+    // B embeds A's entire text inside much more material: containment(A in
+    // B) = 1.0 but Jaccard is far below 0.8, so the MinHash/Jaccard family
+    // returns nothing while the directed operator flags a->b only
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val page = s"intro words first $snippet middle filler words again " +
+      "omega psi chi phi upsilon tau sigma rho pi omicron xi nu mu lambda kappa"
+    val pair = Seq((1L, snippet), (2L, page)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(pair, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    out.map(p => (p._1, p._2)) shouldBe Array((1L, 2L))
+    out.head._3 shouldBe 1.0
+    Dedup.ngramJaccardPairs(pair, threshold = 0.8).count() shouldBe 0L
+  }
+
+  test("containment: mutual near-dups yield both orientations; never self-pairs") {
+    import spark.implicits._
+    val near = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six seven")) // 4 of doc 2's 5 shingles shared
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(near, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out should contain((1L, 2L)) // 1 fully inside 2
+    out should contain((2L, 1L)) // 4/5 = 0.8, at the threshold
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Dedup.containmentPairs(corpus, threshold = 0.6)
+      .filter(col("id_a") === col("id_b")).count() shouldBe 0L
+  }
 }

@@ -163,6 +163,28 @@ class SamplingSpec extends SparkTestBase {
       Sampling.epochMix(corpus, "lang", "text", Map("en" -> -1.0))
   }
 
+  test("exact-N sample: exactly n per big category, whole small ones, window-identical") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 30
+    val out = Sampling.exactNSample(corpus.select("doc_id", "lang", "text"),
+      "lang", "text", n)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = corpus.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, c) =>
+      counts(lang) shouldBe math.min(c, n.toLong)
+    }
+    // salt-invariant: identical rows to the single-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.functions.TextFunctions.polyHash(col("text")).asc, col("doc_id").asc)
+    val viaWindow = corpus.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("doc_id", "lang", "rank").as[(Long, String, Int)].collect().toSet
+    out.select("doc_id", "lang", "rank")
+      .as[(Long, String, Int)].collect().toSet shouldBe viaWindow
+  }
+
   test("cluster-coherent split: near-dup pairs never straddle; singletons match assignSplit") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashLshPairs(corpus).select("id_a", "id_b")
