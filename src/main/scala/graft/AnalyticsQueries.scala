@@ -275,6 +275,24 @@ object AnalyticsQueries {
         "n_chars", precision = 6)
     }),
 
+    // NEAREST join (bidirectional as-of): each purchase aligned to the
+    // closest view reading within +/- 6h, either direction, ties to the
+    // earlier — the sensor-alignment shape backward-only as-of can't
+    // express. Readings pre-aggregate to unique (user, ts) per the
+    // snapshot contract; times are integer micros end-to-end
+    "q85_nearest_join" -> ((s, dir) => {
+      val ev = SparkEntry.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val labels = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val readings = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("value")).as("f_value"))
+        .withColumnRenamed("ts_us", "f_ts_us")
+      graft.operators.AsOfJoin.nearest(labels, readings, "user_id",
+        "ts_us", "f_ts_us", Seq("f_ts_us", "f_value"),
+        tolerance = NearestToleranceUs)
+    }),
+
     // the third mergeable sketch: per-(lang, source) HISTOGRAMS sum-merge
     // per lang, and the median read off the merged bins hash-matches the
     // single-pass per-lang median — bin addition is associative, so the
@@ -298,6 +316,12 @@ object AnalyticsQueries {
     * their columns, that's the point).
     */
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q85's alignment tolerance: 6 hours in micros — below the corpus'
+    * ~7.3h median per-user gap, so both matched and unmatched labels
+    * actually occur.
+    */
+  private val NearestToleranceUs = 21600000000L
 
   /** The q54 session-assignment CTE chain (micros timestamps, lag gap
     * cut, running session number), shared VERBATIM by the q54/q63/q68
@@ -592,6 +616,22 @@ object AnalyticsQueries {
          |    / (CAST(2 AS DOUBLE) * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS tv_distance
          |FROM jj CROSS JOIN t GROUP BY t.n_a, t.n_b
          |HAVING t.n_a > 0 AND t.n_b > 0""".stripMargin,
+
+    // nearest twin: LEFT JOIN inside the tolerance band, rank by
+    // (|distance|, earlier-first) — an unmatched label's single
+    // null-extended row is its own rank 1
+    "q85_nearest_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+         |  epoch_ns(ts) // 1000 AS ts_us FROM events),
+         |l AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+         |r AS (SELECT user_id, ts_us AS f_ts_us, max(value) AS f_value
+         |  FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+         |j AS (SELECT l.event_id, l.user_id, l.ts_us, r.f_ts_us, r.f_value,
+         |  row_number() OVER (PARTITION BY l.event_id
+         |    ORDER BY abs(r.f_ts_us - l.ts_us), r.f_ts_us) AS rn
+         |  FROM l LEFT JOIN r ON l.user_id = r.user_id
+         |    AND abs(r.f_ts_us - l.ts_us) <= $NearestToleranceUs)
+         |SELECT event_id, user_id, ts_us, f_ts_us, f_value FROM j WHERE rn = 1""".stripMargin,
 
     // merged-histogram twin: merge-of-shards == histogram-of-whole by
     // associativity, so the oracle is the DIRECT per-lang median (q47's

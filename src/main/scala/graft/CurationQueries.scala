@@ -159,7 +159,17 @@ object CurationQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("lang"), col("text")),
         "lang", "text", n = ExactN)
-        .select(col("doc_id"), col("lang"), col("rank")))
+        .select(col("doc_id"), col("lang"), col("rank"))),
+
+    // split-balance contingency audit: observed vs independence-expected
+    // counts per (split, lang) — the post-split skew check (a ratio far
+    // from 1 flags a cell the content hash happened to tilt)
+    "q86_split_balance" -> ((s, dir) =>
+      Sampling.contingencyAudit(
+        Sampling.assignSplit(
+          s.read.parquet(s"$dir/documents.parquet"), "text")
+          .select(col("split"), col("lang")),
+        "split", "lang"))
   )
 
   /** q83's containment threshold. */
@@ -261,6 +271,21 @@ object CurationQueries {
          |      ORDER BY ${polyHashSql("text")}, doc_id) AS rank
          |  FROM documents)
          |WHERE rank <= $ExactN""".stripMargin,
+
+    // contingency twin: the shared split CASE, one cell aggregate, then
+    // marginal windows over the bounded cell frame; every ratio is one
+    // pinned double division of exact integer products
+    "q86_split_balance" ->
+      s"""WITH sp AS (SELECT ${TrainingDataQueries.splitCaseSql("text")} AS split, lang FROM documents),
+         |o AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_obs FROM sp GROUP BY 1, 2),
+         |w AS (SELECT split, lang, n_obs,
+         |  CAST(sum(n_obs) OVER (PARTITION BY split) AS BIGINT) AS n_a,
+         |  CAST(sum(n_obs) OVER (PARTITION BY lang) AS BIGINT) AS n_b,
+         |  CAST(sum(n_obs) OVER () AS BIGINT) AS n_total FROM o)
+         |SELECT split, lang, n_obs, n_a, n_b, n_total,
+         |  round(CAST(n_a * n_b AS DOUBLE) / n_total, 6) AS expected,
+         |  round(CAST(n_obs * n_total AS DOUBLE) / (n_a * n_b), 6) AS obs_over_exp
+         |FROM w""".stripMargin,
 
     // OOV twin: the same (tf desc, token asc) top-k vocabulary, a LEFT
     // JOIN membership probe, integer counts and one pinned round division

@@ -88,6 +88,71 @@ object AsOfJoin {
         rightValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 
+  /** NEAREST join: for each left row, the single right row of the same key
+    * whose time is CLOSEST (either direction) within `tolerance` — the
+    * sensor-alignment primitive the backward-only as-of can't express
+    * (align a label to the nearest reading, before or after). Ties prefer
+    * the EARLIER right row — the leakage-conservative choice. Left rows
+    * with no right row inside the tolerance keep NULL value columns
+    * (left-join semantics, like [[unionSorted]]).
+    *
+    * Time columns must be NUMERIC (epoch micros/nanos — cast timestamps
+    * upstream): all distance math is then exact integer arithmetic an
+    * oracle replays, and `tolerance` is in the same unit.
+    *
+    * Scale shape: [[unionSorted]]'s single-shuffle discipline, doubled in
+    * direction, not in cost — ONE sort of |left|+|right| on (key, time)
+    * feeds BOTH a running-last (nearest earlier) and a running-first
+    * (nearest later) over the same window partitioning; no range-join
+    * fan-out at any history depth. Right rows sort before left rows at
+    * equal time, so an exact-tie reading is visible to the backward pass
+    * at distance 0. Assumes (key, rightTime) unique (the snapshot-table
+    * contract joinRank documents); pre-aggregate duplicates upstream.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightValueCols: Seq[String], tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "tolerance must be non-negative")
+    require(left.schema(leftTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+      right.schema(rightTime).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "nearest joins NUMERIC time columns (epoch micros/nanos); cast timestamps upstream")
+    val leftPayload = left.columns.toSeq.filterNot(_ == key)
+    // the carried struct leads with the right TIME so distance math can
+    // run off whichever side won
+    val rvStructType = StructType(
+      StructField("__rt", right.schema(rightTime).dataType, nullable = true) +:
+        rightValueCols.map(c => StructField(c, right.schema(c).dataType, nullable = true)))
+    val taggedRight = right.select(
+      Seq(col(key), col(rightTime).cast("long").as("__t"), lit(0).as("__side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(col(rightTime).as("__rt") +: rightValueCols.map(col): _*).as("__rv"): _*)
+    val taggedLeft = left.select(
+      Seq(col(key), col(leftTime).cast("long").as("__t"), lit(1).as("__side")) ++
+        leftPayload.map(c => col(c)) :+
+        lit(null).cast(rvStructType).as("__rv"): _*)
+    val ordered = Window.partitionBy(col(key)).orderBy(col("__t").asc, col("__side").asc)
+    val wBack = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the label's own row carries a null __rv, so first(ignoreNulls)
+    // lands on the next RIGHT row; same-time right rows sorted before the
+    // label are the backward pass's distance-0 case, not this one's
+    val wFwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withBoth = taggedRight.unionByName(taggedLeft)
+      .withColumn("__back", last(col("__rv"), ignoreNulls = true).over(wBack))
+      .withColumn("__fwd", first(col("__rv"), ignoreNulls = true).over(wFwd))
+      .filter(col("__side") === 1)
+    val dBack = col("__t") - col("__back.__rt").cast("long")
+    val dFwd = col("__fwd.__rt").cast("long") - col("__t")
+    val nearer = when(col("__back").isNull, col("__fwd"))
+      .when(col("__fwd").isNull, col("__back"))
+      .when(dBack <= dFwd, col("__back")) // tie -> earlier
+      .otherwise(col("__fwd"))
+    val dist = abs(nearer.getField("__rt").cast("long") - col("__t"))
+    val chosen = when(nearer.isNotNull && dist <= tolerance, nearer)
+    withBoth.select(
+      Seq(col(key)) ++ leftPayload.map(col) ++
+        rightValueCols.map(c => chosen.getField(c).as(c)): _*)
+  }
+
   /** Generic band (range) join: left rows paired with right rows of the same
     * key whose time falls in [leftTime - windowDays, leftTime]. The band
     * bound is the optimizer: it caps fan-out to the window width, and with

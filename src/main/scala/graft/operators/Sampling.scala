@@ -208,6 +208,34 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Contingency audit of two categorical columns: observed count per
+    * (a, b) cell vs the count independence would predict
+    * (`n_a * n_b / N`), plus the observed/expected ratio — the balance
+    * check a team runs after splitting (is `val` language-skewed?) or
+    * after rebalancing (did the quota distort sources?). A ratio far from
+    * 1 flags the cell; the chi-square statistic is one aggregate away,
+    * left to the caller so the per-cell diagnostics stay visible.
+    *
+    * Scale shape: ONE combinable aggregate collapses the corpus to
+    * ≤ |a|×|b| cells; the marginal windows then run over that bounded
+    * frame (the sanctioned tiny-frame window, like packing's bucket
+    * offsets — never over corpus rows). Integer products sit far below
+    * 2^53, and each output is one pinned double division both engines
+    * replay.
+    */
+  def contingencyAudit(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_obs"))
+    obs
+      .withColumn("n_a", sum(col("n_obs")).over(Window.partitionBy(col(aCol))))
+      .withColumn("n_b", sum(col("n_obs")).over(Window.partitionBy(col(bCol))))
+      .withColumn("n_total", sum(col("n_obs")).over(Window.partitionBy()))
+      .withColumn("expected",
+        round((col("n_a") * col("n_b")).cast("double") / col("n_total"), 6))
+      .withColumn("obs_over_exp",
+        round((col("n_obs") * col("n_total")).cast("double") / (col("n_a") * col("n_b")), 6))
+  }
+
   /** EXACT-N stratified sample: precisely `n` rows per category (every
     * category with >= n rows yields exactly n; smaller ones pass whole) —
     * the guarantee [[rebalanceToQuota]] explicitly trades away (its

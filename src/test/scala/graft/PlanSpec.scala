@@ -254,4 +254,12 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q79_winsorize")
     p should include("BroadcastHashJoin")
   }
+
+  test("q85: nearest join is the union-sort formulation — windows, NO join operator") {
+    val p = plan("q85_nearest_join")
+    p should include("Window")
+    p should not include "Join" // no range-join fan-out at any history depth
+    // both window passes ride the same user_id partitioning
+    p should include("hashpartitioning(user_id")
+  }
 }

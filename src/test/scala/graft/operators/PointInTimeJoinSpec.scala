@@ -134,4 +134,66 @@ class PointInTimeJoinSpec extends SparkTestBase {
       .sortBy(t => (t.user_id, t.as_of_ts.getTime))
     u shouldBe r
   }
+
+  test("nearest: picks the closer side, ties go earlier, tolerance nulls, exact tie is distance 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = Seq(
+      (1L, 7L, 100L),  // back at 90 (d=10), fwd at 130 (d=30) -> back
+      (2L, 7L, 125L),  // back at 90 (d=35), fwd at 130 (d=5)  -> fwd
+      (3L, 7L, 110L),  // back at 90 (d=20), fwd at 130 (d=20) -> TIE -> earlier (90)
+      (4L, 7L, 500L),  // nearest is 130 (d=370) > tol -> null
+      (5L, 8L, 100L),  // other user: only reading at 100 -> exact tie, d=0
+      (6L, 9L, 100L))  // user with NO readings -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, 90L, 1.0), (7L, 130L, 2.0), (8L, 100L, 3.0))
+      .toDF("user_id", "f_ts", "f_value")
+    val out = AsOfJoin.nearest(left, right, "user_id", "ts", "f_ts",
+        Seq("f_ts", "f_value"), tolerance = 100L)
+      .orderBy("event_id")
+      .select("event_id", "f_ts", "f_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+    out(0) shouldBe ((1L, Some(90L), Some(1.0)))
+    out(1) shouldBe ((2L, Some(130L), Some(2.0)))
+    out(2) shouldBe ((3L, Some(90L), Some(1.0)))   // tie -> earlier
+    out(3) shouldBe ((4L, None, None))             // out of tolerance
+    out(4) shouldBe ((5L, Some(100L), Some(3.0)))  // same-instant reading visible
+    out(5) shouldBe ((6L, None, None))             // no readings at all
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.nearest(left, right, "user_id", "ts", "f_ts", Seq("f_value"), -1L)
+  }
+
+  test("nearest == rank-over-band-join witness on real events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val readings = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("value")).as("f_value"))
+      .withColumnRenamed("ts_us", "f_ts_us")
+    val tol = 21600000000L
+    val fast = AsOfJoin.nearest(labels, readings, "user_id",
+        "ts_us", "f_ts_us", Seq("f_ts_us", "f_value"), tol)
+      .select("event_id", "f_ts_us", "f_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    val r = readings.withColumnRenamed("user_id", "__ru")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(abs(col("f_ts_us") - col("ts_us")).asc_nulls_last, col("f_ts_us").asc_nulls_last)
+    val witness = labels
+      .join(r, col("user_id") === col("__ru") &&
+        abs(col("f_ts_us") - col("ts_us")) <= tol, "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("event_id", "f_ts_us", "f_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    fast shouldBe witness
+    // both matched and unmatched labels occur at this tolerance
+    fast.count(_._2.isEmpty) should be > 0
+    fast.count(_._2.nonEmpty) should be > 0
+  }
 }

@@ -163,6 +163,26 @@ class SamplingSpec extends SparkTestBase {
       Sampling.epochMix(corpus, "lang", "text", Map("en" -> -1.0))
   }
 
+  test("contingency audit: marginals reconstruct, expected sums to N, independence ratio centers on 1") {
+    val df = Seq(
+      ("train", "en"), ("train", "en"), ("train", "de"),
+      ("val", "en"), ("val", "de"), ("val", "de"))
+      .toDF("split", "lang")
+    val out = Sampling.contingencyAudit(df, "split", "lang")
+      .select("split", "lang", "n_obs", "n_a", "n_b", "n_total", "expected", "obs_over_exp")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)].collect()
+    out should have size 4
+    val m = out.map(r => (r._1, r._2) -> r).toMap
+    m(("train", "en"))._3 shouldBe 2L
+    m(("train", "en"))._4 shouldBe 3L // n_train
+    m(("train", "en"))._5 shouldBe 3L // n_en
+    m(("train", "en"))._6 shouldBe 6L
+    m(("train", "en"))._7 shouldBe 1.5 // 3*3/6
+    m(("train", "en"))._8 shouldBe (2.0 / 1.5 +- 1e-6)
+    // expected counts always sum back to N over the full table
+    out.map(_._7).sum shouldBe 6.0 +- 1e-6
+  }
+
   test("exact-N sample: exactly n per big category, whole small ones, window-identical") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val n = 30
