@@ -169,7 +169,29 @@ object CurationQueries {
         Sampling.assignSplit(
           s.read.parquet(s"$dir/documents.parquet"), "text")
           .select(col("split"), col("lang")),
-        "split", "lang"))
+        "split", "lang")),
+
+    // per-language z-score standardization of doc length: exact integer
+    // moments, one pinned double conversion — even z is bit-replayable
+    "q87_standardize" -> ((s, dir) =>
+      Quantiles.standardize(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", "group_mean", "group_std", "z")),
+
+    // corpus bigram frequencies, top-25: the n-gram statistics pass
+    // (collocations, boilerplate phrases) unigram vocab can't see —
+    // EVERY occurrence counts, so this is wordShinglesAll, not the
+    // dedup family's distinct set form
+    "q88_bigram_topk" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TextFunctions.wordShinglesAll(toks, 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("bigram").asc)
+        .limit(25)
+    })
   )
 
   /** q83's containment threshold. */
@@ -286,6 +308,32 @@ object CurationQueries {
          |  round(CAST(n_a * n_b AS DOUBLE) / n_total, 6) AS expected,
          |  round(CAST(n_obs * n_total AS DOUBLE) / (n_a * n_b), 6) AS obs_over_exp
          |FROM w""".stripMargin,
+
+    // standardize twin: HUGEINT moments (exact like Spark's DECIMAL(38)),
+    // the same single double conversion, sqrt correctly rounded on both
+    "q87_standardize" ->
+      """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(n_chars AS HUGEINT)) AS s,
+        |  sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS ss
+        |FROM documents GROUP BY lang),
+        |v AS (SELECT lang, n, s, ss,
+        |  CAST(s AS DOUBLE) / n AS mean,
+        |  CASE WHEN n > 1 AND CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) > 0
+        |    THEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) END AS std
+        |FROM m)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  round(v.mean, 6) AS group_mean,
+        |  round(v.std, 6) AS group_std,
+        |  round((CAST(d.n_chars AS DOUBLE) - v.mean) / v.std, 6) AS z
+        |FROM documents d JOIN v ON d.lang IS NOT DISTINCT FROM v.lang""".stripMargin,
+
+    // bigram twin: the same space-joined word pairs as wordShingles(_, 2)
+    "q88_bigram_topk" ->
+      s"""WITH t AS (SELECT $toksSql AS w FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(w)),
+         |  bi -> w[bi] || ' ' || w[bi + 1])) AS bigram FROM t)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS tf FROM b
+         |GROUP BY bigram ORDER BY tf DESC, bigram ASC LIMIT 25""".stripMargin,
 
     // OOV twin: the same (tf desc, token asc) top-k vocabulary, a LEFT
     // JOIN membership probe, integer counts and one pinned round division

@@ -97,6 +97,18 @@ object TextFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))))
 
+  /** ALL n-gram word shingles in document order, duplicates KEPT — the
+    * frequency-counting counterpart of [[wordShingles]]' set form (n-gram
+    * tf needs every occurrence; dedup needs the set). letBound like
+    * [[collapseRepeats]]: the token array evaluates once per row even
+    * interpreted, not once per (element x n).
+    */
+  def wordShinglesAll(toks: Column, n: Int): Column =
+    letBound(toks, w =>
+      when(size(w) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))))
+
   /** Distinct rolling-hash values of each shingle (the doc's shingle set as
     * a compact Long set — cheaper to intersect than the strings). Backed by
     * the native one-pass [[ShingleHashes]] expression.

@@ -252,6 +252,49 @@ object Quantiles {
       .filter(round(col(valueCol), precision) >= col("threshold"))
   }
 
+  /** Per-group z-score standardization of an INTEGRAL value column — the
+    * feature-normalization pass before training. Moments accumulate as
+    * EXACT integer sums (count, sum, sum-of-squares in DECIMAL(38) —
+    * order-independent where a float fold drifts with partitioning);
+    * sample variance `(n*ss - s*s) / (n*(n-1))` converts to double once,
+    * in a pinned expression an oracle replays (HUGEINT on the DuckDB
+    * side). sqrt of the same double is correctly-rounded IEEE on both
+    * engines, so even z itself is bit-replayable. Groups with n <= 1 or
+    * zero variance get NULL std and z (never a divide-by-zero or an
+    * Infinity that poisons downstream aggregates).
+    *
+    * One combinable aggregate (3 numbers per group) broadcast back; the
+    * z computation is row-local. Adds (group_mean, group_std, z), each
+    * rounded to `scale` decimals.
+    */
+  def standardize(df: DataFrame, groupCol: String, valueCol: String,
+                  scale: Int = 6): DataFrame = {
+    val integral: Boolean = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(integral,
+      s"standardize needs an INTEGRAL value column for exact moments; " +
+        s"'$valueCol' is ${df.schema(valueCol).dataType.sql} — discretize or scale upstream")
+    val d = col(valueCol).cast("decimal(19,0)")
+    val m = df.groupBy(col(groupCol))
+      .agg(
+        count(col(valueCol)).as("__n"),
+        sum(d).as("__s"),
+        sum(d * d).as("__ss"))
+      .withColumnRenamed(groupCol, "__std_grp")
+    val mean = col("__s").cast("double") / col("__n")
+    val varS = (col("__n") * col("__ss") - col("__s") * col("__s")).cast("double") /
+      (col("__n") * (col("__n") - lit(1L))).cast("double")
+    val std = when(col("__n") > 1 && varS > 0, sqrt(varS))
+    df.join(broadcast(m), col(groupCol) <=> col("__std_grp")).drop("__std_grp")
+      .withColumn("group_mean", round(mean, scale))
+      .withColumn("group_std", round(std, scale))
+      .withColumn("z", round((col(valueCol).cast("double") - mean) / std, scale))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** Per-group winsorization: clamp each row's value into its group's
     * [lo, hi] quantile band (the outlier treatment that KEEPS the row —
     * [[madOutlierGate]] drops; this caps — standard before averaging

@@ -52,4 +52,20 @@ class ShingleHashesSpec extends SparkTestBase {
       .select(org.apache.spark.sql.functions.size(shingleHashes(col("s"), 3)))
       .head().getInt(0) shouldBe 0
   }
+
+  test("wordShinglesAll keeps duplicates in order; its distinct sorts to the set form") {
+    import graft.functions.TextFunctions.{tokens, wordShingles, wordShinglesAll}
+    val df = Seq("a b a b a", "x y", "z").toDF("s")
+      .select(
+        wordShinglesAll(tokens(col("s")), 2).as("all"),
+        wordShingles(tokens(col("s")), 2).as("set"))
+    val rows = df.collect()
+    rows(0).getSeq[String](0) shouldBe Seq("a b", "b a", "a b", "b a")
+    rows(0).getSeq[String](1) shouldBe Seq("a b", "b a")
+    rows(1).getSeq[String](0) shouldBe Seq("x y")
+    rows(2).getSeq[String](0) shouldBe Seq()
+    // distinct-of-all == the set form, element for element
+    df.filter(!(array_sort(array_distinct(col("all"))) <=> array_sort(col("set"))))
+      .count() shouldBe 0L
+  }
 }

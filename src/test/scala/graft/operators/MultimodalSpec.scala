@@ -253,4 +253,81 @@ class MultimodalSpec extends SparkTestBase {
     out.height shouldBe 1080
     out.n_tracks shouldBe 1
   }
+
+  /** JPEG bytes of a solid-gray frame (the JDK writes real JPEGs). */
+  private def jpegBytes(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A RIFF chunk: [fourcc][LE size][data][pad-to-even]. */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val b = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    b.array()
+  }
+
+  /** A minimal-but-real MJPEG AVI: RIFF('AVI ' LIST('movi' 00dc-frames)). */
+  private def mjpegAvi(frames: Array[Byte]*): Array[Byte] = {
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.toArray.flatMap(f => riffChunk("00dc", f))
+    val body = "AVI ".getBytes("US-ASCII") ++ riffChunk("LIST", movi)
+    riffChunk("RIFF", body)
+  }
+
+  test("real MJPEG-AVI frame decode: per-frame dimensions and luminance from actual JPEGs") {
+    // dark / mid / bright frames: luminance must come from the real pixels
+    val avi = mjpegAvi(jpegBytes(16, 8, 16), jpegBytes(16, 8, 128), jpegBytes(16, 8, 240))
+    val media = Multimodal.asMedia(
+      Seq((1L, avi)).toDF("media_id", "payload")
+        .withColumn("format", org.apache.spark.sql.functions.lit("avi")),
+      "media_id", "payload", "format")
+    val out = Multimodal.decodeVideoFrames(media).collect().sortBy(_.frame_idx)
+    out should have length 3
+    out.foreach { f =>
+      f.format shouldBe "mjpeg"
+      f.width shouldBe 16
+      f.height shouldBe 8
+    }
+    // luminance ordering follows the painted gray levels (JPEG is lossy —
+    // compare ordering, not exact values)
+    val lums = out.map(_.feature.sum)
+    lums(0) should be < lums(1)
+    lums(1) should be < lums(2)
+
+    // stride 2 keeps frames 0 and 2
+    Multimodal.decodeVideoFrames(media, stride = 2)
+      .collect().map(_.frame_idx).sorted shouldBe Array(0, 2)
+  }
+
+  test("MJPEG decode: non-AVI and non-JPEG payloads stay sentinel rows, never errors") {
+    val junk = Multimodal.asMedia(
+      Seq((1L, "not a riff file at all".getBytes("US-ASCII"))).toDF("media_id", "payload")
+        .withColumn("format", org.apache.spark.sql.functions.lit("avi")),
+      "media_id", "payload", "format")
+    val j = Multimodal.decodeVideoFrames(junk).collect()
+    j should have length 1
+    j.head.frame_idx shouldBe -1
+    j.head.format shouldBe "undecodable"
+
+    // a structurally-valid AVI whose frame chunk is NOT a JPEG (h264-like):
+    // per-frame sentinel, real frames around it still decode
+    val mixed = mjpegAvi(jpegBytes(8, 8, 100), Array.fill[Byte](64)(0x42))
+    val m = Multimodal.asMedia(
+      Seq((2L, mixed)).toDF("media_id", "payload")
+        .withColumn("format", org.apache.spark.sql.functions.lit("avi")),
+      "media_id", "payload", "format")
+    val out = Multimodal.decodeVideoFrames(m).collect().sortBy(_.frame_idx)
+    out should have length 2
+    out(0).format shouldBe "mjpeg"
+    out(1).format shouldBe "undecodable"
+    out(1).frame_idx shouldBe 1
+  }
 }

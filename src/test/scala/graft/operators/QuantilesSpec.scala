@@ -170,6 +170,44 @@ class QuantilesSpec extends SparkTestBase {
     Quantiles.tvDistance(df(), df(), "x", 6).count() shouldBe 0L
   }
 
+  test("standardize: hand-computed z, singleton and constant groups get NULL std") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a", 2L), ("a", 4L), ("a", 6L),  // mean 4, var_samp 4, std 2
+      ("b", 9L),                        // singleton -> NULL std
+      ("c", 5L), ("c", 5L))             // zero variance -> NULL std
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "grp", "v")
+    val out = Quantiles.standardize(df, "grp", "v").orderBy("id")
+      .select("grp", "v", "group_mean", "group_std", "z")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])].collect()
+    out(0) shouldBe (("a", 2L, Some(4.0), Some(2.0), Some(-1.0)))
+    out(1) shouldBe (("a", 4L, Some(4.0), Some(2.0), Some(0.0)))
+    out(2) shouldBe (("a", 6L, Some(4.0), Some(2.0), Some(1.0)))
+    out(3)._4 shouldBe None // singleton
+    out(3)._5 shouldBe None
+    out(4)._4 shouldBe None // constant group
+    // rows all survive; the guard rejects non-integral values
+    out should have length 6
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.standardize(df.withColumn("v", col("v").cast("double")), "grp", "v")
+  }
+
+  test("standardize agrees with Spark's stddev_samp on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val exact = Quantiles.standardize(docs, "lang", "n_chars")
+      .select("lang", "group_std").distinct()
+      .as[(String, Double)].collect().toMap
+    val builtin = docs.groupBy("lang")
+      .agg(stddev_samp(col("n_chars").cast("double")).as("s"))
+      .as[(String, Double)].collect().toMap
+    exact.keys.foreach { lang =>
+      exact(lang) shouldBe (builtin(lang) +- 1e-6)
+    }
+  }
+
   test("winsorize: clamps into the per-group band, keeps every row, leaves the middle alone") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
