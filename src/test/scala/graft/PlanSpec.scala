@@ -262,4 +262,23 @@ class PlanSpec extends SparkTestBase {
     // both window passes ride the same user_id partitioning
     p should include("hashpartitioning(user_id")
   }
+
+  test("q80: the stored segment state meets the shard as a hash/merge join, never pairwise") {
+    val p = plan("q80_segment_dedup_incremental")
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin")) shouldBe true
+    p should include("LeftAnti")
+  }
+
+  test("q87: standardize broadcasts per-group moments; the corpus is never windowed or sorted") {
+    val p = plan("q87_standardize")
+    p should include("BroadcastHashJoin")
+    p should not include "Window"
+  }
+
+  test("q88: bigram top-k is TakeOrdered over a combinable aggregate") {
+    val p = plan("q88_bigram_topk")
+    p should include("TakeOrderedAndProject")
+    exchangeCount(p) shouldBe 1
+  }
 }
