@@ -247,6 +247,44 @@ object App {
         val nCur = fetcher.readParquet(spark, o("output-path")).count()
         println(s"[graft] curate: wrote $nCur curated docs to ${o("output-path")}")
 
+      case "audit" =>
+        // post-curation audit bundle: split-balance contingency, per-source
+        // distribution drift, and length-bucket padding cost — the three
+        // reports a team reads before shipping a training mix
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val out = o.required("output-path")
+        val catCol = o.getOrElse("category-col", "lang")
+        val textCol = o.getOrElse("text-col", "text")
+        import org.apache.spark.sql.functions.{col, size => asize}
+        val balance = operators.Sampling.contingencyAudit(
+          operators.Sampling.assignSplit(docs, textCol).select(col("split"), col(catCol)),
+          "split", catCol)
+        writer.writeParquet(balance, s"$out/split_balance")
+        val drift = operators.Quantiles.groupedTvDrift(
+          docs.select(col(o.getOrElse("drift-col", "source")),
+            col("n_chars").cast("double").as("__audit_v")),
+          o.getOrElse("drift-col", "source"), "__audit_v", precision = 6)
+        writer.writeParquet(drift, s"$out/source_drift")
+        val buckets = operators.Packing.lengthBucketReport(
+          docs.select(asize(graft.functions.TextFunctions.tokens(col(textCol))).as("n_tokens")),
+          "n_tokens",
+          o.get("bucket-width").map(_.toLong).getOrElse(64L),
+          o.get("batch-size").map(_.toLong).getOrElse(16L))
+        writer.writeParquet(buckets, s"$out/length_buckets")
+        val worstCell = fetcher.readParquet(spark, s"$out/split_balance")
+          .orderBy(org.apache.spark.sql.functions.abs(col("obs_over_exp") - 1).desc)
+          .limit(1).collect().headOption
+        val worstDrift = fetcher.readParquet(spark, s"$out/source_drift")
+          .orderBy(col("tv_vs_rest").desc).limit(1).collect().headOption
+        worstCell.foreach(r => println(
+          s"[graft] audit: most skewed split cell ${r.getAs[String]("split")}/${r.get(1)} " +
+            s"obs/exp=${r.getAs[Double]("obs_over_exp")}"))
+        worstDrift.foreach(r => println(
+          s"[graft] audit: most drifted ${o.getOrElse("drift-col", "source")} ${r.get(0)} " +
+            s"tv=${r.getAs[Double]("tv_vs_rest")}"))
+        println(s"[graft] audit: wrote split_balance, source_drift, length_buckets under $out")
+
       case "sketch" =>
         val o = parseArgs(args.tail)
         val groupCol = o.getOrElse("group-col", "lang")
@@ -492,6 +530,10 @@ object App {
       |                     [--state-path <dir>]  incremental: docs-path is a
       |                     SHARD deduped against the stored segment state
       |                     segment dedup -> PII redaction -> truncation
+      |  audit              --docs-path <path> --output-path <path>
+      |                     [--category-col <c=lang>] [--drift-col <c=source>]
+      |                     [--bucket-width <n=64>] [--batch-size <n=16>]
+      |                     split-balance + source-drift + padding reports
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

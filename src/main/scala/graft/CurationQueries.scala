@@ -191,7 +191,23 @@ object CurationQueries {
         .groupBy(col("bigram")).agg(count(lit(1)).as("tf"))
         .orderBy(col("tf").desc, col("bigram").asc)
         .limit(25)
-    })
+    }),
+
+    // length-bucketed batching report: the dynamic-batching padding-cost
+    // estimate (16-token buckets, batches of 8)
+    "q89_length_buckets" -> ((s, dir) =>
+      Packing.lengthBucketReport(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(size(TextFunctions.tokens(col("text"))).as("n_tokens")),
+        "n_tokens", bucketWidth = 16L, batchSize = 8L)),
+
+    // per-source drift: each source's TV distance from the REST of the
+    // corpus — the which-source-drifted audit, one histogram pass
+    "q90_source_drift" -> ((s, dir) =>
+      Quantiles.groupedTvDrift(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("source"), col("n_chars").cast("double").as("n_chars")),
+        "source", "n_chars", precision = 6))
   )
 
   /** q83's containment threshold. */
@@ -334,6 +350,45 @@ object CurationQueries {
          |  bi -> w[bi] || ' ' || w[bi + 1])) AS bigram FROM t)
          |SELECT bigram, CAST(count(*) AS BIGINT) AS tf FROM b
          |GROUP BY bigram ORDER BY tf DESC, bigram ASC LIMIT 25""".stripMargin,
+
+    // bucket twin: integer bucket/batch/waste math, one pinned division
+    "q89_length_buckets" ->
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+         |b AS (SELECT n // 16 AS bucket, n FROM t WHERE n > 0)
+         |SELECT bucket,
+         |  CAST(bucket * 16 AS BIGINT) AS bucket_lo,
+         |  CAST(bucket * 16 + 15 AS BIGINT) AS bucket_hi,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens,
+         |  CAST((count(*) + 7) // 8 AS BIGINT) AS n_batches,
+         |  CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_waste,
+         |  round(CAST(count(*) * max(n) - sum(n) AS DOUBLE)
+         |    / (count(*) * max(n)), 6) AS waste_pct
+         |FROM b GROUP BY bucket""".stripMargin,
+
+    // drift twin: same per-bin HUGEINT term, same absent-bin closed form,
+    // same pinned division
+    "q90_source_drift" ->
+      """WITH v0 AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |h AS (SELECT g, round(x, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v0 WHERE x IS NOT NULL GROUP BY g, v),
+        |tot AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM h GROUP BY v),
+        |ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_group FROM h GROUP BY g),
+        |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+        |t AS (SELECT h.g, h.cnt, tot.cnt_all, ng.n_group, na.n_total,
+        |  abs(CAST(h.cnt AS HUGEINT) * (na.n_total - ng.n_group)
+        |    - CAST(tot.cnt_all - h.cnt AS HUGEINT) * ng.n_group) AS term
+        |  FROM h JOIN tot USING (v)
+        |  JOIN ng ON h.g IS NOT DISTINCT FROM ng.g CROSS JOIN na)
+        |SELECT g AS source,
+        |  CAST(max(n_group) AS BIGINT) AS n_group,
+        |  CAST(max(n_total) - max(n_group) AS BIGINT) AS n_rest,
+        |  round(CAST(sum(term)
+        |      + CAST(max(n_total) - sum(cnt_all) AS HUGEINT) * max(n_group) AS DOUBLE)
+        |    / (2.0 * max(n_group) * (max(n_total) - max(n_group))), 6) AS tv_vs_rest
+        |FROM t GROUP BY g
+        |HAVING max(n_total) - max(n_group) > 0""".stripMargin,
 
     // OOV twin: the same (tf desc, token asc) top-k vocabulary, a LEFT
     // JOIN membership probe, integer counts and one pinned round division

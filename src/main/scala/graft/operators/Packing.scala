@@ -106,6 +106,44 @@ object Packing {
         (col("start_offset") % lit(budget)).as("chunk_offset"))
   }
 
+  /** Length-bucketed batching report: bucket documents by token count
+    * (`bucketWidth` tokens per bucket) and price the padding cost of
+    * batching bucket-mates together — the standard efficiency estimate
+    * for dynamic batching, where every sequence in a batch pads to the
+    * longest and mixing a 10-token doc with a 1000-token doc burns 99%
+    * of the compute. Per bucket: doc/token counts, the batch count at
+    * `batchSize`, and the padding waste if every member pads to the
+    * bucket max (integer-exact; `waste_pct` is the one pinned double
+    * division). Zero-token docs emit nothing, like [[slidingWindows]].
+    *
+    * Row-local bucketing + ONE combinable aggregate — output is bounded
+    * by the bucket count regardless of corpus size.
+    */
+  def lengthBucketReport(docs: DataFrame, tokenCol: String,
+                         bucketWidth: Long, batchSize: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchSize > 0, "batchSize must be positive")
+    val n = col(tokenCol).cast("long")
+    docs.filter(n > 0)
+      .select(floor(n / lit(bucketWidth)).cast("long").as("bucket"), n.as("__n"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("sum_tokens"),
+        max(col("__n")).as("max_tokens"))
+      .select(
+        col("bucket"),
+        (col("bucket") * bucketWidth).as("bucket_lo"),
+        (col("bucket") * bucketWidth + (bucketWidth - 1)).as("bucket_hi"),
+        col("n_docs"),
+        col("sum_tokens"),
+        col("max_tokens"),
+        expr(s"(n_docs + ${batchSize - 1}) DIV $batchSize").as("n_batches"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("padding_waste"),
+        round((col("n_docs") * col("max_tokens") - col("sum_tokens")).cast("double")
+          / (col("n_docs") * col("max_tokens")).cast("double"), 6).as("waste_pct"))
+  }
+
   /** Context-length truncation: keep each document's first `maxTokens`
     * tokens (the hard cut every trainer applies when a document exceeds
     * the model's context and [[slidingWindows]]' overlap isn't wanted).

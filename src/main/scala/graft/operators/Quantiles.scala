@@ -166,6 +166,58 @@ object Quantiles {
       .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
+  /** GROUPED drift: each group's total-variation distance from THE REST of
+    * the corpus — [[tvDistance]] fanned out per group without running |G|
+    * two-frame comparisons (which would rescan the corpus per group). The
+    * which-source-drifted audit: a source whose length/quality
+    * distribution diverges from everyone else's is the one to inspect.
+    *
+    * One bounded per-group histogram is the only corpus pass. For group g
+    * with n_g rows out of N, and per-bin counts cnt_g vs global cnt_all:
+    * `TV(g, rest) = Σ_v |cnt_g*(N-n_g) - (cnt_all-cnt_g)*n_g| /
+    * (2*n_g*(N-n_g))`. Bins where g is ABSENT contribute their whole rest
+    * mass — accounted in closed form as `(N - Σ_present cnt_all) * n_g`,
+    * so the join only ever touches (group, bin) pairs that exist. Exact
+    * DECIMAL arithmetic end-to-end; one pinned double division per group.
+    * Groups owning the whole corpus (N == n_g: "rest" is empty, TV
+    * undefined) emit no row, like [[tvDistance]]'s empty-side rule.
+    */
+  def groupedTvDrift(df: DataFrame, groupCol: String, valueCol: String,
+                     precision: Int): DataFrame = {
+    val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val h = groupedHistogram(df, Seq(groupCol), valueCol, precision)
+    val tot = h.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
+    val ng = h.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n_group"))
+      .withColumnRenamed(groupCol, "__tv_grp")
+    val nAll = h.agg(sum(col("cnt")).as("n_total"))
+    // every joined side is histogram-sized (bounded), so the per-bin term
+    // computes with n_g and N in scope and the final fold is ONE
+    // map-side-combinable sum per group
+    h.join(tot, "v")
+      .join(broadcast(ng), col(groupCol) <=> col("__tv_grp")).drop("__tv_grp")
+      .crossJoin(broadcast(nAll))
+      .withColumn("__term", abs(
+        d19(col("cnt")) * (d19(col("n_total")) - d19(col("n_group")))
+          - d19(col("cnt_all") - col("cnt")) * d19(col("n_group"))))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n_group")).as("n_group"),
+        max(col("n_total")).as("n_total"),
+        sum(col("cnt_all")).as("present_all"),
+        sum(col("__term")).as("present_num"))
+      .select(
+        col(groupCol),
+        col("n_group"),
+        (col("n_total") - col("n_group")).as("n_rest"),
+        round(
+          (col("present_num")
+            + d19(col("n_total") - col("present_all")) * d19(col("n_group"))).cast("double")
+            / (lit(2.0) * col("n_group").cast("double")
+              * (col("n_total") - col("n_group")).cast("double")),
+          6).as("tv_vs_rest"))
+      .filter(col("n_rest") > 0)
+  }
+
   /** Per-row percentile rank WITHOUT a corpus-wide window: the fraction of
     * the row's group with value <= the row's (rounded) value. The naive
     * formulation — `cume_dist() OVER (PARTITION BY group ORDER BY v)` —

@@ -246,4 +246,23 @@ class AppSpec extends SparkTestBase {
     // state grew by shard 2's new segment only
     storage.rows("segstate/segments") should have size 3 // BANNER, one, two
   }
+
+  test("audit subcommand writes balance, drift, and padding reports") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    storage.write("docs_a", spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet"), "overwrite")
+    App.run(platform, Seq("audit",
+      "--docs-path", "docs_a", "--output-path", "reports"))
+    val balance = storage.rows("reports/split_balance")
+    balance.size should be > 0
+    balance.map(r => r.getAs[Long]("n_obs")).sum shouldBe 500L
+    val drift = storage.rows("reports/source_drift")
+    drift.size shouldBe 20 // one row per source
+    drift.foreach { r =>
+      val tv = r.getAs[Double]("tv_vs_rest")
+      tv should (be >= 0.0 and be <= 1.0)
+    }
+    storage.rows("reports/length_buckets").size should be > 0
+  }
 }

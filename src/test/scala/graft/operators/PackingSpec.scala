@@ -129,6 +129,24 @@ class PackingSpec extends SparkTestBase {
       Packing.truncateToBudget(docs, maxTokens = 0)
   }
 
+  test("length buckets: hand-computed batches and padding waste; zero-token docs drop") {
+    val docs = Seq(3L, 5L, 15L, 17L, 20L, 31L, 0L).map(Tuple1(_)).toDF("n_tokens")
+    val out = Packing.lengthBucketReport(docs, "n_tokens", bucketWidth = 16L, batchSize = 2L)
+      .orderBy("bucket")
+      .select("bucket", "bucket_lo", "bucket_hi", "n_docs", "sum_tokens",
+        "max_tokens", "n_batches", "padding_waste", "waste_pct")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+    // bucket 0: docs 3,5,15 -> max 15, waste 3*15-23 = 22
+    out(0) shouldBe ((0L, 0L, 15L, 3L, 23L, 15L, 2L, 22L, 0.488889))
+    // bucket 1: docs 17,20,31 -> max 31, waste 93-68 = 25
+    out(1) shouldBe ((1L, 16L, 31L, 3L, 68L, 31L, 2L, 25L, 0.268817))
+    out should have length 2 // the zero-token doc emits nothing
+    an[IllegalArgumentException] should be thrownBy
+      Packing.lengthBucketReport(docs, "n_tokens", 0L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.lengthBucketReport(docs, "n_tokens", 16L, 0L)
+  }
+
   test("truncate to budget: corpus invariants — n_kept = min(n, N), re-cut is idempotent") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Packing.truncateToBudget(docs, maxTokens = 32)

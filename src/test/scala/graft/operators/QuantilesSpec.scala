@@ -170,6 +170,27 @@ class QuantilesSpec extends SparkTestBase {
     Quantiles.tvDistance(df(), df(), "x", 6).count() shouldBe 0L
   }
 
+  test("grouped TV drift matches the two-frame tvDistance per group; sole-group emits no row") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    val drift = Quantiles.groupedTvDrift(docs, "source", "x", 6)
+      .select("source", "tv_vs_rest").as[(String, Double)].collect().toMap
+    val sources = docs.select("source").distinct().as[String].collect()
+    drift.keySet shouldBe sources.toSet
+    // every group's drift equals the explicit group-vs-rest comparison
+    sources.take(4).foreach { s =>
+      val direct = Quantiles.tvDistance(
+        docs.filter(col("source") === s), docs.filter(col("source") =!= s), "x", 6)
+        .select("tv_distance").as[Double].head()
+      withClue(s"source $s:")(drift(s) shouldBe direct)
+    }
+    drift.values.foreach { tv => tv should (be >= 0.0 and be <= 1.0) }
+    // a group owning the whole corpus has no "rest": no row
+    val solo = docs.filter(col("source") === sources.head)
+    Quantiles.groupedTvDrift(solo, "source", "x", 6).count() shouldBe 0L
+  }
+
   test("standardize: hand-computed z, singleton and constant groups get NULL std") {
     import org.apache.spark.sql.functions._
     val df = Seq(
