@@ -207,7 +207,15 @@ object CurationQueries {
       Quantiles.groupedTvDrift(
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("source"), col("n_chars").cast("double").as("n_chars")),
-        "source", "n_chars", precision = 6))
+        "source", "n_chars", precision = 6)),
+
+    // quality-aware exact dedup: among byte-identical rows the HIGHEST
+    // score survives, ties to the lowest id (q23 keeps blindly-min-id)
+    "q91_dedup_keep_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), (col("n_chars") % 97).cast("double").as("score")),
+        "score"))
   )
 
   /** q83's containment threshold. */
@@ -350,6 +358,21 @@ object CurationQueries {
          |  bi -> w[bi] || ' ' || w[bi + 1])) AS bigram FROM t)
          |SELECT bigram, CAST(count(*) AS BIGINT) AS tf FROM b
          |GROUP BY bigram ORDER BY tf DESC, bigram ASC LIMIT 25""".stripMargin,
+
+    // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is
+    // exactly the max_by struct keeper
+    "q91_dedup_keep_best" ->
+      """WITH s AS (SELECT doc_id, text, CAST(n_chars % 97 AS DOUBLE) AS score FROM documents)
+        |SELECT doc_id, score, md5(text) AS content_hash,
+        |  first_value(doc_id) OVER (PARTITION BY md5(text)
+        |    ORDER BY score DESC NULLS LAST, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+        |  CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+        |  CASE WHEN doc_id = first_value(doc_id) OVER (PARTITION BY md5(text)
+        |    ORDER BY score DESC NULLS LAST, doc_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  THEN 0 ELSE 1 END AS is_dup
+        |FROM s""".stripMargin,
 
     // bucket twin: integer bucket/batch/waste math, one pinned division
     "q89_length_buckets" ->

@@ -52,6 +52,34 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("keeper_id"), col("group_size"), col("is_dup"))
   }
 
+  /** [[exact]] with a QUALITY-aware keeper: among byte-identical rows, keep
+    * the one with the highest `scoreCol` (ties to the lowest id) instead of
+    * blindly the lowest id — the variant that matters when duplicates
+    * differ in METADATA (crawl date, source trust, attached license): the
+    * content is the same, but which ROW survives decides what downstream
+    * joins see. Same single content-hash shuffle as [[exact]]; the keeper
+    * choice is one max_by of a (score, -id) struct — a combinable
+    * aggregate, never a per-group sort.
+    */
+  def exactKeepBest(docs: DataFrame, scoreCol: String, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val w = Window.partitionBy(h)
+    docs
+      .withColumn("content_hash", h)
+      // max_by over the window: greatest (score, -id) struct — NULL scores
+      // lose to any non-null (struct comparison puts nulls last via the
+      // coalesce floor), and the id tiebreak keeps the choice deterministic
+      .withColumn("__best", max(struct(
+        coalesce(col(scoreCol), lit(Double.NegativeInfinity)).as("s"),
+        (-col(idCol)).as("negid"))).over(w))
+      .withColumn("keeper_id", -col("__best.negid"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keeper_id")).cast("int"))
+      .select(col(idCol), col(scoreCol), col("content_hash"), col("keeper_id"),
+        col("group_size"), col("is_dup"))
+  }
+
   /** Cluster assignment: the step that turns near-dup PAIRS into dedup's
     * actual deliverable — which docs to drop. Connected components over the
     * candidate-pair graph by iterative min-label propagation: every node

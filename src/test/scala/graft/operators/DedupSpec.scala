@@ -212,6 +212,24 @@ class DedupSpec extends SparkTestBase {
     out.map(_.getAs[Int]("is_dup")).toSeq shouldBe Seq(0, 1, 1, 0)
   }
 
+  test("exactKeepBest: highest score survives, ties to min id, NULL scores lose") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "same", Some(0.2)), (2L, "same", Some(0.9)), (3L, "same", None),
+      (4L, "tied", Some(0.5)), (5L, "tied", Some(0.5)),
+      (6L, "solo", Option.empty[Double]))
+      .toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(rows, "score").orderBy("doc_id")
+      .select("doc_id", "keeper_id", "group_size", "is_dup")
+      .as[(Long, Long, Long, Int)].collect()
+    out(0) shouldBe ((1L, 2L, 3L, 1)) // 0.9 beats 0.2 and NULL
+    out(1) shouldBe ((2L, 2L, 3L, 0))
+    out(2) shouldBe ((3L, 2L, 3L, 1))
+    out(3) shouldBe ((4L, 4L, 2L, 0)) // tie -> min id
+    out(4) shouldBe ((5L, 4L, 2L, 1))
+    out(5) shouldBe ((6L, 6L, 1L, 0)) // singleton keeps itself, null score ok
+  }
+
   test("containment: snippet-in-page found in ONE direction where Jaccard misses both") {
     import spark.implicits._
     // B embeds A's entire text inside much more material: containment(A in
