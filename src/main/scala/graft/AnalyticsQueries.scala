@@ -293,6 +293,22 @@ object AnalyticsQueries {
         tolerance = NearestToleranceUs)
     }),
 
+    // funnel latency: median and p90 signup->purchase delay within a
+    // session — per-session deltas (one bounded row each) through the
+    // bounded histogram, scalar results broadcast (sanctioned one-row
+    // cross joins, the q43 shape)
+    "q92_time_to_convert" -> ((s, dir) => {
+      val deltas = Sessionize.timeToConvert(
+        SparkEntry.events(s, dir), SessionGapSeconds, "signup", "purchase")
+        .select(col("delta_us").cast("double").as("delta_us"))
+      val n = deltas.agg(count(lit(1)).as("n_converted"))
+      val med = Quantiles.quantileThreshold(deltas, "delta_us", 1L, 2L, 0)
+        .withColumnRenamed("threshold", "median_delta_us")
+      val p90 = Quantiles.quantileThreshold(deltas, "delta_us", 9L, 10L, 0)
+        .withColumnRenamed("threshold", "p90_delta_us")
+      n.crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+    }),
+
     // the third mergeable sketch: per-(lang, source) HISTOGRAMS sum-merge
     // per lang, and the median read off the merged bins hash-matches the
     // single-pass per-lang median — bin addition is associative, so the
@@ -632,6 +648,29 @@ object AnalyticsQueries {
          |  FROM l LEFT JOIN r ON l.user_id = r.user_id
          |    AND abs(r.f_ts_us - l.ts_us) <= $NearestToleranceUs)
          |SELECT event_id, user_id, ts_us, f_ts_us, f_value FROM j WHERE rn = 1""".stripMargin,
+
+    // latency twin: q54's session CTEs -> per-session min ts per step ->
+    // strict-after filter -> bounded histogram, the q43 rank math for both
+    // quantiles
+    "q92_time_to_convert" ->
+      s"""WITH $sessionCtesSql,
+         |ps AS (SELECT user_id, session_seq,
+         |  min(CASE WHEN event_type = 'signup' THEN ts_us END) AS from_us,
+         |  min(CASE WHEN event_type = 'purchase' THEN ts_us END) AS to_us
+         |  FROM sess GROUP BY user_id, session_seq),
+         |cv AS (SELECT to_us - from_us AS d FROM ps WHERE to_us > from_us),
+         |h AS (SELECT round(CAST(d AS DOUBLE), 0) AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM cv GROUP BY 1),
+         |hc AS (SELECT v,
+         |  CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER () AS BIGINT) AS n FROM h),
+         |med AS (SELECT min(v) AS median_delta_us FROM hc
+         |  WHERE cum >= (n // 2) * 1 + ((n % 2) * 1 + 1) // 2),
+         |p90 AS (SELECT min(v) AS p90_delta_us FROM hc
+         |  WHERE cum >= (n // 10) * 9 + ((n % 10) * 9 + 9) // 10),
+         |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_converted FROM cv)
+         |SELECT c2.n_converted, med.median_delta_us, p90.p90_delta_us
+         |FROM c2 CROSS JOIN med CROSS JOIN p90""".stripMargin,
 
     // merged-histogram twin: merge-of-shards == histogram-of-whole by
     // associativity, so the oracle is the DIRECT per-lang median (q47's

@@ -101,6 +101,30 @@ object Sessionize {
     * occurrence of step k-1 (the earliest valid one). Simultaneous-tick
     * events do NOT chain — deterministic under the micros clock.
     */
+  /** Per-session conversion DELAYS for a two-step chain: sessions where
+    * `toStep`'s earliest occurrence falls strictly after `fromStep`'s
+    * earliest get one row with the delay in micros — the raw material for
+    * "median time from signup to purchase" (feed `delta_us` to
+    * [[Quantiles.quantileThreshold]]; q92 does exactly that). Same strict
+    * chain rule as [[funnel]]'s walk, same single user_id shuffle, one
+    * bounded row per converted session.
+    */
+  def timeToConvert(events: DataFrame, gapSeconds: Long,
+                    fromStep: String, toStep: String,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    idCol: String = "event_id",
+                    typeCol: String = "event_type"): DataFrame = {
+    require(fromStep != toStep, "fromStep and toStep must differ")
+    assign(events, gapSeconds, userCol, tsCol, idCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(when(col(typeCol) === fromStep, col("ts_us"))).as("from_us"),
+        min(when(col(typeCol) === toStep, col("ts_us"))).as("to_us"))
+      .filter(col("to_us") > col("from_us")) // null-safe: NULL > x is NULL -> dropped
+      .select(col(userCol), col("session_seq"), col("from_us"), col("to_us"),
+        (col("to_us") - col("from_us")).as("delta_us"))
+  }
+
   def funnel(events: DataFrame, gapSeconds: Long, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
              idCol: String = "event_id",

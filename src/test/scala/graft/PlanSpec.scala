@@ -65,9 +65,11 @@ class PlanSpec extends SparkTestBase {
       // q59's sqrt-weight normalizer S is a one-row aggregate cross-joined
       // against the (tiny) per-category counts — the same sanctioned
       // scalar-broadcast shape as q43's threshold; q73's histogram totals
-      // row is the identical shape against the bounded bin union, and
-      // q90's corpus-total row against the per-(group, bin) histogram
-      "q59_temperature_mix", "q73_split_drift", "q90_source_drift")
+      // row is the identical shape against the bounded bin union, q90's
+      // corpus-total row against the per-(group, bin) histogram, and
+      // q92's quantile scalars against the one-row count
+      "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
+      "q92_time_to_convert")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -114,4 +114,26 @@ class SessionizeSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sessionize.funnel(events, 600L, steps = Seq("view", "view"))
   }
+
+  test("time-to-convert: strict-after deltas per session; broken chains emit nothing") {
+    val e = Seq(
+      // user 1: signup 09:00, purchase 09:10 -> 600s delta
+      (1L, 1L, ts("2024-01-01 09:00:00"), "signup"),
+      (2L, 1L, ts("2024-01-01 09:10:00"), "purchase"),
+      // user 2: purchase BEFORE signup in the same session -> no row
+      (3L, 2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (4L, 2L, ts("2024-01-01 09:05:00"), "signup"),
+      // user 3: signup only -> no row
+      (5L, 3L, ts("2024-01-01 09:00:00"), "signup"),
+      // user 1, second session (past the gap): another conversion, 120s
+      (6L, 1L, ts("2024-01-01 15:00:00"), "signup"),
+      (7L, 1L, ts("2024-01-01 15:02:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessionize.timeToConvert(e, gapSeconds = 3600L, "signup", "purchase")
+      .select("user_id", "session_seq", "delta_us")
+      .as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 1L, 600000000L), (1L, 2L, 120000000L))
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.timeToConvert(e, 3600L, "view", "view")
+  }
 }
