@@ -215,7 +215,15 @@ object CurationQueries {
       Dedup.exactKeepBest(
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"), (col("n_chars") % 97).cast("double").as("score")),
-        "score"))
+        "score")),
+
+    // full decile profile per language from ONE histogram pass — q47
+    // answers one quantile; this answers all nine without rescanning
+    "q93_decile_profile" -> ((s, dir) =>
+      Quantiles.groupedQuantileProfile(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), col("n_chars").cast("double").as("n_chars")),
+        "lang", "n_chars", qDen = 10L, precision = 6))
   )
 
   /** q83's containment threshold. */
@@ -358,6 +366,20 @@ object CurationQueries {
          |  bi -> w[bi] || ' ' || w[bi + 1])) AS bigram FROM t)
          |SELECT bigram, CAST(count(*) AS BIGINT) AS tf FROM b
          |GROUP BY bigram ORDER BY tf DESC, bigram ASC LIMIT 25""".stripMargin,
+
+    // decile twin: the shared histogram/rank CTEs against a 9-row spine
+    "q93_decile_profile" ->
+      """WITH v0 AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents),
+        |h AS (SELECT lang, round(x, 6) AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM v0 WHERE x IS NOT NULL GROUP BY lang, v),
+        |hc AS (SELECT lang, v,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n FROM h),
+        |sp AS (SELECT unnest(range(1, 10)) AS q)
+        |SELECT lang, CAST(q AS BIGINT) AS q, min(v) AS threshold
+        |FROM hc CROSS JOIN sp
+        |WHERE cum >= (n // 10) * q + ((n % 10) * q + 9) // 10
+        |GROUP BY lang, q""".stripMargin,
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is
     // exactly the max_by struct keeper

@@ -166,6 +166,31 @@ object Quantiles {
       .filter(col("n_a") > 0 && col("n_b") > 0)
   }
 
+  /** The FULL quantile profile per group — every k/qDen threshold
+    * (deciles at qDen=10, percentiles at 100) from ONE histogram pass,
+    * where calling [[groupedQuantileThreshold]] per quantile would rescan
+    * the corpus qDen times. The bounded histogram cross-joins a
+    * qDen-1-row quantile spine (histogram-sized × spine — bounded, the
+    * sanctioned small-side nested loop, never corpus-sized) and each
+    * (group, q) picks its type-1 threshold with the same integer-rational
+    * rank math as every quantile here.
+    */
+  def groupedQuantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+                             qDen: Long, precision: Int): DataFrame = {
+    require(qDen >= 2 && qDen <= 1000, s"qDen must be in [2, 1000]: got $qDen")
+    val grp = Window.partitionBy(col(groupCol))
+    val hc = groupedHistogram(df, Seq(groupCol), valueCol, precision)
+      .withColumn("cum",
+        sum(col("cnt")).over(grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(grp))
+    val spine = df.sparkSession.range(1, qDen).toDF("q")
+    hc.crossJoin(broadcast(spine))
+      .filter(col("cum") >=
+        expr(s"(n div $qDen) * q + ((n % $qDen) * q + ${qDen - 1}) div $qDen"))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min(col("v")).as("threshold"))
+  }
+
   /** GROUPED drift: each group's total-variation distance from THE REST of
     * the corpus — [[tvDistance]] fanned out per group without running |G|
     * two-frame comparisons (which would rescan the corpus per group). The

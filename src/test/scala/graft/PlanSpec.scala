@@ -68,8 +68,10 @@ class PlanSpec extends SparkTestBase {
       // row is the identical shape against the bounded bin union, q90's
       // corpus-total row against the per-(group, bin) histogram, and
       // q92's quantile scalars against the one-row count
+      // q93's 9-row quantile spine crosses the bounded histogram — both
+      // sides histogram/constant-sized, never the corpus
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
-      "q92_time_to_convert")
+      "q92_time_to_convert", "q93_decile_profile")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -170,6 +170,31 @@ class QuantilesSpec extends SparkTestBase {
     Quantiles.tvDistance(df(), df(), "x", 6).count() shouldBe 0L
   }
 
+  test("decile profile: every decile matches the single-quantile operator; monotone in q") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("n_chars").cast("double").as("x"))
+    val profile = Quantiles.groupedQuantileProfile(docs, "lang", "x", 10L, 6)
+      .select("lang", "q", "threshold").as[(String, Long, Double)].collect()
+    profile.length shouldBe docs.select("lang").distinct().count() * 9
+    val byLang = profile.groupBy(_._1)
+    // per-decile agreement with the one-quantile operator
+    Seq(2L, 5L, 9L).foreach { q =>
+      val single = Quantiles.groupedQuantileThreshold(docs, "lang", "x", q, 10L, 6)
+        .select("lang", "threshold").as[(String, Double)].collect().toMap
+      profile.filter(_._2 == q).foreach { case (lang, _, thr) =>
+        withClue(s"lang=$lang q=$q:")(thr shouldBe single(lang))
+      }
+    }
+    // thresholds never decrease as q grows
+    byLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      sorted.zip(sorted.tail).foreach { case (a, b) => a should be <= b }
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.groupedQuantileProfile(docs, "lang", "x", 1L, 6)
+  }
+
   test("grouped TV drift matches the two-frame tvDistance per group; sole-group emits no row") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
