@@ -182,8 +182,12 @@ object AnalyticsQueries {
           col("revenue").cast("decimal(18,2)").as("revenue"),
           col("n_orders"),
           col("revenue_7d").cast("decimal(20,2)").as("revenue_7d"),
-          round((col("revenue") - coalesce(col("prev_revenue"), col("revenue")))
-            .cast("double"), 2).as("dod_delta"))
+          // dod_delta stays DECIMAL: the difference of two DECIMAL(18,2)
+          // values is exact, so no engine's double-rounding can disagree
+          // (round-to-double here cost a hash mismatch across DuckDB
+          // versions — last-ulp HALF_UP vs binary nearbyint)
+          (col("revenue") - coalesce(col("prev_revenue"), col("revenue")))
+            .cast("decimal(19,2)").as("dod_delta"))
     }),
 
     // grouped top-k (the per-category leaderboard shape q07/q08 don't
@@ -255,10 +259,16 @@ object AnalyticsQueries {
       val ta = d.select(col("doc_id").as("id_a"), col("text").as("__text_a"))
       val tb = d.select(col("doc_id").as("id_b"), col("text").as("__text_b"))
       pairs.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("__lev", levenshtein(col("__text_a"), col("__text_b")).cast("long"))
+        .withColumn("__maxlen",
+          greatest(length(col("__text_a")), length(col("__text_b"))).cast("long"))
         .select(col("id_a"), col("id_b"), col("jaccard"),
-          levenshtein(col("__text_a"), col("__text_b")).cast("long").as("edit_dist"),
-          round(lit(1.0) - levenshtein(col("__text_a"), col("__text_b"))
-            / greatest(length(col("__text_a")), length(col("__text_b"))), 6).as("edit_sim"))
+          col("__lev").as("edit_dist"),
+          // (maxlen-lev)/maxlen rounded half-up to 6 places in exact integer
+          // arithmetic + one IEEE division (engine-version-proof; no
+          // round(double) anywhere)
+          expr("CAST((2000000 * (__maxlen - __lev) + __maxlen)" +
+            " div (2 * __maxlen) AS DOUBLE) / 1000000.0").as("edit_sim"))
     }),
 
     // split drift: total-variation distance between the train and val
@@ -536,7 +546,7 @@ object AnalyticsQueries {
         |FROM spine LEFT JOIN daily ON spine.day = daily.day)
         |SELECT day, revenue, n_orders,
         |  CAST(sum(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS revenue_7d,
-        |  round(CAST(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue) AS DOUBLE), 2) AS dod_delta
+        |  CAST(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue) AS DECIMAL(19,2)) AS dod_delta
         |FROM dense""".stripMargin,
 
     "q66_topk_per_group" ->
@@ -557,7 +567,7 @@ object AnalyticsQueries {
         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
         |FROM h)
         |SELECT v0.doc_id, v0.lang, v0.n_chars,
-        |  round(CAST(hc.cum AS DOUBLE) / hc.n, 6) AS pct_rank
+        |  CAST((2000000 * CAST(hc.cum AS HUGEINT) + hc.n) // (2 * CAST(hc.n AS HUGEINT)) AS DOUBLE) / 1000000 AS pct_rank
         |FROM v0 JOIN hc ON v0.lang IS NOT DISTINCT FROM hc.lang AND round(v0.n_chars, 6) = hc.v""".stripMargin,
 
     // funnel twin: q54's session CTEs -> per-session min ts per step ->
@@ -609,8 +619,9 @@ object AnalyticsQueries {
       s"""WITH ${graft.TrainingDataQueries.minhashCtesSql}
          |SELECT j.id_a, j.id_b, j.jaccard,
          |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-         |  round(CAST(1 AS DOUBLE) - levenshtein(da.text, db.text)
-         |    / greatest(length(da.text), length(db.text)), 6) AS edit_sim
+         |  CAST((2000000 * CAST(greatest(length(da.text), length(db.text)) - levenshtein(da.text, db.text) AS BIGINT)
+         |        + greatest(length(da.text), length(db.text)))
+         |    // (2 * CAST(greatest(length(da.text), length(db.text)) AS BIGINT)) AS DOUBLE) / 1000000 AS edit_sim
          |FROM j JOIN documents da ON j.id_a = da.doc_id
          |       JOIN documents db ON j.id_b = db.doc_id
          |WHERE j.jaccard >= 0.8""".stripMargin,
@@ -628,8 +639,9 @@ object AnalyticsQueries {
          |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
          |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a, CAST(sum(cnt_b) AS BIGINT) AS n_b FROM jj)
          |SELECT t.n_a, t.n_b,
-         |  round(CAST(sum(abs(CAST(jj.cnt_a AS HUGEINT) * t.n_b - CAST(jj.cnt_b AS HUGEINT) * t.n_a)) AS DOUBLE)
-         |    / (CAST(2 AS DOUBLE) * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS tv_distance
+         |  CAST((2000000 * sum(abs(CAST(jj.cnt_a AS HUGEINT) * t.n_b - CAST(jj.cnt_b AS HUGEINT) * t.n_a))
+         |        + 2 * CAST(t.n_a AS HUGEINT) * t.n_b)
+         |    // (4 * CAST(t.n_a AS HUGEINT) * t.n_b) AS DOUBLE) / 1000000 AS tv_distance
          |FROM jj CROSS JOIN t GROUP BY t.n_a, t.n_b
          |HAVING t.n_a > 0 AND t.n_b > 0""".stripMargin,
 

@@ -429,9 +429,10 @@ object CurationQueries {
         |SELECT g AS source,
         |  CAST(max(n_group) AS BIGINT) AS n_group,
         |  CAST(max(n_total) - max(n_group) AS BIGINT) AS n_rest,
-        |  round(CAST(sum(term)
-        |      + CAST(max(n_total) - sum(cnt_all) AS HUGEINT) * max(n_group) AS DOUBLE)
-        |    / (2.0 * max(n_group) * (max(n_total) - max(n_group))), 6) AS tv_vs_rest
+        |  CAST((2000000 * (sum(term)
+        |        + CAST(max(n_total) - sum(cnt_all) AS HUGEINT) * max(n_group))
+        |        + 2 * CAST(max(n_group) AS HUGEINT) * (max(n_total) - max(n_group)))
+        |    // (4 * CAST(max(n_group) AS HUGEINT) * (max(n_total) - max(n_group))) AS DOUBLE) / 1000000 AS tv_vs_rest
         |FROM t GROUP BY g
         |HAVING max(n_total) - max(n_group) > 0""".stripMargin,
 

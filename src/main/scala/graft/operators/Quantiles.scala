@@ -132,8 +132,10 @@ object Quantiles {
     * whole mass), then ONE integer-exact aggregate: the numerator
     * `sum_v |cnt_a * n_b - cnt_b * n_a|` sums DECIMAL(38) products —
     * exact and order-independent where a float p-q fold would be
-    * order-sensitive — and only the final `num / (2 * n_a * n_b)` runs in
-    * (pinned) double. Returns one row: (n_a, n_b, tv_distance in [0,1]).
+    * order-sensitive — and the half-up rounding to 6 places happens in
+    * integer arithmetic too (ppm = (2e6*num + den) div (2*den)); the only
+    * float op is the final bit-deterministic ppm/1e6 division. Returns one
+    * row: (n_a, n_b, tv_distance in [0,1]).
     */
   def tvDistance(a: DataFrame, b: DataFrame, valueCol: String,
                  precision: Int): DataFrame = {
@@ -157,8 +159,12 @@ object Quantiles {
             - col("cnt_b").cast("decimal(19,0)") * col("n_a").cast("decimal(19,0)")))
           .as("num"))
       .select(col("n_a"), col("n_b"),
-        round(col("num").cast("double")
-          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+        // num / (2*n_a*n_b) rounded half-up to 6 places with INTEGER-only
+        // arithmetic (ppm = (2e6*num + den) div (2*den)), then one pinned
+        // IEEE division — no engine's double-rounding can disagree
+        expr("CAST((CAST(num AS DECIMAL(38,0)) * 2000000" +
+          " + CAST(n_a AS DECIMAL(19,0)) * n_b * 2)" +
+          " div (CAST(n_a AS DECIMAL(19,0)) * n_b * 4) AS DOUBLE) / 1000000.0")
           .as("tv_distance"))
       // an empty side makes TV undefined (0/0 — and Spark's NULL vs
       // DuckDB's NaN would even disagree): emit NO row rather than a
@@ -234,12 +240,14 @@ object Quantiles {
         col(groupCol),
         col("n_group"),
         (col("n_total") - col("n_group")).as("n_rest"),
-        round(
-          (col("present_num")
-            + d19(col("n_total") - col("present_all")) * d19(col("n_group"))).cast("double")
-            / (lit(2.0) * col("n_group").cast("double")
-              * (col("n_total") - col("n_group")).cast("double")),
-          6).as("tv_vs_rest"))
+        // same exact-ppm rounding as [[tvDistance]]: numerator includes the
+        // absent-bin closed form, denominator 2*n_g*n_rest, all integer
+        expr("CAST((CAST(present_num" +
+          " + CAST(n_total - present_all AS DECIMAL(19,0)) * n_group" +
+          " AS DECIMAL(38,0)) * 2000000" +
+          " + CAST(n_group AS DECIMAL(19,0)) * (n_total - n_group) * 2)" +
+          " div (CAST(n_group AS DECIMAL(19,0)) * (n_total - n_group) * 4)" +
+          " AS DOUBLE) / 1000000.0").as("tv_vs_rest"))
       .filter(col("n_rest") > 0)
   }
 
@@ -271,7 +279,13 @@ object Quantiles {
         sum(col("cnt")).over(grp.orderBy(col("__pr_v")).rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__pr_n", sum(col("cnt")).over(grp))
       .select(col("__pr_grp"), col("__pr_v"),
-        round(col("__pr_cum").cast("double") / col("__pr_n"), 6).as("pct_rank"))
+        // round-half-up to 6 places in EXACT integer arithmetic, then one
+        // IEEE division by 1e6: int->double conversion and a single divide
+        // are bit-deterministic in every engine, where round(double, 6) of
+        // the quotient is a last-ulp coin flip across engine versions
+        expr("CAST((CAST(__pr_cum AS DECIMAL(38,0)) * 2000000 + __pr_n)" +
+          " div (CAST(__pr_n AS DECIMAL(38,0)) * 2) AS DOUBLE) / 1000000.0")
+          .as("pct_rank"))
     val lookup = if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
     df.filter(col(valueCol).isNotNull)
       .join(lookup,
