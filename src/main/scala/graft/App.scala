@@ -261,9 +261,14 @@ object App {
           operators.Sampling.assignSplit(docs, textCol).select(col("split"), col(catCol)),
           "split", catCol)
         writer.writeParquet(balance, s"$out/split_balance")
+        // the drifted VALUE defaults to text length derived from the text
+        // column itself, so a docs parquet without n_chars still audits;
+        // --drift-value-col picks any numeric column instead
+        val driftValue = o.get("drift-value-col").map(col)
+          .getOrElse(org.apache.spark.sql.functions.length(col(textCol)))
         val drift = operators.Quantiles.groupedTvDrift(
           docs.select(col(o.getOrElse("drift-col", "source")),
-            col("n_chars").cast("double").as("__audit_v")),
+            driftValue.cast("double").as("__audit_v")),
           o.getOrElse("drift-col", "source"), "__audit_v", precision = 6)
         writer.writeParquet(drift, s"$out/source_drift")
         val buckets = operators.Packing.lengthBucketReport(
@@ -532,6 +537,7 @@ object App {
       |                     segment dedup -> PII redaction -> truncation
       |  audit              --docs-path <path> --output-path <path>
       |                     [--category-col <c=lang>] [--drift-col <c=source>]
+      |                     [--drift-value-col <c>  default: length(text-col)]
       |                     [--bucket-width <n=64>] [--batch-size <n=16>]
       |                     split-balance + source-drift + padding reports
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough

@@ -67,11 +67,13 @@ object Dedup {
     val w = Window.partitionBy(h)
     docs
       .withColumn("content_hash", h)
-      // max_by over the window: greatest (score, -id) struct — NULL scores
-      // lose to any non-null (struct comparison puts nulls last via the
-      // coalesce floor), and the id tiebreak keeps the choice deterministic
+      // max_by over the window: greatest (has_score, score, -id) struct —
+      // the leading boolean makes a NULL score lose to ANY non-null score,
+      // including a genuine -Infinity (a coalesce floor would tie them),
+      // and the id tiebreak keeps the choice deterministic
       .withColumn("__best", max(struct(
-        coalesce(col(scoreCol), lit(Double.NegativeInfinity)).as("s"),
+        col(scoreCol).isNotNull.as("has"),
+        coalesce(col(scoreCol), lit(0.0)).as("s"),
         (-col(idCol)).as("negid"))).over(w))
       .withColumn("keeper_id", -col("__best.negid"))
       .withColumn("group_size", count(lit(1)).over(w))

@@ -60,7 +60,7 @@ object Quantiles {
     // no intermediate exceeds max(N, qDen^2): N*qNum itself would overflow
     // a long for petabyte-scale row counts at fine-grained q
     require(qDen <= 1000000000L, s"qDen must be <= 1e9 (got $qDen)")
-    h.crossJoin(total)
+    h.crossJoin(broadcast(total))
       .withColumn("k", expr(
         s"(n div $qDen) * $qNum + ((n % $qDen) * $qNum + ${qDen - 1L}) div $qDen"))
       .filter(col("cum") >= col("k"))
@@ -413,6 +413,11 @@ object Quantiles {
     d.join(broadcast(lo), col(groupCol) <=> col("__wz_grp")).drop("__wz_grp")
       .join(broadcast(hi), col(groupCol) <=> col("__wz_grp")).drop("__wz_grp")
       .withColumn("clamped",
-        greatest(col("group_lo"), least(col("group_hi"), round(col(valueCol), precision))))
+        // NULL stays NULL: least/greatest SKIP nulls, so without the guard
+        // a missing measurement would silently clamp to group_hi — a NULL
+        // value has no place in the band, it is reported as NULL
+        when(col(valueCol).isNull, lit(null))
+          .otherwise(greatest(col("group_lo"),
+            least(col("group_hi"), round(col(valueCol), precision)))))
   }
 }

@@ -230,6 +230,20 @@ class DedupSpec extends SparkTestBase {
     out(5) shouldBe ((6L, 6L, 1L, 0)) // singleton keeps itself, null score ok
   }
 
+  test("exactKeepBest: a genuine -Infinity score still beats a NULL score") {
+    import spark.implicits._
+    // a coalesce-to--Infinity floor would TIE these two and let the NULL
+    // row's lower id win; the (has_score, score, -id) struct key keeps the
+    // documented contract: NULLs lose to any non-null score
+    val rows = Seq(
+      (1L, "same", Option.empty[Double]),
+      (2L, "same", Some(Double.NegativeInfinity)))
+      .toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(rows, "score")
+      .select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 2L -> 2L)
+  }
+
   test("containment: snippet-in-page found in ONE direction where Jaccard misses both") {
     import spark.implicits._
     // B embeds A's entire text inside much more material: containment(A in

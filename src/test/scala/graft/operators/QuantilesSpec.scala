@@ -275,4 +275,15 @@ class QuantilesSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Quantiles.winsorize(docs, "lang", "v", 19L, 1L, 20L, 6)
   }
+
+  test("winsorize: a NULL value stays NULL, never silently clamps to the band edge") {
+    val rows = Seq((1L, "g", Option(1.0)), (2L, "g", Option(2.0)),
+      (3L, "g", Option(3.0)), (4L, "g", Option.empty[Double]))
+      .toDF("id", "grp", "x")
+    val out = Quantiles.winsorize(rows, "grp", "x", 1L, 3L, 4L, precision = 6,
+        storage = StorageLevel.NONE)
+      .select("id", "clamped").as[(Long, Option[Double])].collect().toMap
+    out(4L) shouldBe None // least/greatest skip NULLs; the guard keeps it NULL
+    out(1L) shouldBe defined
+  }
 }

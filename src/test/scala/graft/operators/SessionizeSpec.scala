@@ -136,4 +136,26 @@ class SessionizeSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Sessionize.timeToConvert(e, 3600L, "view", "view")
   }
+
+  test("time-to-convert: zero conversions still yield ONE (0, NULL, NULL) summary row") {
+    // the q92 composition at its edge: no session converts -> the quantile
+    // sides are global aggregates (one NULL-threshold row each, never an
+    // empty frame), so the crossJoin chain keeps parity with the oracle's
+    // aggregate CTEs, which also return one row on empty input
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val e = Seq((1L, 1L, ts("2024-01-01 09:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val deltas = Sessionize.timeToConvert(e, 3600L, "signup", "purchase")
+      .select(col("delta_us").cast("double").as("delta_us"))
+    val n = deltas.agg(count(lit(1)).as("n_converted"))
+    val med = Quantiles.quantileThreshold(deltas, "delta_us", 1L, 2L, 0)
+      .withColumnRenamed("threshold", "median_delta_us")
+    val p90 = Quantiles.quantileThreshold(deltas, "delta_us", 9L, 10L, 0)
+      .withColumnRenamed("threshold", "p90_delta_us")
+    val rows = n.crossJoin(broadcast(med)).crossJoin(broadcast(p90)).collect()
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 0L
+    rows.head.isNullAt(1) shouldBe true
+    rows.head.isNullAt(2) shouldBe true
+  }
 }
