@@ -224,6 +224,15 @@ object CurationQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("lang"), col("n_chars").cast("double").as("n_chars")),
         "lang", "n_chars", qDen = 10L, precision = 6))
+,
+    // decile profile over LOG buckets: the bounded-bin path for genuinely
+    // continuous values (events.value) where the exact rounded histogram
+    // would grow with the corpus — bins capped by significant digits, the
+    // threshold a <=10%-relative-error lower edge, all integer bucket math
+    "q94_logbucket_profile" -> ((s, dir) =>
+      Quantiles.logBucketQuantileProfile(
+        SparkEntry.events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", qDen = 10L, precision = 2, sigDigits = 2))
   )
 
   /** q83's containment threshold. */
@@ -380,6 +389,26 @@ object CurationQueries {
         |FROM hc CROSS JOIN sp
         |WHERE cum >= (n // 10) * q + ((n % 10) * q + 9) // 10
         |GROUP BY lang, q""".stripMargin,
+
+    // log-bucket twin: the fixed-point magnitude and significant-digit
+    // truncation CASE are GENERATED from the same Pow10 constants the
+    // Spark when-chain uses ([[Quantiles.sigTruncCaseSql]]) — the two
+    // bucketings cannot drift; rank math is the shared decile spine
+    "q94_logbucket_profile" ->
+      s"""WITH v0 AS (SELECT event_type, value AS x FROM events WHERE value IS NOT NULL),
+         |fx AS (SELECT event_type, CASE WHEN x < 0 THEN -1 ELSE 1 END AS sgn,
+         |  ${Quantiles.fixedPointSql("x", 2)} AS m FROM v0),
+         |bk AS (SELECT event_type, sgn * (${Quantiles.sigTruncCaseSql("m", 2)}) AS b FROM fx),
+         |h AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS cnt FROM bk GROUP BY event_type, b),
+         |hc AS (SELECT event_type, b,
+         |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+         |sp AS (SELECT unnest(range(1, 10)) AS q)
+         |SELECT event_type, CAST(q AS BIGINT) AS q,
+         |  CAST(min(b) AS DOUBLE) / 100.0 AS threshold
+         |FROM hc CROSS JOIN sp
+         |WHERE cum >= (n // 10) * q + ((n % 10) * q + 9) // 10
+         |GROUP BY event_type, q""".stripMargin,
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is
     // exactly the max_by struct keeper

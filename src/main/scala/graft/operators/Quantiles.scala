@@ -182,20 +182,130 @@ object Quantiles {
     * rank math as every quantile here.
     */
   def groupedQuantileProfile(df: DataFrame, groupCol: String, valueCol: String,
-                             qDen: Long, precision: Int): DataFrame = {
+                             qDen: Long, precision: Int): DataFrame =
+    profileFromHistogram(
+      groupedHistogram(df, Seq(groupCol), valueCol, precision), groupCol, qDen)
+
+  /** The spine-cross-histogram profile core shared by the exact
+    * ([[groupedQuantileProfile]]) and log-bucketed
+    * ([[logBucketQuantileProfile]]) variants: `h` is any (groupCol, v, cnt)
+    * histogram; every window frame is histogram-sized.
+    */
+  private def profileFromHistogram(h: DataFrame, groupCol: String,
+                                   qDen: Long): DataFrame = {
     require(qDen >= 2 && qDen <= 1000, s"qDen must be in [2, 1000]: got $qDen")
     val grp = Window.partitionBy(col(groupCol))
-    val hc = groupedHistogram(df, Seq(groupCol), valueCol, precision)
+    val hc = h
       .withColumn("cum",
         sum(col("cnt")).over(grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("n", sum(col("cnt")).over(grp))
-    val spine = df.sparkSession.range(1, qDen).toDF("q")
+    val spine = h.sparkSession.range(1, qDen).toDF("q")
     hc.crossJoin(broadcast(spine))
       .filter(col("cum") >=
         expr(s"(n div $qDen) * q + ((n % $qDen) * q + ${qDen - 1}) div $qDen"))
       .groupBy(col(groupCol), col("q"))
       .agg(min(col("v")).as("threshold"))
   }
+
+  /** Powers of ten as exact longs, 10^0 .. 10^18. */
+  private val Pow10: Array[Long] = Iterator.iterate(1L)(_ * 10L).take(19).toArray
+
+  /** Deterministic LOG-BUCKET of a double value: the fixed-point magnitude
+    * `m = floor(|v| * 10^precision)` truncated to its top `sigDigits`
+    * decimal digits (sign restored). This is the bounded-bin fallback the
+    * rounded-precision histogram family needs for genuinely CONTINUOUS
+    * heavy-tailed columns, where distinct rounded values ~ distinct values
+    * and the "bounded histogram" claim collapses: here the bin count is
+    * capped at 2 * 9*10^(sigDigits-1) * 19 + 1 (sign x buckets-per-decade x
+    * decades) REGARDLESS of the value domain, and the bucket edge is a
+    * lower bound with relative error < 10^(1-sigDigits).
+    *
+    * Determinism is the design constraint: no log()/pow() (libm calls an
+    * oracle could round differently) — the magnitude test is a when-chain
+    * against exact long powers of ten and the truncation is `m - m % 10^j`,
+    * all integer ops both engines replay bit-for-bit
+    * ([[sigTruncCaseSql]] emits the same chain as SQL). The only float ops
+    * are abs/multiply/floor/least — single IEEE operations with one correct
+    * answer. Values beyond the long fixed-point range clamp into the top
+    * bucket (9e18, ~292k years in micros) rather than overflowing.
+    *
+    * Ordering is preserved (v1 <= v2 implies bucket(v1) <= bucket(v2)):
+    * positive magnitudes truncate DOWN and negatives truncate toward zero,
+    * both monotone step functions, so histogram rank math stays valid.
+    */
+  def logBucket(c: org.apache.spark.sql.Column, precision: Int,
+                sigDigits: Int): org.apache.spark.sql.Column = {
+    require(precision >= 0 && precision <= 6,
+      s"precision must be in [0, 6]: got $precision")
+    require(sigDigits >= 1 && sigDigits <= 15,
+      s"sigDigits must be in [1, 15]: got $sigDigits")
+    val m = least(floor(abs(c) * lit(Pow10(precision).toDouble)), lit(9.0e18))
+      .cast("long")
+    // m has d+1 digits when m >= 10^d: wrap ascending so the OUTERMOST
+    // when() tests the largest threshold first
+    var divisor: org.apache.spark.sql.Column = lit(1L)
+    for (d <- sigDigits until 19)
+      divisor = when(m >= Pow10(d), lit(Pow10(d + 1 - sigDigits))).otherwise(divisor)
+    val mag = m - (m % divisor)
+    when(c < 0, -mag).otherwise(mag)
+  }
+
+  /** The DuckDB twin of [[logBucket]]'s significant-digit truncation,
+    * generated from the same Pow10 constants so the two chains cannot
+    * drift: a flat CASE over the fixed-point column `m` (descending
+    * thresholds — first match wins, same semantics as the when-chain).
+    */
+  def sigTruncCaseSql(m: String, sigDigits: Int): String =
+    "CASE " + (18 to sigDigits by -1).map(d =>
+      s"WHEN $m >= ${Pow10(d)} THEN $m - ($m % ${Pow10(d + 1 - sigDigits)})")
+      .mkString(" ") + s" ELSE $m END"
+
+  /** [[sigTruncCaseSql]]'s companion: the fixed-point magnitude expression
+    * for a value column, identical to [[logBucket]]'s first step.
+    */
+  def fixedPointSql(v: String, precision: Int): String =
+    s"CAST(least(floor(abs($v) * ${Pow10(precision)}.0), 9e18) AS BIGINT)"
+
+  /** Per-group log-bucketed histogram: (groupCol, v = bucket as long, cnt).
+    * Bounded by the [[logBucket]] bin cap, never by the value domain.
+    */
+  def logBucketHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         precision: Int, sigDigits: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), logBucket(col(valueCol), precision, sigDigits).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[groupedQuantileProfile]] over LOG buckets: every k/qDen threshold per
+    * group where the value domain is continuous/heavy-tailed and the exact
+    * rounded histogram would grow with the corpus. The returned threshold is
+    * the BUCKET LOWER EDGE (divided back to value scale) of the type-1
+    * quantile of the bucketized distribution — a conservative lower bound
+    * within relative error 10^(1-sigDigits) of the exact quantile. The
+    * window frames and the spine cross join stay bin-cap-bounded even when
+    * every row's value is distinct.
+    */
+  def logBucketQuantileProfile(df: DataFrame, groupCol: String, valueCol: String,
+                               qDen: Long, precision: Int,
+                               sigDigits: Int): DataFrame =
+    profileFromHistogram(
+      logBucketHistogram(df, groupCol, valueCol, precision, sigDigits),
+      groupCol, qDen)
+      .select(col(groupCol), col("q"),
+        (col("threshold").cast("double") / lit(Pow10(precision).toDouble))
+          .as("threshold"))
+
+  /** One log-bucketed quantile per group — [[groupedQuantileThreshold]]'s
+    * contract with [[logBucket]]'s bounded bins.
+    */
+  def groupedLogBucketQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                               qNum: Long, qDen: Long, precision: Int,
+                               sigDigits: Int): DataFrame =
+    thresholdFromHistogram(
+      logBucketHistogram(df, groupCol, valueCol, precision, sigDigits),
+      groupCol, qNum, qDen)
+      .select(col(groupCol),
+        (col("threshold").cast("double") / lit(Pow10(precision).toDouble))
+          .as("threshold"))
 
   /** GROUPED drift: each group's total-variation distance from THE REST of
     * the corpus — [[tvDistance]] fanned out per group without running |G|

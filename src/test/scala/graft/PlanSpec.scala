@@ -70,8 +70,9 @@ class PlanSpec extends SparkTestBase {
       // q92's quantile scalars against the one-row count
       // q93's 9-row quantile spine crosses the bounded histogram — both
       // sides histogram/constant-sized, never the corpus
+      // q94 is q93's shape over log buckets — same sanctioned spine
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
-      "q92_time_to_convert", "q93_decile_profile")
+      "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -223,6 +224,17 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q65_revenue_trend")
     p should include("partial_sum")      // map-side combine of the daily rollup
     p should include("Window")
+    p should not include "SortMergeJoin"
+  }
+
+  test("q94: the corpus collapses to the log-bucket histogram BEFORE any window") {
+    // the window's frame is the bin-capped bucket histogram — map-side
+    // combine shows the aggregate sits below the window, and the window
+    // shuffles by the group key, never into one corpus-sized partition
+    val p = plan("q94_logbucket_profile")
+    p should include("partial_count")
+    p should include("Window")
+    p should include("hashpartitioning(event_type")
     p should not include "SortMergeJoin"
   }
 

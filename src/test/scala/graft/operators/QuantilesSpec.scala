@@ -276,6 +276,79 @@ class QuantilesSpec extends SparkTestBase {
       Quantiles.winsorize(docs, "lang", "v", 19L, 1L, 20L, 6)
   }
 
+  test("logBucket: hand-computed buckets, sign symmetry, monotone, clamped top") {
+    import org.apache.spark.sql.functions.col
+    val vals = Seq(1234.567, -1234.567, 0.05, 0.0, 99.99, 100.0, 1.0e17)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val out = vals.select(col("id"),
+        Quantiles.logBucket(col("x"), precision = 2, sigDigits = 2).as("b"))
+      .as[(Long, Long)].collect().toMap
+    out(0L) shouldBe 120000L  // m=123456 -> top-2 digits
+    out(1L) shouldBe -120000L // sign restored after magnitude truncation
+    out(2L) shouldBe 5L       // m=5: fewer digits than sigDigits -> exact
+    out(3L) shouldBe 0L
+    out(4L) shouldBe 9900L    // m=9999 -> 9900
+    out(5L) shouldBe 10000L   // m=10000 -> 10000 (new decade)
+    out(6L) shouldBe 9000000000000000000L // 1e19 fixed-point clamps to 9e18
+    // ordering preserved: bucket is monotone in the value
+    val pairs = out.toSeq.sortBy(_._1)
+    val byValue = Seq(1234.567, -1234.567, 0.05, 0.0, 99.99, 100.0, 1.0e17)
+      .zip(pairs.map(_._2)).sortBy(_._1)
+    byValue.map(_._2).zip(byValue.map(_._2).tail).foreach { case (a, b) =>
+      a should be <= b
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.logBucket(col("x"), precision = 7, sigDigits = 2)
+    an[IllegalArgumentException] should be thrownBy
+      Quantiles.logBucket(col("x"), precision = 2, sigDigits = 0)
+  }
+
+  test("logBucket: the generated SQL CASE twin computes the identical bucket") {
+    // the oracle twin is GENERATED from the same Pow10 constants — evaluate
+    // it in Spark SQL over a wide value sweep and demand bit-equality with
+    // the when-chain column (DuckDB-side parity is q94's oracle run)
+    import org.apache.spark.sql.functions.{col, expr}
+    val vals = spark.range(1, 20000)
+      .selectExpr("CAST(id AS DOUBLE) * id / 7.0 AS x",
+        "-(CAST(id AS DOUBLE) * id / 11.0) AS negx")
+    Seq("x", "negx").foreach { c =>
+      val twin = s"CASE WHEN $c < 0 THEN -1 ELSE 1 END * " +
+        s"(${Quantiles.sigTruncCaseSql(Quantiles.fixedPointSql(c, 2), 2)})"
+      vals.filter(
+          Quantiles.logBucket(col(c), 2, 2) =!= expr(twin)).count() shouldBe 0L
+    }
+  }
+
+  test("logBucket profile: bin count stays capped on a 1M-distinct heavy tail; thresholds bound the exact quantile") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // planted heavy tail: v = id^2 / 7 — one million distinct doubles
+    // spanning 11 decades; the exact rounded histogram would hold ~1e6
+    // bins, the log-bucket one stays under the cap
+    val heavy = spark.range(1, 1000001)
+      .selectExpr("'g' AS g", "CAST(id AS DOUBLE) * id / 7.0 AS v")
+    val hist = Quantiles.logBucketHistogram(heavy, "g", "v", precision = 0, sigDigits = 2)
+    val bins = hist.count()
+    bins should be < (90L * 19 + 1)   // sign x buckets-per-decade x decades
+    bins should be < 2000L            // and nowhere near the 1e6 distinct values
+    // every decile's bucket edge brackets the exact type-1 quantile:
+    // edge <= exact <= edge * 1.1 + 1 (bucket width <= edge/10 at sig=2)
+    val exact = Quantiles.groupedQuantileProfile(heavy, "g", "v", 10L, 0)
+      .select("q", "threshold").as[(Long, Double)].collect().toMap
+    val bucketed = Quantiles.logBucketQuantileProfile(heavy, "g", "v", 10L, 0, 2)
+      .select("q", "threshold").as[(Long, Double)].collect().toMap
+    bucketed.keySet shouldBe (1L to 9L).toSet
+    (1L to 9L).foreach { q =>
+      withClue(s"decile $q:") {
+        bucketed(q) should be <= exact(q)
+        exact(q) should be <= (bucketed(q) * 1.1 + 1.0)
+      }
+    }
+    // single-quantile variant agrees with the profile row
+    val p90 = Quantiles.groupedLogBucketQuantile(heavy, "g", "v", 9L, 10L, 0, 2)
+      .select("threshold").as[Double].head()
+    p90 shouldBe bucketed(9L)
+  }
+
   test("winsorize: a NULL value stays NULL, never silently clamps to the band edge") {
     val rows = Seq((1L, "g", Option(1.0)), (2L, "g", Option(2.0)),
       (3L, "g", Option(3.0)), (4L, "g", Option.empty[Double]))
