@@ -232,11 +232,28 @@ object CurationQueries {
     "q94_logbucket_profile" -> ((s, dir) =>
       Quantiles.logBucketQuantileProfile(
         SparkEntry.events(s, dir).select(col("event_type"), col("value")),
-        "event_type", "value", qDen = 10L, precision = 2, sigDigits = 2))
+        "event_type", "value", qDen = 10L, precision = 2, sigDigits = 2)),
+
+    // exact long-substring reuse: winnowing anchors + offset-spine substr
+    // verification — the verbatim-quote relation the whole set-overlap
+    // family (q24/q25/q26/q83) structurally misses
+    "q95_substring_dedup" -> ((s, dir) =>
+      Dedup.substringPairs(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        minLen = SubstrLen, k = SubstrK))
   )
 
   /** q83's containment threshold. */
   private val ContainThreshold = 0.6
+
+  /** q95's substring-dedup contract: report doc pairs sharing a verbatim
+    * passage of >= SubstrLen chars, anchored on SubstrK-grams (winnowing
+    * window w = len - k + 1 = 33). 48 chars sits below the corpus's
+    * shortest doc and well above shingle width — the probe that found
+    * ~5.4k shared 48-char grams at sf0.01 confirms the relation is real.
+    */
+  private val SubstrLen = 48
+  private val SubstrK = 16
 
   /** q84's per-category sample size. */
   private val ExactN = 30
@@ -409,6 +426,37 @@ object CurationQueries {
          |FROM hc CROSS JOIN sp
          |WHERE cum >= (n // 10) * q + ((n % 10) * q + 9) // 10
          |GROUP BY event_type, q""".stripMargin,
+
+    // winnowing twin: per-position k-gram polyhashes (the shared
+    // polyHashSql fold), the SAME encoded (hash, rightmost-pos) window
+    // minimum the kernel uses (constants interpolated from WinnowImpl,
+    // so the selections cannot drift), then the identical offset-spine
+    // substr verification
+    "q95_substring_dedup" -> {
+      val k = SubstrK; val len = SubstrLen; val w = len - k + 1
+      val posM = graft.functions.WinnowImpl.PosM
+      s"""WITH dcs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS pos,
+         |  ${polyHashSql(s"substr(text, CAST(i AS INT), $k)")} AS h
+         |  FROM dcs, LATERAL (SELECT unnest(range(1, n - $k + 2)) AS i) t),
+         |sel AS (SELECT doc_id, text, n, pos,
+         |  min(h * $posM + ($posM - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mkey
+         |  FROM g),
+         |fp AS (SELECT DISTINCT doc_id, text, n,
+         |  mkey // $posM AS h, $posM - (mkey % $posM) AS apos
+         |  FROM sel WHERE pos >= $w),
+         |cand AS (SELECT a.doc_id AS id_a, a.apos AS pos_a, a.text AS ta, a.n AS la,
+         |  b.doc_id AS id_b, b.apos AS pos_b, b.text AS tb, b.n AS lb
+         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |sp AS (SELECT unnest(range(0, $w)) AS dd),
+         |ver AS (SELECT DISTINCT id_a, id_b, pos_a, pos_b FROM cand CROSS JOIN sp
+         |  WHERE pos_a - dd >= 1 AND pos_b - dd >= 1
+         |    AND pos_a - dd + $len - 1 <= la AND pos_b - dd + $len - 1 <= lb
+         |    AND substr(ta, CAST(pos_a - dd AS INT), $len) = substr(tb, CAST(pos_b - dd AS INT), $len))
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_anchors
+         |FROM ver GROUP BY id_a, id_b""".stripMargin
+    },
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is
     // exactly the max_by struct keeper

@@ -525,6 +525,73 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** EXACT long-substring pairs: documents sharing a VERBATIM passage of
+    * length >= `minLen` characters — the reuse relation every set-based
+    * family misses by construction: a 50-char quote inside two otherwise
+    * different docs moves Jaccard ([[ngramJaccardPairs]],
+    * [[minhashLshPairs]]), SimHash, and even directed containment
+    * ([[containmentPairs]]) barely off zero, but it IS the thing
+    * memorization audits and license-compliance sweeps look for.
+    *
+    * Shape (winnowing, Schleimer et al. SIGMOD'03, the MOSS algorithm):
+    *  1. each doc emits its fingerprint anchors row-locally via the native
+    *     [[graft.functions.WinnowFingerprints]] kernel — density ~2/(w+1)
+    *     per character, never one row per position;
+    *  2. anchors bucket-join on the fingerprint HASH (short (h, id, pos)
+    *     rows; the text never enters this shuffle), `id_a < id_b`;
+    *  3. each candidate verifies row-locally against a w-row offset spine:
+    *     a shared passage of length L = w+k-1 containing the anchor must
+    *     align at one of the w offsets `d` with
+    *     `substr(a, pos_a-d, L) = substr(b, pos_b-d, L)` — plain substr
+    *     equality both engines replay exactly, which also certifies the
+    *     match (no false positives from hash collisions: unverified
+    *     candidates die here).
+    *
+    * The winnowing guarantee makes step 2 lossless for passages >= L:
+    * the window covering the shared span is content-identical in both
+    * docs, so both select the same minimal-hash gram. Docs shorter than L
+    * emit no anchors at all. Output: (id_a, id_b, n_anchors) with
+    * n_anchors = verified anchor pairs (>= 1).
+    *
+    * Scale: fingerprints are ~2/(w+1) of corpus characters; the hash join
+    * keys are near-uniform (polynomial hash), and the spine verification
+    * is bounded (w substr compares of length L per candidate). A
+    * pathological corpus-wide repeated passage makes one hash bucket hot
+    * — the same hot-key story as every dedup join here; [[Skew]]'s salted
+    * patterns apply if it bites.
+    */
+  def substringPairs(docs: DataFrame, minLen: Int = 48, k: Int = 16,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: got $k")
+    require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
+    val w = minLen - k + 1
+    // persisted: the self-join reads the kernel output twice
+    val fp = maybePersist(docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .select(col("id"), col("fp.h").as("h"), col("fp.pos").as("pos")), storage)
+    val cand = fp.as("a")
+      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
+        col("b.id").as("id_b"), col("b.pos").as("pos_b"))
+    val texts = docs.select(col(idCol), col(textCol))
+    val spine = docs.sparkSession.range(0, w).toDF("d")
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .crossJoin(broadcast(spine))
+      .filter(
+        col("pos_a") - col("d") >= 1 && col("pos_b") - col("d") >= 1 &&
+        col("pos_a") - col("d") + minLen - 1 <= length(col("__ta")) &&
+        col("pos_b") - col("d") + minLen - 1 <= length(col("__tb")) &&
+        col("__ta").substr((col("pos_a") - col("d")).cast("int"), lit(minLen)) ===
+          col("__tb").substr((col("pos_b") - col("d")).cast("int"), lit(minLen)))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_anchors"))
+  }
+
   /** One (id, pos, segment) row per segment of every document. */
   private def segmented(docs: DataFrame, idCol: String, textCol: String,
                         delimiter: String): DataFrame = {

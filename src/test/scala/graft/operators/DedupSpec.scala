@@ -244,6 +244,41 @@ class DedupSpec extends SparkTestBase {
     out shouldBe Map(1L -> 2L, 2L -> 2L)
   }
 
+  test("substringPairs: a shared verbatim passage that Jaccard, MinHash AND containment all miss") {
+    import spark.implicits._
+    // one 60-char quote inside two long, otherwise-disjoint docs: shingle
+    // overlap is tiny relative to either set (no Jaccard, no LSH band
+    // collision, containment far under threshold) — only the anchor-based
+    // substring operator sees it
+    val quote = "all happy families are alike each unhappy family is unhappy"
+    val fillerA = (1 to 60).map(i => s"alpha$i bravo$i charlie$i").mkString(" ")
+    val fillerB = (1 to 60).map(i => s"xray$i yankee$i zulu$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillerA $quote ${fillerA.reverse}"),
+      (2L, s"$fillerB $quote ${fillerB.reverse}"))
+      .toDF("doc_id", "text")
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8).count() shouldBe 0L
+    Dedup.minhashLshPairs(docs, n = 3, threshold = 0.8).count() shouldBe 0L
+    Dedup.containmentPairs(docs, n = 3, threshold = 0.6).count() shouldBe 0L
+    val found = Dedup.substringPairs(docs, minLen = 48, k = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    found shouldBe Array((1L, 2L))
+  }
+
+  test("substringPairs: no pair without a passage of the contract length") {
+    import spark.implicits._
+    // 40 shared chars < minLen=48: anchors may collide but the offset-spine
+    // verification cannot find a 48-char aligned window — no row
+    val shared40 = "this shared fragment is forty chars long"
+    val docs = Seq(
+      (1L, s"${"a 1 b 2 c 3 d 4 e 5 " * 8} $shared40 ${"f 6 g 7 " * 10}"),
+      (2L, s"${"q 9 r 8 s 7 t 6 " * 9} $shared40 ${"u 5 v 4 " * 11}"))
+      .toDF("doc_id", "text")
+    Dedup.substringPairs(docs, minLen = 48, k = 16).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.substringPairs(docs, minLen = 16, k = 16)
+  }
+
   test("containment: snippet-in-page found in ONE direction where Jaccard misses both") {
     import spark.implicits._
     // B embeds A's entire text inside much more material: containment(A in
