@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Packing, Quantiles, Sampling, Vocabulary}
+import graft.operators.{Dedup, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
 import graft.TrainingDataQueries.{polyHashSql, toksSql}
 
 /** Round-7 corpus-curation operators: sub-document segment dedup, PII
@@ -240,7 +240,18 @@ object CurationQueries {
     "q95_substring_dedup" -> ((s, dir) =>
       Dedup.substringPairs(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
-        minLen = SubstrLen, k = SubstrK))
+        minLen = SubstrLen, k = SubstrK)),
+
+    // perceptual image dedup end-to-end: derive real PNG+JPEG payloads per
+    // doc (the corpus ships no binary media), decode with ImageIO, dHash,
+    // pigeonhole band join — every (2k, 2k+1) re-encoded pair must match.
+    // No SQL oracle (ImageIO is not expressible in DuckDB): the driver's
+    // rows-only check applies; ImageDedupSpec pins pair exactness
+    "q96_image_neardup" -> ((s, dir) =>
+      Multimodal.perceptualImagePairs(
+        Multimodal.testCardMedia(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+          "doc_id")))
   )
 
   /** q83's containment threshold. */

@@ -549,4 +549,211 @@ object Multimodal {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     decode(asMedia(docs, "doc_id", "text", "source"), dim)
   }
+
+  // ==== perceptual image dedup ==========================================
+
+  /** Perceptual fingerprints of one decoded image: dHash (gradient hash —
+    * each bit compares a cell's mean luminance to its right neighbor on a
+    * 9x8 grid) and aHash (mean hash — each bit compares an 8x8 cell to the
+    * global mean). 64 bits each; both survive re-encoding (PNG <-> JPEG),
+    * resampling, and mild brightness shifts, which byte-level
+    * [[Dedup.exact]] cannot.
+    */
+  case class ImageHash(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      dhash: Long,
+      ahash: Long)
+
+  /** Decode + perceptual-hash every payload: the same per-partition
+    * ImageIO pass as [[decodeImages]], emitting [[ImageHash]] rows.
+    * Undecodable payloads keep the sentinel convention (width = -1,
+    * hashes 0) — [[perceptualImagePairs]] filters them out.
+    */
+  def imageHashes(media: DataFrame): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload, fmt) => hashOneImage(id, payload, fmt) }
+      }
+  }
+
+  private def hashOneImage(id: Long, payload: Array[Byte], metaFormat: String): ImageHash = {
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    def sentinel = ImageHash(id, "undecodable", nBytes, -1, -1, 0L, 0L)
+    if (payload == null) return sentinel
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) sentinel
+      else {
+        val label = detectFormat(payload) match {
+          case "unknown" => metaFormat
+          case sniffed => sniffed
+        }
+        // one 9x8 grid serves both hashes: dHash compares horizontal
+        // neighbors across all 9 columns; aHash thresholds the left 8x8
+        // block against its own mean. Cell means are QUANTIZED to integer
+        // 0..255 luminance (integer division): float means differ by an
+        // ulp even on identical pixels (repeated-addition rounding varies
+        // with cell pixel count), turning flat regions into coin-flip
+        // bits; integer levels make equal-luminance cells EXACTLY equal
+        // and a uniform brightness shift an exact no-op on both hashes
+        val g = gridLumLevels(img, 9, 8)
+        var dh = 0L
+        var ah = 0L
+        var meanSum = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) { meanSum += g(r * 9 + c); c += 1 }
+          r += 1
+        }
+        // aHash threshold: cell*64 > sum compares against the exact mean
+        // without integer-division loss
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val bit = r * 8 + c
+            if (g(r * 9 + c + 1) > g(r * 9 + c)) dh |= 1L << bit
+            if (g(r * 9 + c) * 64L > meanSum) ah |= 1L << bit
+            c += 1
+          }
+          r += 1
+        }
+        ImageHash(id, label, nBytes, img.getWidth, img.getHeight, dh, ah)
+      }
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
+  }
+
+  /** Mean luminance LEVEL (integer 0..255) per (gw x gh) grid cell —
+    * [[bandLuminance]]'s 2-D sibling, same row-buffered getRGB walk, but
+    * integer end-to-end: sum of (r+g+b) per cell, divided by 3*count.
+    * Integer levels are what make the perceptual hashes stable: identical
+    * cells compare equal regardless of pixel count, and adding a constant
+    * to every pixel adds exactly that constant to every cell.
+    */
+  private def gridLumLevels(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val gy = math.min(gh - 1, (y.toLong * gh / h).toInt)
+      var x = 0
+      while (x < w) {
+        val rgb = rowBuf(x)
+        val gx = math.min(gw - 1, (x.toLong * gw / w).toInt)
+        sums(gy * gw + gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        counts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(gw * gh)(i => if (counts(i) == 0) 0L else sums(i) / (3L * counts(i)))
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash Hamming distance <=
+    * `maxHamming`, found with the SAME pigeonhole band join as
+    * [[Dedup.simhashPairs]] — the 64-bit dHash splits into four 16-bit
+    * blocks, a pair within Hamming 3 must agree on at least one block, so
+    * the join touches bucket collisions only and never all pairs. This
+    * closes the "multimodal columns are decoded but never deduped" gap:
+    * re-encoded (PNG<->JPEG), recompressed, or lightly edited copies of an
+    * image hash within a few bits of each other while their payload bytes
+    * (and so [[Dedup.exact]]) share nothing.
+    *
+    * Scale: payloads decode map-side and never shuffle; only (id, 16-bit
+    * key) rows enter the exchange. A corpus-wide logo repeated millions of
+    * times makes one bucket hot — [[Skew]]'s salting applies, same as
+    * every dedup join here.
+    */
+  def perceptualImagePairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole bands (4 blocks of 16 bits) are exact only for maxHamming <= 3: got $maxHamming")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val h = imageHashes(media).toDF()
+      .filter(col("width") > 0)
+      .select(col("media_id").as("id"), col("dhash"))
+    val blockKeys = array((0 until 4).map { k =>
+      struct(lit(k).as("blk"),
+        expr(s"shiftright(dhash, ${k * 16}) & 65535").as("key"))
+    }: _*)
+    val blocks = h.select(col("id"), col("dhash"), explode(blockKeys).as("bk"))
+      .select(col("id"), col("dhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic 32x32 test card for the image-dedup contract query and
+    * specs: the test corpus ships no binary media, so q96 derives payloads
+    * from table keys. The card is a 9x8 BLOCK pattern (blocks aligned to
+    * the hash grid): each cell's gray level comes from an integer mix of
+    * (seed, cell), with an odd-column +25 offset so horizontally adjacent
+    * cells ALWAYS differ by >= 25 levels — far above JPEG noise, so
+    * re-encoding cannot flip a dHash bit, while the per-cell mix gives
+    * every seed a distinct sign pattern. Pure integer math: bit-identical
+    * on every JVM.
+    */
+  def renderTestCard(seed: Long, size: Int = 32): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      val gy = math.min(7, y.toLong * 8 / size).toInt
+      var x = 0
+      while (x < size) {
+        val gx = math.min(8, x.toLong * 9 / size).toInt
+        // avalanche-ish integer mix of (seed, cell)
+        var m = seed * 1000003L + (gy * 9 + gx) * 0x9e3779b97f4a7c15L
+        m ^= m >>> 29; m *= 0xbf58476d1ce4e5b9L; m ^= m >>> 32
+        val base = ((m % 4 + 4) % 4).toInt       // 0..3
+        val b = 40 + base * 50 + (gx % 2) * 25   // 40..215, parity-split
+        img.setRGB(x, y, (b << 16) | (b << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** [[renderTestCard]] encoded to real container bytes. */
+  def encodeTestCard(seed: Long, format: String, size: Int = 32): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(renderTestCard(seed, size), format, out)
+    out.toByteArray
+  }
+
+  /** One PNG + one JPEG encoding of each key's test card, in the canonical
+    * media schema — media_id = 2*key for the PNG, 2*key+1 for the JPEG.
+    * The q96 fixture: every (2k, 2k+1) pair is a true re-encoded
+    * near-duplicate; distinct keys are distinct images.
+    */
+  def testCardMedia(keys: DataFrame, keyCol: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val rows = keys.select(col(keyCol).cast("long")).as[Long]
+      .flatMap { k =>
+        Seq(
+          MediaRow(2 * k, encodeTestCard(k, "png"), MediaMeta("png", -1L)),
+          MediaRow(2 * k + 1, encodeTestCard(k, "jpg"), MediaMeta("jpeg", -1L)))
+      }
+    rows.toDF().select(col("media_id"), col("payload"),
+      struct(col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
 }
