@@ -251,7 +251,20 @@ object CurationQueries {
       Multimodal.perceptualImagePairs(
         Multimodal.testCardMedia(
           s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
-          "doc_id")))
+          "doc_id"))),
+
+    // tokenizer-aware packing: whitespace vs vocab-driven greedy
+    // longest-match ("BPE-ish") token counts, and the chunk budgets each
+    // implies — the honest packing math when a real tokenizer splits
+    // words into pieces
+    "q97_bpe_packing" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Packing.greedyTokenCounts(docs, Packing.bpePieces(docs, "text",
+          minN = 2, maxN = 4, k = BpeVocabK))
+        .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
+          expr(s"(n_tokens_ws + ${BpeBudget - 1}) div $BpeBudget").as("chunks_ws"),
+          expr(s"(n_tokens_bpe + ${BpeBudget - 1}) div $BpeBudget").as("chunks_bpe"))
+    })
   )
 
   /** q83's containment threshold. */
@@ -265,6 +278,13 @@ object CurationQueries {
     */
   private val SubstrLen = 48
   private val SubstrK = 16
+
+  /** q97's piece-vocabulary size and packing budget. */
+  private val BpeVocabK = 40
+  private val BpeBudget = 32
+
+  /** q97's bounded greedy fold depth (>= the longest corpus word). */
+  private val BpeMaxWordLen = 24
 
   /** q84's per-category sample size. */
   private val ExactN = 30
@@ -467,6 +487,48 @@ object CurationQueries {
          |    AND substr(ta, CAST(pos_a - dd AS INT), $len) = substr(tb, CAST(pos_b - dd AS INT), $len))
          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_anchors
          |FROM ver GROUP BY id_a, id_b""".stripMargin
+    },
+
+    // BPE-packing twin: the same distinct-word greedy fold as
+    // Packing.greedyTokenCounts — n-gram piece vocabulary by (tf desc,
+    // piece asc), list_reduce with a struct accumulator (init injected
+    // via list_prepend, the polyHashSql trick), single-char fallback,
+    // leftover chars past the fold depth count one each
+    "q97_bpe_packing" -> {
+      val fold =
+        s"""list_reduce(
+           |  list_prepend(struct_pack(pos := 1, cnt := 0),
+           |    list_transform(range(1, ${BpeMaxWordLen + 1}),
+           |      s -> struct_pack(pos := 0, cnt := 0))),
+           |  (acc, st) -> CASE WHEN acc.pos > length(w) THEN acc
+           |    ELSE struct_pack(
+           |      pos := acc.pos + greatest(1, list_aggregate(
+           |        list_transform(pieces, p -> CASE
+           |          WHEN substr(w, CAST(acc.pos AS INT), length(p)) = p
+           |          THEN length(p) ELSE 0 END), 'max')),
+           |      cnt := acc.cnt + 1) END)""".stripMargin
+      s"""WITH wt AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wtf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
+         |cg AS (SELECT substr(wtf.w, CAST(i AS INT), CAST(n AS INT)) AS piece, tf
+         |  FROM wtf,
+         |  LATERAL (SELECT unnest(range(2, 5)) AS n) nn,
+         |  LATERAL (SELECT unnest(range(1, greatest(length(wtf.w) - n + 1, 0) + 1)) AS i) ii),
+         |top AS (SELECT piece, CAST(sum(tf) AS BIGINT) AS tf FROM cg GROUP BY piece
+         |  ORDER BY tf DESC, piece ASC LIMIT $BpeVocabK),
+         |vs AS (SELECT list(piece ORDER BY piece ASC) AS pieces FROM top),
+         |pw AS (SELECT w,
+         |  CAST((f.cnt + greatest(0, length(w) - f.pos + 1)) AS BIGINT) AS np
+         |  FROM (SELECT w, $fold AS f FROM (SELECT DISTINCT w FROM wt) CROSS JOIN vs)),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |agg AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens_ws,
+         |  CAST(sum(pw.np) AS BIGINT) AS n_tokens_bpe
+         |  FROM dt JOIN pw USING (w) GROUP BY dt.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(agg.n_tokens_ws, 0) AS BIGINT) AS n_tokens_ws,
+         |  CAST(coalesce(agg.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+         |  CAST((coalesce(agg.n_tokens_ws, 0) + ${BpeBudget - 1}) // $BpeBudget AS BIGINT) AS chunks_ws,
+         |  CAST((coalesce(agg.n_tokens_bpe, 0) + ${BpeBudget - 1}) // $BpeBudget AS BIGINT) AS chunks_bpe
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
     },
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is

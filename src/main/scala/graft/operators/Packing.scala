@@ -169,4 +169,95 @@ object Packing {
         (size(col("__tb_w")) > maxTokens).cast("int").as("truncated"),
         array_join(slice(col("__tb_w"), 1, maxTokens), " ").as("text_trunc"))
   }
+
+  // ==== tokenizer-aware counting ========================================
+
+  /** Subword piece vocabulary for [[greedyTokenCounts]]: the `k` most
+    * frequent character n-grams (lengths `minN..maxN`) across the
+    * corpus's word occurrences, ties broken by piece string — the cheap
+    * data-derived stand-in for a trained BPE merge table (both are
+    * frequency-ranked subword inventories; the greedy longest-match
+    * consumer below is identical either way, so swapping in a real
+    * tokenizer's vocab file is a drop-in).
+    *
+    * Scale shape: n-grams explode from the DISTINCT-word table weighted
+    * by term frequency, never from the corpus rows — the same
+    * distinct-domain trick as [[greedyTokenCounts]]; one word shuffle,
+    * one n-gram shuffle (both short rows), one top-k.
+    */
+  def bpePieces(docs: DataFrame, textCol: String = "text",
+                minN: Int = 2, maxN: Int = 4, k: Int = 40): DataFrame = {
+    require(minN >= 2 && maxN >= minN && k >= 1,
+      s"need 2 <= minN <= maxN and k >= 1: got minN=$minN maxN=$maxN k=$k")
+    val wordTf = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    wordTf
+      // NB sequence(1, 0) DESCENDS in Spark (it is not empty like range):
+      // words shorter than n must short-circuit to an empty piece list
+      .select(col("tf"), explode(expr(
+        s"""flatten(transform(sequence($minN, $maxN),
+           |  n -> IF(length(w) >= n,
+           |         transform(sequence(1, length(w) - n + 1),
+           |           i -> substring(w, i, n)),
+           |         array())))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("tf")).as("tf"))
+      .orderBy(col("tf").desc, col("piece").asc)
+      .limit(k)
+  }
+
+  /** Tokenizer-aware token counts: whitespace-token count AND a
+    * vocab-driven greedy longest-match ("BPE-ish") piece count per
+    * document — the counter that makes packing budgets approximate real
+    * tokenizer lengths instead of assuming one token per word.
+    *
+    * Matching follows the real pretokenize-then-subword shape: each
+    * whitespace word tokenizes independently, greedy longest vocab piece
+    * at each position, single-character fallback when nothing matches
+    * (byte-fallback semantics). The fold is BOUNDED: `maxWordLen` steps,
+    * each consuming >= 1 char; characters past the bound count one piece
+    * each (well-defined on both engines, and irrelevant for natural-word
+    * domains — pick maxWordLen >= your longest token).
+    *
+    * Scale shape: the greedy fold — the only non-trivial compute — runs
+    * once per DISTINCT word, not per corpus row: distinct word forms are
+    * sublinear in corpus size (Heaps' law), so the interpreted HOF cost
+    * that killed q52 stays off the corpus path. Per-word counts join back
+    * on the word (short rows, content-uniform key) and per-doc totals are
+    * one combinable aggregate. The piece vocabulary (top-k, a few hundred
+    * bytes) broadcasts into the fold as one collected array column.
+    *
+    * Output: (idCol, n_tokens_ws, n_tokens_bpe); every input row
+    * survives (token-less docs count 0/0).
+    */
+  def greedyTokenCounts(docs: DataFrame, pieces: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxWordLen: Int = 24): DataFrame = {
+    require(maxWordLen >= 1, "maxWordLen must be positive")
+    val words = docs.select(col(idCol).as("__gt_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    val vocab = pieces.agg(sort_array(collect_list(col("piece"))).as("__pieces"))
+    // greedy fold over ONE distinct-word row: at each step match the
+    // longest piece at pos (0 matches -> consume 1 char), stop advancing
+    // past the word end; leftover chars past maxWordLen steps count 1 each
+    val nPieces = expr(
+      s"""aggregate(sequence(1, $maxWordLen),
+         |  named_struct('pos', 1, 'cnt', 0),
+         |  (acc, step) -> IF(acc.pos > length(w), acc,
+         |    named_struct(
+         |      'pos', acc.pos + greatest(1, array_max(transform(__pieces,
+         |         p -> IF(substring(w, acc.pos, length(p)) = p, length(p), 0)))),
+         |      'cnt', acc.cnt + 1)),
+         |  acc -> acc.cnt + greatest(0, length(w) - acc.pos + 1))""".stripMargin)
+    val perWord = words.select(col("w")).distinct()
+      .crossJoin(broadcast(vocab))
+      .select(col("w").as("__pw_w"), nPieces.cast("long").as("__pw_n"))
+    val counted = words.join(perWord, col("w") === col("__pw_w"))
+      .groupBy(col("__gt_id"))
+      .agg(count(lit(1)).as("n_tokens_ws"), sum(col("__pw_n")).as("n_tokens_bpe"))
+    docs.select(col(idCol)).join(counted, col(idCol) === col("__gt_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens_ws"), lit(0L)).as("n_tokens_ws"),
+        coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
+  }
 }

@@ -160,4 +160,39 @@ class PackingSpec extends SparkTestBase {
     twice.select(sum(col("n_tokens"))).as[Long].head() shouldBe
       out.select(sum(col("n_kept"))).as[Long].head()
   }
+
+  test("greedy token counts: hand-computed longest-match, fallback, and bounded-fold leftover") {
+    val pieces = Seq("ab", "abc", "de").toDF("piece")
+    val docs = Seq(
+      (1L, "abcde abcab"),   // abc+de = 2; abc+ab = 2
+      (2L, "xyz"),           // no piece matches: 3 single-char fallbacks
+      (3L, "abcx de"),       // abc+x = 2; de = 1
+      (4L, "..."),           // tokenizes to nothing: row survives as 0/0
+      (5L, "x" * 30))        // 24 fold steps + 6 leftover chars = 30
+      .toDF("doc_id", "text")
+    val out = Packing.greedyTokenCounts(docs, pieces)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    out(0) shouldBe ((1L, 2L, 4L))
+    out(1) shouldBe ((2L, 1L, 3L))
+    out(2) shouldBe ((3L, 2L, 3L))
+    out(3) shouldBe ((4L, 0L, 0L))
+    out(4) shouldBe ((5L, 1L, 30L))
+    // longest match wins over first match: "abc" consumed over "ab"
+    val one = Packing.greedyTokenCounts(
+      Seq((9L, "abcabc")).toDF("doc_id", "text"), pieces)
+      .select("n_tokens_bpe").as[Long].head()
+    one shouldBe 2L
+  }
+
+  test("bpePieces: frequency-ranked n-grams, ties by piece, short words contribute nothing") {
+    val docs = Seq((1L, "aaa aaa aaa bb cc"), (2L, "aaa bb")).toDF("doc_id", "text")
+    val pieces = Packing.bpePieces(docs, "text", minN = 2, maxN = 3, k = 3)
+      .as[(String, Long)].collect()
+    // "aaa" x4 occurrences -> grams aa (2 per occurrence = 8), aaa (4);
+    // bb x2 -> bb (2); cc x1 -> cc (1). Top-3: aa(8), aaa(4), bb(2)
+    pieces shouldBe Array(("aa", 8L), ("aaa", 4L), ("bb", 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Packing.bpePieces(docs, "text", minN = 1, maxN = 3, k = 3)
+  }
 }
