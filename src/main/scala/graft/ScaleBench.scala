@@ -85,7 +85,34 @@ object ScaleBench {
       // contribute distinct single-segment docs — the segment shuffle
       // still carries every byte of the corpus (the cost under test) and
       // the duplicate population grows linearly, never quadratically
-      "segment_dedup" -> (k => Dedup.dedupSegments(scaledDocs(k), delimiter = " the ")))
+      "segment_dedup" -> (k => Dedup.dedupSegments(scaledDocs(k), delimiter = " the ")),
+      // q83 shape: prefix-filtered postings + sorted-merge verify — the
+      // second inverted-index pass; rotation keeps shingle sets disjoint
+      // across replicas, so postings and pairs grow linearly
+      "dedup_containment" -> (k => Dedup.containmentPairs(scaledDocs(k), threshold = 0.6)),
+      // q75 shape: the ordered PII regex chain — pure row-local per-char
+      // scan, the largest non-join scan cost in the bench
+      "pii_redaction" -> (k => {
+        val t = col("text")
+        val counts = graft.functions.TextFunctions.piiCounts(t)
+          .map { case (n, c) => c.as(n) }
+        scaledDocs(k).select(col("doc_id") +: counts :+
+          graft.functions.TextFunctions.redactPii(t).as("text_redacted"): _*)
+      }),
+      // q50 shape: per-(lang, source) HLL shards -> merge -> estimate —
+      // state bounded by groups x registers, the flattest curve here
+      "hll_shard_merge" -> (k => {
+        val d = scaledDocs(k)
+        Sketches.estimateVector(
+          Sketches.mergeSketches(
+            Sketches.sketchVector(d, Seq("lang", "source"), "text"),
+            Seq("lang"), "sketch"),
+          Seq("lang"), "sketch")
+      }),
+      // q95 shape (new this round): winnowing anchors -> hash bucket join
+      // -> offset-spine verify; rotation keeps anchors disjoint across
+      // replicas, so candidates grow with within-replica reuse only
+      "substring_dedup" -> (k => Dedup.substringPairs(scaledDocs(k))))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
@@ -150,4 +150,80 @@ object WinnowFingerprints {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(
       WinnowFingerprints(GraftColumnBridge.expression(text), k, w))
+}
+
+/** Shared implementation for [[CommonExtent]]. */
+object CommonExtentImpl {
+
+  /** Length of the maximal common substring running THROUGH the anchor
+    * k-grams at 1-based code-point positions (pa, pb): verify the k
+    * anchor characters (a hash-collision candidate dies here with 0),
+    * then extend left and right while characters match. O(k + extent) —
+    * vs the w-offset spine formulation's w fixed-length window compares,
+    * which pays w*L character reads per candidate whether or not
+    * anything matches.
+    */
+  def eval(a: UTF8String, pa: Int, b: UTF8String, pb: Int, k: Int): Int = {
+    val ca = a.toString.codePoints().toArray
+    val cb = b.toString.codePoints().toArray
+    if (pa < 1 || pb < 1 || pa - 1 + k > ca.length || pb - 1 + k > cb.length) return 0
+    var i = 0
+    while (i < k) {
+      if (ca(pa - 1 + i) != cb(pb - 1 + i)) return 0
+      i += 1
+    }
+    var left = 0
+    while (pa - 2 - left >= 0 && pb - 2 - left >= 0 &&
+      ca(pa - 2 - left) == cb(pb - 2 - left)) left += 1
+    var right = 0
+    while (pa - 1 + k + right < ca.length && pb - 1 + k + right < cb.length &&
+      ca(pa - 1 + k + right) == cb(pb - 1 + k + right)) right += 1
+    k + left + right
+  }
+}
+
+/** Native codegen'd `common_extent(text_a, pos_a, text_b, pos_b)`: maximal
+  * shared-substring length through two anchor positions. The verify kernel
+  * of [[graft.operators.Dedup.substringPairs]]: `extent >= minLen` is
+  * exactly the offset-spine EXISTS the DuckDB twin replays (a shared run
+  * of length >= L through the anchor contains an aligned L-window keeping
+  * the anchor gram inside, and vice versa), at O(extent) per candidate
+  * instead of w window comparisons.
+  */
+case class CommonExtent(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression, k: Int)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType,
+            org.apache.spark.sql.types.StringType, IntegerType) if k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "common_extent requires (string, int, string, int) inputs and k >= 1, got " +
+          Seq(first, second, third, fourth).map(_.dataType.catalogString).mkString(", "))
+    }
+
+  override protected def nullSafeEval(a: Any, pa: Any, b: Any, pb: Any): Any =
+    CommonExtentImpl.eval(a.asInstanceOf[UTF8String], pa.asInstanceOf[Int],
+      b.asInstanceOf[UTF8String], pb.asInstanceOf[Int], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, pa, b, pb) =>
+      s"${ev.value} = graft.functions.CommonExtentImpl.eval($a, $pa, $b, $pb, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+object CommonExtent {
+  def commonExtent(textA: Column, posA: Column, textB: Column, posB: Column,
+                   k: Int): Column =
+    GraftColumnBridge.column(CommonExtent(
+      GraftColumnBridge.expression(textA), GraftColumnBridge.expression(posA),
+      GraftColumnBridge.expression(textB), GraftColumnBridge.expression(posB), k))
 }

@@ -71,10 +71,11 @@ class PlanSpec extends SparkTestBase {
       // q93's 9-row quantile spine crosses the bounded histogram — both
       // sides histogram/constant-sized, never the corpus
       // q94 is q93's shape over log buckets — same sanctioned spine;
-      // q95's w-row offset spine broadcasts against the candidate pairs
+      // q97's one-row piece-vocabulary array crosses the distinct-word
+      // table (q43's scalar-broadcast shape)
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
-      "q95_substring_dedup")
+      "q97_bpe_packing")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -70,6 +70,35 @@ class WinnowSpec extends SparkTestBase {
     (ha intersect hb) should not be empty
   }
 
+  test("common extent: hand-computed, collision guard, edges, equals the spine predicate") {
+    import graft.functions.CommonExtent.commonExtent
+    def extent(a: String, pa: Int, b: String, pb: Int, k: Int = 3): Int =
+      Seq((a, pa, b, pb)).toDF("a", "pa", "b", "pb")
+        .select(commonExtent(col("a"), col("pa"), col("b"), col("pb"), k)).head().getInt(0)
+    //      123456789012345          123456789012
+    extent("xxABCDEFyy", 3, "zzzABCDEFw", 4) shouldBe 6   // ABCDEF both sides
+    extent("ABC", 1, "ABC", 1) shouldBe 3                  // whole-string run
+    extent("xxABCyy", 3, "ABQzz", 1) shouldBe 0            // anchor mismatch -> 0
+    extent("xABCx", 2, "yABCy", 2) shouldBe 3              // distinct flanks stop both sides
+    extent("AB", 1, "ABC", 1) shouldBe 0                   // k=3 gram off the end -> 0
+    // equivalence with the offset-spine EXISTS (the oracle's form): for a
+    // planted pair, extent >= L iff some aligned L-window matches
+    val k = 16; val L = 48; val w = L - k + 1
+    val quote = "a shared verbatim passage exactly long enough yes!"  // 50 chars
+    val a = s"prefix one $quote suffix alpha"
+    val b = s"other beginning text $quote different tail"
+    val pa = a.indexOf(quote) + 1 + 10 // anchor 10 chars into the quote
+    val pb = b.indexOf(quote) + 1 + 10
+    val viaExtent = extent(a, pa, b, pb, k) >= L
+    val viaSpine = (0 until w).exists { d =>
+      val (sa, sb) = (pa - d, pb - d)
+      sa >= 1 && sb >= 1 && sa + L - 1 <= a.length && sb + L - 1 <= b.length &&
+        a.substring(sa - 1, sa - 1 + L) == b.substring(sb - 1, sb - 1 + L)
+    }
+    viaExtent shouldBe true
+    viaSpine shouldBe viaExtent
+  }
+
   test("short docs emit nothing; null propagates; positions are 1-based and sorted") {
     kernel("tiny", 3, 5) shouldBe Seq.empty
     Seq(Option.empty[String]).toDF("t")
