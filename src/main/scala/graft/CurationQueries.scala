@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
+import graft.operators.{Contamination, Dedup, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
 import graft.TrainingDataQueries.{polyHashSql, toksSql}
 
 /** Round-7 corpus-curation operators: sub-document segment dedup, PII
@@ -253,6 +253,19 @@ object CurationQueries {
           s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
           "doc_id"))),
 
+    // verbatim-substring benchmark contamination: training docs quoting
+    // >= 48 literal chars from a benchmark doc — the character-granular
+    // leak q45's token-shingle ratio under-weights (one long answer
+    // string inside a long page barely moves share_ratio)
+    "q98_substring_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Contamination.substringContamination(
+        d.filter(col("doc_id") > ContamSplitId),
+        d.filter(col("doc_id") <= ContamSplitId),
+        minLen = SubstrLen, k = SubstrK)
+    }),
+
     // tokenizer-aware packing: whitespace vs vocab-driven greedy
     // longest-match ("BPE-ish") token counts, and the chunk budgets each
     // implies — the honest packing math when a real tokenizer splits
@@ -279,6 +292,9 @@ object CurationQueries {
   private val SubstrLen = 48
   private val SubstrK = 16
 
+  /** q98's train/benchmark id split (bench = doc_id <= this). */
+  private val ContamSplitId = 100L
+
   /** q97's piece-vocabulary size and packing budget. */
   private val BpeVocabK = 40
   private val BpeBudget = 32
@@ -296,6 +312,26 @@ object CurationQueries {
   private val IncrSplitId = 250L
 
   // ==== DuckDB oracle twins ============================================
+
+  /** Winnowing fingerprint CTE chain over source CTE `src` (doc_id, text,
+    * n), emitting `fp_$tag` (doc_id, text, n, h, apos) — shared by the
+    * q95 and q98 twins; constants interpolated from [[graft.functions
+    * .WinnowImpl]] so the selections cannot drift from the kernel.
+    */
+  private def winnowFpSql(tag: String, src: String): String = {
+    val k = SubstrK; val w = SubstrLen - SubstrK + 1
+    val posM = graft.functions.WinnowImpl.PosM
+    s"""g_$tag AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS pos,
+       |  ${polyHashSql(s"substr(text, CAST(i AS INT), $k)")} AS h
+       |  FROM $src, LATERAL (SELECT unnest(range(1, n - $k + 2)) AS i) t),
+       |sel_$tag AS (SELECT doc_id, text, n, pos,
+       |  min(h * $posM + ($posM - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mkey
+       |  FROM g_$tag),
+       |fp_$tag AS (SELECT DISTINCT doc_id, text, n,
+       |  mkey // $posM AS h, $posM - (mkey % $posM) AS apos
+       |  FROM sel_$tag WHERE pos >= $w)""".stripMargin
+  }
 
   /** q75's redaction CTE chain, GENERATED from [[TextFunctions.PiiPatterns]]
     * — the same regex literals, the same order, counts on the same
@@ -461,25 +497,16 @@ object CurationQueries {
     // winnowing twin: per-position k-gram polyhashes (the shared
     // polyHashSql fold), the SAME encoded (hash, rightmost-pos) window
     // minimum the kernel uses (constants interpolated from WinnowImpl,
-    // so the selections cannot drift), then the identical offset-spine
-    // substr verification
+    // so the selections cannot drift), then the offset-spine substr
+    // verification (provably the predicate the Spark side's O(extent)
+    // kernel evaluates)
     "q95_substring_dedup" -> {
       val k = SubstrK; val len = SubstrLen; val w = len - k + 1
-      val posM = graft.functions.WinnowImpl.PosM
       s"""WITH dcs AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |g AS (SELECT doc_id, text, n, CAST(i AS BIGINT) AS pos,
-         |  ${polyHashSql(s"substr(text, CAST(i AS INT), $k)")} AS h
-         |  FROM dcs, LATERAL (SELECT unnest(range(1, n - $k + 2)) AS i) t),
-         |sel AS (SELECT doc_id, text, n, pos,
-         |  min(h * $posM + ($posM - pos)) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mkey
-         |  FROM g),
-         |fp AS (SELECT DISTINCT doc_id, text, n,
-         |  mkey // $posM AS h, $posM - (mkey % $posM) AS apos
-         |  FROM sel WHERE pos >= $w),
+         |${winnowFpSql("d", "dcs")},
          |cand AS (SELECT a.doc_id AS id_a, a.apos AS pos_a, a.text AS ta, a.n AS la,
          |  b.doc_id AS id_b, b.apos AS pos_b, b.text AS tb, b.n AS lb
-         |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |  FROM fp_d a JOIN fp_d b ON a.h = b.h AND a.doc_id < b.doc_id),
          |sp AS (SELECT unnest(range(0, $w)) AS dd),
          |ver AS (SELECT DISTINCT id_a, id_b, pos_a, pos_b FROM cand CROSS JOIN sp
          |  WHERE pos_a - dd >= 1 AND pos_b - dd >= 1
@@ -487,6 +514,38 @@ object CurationQueries {
          |    AND substr(ta, CAST(pos_a - dd AS INT), $len) = substr(tb, CAST(pos_b - dd AS INT), $len))
          |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_anchors
          |FROM ver GROUP BY id_a, id_b""".stripMargin
+    },
+
+    // substring-contamination twin: the same two-sided winnowing chains,
+    // extent computed RELATIONALLY — the largest l whose length-l block
+    // before (after) the anchor matches IS the consecutive run (any
+    // longer block contains the first mismatch), so list-max over block
+    // equalities replays CommonExtent exactly, max_extent included
+    "q98_substring_contamination" -> {
+      val k = SubstrK; val len = SubstrLen
+      s"""WITH trd AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id > $ContamSplitId),
+         |bnd AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id <= $ContamSplitId),
+         |${winnowFpSql("tr", "trd")},
+         |${winnowFpSql("be", "bnd")},
+         |cand AS (SELECT t.doc_id AS tr_id, t.text AS ta, t.n AS la, t.apos AS pa,
+         |  b.doc_id AS be_id, b.text AS tb, b.n AS lb, b.apos AS pb
+         |  FROM fp_tr t JOIN fp_be b ON t.h = b.h),
+         |ext AS (SELECT tr_id, be_id, pa, pb,
+         |  CASE WHEN substr(ta, CAST(pa AS INT), $k) = substr(tb, CAST(pb AS INT), $k)
+         |    THEN $k
+         |      + coalesce(list_aggregate(list_transform(range(0, least(pa, pb)),
+         |          l -> CASE WHEN substr(ta, CAST(pa - l AS INT), CAST(l AS INT))
+         |                     = substr(tb, CAST(pb - l AS INT), CAST(l AS INT)) THEN l END), 'max'), 0)
+         |      + coalesce(list_aggregate(list_transform(range(0, least(la - pa - $k + 1, lb - pb - $k + 1) + 1),
+         |          r -> CASE WHEN substr(ta, CAST(pa + $k AS INT), CAST(r AS INT))
+         |                     = substr(tb, CAST(pb + $k AS INT), CAST(r AS INT)) THEN r END), 'max'), 0)
+         |    ELSE 0 END AS extent
+         |  FROM cand)
+         |SELECT tr_id AS doc_id,
+         |  CAST(count(DISTINCT be_id) AS BIGINT) AS n_bench_docs,
+         |  CAST(count(*) AS BIGINT) AS n_anchors,
+         |  CAST(max(extent) AS BIGINT) AS max_extent
+         |FROM ext WHERE extent >= $len GROUP BY tr_id""".stripMargin
     },
 
     // BPE-packing twin: the same distinct-word greedy fold as

@@ -67,6 +67,64 @@ object Contamination {
         (col("n_shared") > 0).cast("int").as("contaminated"))
   }
 
+  /** VERBATIM-SUBSTRING contamination: which training docs contain a
+    * literal character run of >= `minLen` from a benchmark document? The
+    * character-granular complement of [[check]]: token-shingle overlap
+    * needs the quote to survive tokenization and scores it relative to
+    * the DOC's shingle count (one long verbatim answer string inside a
+    * long page barely moves share_ratio), where this detects the quoted
+    * passage itself — the canary-string / eval-answer leak audit.
+    *
+    * Same winnowing machinery as [[Dedup.substringPairs]], pointed across
+    * two frames: both sides emit anchor fingerprints row-locally (the
+    * native kernel; text never shuffles), candidates bucket-join on the
+    * anchor hash — benchmark side broadcast by default, `.hint("shuffle_
+    * hash")` otherwise, mirroring [[check]]'s knob — and each candidate
+    * verifies with the O(extent) [[graft.functions.CommonExtent]] kernel.
+    * Output: one row per CONTAMINATED training doc — (idCol, n_bench_docs
+    * hit, n_anchors verified, max_extent chars) — an empty result is a
+    * clean corpus.
+    *
+    * The winnowing guarantee is directional and exact: any shared run of
+    * length >= minLen selects a common anchor hash on both sides, so no
+    * contaminated doc escapes; extent verification kills hash collisions.
+    */
+  def substringContamination(train: DataFrame, benchmark: DataFrame,
+                             minLen: Int = 48, k: Int = 16,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             broadcastReference: Boolean = true): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: got $k")
+    require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
+    val w = minLen - k + 1
+    // train side: short (id, h, pos) anchor rows only — its text joins
+    // back per CANDIDATE, never per anchor; benchmark text rides the
+    // (small, usually broadcast) reference side
+    val tr = train
+      .select(col(idCol).as("tr_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .select(col("tr_id"), col("fp.h").as("h"), col("fp.pos").as("tr_pos"))
+    val be = benchmark
+      .select(col(idCol).as("be_id"), col(textCol).as("__be_t"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .select(col("be_id"), col("__be_t"), col("fp.h").as("h"),
+        col("fp.pos").as("be_pos"))
+    val matchSide = if (broadcastReference) broadcast(be) else be.hint("shuffle_hash")
+    tr.join(matchSide, "h")
+      .join(train.select(col(idCol).as("tr_id"), col(textCol).as("__tr_t")), "tr_id")
+      .withColumn("__extent", graft.functions.CommonExtent.commonExtent(
+        col("__tr_t"), col("tr_pos"), col("__be_t"), col("be_pos"), k))
+      .filter(col("__extent") >= minLen)
+      .groupBy(col("tr_id"))
+      .agg(
+        countDistinct(col("be_id")).as("n_bench_docs"),
+        count(lit(1)).as("n_anchors"),
+        max(col("__extent")).cast("long").as("max_extent"))
+      .select(col("tr_id").as(idCol), col("n_bench_docs"), col("n_anchors"),
+        col("max_extent"))
+  }
+
   /** The leakage check every team runs AFTER splitting: which TRAIN-split
     * docs share verbatim n-grams with the val/test splits? Content-hash
     * splitting ([[Sampling.assignSplit]]) keeps byte-identical duplicates

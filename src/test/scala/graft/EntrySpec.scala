@@ -14,9 +14,13 @@ class EntrySpec extends SparkTestBase {
 
   test("every query has either an oracle twin or a documented omission") {
     // the driver records a weaker rows-only check for queries missing
-    // oracleSql; today every query has a twin — keep it that way
+    // oracleSql — every omission must be listed here WITH its reason
+    val sanctionedOmissions = Set(
+      // ImageIO decode/encode is not expressible in DuckDB; pair
+      // exactness is pinned by ImageDedupSpec instead
+      "q96_image_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    missing shouldBe empty
+    missing shouldBe sanctionedOmissions
     // and no orphaned oracle entries for queries that don't exist
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
   }

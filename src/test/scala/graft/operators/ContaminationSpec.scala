@@ -75,4 +75,36 @@ class ContaminationSpec extends SparkTestBase {
       rows(trainId)._5 shouldBe 1
     }
   }
+
+  test("substringContamination: a verbatim benchmark quote inside a long page, exact extent") {
+    import org.apache.spark.sql.functions.col
+    // 60-char benchmark answer string quoted verbatim inside a long train
+    // doc; the rest of the page is unrelated, so the token-shingle
+    // share_ratio is tiny — but the quote is a leak, and the substring
+    // check reports its exact character extent
+    val answer = "the capital of the ancient empire was moved in the year 330."
+    // diverse filler: repeated filler would collapse to a handful of
+    // distinct shingles and inflate the ratio this test wants diluted
+    val page = s"${(1 to 120).map(i => s"filler$i").mkString(" ")} $answer " +
+      (121 to 200).map(i => s"tail$i").mkString(" ")
+    val train = Seq((1L, page), (2L, "a totally clean training document"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"question about history? $answer"))
+      .toDF("doc_id", "text")
+    val out = Contamination.substringContamination(train, bench)
+      .as[(Long, Long, Long, Long)].collect()
+    out.map(_._1).toSet shouldBe Set(1L)
+    val (_, nBench, nAnchors, maxExtent) = out.head
+    nBench shouldBe 1L
+    nAnchors should be >= 1L
+    // extent = the quote plus the one shared leading space
+    maxExtent shouldBe (answer.length + 1L)
+    // the shingle-ratio view of the same leak: present but diluted
+    val ratio = Contamination.check(train, bench)
+      .filter(col("doc_id") === 1L).select("share_ratio").as[Double].head()
+    ratio should be < 0.1
+    // clean corpus -> empty result
+    Contamination.substringContamination(
+      train.filter(col("doc_id") === 2L), bench).count() shouldBe 0L
+  }
 }
