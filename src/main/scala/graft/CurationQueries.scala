@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Contamination, Dedup, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
+import graft.operators.{Contamination, Dedup, LmScore, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
 import graft.TrainingDataQueries.{polyHashSql, toksSql}
 
 /** Round-7 corpus-curation operators: sub-document segment dedup, PII
@@ -265,6 +265,13 @@ object CurationQueries {
         d.filter(col("doc_id") <= ContamSplitId),
         minLen = SubstrLen, k = SubstrK)
     }),
+
+    // unigram LM surprisal: the CCNet-style fluency score — mean
+    // -ln p(token) under the corpus's own add-one unigram model, every
+    // ln a pinned series in integer fixed point (order-free sums)
+    "q99_lm_surprisal" -> ((s, dir) =>
+      LmScore.unigramSurprisal(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))),
 
     // tokenizer-aware packing: whitespace vs vocab-driven greedy
     // longest-match ("BPE-ish") token counts, and the chunk budgets each
@@ -546,6 +553,31 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_anchors,
          |  CAST(max(extent) AS BIGINT) AS max_extent
          |FROM ext WHERE extent >= $len GROUP BY tr_id""".stripMargin
+    },
+
+    // LM-surprisal twin: the same pinned-ln steps rendered as lateral
+    // aliases (the hll-estimate pattern), integer fixed-point sums, one
+    // final pinned division chain
+    "q99_lm_surprisal" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH wt AS (SELECT unnest($toksSql) AS w FROM documents),
+         |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
+         |tot AS (SELECT CAST(sum(tf) + count(*) AS BIGINT) AS __d FROM vocab),
+         |lnd AS (SELECT ${steps("lnd", "__d")} FROM tot),
+         |wl AS (SELECT w, ${steps("lnw", "(tf + 1)")} FROM vocab),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(wl.lnw_lnfp, 0)) AS BIGINT) AS s
+         |  FROM dt LEFT JOIN wl USING (w) GROUP BY dt.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(pd.n, 0) * lnd.lnd_lnfp - coalesce(pd.s, 0) AS BIGINT) AS surprisal_fp,
+         |  CASE WHEN coalesce(pd.n, 0) = 0 THEN NULL
+         |    ELSE CAST(coalesce(pd.n, 0) * lnd.lnd_lnfp - coalesce(pd.s, 0) AS DOUBLE)
+         |      / CAST(pd.n AS DOUBLE) / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN lnd""".stripMargin
     },
 
     // BPE-packing twin: the same distinct-word greedy fold as

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+/** Unigram surprisal: agrees with a transparent driver-side model to the
+  * pinned series' precision, handles OOV via add-one smoothing, survives
+  * token-less docs, and is partition-order invariant (the property the
+  * integer fixed-point design buys).
+  */
+class LmScoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the the the the"),           // all head tokens: lowest surprisal
+    (3L, "zyzzyva qwerty plugh"),      // rare tokens: highest surprisal
+    (4L, "..."),                       // no tokens
+    (5L, "the cat")
+  ).toDF("doc_id", "text")
+
+  /** Driver-side reference: add-one unigram surprisal with libm log —
+    * the pinned series must match within its documented 1.1e-8 truncation
+    * (plus the 1e-9 fixed-point quantum).
+    */
+  private def referenceScores(corpus: Seq[(Long, String)]): Map[Long, Option[Double]] = {
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val tf = corpus.flatMap(d => toks(d._2)).groupBy(identity).map { case (w, o) => w -> o.size }
+    val d = tf.values.sum + tf.size
+    corpus.map { case (id, text) =>
+      val ts = toks(text)
+      id -> (if (ts.isEmpty) None
+             else Some(ts.map(w => math.log(d.toDouble) -
+               math.log(tf.getOrElse(w, 0) + 1.0)).sum / ts.size))
+    }.toMap
+  }
+
+  test("matches the driver-side libm model within series precision; extremes order correctly") {
+    val out = LmScore.unigramSurprisal(docs)
+      .select("doc_id", "n_tokens", "mean_surprisal")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val ref = referenceScores(Seq(
+      (1L, "the cat sat on the mat"), (2L, "the the the the"),
+      (3L, "zyzzyva qwerty plugh"), (4L, "..."), (5L, "the cat")))
+    ref.foreach { case (id, expected) =>
+      withClue(s"doc $id:") {
+        (out(id)._2, expected) match {
+          case (Some(got), Some(want)) => got shouldBe want +- 1e-6
+          case (got, want) => got shouldBe want
+        }
+      }
+    }
+    out(4L) shouldBe ((0L, None)) // token-less doc survives with NULL score
+    // head-token doc scores lowest, rare-token doc highest
+    out(2L)._2.get should be < out(1L)._2.get
+    out(3L)._2.get should be > out(1L)._2.get
+  }
+
+  test("OOV against a held-out reference: unseen words cost the full ln(N+V)") {
+    val reference = Seq((10L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val scored = LmScore.unigramSurprisal(
+        Seq((1L, "alpha alpha"), (2L, "unseen words only")).toDF("doc_id", "text"),
+        reference = Some(reference))
+      .select("doc_id", "mean_surprisal").as[(Long, Double)].collect().toMap
+    // reference: N=4, V=3, D=7; alpha tf=2 -> -ln(3/7); unseen -> -ln(1/7)
+    scored(1L) shouldBe math.log(7.0 / 3.0) +- 1e-6
+    scored(2L) shouldBe math.log(7.0) +- 1e-6
+  }
+
+  test("partition-order invariance: integer fixed-point sums cannot drift") {
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val a = LmScore.unigramSurprisal(big)
+      .select("doc_id", "surprisal_fp").as[(Long, Long)].collect().toSet
+    val b = LmScore.unigramSurprisal(big.repartition(13))
+      .select("doc_id", "surprisal_fp").as[(Long, Long)].collect().toSet
+    a shouldBe b
+  }
+}
