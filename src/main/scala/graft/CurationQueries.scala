@@ -266,6 +266,20 @@ object CurationQueries {
         minLen = SubstrLen, k = SubstrK)
     }),
 
+    // incremental substring dedup: pairs touching a NEW shard off the
+    // stored fingerprint state — no re-fingerprint, no stored x stored
+    // join; oracle = the full recompute restricted to shard-touching
+    // pairs (the q80 pattern)
+    "q100_substring_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val stored = Dedup.substringState(
+        d.filter(col("doc_id") <= IncrSplitId2), minLen = SubstrLen, k = SubstrK)
+      Dedup.substringPairsIncremental(stored,
+        d.filter(col("doc_id") > IncrSplitId2), d,
+        minLen = SubstrLen, k = SubstrK)
+    }),
+
     // unigram LM surprisal: the CCNet-style fluency score — mean
     // -ln p(token) under the corpus's own add-one unigram model, every
     // ln a pinned series in integer fixed point (order-free sums)
@@ -301,6 +315,9 @@ object CurationQueries {
 
   /** q98's train/benchmark id split (bench = doc_id <= this). */
   private val ContamSplitId = 100L
+
+  /** q100's stored-vs-new-shard id split. */
+  private val IncrSplitId2 = 250L
 
   /** q97's piece-vocabulary size and packing budget. */
   private val BpeVocabK = 40
@@ -514,6 +531,25 @@ object CurationQueries {
          |cand AS (SELECT a.doc_id AS id_a, a.apos AS pos_a, a.text AS ta, a.n AS la,
          |  b.doc_id AS id_b, b.apos AS pos_b, b.text AS tb, b.n AS lb
          |  FROM fp_d a JOIN fp_d b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |sp AS (SELECT unnest(range(0, $w)) AS dd),
+         |ver AS (SELECT DISTINCT id_a, id_b, pos_a, pos_b FROM cand CROSS JOIN sp
+         |  WHERE pos_a - dd >= 1 AND pos_b - dd >= 1
+         |    AND pos_a - dd + $len - 1 <= la AND pos_b - dd + $len - 1 <= lb
+         |    AND substr(ta, CAST(pos_a - dd AS INT), $len) = substr(tb, CAST(pos_b - dd AS INT), $len))
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_anchors
+         |FROM ver GROUP BY id_a, id_b""".stripMargin
+    },
+
+    // incremental-substring twin: the FULL q95 recompute restricted to
+    // pairs that touch the new shard — what the increment must equal
+    "q100_substring_incremental" -> {
+      val k = SubstrK; val len = SubstrLen; val w = len - k + 1
+      s"""WITH dcs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |${winnowFpSql("d", "dcs")},
+         |cand AS (SELECT a.doc_id AS id_a, a.apos AS pos_a, a.text AS ta, a.n AS la,
+         |  b.doc_id AS id_b, b.apos AS pos_b, b.text AS tb, b.n AS lb
+         |  FROM fp_d a JOIN fp_d b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id > $IncrSplitId2 OR b.doc_id > $IncrSplitId2),
          |sp AS (SELECT unnest(range(0, $w)) AS dd),
          |ver AS (SELECT DISTINCT id_a, id_b, pos_a, pos_b FROM cand CROSS JOIN sp
          |  WHERE pos_a - dd >= 1 AND pos_b - dd >= 1

@@ -568,19 +568,71 @@ object Dedup {
   def substringPairs(docs: DataFrame, minLen: Int = 48, k: Int = 16,
                      idCol: String = "doc_id", textCol: String = "text",
                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    require(k >= 2, s"k-gram width must be >= 2: got $k")
-    require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
-    val w = minLen - k + 1
     // persisted: the self-join reads the kernel output twice
-    val fp = maybePersist(docs.select(col(idCol).as("id"),
-        explode(graft.functions.WinnowFingerprints
-          .winnowFingerprints(col(textCol), k, w)).as("fp"))
-      .select(col("id"), col("fp.h").as("h"), col("fp.pos").as("pos")), storage)
+    val fp = maybePersist(substringState(docs, minLen, k, idCol, textCol), storage)
     val cand = fp.as("a")
       .join(fp.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
         col("b.id").as("id_b"), col("b.pos").as("pos_b"))
     val texts = docs.select(col(idCol), col(textCol))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .filter(graft.functions.CommonExtent.commonExtent(
+        col("__ta"), col("pos_a"), col("__tb"), col("pos_b"), k) >= minLen)
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b")).distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_anchors"))
+  }
+
+  /** The appendable STATE for incremental substring dedup: each doc's
+    * winnowing anchor fingerprints as short (id, h, pos) rows — what
+    * [[substringPairs]] computes row-locally, persisted so stored shards
+    * never re-fingerprint. Parameters must match across shards (they
+    * define the anchor selection); persist alongside the corpus and
+    * append each shard's rows ([[substringPairsIncremental]]).
+    */
+  def substringState(docs: DataFrame, minLen: Int = 48, k: Int = 16,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: got $k")
+    require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, minLen - k + 1)).as("fp"))
+      .select(col("id"), col("fp.h").as("h"), col("fp.pos").as("pos"))
+  }
+
+  /** Incremental [[substringPairs]]: all >= minLen verbatim-passage pairs
+    * TOUCHING a new shard, without re-fingerprinting or self-joining the
+    * stored corpus — the shard's anchors join themselves plus the stored
+    * state, so the per-shard cost is shard-anchors x matching buckets,
+    * not corpus x corpus. `corpusTexts` must cover every id that can
+    * appear (stored + shard): extent verification reads both sides' text.
+    * New state = `stored union substringState(shard)` — append and
+    * persist, same discipline as [[incrementSegmentState]].
+    *
+    * Union of the stored corpus' own pairs (computed when their shards
+    * arrived) with each increment's output reconstructs exactly
+    * [[substringPairs]] of the whole corpus (q100 pins the equivalence).
+    */
+  def substringPairsIncremental(stored: DataFrame, shard: DataFrame,
+                                corpusTexts: DataFrame,
+                                minLen: Int = 48, k: Int = 16,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val shardFp = maybePersist(substringState(shard, minLen, k, idCol, textCol), storage)
+    val allFp = stored.unionByName(shardFp)
+    // one side pinned to the shard; orientation normalized AFTER the join
+    // (a shard-shard pair generates in both orders -> distinct)
+    val cand = shardFp.as("a")
+      .join(allFp.as("b"), col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+      .select(
+        least(col("a.id"), col("b.id")).as("id_a"),
+        when(col("a.id") < col("b.id"), col("a.pos")).otherwise(col("b.pos")).as("pos_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("b.pos")).otherwise(col("a.pos")).as("pos_b"))
+      .distinct()
+    val texts = corpusTexts.select(col(idCol), col(textCol))
     cand
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")

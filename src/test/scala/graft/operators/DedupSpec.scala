@@ -279,6 +279,25 @@ class DedupSpec extends SparkTestBase {
       Dedup.substringPairs(docs, minLen = 16, k = 16)
   }
 
+  test("substringPairs incremental: stored-era pairs + increment == one-shot full recompute") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = Dedup.substringPairs(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    // era 1: first half arrives; era 2: second half is the new shard
+    val old = docs.filter(col("doc_id") <= 25)
+    val shard = docs.filter(col("doc_id") > 25)
+    val storedPairs = Dedup.substringPairs(old)
+      .as[(Long, Long, Long)].collect().toSet
+    val increment = Dedup.substringPairsIncremental(
+        Dedup.substringState(old), shard, docs)
+      .as[(Long, Long, Long)].collect().toSet
+    (storedPairs ++ increment) shouldBe full
+    // the increment reports ONLY shard-touching pairs
+    increment.foreach { case (a, b, _) => (a > 25 || b > 25) shouldBe true }
+  }
+
   test("containment: snippet-in-page found in ONE direction where Jaccard misses both") {
     import spark.implicits._
     // B embeds A's entire text inside much more material: containment(A in
