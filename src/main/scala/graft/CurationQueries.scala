@@ -266,6 +266,18 @@ object CurationQueries {
         minLen = SubstrLen, k = SubstrK)
     }),
 
+    // deterministic weighted sampling without replacement
+    // (Efraimidis-Spirakis in log space): top-N docs with inclusion
+    // probability proportional to length — no RNG state, engine-exact
+    // priorities via the pinned ln of the 61-bit content hash
+    "q101_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("weight"))
+          .filter(col("weight") > 0),
+        "weight", n = WeightedSampleN)
+        .select(col("doc_id"), col("weight"), col("priority"))),
+
     // incremental substring dedup: pairs touching a NEW shard off the
     // stored fingerprint state — no re-fingerprint, no stored x stored
     // join; oracle = the full recompute restricted to shard-touching
@@ -318,6 +330,9 @@ object CurationQueries {
 
   /** q100's stored-vs-new-shard id split. */
   private val IncrSplitId2 = 250L
+
+  /** q101's sample size. */
+  private val WeightedSampleN = 30
 
   /** q97's piece-vocabulary size and packing budget. */
   private val BpeVocabK = 40
@@ -589,6 +604,24 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_anchors,
          |  CAST(max(extent) AS BIGINT) AS max_extent
          |FROM ext WHERE extent >= $len GROUP BY tr_id""".stripMargin
+    },
+
+    // weighted-sample twin: the same 61-bit hash steps, the same pinned
+    // ln, the same shared lnfp(2^61) literal, one pinned division, an
+    // ORDER BY with the id tiebreak
+    "q101_weighted_sample" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH src AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS weight
+         |  FROM documents WHERE n_chars > 0),
+         |hh AS (SELECT doc_id, weight, ${graft.TrainingDataQueries.polyHash61StepsSql("text")} FROM src),
+         |ln1 AS (SELECT doc_id, weight, ${steps("lnu", "(h + 1)")} FROM hh)
+         |SELECT doc_id, weight,
+         |  CAST(lnu_lnfp - ${graft.functions.PinnedMath.LnFp2Pow61} AS DOUBLE)
+         |    / CAST(weight AS DOUBLE)
+         |    / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) AS priority
+         |FROM ln1 ORDER BY priority DESC, doc_id ASC LIMIT $WeightedSampleN""".stripMargin
     },
 
     // LM-surprisal twin: the same pinned-ln steps rendered as lateral

@@ -264,7 +264,7 @@ object TrainingDataQueries {
     * two-round xor-shift/multiply finalizer — every step exact integer
     * math, so the twin is bit-identical.
     */
-  private def polyHash61StepsSql(e: String): String = {
+  private[graft] def polyHash61StepsSql(e: String): String = {
     val M = graft.functions.PolyHash61Impl.Mod61
     val fold = s"CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
       s"list_transform(range(1, length($e)+1), ci -> CAST(ascii($e[ci:ci]) AS HUGEINT))), " +

@@ -69,4 +69,13 @@ object PinnedMath {
     lnSteps(p, x) :+
       (s"${p}_lnfp" ->
         s"CAST(floor(${p}_ln * CAST($FpScale AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+
+  /** lnfp(2^61) — the `ln(u)` offset for a hash-uniform u = (h+1)/2^61.
+    * At x = 2^61 the series degenerates (y = 1, t = 0, ln = 61*ln2), so
+    * the constant is driver-evaluated with the SAME double ops the
+    * generated steps would perform and embedded as one shared literal on
+    * both engines.
+    */
+  val LnFp2Pow61: Long =
+    math.floor((61.0 * Ln2Lit.toDouble) * FpScale.toDouble + 0.5).toLong
 }

@@ -286,4 +286,62 @@ object Sampling {
           .otherwise("test"))
       .drop("__ccs_kid", "__ccs_ktext")
   }
+
+  /** Priority column for [[weightedSample]]: the Efraimidis-Spirakis key
+    * in log space. E-S samples without replacement with
+    * P(selected) proportional to weight by keeping the n rows maximizing
+    * `u^(1/w)`, u uniform in (0,1] — here u = (h+1)/2^61 from the 61-bit
+    * avalanche content hash (deterministic, no RNG state, the house
+    * sampling discipline), and the monotone log transform `ln(u)/w`
+    * replaces the power: no exp() anywhere. ln is [[PinnedMath]]'s pinned
+    * series in integer fixed point — `ln(u) = lnfp(h+1) - lnfp(2^61)`,
+    * both terms the same series both engines evaluate — and the ONE float
+    * op is the final division by the weight on identical integers, so the
+    * ranking is engine-exact. Rows with non-positive weight get NULL
+    * priority (excluded by the samplers).
+    */
+  def weightedPriority(df: DataFrame, weightCol: String,
+                       textCol: String = "text"): DataFrame = {
+    import graft.functions.PinnedMath
+    val withLn = PinnedMath.lnFpSteps("__wp_lnu", "(__wp_h + 1)")
+      .foldLeft(df.withColumn("__wp_h",
+        graft.functions.PolyHash61.polyHash61(col(textCol)))) {
+        case (d, (alias, e)) => d.withColumn(alias, expr(e))
+      }
+    withLn
+      .withColumn("priority",
+        when(col(weightCol) <= 0, lit(null)).otherwise(
+          expr(s"CAST(__wp_lnu_lnfp - ${PinnedMath.LnFp2Pow61} AS DOUBLE)" +
+            s" / CAST($weightCol AS DOUBLE)" +
+            s" / CAST(${PinnedMath.FpScale} AS DOUBLE)")))
+      .drop(PinnedMath.lnFpSteps("__wp_lnu", "x").map(_._1) :+ "__wp_h": _*)
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement: the `n` rows with
+    * the highest [[weightedPriority]] — inclusion probability proportional
+    * to `weightCol` (sample docs by quality score, boost underrepresented
+    * sources, downweight boilerplate-heavy domains). TakeOrdered plan:
+    * per-partition top-n, never a global sort; ties (identical text AND
+    * weight) break by id for a total replayable order.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, n: Int,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    weightedPriority(df, weightCol, textCol)
+      .filter(col("priority").isNotNull)
+      .orderBy(col("priority").desc, col(idCol).asc)
+      .limit(n)
+  }
+
+  /** Per-category [[weightedSample]] — exactly n per group, skew-safe via
+    * [[Skew.groupedTopK]]'s salted two-phase rank (no group ever sorts in
+    * one task).
+    */
+  def weightedSamplePerCategory(df: DataFrame, categoryCol: String,
+                                weightCol: String, n: Int,
+                                textCol: String = "text",
+                                idCol: String = "doc_id"): DataFrame =
+    Skew.groupedTopK(
+      weightedPriority(df, weightCol, textCol).filter(col("priority").isNotNull),
+      categoryCol, Seq(col("priority").desc, col(idCol).asc), k = n)
 }

@@ -227,4 +227,43 @@ class SamplingSpec extends SparkTestBase {
       byCluster.count(_._2 == k) == 1
     }.keys.foreach(id => split(id) shouldBe plain(id))
   }
+
+  test("weighted sample: E-S priorities match a driver-side libm model; weight dominates") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("w"))
+      .filter(col("w") > 0)
+    val got = Sampling.weightedPriority(docs, "w")
+      .select("doc_id", "priority").as[(Long, Double)].collect().toMap
+    // driver reference: ln(u)/w with libm — the pinned series must agree
+    // within its truncation everywhere
+    val ref = docs.select("doc_id", "text", "w").collect().map { r =>
+      val h = graft.functions.PolyHash61Impl.hash(
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val lnU = math.log((h + 1).toDouble) - 61.0 * math.log(2.0)
+      r.getLong(0) -> lnU / r.getLong(2)
+    }.toMap
+    ref.foreach { case (id, want) =>
+      withClue(s"doc $id:")(got(id) shouldBe want +- 1e-6)
+    }
+    // identical text, bigger weight -> strictly higher priority
+    val twins = Seq((1L, "same text content here", 10L),
+      (2L, "same text content here", 100L)).toDF("doc_id", "text", "w")
+    val p = Sampling.weightedPriority(twins, "w")
+      .select("doc_id", "priority").as[(Long, Double)].collect().toMap
+    p(2L) should be > p(1L)
+    // non-positive weights never sample; n caps the output
+    val mixed = twins.union(Seq((3L, "zero weight row", 0L)).toDF("doc_id", "text", "w"))
+    val sampled = Sampling.weightedSample(mixed, "w", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    sampled shouldBe Set(1L, 2L)
+    Sampling.weightedSample(mixed, "w", n = 1).count() shouldBe 1L
+    // grouped variant: exactly n per category, same priority order
+    val perLang = Sampling.weightedSamplePerCategory(
+        docs.join(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+          .select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "w", n = 3)
+      .groupBy("lang").count().select("count").as[Long].collect()
+    all(perLang) should be <= 3L
+  }
 }
