@@ -316,6 +316,82 @@ object App {
         val n = fetcher.readParquet(spark, o.required("output-path")).count()
         println(s"[graft] sketch: wrote $n group sketches to ${o("output-path")}")
 
+      case "substring-dedup" =>
+        // verbatim-passage reuse: whole-corpus pairs, or the incremental
+        // shard path against a stored fingerprint state (--state-path:
+        // read stored anchors, report shard-touching pairs, append the
+        // shard's anchors — the q100 workflow)
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val minLen = o.get("min-len").map(_.toInt).getOrElse(48)
+        val k = o.get("k").map(_.toInt).getOrElse(16)
+        val out = o.required("output-path")
+        o.get("state-path") match {
+          case Some(statePath) =>
+            val shard = fetcher.readParquet(spark, o.required("shard-path"))
+            val stored = fetcher.readParquet(spark, s"$statePath/fingerprints")
+            writer.writeParquet(
+              operators.Dedup.substringPairsIncremental(
+                stored, shard, docs, minLen, k), out)
+            // output first, state append after — the curate crash contract
+            writer.writeParquet(
+              operators.Dedup.substringState(shard, minLen, k),
+              s"$statePath/fingerprints", mode = "append")
+          case None =>
+            writer.writeParquet(operators.Dedup.substringPairs(docs, minLen, k), out)
+            o.get("init-state-path").foreach { sp =>
+              writer.writeParquet(
+                operators.Dedup.substringState(docs, minLen, k), s"$sp/fingerprints")
+            }
+        }
+        val nPairs = fetcher.readParquet(spark, out).count()
+        println(s"[graft] substring-dedup: $nPairs pairs sharing >= $minLen chars -> $out")
+
+      case "contamination" =>
+        // eval-leak audit: token-shingle overlap report plus the verbatim
+        // substring check (--min-len) against a benchmark parquet
+        val o = parseArgs(args.tail)
+        val train = fetcher.readParquet(spark, o.required("docs-path"))
+        val bench = fetcher.readParquet(spark, o.required("benchmark-path"))
+        val out = o.required("output-path")
+        val broadcastRef = o.getOrElse("broadcast-reference", "true").toBoolean
+        writer.writeParquet(
+          operators.Contamination.check(train, bench,
+            n = o.get("ngram").map(_.toInt).getOrElse(3),
+            broadcastReference = broadcastRef), s"$out/shingle_overlap")
+        writer.writeParquet(
+          operators.Contamination.substringContamination(train, bench,
+            minLen = o.get("min-len").map(_.toInt).getOrElse(48),
+            broadcastReference = broadcastRef), s"$out/substring_leaks")
+        val nLeaks = fetcher.readParquet(spark, s"$out/substring_leaks").count()
+        println(s"[graft] contamination: $nLeaks docs with verbatim leaks; " +
+          s"reports under $out")
+
+      case "lm-score" =>
+        // CCNet-style fluency scoring; --reference-path switches from the
+        // self-model to a held-out reference corpus
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val ref = o.get("reference-path").map(fetcher.readParquet(spark, _))
+        writer.writeParquet(
+          operators.LmScore.unigramSurprisal(docs, ref), o.required("output-path"))
+        println(s"[graft] lm-score: wrote surprisal scores to ${o("output-path")}")
+
+      case "weighted-sample" =>
+        // deterministic weight-proportional sample; --category-col caps
+        // per group instead of globally
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val wCol = o.getOrElse("weight-col", "n_chars")
+        val n = o.get("n").map(_.toInt).getOrElse(1000)
+        val sample = o.get("category-col") match {
+          case Some(cat) => operators.Sampling.weightedSamplePerCategory(docs, cat, wCol, n)
+          case None => operators.Sampling.weightedSample(docs, wCol, n)
+        }
+        writer.writeParquet(sample, o.required("output-path"))
+        val nOut = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] weighted-sample: kept $nOut rows -> ${o("output-path")}")
+
       case "serve" =>
         // single-process demo loop: sync the freshness window into the KV
         // store, then serve THE SAME store over HTTP until interrupted
@@ -540,6 +616,20 @@ object App {
       |                     [--drift-value-col <c>  default: length(text-col)]
       |                     [--bucket-width <n=64>] [--batch-size <n=16>]
       |                     split-balance + source-drift + padding reports
+      |  substring-dedup    --docs-path <path> --output-path <path>
+      |                     [--min-len <n=48>] [--k <n=16>]
+      |                     [--init-state-path <dir>]
+      |                     incremental: --state-path <dir> --shard-path <path>
+      |                     verbatim >= min-len-char passage pairs (winnowing)
+      |  contamination      --docs-path <path> --benchmark-path <path>
+      |                     --output-path <path> [--ngram <n=3>] [--min-len <n=48>]
+      |                     [--broadcast-reference <b=true>]
+      |                     shingle-overlap + verbatim-substring leak reports
+      |  lm-score           --docs-path <path> --output-path <path>
+      |                     [--reference-path <path>]  unigram surprisal scores
+      |  weighted-sample    --docs-path <path> --output-path <path>
+      |                     [--weight-col <c=n_chars>] [--n <n=1000>]
+      |                     [--category-col <c>]  weight-proportional sample
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

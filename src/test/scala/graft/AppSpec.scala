@@ -247,6 +247,64 @@ class AppSpec extends SparkTestBase {
     storage.rows("segstate/segments") should have size 3 // BANNER, one, two
   }
 
+  test("substring-dedup subcommand: full run then the incremental shard path off stored state") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    storage.write("docs_all", all, "overwrite")
+    storage.write("docs_old", all.filter(col("doc_id") <= 25), "overwrite")
+    storage.write("docs_new", all.filter(col("doc_id") > 25), "overwrite")
+    // era 1: full run over the stored half, initializing state
+    App.run(platform, Seq("substring-dedup",
+      "--docs-path", "docs_old", "--output-path", "pairs_old",
+      "--init-state-path", "state"))
+    // era 2: the new shard against the stored fingerprints
+    App.run(platform, Seq("substring-dedup",
+      "--docs-path", "docs_all", "--output-path", "pairs_inc",
+      "--state-path", "state", "--shard-path", "docs_new"))
+    val unioned = (storage.rows("pairs_old") ++ storage.rows("pairs_inc"))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // equals the one-shot full recompute
+    App.run(platform, Seq("substring-dedup",
+      "--docs-path", "docs_all", "--output-path", "pairs_full"))
+    val full = storage.rows("pairs_full")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    unioned shouldBe full
+    // state accumulated both eras' fingerprints
+    storage.rows("state/fingerprints").size.toLong shouldBe
+      graft.operators.Dedup.substringState(all).count()
+  }
+
+  test("contamination, lm-score, and weighted-sample subcommands produce their reports") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("train", docs.filter(col("doc_id") > 10), "overwrite")
+    storage.write("bench", docs.filter(col("doc_id") <= 10), "overwrite")
+    App.run(platform, Seq("contamination",
+      "--docs-path", "train", "--benchmark-path", "bench",
+      "--output-path", "leaks"))
+    storage.rows("leaks/shingle_overlap").size should be > 0
+    // substring report exists (possibly empty at this corpus slice)
+    storage.contains("leaks/substring_leaks") shouldBe true
+    App.run(platform, Seq("lm-score",
+      "--docs-path", "train", "--output-path", "scores",
+      "--reference-path", "bench"))
+    val scores = storage.rows("scores")
+    scores.size shouldBe docs.filter(col("doc_id") > 10).count()
+    App.run(platform, Seq("weighted-sample",
+      "--docs-path", "train", "--output-path", "sample", "--n", "7"))
+    storage.rows("sample").size shouldBe 7
+    App.run(platform, Seq("weighted-sample",
+      "--docs-path", "train", "--output-path", "sample_cat",
+      "--n", "2", "--category-col", "lang"))
+    storage.rows("sample_cat")
+      .groupBy(_.getAs[String]("lang")).values.foreach(_.size should be <= 2)
+  }
+
   test("audit subcommand writes balance, drift, and padding reports") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
