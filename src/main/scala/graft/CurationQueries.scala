@@ -266,6 +266,17 @@ object CurationQueries {
         minLen = SubstrLen, k = SubstrK)
     }),
 
+    // per-language Pearson correlation of char length vs token count —
+    // exact DECIMAL moments, one float boundary per group (q87's
+    // discipline applied to the two-column relationship audit)
+    "q102_correlation" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Quantiles.groupedPearson(
+        d.select(col("lang"), col("n_chars").cast("long").as("x"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("y")),
+        "lang", "x", "y")
+    }),
+
     // deterministic weighted sampling without replacement
     // (Efraimidis-Spirakis in log space): top-N docs with inclusion
     // probability proportional to length — no RNG state, engine-exact
@@ -605,6 +616,24 @@ object CurationQueries {
          |  CAST(max(extent) AS BIGINT) AS max_extent
          |FROM ext WHERE extent >= $len GROUP BY tr_id""".stripMargin
     },
+
+    // correlation twin: the same HUGEINT-exact moments, the same single
+    // double conversion, sqrt*sqrt (NOT sqrt of the product — the forms
+    // differ in the last ulp and both engines must take the same path)
+    "q102_correlation" ->
+      s"""WITH v0 AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+         |  CAST(len($toksSql) AS HUGEINT) AS y FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |  sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM v0 GROUP BY lang)
+         |SELECT lang, n,
+         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+         |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |    ELSE NULL END AS r
+         |FROM m""".stripMargin,
 
     // weighted-sample twin: the same 61-bit hash steps, the same pinned
     // ln, the same shared lnfp(2^61) literal, one pinned division, an

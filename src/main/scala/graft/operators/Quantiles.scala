@@ -496,6 +496,39 @@ object Quantiles {
       .drop("__n", "__s", "__ss")
   }
 
+  /** Per-group Pearson correlation of two INTEGER-valued columns — the
+    * feature-relationship audit (does length track token count? does
+    * quality track recency?) with the same exactness discipline as
+    * [[standardize]]: all five moments (sum x, y, xy, x², y²) accumulate
+    * in DECIMAL(38,0) — exact and order-independent where float moments
+    * drift with partitioning — and the float boundary is crossed ONCE per
+    * group: one decimal→double conversion per term, two sqrt calls (IEEE
+    * correctly-rounded, so deterministic everywhere), one division.
+    * Degenerate groups (n < 2 or zero variance in either column) emit
+    * NULL r. One combinable aggregate; output is group-sized.
+    */
+  def groupedPearson(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d38(col(xCol))).as("__sx"),
+        sum(d38(col(yCol))).as("__sy"),
+        sum(d38(col(xCol)) * d38(col(yCol))).as("__sxy"),
+        sum(d38(col(xCol)) * d38(col(xCol))).as("__sxx"),
+        sum(d38(col(yCol)) * d38(col(yCol))).as("__syy"))
+      .withColumn("__num", d38(col("n")) * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__vx", d38(col("n")) * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", d38(col("n")) * col("__syy") - col("__sy") * col("__sy"))
+      .select(col(groupCol), col("n"),
+        when(col("n") >= 2 && col("__vx") > 0 && col("__vy") > 0,
+          col("__num").cast("double")
+            / (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))))
+          .as("r"))
+  }
+
   /** Per-group winsorization: clamp each row's value into its group's
     * [lo, hi] quantile band (the outlier treatment that KEEPS the row —
     * [[madOutlierGate]] drops; this caps — standard before averaging

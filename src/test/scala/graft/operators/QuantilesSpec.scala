@@ -349,6 +349,34 @@ class QuantilesSpec extends SparkTestBase {
     p90 shouldBe bucketed(9L)
   }
 
+  test("grouped Pearson: agrees with Spark's corr; degenerate groups yield NULL") {
+    import org.apache.spark.sql.functions.{col, corr, size => asize}
+    val rows = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),        // perfect: r = 1
+      ("b", 1L, 3L), ("b", 2L, 1L), ("b", 3L, 2L),        // hand case
+      ("c", 5L, 7L),                                      // n = 1 -> NULL
+      ("d", 2L, 1L), ("d", 2L, 9L))                       // zero x-variance -> NULL
+      .toDF("g", "x", "y")
+    val got = Quantiles.groupedPearson(rows, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    got("a").get shouldBe 1.0 +- 1e-12
+    got("b").get shouldBe -0.5 +- 1e-12 // n=3: num = 3*17-6*6 = -15; vx=vy=6... -15/(sqrt(18)*sqrt(... )
+    got("c") shouldBe None
+    got("d") shouldBe None
+    // real corpus: exact-moment r equals Spark's float corr to float tolerance
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("lang"), col("n_chars").cast("long").as("x"),
+        asize(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("y"))
+    val exact = Quantiles.groupedPearson(docs, "lang", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val viaCorr = docs.groupBy("lang").agg(corr("x", "y").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (lang, r) =>
+      withClue(s"lang $lang:")(r shouldBe (viaCorr(lang) +- 1e-9))
+    }
+  }
+
   test("winsorize: a NULL value stays NULL, never silently clamps to the band edge") {
     val rows = Seq((1L, "g", Option(1.0)), (2L, "g", Option(2.0)),
       (3L, "g", Option(3.0)), (4L, "g", Option.empty[Double]))
