@@ -327,8 +327,13 @@ object Sampling {
   def weightedSample(df: DataFrame, weightCol: String, n: Int,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n > 0, "sample size must be positive")
-    weightedPriority(df, weightCol, textCol)
-      .filter(col("priority").isNotNull)
+    // filter on the WEIGHT, not on priority.isNotNull: the two are
+    // equivalent (priority is NULL iff weight is null/non-positive), but
+    // a predicate on the derived column gets pushed below the projections
+    // as the fully-inlined priority expression — a ~400KB re-derivation
+    // of the hash + ln chain evaluated per scanned row (measured 14s vs
+    // 0.4s at sf0.1)
+    weightedPriority(df.filter(col(weightCol) > 0), weightCol, textCol)
       .orderBy(col("priority").desc, col(idCol).asc)
       .limit(n)
   }
@@ -342,6 +347,6 @@ object Sampling {
                                 textCol: String = "text",
                                 idCol: String = "doc_id"): DataFrame =
     Skew.groupedTopK(
-      weightedPriority(df, weightCol, textCol).filter(col("priority").isNotNull),
+      weightedPriority(df.filter(col(weightCol) > 0), weightCol, textCol),
       categoryCol, Seq(col("priority").desc, col(idCol).asc), k = n)
 }
