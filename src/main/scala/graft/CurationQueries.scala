@@ -310,6 +310,17 @@ object CurationQueries {
       LmScore.unigramSurprisal(
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))),
 
+    // bigram surprisal with stupid backoff, model trained on the first
+    // half of the corpus and scoring everything — transitions unseen in
+    // the reference exercise the backoff path; every probability a pure
+    // ratio, so every ln is an integer pinned series
+    "q103_bigram_surprisal" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      LmScore.bigramSurprisal(d,
+        reference = Some(d.filter(col("doc_id") <= IncrSplitId2)))
+    }),
+
     // tokenizer-aware packing: whitespace vs vocab-driven greedy
     // longest-match ("BPE-ish") token counts, and the chunk budgets each
     // implies — the honest packing math when a real tokenizer splits
@@ -615,6 +626,48 @@ object CurationQueries {
          |  CAST(count(*) AS BIGINT) AS n_anchors,
          |  CAST(max(extent) AS BIGINT) AS max_extent
          |FROM ext WHERE extent >= $len GROUP BY tr_id""".stripMargin
+    },
+
+    // bigram-surprisal twin: q88's bigram extraction, prefix totals from
+    // the bigram table, the shared pinned-ln steps on both the seen path
+    // (ln cu - ln cuv) and the 0.4-backoff path (ln 5D - ln 2(tf+1)),
+    // the lnfp(2) OOV literal from the same driver-side series mirror
+    "q103_bigram_surprisal" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH rt AS (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id <= $IncrSplitId2),
+         |st AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |wt AS (SELECT unnest(w) AS v FROM rt),
+         |vocab AS (SELECT v, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY v),
+         |tot AS (SELECT CAST((sum(tf) + count(*)) * 5 AS BIGINT) AS __d5 FROM vocab),
+         |lnd AS (SELECT ${steps("lnd", "__d5")} FROM tot),
+         |rbg AS (SELECT unnest(list_transform(range(1, len(w)),
+         |  bi -> w[bi] || ' ' || w[bi + 1])) AS bg FROM rt),
+         |bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM rbg GROUP BY bg),
+         |pre AS (SELECT split_part(bg, ' ', 1) AS u, CAST(sum(cuv) AS BIGINT) AS cu
+         |  FROM bgc GROUP BY 1),
+         |seen AS (SELECT bg, ${steps("lcu", "cu")}, ${steps("lcuv", "cuv")}
+         |  FROM bgc JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.u),
+         |sf AS (SELECT bg, CAST(lcu_lnfp - lcuv_lnfp AS BIGINT) AS seen_fp FROM seen),
+         |bk AS (SELECT v, ${steps("lbk", "(2 * (tf + 1))")} FROM vocab),
+         |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |  bi -> w[bi] || ' ' || w[bi + 1])) AS bg FROM st),
+         |tr AS (SELECT dt.doc_id,
+         |  coalesce(sf.seen_fp,
+         |    lnd.lnd_lnfp - coalesce(bk.lbk_lnfp, ${graft.functions.PinnedMath.lnFp(2L)})) AS t_fp
+         |  FROM dt LEFT JOIN sf USING (bg)
+         |  LEFT JOIN bk ON split_part(dt.bg, ' ', 2) = bk.v
+         |  CROSS JOIN lnd),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |  CAST(sum(t_fp) AS BIGINT) AS s FROM tr GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.nt, 0) AS BIGINT) AS n_transitions,
+         |  CAST(coalesce(pd.s, 0) AS BIGINT) AS surprisal_fp,
+         |  CASE WHEN coalesce(pd.nt, 0) = 0 THEN NULL
+         |    ELSE CAST(coalesce(pd.s, 0) AS DOUBLE) / CAST(pd.nt AS DOUBLE)
+         |      / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
     },
 
     // correlation twin: the same HUGEINT-exact moments, the same single

@@ -70,12 +70,34 @@ object PinnedMath {
       (s"${p}_lnfp" ->
         s"CAST(floor(${p}_ln * CAST($FpScale AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
 
-  /** lnfp(2^61) — the `ln(u)` offset for a hash-uniform u = (h+1)/2^61.
-    * At x = 2^61 the series degenerates (y = 1, t = 0, ln = 61*ln2), so
-    * the constant is driver-evaluated with the SAME double ops the
-    * generated steps would perform and embedded as one shared literal on
-    * both engines.
+  /** Driver-side MIRROR of the generated steps: the same IEEE operations
+    * in the same association order, so results are bit-identical to what
+    * either engine computes from [[lnFpSteps]] — used to embed constants
+    * (a literal in both SQL texts) and as the parity witness in
+    * PinnedMathSpec.
     */
-  val LnFp2Pow61: Long =
-    math.floor((61.0 * Ln2Lit.toDouble) * FpScale.toDouble + 0.5).toLong
+  def lnFp(x: Long): Long = {
+    require(x >= 1 && x <= (1L << 62), s"lnFp domain is [1, 2^62]: got $x")
+    var k = 0
+    var d = 62
+    while (k == 0 && d >= 1) { if (x >= (1L << d)) k = d else d -= 1 }
+    val scale = if (k == 0) 1.0 else (1L << k).toDouble
+    val y = x.toDouble / scale
+    val t = (y - 1.0) / (y + 1.0)
+    val t2 = t * t
+    val t3 = t2 * t
+    val t5 = t3 * t2
+    val t7 = t5 * t2
+    val t9 = t7 * t2
+    val t11 = t9 * t2
+    val t13 = t11 * t2
+    val ln = k.toDouble * Ln2Lit.toDouble +
+      2.0 * (t + t3 / 3.0 + t5 / 5.0 + t7 / 7.0 + t9 / 9.0 + t11 / 11.0 + t13 / 13.0)
+    math.floor(ln * FpScale.toDouble + 0.5).toLong
+  }
+
+  /** lnfp(2^61) — the `ln(u)` offset for a hash-uniform u = (h+1)/2^61,
+    * embedded as one shared literal on both engines.
+    */
+  val LnFp2Pow61: Long = lnFp(1L << 61)
 }

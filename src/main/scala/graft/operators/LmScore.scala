@@ -75,4 +75,80 @@ object LmScore {
       .select(col(idCol), col("n_tokens"), col("surprisal_fp"),
         col("mean_surprisal"))
   }
+
+  /** Bigram surprisal with STUPID BACKOFF (Brants et al. 2007) — the
+    * web-scale smoothing that keeps every probability a PURE RATIO, which
+    * is what makes the pinned-ln discipline carry over unchanged:
+    *
+    *   S(v|u) = c(uv) / c(u)                   when c(uv) > 0
+    *          = 0.4 * (tf_v + 1) / (N + V)     otherwise (add-one unigram)
+    *
+    * so -ln S is always a DIFFERENCE of integer lns —
+    * `lnfp(c(u)) - lnfp(c(uv))` on the seen path and
+    * `lnfp(5*(N+V)) - lnfp(2*(tf_v+1))` on the backoff path (0.4 = 2/5
+    * folded into the integers; no mixture sums, so nothing outgrows the
+    * 2^62 series domain at any corpus size where counts fit a long).
+    * An interpolated or Kneser-Ney model sums rationals and needs
+    * arbitrary-precision ln — stupid backoff is the standard precisely
+    * because it skips that, at scale and here.
+    *
+    * Per-doc score = mean over the doc's n-1 transitions; docs with < 2
+    * tokens emit NULL. The expensive math runs once per DISTINCT BIGRAM
+    * (and distinct unigram), never per transition; c(u) is the exact
+    * bigram-prefix total (sum over v of c(uv)). Output: (idCol,
+    * n_transitions, surprisal_fp, mean_surprisal).
+    */
+  def bigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    def bigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
+      d.select(cols :+ explode(TextFunctions.wordShinglesAll(
+        TextFunctions.tokens(col(textCol)), 2)).as("bg"): _*)
+    val ref = reference.getOrElse(docs)
+    // unigram model (for the backoff path): tf over all token positions
+    val vocab = ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val lnD5 = PinnedMath.lnFpSteps("lnd", "(__d * 5)")
+      .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("lnd_lnfp").as("__lnd5_fp"))
+    // bigram counts and their prefix totals, each ln'd once per distinct
+    val bg = bigrams(ref, Seq.empty).groupBy(col("bg")).agg(count(lit(1)).as("cuv"))
+      .withColumn("__u", substring_index(col("bg"), " ", 1))
+    val prefix = bg.groupBy(col("__u")).agg(sum(col("cuv")).as("cu"))
+    val seenLn = PinnedMath.lnFpSteps("lcu", "cu")
+      .++(PinnedMath.lnFpSteps("lcuv", "cuv"))
+      .foldLeft(bg.join(prefix, "__u")) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("bg").as("__sb_bg"),
+        (col("lcu_lnfp") - col("lcuv_lnfp")).as("__sb_seen_fp"))
+    val backoffLn = PinnedMath.lnFpSteps("lbk", "(2 * (tf + 1))")
+      .foldLeft(vocab) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .select(col("w").as("__bk_w"), col("lbk_lnfp").as("__bk_fp"))
+    // per-doc transitions: seen bigram -> ln(cu)-ln(cuv); unseen -> the
+    // backoff on the CURRENT token (OOV current token: tf=0 -> ln(2))
+    val trans = bigrams(docs, Seq(col(idCol)))
+      .withColumn("__cur", substring_index(col("bg"), " ", -1))
+      .join(seenLn, col("bg") === col("__sb_bg"), "left")
+      .join(backoffLn, col("__cur") === col("__bk_w"), "left")
+      .crossJoin(broadcast(lnD5))
+      .withColumn("__t_fp", coalesce(col("__sb_seen_fp"),
+        col("__lnd5_fp") - coalesce(col("__bk_fp"),
+          lit(PinnedMath.lnFp(2L)))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum(col("__t_fp")).as("__s"))
+    docs.select(col(idCol))
+      .join(trans, Seq(idCol), "left")
+      .withColumn("n_transitions", coalesce(col("__nt"), lit(0L)))
+      .withColumn("surprisal_fp", coalesce(col("__s"), lit(0L)))
+      .withColumn("mean_surprisal",
+        when(col("n_transitions") === 0L, lit(null)).otherwise(expr(
+          s"CAST(surprisal_fp AS DOUBLE) / CAST(n_transitions AS DOUBLE)" +
+            s" / CAST(${PinnedMath.FpScale} AS DOUBLE)")))
+      .select(col(idCol), col("n_transitions"), col("surprisal_fp"),
+        col("mean_surprisal"))
+  }
 }

@@ -76,7 +76,7 @@ class PlanSpec extends SparkTestBase {
       // per-doc totals (q43's scalar-broadcast shape)
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
-      "q97_bpe_packing", "q99_lm_surprisal")
+      "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -69,6 +69,43 @@ class LmScoreSpec extends SparkTestBase {
     scored(2L) shouldBe math.log(7.0) +- 1e-6
   }
 
+  test("bigram stupid backoff: seen ratios, backoff costs, and short docs match a driver model") {
+    // model corpus: transitions "the cat"(x2), "cat sat", "the dog"
+    val ref = Seq((10L, "the cat sat"), (11L, "the cat"), (12L, "the dog"))
+      .toDF("doc_id", "text")
+    // c(the *) = 3: "the cat" x2, "the dog"; c(cat *) = 1
+    // unigram: the=3, cat=2, sat=1, dog=1 -> N=7, V=4, D=11
+    val score = Seq(
+      (1L, "the cat"),       // seen: ln(3/2)
+      (2L, "the dog"),       // seen: ln(3/1)
+      (3L, "cat dog"),       // unseen: backoff 0.4*(1+1)/11 -> ln(55/4)
+      (4L, "dog zyzzyva"),   // unseen, OOV cur: 0.4*(0+1)/11 -> ln(55/2)
+      (5L, "the"))           // one token: no transitions -> NULL
+      .toDF("doc_id", "text")
+    val out = LmScore.bigramSurprisal(score, reference = Some(ref))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(1L)._2.get shouldBe math.log(3.0 / 2.0) +- 1e-6
+    out(2L)._2.get shouldBe math.log(3.0) +- 1e-6
+    out(3L)._2.get shouldBe math.log(13.75) +- 1e-6
+    out(4L)._2.get shouldBe math.log(27.5) +- 1e-6
+    out(5L) shouldBe ((0L, None))
+    // fluent-vs-scrambled on the self-model: natural order scores lower
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val self = LmScore.bigramSurprisal(corpus)
+      .agg(org.apache.spark.sql.functions.avg("mean_surprisal"))
+      .head().getDouble(0)
+    val scrambled = LmScore.bigramSurprisal(
+      corpus.withColumn("text",
+        org.apache.spark.sql.functions.expr(
+          "array_join(reverse(split(text, ' ')), ' ')")),
+      reference = Some(corpus))
+      .agg(org.apache.spark.sql.functions.avg("mean_surprisal"))
+      .head().getDouble(0)
+    scrambled should be > self
+  }
+
   test("partition-order invariance: integer fixed-point sums cannot drift") {
     val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
