@@ -620,6 +620,8 @@ object App {
       |                     [--min-len <n=48>] [--k <n=16>]
       |                     [--init-state-path <dir>]
       |                     incremental: --state-path <dir> --shard-path <path>
+      |                     (docs-path must then cover stored AND shard ids
+      |                     — verification reads both sides' text)
       |                     verbatim >= min-len-char passage pairs (winnowing)
       |  contamination      --docs-path <path> --benchmark-path <path>
       |                     --output-path <path> [--ngram <n=3>] [--min-len <n=48>]

@@ -270,7 +270,11 @@ object CurationQueries {
     // exact DECIMAL moments, one float boundary per group (q87's
     // discipline applied to the two-column relationship audit)
     "q102_correlation" -> ((s, dir) => {
+      // text filter BEFORE size(): Spark's legacy size(NULL) is -1, which
+      // would slip a bogus moment past groupedPearson's null filter while
+      // the twin skips the NULL — filter the raw column on both sides
       val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").isNotNull)
       Quantiles.groupedPearson(
         d.select(col("lang"), col("n_chars").cast("long").as("x"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("y")),
@@ -328,7 +332,7 @@ object CurationQueries {
     "q97_bpe_packing" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Packing.greedyTokenCounts(docs, Packing.bpePieces(docs, "text",
-          minN = 2, maxN = 4, k = BpeVocabK))
+          minN = 2, maxN = 4, k = BpeVocabK), maxWordLen = BpeMaxWordLen)
         .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
           expr(s"(n_tokens_ws + ${BpeBudget - 1}) div $BpeBudget").as("chunks_ws"),
           expr(s"(n_tokens_bpe + ${BpeBudget - 1}) div $BpeBudget").as("chunks_bpe"))
@@ -676,7 +680,7 @@ object CurationQueries {
     "q102_correlation" ->
       s"""WITH v0 AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
          |  CAST(len($toksSql) AS HUGEINT) AS y FROM documents
-         |  WHERE n_chars IS NOT NULL),
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
          |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
          |  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
          |  sum(x*x) AS sxx, sum(y*y) AS syy

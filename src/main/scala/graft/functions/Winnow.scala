@@ -158,12 +158,33 @@ object CommonExtentImpl {
   /** Length of the maximal common substring running THROUGH the anchor
     * k-grams at 1-based code-point positions (pa, pb): verify the k
     * anchor characters (a hash-collision candidate dies here with 0),
-    * then extend left and right while characters match. O(k + extent) —
-    * vs the w-offset spine formulation's w fixed-length window compares,
-    * which pays w*L character reads per candidate whether or not
-    * anything matches.
+    * then extend left and right while characters match.
+    *
+    * Cost: O(k + extent) COMPARISONS on the ASCII fast path (byte index =
+    * code-point index, so the UTF8String bytes index directly with zero
+    * allocation — the common case for web text); a document containing
+    * any multi-byte character pays one O(len) code-point decode first.
+    * Either way this beats the w-offset spine formulation it replaced,
+    * which paid w*L reads per candidate whether or not anything matched.
     */
   def eval(a: UTF8String, pa: Int, b: UTF8String, pb: Int, k: Int): Int = {
+    if (a.numBytes() == a.numChars() && b.numBytes() == b.numChars()) {
+      // pure-ASCII: compare bytes in place
+      val (na, nb) = (a.numBytes(), b.numBytes())
+      if (pa < 1 || pb < 1 || pa - 1 + k > na || pb - 1 + k > nb) return 0
+      var i = 0
+      while (i < k) {
+        if (a.getByte(pa - 1 + i) != b.getByte(pb - 1 + i)) return 0
+        i += 1
+      }
+      var left = 0
+      while (pa - 2 - left >= 0 && pb - 2 - left >= 0 &&
+        a.getByte(pa - 2 - left) == b.getByte(pb - 2 - left)) left += 1
+      var right = 0
+      while (pa - 1 + k + right < na && pb - 1 + k + right < nb &&
+        a.getByte(pa - 1 + k + right) == b.getByte(pb - 1 + k + right)) right += 1
+      return k + left + right
+    }
     val ca = a.toString.codePoints().toArray
     val cb = b.toString.codePoints().toArray
     if (pa < 1 || pb < 1 || pa - 1 + k > ca.length || pb - 1 + k > cb.length) return 0

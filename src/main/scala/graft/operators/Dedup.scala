@@ -606,8 +606,10 @@ object Dedup {
     * TOUCHING a new shard, without re-fingerprinting or self-joining the
     * stored corpus — the shard's anchors join themselves plus the stored
     * state, so the per-shard cost is shard-anchors x matching buckets,
-    * not corpus x corpus. `corpusTexts` must cover every id that can
-    * appear (stored + shard): extent verification reads both sides' text.
+    * not corpus x corpus. `corpusTexts` MUST cover every id that can
+    * appear (stored + shard): extent verification INNER-joins candidate
+    * ids against it, so a missing stored id silently drops its pairs —
+    * pass the full corpus, not just the shard.
     * New state = `stored union substringState(shard)` — append and
     * persist, same discipline as [[incrementSegmentState]].
     *

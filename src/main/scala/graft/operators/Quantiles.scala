@@ -239,7 +239,11 @@ object Quantiles {
       s"precision must be in [0, 6]: got $precision")
     require(sigDigits >= 1 && sigDigits <= 15,
       s"sigDigits must be in [1, 15]: got $sigDigits")
-    val m = least(floor(abs(c) * lit(Pow10(precision).toDouble)), lit(9.0e18))
+    // NULL stays NULL: least() SKIPS nulls (the winsorize lesson), so
+    // without the explicit guard a missing measurement would clamp to
+    // the 9e18 literal and land in the TOP bucket
+    val m = when(c.isNull, lit(null))
+      .otherwise(least(floor(abs(c) * lit(Pow10(precision).toDouble)), lit(9.0e18)))
       .cast("long")
     // m has d+1 digits when m >= 10^d: wrap ascending so the OUTERMOST
     // when() tests the largest threshold first

@@ -125,35 +125,21 @@ object Sketches {
   def estimateSteps(logM: Int): Seq[(String, String)] = {
     requireLogM(logM)
     val m = 1L << logM
-    val arms = logM to 1 by -1
-    val kCase = arms.map(k => s"WHEN v_zero >= ${1L << k} THEN $k")
-      .mkString("(CASE ", " ", " ELSE 0 END)")
-    val scaleCase = arms.map(k => s"WHEN v_zero >= ${1L << k} THEN CAST(${1L << k} AS DOUBLE)")
-      .mkString("(CASE ", " ", " ELSE CAST(1 AS DOUBLE) END)")
     val ln2 = s"CAST($Ln2Lit AS DOUBLE)"
-    Seq(
-      "v_zero" -> s"$m - nregs",
-      "lnv_k" -> kCase,
-      "lnv_x" -> s"CAST(v_zero AS DOUBLE) / $scaleCase",
-      "lnv_t" -> "(lnv_x - CAST(1 AS DOUBLE)) / (lnv_x + CAST(1 AS DOUBLE))",
-      "lnv_t2" -> "lnv_t * lnv_t",
-      "lnv_t3" -> "lnv_t2 * lnv_t",
-      "lnv_t5" -> "lnv_t3 * lnv_t2",
-      "lnv_t7" -> "lnv_t5 * lnv_t2",
-      "lnv_t9" -> "lnv_t7 * lnv_t2",
-      "lnv_t11" -> "lnv_t9 * lnv_t2",
-      "lnv_t13" -> "lnv_t11 * lnv_t2",
-      "lnv_ln" -> (s"CAST(lnv_k AS DOUBLE) * $ln2 + CAST(2 AS DOUBLE) * " +
-        "(lnv_t + lnv_t3 / CAST(3 AS DOUBLE) + lnv_t5 / CAST(5 AS DOUBLE) + " +
-        "lnv_t7 / CAST(7 AS DOUBLE) + lnv_t9 / CAST(9 AS DOUBLE) + " +
-        "lnv_t11 / CAST(11 AS DOUBLE) + lnv_t13 / CAST(13 AS DOUBLE))"),
-      "raw_est" -> s"CAST(${alphaM2(logM)} AS DOUBLE) / inv_sum",
-      // linear counting: est = m * (ln m - ln V) = m * (logM*ln2 - ln V);
-      // ln m is exact-by-construction (m a power of two)
-      "est" -> (s"CASE WHEN raw_est <= CAST(${2.5 * m} AS DOUBLE) AND v_zero > 0 " +
-        s"THEN CAST(${m.toDouble} AS DOUBLE) * (CAST($logM AS DOUBLE) * $ln2 - lnv_ln) " +
-        "ELSE raw_est END"),
-      "approx_distinct" -> "round(est, 6)")
+    // the atanh-series ln is the SHARED PinnedMath chain (one copy of the
+    // parity-critical series in the codebase): its 62-arm range reduction
+    // picks the same k as a logM-arm ladder for every reachable v_zero
+    // (< 2^logM), so the values are bit-identical to the inlined original
+    Seq("v_zero" -> s"$m - nregs") ++
+      graft.functions.PinnedMath.lnSteps("lnv", "v_zero") ++
+      Seq(
+        "raw_est" -> s"CAST(${alphaM2(logM)} AS DOUBLE) / inv_sum",
+        // linear counting: est = m * (ln m - ln V) = m * (logM*ln2 - ln V);
+        // ln m is exact-by-construction (m a power of two)
+        "est" -> (s"CASE WHEN raw_est <= CAST(${2.5 * m} AS DOUBLE) AND v_zero > 0 " +
+          s"THEN CAST(${m.toDouble} AS DOUBLE) * (CAST($logM AS DOUBLE) * $ln2 - lnv_ln) " +
+          "ELSE raw_est END"),
+        "approx_distinct" -> "round(est, 6)")
   }
 
   /** [[estimateSteps]] as a DuckDB SELECT-list fragment (lateral aliases:

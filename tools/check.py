@@ -28,7 +28,11 @@ def canon(rows):
 
 
 def main():
+    # optional 3rd arg: '--subset' — only then may output dirs be absent
+    # (graft.Verify <sf> <out> <names> runs). On a FULL run a missing dir
+    # means the query CRASHED in Verify and must FAIL, not skip.
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    subset = len(sys.argv) > 3 and sys.argv[3] == "--subset"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -38,7 +42,11 @@ def main():
     import os
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
-            continue  # subset verify run (graft.Verify <sf> <out> <names>)
+            if subset:
+                continue
+            print(f"FAIL {name}: no output written (query crashed in Verify?)")
+            n_fail += 1
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
