@@ -109,10 +109,15 @@ object ScaleBench {
             Seq("lang"), "sketch"),
           Seq("lang"), "sketch")
       }),
-      // q95 shape (new this round): winnowing anchors -> hash bucket join
-      // -> offset-spine verify; rotation keeps anchors disjoint across
-      // replicas, so candidates grow with within-replica reuse only
-      "substring_dedup" -> (k => Dedup.substringPairs(scaledDocs(k))))
+      // q95 shape: winnowing anchors -> hash bucket join -> extent
+      // verify; rotation keeps anchors disjoint across replicas, so
+      // candidates grow with within-replica reuse only
+      "substring_dedup" -> (k => Dedup.substringPairs(scaledDocs(k))),
+      // q99/q103 shapes: the pinned-ln LM scores — the distinct-word /
+      // distinct-bigram tables are where the math runs; rotation grows
+      // the distinct domains linearly (worst case for the trick)
+      "lm_surprisal" -> (k => graft.operators.LmScore.unigramSurprisal(scaledDocs(k))),
+      "bigram_surprisal" -> (k => graft.operators.LmScore.bigramSurprisal(scaledDocs(k))))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
