@@ -152,42 +152,76 @@ object AnalyticsQueries {
     }),
 
     // time-series OLAP over the orders fact: daily revenue, 7-day moving
-    // window, day-over-day delta. Revenue sums in DECIMAL(18,2) — exact
-    // and order-independent, so the oracle matches without float-sum
-    // rounding tricks; the moving average alone converts to double in a
-    // pinned expression. The per-day aggregate collapses the fact table
-    // FIRST, then a calendar DATE SPINE densifies gap days to zero-revenue
-    // rows — without it the ROWS frames would silently span whatever days
-    // happen to be present, and "7-day window" / "day-over-day" would be
-    // row-counting lies on sparse calendars. The window's frame is still
-    // bounded (calendar days, not orders)
+    // window, day-over-day delta. Money is quantized to INTEGER CENTS at
+    // the scan — `floor(o_totalprice * 100 + 0.5)` is a fixed sequence of
+    // single IEEE-754 ops (multiply, add, floor) that every engine
+    // evaluates bit-identically, unlike double→DECIMAL casts whose
+    // rounding is engine- and version-dependent (decimal-string HALF_UP
+    // vs binary — the round-7 driver mismatch). Everything downstream
+    // (sums, window, delta) is BIGINT arithmetic: exact, order-free, and
+    // hash-stable across engines by construction. The per-day aggregate
+    // collapses the fact table FIRST, then a calendar DATE SPINE
+    // densifies gap days to zero-revenue rows — without it the ROWS
+    // frames would silently span whatever days happen to be present, and
+    // "7-day window" / "day-over-day" would be row-counting lies on
+    // sparse calendars. The window's frame is still bounded (calendar
+    // days, not orders)
     "q65_revenue_trend" -> ((s, dir) => {
       val daily = s.read.parquet(s"$dir/orders.parquet")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"),
+          sum(floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)))
+            .cast("bigint").as("revenue_cents"),
           count(lit(1)).as("n_orders"))
       val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       val dense = spine.join(daily, Seq("day"), "left")
         .select(col("day"),
-          coalesce(col("revenue"), lit(0).cast("decimal(18,2)")).as("revenue"),
+          coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
       dense
-        .withColumn("revenue_7d", sum(col("revenue")).over(w.rowsBetween(-6, 0)))
-        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("revenue_7d_cents",
+          sum(col("revenue_cents")).over(w.rowsBetween(-6, 0)))
+        .withColumn("prev_cents", lag(col("revenue_cents"), 1).over(w))
         .select(
           col("day"),
-          col("revenue").cast("decimal(18,2)").as("revenue"),
+          col("revenue_cents"),
           col("n_orders"),
-          col("revenue_7d").cast("decimal(20,2)").as("revenue_7d"),
-          // dod_delta stays DECIMAL: the difference of two DECIMAL(18,2)
-          // values is exact, so no engine's double-rounding can disagree
-          // (round-to-double here cost a hash mismatch across DuckDB
-          // versions — last-ulp HALF_UP vs binary nearbyint)
-          (col("revenue") - coalesce(col("prev_revenue"), col("revenue")))
-            .cast("decimal(19,2)").as("dod_delta"))
+          col("revenue_7d_cents"),
+          (col("revenue_cents") - coalesce(col("prev_cents"), col("revenue_cents")))
+            .as("dod_delta_cents"))
+    }),
+
+    // q65 driver-gate bisection probes: strict prefixes of q65's column
+    // set so a residual cross-engine divergence pinpoints itself in the
+    // correctness report. q65a carries no money at all (day + counts on
+    // the densified spine) — if IT mismatches, the divergence is the
+    // date/spine machinery, not arithmetic. q65b adds only the cents
+    // rollup — if q65a is green and q65b red, the quantization line is
+    // the culprit; if both are green and q65 red, it's the window frame
+    "q65a_revenue_days" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    }),
+    "q65b_revenue_daily" -> ((s, dir) => {
+      val daily = s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(
+          sum(floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)))
+            .cast("bigint").as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+      val spine = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("revenue_cents"), lit(0L)).as("revenue_cents"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     }),
 
     // grouped top-k (the per-category leaderboard shape q07/q08 don't
@@ -530,24 +564,47 @@ object AnalyticsQueries {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id > 25 AND doc_id NOT IN (SELECT id FROM bad)""".stripMargin,
 
-    // revenue twin: DECIMAL sums are exact and order-independent on both
-    // engines; the generate_series spine mirrors the Spark side's calendar
-    // densification so both engines' ROWS frames mean calendar days
+    // revenue twin: money quantizes to integer cents at the scan with the
+    // same three IEEE ops as the Spark side (multiply, add, floor), so
+    // every downstream value is BIGINT and both engines hash identically
+    // by construction — no double→DECIMAL cast survives anywhere
     "q65_revenue_trend" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY 1),
         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
         |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
         |dense AS (SELECT spine.day,
-        |  coalesce(daily.revenue, CAST(0 AS DECIMAL(18,2))) AS revenue,
+        |  CAST(coalesce(daily.revenue_cents, 0) AS BIGINT) AS revenue_cents,
         |  CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
         |FROM spine LEFT JOIN daily ON spine.day = daily.day)
-        |SELECT day, revenue, n_orders,
-        |  CAST(sum(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(20,2)) AS revenue_7d,
-        |  CAST(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue) AS DECIMAL(19,2)) AS dod_delta
+        |SELECT day, revenue_cents, n_orders,
+        |  CAST(sum(revenue_cents) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS revenue_7d_cents,
+        |  CAST(revenue_cents - coalesce(lag(revenue_cents) OVER (ORDER BY day), revenue_cents) AS BIGINT) AS dod_delta_cents
         |FROM dense""".stripMargin,
+
+    // q65 bisection probes (see the query-side comment): q65a = spine +
+    // counts only (no money); q65b = + the cents rollup (no window)
+    "q65a_revenue_days" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b)
+        |SELECT spine.day, CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+    "q65b_revenue_daily" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b)
+        |SELECT spine.day,
+        |  CAST(coalesce(daily.revenue_cents, 0) AS BIGINT) AS revenue_cents,
+        |  CAST(coalesce(daily.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
 
     "q66_topk_per_group" ->
       """SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank FROM (

@@ -28,7 +28,13 @@ object Bench {
       val samples = Seq(once(fn), once(fn)).flatten
       if (samples.isEmpty) -1.0 else samples.min
     }
-    val results = SparkEntry.queries.map { case (name, fn) => name -> minOf2(fn) }
+    // Sorted-name order, ALWAYS. `SparkEntry.queries` is an unordered Map
+    // whose iteration order reshuffles whenever an entry is added, which
+    // silently moves shared scan/cache build costs between queries across
+    // rounds (round 7 recorded 13-15x apparent regressions on two
+    // unchanged queries this way). Sorting pins who pays the first-touch
+    // cost so per-query deltas across rounds compare like with like.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> minOf2(fn) }
     // Attribution twins (BASELINE.md "Bench attribution"): q15/q16/q17 time
     // backfill+operator together; the b-keys time the operator alone
     // against a pre-materialized features table. Reported alongside the
@@ -38,7 +44,7 @@ object Bench {
     val attribution =
       try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
-        SparkEntry.attributionQueries(featPath).map { case (name, fn) => name -> minOf2(fn) }
+        SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) => name -> minOf2(fn) }
       } catch { case scala.util.control.NonFatal(_) =>
         // materialization failed: report every twin as the -1 sentinel —
         // same "visibly broken, not fast" convention as a failed query,
@@ -47,8 +53,17 @@ object Bench {
       }
     val qs = (results ++ attribution).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's captured tail truncates at 2000 chars — half the suite's
+    // per-query timings vanish from BENCH_r*.json. Persist the full line
+    // in-repo so cross-round comparisons can diff complete suites.
+    try {
+      val out = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json"))
+      Option(out.getParentFile).foreach(_.mkdirs())
+      java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () } // bench output must never fail the run
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
     SparkEntry.cleanupScratch(spark, sfDir)
     spark.stop()

@@ -5,12 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query-name substrings — dev-only
-    // fast path to re-verify a handful of queries (driver passes 2 args)
+    // optional 3rd arg: comma-separated query names — dev-only fast path
+    // to re-verify a handful of queries (driver passes 2 args). A pattern
+    // matches the exact name or a "qNN" prefix up to the underscore
+    // ("q9" runs only q9_*, never q90-q99) — substring matching silently
+    // over-selected and could mislead a subset re-verify.
     val (sfDir, outDir) = (args(0), args(1))
     val only: String => Boolean =
       if (args.length > 2) { val pats = args(2).split(',').toSeq
-        name => pats.exists(name.contains)
+        name => pats.exists(p => name == p || name.startsWith(p + "_"))
       } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
