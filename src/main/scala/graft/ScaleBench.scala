@@ -113,6 +113,22 @@ object ScaleBench {
       // verify; rotation keeps anchors disjoint across replicas, so
       // candidates grow with within-replica reuse only
       "substring_dedup" -> (k => Dedup.substringPairs(scaledDocs(k))),
+      // the adversarial variant: every doc (all replicas — the banner is
+      // appended AFTER rotation) ends with one shared boilerplate
+      // passage, the cookie-banner corpus where the uncapped self-join
+      // is corpus-quadratic (N^2/2 pairs from the banner bucket alone;
+      // do not run it uncapped). With the hot-bucket cap the interior
+      // banner anchors (bucket = N) drop, and the cap must also sit
+      // below the boundary-window buckets (~N/2w docs each — ~75 at 1x,
+      // ~750 at 10x here), hence 64 rather than the 1024 default sized
+      // for real corpora: the growth read should reflect the LINEAR
+      // fingerprint+count work, not a quadratic residual
+      "substring_dedup_boilerplate" -> (k => {
+        val banner = " subscribe to our newsletter accept all cookies terms of service apply on every page"
+        Dedup.substringPairs(
+          scaledDocs(k).withColumn("text", concat(col("text"), lit(banner))),
+          maxBucket = 64)
+      }),
       // q99/q103 shapes: the pinned-ln LM scores — the distinct-word /
       // distinct-bigram tables are where the math runs; rotation grows
       // the distinct domains linearly (worst case for the trick)
@@ -138,6 +154,39 @@ object ScaleBench {
       val tN = minOf2(fn(mult))
       val growth = if (t1 > 0 && tN > 0) tN / t1 else -1.0
       s""""$name":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100}}"""
+    }
+
+    // ANN retrieval QUALITY alongside the timings: recall@k of the
+    // trained-IVF path against brute-force ground truth on the same
+    // corpus, at 1x and at Nx. Timing rows prove the index is fast;
+    // this row proves it still RETRIEVES as the corpus grows (queries
+    // stay the replica-0 set, so the task gets harder: the true top-k
+    // can only tighten as scaled near-misses are added). Tiny
+    // driver-side set compare — queries x k pairs, not corpus-sized.
+    // Reported at two probe widths because recall/cost is a KNOB, not a
+    // constant: the sf embeddings are near-uniform (no planted cluster
+    // structure — the hard case for any IVF), so narrow probes miss and
+    // widening them buys recall roughly linearly in scanned cells. The
+    // Nx read is structurally easy by construction — each replica's
+    // vectors are scaled copies of replica 0 (cosine 1.0 with the
+    // queries), so the true top-k IS the replica set and lands in the
+    // query's own cell; expect ~1.0 there regardless of probe width.
+    val recallRows = {
+      def pairs(df: DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def one(mul: Int, k: Int, nProbe: Int): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val e = scaledEmb(mul)
+        val truth = pairs(SimilaritySearch.bruteKnn(e, "vec_id < 10", k))
+        val got = pairs(SimilaritySearch.ivfKnnTrained(e, "vec_id < 10", k,
+          initPred = "vec_id >= 100 AND vec_id < 116", iters = 2, nProbe = nProbe))
+        if (truth.isEmpty) -1.0 else (got & truth).size.toDouble / truth.size
+      }
+      Seq(2, 8).map { nProbe =>
+        val (r1, rN) = (one(1, 3, nProbe), one(mult, 3, nProbe))
+        s""""knn_ivf_recall@3_probe$nProbe":{"x1":${math.rint(r1 * 1000) / 1000},"x$mult":${math.rint(rN * 1000) / 1000}}"""
+      }
     }
 
     // increment-vs-full: the q49 claim is that adding ONE shard to stored
@@ -168,7 +217,7 @@ object ScaleBench {
         s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows :+ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows :+ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -88,22 +88,45 @@ object Contamination {
     * The winnowing guarantee is directional and exact: any shared run of
     * length >= minLen selects a common anchor hash on both sides, so no
     * contaminated doc escapes; extent verification kills hash collisions.
+    *
+    * Hot-bucket note: unlike [[Dedup.substringPairs]]' self-join this
+    * cross-join is LINEAR in train matches per hash (benchmark side is
+    * small), so the cap defaults OFF (`maxBucket = 0`) to keep the
+    * audit's no-escape guarantee. For a boilerplate-heavy corpus where a
+    * benchmark doc shares chrome with millions of training pages, set
+    * `maxBucket > 0`: train anchor hashes above that corpus frequency
+    * are dropped before the join — bounded work, and every dropped match
+    * is by construction a passage so common in training data that
+    * flagging it as "contamination" is noise. A capped run is a triage
+    * pass; re-run uncapped on the survivors' shards for the exact audit.
     */
   def substringContamination(train: DataFrame, benchmark: DataFrame,
                              minLen: Int = 48, k: Int = 16,
                              idCol: String = "doc_id", textCol: String = "text",
-                             broadcastReference: Boolean = true): DataFrame = {
+                             broadcastReference: Boolean = true,
+                             maxBucket: Int = 0): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: got $k")
     require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
     val w = minLen - k + 1
     // train side: short (id, h, pos) anchor rows only — its text joins
     // back per CANDIDATE, never per anchor; benchmark text rides the
     // (small, usually broadcast) reference side
-    val tr = train
+    val tr0 = train
       .select(col(idCol).as("tr_id"),
         explode(graft.functions.WinnowFingerprints
           .winnowFingerprints(col(textCol), k, w)).as("fp"))
       .select(col("tr_id"), col("fp.h").as("h"), col("fp.pos").as("tr_pos"))
+    val tr =
+      if (maxBucket <= 0) tr0
+      else {
+        // persisted: the capped path reads the train fingerprints twice
+        // (frequency count + anti-join) — never re-fingerprint the corpus
+        val trP = Caching.maybePersist(tr0,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = trP.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucket).select(col("h"))
+        trP.join(hot, Seq("h"), "left_anti")
+      }
     val be = benchmark
       .select(col(idCol).as("be_id"), col(textCol).as("__be_t"),
         explode(graft.functions.WinnowFingerprints

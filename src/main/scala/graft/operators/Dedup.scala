@@ -560,16 +560,33 @@ object Dedup {
     *
     * Scale: fingerprints are ~2/(w+1) of corpus characters; the hash join
     * keys are near-uniform (polynomial hash), and the spine verification
-    * is bounded (w substr compares of length L per candidate). A
-    * pathological corpus-wide repeated passage makes one hash bucket hot
-    * — the same hot-key story as every dedup join here; [[Skew]]'s salted
-    * patterns apply if it bites.
+    * is bounded (w substr compares of length L per candidate). The one
+    * genuinely quadratic term is a HOT BUCKET: a boilerplate passage
+    * (license header, nav chrome, cookie banner) shared by n documents
+    * puts n anchor rows under one hash, and the self-join emits n(n-1)/2
+    * candidates from that bucket alone — at web-corpus scale n is
+    * millions and the bucket is the job. `maxBucket` bounds it: anchor
+    * hashes occurring more than `maxBucket` times across the corpus are
+    * dropped BEFORE the join (an anti-join against the tiny hot-hash
+    * set), capping any bucket's candidates at ~maxBucket^2/2.
+    *
+    * Recall tradeoff, stated honestly: a pair whose EVERY shared anchor
+    * is corpus-hot is missed. Long shared passages select ~2/(w+1)
+    * anchors per character, so real near-duplicate extents carry many
+    * anchors and survive unless the entire overlap IS the boilerplate —
+    * in which case dropping it is usually the curation intent (the pair
+    * "shares a cookie banner", not content). `maxBucket <= 0` disables
+    * the cap for exact small-corpus runs; the DuckDB oracle twin replays
+    * the uncapped form, which is value-identical whenever no bucket
+    * crosses the threshold (true at every test SF).
     */
   def substringPairs(docs: DataFrame, minLen: Int = 48, k: Int = 16,
                      idCol: String = "doc_id", textCol: String = "text",
-                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    // persisted: the self-join reads the kernel output twice
-    val fp = maybePersist(substringState(docs, minLen, k, idCol, textCol), storage)
+                     storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                     maxBucket: Int = 1024): DataFrame = {
+    // persisted: hot-bucket counting + the self-join read the kernel output
+    val fp0 = maybePersist(substringState(docs, minLen, k, idCol, textCol), storage)
+    val fp = dropHotBuckets(fp0, maxBucket)
     val cand = fp.as("a")
       .join(fp.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
@@ -584,6 +601,30 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_anchors"))
   }
+
+  /** Drop anchor rows whose hash occurs more than `maxBucket` times in
+    * `fp` — the hot-bucket guard for the substring-fingerprint joins.
+    * The hot-hash set is at most totalAnchors/maxBucket rows (tiny for
+    * any real threshold) and joins as a left-anti; no hint, so AQE
+    * broadcasts it when it is as small as it should be and degrades to a
+    * shuffle join instead of an OOM if a pathological corpus makes it
+    * large. `maxBucket <= 0` = no cap.
+    */
+  private def dropHotBuckets(fp: DataFrame, maxBucket: Int): DataFrame =
+    dropHotBucketsOf(fp, fp, maxBucket)
+
+  /** Same guard with the frequency counted over `countIn` (e.g. the
+    * combined incremental state) while filtering `fp`. */
+  private def dropHotBucketsOf(fp: DataFrame, countIn: DataFrame,
+                               maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) fp
+    else {
+      val hot = countIn.groupBy(col("h"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucket)
+        .select(col("h"))
+      fp.join(hot, Seq("h"), "left_anti")
+    }
 
   /** The appendable STATE for incremental substring dedup: each doc's
     * winnowing anchor fingerprints as short (id, h, pos) rows — what
@@ -616,14 +657,28 @@ object Dedup {
     * Union of the stored corpus' own pairs (computed when their shards
     * arrived) with each increment's output reconstructs exactly
     * [[substringPairs]] of the whole corpus (q100 pins the equivalence).
+    *
+    * `maxBucket` (same guard as [[substringPairs]]) counts hash
+    * frequency over the COMBINED state (stored + shard), so a bucket hot
+    * in the accumulated corpus is dropped even if the shard alone is
+    * cold. One honesty note on the incremental/full equivalence: a hash
+    * that crosses the threshold MID-STREAM keeps the pairs emitted while
+    * it was still cold (full recompute would drop them all), so the
+    * equivalence is exact only when no bucket crosses between
+    * increments — always true below the threshold, e.g. at every test SF.
     */
   def substringPairsIncremental(stored: DataFrame, shard: DataFrame,
                                 corpusTexts: DataFrame,
                                 minLen: Int = 48, k: Int = 16,
                                 idCol: String = "doc_id", textCol: String = "text",
-                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val shardFp = maybePersist(substringState(shard, minLen, k, idCol, textCol), storage)
-    val allFp = stored.unionByName(shardFp)
+                                storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                                maxBucket: Int = 1024): DataFrame = {
+    val shardFp0 = maybePersist(substringState(shard, minLen, k, idCol, textCol), storage)
+    val allFp0 = maybePersist(stored.unionByName(shardFp0), storage)
+    // hot set from the COMBINED state, applied to both join sides; the
+    // aggregation reruns per side but reads the persisted union
+    val shardFp = dropHotBucketsOf(shardFp0, allFp0, maxBucket)
+    val allFp = dropHotBuckets(allFp0, maxBucket)
     // one side pinned to the shard; orientation normalized AFTER the join
     // (a shard-shard pair generates in both orders -> distinct)
     val cand = shardFp.as("a")

@@ -681,9 +681,14 @@ object Multimodal {
       s"pigeonhole bands (4 blocks of 16 bits) are exact only for maxHamming <= 3: got $maxHamming")
     val spark = media.sparkSession
     import spark.implicits._
-    val h = imageHashes(media).toDF()
-      .filter(col("width") > 0)
-      .select(col("media_id").as("id"), col("dhash"))
+    // persisted: the self-join reads this frame twice, and each read
+    // would otherwise re-decode and re-hash every payload (same reason
+    // Dedup.substringPairs persists its fingerprint frame)
+    val h = Caching.maybePersist(
+      imageHashes(media).toDF()
+        .filter(col("width") > 0)
+        .select(col("media_id").as("id"), col("dhash")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockKeys = array((0 until 4).map { k =>
       struct(lit(k).as("blk"),
         expr(s"shiftright(dhash, ${k * 16}) & 65535").as("key"))

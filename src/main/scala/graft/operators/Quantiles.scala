@@ -282,11 +282,15 @@ object Quantiles {
   /** [[groupedQuantileProfile]] over LOG buckets: every k/qDen threshold per
     * group where the value domain is continuous/heavy-tailed and the exact
     * rounded histogram would grow with the corpus. The returned threshold is
-    * the BUCKET LOWER EDGE (divided back to value scale) of the type-1
-    * quantile of the bucketized distribution — a conservative lower bound
-    * within relative error 10^(1-sigDigits) of the exact quantile. The
-    * window frames and the spine cross join stay bin-cap-bounded even when
-    * every row's value is distinct.
+    * the bucket edge (divided back to value scale) of the type-1 quantile
+    * of the bucketized distribution, within relative error 10^(1-sigDigits)
+    * of the exact quantile. Bound direction follows the sign: [[logBucket]]
+    * truncates the MAGNITUDE's trailing digits, so for positive values the
+    * edge is a conservative LOWER bound of the exact quantile, while for
+    * negative values truncation-toward-zero makes it an UPPER bound (e.g.
+    * -123 buckets to -120 >= -123). Ordering and cross-engine parity are
+    * unaffected either way. The window frames and the spine cross join stay
+    * bin-cap-bounded even when every row's value is distinct.
     */
   def logBucketQuantileProfile(df: DataFrame, groupCol: String, valueCol: String,
                                qDen: Long, precision: Int,
@@ -510,6 +514,15 @@ object Quantiles {
     * correctly-rounded, so deterministic everywhere), one division.
     * Degenerate groups (n < 2 or zero variance in either column) emit
     * NULL r. One combinable aggregate; output is group-sized.
+    *
+    * Magnitude bound (caller contract): the n*sum(x²) moments must fit
+    * DECIMAL(38,0), i.e. roughly |x|,|y| < 1e14 for group sizes up to
+    * 1e9 (|x|² * n <= 1e38). Beyond it the engines FAIL DIFFERENTLY —
+    * Spark's non-ANSI decimal overflow silently yields NULL r where the
+    * DuckDB twin's HUGEINT sum raises — so a pipeline feeding unbounded
+    * magnitudes must pre-scale (divide by a power of ten; r is
+    * scale-invariant) rather than rely on either engine's overflow
+    * behavior.
     */
   def groupedPearson(df: DataFrame, groupCol: String, xCol: String,
                      yCol: String): DataFrame = {

@@ -279,6 +279,66 @@ class DedupSpec extends SparkTestBase {
       Dedup.substringPairs(docs, minLen = 16, k = 16)
   }
 
+  test("substringPairs: hot-bucket cap bounds a planted boilerplate bucket, keeps the genuine pair") {
+    import spark.implicits._
+    // 120 docs share one verbatim boilerplate passage (cookie-banner
+    // shape): uncapped, that single hash bucket emits all n(n-1)/2 pairs
+    // — the quadratic term the cap exists to kill. Docs 201/202 share a
+    // RARE long passage (bucket size 2) — the genuine near-dup that must
+    // survive the cap.
+    val boiler = "this cookie banner legal notice text appears identically on every single page of the site"
+    val n = 120
+    val boilerDocs = (1 to n).map { i =>
+      val unique = (1 to 30).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$unique $boiler ${unique.toUpperCase}")
+    }
+    val rare = "the rare shared passage that only these two documents quote in full glory"
+    val genuine = Seq(
+      (201L, s"opening material one two three four five six $rare closing notes"),
+      (202L, s"different opening content entirely $rare another tail here"))
+    val docs = (boilerDocs ++ genuine).toDF("doc_id", "text")
+    // cap must sit below the EDGE-gram bucket sizes too: interior banner
+    // windows select one identical anchor in all n docs (bucket = n), but
+    // windows straddling the filler/banner boundary select among the ~2w
+    // banner edge grams depending on doc-specific context, splitting n
+    // docs over those buckets (~n/2w each). At corpus scale n/2w dwarfs
+    // any real cap; at test scale (n=120, w=33) it's single digits, so
+    // the test cap is 5. The structural guarantee holds at ANY cap c:
+    // no bucket can emit more than c(c-1)/2 candidates.
+    val capped = Dedup.substringPairs(docs, minLen = 48, k = 16, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    capped shouldBe Set((201L, 202L))
+    // uncapped reference: the boilerplate bucket really is quadratic
+    Dedup.substringPairs(docs, minLen = 48, k = 16, maxBucket = 0)
+      .count() shouldBe (n.toLong * (n - 1) / 2 + 1)
+  }
+
+  test("substringPairsIncremental: cap counts hash frequency over the COMBINED state") {
+    import spark.implicits._
+    val boiler = "this cookie banner legal notice text appears identically on every single page of the site"
+    val mk = (i: Int) => {
+      val unique = (1 to 30).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$unique $boiler ${unique.toUpperCase}")
+    }
+    val rare = "the rare shared passage that only these two documents quote in full glory"
+    val stored = (1 to 117).map(mk)
+    // shard: 3 more boilerplate docs (shard-only bucket size 3 <= cap=5,
+    // combined 120 > cap) plus the genuine pair
+    val shard = (118 to 120).map(mk) ++ Seq(
+      (201L, s"opening material one two three four five six $rare closing notes"),
+      (202L, s"different opening content entirely $rare another tail here"))
+    val storedDf = stored.toDF("doc_id", "text")
+    val shardDf = shard.toDF("doc_id", "text")
+    val corpus = storedDf.unionByName(shardDf)
+    val increment = Dedup.substringPairsIncremental(
+        Dedup.substringState(storedDf), shardDf, corpus, maxBucket = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // a shard-only-frequency count (3 <= 5) would keep the shard's
+    // boilerplate anchors and flood its pairs against the stored corpus;
+    // the combined count (120 > 5) drops the bucket entirely
+    increment shouldBe Set((201L, 202L))
+  }
+
   test("substringPairs incremental: stored-era pairs + increment == one-shot full recompute") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -145,6 +145,39 @@ class SimilaritySearchSpec extends SparkTestBase {
     }
   }
 
+  test("planted clustered corpus: LSH and trained-IVF recall@10 vs brute force >= 0.9") {
+    // 10 well-separated clusters x 30 members, 16 dims. Each cluster's
+    // centroid has every |component| in [0.5, 1.0] (bounded away from
+    // zero) and members add +-0.1 noise, so (a) within-cluster cosine is
+    // ~0.99 and cross-cluster cosine is far below it — ground-truth
+    // top-10 is provably within-cluster — and (b) no member's SIGN
+    // pattern ever flips, pinning every member of a cluster into the
+    // same LSH sign buckets. Seeded Random: the corpus is a fixed
+    // constant, not a flaky sample.
+    val rnd = new scala.util.Random(42)
+    val centroids = Array.fill(10)(Array.fill(16)(
+      ((0.5 + 0.5 * rnd.nextDouble()) * (if (rnd.nextBoolean()) 1 else -1)).toFloat))
+    val rows = for (j <- 0 until 10; m <- 0 until 30) yield {
+      val v = centroids(j).map(c => c + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      ((j * 100 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // queries: member 1 of every cluster (10 queries); truth from brute
+    val truth = pairs(SimilaritySearch.bruteKnn(emb, "vec_id % 100 = 1", 10))
+    truth.size shouldBe 100
+    // ground truth really is within-cluster — the corpus does its job
+    truth.foreach { case (q, n) => n / 100 shouldBe q / 100 }
+    def recall(s: Set[(Long, Long)]): Double = (s & truth).size.toDouble / truth.size
+    val rLsh = recall(pairs(SimilaritySearch.lshKnn(emb, "vec_id % 100 = 1", 10)))
+    val rIvf = recall(pairs(SimilaritySearch.ivfKnnTrained(
+      emb, "vec_id % 100 = 1", 10, initPred = "vec_id % 100 = 0", iters = 2)))
+    info(f"planted recall@10: lsh=$rLsh%.3f trained-ivf=$rIvf%.3f")
+    rLsh should be >= 0.9
+    rIvf should be >= 0.9
+  }
+
   private lazy val realEmb = spark.read
     .parquet("/root/testdata/sf0.01/embeddings.parquet")
 
