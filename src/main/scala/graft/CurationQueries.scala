@@ -336,7 +336,16 @@ object CurationQueries {
         .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
           expr(s"(n_tokens_ws + ${BpeBudget - 1}) div $BpeBudget").as("chunks_ws"),
           expr(s"(n_tokens_bpe + ${BpeBudget - 1}) div $BpeBudget").as("chunks_bpe"))
-    })
+    }),
+
+    // REAL BPE training (vs q97's frequency-ranked approximation): the
+    // iterative pair-merge loop over the corpus's distinct-word domain,
+    // emitting the merge table a tokenizer would ship. The oracle
+    // replays all BpeMerges rounds as unrolled CTEs — count pairs,
+    // argmax, rewrite — so every learned merge is value-checked
+    "q104_bpe_merge_table" -> ((s, dir) =>
+      Packing.bpeMergeTable(s.read.parquet(s"$dir/documents.parquet"),
+        nMerges = BpeMerges))
   )
 
   /** q83's containment threshold. */
@@ -366,6 +375,9 @@ object CurationQueries {
 
   /** q97's bounded greedy fold depth (>= the longest corpus word). */
   private val BpeMaxWordLen = 24
+
+  /** q104's merge-round count (each round unrolls into 3 oracle CTEs). */
+  private val BpeMerges = 8
 
   /** q84's per-category sample size. */
   private val ExactN = 30
@@ -775,6 +787,35 @@ object CurationQueries {
          |  CAST((coalesce(agg.n_tokens_ws, 0) + ${BpeBudget - 1}) // $BpeBudget AS BIGINT) AS chunks_ws,
          |  CAST((coalesce(agg.n_tokens_bpe, 0) + ${BpeBudget - 1}) // $BpeBudget AS BIGINT) AS chunks_bpe
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    },
+
+    // real-BPE twin: the full merge loop unrolled — per round, pair
+    // counts from the ||-fenced symbolization, lexicographic-tie argmax,
+    // replace-all rewrite. string_split/trim/replace behave identically
+    // to Spark's (leftmost non-overlapping replace-all IS BPE merge
+    // application); DuckDB range(1, n) is empty when n <= 1, so
+    // single-symbol words drop out of pair counting on both engines
+    "q104_bpe_merge_table" -> {
+      val steps = (1 to BpeMerges).map { i =>
+        s"""p$i AS (SELECT pa, pb, CAST(sum(tf) AS BIGINT) AS pair_tf FROM (
+           |  SELECT tf, s[i] AS pa, s[i + 1] AS pb
+           |  FROM (SELECT tf, string_split(trim(r, '|'), '||') AS s FROM st${i - 1}) tt,
+           |  LATERAL (SELECT unnest(range(1, len(s))) AS i) ii
+           |) GROUP BY pa, pb),
+           |b$i AS (SELECT CAST($i AS INT) AS step, pa, pb, pa || pb AS merged, pair_tf
+           |  FROM p$i ORDER BY pair_tf DESC, pa ASC, pb ASC LIMIT 1),
+           |st$i AS (SELECT tf,
+           |  replace(r, '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS r
+           |  FROM st${i - 1} CROSS JOIN b$i)""".stripMargin
+      }
+      val union = (1 to BpeMerges)
+        .map(i => s"SELECT step, pa, pb, merged, pair_tf FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH wt AS (SELECT unnest($toksSql) AS w FROM documents),
+         |wtf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
+         |st0 AS (SELECT tf, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS r FROM wtf),
+         |${steps.mkString(",\n")}
+         |$union""".stripMargin
     },
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is

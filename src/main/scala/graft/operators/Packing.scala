@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing: assign documents to fixed-size training chunks.
   *
@@ -259,5 +260,77 @@ object Packing {
       .select(col(idCol),
         coalesce(col("n_tokens_ws"), lit(0L)).as("n_tokens_ws"),
         coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
+  }
+
+  /** REAL byte-pair-encoding training: the iterative merge loop (Sennrich
+    * et al. 2016) rather than [[bpePieces]]' frequency-ranked n-gram
+    * stand-in. Each of the `nMerges` rounds counts every adjacent symbol
+    * pair across the corpus's word occurrences, merges the most frequent
+    * pair (ties: lexicographic (left, right) asc — fully deterministic),
+    * and rewrites the symbolization. Output is the merge TABLE — (step,
+    * pa, pb, merged, pair_tf), one row per round, fewer if the corpus
+    * exhausts its pairs — i.e. exactly what a tokenizer ships as its
+    * merges file; feed the `merged` column to [[greedyTokenCounts]] for
+    * counting with the trained inventory (PackingSpec pins the classic
+    * low/lower/newest/widest merge sequence).
+    *
+    * Spark shape: the loop is driver-side but every ITERATION is a plan,
+    * not data on the driver — pair counting explodes the DISTINCT-word
+    * symbolization (Heaps-sublinear, tf-weighted; the corpus is never
+    * re-scanned), the argmax is an `orderBy.limit(1)` frame CROSS-joined
+    * back (1-row broadcast, the quantile-threshold pattern — no collect),
+    * and the rewrite is one row-local `replace`. Each word's
+    * symbolization is a `||`-fenced string ("||n||e||w||" — tokens are
+    * [a-z0-9]+ so the fence never collides); a merge rewrites
+    * `|a||b| -> |ab|`, and leftmost non-overlapping replace-all is
+    * precisely BPE's merge-application semantics. nMerges is bounded
+    * (each round is a shuffle of short pair rows).
+    *
+    * Lineage discipline: each round's state references the previous one
+    * TWICE (through the argmax and through the rewrite), so the raw
+    * logical plan doubles per round — at 8 rounds the plan STRING alone
+    * is gigabytes and the driver dies before any data moves. `persist`
+    * does not help (the analyzed logical tree keeps full lineage);
+    * `localCheckpoint` is the standard iterative-algorithm cut (GraphX /
+    * ALS do the same) — each round's state and merge row become a
+    * LogicalRDD, constant plan depth, data stays on executors.
+    */
+  def bpeMergeTable(docs: DataFrame, nMerges: Int, textCol: String = "text",
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      s"nMerges must be in [1, 64] (each round is a full pass): got $nMerges")
+    val wordTf = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    // initial symbolization: one character per symbol
+    var state = Caching.maybePersist(
+      wordTf.select(col("tf"),
+        concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")).as("r")),
+      storage).localCheckpoint(false)
+    val merges = Seq.newBuilder[DataFrame]
+    for (step <- 1 to nMerges) {
+      val pairs = state
+        .select(col("tf"), expr("split(trim(BOTH '|' FROM r), '\\\\|\\\\|')").as("__s"))
+        .select(col("tf"), explode(expr(
+          """IF(size(__s) >= 2,
+            |  transform(sequence(1, size(__s) - 1),
+            |    i -> struct(element_at(__s, i) AS pa, element_at(__s, i + 1) AS pb)),
+            |  array())""".stripMargin)).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("tf")).as("pair_tf"))
+      val best = pairs
+        .orderBy(col("pair_tf").desc, col("pa").asc, col("pb").asc).limit(1)
+        .select(lit(step).as("step"), col("pa"), col("pb"),
+          concat(col("pa"), col("pb")).as("merged"), col("pair_tf"))
+        .localCheckpoint(false)
+      merges += best
+      state = state
+        .crossJoin(broadcast(best.select(col("pa").as("__ba"), col("pb").as("__bb"))))
+        .select(col("tf"), expr(
+          "replace(r, '|' || __ba || '||' || __bb || '|', '|' || __ba || __bb || '|')"
+        ).as("r"))
+        .localCheckpoint(false)
+    }
+    merges.result().reduce(_ unionByName _)
   }
 }

@@ -195,4 +195,40 @@ class PackingSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Packing.bpePieces(docs, "text", minN = 1, maxN = 3, k = 3)
   }
+  test("bpeMergeTable replays the classic merge sequence; merges drop into greedyTokenCounts") {
+    // Sennrich et al.'s canonical example: low x5, lower x2, newest x6,
+    // widest x3. Hand-derived merge sequence: (e,s) tf 9, then (es,t) 9,
+    // (l,o) 7, (lo,w) 7 -- ties broken (left, right) lexicographic asc
+    // ((e,s) beats (s,t) at 9; (l,o) beats (o,w) at 7).
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.bpeMergeTable(docs, nMerges = 4)
+      .orderBy("step")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L))
+    // the merge table IS a greedyTokenCounts vocabulary: with pieces
+    // {es, est, lo, low}, "newest" counts n+e+w+est = 4 and "low"
+    // counts 1 -- the trained inventory beats char fallback (6 / 3)
+    val vocab = Packing.bpeMergeTable(docs, nMerges = 4)
+      .select(col("merged").as("piece"))
+    val counts = Packing.greedyTokenCounts(
+        Seq((1L, "newest"), (2L, "low")).toDF("doc_id", "text"), vocab)
+      .orderBy("doc_id")
+      .select("n_tokens_bpe").as[Long].collect().toSeq
+    counts shouldBe Seq(4L, 1L)
+  }
+
+  test("bpeMergeTable: pair exhaustion yields fewer rows, never a crash") {
+    // one two-char word: a single merge is possible; rounds 2..4 find no
+    // pairs and emit nothing
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val got = Packing.bpeMergeTable(docs, nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    got shouldBe Seq((1, "a", "b", "ab", 3L))
+  }
 }
