@@ -104,7 +104,40 @@ object Contamination {
                              minLen: Int = 48, k: Int = 16,
                              idCol: String = "doc_id", textCol: String = "text",
                              broadcastReference: Boolean = true,
-                             maxBucket: Int = 0): DataFrame = {
+                             maxBucket: Int = 0): DataFrame =
+    substringContaminationAgainst(train,
+      benchmarkAnchors(benchmark, minLen, k, idCol, textCol),
+      minLen, k, idCol, textCol, broadcastReference, maxBucket)
+
+  /** The benchmark side of [[substringContamination]] as a standalone
+    * STATE table: (be_id, __be_t, h, be_pos) anchor rows. Compute once,
+    * persist (or write to parquet) and reuse across audits — the
+    * streaming gate fingerprints the reference exactly once this way
+    * instead of once per micro-batch
+    * ([[graft.streaming.EventStream.contaminationGateWriter]]).
+    */
+  def benchmarkAnchors(benchmark: DataFrame, minLen: Int = 48, k: Int = 16,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"k-gram width must be >= 2: got $k")
+    require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
+    benchmark
+      .select(col(idCol).as("be_id"), col(textCol).as("__be_t"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFingerprints(col(textCol), k, minLen - k + 1)).as("fp"))
+      .select(col("be_id"), col("__be_t"), col("fp.h").as("h"),
+        col("fp.pos").as("be_pos"))
+  }
+
+  /** [[substringContamination]] against a PRE-FINGERPRINTED benchmark
+    * ([[benchmarkAnchors]] output — parameters must match). Same result,
+    * same plan; the split exists so the reference side can be computed
+    * once and reused (batch re-audits, per-micro-batch streaming).
+    */
+  def substringContaminationAgainst(train: DataFrame, beAnchors: DataFrame,
+                                    minLen: Int = 48, k: Int = 16,
+                                    idCol: String = "doc_id", textCol: String = "text",
+                                    broadcastReference: Boolean = true,
+                                    maxBucket: Int = 0): DataFrame = {
     require(k >= 2, s"k-gram width must be >= 2: got $k")
     require(minLen > k, s"minLen must exceed the k-gram width $k: got $minLen")
     val w = minLen - k + 1
@@ -127,13 +160,7 @@ object Contamination {
           .filter(col("__n") > maxBucket).select(col("h"))
         trP.join(hot, Seq("h"), "left_anti")
       }
-    val be = benchmark
-      .select(col(idCol).as("be_id"), col(textCol).as("__be_t"),
-        explode(graft.functions.WinnowFingerprints
-          .winnowFingerprints(col(textCol), k, w)).as("fp"))
-      .select(col("be_id"), col("__be_t"), col("fp.h").as("h"),
-        col("fp.pos").as("be_pos"))
-    val matchSide = if (broadcastReference) broadcast(be) else be.hint("shuffle_hash")
+    val matchSide = if (broadcastReference) broadcast(beAnchors) else beAnchors.hint("shuffle_hash")
     tr.join(matchSide, "h")
       .join(train.select(col(idCol).as("tr_id"), col(textCol).as("__tr_t")), "tr_id")
       .withColumn("__extent", graft.functions.CommonExtent.commonExtent(

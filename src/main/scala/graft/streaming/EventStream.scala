@@ -287,6 +287,44 @@ object EventStream {
     * [[graft.serving.FeatureLookup.onlineRealtime]] for this one
     * (EventStreamSpec drives the full stream -> KV -> serving-read path).
     */
+  /** Streaming ingestion gate: verbatim-substring contamination check of
+    * every arriving document against a FIXED benchmark corpus — the
+    * streaming twin of [[graft.operators.Contamination
+    * .substringContamination]], the audit a training pipeline runs at
+    * INGEST time so a leaked eval answer never reaches the corpus at all
+    * (the batch form audits after the fact).
+    *
+    * Shape: the gate is per-document (no cross-document, no cross-batch
+    * state), so the correct streaming plan is `foreachBatch` running THE
+    * BATCH OPERATOR on each micro-batch — one code path, so streamed and
+    * batch verdicts cannot drift, and parity is bit-for-bit by
+    * construction (EventStreamSpec still proves it end-to-end). The
+    * benchmark side is the caller-provided [[graft.operators.Contamination
+    * .benchmarkAnchors]] STATE table — fingerprinted once, persisted,
+    * reused by every micro-batch; only the arriving docs fingerprint per
+    * batch. A streaming aggregation would instead force update-mode
+    * state keyed by doc_id that never expires — per-batch independence
+    * is the memory-safe plan, same argument as the batch operator's
+    * broadcast-reference knob.
+    *
+    * `sink` receives each micro-batch's contaminated-doc rows (the batch
+    * operator's output schema: idCol, n_bench_docs, n_anchors,
+    * max_extent) with the micro-batch id — write to a table, alert, or
+    * divert to quarantine. `minLen`/`k` must match the values the anchor
+    * state was built with.
+    */
+  def contaminationGateWriter(docs: DataFrame, beAnchors: DataFrame,
+                              sink: (DataFrame, Long) => Unit,
+                              minLen: Int = 48, k: Int = 16,
+                              idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Contamination.substringContaminationAgainst(
+          batch.toDF(), beAnchors, minLen, k, idCol, textCol), batchId)
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

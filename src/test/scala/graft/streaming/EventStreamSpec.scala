@@ -356,6 +356,41 @@ class EventStreamSpec extends SparkTestBase {
       thrStream shouldBe thrBatch
     } finally query.stop()
   }
+  test("streaming contamination gate across micro-batches == batch audit, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val quote = "the exact benchmark answer string that must never appear in training data at all"
+    val benchmark = Seq((9001L, s"question preamble text $quote closing rubric words"))
+      .toDF("doc_id", "text")
+    // anchor STATE computed once, persisted -- micro-batches reuse it
+    val anchors = graft.operators.Contamination.benchmarkAnchors(benchmark).persist()
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val query = EventStream.contaminationGateWriter(
+        input.toDF().toDF("doc_id", "text"), anchors,
+        (out, _) => collected.synchronized {
+          collected ++= out.select("doc_id", "n_bench_docs", "n_anchors", "max_extent")
+            .as[(Long, Long, Long, Long)].collect()
+        })
+      .start()
+    try {
+      val filler = (1 to 40).map(i => s"w$i z$i").mkString(" ")
+      val batch1 = Seq(
+        (1L, s"clean document one $filler nothing shared here"),
+        (2L, s"a contaminated page begins $quote and then continues $filler"))
+      val batch2 = Seq(
+        (3L, s"another clean one $filler totally fine"),
+        (4L, s"$filler $quote"))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      val batchAudit = graft.operators.Contamination
+        .substringContamination((batch1 ++ batch2).toDF("doc_id", "text"), benchmark)
+        .select("doc_id", "n_bench_docs", "n_anchors", "max_extent")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      collected.toSet shouldBe batchAudit // every column, bit for bit
+      collected.map(_._1).toSet shouldBe Set(2L, 4L) // and only the planted docs
+    } finally { query.stop(); anchors.unpersist() }
+  }
 }
 
 /** streaming label row for the attribution test */
