@@ -345,7 +345,19 @@ object CurationQueries {
     // argmax, rewrite — so every learned merge is value-checked
     "q104_bpe_merge_table" -> ((s, dir) =>
       Packing.bpeMergeTable(s.read.parquet(s"$dir/documents.parquet"),
-        nMerges = BpeMerges))
+        nMerges = BpeMerges)),
+
+    // reproducible per-epoch training order: global rank of an
+    // epoch-salted hash, two-phase (never an unpartitioned corpus window)
+    "q105_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(s.read.parquet(s"$dir/documents.parquet"),
+        epoch = ShuffleEpoch)),
+
+    // the mixture planning table: per-source token inventory vs target
+    // weights -> integer repetition factors (epochs_ppm)
+    "q106_mixture_plan" -> ((s, dir) =>
+      Sampling.mixturePlan(s.read.parquet(s"$dir/documents.parquet"),
+        MixWeightsPpm, MixBudgetTokens))
   )
 
   /** q83's containment threshold. */
@@ -378,6 +390,16 @@ object CurationQueries {
 
   /** q104's merge-round count (each round unrolls into 3 oracle CTEs). */
   private val BpeMerges = 8
+
+  /** q105's epoch number (any value works; pinned for the oracle). */
+  private val ShuffleEpoch = 3
+
+  /** q106's target mixture (ppm, sums to 0.9e6 — srcs 4+ are excluded
+    * and must still appear in the plan with weight 0) and token budget.
+    */
+  private val MixWeightsPpm = Map(
+    "src0" -> 400000L, "src1" -> 250000L, "src2" -> 150000L, "src3" -> 100000L)
+  private val MixBudgetTokens = 1000000L
 
   /** q84's per-category sample size. */
   private val ExactN = 30
@@ -816,6 +838,34 @@ object CurationQueries {
          |st0 AS (SELECT tf, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS r FROM wtf),
          |${steps.mkString(",\n")}
          |$union""".stripMargin
+    },
+
+    // epoch-shuffle twin: the NAIVE global window over the same
+    // epoch-salted avalanching hash — the two-phase decomposition must
+    // equal it rank for rank
+    "q105_epoch_shuffle" -> {
+      val steps = graft.TrainingDataQueries.polyHash61StepsSql(
+        s"('$ShuffleEpoch:' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+         |FROM (SELECT doc_id, $steps FROM documents)""".stripMargin
+    },
+
+    // mixture-plan twin: same constant CASE chain, same integer ppm math
+    "q106_mixture_plan" -> {
+      val caseW = "CASE " + MixWeightsPpm.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+        .mkString(" ") + " ELSE 0 END"
+      s"""WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN text IS NULL THEN 0 ELSE len($toksSql) END), 0) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, n_tokens, CAST($caseW AS BIGINT) AS weight_ppm FROM t)
+         |SELECT source, n_docs, n_tokens, weight_ppm,
+         |  CAST((weight_ppm * $MixBudgetTokens) // 1000000 AS BIGINT) AS target_tokens,
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN (((weight_ppm * $MixBudgetTokens) // 1000000) * 1000000) // n_tokens
+         |    ELSE 0 END AS BIGINT) AS epochs_ppm
+         |FROM w""".stripMargin
     },
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is

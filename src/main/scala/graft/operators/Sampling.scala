@@ -349,4 +349,102 @@ object Sampling {
     Skew.groupedTopK(
       weightedPriority(df.filter(col(weightCol) > 0), weightCol, textCol),
       categoryCol, Seq(col("priority").desc, col(idCol).asc), k = n)
+
+  /** Deterministic EPOCH SHUFFLE: the global training order for one epoch
+    * — a reproducible permutation of the corpus that changes with the
+    * epoch number and is a pure function of (epoch, id): no RNG state, no
+    * driver involvement, re-runnable anywhere with identical output (the
+    * property a resumable training job needs from its data order).
+    *
+    * position = global rank of (h, id) with h = polyHash61("epoch:id") —
+    * the AVALANCHING hash (the HLL's), NOT the rolling polyHash: a plain
+    * polynomial hash of "epoch:<id>" is nearly ORDER-PRESERVING in id
+    * (consecutive ids differ only in the last term), which would make
+    * every epoch's "shuffle" approximately the identity permutation; the
+    * xor-shift/multiply finalizer is what actually decorrelates
+    * (SamplingSpec pins that epochs produce different permutations).
+    * The naive form is `row_number() OVER (ORDER BY h, id)` — an
+    * UNPARTITIONED window that funnels the corpus through one task. This
+    * uses the same two-phase decomposition as [[Packing]]'s prefix sum:
+    * coarse bucket = `h div ceil(HashMod/hashBuckets)` (floor division —
+    * monotone in h, so buckets are contiguous rank ranges; polyHash is
+    * near-uniform so buckets are balanced by construction, unlike
+    * id-derived buckets), per-bucket counts -> exclusive prefix sum over
+    * the BUCKET TOTALS (hashBuckets rows — the only single-task frame),
+    * broadcast back, rank within bucket. Identical to the naive rank for
+    * every `hashBuckets` (SamplingSpec pins it).
+    *
+    * Output: (idCol, shuffle_pos) — dense 0..n-1, no collisions possible
+    * (the (h, id) pair is unique because id is).
+    */
+  def epochShuffle(docs: DataFrame, epoch: Int, idCol: String = "doc_id",
+                   hashBuckets: Int = 4096): DataFrame = {
+    require(hashBuckets > 0, "hashBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val width =
+      (graft.functions.PolyHash61Impl.Mod61 + hashBuckets - 1) / hashBuckets
+    val hashed = docs.select(col(idCol),
+        graft.functions.PolyHash61.polyHash61(
+          concat(lit(s"$epoch:"), col(idCol).cast("string"))).as("__h"))
+      .withColumn("__b", expr(s"__h div ${width}L"))
+    val counts = hashed.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val exclusive = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("__b"),
+      coalesce(sum(col("__n")).over(exclusive), lit(0L)).as("__off"))
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    hashed.join(broadcast(offsets), Seq("__b"))
+      .withColumn("__r", row_number().over(inBucket).cast("long"))
+      .select(col(idCol), (col("__off") + col("__r") - 1).as("shuffle_pos"))
+  }
+
+  /** Token-budget MIXTURE PLAN: given target mixture weights per source
+    * (ppm, summing to <= 1e6) and a total token budget, report for every
+    * source its inventory and the repetition factor that realizes the
+    * target — the planning table behind "books 2.3 epochs, web 0.4
+    * epochs" style training mixtures. All math is integer (ppm and
+    * floor divisions), so both engines agree bit-for-bit.
+    *
+    *  - `target_tokens = budget * weight_ppm div 1e6`
+    *  - `epochs_ppm = target_tokens * 1e6 div n_tokens` — over 1e6 means
+    *    upsampling (repeat the source), under means a sampling rate;
+    *    [[epochMix]] consumes exactly this shape of factor.
+    *
+    * Sources absent from `weightsPpm` get weight 0 (dropped from the
+    * mix but still reported — the audit sees what the plan excludes).
+    * Caller contract: `budgetTokens` below ~9e12 keeps
+    * `target_tokens * 1e6` inside BIGINT on both engines.
+    *
+    * One combinable aggregate over the corpus (token counts), then
+    * row-local arithmetic on the per-source rollup — group-sized output,
+    * no second corpus pass.
+    */
+  def mixturePlan(docs: DataFrame, weightsPpm: Map[String, Long],
+                  budgetTokens: Long,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(weightsPpm.values.forall(_ >= 0), "weights must be non-negative")
+    require(weightsPpm.values.sum <= 1000000L, "weights must sum to <= 1e6 ppm")
+    // deterministic when-chain from the sorted constant map (epochMix's
+    // caseChain pattern): unknown sources fall through to 0
+    val wChain = weightsPpm.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    docs.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // NULL text counts 0 tokens explicitly: legacy size(NULL) = -1
+        // would silently subtract from the inventory
+        coalesce(sum(when(col(textCol).isNull, lit(0L))
+          .otherwise(size(graft.functions.TextFunctions.tokens(col(textCol)))
+            .cast("long"))), lit(0L)).as("n_tokens"))
+      .withColumn("weight_ppm", wChain)
+      .withColumn("target_tokens",
+        expr(s"(weight_ppm * ${budgetTokens}L) div 1000000"))
+      .withColumn("epochs_ppm",
+        when(col("n_tokens") > 0,
+          expr("(target_tokens * 1000000) div n_tokens")).otherwise(lit(0L)))
+  }
 }

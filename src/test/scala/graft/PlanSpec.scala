@@ -231,6 +231,16 @@ class PlanSpec extends SparkTestBase {
     p should not include "SortMergeJoin"
   }
 
+  test("q105: the epoch shuffle ranks within buckets — no corpus-sized window partition") {
+    // the only unpartitioned window runs over the BUCKET TOTALS
+    // (hashBuckets rows); the corpus-sized rank is partitioned by bucket,
+    // and the offsets come back as a broadcast, never a shuffle join
+    val p = plan("q105_epoch_shuffle")
+    p should include("partial_count")          // bucket totals combine map-side
+    p should include("BroadcastHashJoin")      // offsets join is broadcast
+    p should not include "SortMergeJoin"
+  }
+
   test("q94: the corpus collapses to the log-bucket histogram BEFORE any window") {
     // the window's frame is the bin-capped bucket histogram — map-side
     // combine shows the aggregate sits below the window, and the window

@@ -266,4 +266,46 @@ class SamplingSpec extends SparkTestBase {
       .groupBy("lang").count().select("count").as[Long].collect()
     all(perLang) should be <= 3L
   }
+  test("epochShuffle: two-phase rank == naive global window; epochs differ; positions dense") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.count()
+    def naive(epoch: Int): Map[Long, Long] = docs
+      .select(col("doc_id"), graft.functions.PolyHash61
+        .polyHash61(concat(lit(s"$epoch:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("p", row_number().over(Window.orderBy(col("h"), col("doc_id"))) - 1)
+      .select("doc_id", "p").as[(Long, Long)].collect().toMap
+    // bucket-count invariance: any hashBuckets reproduces the global rank
+    for (buckets <- Seq(1, 7, 4096)) {
+      val twoPhase = Sampling.epochShuffle(docs, epoch = 3, hashBuckets = buckets)
+        .as[(Long, Long)].collect().toMap
+      twoPhase shouldBe naive(3)
+    }
+    val e3 = Sampling.epochShuffle(docs, 3).as[(Long, Long)].collect().toMap
+    val e4 = Sampling.epochShuffle(docs, 4).as[(Long, Long)].collect().toMap
+    e3.values.toSeq.sorted shouldBe (0L until n).toSeq // dense, no collision
+    e4.values.toSeq.sorted shouldBe (0L until n).toSeq
+    e3 should not be e4                                 // epochs really reshuffle
+    Sampling.epochShuffle(docs, 3).as[(Long, Long)].collect().toMap shouldBe e3 // reproducible
+  }
+
+  test("mixturePlan: hand-computed integer plan; unknown source reported at weight 0") {
+    val docs = Seq(
+      (1L, "a b c d", "web"),   // 4 tokens
+      (2L, "e f", "web"),       // 2
+      (3L, "g h i j k l", "books"), // 6
+      (4L, "m n", "other"))     // 2, not in the weight map
+      .toDF("doc_id", "text", "source")
+    val plan = Sampling.mixturePlan(docs,
+        Map("web" -> 500000L, "books" -> 400000L), budgetTokens = 12L)
+      .select("source", "n_docs", "n_tokens", "weight_ppm", "target_tokens", "epochs_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // web: 6 tokens, target 12*0.5=6, epochs 6/6 = 1.0e6 ppm
+    plan("web") shouldBe ("web", 2L, 6L, 500000L, 6L, 1000000L)
+    // books: 6 tokens, target 12*0.4 = 4 (floor), epochs 4e6/6 = 666666
+    plan("books") shouldBe ("books", 1L, 6L, 400000L, 4L, 666666L)
+    // other: excluded from the mix but visible in the audit
+    plan("other") shouldBe ("other", 1L, 2L, 0L, 0L, 0L)
+  }
 }
