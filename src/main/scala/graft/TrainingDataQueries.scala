@@ -233,8 +233,18 @@ object TrainingDataQueries {
         length(col("text").cast("binary")).cast("long").as("n_bytes"),
         sha2(col("text").cast("binary"), 256).as("sha256_hex"),
         (lit(256) + ascii(col("text").substr(1, 1))).as("frame_width"),
-        (lit(256) + ascii(col("text").substr(2, 1))).as("frame_height")))
+        (lit(256) + ascii(col("text").substr(2, 1))).as("frame_height"))),
+
+    // mixed-language audit: q21's scorer per TOKEN WINDOW + per-doc
+    // consistency rollup — catches the bilingual concatenations whose
+    // doc-level argmax collapses to one label
+    "q107_mixed_language" -> ((s, dir) =>
+      graft.operators.LangAudit.mixedLanguageReport(docs(s, dir),
+        windowTokens = LangWindowTokens))
   )
+
+  /** q107's token-window width (the lang-ID granularity). */
+  private val LangWindowTokens = 20
 
   // ==== DuckDB oracle twins ============================================
 
@@ -830,6 +840,40 @@ object TrainingDataQueries {
         |  sha256(text) AS sha256_hex,
         |  256 + ascii(text[1:1]) AS frame_width,
         |  256 + ascii(text[2:2]) AS frame_height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // mixed-language twin: q21's score/argmax fragments per token-window
+    // slice; dominant language via max-count + min-lang (exactly the
+    // Spark side's min(struct(-cnt, lang)) tie rule); all-integer rollup
+    "q107_mixed_language" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w0 FROM documents),
+         |wins AS (SELECT doc_id, list_slice(w0, i * $LangWindowTokens + 1, i * $LangWindowTokens + $LangWindowTokens) AS w
+         |  FROM t, LATERAL (SELECT unnest(CASE WHEN len(w0) > 0
+         |    THEN range(0, (len(w0) - 1) // $LangWindowTokens + 1) ELSE [] END) AS i) ii),
+         |sc AS (SELECT doc_id, $langScoreCols FROM wins),
+         |mm AS (SELECT doc_id, $langScoreNames, $langMaxExpr AS m FROM sc),
+         |sl AS (SELECT doc_id, CASE $langCaseArms ELSE 'unknown' END AS seg_lang FROM mm),
+         |pl AS (SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY 1, 2),
+         |ag AS (SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(sum(CASE WHEN seg_lang <> 'unknown' THEN cnt END), 0) AS BIGINT) AS n_known,
+         |  CAST(count(CASE WHEN seg_lang <> 'unknown' THEN 1 END) AS BIGINT) AS n_langs,
+         |  max(CASE WHEN seg_lang <> 'unknown' THEN cnt END) AS mx
+         |FROM pl GROUP BY doc_id),
+         |dm AS (SELECT ag.doc_id, min(pl.seg_lang) AS lang_top
+         |  FROM ag JOIN pl ON pl.doc_id = ag.doc_id AND pl.cnt = ag.mx
+         |    AND pl.seg_lang <> 'unknown'
+         |  GROUP BY ag.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(ag.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(ag.n_known, 0) AS BIGINT) AS n_known,
+         |  CAST(coalesce(ag.n_langs, 0) AS BIGINT) AS n_langs,
+         |  coalesce(dm.lang_top, 'unknown') AS lang_top,
+         |  CAST(CASE WHEN coalesce(ag.n_known, 0) > 0
+         |    THEN (ag.mx * 1000000) // ag.n_known ELSE 0 END AS BIGINT) AS top_share_ppm,
+         |  CAST(CASE WHEN coalesce(ag.n_langs, 0) >= 2 THEN 1 ELSE 0 END AS INT) AS mixed
+         |FROM documents d
+         |LEFT JOIN ag ON ag.doc_id = d.doc_id
+         |LEFT JOIN dm ON dm.doc_id = d.doc_id""".stripMargin
   )
 }
