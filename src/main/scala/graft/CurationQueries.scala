@@ -357,8 +357,26 @@ object CurationQueries {
     // weights -> integer repetition factors (epochs_ppm)
     "q106_mixture_plan" -> ((s, dir) =>
       Sampling.mixturePlan(s.read.parquet(s"$dir/documents.parquet"),
-        MixWeightsPpm, MixBudgetTokens))
+        MixWeightsPpm, MixBudgetTokens)),
+
+    // model-based filtering: NB log-odds trained on source-labeled seed
+    // corpora, scoring ALL docs — the out-of-seed sources exercise the
+    // neither-class OOV path, integer pinned-ln end to end
+    "q108_nb_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.operators.QualityClassifier.nbLogOdds(d,
+        positive = d.filter(col("source").isin(NbPosSources: _*)),
+        negative = d.filter(col("source").isin(NbNegSources: _*)))
+    })
   )
+
+  /** q108's seed-label split: sources standing in for a curated-positive
+    * and a rejected-negative labeling; the remaining 14 sources are
+    * scored unseen.
+    */
+  private val NbPosSources = Seq("src0", "src1", "src2")
+  private val NbNegSources = Seq("src3", "src4", "src5")
 
   /** q83's containment threshold. */
   private val ContainThreshold = 0.6
@@ -767,6 +785,45 @@ object CurationQueries {
          |    ELSE CAST(coalesce(pd.n, 0) * lnd.lnd_lnfp - coalesce(pd.s, 0) AS DOUBLE)
          |      / CAST(pd.n AS DOUBLE) / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN lnd""".stripMargin
+    },
+
+    // NB-classifier twin: union vocab via FULL JOIN, per-word pinned-ln
+    // weight difference, four one-row constants (smoothing denominators +
+    // doc-count priors), all-integer per-doc fold
+    "q108_nb_quality" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      def srcList(ss: Seq[String]): String =
+        ss.map(s => s"'$s'").mkString(", ")
+      s"""WITH pos AS (SELECT text FROM documents WHERE source IN (${srcList(NbPosSources)})),
+         |neg AS (SELECT text FROM documents WHERE source IN (${srcList(NbNegSources)})),
+         |ptf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfp
+         |  FROM (SELECT unnest($toksSql) AS w FROM pos) GROUP BY w),
+         |ntf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfn
+         |  FROM (SELECT unnest($toksSql) AS w FROM neg) GROUP BY w),
+         |vocab AS (SELECT coalesce(ptf.w, ntf.w) AS w,
+         |  coalesce(tfp, 0) AS tfp, coalesce(tfn, 0) AS tfn
+         |  FROM ptf FULL JOIN ntf ON ptf.w = ntf.w),
+         |ww AS (SELECT w, ${steps("lp", "(tfp + 1)")}, ${steps("lq", "(tfn + 1)")} FROM vocab),
+         |wv AS (SELECT w, lp_lnfp - lq_lnfp AS wfp FROM ww),
+         |cn AS (SELECT CAST(sum(tfp) + count(*) AS BIGINT) AS __npv,
+         |  CAST(sum(tfn) + count(*) AS BIGINT) AS __nnv FROM vocab),
+         |dc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS __dp,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM neg) AS __dn),
+         |k AS (SELECT ${steps("la", "__npv")}, ${steps("lb", "__nnv")},
+         |  ${steps("lc", "__dp")}, ${steps("ld", "__dn")} FROM cn CROSS JOIN dc),
+         |kk AS (SELECT lb_lnfp - la_lnfp AS pertok_fp, lc_lnfp - ld_lnfp AS prior_fp FROM k),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(wv.wfp, 0)) AS BIGINT) AS s
+         |  FROM dt LEFT JOIN wv USING (w) GROUP BY dt.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) AS BIGINT) AS logodds_fp,
+         |  CAST(CASE WHEN kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) > 0
+         |    THEN 1 ELSE 0 END AS INT) AS predict_pos
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk""".stripMargin
     },
 
     // BPE-packing twin: the same distinct-word greedy fold as

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PinnedMath, TextFunctions}
+
+/** Model-based document filtering — the binary text classifier stage
+  * (fastText-style quality/toxicity/domain gates) trained and applied
+  * IN-ENGINE: multinomial Naive Bayes with add-one smoothing over two
+  * labeled seed corpora, scoring every document with its log-odds
+  *
+  *   ln P(pos|d) - ln P(neg|d)
+  *     = ln(Dp/Dn)  +  sum_tokens [ ln p(w|pos) - ln p(w|neg) ]
+  *
+  * where p(w|c) = (tf_{c,w} + 1) / (N_c + V) over the UNION vocabulary.
+  * Every probability is a pure ratio of corpus counts, so — exactly as in
+  * [[LmScore]] — every ln is a [[PinnedMath]] integer pinned series and
+  * the per-document fold is a BIGINT sum: order-free, bit-identical on
+  * both engines, no float accumulation anywhere. The decision column is
+  * `sign(logodds_fp)`, and the fixed-point score itself is the ranking
+  * key for a downstream quantile gate (compose with [[Quantiles]]).
+  *
+  * Rearranged for the distinct domain: per token the class-conditional
+  * difference is `[lnfp(tfp_w+1) - lnfp(tfn_w+1)]` (a per-DISTINCT-word
+  * weight; 0 for words seen in neither seed, so OOV needs no special
+  * case) plus the per-token constant `lnfp(Nn+V) - lnfp(Np+V)`; the
+  * prior `lnfp(Dp) - lnfp(Dn)` lands once per document.
+  *
+  * Scale shape: the ln series runs once per distinct union-vocabulary
+  * word and 4 times on a one-row constant frame (broadcast); document
+  * tokens join the weight table on the word (short rows, content-uniform
+  * key) and fold with one combinable integer aggregate. Nothing is
+  * per-token float math, nothing collects, and the seeds are read once.
+  *
+  * Both seeds must be non-empty and contain at least one token (the
+  * prior and smoothing denominators take lnfp of their counts, defined
+  * for >= 1). Every input row survives: token-less docs score exactly
+  * the prior.
+  */
+object QualityClassifier {
+
+  /** Per-document NB log-odds of `positive` vs `negative` seed corpora.
+    * Output: (idCol, n_tokens, logodds_fp BIGINT in 1e-9 nats,
+    * predict_pos INT 0/1).
+    */
+  def nbLogOdds(docs: DataFrame, positive: DataFrame, negative: DataFrame,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    def words(d: DataFrame) =
+      d.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val posTf = words(positive).groupBy(col("w")).agg(count(lit(1)).as("tfp"))
+    val negTf = words(negative).groupBy(col("w")).agg(count(lit(1)).as("tfn"))
+    val vocab = posTf.join(negTf, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("tfp"), lit(0L)).as("tfp"),
+        coalesce(col("tfn"), lit(0L)).as("tfn"))
+    // per-distinct-word weight: lnfp(tfp+1) - lnfp(tfn+1)
+    val wordW = (PinnedMath.lnFpSteps("lp", "(tfp + 1)") ++
+        PinnedMath.lnFpSteps("lq", "(tfn + 1)"))
+      .foldLeft(vocab) { case (df, (a, e)) => df.withColumn(a, expr(e)) }
+      .select(col("w"), (col("lp_lnfp") - col("lq_lnfp")).as("__w_fp"))
+    // one-row model constants: smoothing totals off the union vocab,
+    // document-count priors off the seeds
+    val counts = vocab
+      .agg((sum(col("tfp")) + count(lit(1))).as("__npv"),
+        (sum(col("tfn")) + count(lit(1))).as("__nnv"))
+      .crossJoin(positive.agg(count(lit(1)).as("__dp")))
+      .crossJoin(negative.agg(count(lit(1)).as("__dn")))
+    val consts = (PinnedMath.lnFpSteps("la", "__npv") ++
+        PinnedMath.lnFpSteps("lb", "__nnv") ++
+        PinnedMath.lnFpSteps("lc", "__dp") ++
+        PinnedMath.lnFpSteps("ld", "__dn"))
+      .foldLeft(counts) { case (df, (a, e)) => df.withColumn(a, expr(e)) }
+      .select((col("lb_lnfp") - col("la_lnfp")).as("__pertok_fp"),
+        (col("lc_lnfp") - col("ld_lnfp")).as("__prior_fp"))
+    val docWords = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val perDoc = docWords
+      .join(wordW, Seq("w"), "left") // neither-seed word: weight 0
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__w_fp"), lit(0L))).as("__s"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("n_tokens", coalesce(col("__n"), lit(0L)))
+      .withColumn("logodds_fp",
+        col("__prior_fp") + col("n_tokens") * col("__pertok_fp") +
+          coalesce(col("__s"), lit(0L)))
+      .select(col(idCol), col("n_tokens"), col("logodds_fp"),
+        (col("logodds_fp") > 0L).cast("int").as("predict_pos"))
+  }
+}

@@ -73,10 +73,13 @@ class PlanSpec extends SparkTestBase {
       // q94 is q93's shape over log buckets — same sanctioned spine;
       // q97's one-row piece-vocabulary array crosses the distinct-word
       // table and q99's one-row ln(N+V) model constant crosses the
-      // per-doc totals (q43's scalar-broadcast shape)
+      // per-doc totals (q43's scalar-broadcast shape); q108's one-row
+      // NB model constants (smoothing denominators + priors) are the
+      // same shape
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
-      "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal")
+      "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal",
+      "q108_nb_quality")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
