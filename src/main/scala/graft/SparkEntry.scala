@@ -21,11 +21,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores ts as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses outright. Read nanos as raw long (runtime-settable legacy conf)
-    * and truncate to microseconds — integer DIV, not `/`, because ns since
-    * epoch (~1.7e18) exceeds double's 2^53 exact-integer range. DuckDB
-    * truncates ns->us the same way on read, so the oracle agrees.
+  /** Event logs in the wild carry `ts` as TIMESTAMP(MICROS) or
+    * TIMESTAMP(NANOS); Spark 4 refuses the nanos variant outright unless
+    * the legacy conf reads it as a raw long. Set the conf for the footer
+    * read, then let [[graft.domain.Schemas.normalizeEventTs]] converge both
+    * encodings to TimestampType — it converts ONLY when `ts` arrived as a
+    * long (nanos), so a micros table passes through untouched. Hardcoding
+    * either encoding breaks when the dataset is regenerated with the other
+    * one (round 8: every events query crashed when ts flipped ns->us).
     *
     * The legacy conf is restored after the (eager) footer-schema read — the
     * same try/finally pattern as BackfillPipeline.readEvents, so no session
@@ -36,7 +39,7 @@ object SparkEntry {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    try t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    try graft.domain.Schemas.normalizeEventTs(t(s, dir, "events"))
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)

@@ -45,14 +45,21 @@ object Schemas {
     * parquet TIMESTAMP(NANOS) arrive as raw nanosecond longs (readers must
     * set `spark.sql.legacy.parquet.nanosAsLong`; Spark 4 has no nanosecond
     * timestamp type) — truncate to microseconds with integer division (ns
-    * since epoch exceeds double's 2^53 exact range). Already-timestamp
-    * inputs pass through untouched.
+    * since epoch exceeds double's 2^53 exact range). TIMESTAMP(MICROS)
+    * without a timezone loads as TIMESTAMP_NTZ, which Spark's epoch
+    * functions (`unix_micros`, `to_utc_timestamp`) refuse — cast it to
+    * TimestampType, interpreting the wall-clock in the session timezone
+    * (our entry points pin it to UTC, which is how DuckDB treats a naive
+    * parquet timestamp, so the oracle agrees on absolute epoch values).
+    * Already-LTZ inputs pass through untouched.
     */
   def normalizeEventTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => df
     }
 }
