@@ -368,7 +368,20 @@ object CurationQueries {
       graft.operators.QualityClassifier.nbLogOdds(d,
         positive = d.filter(col("source").isin(NbPosSources: _*)),
         negative = d.filter(col("source").isin(NbNegSources: _*)))
-    })
+    }),
+
+    // token-distribution drift per source: KL(P_source || P_corpus) in
+    // nats, every ln a pinned integer series, the weighted sum in
+    // DECIMAL(38,0) (BIGINT wraps once shard counts pass ~1e8)
+    "q109_source_kl" -> ((s, dir) =>
+      LmScore.sourceKlDrift(
+        s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))),
+
+    // per-document TF-IDF keywords: top-5 terms by tf * (ln D - ln df),
+    // exact integers end-to-end, ties to the lexicographically first term
+    "q110_tfidf_terms" -> ((s, dir) =>
+      LmScore.tfidfTopTerms(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))))
   )
 
   /** q108's seed-label split: sources standing in for a curated-positive
@@ -824,6 +837,57 @@ object CurationQueries {
          |  CAST(CASE WHEN kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) > 0
          |    THEN 1 ELSE 0 END AS INT) AS predict_pos
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk""".stripMargin
+    },
+
+    // KL-drift twin: identical pinned-ln steps on the three distinct
+    // domains ((g,w) counts, word totals, group totals), the weighted sum
+    // in HUGEINT cast to the same DECIMAL(38,0) the Spark side emits
+    "q109_source_kl" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH gw0 AS (SELECT source AS g, unnest($toksSql) AS w FROM documents),
+         |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS tf_g FROM gw0 GROUP BY g, w),
+         |wa AS (SELECT w, ${steps("lnw", "tf_all")}
+         |  FROM (SELECT w, CAST(sum(tf_g) AS BIGINT) AS tf_all FROM gw GROUP BY w)),
+         |gt AS (SELECT g, n_g, v_g, ${steps("lng", "n_g")}
+         |  FROM (SELECT g, CAST(sum(tf_g) AS BIGINT) AS n_g,
+         |    CAST(count(*) AS BIGINT) AS v_g FROM gw GROUP BY g)),
+         |tt AS (SELECT ${steps("lnt", "n_all")}
+         |  FROM (SELECT CAST(sum(tf_g) AS BIGINT) AS n_all FROM gw)),
+         |t AS (SELECT g, w, tf_g, ${steps("lgw", "tf_g")} FROM gw),
+         |term AS (SELECT t.g, gt.n_g, gt.v_g,
+         |  CAST(t.tf_g AS HUGEINT)
+         |    * (t.lgw_lnfp - gt.lng_lnfp - wa.lnw_lnfp + tt.lnt_lnfp) AS term
+         |  FROM t JOIN wa USING (w) JOIN gt ON t.g = gt.g CROSS JOIN tt)
+         |SELECT g AS source,
+         |  CAST(max(n_g) AS BIGINT) AS n_tokens,
+         |  CAST(max(v_g) AS BIGINT) AS n_distinct,
+         |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp,
+         |  CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
+         |    / CAST(max(n_g) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS kl_nats
+         |FROM term GROUP BY g""".stripMargin
+    },
+
+    // TF-IDF twin: per-distinct-word pinned ln(df), one-row ln(D), exact
+    // BIGINT scores, the same (score desc, term asc) window cut
+    "q110_tfidf_terms" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH dt AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |dw AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM dt GROUP BY doc_id, term),
+         |dfl AS (SELECT term, ${steps("ldf", "df")}
+         |  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY term)),
+         |nd AS (SELECT ${steps("lnd", "n_docs")}
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)),
+         |sc AS (SELECT dw.doc_id, dw.term, dw.tf,
+         |  CAST(dw.tf * (nd.lnd_lnfp - dfl.ldf_lnfp) AS BIGINT) AS score_fp
+         |  FROM dw JOIN dfl USING (term) CROSS JOIN nd)
+         |SELECT doc_id, term, tf, score_fp,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS INTEGER) AS rank
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) <= 5""".stripMargin
     },
 
     // BPE-packing twin: the same distinct-word greedy fold as

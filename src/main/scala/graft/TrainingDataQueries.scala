@@ -105,6 +105,12 @@ object TrainingDataQueries {
     "q35_knn_ivf" -> ((s, dir) => SimilaritySearch.ivfKnnTrained(emb(s, dir), "vec_id < 10", 3,
       initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
 
+    // product-quantization ADC top-k: vectors stored as m=4 codebook ids,
+    // queries scan codes via a broadcast distance table — the
+    // memory-compression ANN path (codes shuffle, vectors never do)
+    "q111_knn_pq" -> ((s, dir) => SimilaritySearch.pqKnn(emb(s, dir), "vec_id < 10", 3,
+      codebookPred = "vec_id >= 100 AND vec_id < 116", m = 4, dim = EmbeddingDim)),
+
     // INCREMENTAL ANN index: train the IVF quantizer on the first slice,
     // add the rest WITHOUT retraining (assignment to frozen centroids),
     // query the grown index. Assign-at-add == assign-all-at-once because
@@ -627,6 +633,38 @@ object TrainingDataQueries {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin,
+
+    // PQ-ADC twin: identical unit normalization and subspace slicing, the
+    // same three left-fold dots per (row, codeword) distance
+    // (svv + cvv - 2*dot), identical floor quantization, integer ADC
+    // sums, same (adist, id) tie-break
+    "q111_knn_pq" -> {
+      val subDim = EmbeddingDim / 4
+      s"""WITH $embBaseSql,
+         |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
+         |es AS (SELECT vec_id, sub, list_slice(vn, sub*$subDim + 1, (sub+1)*$subDim) AS sv
+         |  FROM evn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
+         |esn AS (SELECT vec_id, sub, sv, ${dotSql("sv", "sv")} AS svv FROM es),
+         |cb AS (SELECT vec_id AS cid, sub, sv AS cv, svv AS cvv FROM esn
+         |  WHERE vec_id >= 100 AND vec_id < 116),
+         |enc AS (SELECT esn.vec_id, esn.sub, cb.cid,
+         |  esn.svv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", "cb.cv")} AS d2
+         |  FROM esn JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, cid FROM enc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+         |qt AS (SELECT vec_id AS query_id, sub, cid,
+         |  CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dfp
+         |  FROM enc WHERE vec_id < 10),
+         |ad AS (SELECT qt.query_id, codes.vec_id AS neighbor_id,
+         |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
+         |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cid = qt.cid
+         |    AND codes.vec_id <> qt.query_id
+         |  GROUP BY qt.query_id, codes.vec_id)
+         |SELECT query_id, neighbor_id, adist_fp,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
+    },
 
     "q35_knn_ivf" ->
       s"""WITH $embBaseSql,

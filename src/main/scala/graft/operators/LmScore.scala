@@ -151,4 +151,118 @@ object LmScore {
       .select(col(idCol), col("n_transitions"), col("surprisal_fp"),
         col("mean_surprisal"))
   }
+
+  /** Per-group token-distribution drift: KL(P_group || P_corpus) over the
+    * unigram distributions, in nats — the "is this source/shard/snapshot
+    * still the same language mix" audit a training-data pipeline runs per
+    * ingest. A source whose token distribution matches the corpus scores
+    * ~0; boilerplate farms, wrong-language shards, and template spam score
+    * high. (q90's total-variation drift audits a NUMERIC column; this
+    * audits the token distribution itself.)
+    *
+    * KL needs no smoothing in this direction: only words with
+    * tf_group > 0 contribute, and every such word has tf_corpus > 0
+    * because the group is part of the corpus. Every term is then a pure
+    * ratio of counts, so the pinned-ln discipline applies verbatim:
+    *
+    *   KL_g = (1/N_g) * sum_w tf_gw * [ln tf_gw - ln N_g - ln tf_w + ln N]
+    *
+    * Each ln is a [[PinnedMath]] fixed-point integer computed once per
+    * DISTINCT (group, word) / word; the weighted sum runs in
+    * DECIMAL(38,0) — tf * lnfp can exceed 2^63 once shard token counts
+    * pass ~1e8, and a silent BIGINT wraparound would corrupt the audit
+    * exactly on the corpora it exists for. Output: one row per group
+    * (group, n_tokens, n_distinct, kl_fp DECIMAL(38,0) in 1e-9
+    * token-nats, kl_nats DOUBLE).
+    *
+    * Scale shape: one corpus tokenize -> (group, word) count (combinable,
+    * content-uniform keys); the ln series runs on the distinct domains;
+    * the group totals are a tiny broadcast. Nothing is per-token after
+    * the first aggregate.
+    */
+  def sourceKlDrift(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val gw = docs
+      .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("tf_g"))
+    // per-distinct-word corpus counts + pinned ln(tf_w)
+    val wAll = PinnedMath.lnFpSteps("lnw", "tf_all")
+      .foldLeft(gw.groupBy(col("w")).agg(sum(col("tf_g")).as("tf_all"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("w"), col("lnw_lnfp").as("__ln_tfall_fp"))
+    // per-group totals + pinned ln(N_g) — a handful of rows, broadcast
+    val gTot = PinnedMath.lnFpSteps("lng", "n_g")
+      .foldLeft(gw.groupBy(col("g")).agg(
+        sum(col("tf_g")).as("n_g"), count(lit(1)).as("v_g"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("g"), col("n_g"), col("v_g"), col("lng_lnfp").as("__ln_ng_fp"))
+    // one-row corpus total + pinned ln(N)
+    val tot = PinnedMath.lnFpSteps("lnt", "n_all")
+      .foldLeft(gw.agg(sum(col("tf_g")).as("n_all"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("lnt_lnfp").as("__ln_nall_fp"))
+    // per-(group, word) pinned ln(tf_gw), then the weighted integer sum
+    PinnedMath.lnFpSteps("lgw", "tf_g")
+      .foldLeft(gw) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .select(col("g"), col("w"), col("tf_g"), col("lgw_lnfp"))
+      .join(wAll, Seq("w"))
+      .join(broadcast(gTot), Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", col("tf_g").cast("decimal(38,0)") *
+        (col("lgw_lnfp") - col("__ln_ng_fp") - col("__ln_tfall_fp") + col("__ln_nall_fp")))
+      .groupBy(col("g"))
+      .agg(max(col("n_g")).as("n_tokens"), max(col("v_g")).as("n_distinct"),
+        sum(col("__term")).cast("decimal(38,0)").as("kl_fp"))
+      .withColumn("kl_nats", expr(
+        s"CAST(kl_fp AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+          s" / CAST(${PinnedMath.FpScale} AS DOUBLE)"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_distinct"),
+        col("kl_fp"), col("kl_nats"))
+  }
+
+  /** Top-k characteristic terms per document by TF-IDF — the standard
+    * keyword-extraction / topic-fingerprint pass (salient-term indexes,
+    * near-topic grouping, per-document search keys).
+    *
+    * idf(w) = ln(D / df_w) is a pure count ratio, so the score stays in
+    * exact integers end-to-end: score_fp = tf_dw * (lnfp(D) - lnfp(df_w))
+    * — BIGINT is safe here (unlike [[sourceKlDrift]]'s corpus-wide sums)
+    * because tf_dw is bounded by a single document's token count. A word
+    * in every document gets idf 0 and can never outrank a discriminative
+    * term. Ties break by term ascending, so the cut is deterministic.
+    *
+    * Scale shape: the ln series runs once per DISTINCT word (the df
+    * table); doc-term tf rows join it on the content-uniform word key;
+    * the top-k is a row_number window partitioned BY DOCUMENT — millions
+    * of small partitions, never a global sort. Output: (idCol, term, tf,
+    * score_fp, rank), rank 1..k per doc with >= 1 token.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val dw = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfLn = PinnedMath.lnFpSteps("ldf", "df")
+      .foldLeft(dw.groupBy(col("term")).agg(count(lit(1)).as("df"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("term"), col("ldf_lnfp").as("__ln_df_fp"))
+    val dTot = PinnedMath.lnFpSteps("lnd", "n_docs")
+      .foldLeft(docs.agg(count(lit(1)).as("n_docs"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("lnd_lnfp").as("__ln_d_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("term").asc)
+    dw.join(dfLn, Seq("term"))
+      .crossJoin(broadcast(dTot))
+      .withColumn("score_fp", col("tf") * (col("__ln_d_fp") - col("__ln_df_fp")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score_fp"), col("rank"))
+  }
 }

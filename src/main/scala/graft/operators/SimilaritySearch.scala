@@ -313,6 +313,82 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Product-quantization top-k with asymmetric distance computation
+    * (ADC; Jégou et al., "Product quantization for nearest neighbor
+    * search", TPAMI 2011) — the memory-compression ANN path: each vector
+    * is stored as `m` small code ids (one per `dim/m`-dim subspace, the
+    * nearest codeword in that subspace), and a query scans CODES, not
+    * vectors — its exact distance to every codeword of every subspace is
+    * a tiny table, and a vector's approximate distance is `m` lookups
+    * into it. At 100 TB this is the difference between shuffling
+    * `n * dim` floats and `n * m` ints: the corpus's full vectors are
+    * read once (to encode) and never move again.
+    *
+    * Vectors are UNIT-NORMALIZED before encoding, so approximate L2 is
+    * cosine-consistent (`||a-b||^2 = 2 - 2 cos` on the unit sphere) and
+    * the ranking targets the same similarity as [[bruteKnn]] — on raw
+    * magnitudes L2-ADC would rank by vector length, not direction.
+    *
+    * The codebook here is the UNTRAINED quantizer — the subvectors of a
+    * fixed id slice (the same zero-training baseline as [[ivfKnn]]'s raw
+    * centroids; a trained variant would run [[trainedCentroids]] per
+    * subspace). Determinism: every per-subspace distance is
+    * `svv + cvv - 2*dot` — three left-fold doubles shared with the
+    * oracle — quantized to integer 1e-9 units, so the ADC sum over
+    * subspaces is an order-free BIGINT sum and ties break by (cid) /
+    * (neighbor id). Self-matches excluded.
+    *
+    * Output: (query_id, neighbor_id, adist_fp BIGINT — approximate
+    * squared L2 between unit vectors in 1e-9 units, rank 1..k).
+    */
+  def pqKnn(embeddings: DataFrame, queryPred: String, k: Int,
+            codebookPred: String, m: Int = 4, dim: Int = 64,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(dim % m == 0, s"pqKnn: dim $dim must split into $m subspaces")
+    require(!embeddings.filter(codebookPred).limit(1).isEmpty,
+      s"pqKnn: codebookPred '$codebookPred' selects no rows — empty codebook")
+    val subDim = dim / m
+    // (id, sub, sv, svv): one row per UNIT vector per subspace, svv = sv.sv
+    def subbed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", vecNorm(col("v")))
+        .withColumn("vn", transform(col("v"), x => x.cast("double") / col("nrm")))
+        .select(col("id"), explode(array((0 until m).map { i =>
+          struct(lit(i).as("sub"), slice(col("vn"), i * subDim + 1, subDim).as("sv"))
+        }: _*)).as("s"))
+        .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+        .withColumn("svv", vecDot(col("sv"), col("sv")))
+    val cb = subbed(embeddings.filter(codebookPred))
+      .select(col("id").as("cid"), col("sub"), col("sv").as("cv"), col("svv").as("cvv"))
+    // encode: nearest codeword per (vector, subspace). Broadcast codebook,
+    // argmin as a map-side-combining aggregate (the assignCells pattern):
+    // the shuffle carries one short code row per (vector, subspace), never
+    // the xK scored fan-out and never the subvectors.
+    val codes = maybePersist(subbed(embeddings), storage)
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", col("svv") + col("cvv") - lit(2.0) * vecDot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    // query ADC tables: exact distance to every codeword, quantized to
+    // integer 1e-9 units (|queries| * m * K rows — broadcast-sized)
+    val dt = subbed(embeddings.filter(queryPred))
+      .select(col("id").as("query_id"), col("sub"), col("sv").as("qv"), col("svv").as("qvv"))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", col("qvv") + col("cvv") - lit(2.0) * vecDot(col("qv"), col("cv")))
+      .withColumn("dfp", expr(
+        "CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .select(col("query_id"), col("sub"), col("cid"), col("dfp"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_fp").asc, col("id").asc)
+    codes.join(broadcast(dt), Seq("sub", "cid"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist_fp"), col("rank"))
+  }
+
   /** All vector pairs (id_a < id_b) with cosine >= threshold — the EXACT
     * all-pairs form. O(n^2) pairs (BroadcastNestedLoopJoin under the `<`
     * condition): strictly a small-n tool — the recall oracle for

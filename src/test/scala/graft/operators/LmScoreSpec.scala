@@ -115,4 +115,57 @@ class LmScoreSpec extends SparkTestBase {
       .select("doc_id", "surprisal_fp").as[(Long, Long)].collect().toSet
     a shouldBe b
   }
+
+  test("sourceKlDrift: matched source ~0, alien-token source high, libm agreement") {
+    // sources A and B have the SAME token distribution (each 3 'the',
+    // 1 'cat'); source C is all alien tokens
+    val docs = Seq(
+      ("a", "the the the cat"), ("b", "the cat the the"),
+      ("c", "zyzzyva qwerty zyzzyva plugh")
+    ).toDF("source", "text")
+    val out = LmScore.sourceKlDrift(docs)
+      .select("source", "n_tokens", "kl_nats")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver-side libm reference: KL_g = sum tf_gw/N_g * ln((tf_gw/N_g)/(tf_w/N))
+    def klRef(g: Map[String, Long], all: Map[String, Long]): Double = {
+      val (ng, n) = (g.values.sum.toDouble, all.values.sum.toDouble)
+      g.map { case (w, tf) =>
+        tf / ng * math.log((tf / ng) / (all(w) / n)) }.sum
+    }
+    val a = Map("the" -> 3L, "cat" -> 1L)
+    val c = Map("zyzzyva" -> 2L, "qwerty" -> 1L, "plugh" -> 1L)
+    val all = Map("the" -> 6L, "cat" -> 2L, "zyzzyva" -> 2L, "qwerty" -> 1L, "plugh" -> 1L)
+    out("a")._1 shouldBe 4L
+    out("a")._2 shouldBe klRef(a, all) +- 1e-6
+    out("c")._2 shouldBe klRef(c, all) +- 1e-6
+    // the matched sources drift little; the alien source drifts hard
+    out("a")._2 should be < 0.5
+    out("c")._2 should be > 1.0
+    // KL >= 0 always (Gibbs)
+    out.values.foreach(_._2 should be >= -1e-9)
+  }
+
+  test("tfidfTopTerms: discriminative terms outrank ubiquitous ones; ties lexicographic; k caps") {
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "common gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val out = LmScore.tfidfTopTerms(docs, k = 3)
+      .select("doc_id", "term", "score_fp", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // 'common' appears in every doc: idf = ln(3/3) = 0 -> score 0, never
+    // outranks a discriminative term
+    out((1L, 1))._1 shouldBe "alpha"
+    out((2L, 1))._1 shouldBe "beta"
+    out((1L, 2))._1 shouldBe "common"
+    out((1L, 2))._2 shouldBe 0L
+    // doc 3: six df=1 terms all tie at tf=1 -> lexicographic cut at k=3
+    Seq(out((3L, 1))._1, out((3L, 2))._1, out((3L, 3))._1) shouldBe
+      Seq("delta", "epsilon", "eta")
+    // k caps the per-doc output
+    LmScore.tfidfTopTerms(docs, k = 3).groupBy(col("doc_id")).count()
+      .select("count").as[Long].collect().foreach(_ should be <= 3L)
+  }
 }
