@@ -381,7 +381,13 @@ object CurationQueries {
     // exact integers end-to-end, ties to the lexicographically first term
     "q110_tfidf_terms" -> ((s, dir) =>
       LmScore.tfidfTopTerms(
-        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))))
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))),
+
+    // top collocations by PMI: ln(c_uv N_uni^2 / (N_bi c_u c_v)) as five
+    // pinned integer lns, min-count 3 against the hapax-pair degeneracy
+    "q112_pmi_collocations" -> ((s, dir) =>
+      LmScore.pmiCollocations(
+        s.read.parquet(s"$dir/documents.parquet").select(col("text"))))
   )
 
   /** q108's seed-label split: sources standing in for a curated-positive
@@ -888,6 +894,36 @@ object CurationQueries {
          |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) AS INTEGER) AS rank
          |FROM sc
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term ASC) <= 5""".stripMargin
+    },
+
+    // PMI twin: same pinned lns on the distinct unigram/bigram domains,
+    // split_part == substring_index on single-space bigrams, same
+    // (pmi desc, bigram asc) TakeOrdered cut
+    "q112_pmi_collocations" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH t AS (SELECT $toksSql AS w FROM documents),
+         |uc AS (SELECT w0 AS w, CAST(count(*) AS BIGINT) AS cu
+         |  FROM (SELECT unnest(w) AS w0 FROM t) GROUP BY w0),
+         |ul AS (SELECT w, ${steps("lcu", "cu")} FROM uc),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cuv
+         |  FROM (SELECT unnest(list_transform(range(1, len(w)),
+         |    bi -> w[bi] || ' ' || w[bi + 1])) AS bigram FROM t) GROUP BY bigram),
+         |nb AS (SELECT ${steps("lnb", "n_bi")}
+         |  FROM (SELECT CAST(sum(cuv) AS BIGINT) AS n_bi FROM bc)),
+         |nu AS (SELECT ${steps("lnu", "n_uni")}
+         |  FROM (SELECT CAST(sum(cu) AS BIGINT) AS n_uni FROM uc)),
+         |bf AS (SELECT bigram, cuv, ${steps("lcuv", "cuv")} FROM bc WHERE cuv >= 3),
+         |j AS (SELECT bf.bigram, bf.cuv,
+         |  CAST(bf.lcuv_lnfp - nb.lnb_lnfp - uu.lcu_lnfp - vv.lcu_lnfp
+         |    + 2 * nu.lnu_lnfp AS BIGINT) AS pmi_fp
+         |  FROM bf JOIN ul uu ON split_part(bf.bigram, ' ', 1) = uu.w
+         |         JOIN ul vv ON split_part(bf.bigram, ' ', 2) = vv.w
+         |         CROSS JOIN nb CROSS JOIN nu)
+         |SELECT bigram, cuv, pmi_fp,
+         |  CAST(pmi_fp AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS pmi_nats
+         |FROM j ORDER BY pmi_fp DESC, bigram ASC LIMIT 25""".stripMargin
     },
 
     // BPE-packing twin: the same distinct-word greedy fold as

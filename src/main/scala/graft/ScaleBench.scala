@@ -133,7 +133,19 @@ object ScaleBench {
       // distinct-bigram tables are where the math runs; rotation grows
       // the distinct domains linearly (worst case for the trick)
       "lm_surprisal" -> (k => graft.operators.LmScore.unigramSurprisal(scaledDocs(k))),
-      "bigram_surprisal" -> (k => graft.operators.LmScore.bigramSurprisal(scaledDocs(k))))
+      "bigram_surprisal" -> (k => graft.operators.LmScore.bigramSurprisal(scaledDocs(k))),
+      // q109/q110/q112 shapes: more pinned-ln-on-distinct-domain scores —
+      // KL's weighted DECIMAL sum, tf-idf's per-doc window, PMI's
+      // TakeOrdered cut; rotation again grows the distinct domains
+      // linearly while group counts (sources) stay fixed
+      "source_kl" -> (k => graft.operators.LmScore.sourceKlDrift(scaledDocs(k))),
+      "tfidf_terms" -> (k => graft.operators.LmScore.tfidfTopTerms(scaledDocs(k))),
+      "pmi_collocations" -> (k => graft.operators.LmScore.pmiCollocations(scaledDocs(k))),
+      // q111 shape: PQ encode + ADC scan — corpus grows k-fold, codebook
+      // and query set stay 1x, so the cost under test is the encode
+      // argmin and the codes-only candidate scan
+      "pq_knn" -> (k => SimilaritySearch.pqKnn(scaledEmb(k), "vec_id < 10", 3,
+        codebookPred = "vec_id >= 100 AND vec_id < 116")))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

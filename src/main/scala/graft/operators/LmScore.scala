@@ -33,19 +33,23 @@ import graft.functions.{PinnedMath, TextFunctions}
   */
 object LmScore {
 
-  /** Per-document unigram surprisal. `reference` defaults to scoring the
-    * corpus against itself (the self-perplexity audit); pass a held-out
-    * reference (e.g. a known-clean corpus) for the CCNet-style gate.
-    * Output: (idCol, n_tokens, surprisal_fp BIGINT in 1e-9 nats,
-    * mean_surprisal DOUBLE nats/token, NULL for token-less docs). Every
-    * input row survives.
+  /** Persistable unigram model state: `wordLn(w, __ln_tf_fp)` — the
+    * per-distinct-word integer ln(tf+1) — and the one-row `lnD(__lnd_fp)`
+    * = ln(N+V) constant. Two plain DataFrames (write as parquet, read
+    * back, score): the train-once / score-many split that
+    * [[graft.streaming.EventStream.surprisalGateWriter]] uses as FROZEN
+    * state across micro-batches — the LM analogue of
+    * [[graft.operators.Contamination.benchmarkAnchors]]'s anchor table.
     */
-  def unigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
-                       idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val refWords = reference.getOrElse(docs)
+  case class UnigramLm(wordLn: DataFrame, lnD: DataFrame)
+
+  /** Train the add-one unigram model of `reference`: every expensive op
+    * (the pinned-ln series) runs once per DISTINCT word.
+    */
+  def unigramModel(reference: DataFrame, textCol: String = "text"): UnigramLm = {
+    val vocab = reference
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-    val vocab = refWords.groupBy(col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
     // one-row model constant: ln(N + V), fixed-point
     val lnD = PinnedMath.lnFpSteps("lnd", "__d")
       .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
@@ -56,15 +60,25 @@ object LmScore {
     val wordLn = PinnedMath.lnFpSteps("lnw", "(tf + 1)")
       .foldLeft(vocab) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
       .select(col("w"), col("lnw_lnfp").as("__ln_tf_fp"))
+    UnigramLm(wordLn, lnD)
+  }
+
+  /** Score documents against a (possibly persisted) trained model — the
+    * cheap side of the split: tokens join the word scores on a
+    * content-uniform key and fold with one combinable integer aggregate.
+    */
+  def surprisalWithModel(docs: DataFrame, model: UnigramLm,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
     val docWords = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
     val perDoc = docWords
-      .join(wordLn, Seq("w"), "left") // OOV: tf=0 -> ln(1)=0
+      .join(model.wordLn, Seq("w"), "left") // OOV: tf=0 -> ln(1)=0
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),
         sum(coalesce(col("__ln_tf_fp"), lit(0L))).as("__s"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
-      .crossJoin(broadcast(lnD))
+      .crossJoin(broadcast(model.lnD))
       .withColumn("n_tokens", coalesce(col("__n"), lit(0L)))
       .withColumn("surprisal_fp",
         col("n_tokens") * col("__lnd_fp") - coalesce(col("__s"), lit(0L)))
@@ -75,6 +89,20 @@ object LmScore {
       .select(col(idCol), col("n_tokens"), col("surprisal_fp"),
         col("mean_surprisal"))
   }
+
+  /** Per-document unigram surprisal. `reference` defaults to scoring the
+    * corpus against itself (the self-perplexity audit); pass a held-out
+    * reference (e.g. a known-clean corpus) for the CCNet-style gate.
+    * Output: (idCol, n_tokens, surprisal_fp BIGINT in 1e-9 nats,
+    * mean_surprisal DOUBLE nats/token, NULL for token-less docs). Every
+    * input row survives. Train-once / score-many callers use
+    * [[unigramModel]] + [[surprisalWithModel]] directly.
+    */
+  def unigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    surprisalWithModel(docs,
+      unigramModel(reference.getOrElse(docs), textCol), idCol, textCol)
 
   /** Bigram surprisal with STUPID BACKOFF (Brants et al. 2007) — the
     * web-scale smoothing that keeps every probability a PURE RATIO, which
@@ -264,5 +292,61 @@ object LmScore {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score_fp"), col("rank"))
+  }
+
+  /** Top-k collocations by pointwise mutual information — the standard
+    * multiword-expression miner ("new york", "machine learning"): pairs
+    * that co-occur far more than their word frequencies predict. PMI is a
+    * pure ratio of counts,
+    *
+    *   pmi(u,v) = ln( (c_uv / N_bi) / ((c_u / N_uni) * (c_v / N_uni)) )
+    *            = ln c_uv - ln N_bi - ln c_u - ln c_v + 2 ln N_uni,
+    *
+    * so every term is a pinned integer ln and the score is exact BIGINT —
+    * the cut and its ties (bigram ascending) are deterministic.
+    * `minCount` drops rare pairs (classic PMI degeneracy: a hapax pair of
+    * two hapax words maximizes the ratio).
+    *
+    * Scale shape: ln once per distinct surviving bigram and distinct
+    * word; the top-k is `orderBy(...).limit(k)` — TakeOrdered over the
+    * aggregate, never a global sort. Output: (bigram, c_uv, pmi_fp,
+    * pmi_nats), rank implied by order.
+    */
+  def pmiCollocations(docs: DataFrame, k: Int = 25, minCount: Long = 3,
+                      textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val uc = docs.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val bc = docs.select(explode(TextFunctions.wordShinglesAll(toks, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cuv"))
+    val wordLn = PinnedMath.lnFpSteps("lcu", "cu")
+      .foldLeft(uc) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .select(col("w"), col("lcu_lnfp"))
+    // totals over the UNFILTERED counts (minCount prunes candidates, not
+    // the model), each a one-row broadcast
+    val nBi = PinnedMath.lnFpSteps("lnb", "n_bi")
+      .foldLeft(bc.agg(sum(col("cuv")).as("n_bi"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }.select(col("lnb_lnfp"))
+    val nUni = PinnedMath.lnFpSteps("lnu", "n_uni")
+      .foldLeft(uc.agg(sum(col("cu")).as("n_uni"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }.select(col("lnu_lnfp"))
+    PinnedMath.lnFpSteps("lcuv", "cuv")
+      .foldLeft(bc.filter(col("cuv") >= minCount)) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .withColumn("__u", substring_index(col("bigram"), " ", 1))
+      .withColumn("__v", substring_index(col("bigram"), " ", -1))
+      .join(wordLn.select(col("w").as("__u"), col("lcu_lnfp").as("__lu_fp")), Seq("__u"))
+      .join(wordLn.select(col("w").as("__v"), col("lcu_lnfp").as("__lv_fp")), Seq("__v"))
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .withColumn("pmi_fp", col("lcuv_lnfp") - col("lnb_lnfp")
+        - col("__lu_fp") - col("__lv_fp") + lit(2L) * col("lnu_lnfp"))
+      .withColumn("pmi_nats", expr(
+        s"CAST(pmi_fp AS DOUBLE) / CAST(${PinnedMath.FpScale} AS DOUBLE)"))
+      .orderBy(col("pmi_fp").desc, col("bigram").asc)
+      .limit(k)
+      .select(col("bigram"), col("cuv"), col("pmi_fp"), col("pmi_nats"))
   }
 }

@@ -325,6 +325,34 @@ object EventStream {
           batch.toDF(), beAnchors, minLen, k, idCol, textCol), batchId)
       }
 
+  /** Streaming LM-surprisal ingestion gate: score each arriving
+    * micro-batch of documents against a FROZEN
+    * [[graft.operators.LmScore.UnigramLm]] model — trained once on a
+    * reference corpus (train on clean data, gate the firehose), persisted,
+    * reused by every batch; only the arriving docs tokenize per batch.
+    * Same one-code-path argument as [[contaminationGateWriter]]: the
+    * foreachBatch body IS the batch operator
+    * ([[graft.operators.LmScore.surprisalWithModel]]), so streamed and
+    * batch scores cannot drift — and the integer fixed-point design makes
+    * the parity bit-for-bit, not approximate (EventStreamSpec proves it).
+    * Per-batch independence keeps this stateless on the streaming side:
+    * no update-mode score state keyed by doc_id that never expires.
+    *
+    * `sink` receives each micro-batch's scored rows (idCol, n_tokens,
+    * surprisal_fp, mean_surprisal) with the micro-batch id — quantile-gate
+    * downstream, divert to quarantine, or append to a scores table.
+    */
+  def surprisalGateWriter(docs: DataFrame, model: graft.operators.LmScore.UnigramLm,
+                          sink: (DataFrame, Long) => Unit,
+                          idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.LmScore.surprisalWithModel(
+          batch.toDF(), model, idCol, textCol), batchId)
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

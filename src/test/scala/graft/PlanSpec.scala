@@ -79,7 +79,12 @@ class PlanSpec extends SparkTestBase {
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
       "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal",
-      "q108_nb_quality")
+      "q108_nb_quality",
+      // q109/q110/q112's one-row ln(N) totals cross the aggregated
+      // (distinct-domain) tables — the same q43 scalar-broadcast shape,
+      // never corpus x corpus (q111's joins are all keyed: it stays
+      // under the full guard)
+      "q109_source_kl", "q110_tfidf_terms", "q112_pmi_collocations")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -242,6 +247,36 @@ class PlanSpec extends SparkTestBase {
     p should include("partial_count")          // bucket totals combine map-side
     p should include("BroadcastHashJoin")      // offsets join is broadcast
     p should not include "SortMergeJoin"
+  }
+
+  test("q109/q110: the pinned-ln series runs on distinct domains; constants come back broadcast") {
+    // the 62-arm ln CASE chains must sit ABOVE an aggregate (distinct
+    // words / (source, word) pairs), never on per-token rows, and the
+    // one-row ln(N) constants re-enter as broadcasts, not shuffle joins
+    Seq("q109_source_kl", "q110_tfidf_terms").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q:") {
+        p should include("partial_count")      // token counts combine map-side
+        p should include("BroadcastExchange")  // one-row constants broadcast
+        p should not include "SortMergeJoin"   // word-key joins stay hash/broadcast at this scale
+      }
+    }
+  }
+
+  test("q111: PQ scans codes against broadcast codebook and distance tables — vectors never shuffle post-encode") {
+    val p = plan("q111_knn_pq")
+    p should include("BroadcastExchange")      // codebook + ADC distance table
+    // encoding's argmin is an aggregate (map-side combining), not a window
+    p should include("partial_min_by")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q112: PMI lns run per distinct bigram/word; top-k is TakeOrdered, not a global sort") {
+    val p = plan("q112_pmi_collocations")
+    p should include("TakeOrderedAndProject")
+    p should include("partial_count")
+    p should not include "CartesianProduct"
   }
 
   test("q94: the corpus collapses to the log-bucket histogram BEFORE any window") {

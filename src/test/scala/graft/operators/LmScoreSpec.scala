@@ -145,6 +145,55 @@ class LmScoreSpec extends SparkTestBase {
     out.values.foreach(_._2 should be >= -1e-9)
   }
 
+  test("pmiCollocations: glued pair outranks chance pair; libm agreement; minCount prunes") {
+    // "new york" always together (4x); "the" is everywhere, so "the new"
+    // co-occurs only at chance; "rare gem" occurs twice (under minCount=3)
+    // 'the' also appears away from 'new' (last doc), so the chance pair
+    // 'the new' carries strictly less information than the glued pair
+    val texts = Seq("the new york times", "in the new york subway",
+      "the new york papers", "a new york minute", "rare gem here",
+      "a rare gem", "so the end of the story ends the tale")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").select(col("text"))
+    val out = LmScore.pmiCollocations(docs, k = 25, minCount = 3)
+      .select("bigram", "cuv", "pmi_nats")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet should contain("new york")
+    out.keySet should not contain "rare gem" // cuv=2 < minCount
+    // libm reference: pmi = ln(cuv * N_uni^2 / (N_bi * cu * cv))
+    def toks(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val uni = texts.flatMap(toks).groupBy(identity).map { case (w, o) => w -> o.size }
+    val bis = texts.flatMap(t => toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (b, o) => b -> o.size }
+    val (nU, nB) = (uni.values.sum.toDouble, bis.values.sum.toDouble)
+    def pmiRef(b: String): Double = {
+      val Array(u, v) = b.split(" ")
+      math.log(bis(b) * nU * nU / (nB * uni(u) * uni(v)))
+    }
+    out("new york")._2 shouldBe pmiRef("new york") +- 1e-6
+    // the glued pair carries more information than any the-* chance pair
+    out.filterNot(_._1 == "new york").values.foreach { case (_, p) =>
+      p should be < out("new york")._2
+    }
+  }
+
+  test("unigram model state round-trips through parquet: persisted model scores identically") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val model = LmScore.unigramModel(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_model").toString
+    model.wordLn.write.mode("overwrite").parquet(s"$dir/word_ln")
+    model.lnD.write.mode("overwrite").parquet(s"$dir/ln_d")
+    val reloaded = LmScore.UnigramLm(
+      spark.read.parquet(s"$dir/word_ln"), spark.read.parquet(s"$dir/ln_d"))
+    val direct = LmScore.unigramSurprisal(corpus)
+      .select("doc_id", "surprisal_fp").as[(Long, Long)].collect().toSet
+    val viaState = LmScore.surprisalWithModel(corpus, reloaded)
+      .select("doc_id", "surprisal_fp").as[(Long, Long)].collect().toSet
+    viaState shouldBe direct // integer state: nothing to drift in a round trip
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("tfidfTopTerms: discriminative terms outrank ubiquitous ones; ties lexicographic; k caps") {
     val docs = Seq(
       (1L, "alpha common common"),

@@ -391,6 +391,40 @@ class EventStreamSpec extends SparkTestBase {
       collected.map(_._1).toSet shouldBe Set(2L, 4L) // and only the planted docs
     } finally { query.stop(); anchors.unpersist() }
   }
+  test("streaming surprisal gate: frozen model across micro-batches == batch scores, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // model trained ONCE on a clean reference; micro-batches reuse it
+    val reference = Seq(
+      (100L, "the cat sat on the mat"), (101L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.LmScore.unigramModel(reference)
+    model.wordLn.persist(); model.lnD.persist()
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val query = EventStream.surprisalGateWriter(
+        input.toDF().toDF("doc_id", "text"), model,
+        (out, _) => collected.synchronized {
+          collected ++= out.select("doc_id", "n_tokens", "surprisal_fp")
+            .as[(Long, Long, Long)].collect()
+        })
+      .start()
+    try {
+      val batch1 = Seq((1L, "the cat sat"), (2L, "zyzzyva gibberish blob"))
+      val batch2 = Seq((3L, "the dog on the mat"), (4L, "..."))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      val batchScores = graft.operators.LmScore
+        .surprisalWithModel((batch1 ++ batch2).toDF("doc_id", "text"), model)
+        .select("doc_id", "n_tokens", "surprisal_fp")
+        .as[(Long, Long, Long)].collect().toSet
+      collected.toSet shouldBe batchScores // integer fixed point: bit for bit
+      collected.size shouldBe 4 // every doc scored, including the token-less one
+      // and the gate separates fluent from gibberish under the frozen model
+      val byId = collected.map(t => t._1 -> t._3).toMap
+      byId(2L).toDouble / 3 should be > byId(1L).toDouble / 3
+    } finally { query.stop(); model.wordLn.unpersist(); model.lnD.unpersist() }
+  }
 }
 
 /** streaming label row for the attribution test */
