@@ -377,6 +377,71 @@ object App {
           operators.LmScore.unigramSurprisal(docs, ref), o.required("output-path"))
         println(s"[graft] lm-score: wrote surprisal scores to ${o("output-path")}")
 
+      case "lm-train" =>
+        // train-once half of the train/score split: persist the unigram
+        // model state (word_ln + ln_d) for lm-score-with-model / the
+        // streaming surprisal gate
+        val o = parseArgs(args.tail)
+        val model = operators.LmScore.unigramModel(
+          fetcher.readParquet(spark, o.required("reference-path")),
+          o.getOrElse("text-col", "text"))
+        val out = o.required("model-path")
+        writer.writeParquet(model.wordLn, s"$out/word_ln")
+        writer.writeParquet(model.lnD, s"$out/ln_d")
+        println(s"[graft] lm-train: wrote unigram model state under $out")
+
+      case "lm-score-with-model" =>
+        // score-many half: frozen persisted model, only the docs tokenize
+        val o = parseArgs(args.tail)
+        val mp = o.required("model-path")
+        val model = operators.LmScore.UnigramLm(
+          fetcher.readParquet(spark, s"$mp/word_ln"),
+          fetcher.readParquet(spark, s"$mp/ln_d"))
+        writer.writeParquet(
+          operators.LmScore.surprisalWithModel(
+            fetcher.readParquet(spark, o.required("docs-path")), model,
+            o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] lm-score-with-model: wrote scores to ${o("output-path")}")
+
+      case "kl-drift" =>
+        // per-group token-distribution drift vs the whole corpus
+        val o = parseArgs(args.tail)
+        val out = operators.LmScore.sourceKlDrift(
+          fetcher.readParquet(spark, o.required("docs-path")),
+          o.getOrElse("group-col", "source"), o.getOrElse("text-col", "text"))
+        writer.writeParquet(out, o.required("output-path"))
+        val worst = fetcher.readParquet(spark, o.required("output-path"))
+          .orderBy(org.apache.spark.sql.functions.col("kl_nats").desc)
+          .limit(1).collect().headOption
+        worst.foreach(r => println(
+          s"[graft] kl-drift: most drifted ${o.getOrElse("group-col", "source")} " +
+            s"${r.get(0)} kl=${r.getAs[Double]("kl_nats")}"))
+        println(s"[graft] kl-drift: wrote per-group KL to ${o("output-path")}")
+
+      case "tfidf" =>
+        // per-document characteristic terms
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.tfidfTopTerms(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            o.get("k").map(_.toInt).getOrElse(5),
+            o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] tfidf: wrote top terms to ${o("output-path")}")
+
+      case "pmi" =>
+        // corpus collocations by pointwise mutual information
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.pmiCollocations(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            o.get("k").map(_.toInt).getOrElse(25),
+            o.get("min-count").map(_.toLong).getOrElse(3L),
+            o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] pmi: wrote collocations to ${o("output-path")}")
+
       case "weighted-sample" =>
         // deterministic weight-proportional sample; --category-col caps
         // per group instead of globally
@@ -629,6 +694,16 @@ object App {
       |                     shingle-overlap + verbatim-substring leak reports
       |  lm-score           --docs-path <path> --output-path <path>
       |                     [--reference-path <path>]  unigram surprisal scores
+      |  lm-train           --reference-path <path> --model-path <dir>
+      |                     persist the unigram model state (train once)
+      |  lm-score-with-model --docs-path <path> --model-path <dir>
+      |                     --output-path <path>  score against frozen state
+      |  kl-drift           --docs-path <path> --output-path <path>
+      |                     [--group-col <c=source>]  per-group token KL
+      |  tfidf              --docs-path <path> --output-path <path>
+      |                     [--k <n=5>]  per-doc characteristic terms
+      |  pmi                --docs-path <path> --output-path <path>
+      |                     [--k <n=25>] [--min-count <n=3>]  collocations
       |  weighted-sample    --docs-path <path> --output-path <path>
       |                     [--weight-col <c=n_chars>] [--n <n=1000>]
       |                     [--category-col <c>]  weight-proportional sample

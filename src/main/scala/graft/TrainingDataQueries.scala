@@ -111,6 +111,19 @@ object TrainingDataQueries {
     "q111_knn_pq" -> ((s, dir) => SimilaritySearch.pqKnn(emb(s, dir), "vec_id < 10", 3,
       codebookPred = "vec_id >= 100 AND vec_id < 116", m = 4, dim = EmbeddingDim)),
 
+    // INCREMENTAL PQ: encode the first slice, append the rest against the
+    // FROZEN codebook (row-local), query the grown code table. Stored
+    // state is m ints per vector — old shards never re-read their floats.
+    // Incremental == one-shot by construction, so the oracle IS q111's.
+    "q113_knn_pq_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = SimilaritySearch.addToPqIndex(
+        SimilaritySearch.buildPqIndex(e.filter(col("vec_id") <= 300),
+          "vec_id >= 100 AND vec_id < 116", m = 4, dim = EmbeddingDim),
+        e.filter(col("vec_id") > 300))
+      SimilaritySearch.queryPqIndex(idx, e.filter(col("vec_id") < 10), 3)
+    }),
+
     // INCREMENTAL ANN index: train the IVF quantizer on the first slice,
     // add the rest WITHOUT retraining (assignment to frozen centroids),
     // query the grown index. Assign-at-add == assign-all-at-once because
@@ -370,6 +383,40 @@ object TrainingDataQueries {
        |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
 
   private val embBaseSql = embBaseSqlWhere("TRUE")
+
+  /** The PQ-ADC replay shared by q111 and q113 (frozen-codebook encoding
+    * is row-local, so the incremental build equals the one-shot — the q53
+    * argument): identical unit normalization, subspace slicing, the three
+    * left-fold dots per distance, floor quantization, integer ADC sums,
+    * (adist, id) tie-break.
+    */
+  private lazy val pqAdcOracleSql: String = {
+    val subDim = EmbeddingDim / 4
+    s"""WITH $embBaseSql,
+       |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
+       |es AS (SELECT vec_id, sub, list_slice(vn, sub*$subDim + 1, (sub+1)*$subDim) AS sv
+       |  FROM evn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
+       |esn AS (SELECT vec_id, sub, sv, ${dotSql("sv", "sv")} AS svv FROM es),
+       |cb AS (SELECT vec_id AS cid, sub, sv AS cv, svv AS cvv FROM esn
+       |  WHERE vec_id >= 100 AND vec_id < 116),
+       |enc AS (SELECT esn.vec_id, esn.sub, cb.cid,
+       |  esn.svv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", "cb.cv")} AS d2
+       |  FROM esn JOIN cb USING (sub)),
+       |codes AS (SELECT vec_id, sub, cid FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+       |qt AS (SELECT vec_id AS query_id, sub, cid,
+       |  CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dfp
+       |  FROM enc WHERE vec_id < 10),
+       |ad AS (SELECT qt.query_id, codes.vec_id AS neighbor_id,
+       |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
+       |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cid = qt.cid
+       |    AND codes.vec_id <> qt.query_id
+       |  GROUP BY qt.query_id, codes.vec_id)
+       |SELECT query_id, neighbor_id, adist_fp,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM ad
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
+  }
 
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
     * NULL when the vector is shorter than the band's range — mirroring
@@ -638,33 +685,12 @@ object TrainingDataQueries {
     // same three left-fold dots per (row, codeword) distance
     // (svv + cvv - 2*dot), identical floor quantization, integer ADC
     // sums, same (adist, id) tie-break
-    "q111_knn_pq" -> {
-      val subDim = EmbeddingDim / 4
-      s"""WITH $embBaseSql,
-         |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
-         |es AS (SELECT vec_id, sub, list_slice(vn, sub*$subDim + 1, (sub+1)*$subDim) AS sv
-         |  FROM evn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
-         |esn AS (SELECT vec_id, sub, sv, ${dotSql("sv", "sv")} AS svv FROM es),
-         |cb AS (SELECT vec_id AS cid, sub, sv AS cv, svv AS cvv FROM esn
-         |  WHERE vec_id >= 100 AND vec_id < 116),
-         |enc AS (SELECT esn.vec_id, esn.sub, cb.cid,
-         |  esn.svv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", "cb.cv")} AS d2
-         |  FROM esn JOIN cb USING (sub)),
-         |codes AS (SELECT vec_id, sub, cid FROM enc
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
-         |qt AS (SELECT vec_id AS query_id, sub, cid,
-         |  CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dfp
-         |  FROM enc WHERE vec_id < 10),
-         |ad AS (SELECT qt.query_id, codes.vec_id AS neighbor_id,
-         |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
-         |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cid = qt.cid
-         |    AND codes.vec_id <> qt.query_id
-         |  GROUP BY qt.query_id, codes.vec_id)
-         |SELECT query_id, neighbor_id, adist_fp,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
-         |FROM ad
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
-    },
+    "q111_knn_pq" -> pqAdcOracleSql,
+
+    // incremental-PQ twin: frozen-codebook encoding is row-local, so
+    // build-then-add equals encode-everything-at-once — the same q53
+    // argument; the oracle is q111's text verbatim
+    "q113_knn_pq_incremental" -> pqAdcOracleSql,
 
     "q35_knn_ivf" ->
       s"""WITH $embBaseSql,

@@ -348,31 +348,51 @@ object SimilaritySearch {
     require(dim % m == 0, s"pqKnn: dim $dim must split into $m subspaces")
     require(!embeddings.filter(codebookPred).limit(1).isEmpty,
       s"pqKnn: codebookPred '$codebookPred' selects no rows — empty codebook")
+    val cb = pqCodebook(embeddings.filter(codebookPred), m, dim, idCol, vecCol)
+    val codes = pqEncode(
+      maybePersist(pqSubbed(embeddings, m, dim, idCol, vecCol), storage), cb)
+    pqAdcQuery(codes, cb,
+      pqSubbed(embeddings.filter(queryPred), m, dim, idCol, vecCol), k)
+  }
+
+  /** (id, sub, sv, svv): one row per UNIT vector per subspace, svv = sv.sv */
+  private def pqSubbed(df: DataFrame, m: Int, dim: Int,
+                       idCol: String, vecCol: String): DataFrame = {
     val subDim = dim / m
-    // (id, sub, sv, svv): one row per UNIT vector per subspace, svv = sv.sv
-    def subbed(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .withColumn("nrm", vecNorm(col("v")))
-        .withColumn("vn", transform(col("v"), x => x.cast("double") / col("nrm")))
-        .select(col("id"), explode(array((0 until m).map { i =>
-          struct(lit(i).as("sub"), slice(col("vn"), i * subDim + 1, subDim).as("sv"))
-        }: _*)).as("s"))
-        .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
-        .withColumn("svv", vecDot(col("sv"), col("sv")))
-    val cb = subbed(embeddings.filter(codebookPred))
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", vecNorm(col("v")))
+      .withColumn("vn", transform(col("v"), x => x.cast("double") / col("nrm")))
+      .select(col("id"), explode(array((0 until m).map { i =>
+        struct(lit(i).as("sub"), slice(col("vn"), i * subDim + 1, subDim).as("sv"))
+      }: _*)).as("s"))
+      .select(col("id"), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .withColumn("svv", vecDot(col("sv"), col("sv")))
+  }
+
+  private def pqCodebook(codebookRows: DataFrame, m: Int, dim: Int,
+                         idCol: String, vecCol: String): DataFrame =
+    pqSubbed(codebookRows, m, dim, idCol, vecCol)
       .select(col("id").as("cid"), col("sub"), col("sv").as("cv"), col("svv").as("cvv"))
-    // encode: nearest codeword per (vector, subspace). Broadcast codebook,
-    // argmin as a map-side-combining aggregate (the assignCells pattern):
-    // the shuffle carries one short code row per (vector, subspace), never
-    // the xK scored fan-out and never the subvectors.
-    val codes = maybePersist(subbed(embeddings), storage)
-      .join(broadcast(cb), Seq("sub"))
+
+  /** Encode: nearest codeword per (vector, subspace). Broadcast codebook,
+    * argmin as a map-side-combining aggregate (the assignCells pattern):
+    * the shuffle carries one short code row per (vector, subspace), never
+    * the xK scored fan-out and never the subvectors.
+    */
+  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("sub"))
       .withColumn("d2", col("svv") + col("cvv") - lit(2.0) * vecDot(col("sv"), col("cv")))
       .groupBy(col("id"), col("sub"))
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
-    // query ADC tables: exact distance to every codeword, quantized to
-    // integer 1e-9 units (|queries| * m * K rows — broadcast-sized)
-    val dt = subbed(embeddings.filter(queryPred))
+
+  /** ADC scan: the query distance tables (exact distance to every
+    * codeword, quantized to integer 1e-9 units — |queries| * m * K rows,
+    * broadcast-sized) meet the codes on (sub, cid); order-free BIGINT
+    * sums, (adist, id) tie-break, top-k per query.
+    */
+  private def pqAdcQuery(codes: DataFrame, cb: DataFrame,
+                         querySubs: DataFrame, k: Int): DataFrame = {
+    val dt = querySubs
       .select(col("id").as("query_id"), col("sub"), col("sv").as("qv"), col("svv").as("qvv"))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2", col("qvv") + col("cvv") - lit(2.0) * vecDot(col("qv"), col("cv")))
@@ -388,6 +408,52 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("adist_fp"), col("rank"))
   }
+
+  /** Persistable PQ index state: `codebook(cid, sub, cv, cvv)` and
+    * `codes(id, sub, cid)` — the corpus compressed to m small ints per
+    * vector. Two parquet-able tables; codes APPEND as shards arrive
+    * ([[addToPqIndex]]) — the PQ analogue of [[IvfIndex]], with an even
+    * stronger append story: the stored corpus is m ints per vector, so
+    * re-encoding old shards is never needed and queries touch no floats
+    * except the (tiny) codebook.
+    */
+  case class PqIndex(codebook: DataFrame, codes: DataFrame,
+                     m: Int = 4, dim: Int = 64)
+
+  /** Encode the initial corpus against a codebook drawn from `codebookPred`
+    * rows — the once-per-index step.
+    */
+  def buildPqIndex(embeddings: DataFrame, codebookPred: String,
+                   m: Int = 4, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): PqIndex = {
+    require(dim % m == 0, s"buildPqIndex: dim $dim must split into $m subspaces")
+    require(!embeddings.filter(codebookPred).limit(1).isEmpty,
+      s"buildPqIndex: codebookPred '$codebookPred' selects no rows — empty codebook")
+    val cb = pqCodebook(embeddings.filter(codebookPred), m, dim, idCol, vecCol)
+    PqIndex(cb,
+      pqEncode(maybePersist(pqSubbed(embeddings, m, dim, idCol, vecCol), storage), cb),
+      m, dim)
+  }
+
+  /** Add a shard WITHOUT touching the stored corpus: frozen-codebook
+    * encoding is row-local, so only the shard's vectors read their floats
+    * and only its code rows are new — incremental == one-shot by
+    * construction (the q53 argument, stronger here because stored state
+    * is codes, not vectors).
+    */
+  def addToPqIndex(index: PqIndex, newEmbeddings: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): PqIndex =
+    index.copy(codes = index.codes.unionByName(pqEncode(
+      pqSubbed(newEmbeddings, index.m, index.dim, idCol, vecCol), index.codebook)))
+
+  /** Top-k ADC query against a (possibly incrementally grown) index.
+    * Queries need not be index members; only they touch float vectors.
+    */
+  def queryPqIndex(index: PqIndex, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqAdcQuery(index.codes, index.codebook,
+      pqSubbed(queries, index.m, index.dim, idCol, vecCol), k)
 
   /** All vector pairs (id_a < id_b) with cosine >= threshold — the EXACT
     * all-pairs form. O(n^2) pairs (BroadcastNestedLoopJoin under the `<`

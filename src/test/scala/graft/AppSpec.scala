@@ -305,6 +305,40 @@ class AppSpec extends SparkTestBase {
       .groupBy(_.getAs[String]("lang")).values.foreach(_.size should be <= 2)
   }
 
+  test("lm-train/lm-score-with-model, kl-drift, tfidf, and pmi subcommands") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs", docs, "overwrite")
+    storage.write("ref", docs.filter(col("doc_id") <= 250), "overwrite")
+    // train-once state, then scoring against it == the one-shot scorer
+    App.run(platform, Seq("lm-train",
+      "--reference-path", "ref", "--model-path", "model"))
+    storage.contains("model/word_ln") shouldBe true
+    App.run(platform, Seq("lm-score-with-model",
+      "--docs-path", "docs", "--model-path", "model",
+      "--output-path", "scores_state"))
+    App.run(platform, Seq("lm-score",
+      "--docs-path", "docs", "--output-path", "scores_direct",
+      "--reference-path", "ref"))
+    def scoreSet(p: String) = storage.rows(p)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("surprisal_fp"))).toSet
+    scoreSet("scores_state") shouldBe scoreSet("scores_direct")
+    App.run(platform, Seq("kl-drift",
+      "--docs-path", "docs", "--output-path", "kl"))
+    val kl = storage.rows("kl")
+    kl.size shouldBe 20 // one row per source
+    kl.foreach(_.getAs[Double]("kl_nats") should be >= 0.0)
+    App.run(platform, Seq("tfidf",
+      "--docs-path", "docs", "--output-path", "terms", "--k", "3"))
+    storage.rows("terms")
+      .groupBy(_.getAs[Long]("doc_id")).values.foreach(_.size should be <= 3)
+    App.run(platform, Seq("pmi",
+      "--docs-path", "docs", "--output-path", "colloc", "--k", "10"))
+    storage.rows("colloc").size should be <= 10
+  }
+
   test("audit subcommand writes balance, drift, and padding reports") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))

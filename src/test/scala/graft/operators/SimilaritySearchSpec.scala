@@ -237,6 +237,29 @@ class SimilaritySearchSpec extends SparkTestBase {
   private lazy val realEmb = spark.read
     .parquet("/root/testdata/sf0.01/embeddings.parquet")
 
+  test("incremental PQ: appended shard is searchable; codes grow by the shard; matches one-shot") {
+    val idx0 = SimilaritySearch.buildPqIndex(
+      realEmb.filter(col("vec_id") <= 300), "vec_id >= 100 AND vec_id < 116")
+    // plant a same-direction copy of query 5 in the NEW shard: identical
+    // unit vector -> identical codes -> the minimal ADC distance
+    val planted = realEmb.filter(col("vec_id") === 5)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f)).as("embedding"),
+        col("label"))
+    val shard = realEmb.filter(col("vec_id") > 300).unionByName(planted)
+    val idx1 = SimilaritySearch.addToPqIndex(idx0, shard)
+    val top = SimilaritySearch.queryPqIndex(idx1, realEmb.filter(col("vec_id") === 5), 3)
+      .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    top shouldBe 9999L // searchable immediately; stored codes untouched
+    // state is appendable: m code rows per added vector, nothing re-encoded
+    idx1.codes.count() - idx0.codes.count() shouldBe shard.count() * 4
+    // and build-then-add == encode-all-at-once (frozen codebook, row-local)
+    val oneShot = SimilaritySearch.buildPqIndex(
+      realEmb.unionByName(planted), "vec_id >= 100 AND vec_id < 116")
+    idx1.codes.as[(Long, Int, Long)].collect().toSet shouldBe
+      oneShot.codes.as[(Long, Int, Long)].collect().toSet
+  }
+
   test("incremental IVF: an added near-copy becomes the top neighbor without retraining") {
     val idx0 = SimilaritySearch.buildIvfIndex(
       realEmb.filter(col("vec_id") <= 300), "vec_id >= 100 AND vec_id < 116")
