@@ -387,7 +387,18 @@ object CurationQueries {
     // pinned integer lns, min-count 3 against the hapax-pair degeneracy
     "q112_pmi_collocations" -> ((s, dir) =>
       LmScore.pmiCollocations(
-        s.read.parquet(s"$dir/documents.parquet").select(col("text"))))
+        s.read.parquet(s"$dir/documents.parquet").select(col("text")))),
+
+    // INCREMENTAL KL: build (group, word) count state on the first half,
+    // fold in the second half (only the shard tokenizes), read the audit
+    // off the merged state — equals the one-shot q109 bit-for-bit
+    "q115_source_kl_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val st0 = LmScore.klState(d.filter(col("doc_id") <= IncrSplitId2))
+      LmScore.sourceKlFromState(
+        LmScore.incrementKlState(st0, d.filter(col("doc_id") > IncrSplitId2)))
+    })
   )
 
   /** q108's seed-label split: sources standing in for a curated-positive
@@ -508,6 +519,39 @@ object CurationQueries {
        |  CAST(len(p0.l) AS BIGINT) - coalesce(r.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
        |  coalesce(r.text_dedup, '') AS text_dedup
        |FROM p0 LEFT JOIN r ON p0.doc_id = r.doc_id""".stripMargin
+
+  /** The KL-drift replay shared by q109 and q115 (per-(group, word)
+    * counts sum-merge exactly, so the incremental formulation equals this
+    * one-shot audit): identical pinned-ln steps on the three distinct
+    * domains, the weighted sum in HUGEINT cast to the same DECIMAL(38,0)
+    * the Spark side emits.
+    */
+  private lazy val sourceKlOracleSql: String = {
+    def steps(p: String, x: String): String =
+      graft.functions.PinnedMath.lnFpSteps(p, x)
+        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+    s"""WITH gw0 AS (SELECT source AS g, unnest($toksSql) AS w FROM documents),
+       |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS tf_g FROM gw0 GROUP BY g, w),
+       |wa AS (SELECT w, ${steps("lnw", "tf_all")}
+       |  FROM (SELECT w, CAST(sum(tf_g) AS BIGINT) AS tf_all FROM gw GROUP BY w)),
+       |gt AS (SELECT g, n_g, v_g, ${steps("lng", "n_g")}
+       |  FROM (SELECT g, CAST(sum(tf_g) AS BIGINT) AS n_g,
+       |    CAST(count(*) AS BIGINT) AS v_g FROM gw GROUP BY g)),
+       |tt AS (SELECT ${steps("lnt", "n_all")}
+       |  FROM (SELECT CAST(sum(tf_g) AS BIGINT) AS n_all FROM gw)),
+       |t AS (SELECT g, w, tf_g, ${steps("lgw", "tf_g")} FROM gw),
+       |term AS (SELECT t.g, gt.n_g, gt.v_g,
+       |  CAST(t.tf_g AS HUGEINT)
+       |    * (t.lgw_lnfp - gt.lng_lnfp - wa.lnw_lnfp + tt.lnt_lnfp) AS term
+       |  FROM t JOIN wa USING (w) JOIN gt ON t.g = gt.g CROSS JOIN tt)
+       |SELECT g AS source,
+       |  CAST(max(n_g) AS BIGINT) AS n_tokens,
+       |  CAST(max(v_g) AS BIGINT) AS n_distinct,
+       |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp,
+       |  CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(max(n_g) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS kl_nats
+       |FROM term GROUP BY g""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
@@ -848,32 +892,12 @@ object CurationQueries {
     // KL-drift twin: identical pinned-ln steps on the three distinct
     // domains ((g,w) counts, word totals, group totals), the weighted sum
     // in HUGEINT cast to the same DECIMAL(38,0) the Spark side emits
-    "q109_source_kl" -> {
-      def steps(p: String, x: String): String =
-        graft.functions.PinnedMath.lnFpSteps(p, x)
-          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
-      s"""WITH gw0 AS (SELECT source AS g, unnest($toksSql) AS w FROM documents),
-         |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS tf_g FROM gw0 GROUP BY g, w),
-         |wa AS (SELECT w, ${steps("lnw", "tf_all")}
-         |  FROM (SELECT w, CAST(sum(tf_g) AS BIGINT) AS tf_all FROM gw GROUP BY w)),
-         |gt AS (SELECT g, n_g, v_g, ${steps("lng", "n_g")}
-         |  FROM (SELECT g, CAST(sum(tf_g) AS BIGINT) AS n_g,
-         |    CAST(count(*) AS BIGINT) AS v_g FROM gw GROUP BY g)),
-         |tt AS (SELECT ${steps("lnt", "n_all")}
-         |  FROM (SELECT CAST(sum(tf_g) AS BIGINT) AS n_all FROM gw)),
-         |t AS (SELECT g, w, tf_g, ${steps("lgw", "tf_g")} FROM gw),
-         |term AS (SELECT t.g, gt.n_g, gt.v_g,
-         |  CAST(t.tf_g AS HUGEINT)
-         |    * (t.lgw_lnfp - gt.lng_lnfp - wa.lnw_lnfp + tt.lnt_lnfp) AS term
-         |  FROM t JOIN wa USING (w) JOIN gt ON t.g = gt.g CROSS JOIN tt)
-         |SELECT g AS source,
-         |  CAST(max(n_g) AS BIGINT) AS n_tokens,
-         |  CAST(max(v_g) AS BIGINT) AS n_distinct,
-         |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp,
-         |  CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
-         |    / CAST(max(n_g) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS kl_nats
-         |FROM term GROUP BY g""".stripMargin
-    },
+    "q109_source_kl" -> sourceKlOracleSql,
+
+    // incremental-KL twin: per-(group, word) counts sum-merge exactly
+    // (count addition is associative), so state-increment-read equals the
+    // one-shot audit — the oracle is q109's text verbatim
+    "q115_source_kl_incremental" -> sourceKlOracleSql,
 
     // TF-IDF twin: per-distinct-word pinned ln(df), one-row ln(D), exact
     // BIGINT scores, the same (score desc, term asc) window cut

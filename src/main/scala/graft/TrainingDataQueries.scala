@@ -111,6 +111,30 @@ object TrainingDataQueries {
     "q111_knn_pq" -> ((s, dir) => SimilaritySearch.pqKnn(emb(s, dir), "vec_id < 10", 3,
       codebookPred = "vec_id >= 100 AND vec_id < 116", m = 4, dim = EmbeddingDim)),
 
+    // two-stage PQ: ADC shortlist of 32, exact cosine rerank on the
+    // candidates only — the production IVFADC+rerank shape
+    "q114_knn_pq_reranked" -> ((s, dir) =>
+      SimilaritySearch.pqKnnReranked(emb(s, dir), "vec_id < 10", 3,
+        codebookPred = "vec_id >= 100 AND vec_id < 116", shortlist = 32,
+        m = 4, dim = EmbeddingDim)),
+
+    // TRAINED PQ: per-subspace Lloyd codebooks (L2 on unit slices, the
+    // quantizer's native objective), oracle replays training bit-for-bit
+    "q117_knn_pq_trained" -> ((s, dir) =>
+      SimilaritySearch.pqKnnTrained(emb(s, dir), "vec_id < 10", 3,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2,
+        m = 4, dim = EmbeddingDim)),
+
+    // SEMANTIC contamination: training vectors near a benchmark vector in
+    // embedding space — the paraphrase/translation leak the token-level
+    // audits (shingles, substrings, Bloom) structurally cannot see
+    "q116_embed_contamination" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.crossNearDup(
+        e.filter(col("vec_id") >= 100), e.filter(col("vec_id") < 100),
+        threshold = 0.3)
+    }),
+
     // INCREMENTAL PQ: encode the first slice, append the rest against the
     // FROZEN codebook (row-local), query the grown code table. Stored
     // state is m ints per vector — old shards never re-read their floats.
@@ -390,7 +414,10 @@ object TrainingDataQueries {
     * left-fold dots per distance, floor quantization, integer ADC sums,
     * (adist, id) tie-break.
     */
-  private lazy val pqAdcOracleSql: String = {
+  /** The subbed-corpus CTEs (through `esn`) plus the raw slice codebook
+    * `cb` — shared by every PQ oracle.
+    */
+  private lazy val pqBaseCtes: String = {
     val subDim = EmbeddingDim / 4
     s"""WITH $embBaseSql,
        |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
@@ -398,10 +425,16 @@ object TrainingDataQueries {
        |  FROM evn CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
        |esn AS (SELECT vec_id, sub, sv, ${dotSql("sv", "sv")} AS svv FROM es),
        |cb AS (SELECT vec_id AS cid, sub, sv AS cv, svv AS cvv FROM esn
-       |  WHERE vec_id >= 100 AND vec_id < 116),
-       |enc AS (SELECT esn.vec_id, esn.sub, cb.cid,
-       |  esn.svv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", "cb.cv")} AS d2
-       |  FROM esn JOIN cb USING (sub)),
+       |  WHERE vec_id >= 100 AND vec_id < 116)""".stripMargin
+  }
+
+  /** The ADC scan (enc/codes/qt/ad) against codebook relation `cbRel` —
+    * ends at `ad(query_id, neighbor_id, adist_fp)`.
+    */
+  private def pqScanCtes(cbRel: String): String =
+    s"""enc AS (SELECT esn.vec_id, esn.sub, $cbRel.cid,
+       |  esn.svv + $cbRel.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", s"$cbRel.cv")} AS d2
+       |  FROM esn JOIN $cbRel USING (sub)),
        |codes AS (SELECT vec_id, sub, cid FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
        |qt AS (SELECT vec_id AS query_id, sub, cid,
@@ -411,12 +444,56 @@ object TrainingDataQueries {
        |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
        |  FROM codes JOIN qt ON codes.sub = qt.sub AND codes.cid = qt.cid
        |    AND codes.vec_id <> qt.query_id
-       |  GROUP BY qt.query_id, codes.vec_id)
+       |  GROUP BY qt.query_id, codes.vec_id)""".stripMargin
+
+  private lazy val pqAdcCtes: String = s"""$pqBaseCtes,\n${pqScanCtes("cb")}"""
+
+  /** One per-subspace Lloyd round: L2 argmin assignment against `prev`,
+    * ordered-fold means per (sub, cid, di), emptied codewords keep their
+    * position — the subspace twin of [[kmeansIterSql]], producing `pq$i`.
+    */
+  private def pqKmeansIterSql(prev: String, i: Int): String = {
+    val subDim = EmbeddingDim / 4
+    s"""pa$i AS (SELECT esn.vec_id, esn.sub, $prev.cid,
+       |  esn.svv + $prev.cvv - CAST(2 AS DOUBLE) * ${dotSql("esn.sv", s"$prev.cv")} AS d2
+       |  FROM esn JOIN $prev USING (sub)),
+       |pm$i AS (SELECT vec_id, sub, cid FROM pa$i
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+       |px$i AS (SELECT pm.sub, pm.cid, dd.di AS di, esn.sv[dd.di] AS x, pm.vec_id
+       |  FROM pm$i pm JOIN esn ON pm.vec_id = esn.vec_id AND pm.sub = esn.sub
+       |  CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS di) dd),
+       |ps$i AS (SELECT sub, cid, di,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY vec_id)), (acc, xx) -> acc + xx) AS sx,
+       |  CAST(count(*) AS DOUBLE) AS n FROM px$i GROUP BY sub, cid, di),
+       |pv$i AS (SELECT sub, cid, list(sx / n ORDER BY di) AS cv FROM ps$i GROUP BY sub, cid),
+       |pc$i AS (SELECT cp.cid, cp.sub, coalesce(pv$i.cv, cp.cv) AS cv
+       |  FROM $prev cp LEFT JOIN pv$i ON cp.cid = pv$i.cid AND cp.sub = pv$i.sub),
+       |pq$i AS (SELECT cid, sub, cv, ${dotSql("cv", "cv")} AS cvv FROM pc$i)""".stripMargin
+  }
+
+  private lazy val pqAdcOracleSql: String =
+    s"""$pqAdcCtes
        |SELECT query_id, neighbor_id, adist_fp,
        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
        |FROM ad
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
-  }
+
+  /** q114's rerank stage over the same ADC scan: shortlist 32 by
+    * (adist, id), exact cosine on the candidates only, (cos desc, id)
+    * rerank to top-3 — the Spark side's two joins and window verbatim.
+    */
+  private lazy val pqRerankOracleSql: String =
+    s"""$pqAdcCtes,
+       |short AS (SELECT query_id, neighbor_id FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 32),
+       |scored AS (SELECT short.query_id, short.neighbor_id,
+       |  round(${dotSql("n.v", "q.v")} / (n.nrm * q.nrm), 6) AS cos_sim
+       |  FROM short JOIN en n ON short.neighbor_id = n.vec_id
+       |             JOIN en q ON short.query_id = q.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin
 
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
     * NULL when the vector is shorter than the band's range — mirroring
@@ -691,6 +768,36 @@ object TrainingDataQueries {
     // build-then-add equals encode-everything-at-once — the same q53
     // argument; the oracle is q111's text verbatim
     "q113_knn_pq_incremental" -> pqAdcOracleSql,
+
+    // two-stage PQ twin: ADC shortlist + exact-cosine rerank
+    "q114_knn_pq_reranked" -> pqRerankOracleSql,
+
+    // trained-PQ twin: two unrolled per-subspace Lloyd rounds (ordered
+    // folds), then the same ADC scan against the trained codebook
+    "q117_knn_pq_trained" ->
+      s"""$pqBaseCtes,
+         |${pqKmeansIterSql("cb", 1)},
+         |${pqKmeansIterSql("pq1", 2)},
+         |${pqScanCtes("pq2")}
+         |SELECT query_id, neighbor_id, adist_fp,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin,
+
+    // semantic-contamination twin: the q29 band machinery with the two
+    // sides kept distinct (corpus >= 100, benchmark < 100)
+    "q116_embed_contamination" ->
+      s"""WITH $embBaseSql,
+         |bc AS (SELECT vec_id, bb.band AS band, ${signKeySql("v", "bb.band")} AS key
+         |  FROM en CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) bb),
+         |cand AS (SELECT DISTINCT c.vec_id, r.vec_id AS ref_id
+         |  FROM bc c JOIN bc r ON c.band = r.band AND c.key = r.key
+         |  WHERE c.vec_id >= 100 AND r.vec_id < 100),
+         |scored AS (SELECT cand.vec_id, cand.ref_id,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM cand JOIN en a ON cand.vec_id = a.vec_id
+         |            JOIN en b ON cand.ref_id = b.vec_id)
+         |SELECT vec_id, ref_id, cos_sim FROM scored WHERE cos_sim >= 0.3""".stripMargin,
 
     "q35_knn_ivf" ->
       s"""WITH $embBaseSql,

@@ -209,10 +209,33 @@ object LmScore {
     * the first aggregate.
     */
   def sourceKlDrift(docs: DataFrame, groupCol: String = "source",
-                    textCol: String = "text"): DataFrame = {
-    val gw = docs
+                    textCol: String = "text"): DataFrame =
+    sourceKlFromState(klState(docs, groupCol, textCol), groupCol)
+
+  /** The KL audit's persistable state: per-(group, word) token counts —
+    * exact and sum-mergeable (count addition is associative), so shards
+    * APPEND without retokenizing stored corpora and increment == full
+    * recompute bit-for-bit (the [[graft.operators.Vocabulary]] argument,
+    * carried to the drift audit).
+    */
+  def klState(docs: DataFrame, groupCol: String = "source",
+              textCol: String = "text"): DataFrame =
+    docs
       .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("g"), col("w")).agg(count(lit(1)).as("tf_g"))
+
+  /** Fold a new shard's counts into stored state — only the shard
+    * tokenizes; the merge is one sum per touched (group, word).
+    */
+  def incrementKlState(state: DataFrame, shard: DataFrame,
+                       groupCol: String = "source",
+                       textCol: String = "text"): DataFrame =
+    state.unionByName(klState(shard, groupCol, textCol))
+      .groupBy(col("g"), col("w")).agg(sum(col("tf_g")).as("tf_g"))
+
+  /** The audit read off (possibly incrementally grown) state. */
+  def sourceKlFromState(gw: DataFrame,
+                        groupCol: String = "source"): DataFrame = {
     // per-distinct-word corpus counts + pinned ln(tf_w)
     val wAll = PinnedMath.lnFpSteps("lnw", "tf_all")
       .foldLeft(gw.groupBy(col("w")).agg(sum(col("tf_g")).as("tf_all"))) {

@@ -356,7 +356,7 @@ object SimilaritySearch {
   }
 
   /** (id, sub, sv, svv): one row per UNIT vector per subspace, svv = sv.sv */
-  private def pqSubbed(df: DataFrame, m: Int, dim: Int,
+  private[operators] def pqSubbed(df: DataFrame, m: Int, dim: Int,
                        idCol: String, vecCol: String): DataFrame = {
     val subDim = dim / m
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -369,7 +369,7 @@ object SimilaritySearch {
       .withColumn("svv", vecDot(col("sv"), col("sv")))
   }
 
-  private def pqCodebook(codebookRows: DataFrame, m: Int, dim: Int,
+  private[operators] def pqCodebook(codebookRows: DataFrame, m: Int, dim: Int,
                          idCol: String, vecCol: String): DataFrame =
     pqSubbed(codebookRows, m, dim, idCol, vecCol)
       .select(col("id").as("cid"), col("sub"), col("sv").as("cv"), col("svv").as("cvv"))
@@ -379,7 +379,7 @@ object SimilaritySearch {
     * the shuffle carries one short code row per (vector, subspace), never
     * the xK scored fan-out and never the subvectors.
     */
-  private def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[operators] def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), Seq("sub"))
       .withColumn("d2", col("svv") + col("cvv") - lit(2.0) * vecDot(col("sv"), col("cv")))
       .groupBy(col("id"), col("sub"))
@@ -407,6 +407,97 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("adist_fp"), col("rank"))
+  }
+
+  /** [[pqKnn]] with TRAINED codebooks: deterministic per-subspace Lloyd
+    * k-means (L2 on the sliced unit vectors — PQ's native objective,
+    * where the full-vector quantizer of [[trainedCentroids]] uses
+    * cosine) seeded by the `initPred` id slice. Same determinism
+    * contract: member contributions to every subspace mean fold in
+    * ascending id order, so the DuckDB oracle replays training
+    * bit-for-bit and assignments can never diverge on a last-bit tie.
+    * Trained codewords cut quantization error where the raw slice
+    * happens to be unrepresentative — the quality path, exactly as
+    * [[ivfKnnTrained]] is to [[ivfKnn]].
+    */
+  def pqKnnTrained(embeddings: DataFrame, queryPred: String, k: Int,
+                   initPred: String, iters: Int = 2,
+                   m: Int = 4, dim: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(dim % m == 0, s"pqKnnTrained: dim $dim must split into $m subspaces")
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"pqKnnTrained: initPred '$initPred' selects no rows — nothing to train from")
+    val subs = maybePersist(pqSubbed(embeddings, m, dim, idCol, vecCol), storage)
+    val cent = trainedSubCentroids(subs,
+      pqCodebook(embeddings.filter(initPred), m, dim, idCol, vecCol), iters)
+    pqAdcQuery(pqEncode(subs, cent), cent,
+      pqSubbed(embeddings.filter(queryPred), m, dim, idCol, vecCol), k)
+  }
+
+  /** Deterministic per-subspace Lloyd rounds over the subbed corpus
+    * (id, sub, sv, svv): assignment is the broadcast L2 argmin of
+    * [[pqEncode]]; the mean recompute shuffles (sub, cid, pos) partials —
+    * m * k * subDim groups, independent of corpus size — with the same
+    * explicitly-ordered fold as [[trainedCentroids]]. A codeword whose
+    * cell emptied keeps its position, so every subspace keeps k codes.
+    */
+  private[operators] def trainedSubCentroids(subs: DataFrame, init: DataFrame,
+                                             iters: Int): DataFrame = {
+    var cent = init
+    for (_ <- 1 to iters) {
+      val assigned = pqEncode(subs, cent)
+      val dims = subs.select(col("id"), col("sub"), col("sv"))
+        .join(assigned, Seq("id", "sub"))
+        .select(col("id"), col("sub"), col("cid"), posexplode(col("sv")))
+        .select(col("id"), col("sub"), col("cid"), col("pos"), col("col").as("x"))
+      val sums = dims.groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(
+          sort_array(collect_list(struct(col("id"), col("x")))).as("xs"),
+          count(lit(1)).cast("double").as("n"))
+        .withColumn("sx", aggregate(col("xs"), lit(0.0), (acc, s) => acc + s.getField("x")))
+        .withColumn("mean", col("sx") / col("n"))
+      val newCv = sums.groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cv"))
+      cent = cent.select(col("cid"), col("sub"), col("cv").as("cv0"))
+        .join(newCv, Seq("sub", "cid"), "left")
+        .select(col("cid"), col("sub"), coalesce(col("cv"), col("cv0")).as("cv"))
+        .withColumn("cvv", vecDot(col("cv"), col("cv")))
+    }
+    cent
+  }
+
+  /** Two-stage PQ retrieval — ADC shortlist, EXACT cosine rerank (the
+    * production IVFADC+rerank shape): [[pqKnn]]'s code scan cuts the
+    * corpus to `shortlist` candidates per query, and only those
+    * candidates' float vectors are read again for the exact score. This
+    * recovers the exact ranking within whatever the shortlist caught —
+    * on clustered data the shortlist IS the cluster, so the result
+    * equals brute force (SimilaritySearchSpec asserts equality on the
+    * planted corpus) — while the corpus-wide work stays codes-only.
+    * Output matches [[bruteKnn]]'s schema: (query_id, neighbor_id,
+    * cos_sim, rank).
+    */
+  def pqKnnReranked(embeddings: DataFrame, queryPred: String, k: Int,
+                    codebookPred: String, shortlist: Int = 32,
+                    m: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(shortlist >= k, s"pqKnnReranked: shortlist $shortlist must cover k $k")
+    val cand = pqKnn(embeddings, queryPred, shortlist, codebookPred,
+      m, dim, idCol, vecCol, storage)
+    val e = prep(embeddings, idCol, vecCol)
+    val queries = prep(embeddings.filter(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"))
+      .join(e.select(col("id").as("neighbor_id"), col("v"), col("nrm")), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos_sim", round(vecDot(col("v"), col("qv")) / (col("nrm") * col("qnrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
   /** Persistable PQ index state: `codebook(cid, sub, cv, cvv)` and
@@ -454,6 +545,44 @@ object SimilaritySearch {
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     pqAdcQuery(index.codes, index.codebook,
       pqSubbed(queries, index.m, index.dim, idCol, vecCol), k)
+
+  /** Cross-corpus embedding near-dups: training vectors within cosine >=
+    * threshold of any REFERENCE (benchmark) vector — the SEMANTIC
+    * contamination audit. The token-level family (shingle overlap,
+    * verbatim substrings, Bloom prune) catches copies; this catches
+    * paraphrases and translations, which share embeddings but no
+    * n-grams — the leak mode eval-set decontamination actually worries
+    * about. Same plan shape as [[nearDupPairs]], with the two sides kept
+    * distinct: both corpora bucket by sign-LSH band keys, candidates are
+    * (corpus, reference) co-occupants, exact cosine verifies. The corpus
+    * shuffles once on short band rows; the reference is typically the
+    * small side but the join stays keyed (hash), never broadcast-forced,
+    * so a large holdout also works. Output: (idCol, ref_id, cos_sim) —
+    * one row per contaminated (train, bench) pair above threshold.
+    */
+  def crossNearDup(corpus: DataFrame, reference: DataFrame, threshold: Double,
+                   bands: Int = 8,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val c = maybePersist(prep(corpus, idCol, vecCol), storage)
+    val r = maybePersist(prep(reference, idCol, vecCol), storage)
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), signBandKey(col("v"), b).as("key"))
+      }: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = banded(c)
+      .join(banded(r).select(col("id").as("ref_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id"), col("ref_id"))
+      .distinct()
+    candidates
+      .join(c.select(col("id"), col("v").as("cv"), col("nrm").as("cn")), Seq("id"))
+      .join(r.select(col("id").as("ref_id"), col("v").as("rv"), col("nrm").as("rn")), Seq("ref_id"))
+      .withColumn("cos_sim", round(vecDot(col("cv"), col("rv")) / (col("cn") * col("rn")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id").as(idCol), col("ref_id"), col("cos_sim"))
+  }
 
   /** All vector pairs (id_a < id_b) with cosine >= threshold — the EXACT
     * all-pairs form. O(n^2) pairs (BroadcastNestedLoopJoin under the `<`

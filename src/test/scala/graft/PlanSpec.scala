@@ -82,9 +82,11 @@ class PlanSpec extends SparkTestBase {
       "q108_nb_quality",
       // q109/q110/q112's one-row ln(N) totals cross the aggregated
       // (distinct-domain) tables — the same q43 scalar-broadcast shape,
-      // never corpus x corpus (q111's joins are all keyed: it stays
-      // under the full guard)
-      "q109_source_kl", "q110_tfidf_terms", "q112_pmi_collocations")
+      // never corpus x corpus (q111/q113/q114/q116's joins are all
+      // keyed: they stay under the full guard); q115 is q109's read off
+      // merged state
+      "q109_source_kl", "q110_tfidf_terms", "q112_pmi_collocations",
+      "q115_source_kl_incremental")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -145,6 +145,20 @@ class LmScoreSpec extends SparkTestBase {
     out.values.foreach(_._2 should be >= -1e-9)
   }
 
+  test("incremental KL state: shard-split increment equals the one-shot audit bit-for-bit") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val oneShot = LmScore.sourceKlDrift(corpus)
+      .select("source", "n_tokens", "kl_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val st0 = LmScore.klState(corpus.filter(col("doc_id") <= 100))
+    val grown = LmScore.incrementKlState(st0, corpus.filter(col("doc_id") > 100))
+    val incremental = LmScore.sourceKlFromState(grown)
+      .select("source", "n_tokens", "kl_fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    incremental shouldBe oneShot // count addition is associative; ln runs post-merge
+  }
+
   test("pmiCollocations: glued pair outranks chance pair; libm agreement; minCount prunes") {
     // "new york" always together (4x); "the" is everywhere, so "the new"
     // co-occurs only at chance; "rare gem" occurs twice (under minCount=3)

@@ -209,6 +209,77 @@ class SimilaritySearchSpec extends SparkTestBase {
     again.toSet shouldBe got.toSet
   }
 
+  test("crossNearDup: a planted paraphrase (same-direction copy) of a benchmark vector is flagged") {
+    // benchmark = vec_id < 100; corpus = the rest plus a scaled copy of
+    // benchmark vector 7 — cosine 1.0 with its source, the semantic leak
+    val bench = realEmb.filter(col("vec_id") < 100)
+    val planted = bench.filter(col("vec_id") === 7)
+      .select(lit(8888L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.7f)).as("embedding"),
+        col("label"))
+    val corpus = realEmb.filter(col("vec_id") >= 100).unionByName(planted)
+    val flagged = SimilaritySearch.crossNearDup(corpus, bench, threshold = 0.9)
+      .select("vec_id", "ref_id", "cos_sim").as[(Long, Long, Double)].collect()
+    flagged.map(t => (t._1, t._2)) should contain((8888L, 7L))
+    flagged.find(t => t._1 == 8888L && t._2 == 7L).get._3 shouldBe 1.0 +- 1e-6
+    // at a near-dup threshold on this near-random corpus, the planted
+    // pair is the ONLY flag — no false positives from the band join
+    flagged.map(t => (t._1, t._2)).toSet shouldBe Set((8888L -> 7L))
+  }
+
+  test("per-subspace PQ training reduces total quantization error vs the raw-slice codebook") {
+    val subs = SimilaritySearch.pqSubbed(realEmb, 4, 64, "vec_id", "embedding").persist()
+    val raw = SimilaritySearch.pqCodebook(
+      realEmb.filter(col("vec_id") >= 100 && col("vec_id") < 116), 4, 64, "vec_id", "embedding")
+    val trained = SimilaritySearch.trainedSubCentroids(subs, raw, iters = 2)
+    def totalErr(cb: DataFrame): Double = subs
+      .join(org.apache.spark.sql.functions.broadcast(cb), Seq("sub"))
+      .withColumn("d2", col("svv") + col("cvv")
+        - lit(2.0) * graft.functions.VecDotProduct.vecDot(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(org.apache.spark.sql.functions.min(col("d2")).as("best"))
+      .agg(org.apache.spark.sql.functions.sum(col("best"))).head().getDouble(0)
+    val (e0, e1) = (totalErr(raw), totalErr(trained))
+    info(f"PQ quantization error: raw=$e0%.3f trained=$e1%.3f")
+    e1 should be < e0 // Lloyd rounds can only improve the objective
+    subs.unpersist()
+  }
+
+  test("PQ rerank: on the planted corpus the two-stage result EQUALS brute force") {
+    // same geometry as the PQ cluster test: the ADC shortlist (32 > 29
+    // cluster members) catches the whole cluster, and the exact rerank
+    // then recovers the true cosine order — approximate retrieve, exact
+    // rank, equal to brute force end to end
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(10)(Array.fill(16)(
+      ((0.5 + 0.5 * rnd.nextDouble()) * (if (rnd.nextBoolean()) 1 else -1)).toFloat))
+    val rows = for (j <- 0 until 10; m <- 0 until 30) yield {
+      val v = centroids(j).map(c => c + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      ((j * 100 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def ranked(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = ranked(SimilaritySearch.bruteKnn(emb, "vec_id % 100 = 1", 10))
+    val rr = ranked(SimilaritySearch.pqKnnReranked(emb, "vec_id % 100 = 1", 10,
+      codebookPred = "vec_id % 100 = 0", shortlist = 32, m = 4, dim = 16))
+    rr shouldBe brute
+  }
+
+  test("PQ rerank on the real corpus: recall improves over raw ADC") {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(SimilaritySearch.bruteKnn(realEmb, "vec_id < 10", 3))
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    val raw = recall(pairs(SimilaritySearch.pqKnn(realEmb, "vec_id < 10", 3,
+      codebookPred = "vec_id >= 100 AND vec_id < 116")))
+    val rr = recall(pairs(SimilaritySearch.pqKnnReranked(realEmb, "vec_id < 10", 3,
+      codebookPred = "vec_id >= 100 AND vec_id < 116", shortlist = 50)))
+    info(f"recall@3: raw ADC=$raw%.3f reranked(50)=$rr%.3f")
+    // exact rerank can only improve whatever the shortlist caught
+    rr should be >= raw
+  }
+
   test("PQ-ADC on the real corpus: a planted same-direction copy is retrieved; recall reported") {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
