@@ -430,6 +430,19 @@ object App {
           o.required("output-path"))
         println(s"[graft] tfidf: wrote top terms to ${o("output-path")}")
 
+      case "embed-contamination" =>
+        // semantic-leak audit: corpus vectors near any benchmark vector
+        val o = parseArgs(args.tail)
+        val flagged = operators.SimilaritySearch.crossNearDup(
+          fetcher.readParquet(spark, o.required("corpus-path")),
+          fetcher.readParquet(spark, o.required("benchmark-path")),
+          o.get("threshold").map(_.toDouble).getOrElse(0.9),
+          o.get("bands").map(_.toInt).getOrElse(8),
+          o.getOrElse("id-col", "vec_id"), o.getOrElse("vec-col", "embedding"))
+        writer.writeParquet(flagged, o.required("output-path"))
+        val n = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] embed-contamination: flagged $n (corpus, benchmark) pairs -> ${o("output-path")}")
+
       case "pmi" =>
         // corpus collocations by pointwise mutual information
         val o = parseArgs(args.tail)
@@ -704,6 +717,9 @@ object App {
       |                     [--k <n=5>]  per-doc characteristic terms
       |  pmi                --docs-path <path> --output-path <path>
       |                     [--k <n=25>] [--min-count <n=3>]  collocations
+      |  embed-contamination --corpus-path <path> --benchmark-path <path>
+      |                     --output-path <path> [--threshold <t=0.9>]
+      |                     [--bands <n=8>]  semantic (paraphrase) leaks
       |  weighted-sample    --docs-path <path> --output-path <path>
       |                     [--weight-col <c=n_chars>] [--n <n=1000>]
       |                     [--category-col <c>]  weight-proportional sample

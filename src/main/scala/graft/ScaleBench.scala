@@ -145,7 +145,16 @@ object ScaleBench {
       // and query set stay 1x, so the cost under test is the encode
       // argmin and the codes-only candidate scan
       "pq_knn" -> (k => SimilaritySearch.pqKnn(scaledEmb(k), "vec_id < 10", 3,
-        codebookPred = "vec_id >= 100 AND vec_id < 116")))
+        codebookPred = "vec_id >= 100 AND vec_id < 116")),
+      // q117 shape: adds the per-subspace Lloyd rounds — each a corpus
+      // pass + an m*k*subDim-group recompute (corpus-size-independent)
+      "pq_knn_trained" -> (k => SimilaritySearch.pqKnnTrained(scaledEmb(k), "vec_id < 10", 3,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+      // q116 shape: two-corpus band join — corpus grows k-fold, benchmark
+      // stays 1x; candidates are cross-side bucket co-occupants only
+      "embed_contamination" -> (k => SimilaritySearch.crossNearDup(
+        scaledEmb(k).filter("vec_id >= 100"),
+        emb0.filter("vec_id < 100"), threshold = 0.3)))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

@@ -353,6 +353,30 @@ object EventStream {
           batch.toDF(), model, idCol, textCol), batchId)
       }
 
+  /** Streaming SEMANTIC contamination gate: each arriving micro-batch of
+    * embedded documents is checked against a FROZEN benchmark embedding
+    * table with the batch operator
+    * ([[graft.operators.SimilaritySearch.crossNearDup]]) — the
+    * paraphrase-leak complement to [[contaminationGateWriter]]'s verbatim
+    * gate, with the same one-code-path / zero-streaming-state argument:
+    * the benchmark side bands once (persist it), only the batch's vectors
+    * hash per trigger, and per-batch independence needs no update-mode
+    * state. `sink` receives the flagged (idCol, ref_id, cos_sim) pairs
+    * with the micro-batch id.
+    */
+  def embedContaminationGateWriter(vectors: DataFrame, benchEmb: DataFrame,
+                                   threshold: Double,
+                                   sink: (DataFrame, Long) => Unit,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.SimilaritySearch.crossNearDup(
+          batch.toDF(), benchEmb, threshold, idCol = idCol, vecCol = vecCol), batchId)
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

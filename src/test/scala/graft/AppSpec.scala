@@ -337,6 +337,22 @@ class AppSpec extends SparkTestBase {
     App.run(platform, Seq("pmi",
       "--docs-path", "docs", "--output-path", "colloc", "--k", "10"))
     storage.rows("colloc").size should be <= 10
+    // semantic-leak audit: plant a scaled copy of a benchmark vector
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planted = emb.filter(col("vec_id") === 3)
+      .select(org.apache.spark.sql.functions.lit(8888L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * org.apache.spark.sql.functions.lit(0.8f)).as("embedding"),
+        col("label"))
+    storage.write("bench_emb", emb.filter(col("vec_id") < 50), "overwrite")
+    storage.write("corpus_emb",
+      emb.filter(col("vec_id") >= 50).unionByName(planted), "overwrite")
+    App.run(platform, Seq("embed-contamination",
+      "--corpus-path", "corpus_emb", "--benchmark-path", "bench_emb",
+      "--output-path", "leaks_emb"))
+    storage.rows("leaks_emb")
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("ref_id"))) should
+      contain((8888L, 3L))
   }
 
   test("audit subcommand writes balance, drift, and padding reports") {

@@ -391,6 +391,40 @@ class EventStreamSpec extends SparkTestBase {
       collected.map(_._1).toSet shouldBe Set(2L, 4L) // and only the planted docs
     } finally { query.stop(); anchors.unpersist() }
   }
+  test("streaming embedding-contamination gate across micro-batches == batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, transform}
+    val bench = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50).persist()
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") >= 50)
+    // plant a scaled copy of benchmark vector 3 into the stream
+    val plantedVec = bench.filter(col("vec_id") === 3)
+      .select(transform(col("embedding"), x => x * lit(0.8f)).as("embedding"))
+      .as[Array[Float]].head()
+    val rows = corpus.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = EventStream.embedContaminationGateWriter(
+        input.toDF().toDF("vec_id", "embedding"), bench, threshold = 0.9,
+        (out, _) => collected.synchronized {
+          collected ++= out.select("vec_id", "ref_id").as[(Long, Long)].collect()
+        })
+      .start()
+    try {
+      input.addData(half1.toSeq :+ ((7777L, plantedVec))); query.processAllAvailable()
+      input.addData(half2.toSeq); query.processAllAvailable()
+      val batchAudit = graft.operators.SimilaritySearch.crossNearDup(
+          (rows :+ ((7777L, plantedVec))).toSeq.toDF("vec_id", "embedding"),
+          bench, threshold = 0.9)
+        .select("vec_id", "ref_id").as[(Long, Long)].collect().toSet
+      collected.toSet shouldBe batchAudit // per-batch independence: same flags
+      collected.toSet should contain((7777L, 3L)) // the planted leak is caught
+    } finally { query.stop(); bench.unpersist() }
+  }
+
   test("streaming surprisal gate: frozen model across micro-batches == batch scores, bit for bit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
