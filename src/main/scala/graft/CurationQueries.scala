@@ -389,6 +389,23 @@ object CurationQueries {
       LmScore.pmiCollocations(
         s.read.parquet(s"$dir/documents.parquet").select(col("text")))),
 
+    // Gopher quality-rule bundle over synthetically multi-lined docs: the
+    // corpus is one line per doc, so (the q75 injection trick) bullets,
+    // an ellipsis line, and symbol noise are appended as pure functions
+    // of doc_id before the rules run — every rule arm exercises
+    "q118_gopher_rules" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- alpha beta\n- gamma delta")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nto be continued...")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" ### anomaly #42 ...")).otherwise(lit("")))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +:
+          TextFunctions.gopherRules(injected).map { case (n, c) => c.as(n) }: _*)
+    }),
+
     // INCREMENTAL KL: build (group, word) count state on the first half,
     // fold in the second half (only the shard tokenizes), read the audit
     // off the merged state — equals the one-shot q109 bit-for-bit
@@ -898,6 +915,58 @@ object CurationQueries {
     // (count addition is associative), so state-increment-read equals the
     // one-shot audit — the oracle is q109's text verbatim
     "q115_source_kl_incremental" -> sourceKlOracleSql,
+
+    // Gopher-rules twin: same injection expression, same whitespace
+    // split / line split / literal counts, every flag an integer
+    // cross-multiplied comparison — no float compare anywhere
+    "q118_gopher_rules" -> {
+      // single line: the outer stripMargin would re-strip any embedded
+      // "||" continuation as a margin
+      val inj =
+        "text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- alpha beta' || chr(10) || '- gamma delta' ELSE '' END" +
+          " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END" +
+          " || CASE WHEN doc_id % 7 = 0 THEN ' ### anomaly #42 ...' ELSE '' END"
+      val stopArms = graft.functions.TextFunctions.GopherStopSmall
+        .map(s => s"CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id, $inj AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |  list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0) AS words,
+         |  list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  $toksSql AS toks
+         |  FROM (SELECT doc_id, t, t AS text FROM base)),
+         |m AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(words, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+         |  CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(len(t) - len(replace(t, '#', '')) AS BIGINT)
+         |    + CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS symbol_count,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT) AS bullet_lines,
+         |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+         |  CAST($stopArms AS BIGINT) AS n_stop_present
+         |  FROM w),
+         |f AS (SELECT doc_id, n_words, sum_len, symbol_count, n_lines,
+         |  bullet_lines, ellipsis_lines, alpha_words, n_stop_present,
+         |  CAST(CASE WHEN n_words >= ${graft.functions.TextFunctions.GopherMinWords}
+         |    AND n_words <= ${graft.functions.TextFunctions.GopherMaxWords} THEN 1 ELSE 0 END AS INTEGER) AS r1_word_count,
+         |  CAST(CASE WHEN n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS INTEGER) AS r2_mean_len,
+         |  CAST(CASE WHEN 10 * symbol_count <= n_words THEN 1 ELSE 0 END AS INTEGER) AS r3_symbols,
+         |  CAST(CASE WHEN 10 * bullet_lines <= 9 * n_lines THEN 1 ELSE 0 END AS INTEGER) AS r4_bullets,
+         |  CAST(CASE WHEN 10 * ellipsis_lines <= 3 * n_lines THEN 1 ELSE 0 END AS INTEGER) AS r5_ellipsis,
+         |  CAST(CASE WHEN 5 * alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS INTEGER) AS r6_alpha,
+         |  CAST(CASE WHEN n_stop_present >= 2 THEN 1 ELSE 0 END AS INTEGER) AS r7_stopwords
+         |  FROM m)
+         |SELECT doc_id, n_words,
+         |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+         |  symbol_count, n_lines, bullet_lines, ellipsis_lines, alpha_words,
+         |  n_stop_present, r1_word_count, r2_mean_len, r3_symbols, r4_bullets,
+         |  r5_ellipsis, r6_alpha, r7_stopwords,
+         |  r1_word_count * r2_mean_len * r3_symbols * r4_bullets
+         |    * r5_ellipsis * r6_alpha * r7_stopwords AS gopher_keep
+         |FROM f""".stripMargin
+    },
 
     // TF-IDF twin: per-distinct-word pinned ln(df), one-row ln(D), exact
     // BIGINT scores, the same (score desc, term asc) window cut

@@ -217,6 +217,67 @@ object TextFunctions {
       "quality_score" -> quality)
   }
 
+  /** Gopher rule thresholds (Rae et al. 2021, Appendix A) — shared by the
+    * Column builders and the oracle SQL generator so the two cannot drift.
+    * Every threshold is applied CROSS-MULTIPLIED in integers (e.g.
+    * `10 * symbols <= n_words` for the 0.1 ratio), so the flags are exact
+    * on both engines — no float compare anywhere.
+    */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherStopSmall: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule bundle (Rae et al. 2021): the standard
+    * web-corpus document filters, each reported as its raw metric plus an
+    * integer 0/1 flag, with `gopher_keep` the conjunction. "Words" are
+    * whitespace-split (punctuation kept — mean length and the alphabetic
+    * test see the raw token); the stop-containment test uses the
+    * lowercased alnum [[tokens]]. Row-local, no shuffle:
+    *
+    *  - r1 word count in [50, 1e5]      - r5 <= 30% lines end "..."
+    *  - r2 mean word length in [3, 10]  - r6 >= 80% words have a letter
+    *  - r3 symbol-to-word <= 0.1        - r7 >= 2 of 8 small stopwords
+    *  - r4 <= 90% lines start a bullet
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val words = filter(split(text, "\\s+"), w => length(w) > lit(0))
+    val n = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    // '#' occurrences + '...' occurrences (each "..." is 3 chars)
+    val symbols = (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > lit(0))
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l => ltrim(l).rlike("^[-*]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("..."))).cast("long")
+    val toks = tokens(text)
+    val nStopPresent = GopherStopSmall
+      .map(s => when(array_contains(toks, s), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
+    val r1 = flag(n >= GopherMinWords && n <= GopherMaxWords)
+    val r2 = flag(n > 0 && sumLen >= lit(3L) * n && sumLen <= lit(10L) * n)
+    val r3 = flag(lit(10L) * symbols <= n)
+    val r4 = flag(lit(10L) * bulletLines <= lit(9L) * nLines)
+    val r5 = flag(lit(10L) * ellipsisLines <= lit(3L) * nLines)
+    val r6 = flag(lit(5L) * alphaWords >= lit(4L) * n)
+    val r7 = flag(nStopPresent >= 2L)
+    Seq(
+      "n_words" -> n,
+      "mean_word_len" -> round(sumLen.cast("double") / n, 6),
+      "symbol_count" -> symbols,
+      "n_lines" -> nLines,
+      "bullet_lines" -> bulletLines,
+      "ellipsis_lines" -> ellipsisLines,
+      "alpha_words" -> alphaWords,
+      "n_stop_present" -> nStopPresent,
+      "r1_word_count" -> r1, "r2_mean_len" -> r2, "r3_symbols" -> r3,
+      "r4_bullets" -> r4, "r5_ellipsis" -> r5, "r6_alpha" -> r6,
+      "r7_stopwords" -> r7,
+      "gopher_keep" -> (r1 * r2 * r3 * r4 * r5 * r6 * r7))
+  }
+
   // ---- repetition metrics (Gopher-style within-doc filters) ------------
 
   /** Within-document repetition metrics — the Gopher/RefinedWeb-family
