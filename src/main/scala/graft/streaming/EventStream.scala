@@ -373,8 +373,15 @@ object EventStream {
     vectors.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // StorageLevel.NONE: every micro-batch is a NEW logical plan, so
+        // the operator's default persist would add one never-evicted
+        // cache entry per trigger for the stream's lifetime. Micro-batches
+        // are small and each side is read at most twice — recompute is the
+        // memory-safe plan; callers persist the (plan-stable) benchmark
+        // side themselves.
         sink(graft.operators.SimilaritySearch.crossNearDup(
-          batch.toDF(), benchEmb, threshold, idCol = idCol, vecCol = vecCol), batchId)
+          batch.toDF(), benchEmb, threshold, idCol = idCol, vecCol = vecCol,
+          storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
       }
 
   def kvSyncWriter(states: Dataset[UserFeatureState],
