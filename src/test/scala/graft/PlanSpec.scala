@@ -281,6 +281,17 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q118: the Gopher rule bundle is row-local — zero exchanges") {
+    exchangeCount(plan("q118_gopher_rules")) shouldBe 0
+  }
+
+  test("q114: PQ rerank joins stay keyed — no pair blowup re-introduced by the rerank stage") {
+    val p = plan("q114_knn_pq_reranked")
+    p should include("BroadcastExchange")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q94: the corpus collapses to the log-bucket histogram BEFORE any window") {
     // the window's frame is the bin-capped bucket histogram — map-side
     // combine shows the aggregate sits below the window, and the window
