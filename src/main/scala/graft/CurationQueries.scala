@@ -372,10 +372,24 @@ object CurationQueries {
 
     // token-distribution drift per source: KL(P_source || P_corpus) in
     // nats, every ln a pinned integer series, the weighted sum in
-    // DECIMAL(38,0) (BIGINT wraps once shard counts pass ~1e8)
+    // DECIMAL(38,0) (BIGINT wraps once shard counts pass ~1e8).
+    // The gated contract carries only exact integer columns: kl_nats
+    // (a DOUBLE fully determined by kl_fp / n_tokens) stays API-side —
+    // the round-6 de-float discipline; it failed the round-9 driver
+    // hash gate while matching bit-for-bit locally
     "q109_source_kl" -> ((s, dir) =>
       LmScore.sourceKlDrift(
-        s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))),
+        s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))
+        .drop("kl_nats")),
+
+    // bisection probe for q109 (the q65a/q65b precedent): the two-column
+    // exact core — if q109 ever diverges on the driver gate again, this
+    // row localizes whether the decimal itself or a companion column is
+    // the fault line
+    "q109a_source_kl_probe" -> ((s, dir) =>
+      LmScore.sourceKlDrift(
+        s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))
+        .select(col("source"), col("kl_fp"))),
 
     // per-document TF-IDF keywords: top-5 terms by tf * (ln D - ln df),
     // exact integers end-to-end, ties to the lexicographically first term
@@ -415,6 +429,7 @@ object CurationQueries {
       val st0 = LmScore.klState(d.filter(col("doc_id") <= IncrSplitId2))
       LmScore.sourceKlFromState(
         LmScore.incrementKlState(st0, d.filter(col("doc_id") > IncrSplitId2)))
+        .drop("kl_nats")
     })
   )
 
@@ -564,11 +579,14 @@ object CurationQueries {
        |SELECT g AS source,
        |  CAST(max(n_g) AS BIGINT) AS n_tokens,
        |  CAST(max(v_g) AS BIGINT) AS n_distinct,
-       |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp,
-       |  CAST(CAST(sum(term) AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(max(n_g) AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS kl_nats
+       |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp
        |FROM term GROUP BY g""".stripMargin
   }
+
+  /** q109a's two-column bisection core: same replay, kl_fp only. */
+  private lazy val sourceKlProbeOracleSql: String =
+    s"""WITH base AS ($sourceKlOracleSql)
+       |SELECT source, kl_fp FROM base""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
@@ -911,6 +929,9 @@ object CurationQueries {
     // in HUGEINT cast to the same DECIMAL(38,0) the Spark side emits
     "q109_source_kl" -> sourceKlOracleSql,
 
+    // q109's bisection probe: the exact two-column core
+    "q109a_source_kl_probe" -> sourceKlProbeOracleSql,
+
     // incremental-KL twin: per-(group, word) counts sum-merge exactly
     // (count addition is associative), so state-increment-read equals the
     // one-shot audit — the oracle is q109's text verbatim
@@ -959,7 +980,8 @@ object CurationQueries {
          |  CAST(CASE WHEN n_stop_present >= 2 THEN 1 ELSE 0 END AS INTEGER) AS r7_stopwords
          |  FROM m)
          |SELECT doc_id, n_words,
-         |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+         |  CASE WHEN n_words > 0
+         |    THEN round(CAST(sum_len AS DOUBLE) / n_words, 6) END AS mean_word_len,
          |  symbol_count, n_lines, bullet_lines, ellipsis_lines, alpha_words,
          |  n_stop_present, r1_word_count, r2_mean_len, r3_symbols, r4_bullets,
          |  r5_ellipsis, r6_alpha, r7_stopwords,

@@ -59,6 +59,12 @@ object Schemas {
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case TimestampNTZType =>
+        // the cast interprets the wall-clock in the session timezone: a
+        // non-UTC session would silently shift every event epoch, so
+        // refuse rather than corrupt (entry points all pin UTC)
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: NTZ ts cast requires spark.sql.session.timeZone=UTC, got '$tz'")
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
       case _ => df
     }

@@ -265,7 +265,9 @@ object TextFunctions {
     val r7 = flag(nStopPresent >= 2L)
     Seq(
       "n_words" -> n,
-      "mean_word_len" -> round(sumLen.cast("double") / n, 6),
+      // when(n > 0, ...): Spark non-ANSI 0.0/0 is NULL but DuckDB's is
+      // NaN — a token-less doc must be NULL on both engines
+      "mean_word_len" -> when(n > 0, round(sumLen.cast("double") / n, 6)),
       "symbol_count" -> symbols,
       "n_lines" -> nLines,
       "bullet_lines" -> bulletLines,

@@ -359,9 +359,16 @@ object SimilaritySearch {
   private[operators] def pqSubbed(df: DataFrame, m: Int, dim: Int,
                        idCol: String, vecCol: String): DataFrame = {
     val subDim = dim / m
+    // zero-norm guard: an all-zero embedding has no direction — dividing
+    // through would poison pqEncode's argmin and the ADC sums with
+    // NULL/NaN silently (and Spark-NULL vs DuckDB-NaN diverge from the
+    // oracle). Fail fast row-locally instead of scanning up front.
+    val safeNrm = when(col("nrm") > 0, col("nrm")).otherwise(
+      raise_error(concat(lit("pqSubbed: zero-norm embedding id="), col("id").cast("string")))
+        .cast("double"))
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", vecNorm(col("v")))
-      .withColumn("vn", transform(col("v"), x => x.cast("double") / col("nrm")))
+      .withColumn("vn", transform(col("v"), x => x.cast("double") / safeNrm))
       .select(col("id"), explode(array((0 until m).map { i =>
         struct(lit(i).as("sub"), slice(col("vn"), i * subDim + 1, subDim).as("sv"))
       }: _*)).as("s"))

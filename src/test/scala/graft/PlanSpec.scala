@@ -85,8 +85,8 @@ class PlanSpec extends SparkTestBase {
       // never corpus x corpus (q111/q113/q114/q116's joins are all
       // keyed: they stay under the full guard); q115 is q109's read off
       // merged state
-      "q109_source_kl", "q110_tfidf_terms", "q112_pmi_collocations",
-      "q115_source_kl_incremental")
+      "q109_source_kl", "q109a_source_kl_probe", "q110_tfidf_terms",
+      "q112_pmi_collocations", "q115_source_kl_incremental")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

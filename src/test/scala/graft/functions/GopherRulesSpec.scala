@@ -56,6 +56,14 @@ class GopherRulesSpec extends SparkTestBase {
     rules(noStop)("gopher_keep") shouldBe 0
   }
 
+  test("a token-less document gets NULL mean_word_len, zero counts, and fails the keep gate") {
+    val r = rules("   \n  \t ")
+    r("n_words") shouldBe 0L
+    assert(r("mean_word_len") == null) // guarded division: NULL, not NaN
+    r("r1_word_count") shouldBe 0
+    r("gopher_keep") shouldBe 0
+  }
+
   test("metrics count what the flags compare: bullets, ellipsis lines, symbols") {
     val doc = "the of intro line\n- one\n- two\nplain tail line...\n### #x ..."
     val r = rules(doc)
