@@ -245,8 +245,11 @@ object CurationQueries {
     // perceptual image dedup end-to-end: derive real PNG+JPEG payloads per
     // doc (the corpus ships no binary media), decode with ImageIO, dHash,
     // pigeonhole band join — every (2k, 2k+1) re-encoded pair must match.
-    // No SQL oracle (ImageIO is not expressible in DuckDB): the driver's
-    // rows-only check applies; ImageDedupSpec pins pair exactness
+    // Fully oracle-gated since round 10: the test-card grid levels are a
+    // pure integer function of doc_id, PNG decode is lossless, and the
+    // >= 25-level adjacent-cell margin makes JPEG re-encode a dHash
+    // no-op — so the EXPECTED hashes (and the whole band join) replay in
+    // SQL, which checks the real decode path, not just the join
     "q96_image_neardup" -> ((s, dir) =>
       Multimodal.perceptualImagePairs(
         Multimodal.testCardMedia(
@@ -587,6 +590,68 @@ object CurationQueries {
   private lazy val sourceKlProbeOracleSql: String =
     s"""WITH base AS ($sourceKlOracleSql)
        |SELECT source, kl_fp FROM base""".stripMargin
+
+  /** q96's oracle: replay the perceptual-dedup output — including the
+    * DECODE, not just the join — in pure SQL. This is possible because
+    * the fixture is deterministic end-to-end: [[graft.operators.
+    * Multimodal.renderTestCard]] paints 9x8 uniform blocks whose gray
+    * level is an integer mix of (doc_id, cell); PNG decode is lossless,
+    * so [[graft.operators.Multimodal.imageHashes]]'s integer grid means
+    * recover those exact levels; and the card's >= 25-level
+    * adjacent-cell margin means JPEG noise cannot flip a dHash
+    * comparison — both encodings of a key carry the SAME dhash. The SQL
+    * recomputes the splitmix-style mix with HUGEINT mod-2^64 arithmetic
+    * (wrapping multiply via 32-bit halves; unsigned shifts as integer
+    * division; xor on BIGINT halves), assembles dhash as (hi, lo)
+    * 32-bit words (bit 63 would overflow a signed BIGINT literal sum),
+    * and replays the 4x16-bit pigeonhole band join + Hamming filter. If
+    * ImageIO, the JPEG round trip, or the band join ever disagree with
+    * the model, the hash gate catches it.
+    */
+  private lazy val imageNearDupOracleSql: String = {
+    val gold = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val cHi = 0xbf58476d1ce4e5b9L >>> 32
+    val cLo = 0xbf58476d1ce4e5b9L & 0xffffffffL
+    val p32 = "4294967296"
+    val p64 = "18446744073709551616"
+    val p29 = "536870912"
+    s"""WITH cells AS (SELECT CAST(range AS BIGINT) AS i FROM range(72)),
+       |docs AS (SELECT CAST(doc_id AS BIGINT) AS k FROM documents),
+       |m0 AS (SELECT k, i,
+       |  (CAST(k AS HUGEINT)*1000003 + CAST(i AS HUGEINT)*$gold) % $p64 AS u0
+       |  FROM docs CROSS JOIN cells),
+       |m1 AS (SELECT k, i,
+       |  CAST(xor(CAST(u0 // $p32 AS BIGINT), CAST((u0 // $p29) // $p32 AS BIGINT)) AS HUGEINT) * $p32
+       |   + CAST(xor(CAST(u0 % $p32 AS BIGINT), CAST((u0 // $p29) % $p32 AS BIGINT)) AS HUGEINT) AS u1
+       |  FROM m0),
+       |m2 AS (SELECT k, i,
+       |  ((u1 % $p32) * $cLo
+       |   + (((u1 % $p32) * $cHi + (u1 // $p32) * $cLo) % $p32) * $p32) % $p64 AS u2
+       |  FROM m1),
+       |lvl AS (SELECT k, i,
+       |  40 + (xor(CAST(u2 % $p32 AS BIGINT), CAST(u2 // $p32 AS BIGINT)) % 4) * 50
+       |     + ((i % 9) % 2) * 25 AS b
+       |  FROM m2),
+       |dbits AS (
+       |  SELECT l.k, (l.i // 9) * 8 + (l.i % 9) AS bit
+       |  FROM lvl l JOIN lvl r ON r.k = l.k AND r.i = l.i + 1
+       |  WHERE l.i % 9 < 8 AND r.b > l.b),
+       |hashes AS (
+       |  SELECT d.k,
+       |    coalesce(sum(CASE WHEN bit < 32 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END), 0) AS dh_lo,
+       |    coalesce(sum(CASE WHEN bit >= 32 THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END), 0) AS dh_hi
+       |  FROM docs d LEFT JOIN dbits ON dbits.k = d.k GROUP BY d.k),
+       |media AS (SELECT 2 * k AS id, dh_hi, dh_lo FROM hashes
+       |          UNION ALL SELECT 2 * k + 1, dh_hi, dh_lo FROM hashes),
+       |blk AS (SELECT id, dh_hi, dh_lo, b.blk,
+       |   CASE b.blk WHEN 0 THEN dh_lo % 65536 WHEN 1 THEN dh_lo // 65536
+       |              WHEN 2 THEN dh_hi % 65536 ELSE dh_hi // 65536 END AS key
+       |   FROM media CROSS JOIN (VALUES (0),(1),(2),(3)) b(blk)),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b,
+       |    bit_count(xor(a.dh_hi, bb.dh_hi)) + bit_count(xor(a.dh_lo, bb.dh_lo)) AS hamming
+       |  FROM blk a JOIN blk bb ON a.blk = bb.blk AND a.key = bb.key AND a.id < bb.id)
+       |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
@@ -931,6 +996,11 @@ object CurationQueries {
 
     // q109's bisection probe: the exact two-column core
     "q109a_source_kl_probe" -> sourceKlProbeOracleSql,
+
+    // image-dedup twin: the expected dHashes recompute from doc_id in
+    // pure integer SQL (deterministic fixture + lossless PNG + JPEG-proof
+    // margins), then the same pigeonhole band join replays
+    "q96_image_neardup" -> imageNearDupOracleSql,
 
     // incremental-KL twin: per-(group, word) counts sum-merge exactly
     // (count addition is associative), so state-increment-read equals the

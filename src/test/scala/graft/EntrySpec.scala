@@ -15,10 +15,10 @@ class EntrySpec extends SparkTestBase {
   test("every query has either an oracle twin or a documented omission") {
     // the driver records a weaker rows-only check for queries missing
     // oracleSql — every omission must be listed here WITH its reason
-    val sanctionedOmissions = Set(
-      // ImageIO decode/encode is not expressible in DuckDB; pair
-      // exactness is pinned by ImageDedupSpec instead
-      "q96_image_neardup")
+    // empty since round 10: q96 (the last omission) gained a full SQL
+    // oracle — the deterministic fixture makes even the ImageIO decode
+    // replayable as integer math on doc_id
+    val sanctionedOmissions = Set.empty[String]
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     missing shouldBe sanctionedOmissions
     // and no orphaned oracle entries for queries that don't exist
