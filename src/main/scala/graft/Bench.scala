@@ -24,18 +24,23 @@ object Bench {
     // min of two consecutive successful runs: the box runs other tenants,
     // and a single sample regularly swings 2-3x on load spikes; the min is
     // the stable signal the 2x regression budget compares against. Both
-    // runs failing reports -1 (visibly broken, not fast).
-    def minOf2(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val samples = Seq(once(fn), once(fn)).flatten
+    // runs failing reports -1 (visibly broken, not fast). The raw samples
+    // are kept and reported alongside the min: a wide or uniformly-high
+    // spread is the load-not-plan signature (round 9's q52 read 51x under
+    // sustained box load with an unchanged plan), and without the samples
+    // in the artifact that adjudication needs an out-of-band re-run.
+    def sampled(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      Seq(once(fn), once(fn)).flatten
+    def minOr(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.min
-    }
     // Sorted-name order, ALWAYS. `SparkEntry.queries` is an unordered Map
     // whose iteration order reshuffles whenever an entry is added, which
     // silently moves shared scan/cache build costs between queries across
     // rounds (round 7 recorded 13-15x apparent regressions on two
     // unchanged queries this way). Sorting pins who pays the first-touch
     // cost so per-query deltas across rounds compare like with like.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> minOf2(fn) }
+    val sampledResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> sampled(fn) }
+    val results = sampledResults.map { case (name, s) => name -> minOr(s) }
     // Attribution twins (BASELINE.md "Bench attribution"): q15/q16/q17 time
     // backfill+operator together; the b-keys time the operator alone
     // against a pre-materialized features table. Reported alongside the
@@ -45,7 +50,7 @@ object Bench {
     val attribution =
       try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
-        SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) => name -> minOf2(fn) }
+        SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) => name -> minOr(sampled(fn)) }
       } catch { case scala.util.control.NonFatal(_) =>
         // materialization failed: report every twin as the -1 sentinel —
         // same "visibly broken, not fast" convention as a failed query,
@@ -54,10 +59,16 @@ object Bench {
       }
     val qs = (results ++ attribution).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Raw contract-query samples (rounded: they are diagnostics, not the
+    // regression signal): [s1, s2] per query, fewer entries if a run
+    // failed. "queries" stays the min — the cross-round comparable.
+    val sm = sampledResults.map { case (k, s) =>
+      "\"" + k + "\":[" + s.map(v => math.rint(v * 1000) / 1000).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // Sum successes only: adding -1.0 sentinels into the total understates
     // it and makes cross-round totals incomparable whenever a query fails.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"sf":"$sfDir"}"""
     println(line)
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line

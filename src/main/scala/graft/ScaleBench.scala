@@ -163,18 +163,26 @@ object ScaleBench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case scala.util.control.NonFatal(_) => None }
     }
-    def minOf2(df: => DataFrame): Double = {
-      val samples = Seq(once(df), once(df)).flatten
+    def sampled(df: => DataFrame): Seq[Double] =
+      Seq(once(df), once(df)).flatten
+    def minOr(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.min
-    }
+    def minOf2(df: => DataFrame): Double = minOr(sampled(df))
+    def arr(samples: Seq[Double]): String =
+      samples.map(v => math.rint(v * 1000) / 1000).mkString("[", ",", "]")
 
+    // growth rows carry the RAW samples for both scale points: round 9's
+    // corpus_pipeline growth read 6.2x in one pass vs 1.5-1.9x in two
+    // earlier rounds, and without the per-point spread in the artifact a
+    // curve shift is indistinguishable from a load spike on one point
     val rows = workloads.map { case (name, fn) =>
       spark.sharedState.cacheManager.clearCache()
-      val t1 = minOf2(fn(1))
+      val s1 = sampled(fn(1))
       spark.sharedState.cacheManager.clearCache()
-      val tN = minOf2(fn(mult))
+      val sN = sampled(fn(mult))
+      val (t1, tN) = (minOr(s1), minOr(sN))
       val growth = if (t1 > 0 && tN > 0) tN / t1 else -1.0
-      s""""$name":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100}}"""
+      s""""$name":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100},"x1_samples":${arr(s1)},"x${mult}_samples":${arr(sN)}}"""
     }
 
     // ANN retrieval QUALITY alongside the timings: recall@k of the

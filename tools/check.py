@@ -34,6 +34,17 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     subset = len(sys.argv) > 3 and sys.argv[3] == "--subset"
     con = duckdb.connect()
+    # pin the oracle environment in the output: a hash divergence that
+    # reproduces nowhere locally (round 9's q109/q115) is usually an
+    # engine-version or float-policy delta, and the artifact should say
+    # which engine produced the expected values
+    try:  # setting name varies across DuckDB versions
+        fp = con.execute(
+            "SELECT current_setting('ieee_floating_point_ops')").fetchone()[0]
+    except Exception:
+        fp = "n/a"
+    print(f"oracle: duckdb {duckdb.__version__}, "
+          f"ieee_floating_point_ops={fp}, python {sys.version.split()[0]}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
