@@ -65,8 +65,7 @@ object SparkEntry {
     val tag = scratchTag(s, dir)
     Seq(s"/tmp/graft_io/q32_csv_$tag", s"/tmp/graft_io/q33_json_$tag")
       .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-    val tbl = s"graft_q34_supplier_$tag"
-    if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
+    graft.sources.ProdWriter.dropTable(s, s"graft_q34_supplier_$tag")
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -53,12 +53,42 @@ trait Fetcher {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
-  /** Catalog-table scan (reference: Fetchers.scala:122-128 reads Iceberg; we
-    * read whatever the session catalog manages — schema comes from the
-    * catalog, partition pruning from the table layout).
+  /** Catalog-table scan (reference: Fetchers.scala:122-128 reads Iceberg).
+    * A [[VersionedTable]] root resolves through its manifest log — the
+    * latest committed snapshot, pinned at resolve time, so a commit racing
+    * this read cannot tear it (the snapshot's data dirs are immutable).
+    * Anything else (bucketed tables, views, legacy tables) reads through
+    * the session catalog.
     */
   def readTable(spark: SparkSession, tableName: String): DataFrame =
-    spark.read.table(tableName)
+    versionedRoot(spark, tableName) match {
+      case Some(root) => VersionedTable.read(spark, root)
+      case None => spark.read.table(tableName)
+    }
+
+  /** Time travel: read a retained snapshot of a versioned table by number
+    * (the Iceberg `VERSION AS OF` counterpart).
+    */
+  def readTableVersion(spark: SparkSession, tableName: String,
+      version: Long): DataFrame =
+    versionedRoot(spark, tableName) match {
+      case Some(root) => VersionedTable.read(spark, root, Some(version))
+      case None => throw new NoSuchElementException(
+        s"$tableName is not a versioned table; no version history")
+    }
+
+  /** Retained snapshot versions of a versioned table, ascending; empty for
+    * non-versioned tables.
+    */
+  def tableVersions(spark: SparkSession, tableName: String): Seq[Long] =
+    WarehousePaths.resolve(spark, tableName).toSeq.flatMap { case (fs, loc) =>
+      VersionedTable.versions(fs, loc)
+    }
+
+  private def versionedRoot(spark: SparkSession, tableName: String): Option[String] =
+    WarehousePaths.resolve(spark, tableName).collect {
+      case (fs, loc) if VersionedTable.isVersioned(fs, loc) => loc.toString
+    }
 }
 
 /** Production fetcher — the trait defaults are already production-grade. */

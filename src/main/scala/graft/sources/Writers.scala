@@ -101,84 +101,128 @@ trait Writer {
       .option("header", header.toString).option("delimiter", delimiter)
       .csv(path)
 
-  /** Atomic full-table insert-overwrite into the session catalog
-    * (reference: ProdWriter.scala:57-70 does the same against Iceberg).
-    * Format is whatever the catalog defaults to (parquet here; Delta/Iceberg
-    * in a deployment that registers those catalogs — the pipelines only name
-    * this method, never a format).
+  /** Atomic full-table insert-overwrite with snapshot semantics (reference:
+    * ProdWriter.scala:57-70 does the same against Iceberg). Storage is a
+    * [[VersionedTable]] at the table's warehouse location: the new snapshot
+    * is written to an immutable data dir and published with one atomic
+    * manifest commit, so concurrent readers keep their snapshot, concurrent
+    * writers serialize via compare-and-swap, and every retained version
+    * stays readable ([[graft.sources.Fetcher.readTableVersion]]). The
+    * session catalog carries a VIEW mirror of the committed snapshot so
+    * plain `SELECT * FROM t` sees the same data without knowing about
+    * manifests.
     */
   def insertOverwriteTable(df: DataFrame, tableName: String,
       partitionBy: Seq[String] = Seq.empty): Unit = {
-    clearOrphanedLocation(df, tableName)
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .saveAsTable(tableName)
+    WarehousePaths.resolve(df.sparkSession, tableName) match {
+      case Some((fs, loc)) =>
+        prepareVersionedRoot(df.sparkSession, fs, loc, tableName)
+        VersionedTable.commitOverwrite(df, loc.toString, partitionBy)
+        syncCatalogMirror(df.sparkSession, tableName, fs, loc)
+      case None =>
+        // unresolvable database: let saveAsTable report the standard error
+        val w = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .saveAsTable(tableName)
+    }
   }
 
-  /** A session with a fresh catalog can find a stale table DIRECTORY left
-    * by a previous session's warehouse; saveAsTable refuses to adopt it
-    * (LOCATION_ALREADY_EXISTS). Insert-overwrite semantics replace the
-    * table wholesale, so move the orphaned location ASIDE first — a rename,
-    * not a delete: if the directory actually belongs to a table still live
-    * in another metastore pointed at a shared warehouse, its data survives
-    * at `<loc>.__orphan.<appId>` instead of being destroyed before the new
-    * write even commits. A pre-existing aside dir with the same name is this
-    * application's own earlier garbage and is removed first. The location
-    * is derived from the owning DATABASE's registered locationUri (never a
-    * guessed warehouse-relative path — a wrong guess could touch another
-    * table's data); names whose database can't be resolved are left for
-    * saveAsTable to report. A real deployment points the catalog at a
-    * transactional format where orphaned locations cannot arise.
+  /** Migrate a table root to the versioned layout: a directory without a
+    * commit log is either a pre-versioning legacy table or an orphan from a
+    * lost metastore — move it aside (rename, not delete: insert-overwrite
+    * replaces the DATA, but the old bytes stay recoverable for the
+    * retention window) and drop any legacy catalog TABLE entry so the VIEW
+    * mirror can take the name. Ordering matters: the aside-rename happens
+    * BEFORE the drop, so dropping a MANAGED legacy entry deletes nothing.
+    */
+  private def prepareVersionedRoot(spark: SparkSession, fs: FileSystem,
+      loc: Path, tableName: String): Unit = {
+    sweepStaleAsides(spark, fs, loc)
+    if (!VersionedTable.isVersioned(fs, loc)) {
+      if (fs.exists(loc)) moveAside(spark, fs, loc, tableName)
+      if (spark.catalog.tableExists(tableName) &&
+          spark.catalog.getTable(tableName).tableType != "VIEW")
+        spark.sql(s"DROP TABLE ${WarehousePaths.quote(tableName)}")
+    }
+  }
+
+  /** Re-point the catalog VIEW mirror at the LATEST committed snapshot.
+    * Re-reading the log here (rather than trusting the version this writer
+    * just committed) self-heals the mirror when two commits' view updates
+    * land out of order — both re-resolve to the same latest. Tables whose
+    * snapshot exceeds `spark.graft.catalogMirrorMaxPartitions` partitions
+    * skip the mirror (the view text enumerates partitions); manifest reads
+    * via [[Fetcher.readTable]] are exact at any size.
+    */
+  private def syncCatalogMirror(spark: SparkSession, tableName: String,
+      fs: FileSystem, loc: Path): Unit = {
+    val latest = VersionedTable.latestVersion(fs, loc).getOrElse(return)
+    val m = VersionedTable.readManifest(fs, loc, latest)
+    val maxParts = spark.conf
+      .get("spark.graft.catalogMirrorMaxPartitions", "4096").toInt
+    if (m.partitionBy.nonEmpty && (m.entries.isEmpty || m.entries.size > maxParts)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"catalog mirror for $tableName skipped (${m.entries.size} partitions); " +
+          "read through Fetcher.readTable")
+    } else {
+      spark.sql(s"CREATE OR REPLACE VIEW ${WarehousePaths.quote(tableName)} AS " +
+        VersionedTable.snapshotSql(m, loc.toString))
+    }
+  }
+
+  /** Drop a table this writer manages: the versioned root (all snapshots)
+    * and the catalog entry (view or legacy table).
+    */
+  def dropTable(spark: SparkSession, tableName: String): Unit = {
+    WarehousePaths.resolve(spark, tableName).foreach { case (fs, loc) =>
+      if (VersionedTable.isVersioned(fs, loc)) fs.delete(loc, true)
+    }
+    if (spark.catalog.tableExists(tableName)) {
+      val kind = if (spark.catalog.getTable(tableName).tableType == "VIEW") "VIEW" else "TABLE"
+      spark.sql(s"DROP $kind ${WarehousePaths.quote(tableName)}")
+    }
+  }
+
+  /** Move an existing non-versioned table directory aside — a rename, not a
+    * delete: if the directory actually belongs to a table still live in
+    * another metastore pointed at a shared warehouse, its data survives at
+    * `<loc>.__orphan.<appId>` instead of being destroyed before the new
+    * write even commits. A pre-existing aside dir with the same name is
+    * this application's own earlier garbage and is removed first.
+    */
+  private def moveAside(spark: SparkSession, fs: FileSystem, loc: Path,
+      tableName: String): Unit = {
+    val aside = new Path(
+      loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
+    if (fs.exists(aside)) fs.delete(aside, true)
+    // Hadoop rename reports failure by returning false, not throwing —
+    // fail here with the real story rather than letting the commit die
+    // downstream under a log line claiming the location was cleared
+    if (!fs.rename(loc, aside))
+      throw new java.io.IOException(
+        s"could not move table location $loc aside to $aside " +
+          s"before overwrite of $tableName (rename returned false)")
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"table location $loc moved aside to $aside before overwrite of $tableName")
+  }
+
+  /** The one remaining saveAsTable path is the BUCKETED write below (bucket
+    * metadata must live in the catalog, not a manifest): a session with a
+    * fresh catalog can find a stale table DIRECTORY left by a previous
+    * session's warehouse, which saveAsTable refuses to adopt
+    * (LOCATION_ALREADY_EXISTS) — move it aside first. Versioned tables
+    * cannot orphan (their location is manifest-managed, never owned by the
+    * metastore), so this healing applies only here.
     */
   private def clearOrphanedLocation(df: DataFrame, tableName: String): Unit = {
     val spark = df.sparkSession
     // sweep stale asides on EVERY overwrite, not only the orphan branch:
     // once saveAsTable registers the table, tableExists is true forever in
     // a persistent metastore and a sweep gated behind it would never run
-    resolveWarehouseLocation(spark, tableName).foreach { case (fs, loc) =>
+    WarehousePaths.resolve(spark, tableName).foreach { case (fs, loc) =>
       sweepStaleAsides(spark, fs, loc)
-    }
-    if (!spark.catalog.tableExists(tableName)) {
-      resolveWarehouseLocation(spark, tableName).foreach { case (fs, loc) =>
-        if (fs.exists(loc)) {
-            val aside = new Path(
-              loc.getParent, loc.getName + ".__orphan." + spark.sparkContext.applicationId)
-            if (fs.exists(aside)) fs.delete(aside, true)
-            // Hadoop rename reports failure by returning false, not
-            // throwing — fail here with the real story rather than letting
-            // saveAsTable die on LOCATION_ALREADY_EXISTS under a log line
-            // claiming the location was cleared
-            if (!fs.rename(loc, aside))
-              throw new java.io.IOException(
-                s"could not move orphaned table location $loc aside to $aside " +
-                  s"before overwrite of $tableName (rename returned false)")
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"orphaned table location $loc moved aside to $aside before overwrite of $tableName")
-        }
-      }
-    }
-  }
-
-  /** The table's default warehouse directory: `<db location>/<table>`,
-    * derived from the owning DATABASE's registered locationUri (never a
-    * guessed warehouse-relative path — a wrong guess could touch another
-    * table's data). None when the name doesn't resolve to an existing
-    * database.
-    */
-  private def resolveWarehouseLocation(
-      spark: SparkSession, tableName: String): Option[(FileSystem, Path)] = {
-    val parts = tableName.split('.').toSeq match {
-      case "spark_catalog" +: rest => rest
-      case other => other
-    }
-    val dbTable = parts match {
-      case Seq(t) => Some((spark.catalog.currentDatabase, t))
-      case Seq(d, t) => Some((d, t))
-      case _ => None
-    }
-    dbTable.collect { case (db, tbl) if spark.catalog.databaseExists(db) =>
-      val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
-      (loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
+      if (!spark.catalog.tableExists(tableName) && fs.exists(loc))
+        moveAside(spark, fs, loc, tableName)
     }
   }
 
@@ -241,40 +285,80 @@ trait Writer {
     * difference between touching a month and rewriting years. Falls back to
     * a full [[insertOverwriteTable]] when the table doesn't exist yet.
     *
-    * `insertInto` matches columns BY POSITION (partition columns last in a
-    * catalog table's schema), so the input is reordered by NAME against the
-    * table's declared layout before writing.
-    *
-    * Overwrite mode: the per-writer `.option("partitionOverwriteMode",
-    * "dynamic")` is honored only by the datasource-table insert path;
-    * Hive-serde tables (the metastore catalog this repo runs against) read
-    * the SESSION conf exclusively — verified: option-only leaves the full
-    * table overwritten. So both are set: the option scopes the datasource
-    * path per-write, and the session conf (try/finally restored) covers the
-    * Hive path. The restore window is the one place a concurrent write on
-    * the same session could observe the altered mode — documented residual,
-    * removable only by a transactional catalog format.
+    * On a versioned table this is [[VersionedTable.commitPartitions]]: one
+    * atomic manifest commit whose entries merge the new partitions over the
+    * previous snapshot's — concurrent incremental writers to different
+    * partitions both land (CAS re-merge), readers never see a half-replaced
+    * table, and the pre-commit snapshot stays readable by version. A
+    * PRE-versioning legacy catalog table (created by an older build via
+    * saveAsTable) keeps the dynamic-partition-overwrite `insertInto` path:
+    * migrating it here would silently drop the partitions the incoming
+    * frame does not carry.
     */
   def overwritePartitions(df: DataFrame, tableName: String,
       partitionBy: Seq[String]): Unit = {
     val spark = df.sparkSession
-    if (!spark.catalog.tableExists(tableName)) {
-      insertOverwriteTable(df, tableName, partitionBy)
-    } else {
-      val tableOrder = spark.table(tableName).columns
-      val aligned = df.select(tableOrder.map(df.col).toIndexedSeq: _*)
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try aligned.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .insertInto(tableName)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+    val versionedLoc = WarehousePaths.resolve(spark, tableName)
+      .filter { case (fs, loc) => VersionedTable.isVersioned(fs, loc) }
+    versionedLoc match {
+      case Some((fs, loc)) =>
+        VersionedTable.commitPartitions(df, loc.toString, partitionBy)
+        syncCatalogMirror(spark, tableName, fs, loc)
+      case None if !spark.catalog.tableExists(tableName) =>
+        insertOverwriteTable(df, tableName, partitionBy)
+      case None =>
+        // legacy (non-versioned) catalog table: dynamic partition overwrite.
+        // insertInto matches columns BY POSITION (partition columns last in
+        // a catalog table's schema), so reorder by NAME first. The
+        // per-writer option covers datasource tables; Hive-serde tables
+        // read the SESSION conf exclusively, so both are set (conf
+        // try/finally restored).
+        val tableOrder = spark.table(tableName).columns
+        val aligned = df.select(tableOrder.map(df.col).toIndexedSeq: _*)
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try aligned.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .insertInto(tableName)
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
     }
   }
+}
+
+/** Warehouse path resolution shared by the writer (commit targets) and the
+  * fetcher (manifest-aware reads).
+  */
+private[sources] object WarehousePaths {
+
+  /** The table's default warehouse directory: `<db location>/<table>`,
+    * derived from the owning DATABASE's registered locationUri (never a
+    * guessed warehouse-relative path — a wrong guess could touch another
+    * table's data). None when the name doesn't resolve to an existing
+    * database.
+    */
+  def resolve(spark: SparkSession, tableName: String): Option[(FileSystem, Path)] = {
+    val parts = tableName.split('.').toSeq match {
+      case "spark_catalog" +: rest => rest
+      case other => other
+    }
+    val dbTable = parts match {
+      case Seq(t) => Some((spark.catalog.currentDatabase, t))
+      case Seq(d, t) => Some((d, t))
+      case _ => None
+    }
+    dbTable.collect { case (db, tbl) if spark.catalog.databaseExists(db) =>
+      val loc = new Path(new Path(spark.catalog.getDatabase(db).locationUri), tbl.toLowerCase)
+      (loc.getFileSystem(spark.sparkContext.hadoopConfiguration), loc)
+    }
+  }
+
+  /** Backtick-quote a possibly-qualified table name part by part. */
+  def quote(tableName: String): String =
+    tableName.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
 }
 
 /** Production writer — trait defaults are production-grade. */

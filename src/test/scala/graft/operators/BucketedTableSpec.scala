@@ -48,7 +48,7 @@ class BucketedTableSpec extends SparkTestBase {
       a.head.day shouldBe d("2024-01-02")
     } finally {
       sql(s"DROP TABLE IF EXISTS $table")
-      sql(s"DROP TABLE IF EXISTS $plainTable")
+      ProdWriter.dropTable(spark, plainTable) // plain path is a versioned VIEW
     }
   }
 

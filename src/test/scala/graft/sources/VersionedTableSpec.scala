@@ -1,0 +1,228 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The transactional contract of manifest-versioned tables: atomic
+  * insert-overwrite, snapshot-isolated reads during a concurrent overwrite,
+  * CAS-serialized concurrent writers (full and per-partition), time travel,
+  * vacuum retention, the catalog VIEW mirror, and legacy-layout migration.
+  */
+class VersionedTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpRoot(tag: String): String =
+    Files.createTempDirectory(s"graft_vt_$tag").resolve("tbl").toString
+
+  private def days(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "day", "value")
+
+  test("overwrite commits replace the snapshot; every version stays readable") {
+    val root = tmpRoot("ow")
+    val v1 = VersionedTable.commitOverwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val v2 = VersionedTable.commitOverwrite(Seq((9L, "z")).toDF("id", "s"), root)
+    (v1, v2) shouldBe ((1L, 2L))
+    VersionedTable.read(spark, root).as[(Long, String)].collect().toSet shouldBe
+      Set((9L, "z"))
+    VersionedTable.read(spark, root, Some(1L)).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "b"))
+    VersionedTable.versions(fs(root), new Path(root)) shouldBe Seq(1L, 2L)
+  }
+
+  test("a reader resolved before an overwrite keeps its snapshot (read-during-overwrite)") {
+    val root = tmpRoot("snap")
+    VersionedTable.commitOverwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "s"), root)
+    val pinned = VersionedTable.read(spark, root) // resolved against v1
+    pinned.count() shouldBe 100L
+    VersionedTable.commitOverwrite(Seq((777L, "new")).toDF("id", "s"), root)
+    // the pinned plan re-executes against v1's immutable data dir
+    pinned.count() shouldBe 100L
+    pinned.agg(max(col("id"))).as[Long].head() shouldBe 100L
+    // a fresh resolve sees v2
+    VersionedTable.read(spark, root).as[(Long, String)].collect().toSet shouldBe
+      Set((777L, "new"))
+  }
+
+  test("partition commit replaces only the incoming partitions and reuses prior data dirs") {
+    val root = tmpRoot("parts")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L), (3L, "2024-01-03", 30L)),
+      root, Seq("day"))
+    VersionedTable.commitPartitions(
+      days((9L, "2024-01-02", 99L)), root, Seq("day"))
+    val got = VersionedTable.read(spark, root)
+      .as[(Long, String, Long)].collect().toSet
+    got shouldBe Set(
+      (1L, "2024-01-01", 10L), (9L, "2024-01-02", 99L), (3L, "2024-01-03", 30L))
+    // untouched partitions point at the ORIGINAL data dir (no rewrite)
+    val f = fs(root)
+    val m1 = VersionedTable.readManifest(f, new Path(root), 1L)
+    val m2 = VersionedTable.readManifest(f, new Path(root), 2L)
+    m2.entries("day=2024-01-01") shouldBe m1.entries("day=2024-01-01")
+    m2.entries("day=2024-01-03") shouldBe m1.entries("day=2024-01-03")
+    m2.entries("day=2024-01-02") should not be m1.entries("day=2024-01-02")
+    // time travel still sees the pre-increment day 2
+    VersionedTable.read(spark, root, Some(1L))
+      .filter(col("day") === "2024-01-02")
+      .as[(Long, String, Long)].collect().toSet shouldBe Set((2L, "2024-01-02", 20L))
+  }
+
+  test("concurrent full overwrites serialize: contiguous versions, each a writer's exact payload") {
+    val root = tmpRoot("race")
+    val writers = 6
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val done = (0 until writers).map { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          VersionedTable.commitOverwrite(
+            Seq.fill(5)(w.toLong).zipWithIndex.map { case (v, i) => (v, i) }
+              .toDF("writer", "i"), root)
+        }
+      })
+    }
+    start.countDown()
+    done.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val vs = VersionedTable.versions(fs(root), new Path(root))
+    vs shouldBe (1L to writers.toLong)
+    // every retained version is exactly ONE writer's payload — no torn or
+    // lost commits — and all writers landed exactly once
+    val owners = vs.map { v =>
+      val w = VersionedTable.read(spark, root, Some(v))
+        .select("writer").distinct().as[Long].collect().toSeq
+      w.size shouldBe 1
+      VersionedTable.read(spark, root, Some(v)).count() shouldBe 5L
+      w.head
+    }
+    owners.toSet shouldBe (0 until writers).map(_.toLong).toSet
+  }
+
+  test("concurrent partition commits to different partitions both land (CAS re-merge)") {
+    val root = tmpRoot("pmerge")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 1L), (2L, "2024-01-02", 2L)), root, Seq("day"))
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fut = Seq("2024-01-01" -> 11L, "2024-01-02" -> 22L).map { case (day, v) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          VersionedTable.commitPartitions(days((v, day, v)), root, Seq("day"))
+        }
+      })
+    }
+    start.countDown()
+    fut.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // whatever order the CAS decided, the FINAL snapshot carries both updates
+    VersionedTable.read(spark, root).as[(Long, String, Long)].collect().toSet shouldBe
+      Set((11L, "2024-01-01", 11L), (22L, "2024-01-02", 22L))
+    VersionedTable.versions(fs(root), new Path(root)) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("vacuum drops unreferenced data dirs and manifests, keeps the live snapshot") {
+    val root = tmpRoot("vac")
+    VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    VersionedTable.commitOverwrite(Seq((2L, "b")).toDF("id", "s"), root)
+    VersionedTable.commitOverwrite(Seq((3L, "c")).toDF("id", "s"), root)
+    val f = fs(root)
+    def dataDirs = f.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data-"))
+    dataDirs.size shouldBe 3
+    VersionedTable.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    dataDirs.size shouldBe 1
+    VersionedTable.versions(f, new Path(root)) shouldBe Seq(3L)
+    VersionedTable.read(spark, root).as[(Long, String)].collect().toSet shouldBe
+      Set((3L, "c"))
+    an[Exception] should be thrownBy
+      VersionedTable.read(spark, root, Some(1L)).collect()
+  }
+
+  test("vacuum retains data dirs shared with kept snapshots after partition commits") {
+    val root = tmpRoot("vacshare")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 1L), (2L, "2024-01-02", 2L)), root, Seq("day"))
+    VersionedTable.commitPartitions(days((9L, "2024-01-02", 9L)), root, Seq("day"))
+    VersionedTable.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    // v1's dir still serves day=2024-01-01 in v2 → must survive the vacuum
+    VersionedTable.read(spark, root).as[(Long, String, Long)].collect().toSet shouldBe
+      Set((1L, "2024-01-01", 1L), (9L, "2024-01-02", 9L))
+  }
+
+  test("empty and null-partition edge cases round-trip") {
+    val root = tmpRoot("edge")
+    val empty = Seq.empty[(Long, String, Long)].toDF("user_id", "day", "value")
+    VersionedTable.commitOverwrite(empty, root, Seq("day"))
+    val back = VersionedTable.read(spark, root)
+    back.count() shouldBe 0L
+    back.columns.toSeq shouldBe Seq("user_id", "day", "value")
+    // null partition value → hive default partition dir → comes back null
+    VersionedTable.commitOverwrite(
+      Seq((1L, Option("2024-01-01"), 1L), (2L, Option.empty[String], 2L))
+        .toDF("user_id", "day", "value"), root, Seq("day"))
+    VersionedTable.read(spark, root).as[(Long, Option[String], Long)]
+      .collect().toSet shouldBe Set((1L, Some("2024-01-01"), 1L), (2L, None, 2L))
+  }
+
+  test("writer + fetcher: catalog view mirror matches the manifest snapshot through overwrites") {
+    val tbl = "graft_vtspec_mirror"
+    try {
+      ProdWriter.insertOverwriteTable(
+        days((1L, "2024-01-01", 1L), (2L, "2024-01-02", 2L)), tbl, Seq("day"))
+      // manifest read and plain-SQL view read agree
+      ProdFetcher.readTable(spark, tbl).as[(Long, String, Long)].collect().toSet shouldBe
+        Set((1L, "2024-01-01", 1L), (2L, "2024-01-02", 2L))
+      spark.sql(s"SELECT user_id, day, value FROM $tbl")
+        .as[(Long, String, Long)].collect().toSet shouldBe
+        Set((1L, "2024-01-01", 1L), (2L, "2024-01-02", 2L))
+      spark.catalog.getTable(tbl).tableType shouldBe "VIEW"
+
+      ProdWriter.overwritePartitions(days((9L, "2024-01-02", 9L)), tbl, Seq("day"))
+      spark.sql(s"SELECT user_id, day, value FROM $tbl")
+        .as[(Long, String, Long)].collect().toSet shouldBe
+        Set((1L, "2024-01-01", 1L), (9L, "2024-01-02", 9L))
+      ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(1L, 2L)
+      ProdFetcher.readTableVersion(spark, tbl, 1L)
+        .filter(col("day") === "2024-01-02").select("value")
+        .as[Long].collect().toSeq shouldBe Seq(2L)
+    } finally ProdWriter.dropTable(spark, tbl)
+  }
+
+  test("legacy saveAsTable layout migrates: entry dropped, dir moved aside, data replaced") {
+    val tbl = "graft_vtspec_legacy"
+    try {
+      Seq((1L, "old")).toDF("id", "s").write.mode("overwrite").saveAsTable(tbl)
+      spark.catalog.getTable(tbl).tableType should not be "VIEW"
+      ProdWriter.insertOverwriteTable(Seq((2L, "new")).toDF("id", "s"), tbl)
+      ProdFetcher.readTable(spark, tbl).as[(Long, String)].collect().toSet shouldBe
+        Set((2L, "new"))
+      spark.sql(s"SELECT * FROM $tbl").as[(Long, String)].collect().toSet shouldBe
+        Set((2L, "new"))
+      // the old directory survived as an aside, not a delete
+      val (f, loc) = WarehousePaths.resolve(spark, tbl).get
+      val asides = f.globStatus(new Path(loc.getParent, loc.getName + ".__orphan.*"))
+      asides should not be empty
+    } finally ProdWriter.dropTable(spark, tbl)
+  }
+
+  test("dropTable removes the root and the catalog entry") {
+    val tbl = "graft_vtspec_drop"
+    ProdWriter.insertOverwriteTable(Seq((1L, "x")).toDF("id", "s"), tbl)
+    val (f, loc) = WarehousePaths.resolve(spark, tbl).get
+    f.exists(loc) shouldBe true
+    ProdWriter.dropTable(spark, tbl)
+    f.exists(loc) shouldBe false
+    spark.catalog.tableExists(tbl) shouldBe false
+  }
+}
