@@ -154,7 +154,19 @@ object ScaleBench {
       // stays 1x; candidates are cross-side bucket co-occupants only
       "embed_contamination" -> (k => SimilaritySearch.crossNearDup(
         scaledEmb(k).filter("vec_id >= 100"),
-        emb0.filter("vec_id < 100"), threshold = 0.3)))
+        emb0.filter("vec_id < 100"), threshold = 0.3)),
+      // q119 shape: SemDeDup. The magnitude-scaled replicas keep their
+      // DIRECTION, so every base vector's k copies are exact cosine
+      // duplicates that must meet in one cell — dup-group size grows
+      // k-fold and in-cell pair count ~k^2: this row deliberately reads
+      // the duplicate-density worst case (a corpus that is k copies of
+      // itself), not typical growth. On a real corpus the knob is k
+      // centroids tracking n (the paper's 50k-cluster recipe), which the
+      // modulo init slice exercises (16 centroids per replica, k stable)
+      "semantic_dedup" -> (k => SimilaritySearch.semDedup(scaledEmb(k),
+        threshold = 0.4,
+        initPred = s"(vec_id % $Stride) >= 100 AND (vec_id % $Stride) < 116",
+        iters = 2)))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

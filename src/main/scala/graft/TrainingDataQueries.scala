@@ -125,6 +125,14 @@ object TrainingDataQueries {
         initPred = "vec_id >= 100 AND vec_id < 116", iters = 2,
         m = 4, dim = EmbeddingDim)),
 
+    // SemDeDup semantic dedup: trained-k-means cells (the q35 quantizer),
+    // in-cell cosine pairs, drop the closer-to-centroid side of every
+    // near-duplicate pair — the paraphrase-level dedup complement to the
+    // token-set (q25) and verbatim-substring (q95) passes
+    "q119_semantic_dedup" -> ((s, dir) =>
+      SimilaritySearch.semDedup(emb(s, dir), threshold = 0.4,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+
     // SEMANTIC contamination: training vectors near a benchmark vector in
     // embedding space — the paraphrase/translation leak the token-level
     // audits (shingles, substrings, Bloom) structurally cannot see
@@ -783,6 +791,29 @@ object TrainingDataQueries {
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
          |FROM ad
          |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin,
+
+    // SemDeDup twin: the q35 trained quantizer (two unrolled ordered-fold
+    // Lloyd rounds), assignment keeps the winning score as keep-priority,
+    // in-cell pairs above threshold drop their higher-priority side
+    "q119_semantic_dedup" ->
+      s"""WITH $embBaseSql,
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim)},
+         |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
+         |asg AS (SELECT vec_id, v, nrm, cid, round(cscore, 6) AS cent_sim FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  a.cent_sim AS ca, b.cent_sim AS cb,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |drp AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
+         |  FROM pairs WHERE cos_sim >= 0.4)
+         |SELECT asg.vec_id, asg.cid, asg.cent_sim,
+         |  (drp.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,
 
     // semantic-contamination twin: the q29 band machinery with the two
     // sides kept distinct (corpus >= 100, benchmark < 100)

@@ -591,6 +591,68 @@ object SimilaritySearch {
       .select(col("id").as(idCol), col("ref_id"), col("cos_sim"))
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the deterministic trained
+    * quantizer ([[trainedCentroids]] — same ordered-fold Lloyd rounds the
+    * IVF/PQ paths replay in the oracle), then inside each cluster drop
+    * every member that has a near-duplicate (cosine >= `threshold`) with
+    * higher keep-priority. Priority follows the paper's finding: among
+    * duplicates, KEEP the member least similar to its centroid (the
+    * cluster's "outlier" carries the most marginal information); ties break
+    * to the lower id. The rule is pairwise domination — drop x iff some
+    * in-cluster y with cos(x,y) >= threshold has lower (cent_sim, id) — so
+    * the decision is one relational pass, deterministic, and
+    * oracle-replayable (no greedy sequential scan).
+    *
+    * This is the paraphrase-level complement to token-set dedup
+    * ([[graft.operators.Dedup.minhashLshPairs]]) and verbatim substring
+    * dedup: rewordings and translations share embeddings, not n-grams.
+    *
+    * Scale shape: centroids broadcast, assignment is map-side argmax + one
+    * narrow shuffle; the pair stage self-joins SLIM (id, cid) rows per
+    * cell and re-attaches vectors by id, so vectors shuffle once, never
+    * quadratically. Pair work is sum of cell sizes squared — k is the
+    * knob: grow centroids with the corpus (n/k bounded) exactly as the
+    * paper does (50k clusters for LAION), and the per-cell quadratic term
+    * stays constant. Output: one row per vector — (id, cid, cent_sim,
+    * kept).
+    */
+  def semDedup(embeddings: DataFrame, threshold: Double, initPred: String,
+               iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"semDedup: initPred '$initPred' selects no rows — nothing to train from")
+    val cent = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    // assignment keeps the winning cell's SCORE: it is the keep-priority
+    val assigned = maybePersist(
+      e.crossJoin(broadcast(cent))
+        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("cscore")), struct(col("cscore"), (-col("cid")).as("nc"))).as("a"))
+        .select(col("id"), col("a.cid").as("cid"), round(col("a.cscore"), 6).as("cent_sim")),
+      storage)
+    val slim = assigned.select(col("id"), col("cid"), col("cent_sim"))
+    val pairs = slim
+      .select(col("id").as("id_a"), col("cid"), col("cent_sim").as("ca"))
+      .join(slim.select(col("id").as("id_b"), col("cid"), col("cent_sim").as("cb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim", round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+    // the pair's CLOSER-to-centroid side drops (tie: higher id drops)
+    val dropped = pairs
+      .select(when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("cent_sim"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
   /** All vector pairs (id_a < id_b) with cosine >= threshold — the EXACT
     * all-pairs form. O(n^2) pairs (BroadcastNestedLoopJoin under the `<`
     * condition): strictly a small-n tool — the recall oracle for

@@ -86,7 +86,12 @@ class PlanSpec extends SparkTestBase {
       // keyed: they stay under the full guard); q115 is q109's read off
       // merged state
       "q109_source_kl", "q109a_source_kl_probe", "q110_tfidf_terms",
-      "q112_pmi_collocations", "q115_source_kl_incremental")
+      "q112_pmi_collocations", "q115_source_kl_incremental",
+      // q119 embeds the q35 trained quantizer: the only cross join is the
+      // tiny broadcast centroid set against the corpus (assignment
+      // argmax); its in-cell pair stage stays a keyed join on cid —
+      // pinned by the dedicated q119 guard below
+      "q119_semantic_dedup")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -105,6 +110,18 @@ class PlanSpec extends SparkTestBase {
           p.contains("ShuffledHashJoin")) shouldBe true
       }
     }
+  }
+
+  test("q119: semDedup pair stage is a keyed join on the cell id — vectors never cross-join") {
+    val p = plan("q119_semantic_dedup")
+    // in-cell candidate generation joins on cid (hash/SMJ); the ONLY
+    // nested-loop shapes allowed are the broadcast centroid assignments
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
+    p should not include "CartesianProduct"
+    // keep-priority argmax is the combinable max_by aggregate, not a
+    // corpus-wide window
+    p should include("max_by")
   }
 
   test("q17: latest-per-user is a combinable aggregate, not an un-splittable window") {

@@ -368,4 +368,52 @@ class SimilaritySearchSpec extends SparkTestBase {
       realEmb)
     results(incremental) shouldBe results(oneShot)
   }
+
+  test("semDedup: a planted near-duplicate pair loses exactly its closer-to-centroid side") {
+    // two tight clusters; ids 0/1 are near-identical within cluster A
+    val corpus = Seq(
+      (0L, vec(i => if (i == 0) 1f else 0.01f)),
+      (1L, vec(i => if (i == 0) 0.97f else 0.011f)),
+      (2L, vec(i => if (i == 0) 0.8f else 0.2f)), // same cell, NOT a dup at 0.99
+      (3L, vec(i => if (i == 1) 1f else -0.01f)),
+      (4L, vec(i => if (i == 1) 0.9f else 0.1f)) // same cell as 3, cos ~0.90: NOT a dup
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.semDedup(corpus, threshold = 0.999,
+      initPred = "vec_id IN (0, 3)", iters = 2)
+      .select("vec_id", "cent_sim", "kept")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L, 4L) // every vector gets a verdict
+    // exactly one of the planted pair dropped; the survivor is the one
+    // LESS similar to its centroid (SemDeDup keep-priority)
+    Seq(out(0L)._2, out(1L)._2).count(_ == false) shouldBe 1
+    val (kept, dropped) = if (out(0L)._2) (out(0L), out(1L)) else (out(1L), out(0L))
+    kept._1 should be <= dropped._1
+    // non-duplicates untouched, whichever cell they landed in
+    out(2L)._2 shouldBe true
+    out(3L)._2 shouldBe true
+    out(4L)._2 shouldBe true
+  }
+
+  test("semDedup on the real corpus: verdict-per-vector, deterministic, drops mirror in-cell dup pairs") {
+    def run() = SimilaritySearch.semDedup(realEmb, threshold = 0.4,
+      initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
+    val out = run().persist()
+    out.count() shouldBe realEmb.count() // total function of the corpus
+    val dropped = out.filter(!col("kept")).count()
+    dropped should be > 0L // the 0.4 threshold does bite on this corpus
+    // a dropped vector must actually have an in-cell duplicate: join the
+    // verdicts back onto exact pairs restricted to same-cell members
+    val cells = out.select(col("vec_id"), col("cid"))
+    val inCellPairs = SimilaritySearch.nearDupPairsExact(realEmb, 0.4)
+      .join(cells.withColumnRenamed("vec_id", "id_a").withColumnRenamed("cid", "ca"), "id_a")
+      .join(cells.withColumnRenamed("vec_id", "id_b").withColumnRenamed("cid", "cb"), "id_b")
+      .filter(col("ca") === col("cb"))
+    val withDup = inCellPairs.select(col("id_a").as("vec_id"))
+      .union(inCellPairs.select(col("id_b").as("vec_id"))).distinct()
+    out.filter(!col("kept")).join(withDup, "vec_id").count() shouldBe dropped
+    // replay is bit-stable (ordered folds end to end)
+    run().as[(Long, Long, Double, Boolean)].collect().toSet shouldBe
+      out.as[(Long, Long, Double, Boolean)].collect().toSet
+    out.unpersist()
+  }
 }
