@@ -433,6 +433,32 @@ object CurationQueries {
       LmScore.sourceKlFromState(
         LmScore.incrementKlState(st0, d.filter(col("doc_id") > IncrSplitId2)))
         .drop("kl_nats")
+    }),
+
+    // q108's calibration audit, part 1: confusion counts + exact-ppm
+    // precision/recall/F1 at every candidate threshold against the seed
+    // labels — the gate's operating point is read off this table, not
+    // hardcoded at > 0
+    "q120_nb_calibration" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val seeds = d.filter(col("source").isin((NbPosSources ++ NbNegSources): _*))
+        .withColumn("label", col("source").isin(NbPosSources: _*).cast("int"))
+      graft.operators.QualityClassifier.thresholdSweep(seeds,
+        positive = d.filter(col("source").isin(NbPosSources: _*)),
+        negative = d.filter(col("source").isin(NbNegSources: _*)),
+        thresholdsFp = NbSweepThresholdsFp)
+    }),
+
+    // part 2: per-source drift of the SCORE distribution (whole-nat
+    // histogram TV vs rest) over ALL sources — a source whose scores
+    // depart from the corpus is different quality or miscalibrated domain
+    "q121_nb_score_drift" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.operators.QualityClassifier.scoreDrift(d,
+        positive = d.filter(col("source").isin(NbPosSources: _*)),
+        negative = d.filter(col("source").isin(NbNegSources: _*)))
     })
   )
 
@@ -442,6 +468,79 @@ object CurationQueries {
     */
   private val NbPosSources = Seq("src0", "src1", "src2")
   private val NbNegSources = Seq("src3", "src4", "src5")
+
+  /** q120's candidate decision thresholds: -2..2 nats in half-nat steps,
+    * as 1e-9 fixed point like `logodds_fp`.
+    */
+  private val NbSweepThresholdsFp: Seq[Long] = (-4 to 4).map(_ * 500000000L)
+
+  private def nbSrcList(ss: Seq[String]): String =
+    ss.map(s => s"'$s'").mkString(", ")
+
+  /** The NB scoring replay shared by q108/q120/q121: union vocab, pinned-ln
+    * word weights, one-row constants, the all-integer per-doc fold — ending
+    * at `sc(doc_id, source, n_tokens, logodds_fp)`. WITH-body only (no
+    * prefix), so callers append their own tail CTEs.
+    */
+  private lazy val nbScoreCtesSql: String = {
+    def steps(p: String, x: String): String =
+      graft.functions.PinnedMath.lnFpSteps(p, x)
+        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+    s"""pos AS (SELECT text FROM documents WHERE source IN (${nbSrcList(NbPosSources)})),
+       |neg AS (SELECT text FROM documents WHERE source IN (${nbSrcList(NbNegSources)})),
+       |ptf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfp
+       |  FROM (SELECT unnest($toksSql) AS w FROM pos) GROUP BY w),
+       |ntf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfn
+       |  FROM (SELECT unnest($toksSql) AS w FROM neg) GROUP BY w),
+       |vocab AS (SELECT coalesce(ptf.w, ntf.w) AS w,
+       |  coalesce(tfp, 0) AS tfp, coalesce(tfn, 0) AS tfn
+       |  FROM ptf FULL JOIN ntf ON ptf.w = ntf.w),
+       |ww AS (SELECT w, ${steps("lp", "(tfp + 1)")}, ${steps("lq", "(tfn + 1)")} FROM vocab),
+       |wv AS (SELECT w, lp_lnfp - lq_lnfp AS wfp FROM ww),
+       |cn AS (SELECT CAST(sum(tfp) + count(*) AS BIGINT) AS __npv,
+       |  CAST(sum(tfn) + count(*) AS BIGINT) AS __nnv FROM vocab),
+       |dc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS __dp,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM neg) AS __dn),
+       |k AS (SELECT ${steps("la", "__npv")}, ${steps("lb", "__nnv")},
+       |  ${steps("lc", "__dp")}, ${steps("ld", "__dn")} FROM cn CROSS JOIN dc),
+       |kk AS (SELECT lb_lnfp - la_lnfp AS pertok_fp, lc_lnfp - ld_lnfp AS prior_fp FROM k),
+       |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(coalesce(wv.wfp, 0)) AS BIGINT) AS s
+       |  FROM dt LEFT JOIN wv USING (w) GROUP BY dt.doc_id),
+       |sc AS (SELECT d.doc_id, d.source,
+       |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
+       |  CAST(kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) AS BIGINT) AS logodds_fp
+       |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk)""".stripMargin
+  }
+
+  /** The q90 grouped-TV-drift tail parameterized over its input: per-bin
+    * HUGEINT term, absent-bin closed form, pinned exact-ppm division —
+    * `v0Body` must yield `(g, x)`.
+    */
+  private def tvDriftOracleSql(prefixCtes: String, v0Body: String,
+      precision: Int, groupName: String): String =
+    s"""WITH $prefixCtes,
+       |v0 AS ($v0Body),
+       |h AS (SELECT g, round(x, $precision) AS v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM v0 WHERE x IS NOT NULL GROUP BY g, v),
+       |tot AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM h GROUP BY v),
+       |ng AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_group FROM h GROUP BY g),
+       |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM h),
+       |t AS (SELECT h.g, h.cnt, tot.cnt_all, ng.n_group, na.n_total,
+       |  abs(CAST(h.cnt AS HUGEINT) * (na.n_total - ng.n_group)
+       |    - CAST(tot.cnt_all - h.cnt AS HUGEINT) * ng.n_group) AS term
+       |  FROM h JOIN tot USING (v)
+       |  JOIN ng ON h.g IS NOT DISTINCT FROM ng.g CROSS JOIN na)
+       |SELECT g AS $groupName,
+       |  CAST(max(n_group) AS BIGINT) AS n_group,
+       |  CAST(max(n_total) - max(n_group) AS BIGINT) AS n_rest,
+       |  CAST((2000000 * (sum(term)
+       |        + CAST(max(n_total) - sum(cnt_all) AS HUGEINT) * max(n_group))
+       |        + 2 * CAST(max(n_group) AS HUGEINT) * (max(n_total) - max(n_group)))
+       |    // (4 * CAST(max(n_group) AS HUGEINT) * (max(n_total) - max(n_group))) AS DOUBLE) / 1000000 AS tv_vs_rest
+       |FROM t GROUP BY g
+       |HAVING max(n_total) - max(n_group) > 0""".stripMargin
 
   /** q83's containment threshold. */
   private val ContainThreshold = 0.6
@@ -953,41 +1052,44 @@ object CurationQueries {
     // NB-classifier twin: union vocab via FULL JOIN, per-word pinned-ln
     // weight difference, four one-row constants (smoothing denominators +
     // doc-count priors), all-integer per-doc fold
-    "q108_nb_quality" -> {
-      def steps(p: String, x: String): String =
-        graft.functions.PinnedMath.lnFpSteps(p, x)
-          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
-      def srcList(ss: Seq[String]): String =
-        ss.map(s => s"'$s'").mkString(", ")
-      s"""WITH pos AS (SELECT text FROM documents WHERE source IN (${srcList(NbPosSources)})),
-         |neg AS (SELECT text FROM documents WHERE source IN (${srcList(NbNegSources)})),
-         |ptf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfp
-         |  FROM (SELECT unnest($toksSql) AS w FROM pos) GROUP BY w),
-         |ntf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfn
-         |  FROM (SELECT unnest($toksSql) AS w FROM neg) GROUP BY w),
-         |vocab AS (SELECT coalesce(ptf.w, ntf.w) AS w,
-         |  coalesce(tfp, 0) AS tfp, coalesce(tfn, 0) AS tfn
-         |  FROM ptf FULL JOIN ntf ON ptf.w = ntf.w),
-         |ww AS (SELECT w, ${steps("lp", "(tfp + 1)")}, ${steps("lq", "(tfn + 1)")} FROM vocab),
-         |wv AS (SELECT w, lp_lnfp - lq_lnfp AS wfp FROM ww),
-         |cn AS (SELECT CAST(sum(tfp) + count(*) AS BIGINT) AS __npv,
-         |  CAST(sum(tfn) + count(*) AS BIGINT) AS __nnv FROM vocab),
-         |dc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pos) AS __dp,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM neg) AS __dn),
-         |k AS (SELECT ${steps("la", "__npv")}, ${steps("lb", "__nnv")},
-         |  ${steps("lc", "__dp")}, ${steps("ld", "__dn")} FROM cn CROSS JOIN dc),
-         |kk AS (SELECT lb_lnfp - la_lnfp AS pertok_fp, lc_lnfp - ld_lnfp AS prior_fp FROM k),
-         |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
-         |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(coalesce(wv.wfp, 0)) AS BIGINT) AS s
-         |  FROM dt LEFT JOIN wv USING (w) GROUP BY dt.doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
-         |  CAST(kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) AS BIGINT) AS logodds_fp,
-         |  CAST(CASE WHEN kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) > 0
-         |    THEN 1 ELSE 0 END AS INT) AS predict_pos
-         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk""".stripMargin
-    },
+    "q108_nb_quality" ->
+      s"""WITH $nbScoreCtesSql
+         |SELECT doc_id, n_tokens, logodds_fp,
+         |  CAST(CASE WHEN logodds_fp > 0 THEN 1 ELSE 0 END AS INT) AS predict_pos
+         |FROM sc""".stripMargin,
+
+    // calibration-sweep twin: same scored seeds, the same explode-style
+    // grid (CROSS JOIN unnest), integer confusion counts, HUGEINT
+    // floor-division ppm (operands non-negative, so // == floor on both
+    // engines), NULL on empty denominators
+    "q120_nb_calibration" ->
+      s"""WITH $nbScoreCtesSql,
+         |lab AS (SELECT logodds_fp,
+         |  CASE WHEN source IN (${nbSrcList(NbPosSources)}) THEN 1 ELSE 0 END AS y
+         |  FROM sc WHERE source IN (${nbSrcList(NbPosSources ++ NbNegSources)})),
+         |grid AS (SELECT unnest([${NbSweepThresholdsFp.mkString(", ")}]) AS thr_fp),
+         |cm AS (SELECT grid.thr_fp,
+         |  CAST(sum(CASE WHEN logodds_fp >= thr_fp AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN logodds_fp >= thr_fp AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN logodds_fp < thr_fp AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN logodds_fp < thr_fp AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM lab CROSS JOIN grid GROUP BY grid.thr_fp)
+         |SELECT thr_fp, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+         |  CASE WHEN tp + fn > 0
+         |    THEN CAST(CAST(tp AS HUGEINT) * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm,
+         |  CASE WHEN 2 * tp + fp + fn > 0
+         |    THEN CAST(CAST(tp AS HUGEINT) * 2000000 // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+         |FROM cm""".stripMargin,
+
+    // score-drift twin: the q90 drift tail over whole-nat score buckets
+    // (identical double division then round — both engines see the same
+    // exact BIGINT numerator)
+    "q121_nb_score_drift" -> tvDriftOracleSql(
+      nbScoreCtesSql,
+      "SELECT source AS g, CAST(logodds_fp AS DOUBLE) / 1000000000 AS x FROM sc",
+      precision = 0, groupName = "source"),
 
     // KL-drift twin: identical pinned-ln steps on the three distinct
     // domains ((g,w) counts, word totals, group totals), the weighted sum

@@ -91,4 +91,65 @@ object QualityClassifier {
       .select(col(idCol), col("n_tokens"), col("logodds_fp"),
         (col("logodds_fp") > 0L).cast("int").as("predict_pos"))
   }
+
+  /** Calibration sweep: confusion counts and exact-ppm precision / recall /
+    * F1 at every candidate decision threshold, evaluated against the seed
+    * labels — the table the gate's operating point is READ from instead of
+    * hardcoding `> 0`. `labeled` carries `labelCol` (1 = positive class);
+    * thresholds are fixed-point 1e-9 nats like `logodds_fp`; predict
+    * positive iff `logodds_fp >= thr_fp`.
+    *
+    * All counts and ratios are integers (floor-division ppm; NULL when the
+    * denominator is empty — no 0/0 float). Scale shape: the grid fans out
+    * by `explode` and collapses in the same combinable aggregate
+    * (|thresholds| groups), so the sweep costs one pass over the scored
+    * seeds, no window, no collect.
+    */
+  def thresholdSweep(labeled: DataFrame, positive: DataFrame, negative: DataFrame,
+                     thresholdsFp: Seq[Long],
+                     idCol: String = "doc_id", textCol: String = "text",
+                     labelCol: String = "label"): DataFrame = {
+    require(thresholdsFp.nonEmpty, "thresholdSweep needs at least one threshold")
+    val scored = nbLogOdds(labeled, positive, negative, idCol, textCol)
+      .join(labeled.select(col(idCol), col(labelCol).cast("int").as("__y")), idCol)
+    def cnt(p: org.apache.spark.sql.Column) = sum(p.cast("long"))
+    // exact floor-division ppm: DECIMAL(38,0) keeps the 1e6-scaled
+    // numerator exact far past the 2^53 double ceiling
+    val ppm = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      when(den > 0L,
+        floor(num.cast("decimal(38,0)") * lit(1000000L) / den.cast("decimal(38,0)"))
+          .cast("long"))
+    scored
+      .withColumn("thr_fp", explode(array(thresholdsFp.map(lit): _*)))
+      .withColumn("__pred", (col("logodds_fp") >= col("thr_fp")).cast("int"))
+      .groupBy(col("thr_fp"))
+      .agg(
+        cnt(col("__pred") === 1 && col("__y") === 1).as("tp"),
+        cnt(col("__pred") === 1 && col("__y") === 0).as("fp"),
+        cnt(col("__pred") === 0 && col("__y") === 1).as("fn"),
+        cnt(col("__pred") === 0 && col("__y") === 0).as("tn"))
+      .select(col("thr_fp"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"),
+        ppm(col("tp") * 2L, col("tp") * 2L + col("fp") + col("fn")).as("f1_ppm"))
+  }
+
+  /** Per-group drift of the SCORE distribution: each group's
+    * total-variation distance (at whole-nat histogram resolution) from the
+    * rest of the corpus — the calibration-shift audit. A source whose
+    * score distribution departs from everyone else's is either genuinely
+    * different quality or a domain the classifier is miscalibrated on;
+    * both mean: inspect before gating. One bounded histogram pass
+    * ([[Quantiles.groupedTvDrift]]).
+    */
+  def scoreDrift(docs: DataFrame, positive: DataFrame, negative: DataFrame,
+                 groupCol: String = "source",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = nbLogOdds(docs, positive, negative, idCol, textCol)
+      .join(docs.select(col(idCol), col(groupCol)), idCol)
+    Quantiles.groupedTvDrift(
+      scored.select(col(groupCol),
+        (col("logodds_fp").cast("double") / lit(1e9)).as("score_nats")),
+      groupCol, "score_nats", precision = 0)
+  }
 }

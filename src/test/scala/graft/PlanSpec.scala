@@ -91,7 +91,11 @@ class PlanSpec extends SparkTestBase {
       // tiny broadcast centroid set against the corpus (assignment
       // argmax); its in-cell pair stage stays a keyed join on cid —
       // pinned by the dedicated q119 guard below
-      "q119_semantic_dedup")
+      "q119_semantic_dedup",
+      // q120/q121 embed q108's one-row NB model constants (and q121 the
+      // q90 one-row histogram total) — the same sanctioned
+      // scalar-broadcast shape
+      "q120_nb_calibration", "q121_nb_score_drift")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -83,4 +83,70 @@ class QualityClassifierSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     a shouldBe b
   }
+
+  test("threshold sweep: counts reconcile, monotone in the threshold, ppm exact") {
+    // seeds themselves as the labeled eval set (the q120 shape)
+    val labeled = Seq(
+      (101L, "good clean prose with meaning", 1),
+      (102L, "clean writing with good structure", 1),
+      (201L, "spam spam buy now click", 0),
+      (202L, "click here buy spam now now", 0),
+      (203L, "good spam click now buy", 0) // hard negative with a positive word
+    ).toDF("doc_id", "text", "label")
+    val thr = Seq(-2L, -1L, 0L, 1L, 2L).map(_ * 1000000000L)
+    val rows = QualityClassifier.thresholdSweep(labeled, pos, neg, thr)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))
+      }.toMap
+    rows.keySet shouldBe thr.toSet // one verdict row per candidate threshold
+    rows.values.foreach { case (tp, fp, fn, tn, _, _) =>
+      tp + fn shouldBe 2L // positives conserved at every threshold
+      fp + tn shouldBe 3L
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    thr.sliding(2).foreach { case Seq(lo, hi) =>
+      val (tpL, fpL, _, _, _, _) = rows(lo)
+      val (tpH, fpH, _, _, _, _) = rows(hi)
+      (tpH + fpH) should be <= (tpL + fpL)
+      tpH should be <= tpL
+    }
+    // exact-ppm arithmetic: recompute one row by hand
+    rows.foreach { case (_, (tp, fp, _, _, prec, rec)) =>
+      prec shouldBe (if (tp + fp > 0) Some(tp * 1000000L / (tp + fp)) else None)
+      rec shouldBe Some(tp * 1000000L / 2L)
+    }
+    // the sweep discriminates: the lowest threshold captures every
+    // positive (recall 1), and this toy corpus separates so hard that
+    // even -2 nats admits zero negatives — the operating point is
+    // readable straight off the table
+    val (tpLo, fpLo, _, _, _, _) = rows(thr.head)
+    tpLo shouldBe 2L
+    fpLo shouldBe 0L
+    val (tpHi, fpHi, _, _, _, _) = rows(thr.last)
+    (tpHi + fpHi) should be < 5L
+  }
+
+  test("score drift: a planted off-distribution source stands out; output well-formed") {
+    // three sources: two share the seed vocabulary mix, one is pure spam
+    // (systematically negative scores — the drifted score distribution)
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val docs = ((1L to 12L).map(i => (i, rep("good clean meaning prose", 3), s"bal${i % 2}")) ++
+      (13L to 18L).map(i => (i, rep("spam buy click now", 3), "drifty")))
+      .toDF("doc_id", "text", "source")
+    val out = QualityClassifier.scoreDrift(docs, pos, neg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._1).toSet shouldBe Set("bal0", "bal1", "drifty")
+    out.foreach { case (_, nGroup, nRest, tv) =>
+      nGroup + nRest shouldBe 18L
+      tv should (be >= 0.0 and be <= 1.0)
+    }
+    val byName = out.map(t => t._1 -> t._4).toMap
+    // the spam source maxes out; the identical-distribution pair sits at
+    // exactly 0.5 (their shared bucket vs the drifty third of the rest)
+    byName("drifty") shouldBe 1.0
+    byName("bal0") shouldBe 0.5
+    byName("bal1") shouldBe 0.5
+  }
 }
