@@ -489,6 +489,39 @@ object App {
           case None => println(s"[graft] offline-lookup: no snapshot for ${o("user-id")} (404)")
         }
 
+      // versioned-table surface (the Iceberg snapshot-inspection parity):
+      // list retained snapshots, read one (time travel), enforce retention
+      case "table-history" =>
+        val o = parseArgs(args.tail)
+        val tbl = o.required("table")
+        val vs = fetcher.tableVersions(spark, tbl)
+        if (vs.isEmpty) println(s"[graft] table-history: $tbl has no versioned history")
+        else vs.foreach { v =>
+          val n = fetcher.readTableVersion(spark, tbl, v).count()
+          println(s"[graft] table-history: $tbl v$v rows=$n")
+        }
+
+      case "read-version" =>
+        val o = parseArgs(args.tail)
+        val tbl = o.required("table")
+        val v = o.required("version").toLong
+        val df = fetcher.readTableVersion(spark, tbl, v)
+        o.get("output-path") match {
+          case Some(p) =>
+            writer.writeParquet(df, p)
+            println(s"[graft] read-version: wrote $tbl v$v to $p")
+          case None =>
+            println(s"[graft] read-version: $tbl v$v rows=${df.count()}")
+        }
+
+      case "vacuum-table" =>
+        val o = parseArgs(args.tail)
+        val tbl = o.required("table")
+        val keep = o.getOrElse("keep-last", "3").toInt
+        writer.vacuumTable(spark, tbl, keep,
+          graceMs = o.get("grace-minutes").map(_.toLong * 60000L).getOrElse(3600000L))
+        println(s"[graft] vacuum-table: $tbl retained ${fetcher.tableVersions(spark, tbl).size} versions")
+
       // one-command walkthrough (the reference's `make demo`): backfill ->
       // derive labels -> point-in-time join -> online sync -> both serving
       // lookups, against the bundled sample events unless overridden
@@ -665,6 +698,11 @@ object App {
       |                     [--redis-host <h> [--redis-port <p=6379>]
       |                      [--redis-password <pw>]]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
+  table-history      --table <table>   list retained snapshot versions
+  read-version       --table <table> --version <n> [--output-path <path>]
+                     time travel: read a retained snapshot
+  vacuum-table       --table <table> [--keep-last <n=3>] [--grace-minutes <m=60>]
+                     drop old snapshots + unreferenced data dirs
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
       |                     [--kv ...|--redis-host ... as online-sync]

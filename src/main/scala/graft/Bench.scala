@@ -39,7 +39,17 @@ object Bench {
     // rounds (round 7 recorded 13-15x apparent regressions on two
     // unchanged queries this way). Sorting pins who pays the first-touch
     // cost so per-query deltas across rounds compare like with like.
-    val sampledResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> sampled(fn) }
+    // optional arg/env filter (Verify's prefix semantics) — dev-only fast
+    // path to re-time a handful of queries; the driver passes nothing
+    val only: String => Boolean =
+      args.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY")) match {
+        case Some(spec) if spec.nonEmpty =>
+          val pats = spec.split(',').toSeq
+          name => pats.exists(p => name == p || name.startsWith(p + "_"))
+        case _ => _ => true
+      }
+    val sampledResults = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
+      .sortBy(_._1).map { case (name, fn) => name -> sampled(fn) }
     val results = sampledResults.map { case (name, s) => name -> minOr(s) }
     // Attribution twins (BASELINE.md "Bench attribution"): q15/q16/q17 time
     // backfill+operator together; the b-keys time the operator alone

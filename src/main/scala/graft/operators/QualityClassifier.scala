@@ -144,12 +144,21 @@ object QualityClassifier {
     */
   def scoreDrift(docs: DataFrame, positive: DataFrame, negative: DataFrame,
                  groupCol: String = "source",
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 storage: org.apache.spark.storage.StorageLevel =
+                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val scored = nbLogOdds(docs, positive, negative, idCol, textCol)
       .join(docs.select(col(idCol), col(groupCol)), idCol)
-    Quantiles.groupedTvDrift(
+    // the persist is a CODEGEN boundary, not (only) a recompute guard: fused
+    // into the histogram aggregate's span, the pinned-ln expression trees
+    // blow past Janino's limits and the whole span falls back to
+    // interpreted evaluation per token row (6x measured on q121). Cached,
+    // the scoring plan compiles in its own q108-shaped spans and the drift
+    // aggregates plain cached rows.
+    val slim = Caching.maybePersist(
       scored.select(col(groupCol),
         (col("logodds_fp").cast("double") / lit(1e9)).as("score_nats")),
-      groupCol, "score_nats", precision = 0)
+      storage)
+    Quantiles.groupedTvDrift(slim, groupCol, "score_nats", precision = 0)
   }
 }

@@ -335,16 +335,16 @@ object Quantiles {
                      precision: Int): DataFrame = {
     val d19 = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
     val h = groupedHistogram(df, Seq(groupCol), valueCol, precision)
-    val tot = h.groupBy(col("v")).agg(sum(col("cnt")).as("cnt_all"))
-    val ng = h.groupBy(col(groupCol)).agg(sum(col("cnt")).as("n_group"))
-      .withColumnRenamed(groupCol, "__tv_grp")
-    val nAll = h.agg(sum(col("cnt")).as("n_total"))
-    // every joined side is histogram-sized (bounded), so the per-bin term
-    // computes with n_g and N in scope and the final fold is ONE
-    // map-side-combinable sum per group
-    h.join(tot, "v")
-      .join(broadcast(ng), col(groupCol) <=> col("__tv_grp")).drop("__tv_grp")
-      .crossJoin(broadcast(nAll))
+    // bin totals, group sizes, and the corpus total are WINDOWS over the
+    // bounded histogram, not self-joins: a self-join formulation consumed h
+    // four times, recomputing an expensive upstream once per consumer (the
+    // NB-scored corpus in the q121 calibration audit measured 22x). The
+    // single-partition total window is safe precisely because h is
+    // histogram-sized (groups x bins), never the corpus
+    import org.apache.spark.sql.expressions.Window
+    h.withColumn("cnt_all", sum(col("cnt")).over(Window.partitionBy(col("v"))))
+      .withColumn("n_group", sum(col("cnt")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy(lit(0))))
       .withColumn("__term", abs(
         d19(col("cnt")) * (d19(col("n_total")) - d19(col("n_group")))
           - d19(col("cnt_all") - col("cnt")) * d19(col("n_group"))))

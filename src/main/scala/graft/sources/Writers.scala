@@ -170,6 +170,18 @@ trait Writer {
     }
   }
 
+  /** Retention maintenance on a versioned table: keep the last `keepLast`
+    * snapshots, delete data dirs no retained manifest references (see
+    * [[VersionedTable.vacuum]] for the write-grace caveat). No-op on
+    * non-versioned tables.
+    */
+  def vacuumTable(spark: SparkSession, tableName: String, keepLast: Int,
+      graceMs: Long = 3600000L): Unit =
+    WarehousePaths.resolve(spark, tableName).foreach { case (fs, loc) =>
+      if (VersionedTable.isVersioned(fs, loc))
+        VersionedTable.vacuum(spark, loc.toString, keepLast, graceMs)
+    }
+
   /** Drop a table this writer manages: the versioned root (all snapshots)
     * and the catalog entry (view or legacy table).
     */

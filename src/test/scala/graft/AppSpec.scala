@@ -81,6 +81,28 @@ class AppSpec extends SparkTestBase {
       "--as-of", "2024-01-03"))
   }
 
+  test("table-history / read-version / vacuum-table expose the versioned-table surface") {
+    // needs the REAL warehouse-backed platform: versioned tables live at
+    // catalog locations, not in the in-memory test storage
+    val platform = Platform(spark, graft.sources.ProdFetcher, graft.sources.ProdWriter)
+    val tbl = "graft_appspec_versioned"
+    try {
+      graft.sources.ProdWriter.insertOverwriteTable(Seq((1L, "a")).toDF("id", "s"), tbl)
+      graft.sources.ProdWriter.insertOverwriteTable(Seq((2L, "b"), (3L, "c")).toDF("id", "s"), tbl)
+      App.run(platform, Seq("table-history", "--table", tbl))
+      val out = java.nio.file.Files.createTempDirectory("graft_rv").toString + "/v1"
+      App.run(platform, Seq("read-version",
+        "--table", tbl, "--version", "1", "--output-path", out))
+      spark.read.parquet(out).as[(Long, String)].collect().toSet shouldBe Set((1L, "a"))
+      App.run(platform, Seq("vacuum-table",
+        "--table", tbl, "--keep-last", "1", "--grace-minutes", "0"))
+      graft.sources.ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(2L)
+      // time travel to the vacuumed snapshot now fails loudly
+      an[Exception] should be thrownBy
+        graft.sources.ProdFetcher.readTableVersion(spark, tbl, 1L).collect()
+    } finally graft.sources.ProdWriter.dropTable(spark, tbl)
+  }
+
   test("corpus-prep subcommand runs the full pipeline and writes packed docs") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
