@@ -133,6 +133,21 @@ object TrainingDataQueries {
       SimilaritySearch.semDedup(emb(s, dir), threshold = 0.4,
         initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
 
+    // INCREMENTAL semantic dedup: train + judge the first slice, fold the
+    // rest in against the FROZEN quantizer with first-write-wins priority
+    // (lowest id kept) — stored verdicts never change, so build-then-add
+    // equals judging everything at once, exactly (the q53 argument made
+    // precise by id-ordered domination)
+    "q122_semantic_dedup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (v0, st) = SimilaritySearch.buildSemDedupState(
+        e.filter(col("vec_id") <= 300), threshold = 0.4,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
+      val (v1, _) = SimilaritySearch.semDedupIncrement(
+        st, e.filter(col("vec_id") > 300), threshold = 0.4)
+      v0.unionByName(v1)
+    }),
+
     // SEMANTIC contamination: training vectors near a benchmark vector in
     // embedding space — the paraphrase/translation leak the token-level
     // audits (shingles, substrings, Bloom) structurally cannot see
@@ -811,6 +826,29 @@ object TrainingDataQueries {
          |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
          |drp AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a ELSE id_b END AS vec_id
          |  FROM pairs WHERE cos_sim >= 0.4)
+         |SELECT asg.vec_id, asg.cid, asg.cent_sim,
+         |  (drp.vec_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,
+
+    // incremental-SemDeDup twin: quantizer trained on the <=300 slice
+    // (ent), the WHOLE corpus assigned to the frozen centroids, and
+    // first-write-wins domination (lowest id kept) — equivalent to
+    // build-then-add because ids only grow and stored verdicts are final
+    "q122_semantic_dedup_incremental" ->
+      s"""WITH $embBaseSql,
+         |ent AS (SELECT * FROM en WHERE vec_id <= 300),
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim, rel = "ent")},
+         |${kmeansIterSql("c1", 2, EmbeddingDim, rel = "ent")},
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
+         |asg AS (SELECT vec_id, v, nrm, cid, round(cscore, 6) AS cent_sim FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+         |pairs AS (SELECT b.vec_id AS id_b,
+         |  round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cos_sim >= 0.4)
          |SELECT asg.vec_id, asg.cid, asg.cent_sim,
          |  (drp.vec_id IS NULL) AS kept
          |FROM asg LEFT JOIN drp ON asg.vec_id = drp.vec_id""".stripMargin,

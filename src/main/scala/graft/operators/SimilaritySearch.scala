@@ -626,13 +626,7 @@ object SimilaritySearch {
       s"semDedup: initPred '$initPred' selects no rows — nothing to train from")
     val cent = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
     // assignment keeps the winning cell's SCORE: it is the keep-priority
-    val assigned = maybePersist(
-      e.crossJoin(broadcast(cent))
-        .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .groupBy(col("id"))
-        .agg(max_by(struct(col("cid"), col("cscore")), struct(col("cscore"), (-col("cid")).as("nc"))).as("a"))
-        .select(col("id"), col("a.cid").as("cid"), round(col("a.cscore"), 6).as("cent_sim")),
-      storage)
+    val assigned = maybePersist(assignCellsScored(e, cent), storage)
     val slim = assigned.select(col("id"), col("cid"), col("cent_sim"))
     val pairs = slim
       .select(col("id").as("id_a"), col("cid"), col("cent_sim").as("ca"))
@@ -649,6 +643,90 @@ object SimilaritySearch {
       .distinct()
       .withColumn("dup", lit(true))
     assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid"), col("cent_sim"),
+        (!coalesce(col("dup"), lit(false))).as("kept"))
+  }
+
+  /** Scored frozen-centroid assignment: (id, cid, cent_sim) — the argmax
+    * cell plus the winning score, rounded like every gated cosine.
+    */
+  private def assignCellsScored(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .withColumn("cscore", vecDot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("cscore")), struct(col("cscore"), (-col("cid")).as("nc"))).as("a"))
+      .select(col("id"), col("a.cid").as("cid"), round(col("a.cscore"), 6).as("cent_sim"))
+
+  /** Persistable semantic-dedup state: the FROZEN trained quantizer and
+    * every processed vector with its cell — two parquet tables, members
+    * appendable as shards arrive (the SemDeDup analogue of [[IvfIndex]]
+    * and [[graft.operators.CorpusPipeline.CorpusState]]).
+    */
+  case class SemDedupState(centroids: DataFrame, members: DataFrame)
+
+  /** Train the quantizer on the initial corpus, assign it, and judge it
+    * with FIRST-WRITE-WINS priority (lowest id kept) — the incremental
+    * dedup semantics: a document already accepted into the training set is
+    * never retroactively dropped by a later arrival. Returns the verdicts
+    * for the initial corpus and the state to increment.
+    */
+  def buildSemDedupState(embeddings: DataFrame, threshold: Double,
+                         initPred: String, iters: Int = 2,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+      (DataFrame, SemDedupState) = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"buildSemDedupState: initPred '$initPred' selects no rows — nothing to train from")
+    val cent = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    val members = maybePersist(e.join(assignCellsScored(e, cent), "id"), storage)
+    val verdicts = judgeAgainst(members, members, threshold, idCol)
+    (verdicts, SemDedupState(cent, members))
+  }
+
+  /** Judge a NEW shard against the stored state: a shard vector drops iff
+    * some SAME-CELL vector with a LOWER id (stored corpus or earlier in
+    * the shard) sits within the cosine threshold. Because priority is the
+    * id order and ids only grow, stored verdicts never change and
+    * build-then-add equals judging everything at once — the q49/q53/q115
+    * incremental contract, exact by construction. Requires shard ids above
+    * all stored ids (the natural ingest order); a violated precondition
+    * shows up as a shard row "dominated" by a future arrival.
+    *
+    * Scale shape: the shard assigns to frozen broadcast centroids
+    * (row-local argmax); the pair probe joins the shard against ONLY its
+    * cells' members. Stored vectors are never re-judged and never pair
+    * among themselves again.
+    */
+  def semDedupIncrement(state: SemDedupState, shard: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+      (DataFrame, SemDedupState) = {
+    val s = maybePersist(prep(shard, idCol, vecCol), storage)
+    val assigned = maybePersist(s.join(assignCellsScored(s, state.centroids), "id"), storage)
+    val all = state.members.unionByName(assigned)
+    val verdicts = judgeAgainst(assigned, all, threshold, idCol)
+    (verdicts, SemDedupState(state.centroids, all))
+  }
+
+  /** First-write-wins domination: for each row of `judged`, is there a
+    * same-cell row of `against` with lower id within the threshold?
+    * Output: (idCol, cid, cent_sim, kept).
+    */
+  private def judgeAgainst(judged: DataFrame, against: DataFrame,
+                           threshold: Double, idCol: String): DataFrame = {
+    // candidates pair SLIM (id, cid) rows; vectors re-attach by id, so
+    // they shuffle once on the id key, never on the cell fan-out
+    val pairs = judged.select(col("id").as("id_b"), col("cid"))
+      .join(against.select(col("id").as("id_a"), col("cid")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .join(against.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(judged.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim", round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+    val dropped = pairs.select(col("id_b").as("id")).distinct().withColumn("dup", lit(true))
+    judged.select(col("id"), col("cid"), col("cent_sim"))
+      .join(dropped, Seq("id"), "left")
       .select(col("id").as(idCol), col("cid"), col("cent_sim"),
         (!coalesce(col("dup"), lit(false))).as("kept"))
   }

