@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Contamination, Dedup, LmScore, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
+import graft.operators.{Contamination, Dedup, Dsir, LmScore, Multimodal, Packing, Quantiles, Sampling, Vocabulary}
 import graft.TrainingDataQueries.{polyHashSql, toksSql}
 
 /** Round-7 corpus-curation operators: sub-document segment dedup, PII
@@ -459,8 +459,28 @@ object CurationQueries {
       graft.operators.QualityClassifier.scoreDrift(d,
         positive = d.filter(col("source").isin(NbPosSources: _*)),
         negative = d.filter(col("source").isin(NbNegSources: _*)))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+    // importance weights of every doc against the q108 seed sources as
+    // the target distribution, then a Gumbel-top-k sample — inclusion
+    // odds proportional to the weight, noise deterministic from the
+    // content hash via a DOUBLE application of the pinned integer ln
+    // (G = -ln(-ln u) with both lns on integers), so the sample itself
+    // is engine-exact
+    "q123_dsir_resample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val model = Dsir.trainModel(
+        target = d.filter(col("source").isin(NbPosSources: _*)),
+        raw = d, buckets = DsirBuckets)
+      Dsir.resample(d, model, n = DsirSampleN)
     })
   )
+
+  /** q123's hashed-feature dimensionality and sample size. */
+  private val DsirBuckets = 4096
+  private val DsirSampleN = 200
 
   /** q108's seed-label split: sources standing in for a curated-positive
     * and a rejected-negative labeling; the remaining 14 sources are
@@ -1437,6 +1457,52 @@ object CurationQueries {
          |SELECT v0.doc_id, v0.lang, v0.n_chars, lo.group_lo, hi.group_hi,
          |  greatest(lo.group_lo, least(hi.group_hi, round(v0.n_chars, 6))) AS clamped
          |FROM v0 JOIN lo ON v0.lang IS NOT DISTINCT FROM lo.lang
-         |        JOIN hi ON v0.lang IS NOT DISTINCT FROM hi.lang""".stripMargin
+         |        JOIN hi ON v0.lang IS NOT DISTINCT FROM hi.lang""".stripMargin,
+
+    // DSIR twin: the same hashed unigram+bigram buckets (rolling-hash %
+    // B), add-one count-ratio model with both lns the shared pinned
+    // steps, per-doc BIGINT folds, and the double-ln Gumbel key from the
+    // same 61-bit content hash; selection is the rank the Spark
+    // threshold-broadcast flag reproduces without a window
+    "q123_dsir_resample" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      val lnFpScale = graft.functions.PinnedMath.lnFp(
+        graft.functions.PinnedMath.FpScale)
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |ft AS (SELECT doc_id, source, unnest(list_concat(w,
+         |  list_transform(range(1, len(w)), bi -> w[bi] || ' ' || w[bi + 1]))) AS f
+         |  FROM t),
+         |fb AS (SELECT doc_id, source, ${polyHashSql("f")} % $DsirBuckets AS b FROM ft),
+         |cp AS (SELECT b, CAST(count(*) AS BIGINT) AS cp FROM fb
+         |  WHERE source IN (${NbPosSources.map(s => s"'$s'").mkString(", ")}) GROUP BY b),
+         |cq AS (SELECT b, CAST(count(*) AS BIGINT) AS cq FROM fb GROUP BY b),
+         |m AS (SELECT coalesce(cp.b, cq.b) AS b, coalesce(cp, 0) AS cp,
+         |  coalesce(cq, 0) AS cq FROM cp FULL JOIN cq ON cp.b = cq.b),
+         |bl AS (SELECT b, ${steps("lp", "(cp + 1)")}, ${steps("lq", "(cq + 1)")} FROM m),
+         |bw AS (SELECT b, CAST(lp_lnfp - lq_lnfp AS BIGINT) AS dw FROM bl),
+         |tt AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq FROM m),
+         |bb AS (SELECT ${steps("lnp", s"(np + $DsirBuckets)")},
+         |  ${steps("lnq", s"(nq + $DsirBuckets)")} FROM tt),
+         |base AS (SELECT CAST(lnq_lnfp - lnp_lnfp AS BIGINT) AS base_fp FROM bb),
+         |pd AS (SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(bw.dw, 0)) AS BIGINT) AS s
+         |  FROM fb LEFT JOIN bw USING (b) GROUP BY fb.doc_id),
+         |lw AS (SELECT d.doc_id, CAST(coalesce(pd.n, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(pd.s, 0) + coalesce(pd.n, 0) * base.base_fp AS BIGINT) AS logw_fp
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN base),
+         |hh AS (SELECT doc_id, ${graft.TrainingDataQueries.polyHash61StepsSql("text")} FROM documents),
+         |u1 AS (SELECT doc_id, ${steps("lnu", "(h + 1)")} FROM hh),
+         |g1 AS (SELECT doc_id,
+         |  greatest(${graft.functions.PinnedMath.LnFp2Pow61} - lnu_lnfp, 1) AS g1 FROM u1),
+         |g2 AS (SELECT doc_id, ${steps("lng", "g1")} FROM g1),
+         |ky AS (SELECT lw.doc_id, lw.n_feats, lw.logw_fp,
+         |  CAST(lw.logw_fp + $lnFpScale - g2.lng_lnfp AS BIGINT) AS key_fp
+         |  FROM lw JOIN g2 USING (doc_id))
+         |SELECT doc_id, n_feats, logw_fp, key_fp,
+         |  (row_number() OVER (ORDER BY key_fp DESC, doc_id ASC)) <= $DsirSampleN AS selected
+         |FROM ky""".stripMargin
+    }
   )
 }

@@ -98,7 +98,12 @@ class PlanSpec extends SparkTestBase {
       "q120_nb_calibration", "q121_nb_score_drift",
       // q122 is q119's broadcast-centroid assignment run twice (build +
       // frozen-centroid shard) — same sanctioned shape, pair stage keyed
-      "q122_semantic_dedup_incremental")
+      "q122_semantic_dedup_incremental",
+      // q123's cross joins are the one-row base-constant and the one-row
+      // TakeOrdered(n) selection threshold against the corpus — the q43
+      // scalar-broadcast shape; the bucket-model join stays keyed (and
+      // bounded by DsirBuckets rows), pinned by the q123 guard below
+      "q123_dsir_resample")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -129,6 +134,17 @@ class PlanSpec extends SparkTestBase {
     // keep-priority argmax is the combinable max_by aggregate, not a
     // corpus-wide window
     p should include("max_by")
+  }
+
+  test("q123: DSIR model join is keyed, selection threshold is TakeOrdered — no corpus window") {
+    val p = plan("q123_dsir_resample")
+    // bucket-model scoring joins on b (broadcast hash at <= DsirBuckets
+    // rows); the Gumbel-top-k flag compares against a TakeOrdered(n)
+    // one-row threshold instead of ranking the corpus in one task
+    p should include("BroadcastHashJoin")
+    p should include("TakeOrderedAndProject")
+    p should not include "Window"
+    p should not include "CartesianProduct"
   }
 
   test("q17: latest-per-user is a combinable aggregate, not an un-splittable window") {
