@@ -475,12 +475,51 @@ object CurationQueries {
         target = d.filter(col("source").isin(NbPosSources: _*)),
         raw = d, buckets = DsirBuckets)
       Dsir.resample(d, model, n = DsirSampleN)
-    })
+    }),
+
+    // C4 cleaning bundle (Raffel et al. 2020): LINE-level removal rules
+    // (terminal punctuation, >= 5 words, javascript, cookie/policy
+    // boilerplate) + the page drops (< 3 kept lines, lorem ipsum, curly
+    // brace), all row-local; the doc_id-keyed injections exercise every
+    // arm and the cleaned text is part of the gated contract
+    "q124_c4_rules" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id") +:
+          TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*))
   )
 
   /** q123's hashed-feature dimensionality and sample size. */
   private val DsirBuckets = 4096
   private val DsirSampleN = 200
+
+  /** q124's injected lines (the q118 trick: the corpus is one line per
+    * doc, so every C4 rule arm is exercised by appending fragments as
+    * pure functions of doc_id) — ONE table generating BOTH the Spark
+    * concat and the oracle's CASE chain, so the twins cannot drift.
+    * Order matters (the lorem fragment attaches to whatever line is
+    * last); applied ascending.
+    */
+  private val C4InjFrags: Seq[(Int, String)] = Seq(
+    2 -> "\nShort line.",
+    3 -> "\nThis synthetic sentence has exactly seven words.",
+    4 -> "\nPlease enable javascript to continue reading this article.",
+    5 -> "\nWe updated our privacy policy to comply with regulations.",
+    6 -> ("\nAlpha beta gamma delta epsilon one." +
+      "\nAlpha beta gamma delta epsilon two." +
+      "\nAlpha beta gamma delta epsilon three."),
+    7 -> " lorem ipsum",
+    11 -> "\nfunction f() { return 0; }")
+
+  private def c4Injected: Column = concat(
+    col("text") +: C4InjFrags.map { case (m, f) =>
+      when(col("doc_id") % m === 0, lit(f)).otherwise(lit(""))
+    }: _*)
+
+  private def c4InjectedSql: String =
+    "text" + C4InjFrags.map { case (m, f) =>
+      val sqlF = f.split("\n", -1).map(p => s"'$p'").mkString(" || chr(10) || ")
+      s" || CASE WHEN doc_id % $m = 0 THEN $sqlF ELSE '' END"
+    }.mkString
 
   /** q108's seed-label split: sources standing in for a curated-positive
     * and a rejected-negative labeling; the remaining 14 sources are
@@ -1503,6 +1542,43 @@ object CurationQueries {
          |SELECT doc_id, n_feats, logw_fp, key_fp,
          |  (row_number() OVER (ORDER BY key_fp DESC, doc_id ASC)) <= $DsirSampleN AS selected
          |FROM ky""".stripMargin
+    },
+
+    // C4-bundle twin: the same injected text (generated from the same
+    // fragment table), the same line predicates as list lambdas, counts
+    // as len(list_filter), page flags, and the cleaned re-join
+    "q124_c4_rules" -> {
+      val endsOk = graft.functions.TextFunctions.C4EndMarks
+        .map(m => s"ends_with(rtrim(l), '${if (m == "\"") "\"" else m}')")
+        .mkString("(", " OR ", ")")
+      val policy = graft.functions.TextFunctions.C4PolicyPhrases
+        .map(p => s"contains(lower(l), '$p')").mkString("(", " OR ", ")")
+      val minW = graft.functions.TextFunctions.C4MinWordsPerLine
+      val nw = "len(list_filter(string_split_regex(l, '\\s+'), x -> len(x) > 0))"
+      val keepPred = s"$endsOk AND $nw >= $minW AND " +
+        s"NOT contains(lower(l), 'javascript') AND NOT $policy"
+      s"""WITH base AS (SELECT doc_id, $c4InjectedSql AS t FROM documents),
+         |w AS (SELECT doc_id, t,
+         |  list_filter(string_split(t, chr(10)), l -> len(trim(l)) > 0) AS lines
+         |  FROM base),
+         |m AS (SELECT doc_id, t, lines,
+         |  list_filter(lines, l -> $keepPred) AS kept
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS kept_lines,
+         |  CAST(len(list_filter(lines, l -> NOT $endsOk)) AS BIGINT) AS rm_no_terminal,
+         |  CAST(len(list_filter(lines, l -> $nw < $minW)) AS BIGINT) AS rm_short,
+         |  CAST(len(list_filter(lines, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS rm_javascript,
+         |  CAST(len(list_filter(lines, l -> $policy)) AS BIGINT) AS rm_policy,
+         |  CAST(CASE WHEN len(kept) >= ${graft.functions.TextFunctions.C4MinKeptLines} THEN 1 ELSE 0 END AS INTEGER) AS c1_min_lines,
+         |  CAST(CASE WHEN contains(lower(t), 'lorem ipsum') THEN 0 ELSE 1 END AS INTEGER) AS c2_lorem,
+         |  CAST(CASE WHEN contains(t, '{') THEN 0 ELSE 1 END AS INTEGER) AS c3_brace,
+         |  CAST(CASE WHEN len(kept) >= ${graft.functions.TextFunctions.C4MinKeptLines}
+         |    AND NOT contains(lower(t), 'lorem ipsum')
+         |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+         |FROM m""".stripMargin
     }
   )
 }

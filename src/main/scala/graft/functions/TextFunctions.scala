@@ -280,6 +280,63 @@ object TextFunctions {
       "gopher_keep" -> (r1 * r2 * r3 * r4 * r5 * r6 * r7))
   }
 
+  /** C4 line-filter constants (Raffel et al. 2020 §2.2 and the released
+    * c4_utils): a line survives iff it ends in a terminal mark, has >= 5
+    * words, and mentions neither javascript nor a cookie/policy phrase;
+    * a page survives iff >= 3 lines survive and it contains neither
+    * "lorem ipsum" nor a curly brace.
+    */
+  val C4MinWordsPerLine = 5L
+  val C4MinKeptLines = 3L
+  val C4EndMarks: Seq[String] = Seq(".", "?", "!", "\"")
+  val C4PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** The C4 cleaning bundle (Raffel et al. 2020): LINE-level removal — the
+    * C4 distinctive vs Gopher's document-level thresholds ([[gopherRules]])
+    * — plus the page-level drops, all row-local (zero shuffle). Emits the
+    * per-rule removal counts, integer flags, `c4_keep`, and `text_clean`
+    * (the surviving lines re-joined — the transform a real pipeline feeds
+    * downstream). Every rule is counted independently so the audit shows
+    * WHY lines died, not just that they did.
+    */
+  def c4Rules(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > lit(0))
+    val nLines = size(lines).cast("long")
+    def lineWords(l: Column) =
+      size(filter(split(l, "\\s+"), w => length(w) > lit(0))).cast("long")
+    def endsTerminal(l: Column) =
+      C4EndMarks.map(m => rtrim(l).endsWith(m)).reduce(_ || _)
+    def hasJs(l: Column) = lower(l).contains("javascript")
+    def hasPolicy(l: Column) =
+      C4PolicyPhrases.map(p => lower(l).contains(p)).reduce(_ || _)
+    val keptLines = filter(lines, l =>
+      endsTerminal(l) && lineWords(l) >= C4MinWordsPerLine &&
+        !hasJs(l) && !hasPolicy(l))
+    val nKept = size(keptLines).cast("long")
+    def countRemoved(pred: Column => Column) =
+      size(filter(lines, pred)).cast("long")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
+    val c1 = flag(nKept >= C4MinKeptLines)
+    val c2 = flag(!hasLorem)
+    val c3 = flag(!hasBrace)
+    Seq(
+      "n_lines" -> nLines,
+      "kept_lines" -> nKept,
+      "rm_no_terminal" -> countRemoved(l => !endsTerminal(l)),
+      "rm_short" -> countRemoved(l => lineWords(l) < C4MinWordsPerLine),
+      "rm_javascript" -> countRemoved(hasJs),
+      "rm_policy" -> countRemoved(hasPolicy),
+      "c1_min_lines" -> c1,
+      "c2_lorem" -> c2,
+      "c3_brace" -> c3,
+      "c4_keep" -> (c1 * c2 * c3),
+      "text_clean" -> array_join(keptLines, "\n"))
+  }
+
   // ---- repetition metrics (Gopher-style within-doc filters) ------------
 
   /** Within-document repetition metrics — the Gopher/RefinedWeb-family

@@ -325,6 +325,10 @@ class PlanSpec extends SparkTestBase {
     exchangeCount(plan("q118_gopher_rules")) shouldBe 0
   }
 
+  test("q124: the C4 cleaning bundle is row-local — zero exchanges") {
+    exchangeCount(plan("q124_c4_rules")) shouldBe 0
+  }
+
   test("q114: PQ rerank joins stay keyed — no pair blowup re-introduced by the rerank stage") {
     val p = plan("q114_knn_pq_reranked")
     p should include("BroadcastExchange")
