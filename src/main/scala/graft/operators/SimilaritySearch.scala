@@ -553,6 +553,121 @@ object SimilaritySearch {
     pqAdcQuery(index.codes, index.codebook,
       pqSubbed(queries, index.m, index.dim, idCol, vecCol), k)
 
+  /** IVF-PQ composite index (Jégou et al. 2011's IVFADC — the
+    * architecture behind every billion-scale ANN deployment): a coarse
+    * IVF quantizer routes each vector to a cell, and PQ encodes the
+    * RESIDUAL vn - cn (what the cell centroid failed to explain) rather
+    * than the vector itself. Residuals concentrate near the origin, so
+    * the same K codewords cover them far more densely than the raw
+    * space — the codes carry strictly more information per bit than
+    * [[pqKnn]]'s direct encoding, and the cell routing prunes the scan
+    * to `nProbe` cells the way [[ivfKnn]] does, but over codes instead
+    * of floats.
+    *
+    * Query: probe the nProbe nearest cells; in EACH probed cell the
+    * query's own residual against THAT cell's centroid builds the ADC
+    * table (per-cell tables are what makes residual ADC correct — a
+    * single table would compare residuals taken against different
+    * origins). Candidates are code rows in probed cells only, met on
+    * the (cell, sub, codeword) key.
+    *
+    * Scale shape: the corpus floats are read once (assignment +
+    * residual encode); everything after is (id, ccid, sub, cid) int
+    * rows. Coarse centroids and the codebook broadcast (both
+    * slice-sized); the query tables broadcast at
+    * |queries| * nProbe * m * K rows; the candidate join is keyed —
+    * never corpus x corpus, and unprobed cells are never read.
+    * Determinism: the d2 folds and floor quantization are [[pqKnn]]'s;
+    * assignment/probe ties break by centroid id, so the oracle replays
+    * the whole index bit-for-bit. Coarse quantizer and codebook are
+    * the untrained fixed-slice convention of [[ivfKnn]]/[[pqKnn]]
+    * (trained variants compose exactly as [[ivfKnnTrained]] /
+    * [[pqKnnTrained]] do).
+    *
+    * Output: (query_id, neighbor_id, adist_fp BIGINT — approximate
+    * squared L2 between unit vectors in 1e-9 units, rank 1..k).
+    */
+  def ivfPqKnn(embeddings: DataFrame, queryPred: String, k: Int,
+               centroidPred: String, codebookPred: String,
+               nProbe: Int = 2, m: Int = 4, dim: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(dim % m == 0, s"ivfPqKnn: dim $dim must split into $m subspaces")
+    require(nProbe > 0, "ivfPqKnn: nProbe must be positive")
+    require(!embeddings.filter(centroidPred).limit(1).isEmpty,
+      s"ivfPqKnn: centroidPred '$centroidPred' selects no rows — no cells")
+    require(!embeddings.filter(codebookPred).limit(1).isEmpty,
+      s"ivfPqKnn: codebookPred '$codebookPred' selects no rows — empty codebook")
+    val subDim = dim / m
+
+    // (id, vn): unit vectors, with pqSubbed's zero-norm fail-fast
+    def unit(df: DataFrame): DataFrame = {
+      val p = prep(df, idCol, vecCol)
+      val safeNrm = when(col("nrm") > 0, col("nrm")).otherwise(
+        raise_error(concat(lit("ivfPqKnn: zero-norm embedding id="), col("id").cast("string")))
+          .cast("double"))
+      p.withColumn("vn", transform(col("v"), x => x.cast("double") / safeNrm))
+        .select(col("id"), col("vn"))
+    }
+    val cents = unit(embeddings.filter(centroidPred))
+      .select(col("id").as("ccid"), col("vn").as("cn"))
+
+    // argmax-cosine cell (the assignCells aggregate — the xK fan-out
+    // collapses map-side), centroid re-attached by its key
+    def assigned(df: DataFrame): DataFrame = {
+      val cell = df.crossJoin(broadcast(cents))
+        .withColumn("cscore", vecDot(col("vn"), col("cn")))
+        .groupBy(col("id"))
+        .agg(max_by(col("ccid"), struct(col("cscore"), (-col("ccid")).as("nc"))).as("ccid"))
+      df.join(cell, Seq("id")).join(broadcast(cents), Seq("ccid"))
+    }
+
+    // subspace slices of the residual carried under `keyCols`
+    def residSubs(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      df.withColumn("r", zip_with(col("vn"), col("cn"), (a, b) => a - b))
+        .select(keyCols.map(col) :+ explode(array((0 until m).map { i =>
+          struct(lit(i).as("sub"), slice(col("r"), i * subDim + 1, subDim).as("rv"))
+        }: _*)).as("s"): _*)
+        .select(keyCols.map(col) :+ col("s.sub").as("sub") :+ col("s.rv").as("rv"): _*)
+        .withColumn("rvv", vecDot(col("rv"), col("rv")))
+
+    val cbook = residSubs(assigned(unit(embeddings.filter(codebookPred))),
+        Seq("id"))
+      .select(col("id").as("cid"), col("sub"), col("rv").as("cv"), col("rvv").as("cvv"))
+    val corpus = maybePersist(
+      residSubs(assigned(unit(embeddings)), Seq("id", "ccid")), storage)
+    val codes = corpus.join(broadcast(cbook), Seq("sub"))
+      .withColumn("d2", col("rvv") + col("cvv") - lit(2.0) * vecDot(col("rv"), col("cv")))
+      .groupBy(col("id"), col("ccid"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+    // nProbe nearest cells per query; the window is |queries| x nCells
+    // rows, never the corpus
+    val wProbe = Window.partitionBy(col("id"))
+      .orderBy(col("cscore").desc, col("ccid").asc)
+    val probes = unit(embeddings.filter(queryPred))
+      .crossJoin(broadcast(cents))
+      .withColumn("cscore", vecDot(col("vn"), col("cn")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("id"), col("ccid"), col("vn"), col("cn"))
+    val dt = residSubs(probes, Seq("id", "ccid"))
+      .join(broadcast(cbook), Seq("sub"))
+      .withColumn("d2", col("rvv") + col("cvv") - lit(2.0) * vecDot(col("rv"), col("cv")))
+      .withColumn("dfp", expr(
+        "CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .select(col("id").as("query_id"), col("ccid"), col("sub"), col("cid"), col("dfp"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist_fp").asc, col("id").asc)
+    codes.join(broadcast(dt), Seq("ccid", "sub", "cid"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("adist_fp"), col("rank"))
+  }
+
   /** Cross-corpus embedding near-dups: training vectors within cosine >=
     * threshold of any REFERENCE (benchmark) vector — the SEMANTIC
     * contamination audit. The token-level family (shingle overlap,

@@ -103,7 +103,11 @@ class PlanSpec extends SparkTestBase {
       // TakeOrdered(n) selection threshold against the corpus — the q43
       // scalar-broadcast shape; the bucket-model join stays keyed (and
       // bounded by DsirBuckets rows), pinned by the q123 guard below
-      "q123_dsir_resample")
+      "q123_dsir_resample",
+      // q125's cross joins are the q35 broadcast-centroid assignment
+      // (coarse cells, slice-sized) — codes meet the query tables on the
+      // keyed (ccid, sub, cid) join, pinned by the q125 guard below
+      "q125_knn_ivfpq")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -144,6 +148,15 @@ class PlanSpec extends SparkTestBase {
     p should include("BroadcastHashJoin")
     p should include("TakeOrderedAndProject")
     p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
+  test("q125: IVF-PQ candidate scan is a keyed join on (cell, sub, codeword) — codes never cross-join") {
+    val p = plan("q125_knn_ivfpq")
+    // the candidate stage meets the broadcast query tables on a hash
+    // join; encode/assign argmins are map-side-combining aggregates
+    p should include("BroadcastHashJoin")
+    (p.contains("min_by") || p.contains("max_by")) shouldBe true
     p should not include "CartesianProduct"
   }
 

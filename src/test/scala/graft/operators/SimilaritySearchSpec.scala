@@ -209,6 +209,52 @@ class SimilaritySearchSpec extends SparkTestBase {
     again.toSet shouldBe got.toSet
   }
 
+  test("IVF-PQ: planted clusters — probes route to the home cell, neighbors stay in-cluster, replayable") {
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(10)(Array.fill(16)(
+      ((0.5 + 0.5 * rnd.nextDouble()) * (if (rnd.nextBoolean()) 1 else -1)).toFloat))
+    val rows = for (j <- 0 until 10; m <- 0 until 30) yield {
+      val v = centroids(j).map(c => c + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      ((j * 100 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // coarse cells from the %100=0 members, residual codebook from %100=2
+    def run(e: DataFrame) = SimilaritySearch.ivfPqKnn(e, "vec_id % 100 = 1", 10,
+      centroidPred = "vec_id % 100 = 0", codebookPred = "vec_id % 100 = 2",
+      nProbe = 1, m = 4, dim = 16)
+    val got = run(emb).select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    got.length shouldBe 100 // 10 queries x k=10 (single probed cell has 29 others)
+    // nProbe=1 on sign-stable clusters: the probed cell IS the home
+    // cluster, so no neighbor ever crosses clusters and self is excluded
+    got.foreach { case (q, n, _) => n / 100 shouldBe q / 100 }
+    got.map(t => (t._1, t._2)).foreach { case (q, n) => n should not be q }
+    got.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._3).sorted.toSeq shouldBe (1 to rs.length)
+    }
+    // deterministic: integer ADC sums + id tie-breaks replay under reshuffle
+    run(emb.repartition(13)).select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet shouldBe got.toSet
+  }
+
+  test("IVF-PQ: widening nProbe to all cells only adds candidates — the probed subset is stable") {
+    val out1 = SimilaritySearch.ivfPqKnn(realEmb, "vec_id < 5", 3,
+      centroidPred = "vec_id >= 100 AND vec_id < 108",
+      codebookPred = "vec_id >= 108 AND vec_id < 124", nProbe = 1)
+      .select("query_id", "neighbor_id", "adist_fp").as[(Long, Long, Long)].collect()
+    val all = SimilaritySearch.ivfPqKnn(realEmb, "vec_id < 5", 50,
+      centroidPred = "vec_id >= 100 AND vec_id < 108",
+      codebookPred = "vec_id >= 108 AND vec_id < 124", nProbe = 8)
+      .select("query_id", "neighbor_id", "adist_fp").as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // every nProbe=1 hit keeps its EXACT integer ADC distance at full
+    // probe width: per-cell tables mean a candidate's score depends only
+    // on its own cell, never on which other cells were probed
+    out1.foreach { case (q, n, d) =>
+      withClue(s"query $q neighbor $n:") { all.get((q, n)).foreach(_ shouldBe d) }
+    }
+  }
+
   test("crossNearDup: a planted paraphrase (same-direction copy) of a benchmark vector is flagged") {
     // benchmark = vec_id < 100; corpus = the rest plus a scaled copy of
     // benchmark vector 7 — cosine 1.0 with its source, the semantic leak
