@@ -468,14 +468,12 @@ object CurationQueries {
     // content hash via a DOUBLE application of the pinned integer ln
     // (G = -ln(-ln u) with both lns on integers), so the sample itself
     // is engine-exact
-    "q123_dsir_resample" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"), col("source"))
-      val model = Dsir.trainModel(
-        target = d.filter(col("source").isin(NbPosSources: _*)),
-        raw = d, buckets = DsirBuckets)
-      Dsir.resample(d, model, n = DsirSampleN)
-    }),
+    "q123_dsir_resample" -> ((s, dir) =>
+      Dsir.resampleFromCorpus(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source")),
+        targetPred = col("source").isin(NbPosSources: _*),
+        n = DsirSampleN, buckets = DsirBuckets)),
 
     // C4 cleaning bundle (Raffel et al. 2020): LINE-level removal rules
     // (terminal punctuation, >= 5 words, javascript, cookie/policy

@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{PinnedMath, PolyHash, PolyHash61, TextFunctions}
+import Caching.maybePersist
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
   * arXiv:2302.03169): select raw-corpus documents that look like a small
@@ -142,11 +144,67 @@ object Dsir {
     */
   def resample(docs: DataFrame, model: DsirModel, n: Int,
                idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    resampleTail(logWeights(docs, model, idCol, textCol),
+      docs.select(col(idCol), PolyHash61.polyHash61(col(textCol)).as("__h")),
+      n, idCol)
+
+  /** One-pass corpus selection: when the target is a PREDICATE over the
+    * corpus itself (the q108-style source-labeled seed), the corpus needs
+    * tokenizing ONCE — the bucketed feature rows serve target counts, raw
+    * counts, and scoring from a single persisted scan, where composing
+    * [[trainModel]] + [[resample]] would explode the same text three
+    * times. Identical output to the composed form by construction (same
+    * counts, same tail).
+    */
+  def resampleFromCorpus(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+                         n: Int, buckets: Int = 4096,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val fb = maybePersist(
+      docs.select(col(idCol), targetPred.as("__tgt"),
+        explode(featureBuckets(col(textCol), buckets)).as("b")), storage)
+    val cq = fb.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+    val cp = fb.filter(col("__tgt")).groupBy(col("b")).agg(count(lit(1)).as("cp"))
+    val merged = cp.join(cq, Seq("b"), "full")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val bucketLn = PinnedMath.lnFpSteps("lp", "(cp + 1)")
+      .++(PinnedMath.lnFpSteps("lq", "(cq + 1)"))
+      .foldLeft(merged) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .select(col("b"), (col("lp_lnfp") - col("lq_lnfp")).as("__dw_fp"))
+    val baseLn = PinnedMath.lnFpSteps("lnp", s"(np + $buckets)")
+      .++(PinnedMath.lnFpSteps("lnq", s"(nq + $buckets)"))
+      .foldLeft(merged.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select((col("lnq_lnfp") - col("lnp_lnfp")).as("__base_fp"))
+    val perDoc = fb
+      .join(broadcast(bucketLn), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__dw_fp"), lit(0L))).as("__s"))
+    val lw = docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(baseLn))
+      .withColumn("n_feats", coalesce(col("__n"), lit(0L)))
+      .withColumn("logw_fp",
+        coalesce(col("__s"), lit(0L)) + col("n_feats") * col("__base_fp"))
+      .select(col(idCol), col("n_feats"), col("logw_fp"))
+    resampleTail(lw,
+      docs.select(col(idCol), PolyHash61.polyHash61(col(textCol)).as("__h")),
+      n, idCol)
+  }
+
+  /** The Gumbel-key + threshold-broadcast tail shared by [[resample]] and
+    * [[resampleFromCorpus]]: `lw` = (idCol, n_feats, logw_fp), `hashSrc` =
+    * (idCol, __h).
+    */
+  private def resampleTail(lw: DataFrame, hashSrc: DataFrame, n: Int,
+                           idCol: String): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val hashed = logWeights(docs, model, idCol, textCol)
-      .join(docs.select(col(idCol),
-        PolyHash61.polyHash61(col(textCol)).as("__h")), Seq(idCol))
+    val hashed = lw.join(hashSrc, Seq(idCol))
     // -ln(u) in 1e-9 nats, floored to 1 so the second series stays in
     // domain (u = 1 - 2^-61 collapses to 0 at this fixed point)
     val withG1 = PinnedMath.lnFpSteps("lnu", "(__h + 1)")

@@ -109,6 +109,12 @@ class DsirSpec extends SparkTestBase {
     run().toSet shouldBe out.toSet
   }
 
+  test("one-pass resampleFromCorpus equals the composed trainModel + resample exactly") {
+    val composed = Dsir.resample(corpus, model, n = 3).collect().toSet
+    Dsir.resampleFromCorpus(corpus, col("doc_id") <= 2L, n = 3, buckets = B)
+      .collect().toSet shouldBe composed
+  }
+
   test("persisted model round-trips: parquet write/read scores identically") {
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
     val m = model
