@@ -483,7 +483,20 @@ object CurationQueries {
     "q124_c4_rules" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id") +:
-          TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*))
+          TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020): mean surprisal under
+    // a unigram model of the clean seed sources, then per-LANGUAGE
+    // head/middle/tail tiers at exact integer-millinat thresholds — the
+    // classic "keep the head, inspect the middle, drop the tail" mixing
+    // knob, with every cut point a type-1 quantile both engines replay
+    "q126_perplexity_buckets" -> ((s, dir) =>
+      LmScore.perplexityBuckets(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"), col("text")),
+        reference = s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("source").isin(NbPosSources: _*)).select(col("text")),
+        nBuckets = 3))
   )
 
   /** q123's hashed-feature dimensionality and sample size. */
@@ -1577,6 +1590,46 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // CCNet-bucket twin: q99's pinned-ln unigram replay with the model
+    // CTEs restricted to the seed sources, integer-millinat means via
+    // double floor division (non-negative, so `//` == Spark `div`), the
+    // q47-style bounded-histogram window per language, and the rank
+    // decomposition mirrored verbatim from Quantiles
+    "q126_perplexity_buckets" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      def rank(k: Int) = s"(n // 3) * $k + ((n % 3) * $k + 2) // 3"
+      s"""WITH ref AS (SELECT text FROM documents WHERE source IN (${nbSrcList(NbPosSources)})),
+         |wt AS (SELECT unnest($toksSql) AS w FROM ref),
+         |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
+         |tot AS (SELECT CAST(sum(tf) + count(*) AS BIGINT) AS __d FROM vocab),
+         |lnd AS (SELECT ${steps("lnd", "__d")} FROM tot),
+         |wl AS (SELECT w, ${steps("lnw", "(tf + 1)")} FROM vocab),
+         |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(wl.lnw_lnfp, 0)) AS BIGINT) AS s
+         |  FROM dt LEFT JOIN wl USING (w) GROUP BY dt.doc_id),
+         |m AS (SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(pd.n, 0) * lnd.lnd_lnfp - coalesce(pd.s, 0) AS BIGINT) AS surprisal_fp
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN lnd),
+         |mm AS (SELECT *, CASE WHEN n_tokens > 0
+         |  THEN CAST((surprisal_fp // n_tokens) // 1000000 AS BIGINT) END AS mean_mnats FROM m),
+         |h AS (SELECT lang, mean_mnats AS v, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM mm WHERE mean_mnats IS NOT NULL GROUP BY lang, v),
+         |hc AS (SELECT lang, v,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS cumb,
+         |  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM h),
+         |b AS (SELECT lang, v, CAST(1
+         |  + (CASE WHEN cumb >= ${rank(1)} THEN 1 ELSE 0 END)
+         |  + (CASE WHEN cumb >= ${rank(2)} THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM hc)
+         |SELECT mm.doc_id, mm.lang, mm.n_tokens, mm.surprisal_fp, mm.mean_mnats, b.bucket
+         |FROM mm LEFT JOIN b ON mm.lang IS NOT DISTINCT FROM b.lang AND mm.mean_mnats = b.v""".stripMargin
     }
   )
 }

@@ -317,6 +317,65 @@ object LmScore {
       .select(col(idCol), col("term"), col("tf"), col("score_fp"), col("rank"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document's mean surprisal under a unigram model of a CLEAN reference
+    * corpus, then split EACH LANGUAGE into `nBuckets` equal tiers by
+    * per-language type-1 quantile thresholds — bucket 1 = "head" (most
+    * reference-like), `nBuckets` = "tail". CCNet's insight is that
+    * perplexity is only comparable within a language, so the cut points
+    * must be per-language; a global threshold would just rank languages.
+    *
+    * Exactness: the score that gets bucketed is `mean_mnats` =
+    * `(surprisal_fp div n_tokens) div 1e6` — integer millinats per token,
+    * derived from the exact BIGINT surprisal by two floor divisions on
+    * non-negative operands (Spark `div` == DuckDB `//` there). The
+    * quantile ranks use [[Quantiles]]' overflow-safe decomposition
+    * `(n div B)*k + ceil((n mod B)*k / B)`, and a value lands above
+    * threshold k iff the cumulative count STRICTLY BELOW it reaches that
+    * rank — so ties share a bucket and the assignment is engine-exact.
+    *
+    * Scale shape: model training and scoring are [[unigramModel]] /
+    * [[surprisalWithModel]] (distinct-word ln, combinable integer folds);
+    * the threshold math runs on a BOUNDED per-language histogram of
+    * millinat means (a few thousand bins — mean surprisals live in single
+    * digits of nats), never on the corpus; docs join their bucket on the
+    * (language, bin) key. No corpus-sized window anywhere. Output:
+    * (idCol, groupCol, n_tokens, surprisal_fp, mean_mnats, bucket) —
+    * bucket NULL for token-less docs; every input row survives.
+    */
+  def perplexityBuckets(docs: DataFrame, reference: DataFrame,
+                        nBuckets: Int = 3, groupCol: String = "lang",
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000]: got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = surprisalWithModel(docs.select(col(idCol), col(textCol)),
+      unigramModel(reference, textCol), idCol, textCol)
+    val means = docs.select(col(idCol), col(groupCol))
+      .join(scored, Seq(idCol))
+      .withColumn("mean_mnats", when(col("n_tokens") > 0L,
+        expr("(surprisal_fp div n_tokens) div 1000000")))
+    val grp = Window.partitionBy(col(groupCol))
+    val ranked = means.filter(col("mean_mnats").isNotNull)
+      .groupBy(col(groupCol), col("mean_mnats").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cumb", sum(col("cnt")).over(
+        grp.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)) - col("cnt"))
+      .withColumn("n", sum(col("cnt")).over(grp))
+    // bucket(v) = 1 + #{k in 1..nBuckets-1 : cum_below(v) >= rank_k}
+    val buckets = ranked.withColumn("bucket",
+        (1 until nBuckets).map { k => expr(
+          s"CAST(cumb >= (n div $nBuckets) * $k" +
+            s" + ((n % $nBuckets) * $k + ${nBuckets - 1}) div $nBuckets AS INT)")
+        }.foldLeft(lit(1))(_ + _))
+      .select(col(groupCol).as("__g"), col("v").as("__v"), col("bucket"))
+    means.join(buckets,
+        col(groupCol) <=> col("__g") && col("mean_mnats") === col("__v"), "left")
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("surprisal_fp"), col("mean_mnats"), col("bucket"))
+  }
+
   /** Top-k collocations by pointwise mutual information — the standard
     * multiword-expression miner ("new york", "machine learning"): pairs
     * that co-occur far more than their word frequencies predict. PMI is a

@@ -208,6 +208,48 @@ class LmScoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("perplexityBuckets: per-language type-1 tiers match a driver replay; ties share; NULLs survive") {
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the the the the"),
+      (3L, "en", "zyzzyva qwerty plugh"),
+      (4L, "en", "the cat"),
+      (5L, "en", "cat mat sat"),
+      (6L, "en", "qwerty the zyzzyva"),
+      (7L, "fr", "le chat"),
+      (8L, "fr", "le le le"),
+      (9L, "fr", "zut alors le chat noir"),
+      (10L, "fr", "..."),                   // token-less: NULL bucket
+      (11L, "en", "zyzzyva qwerty plugh")   // exact tie with doc 3
+    ).toDF("doc_id", "lang", "text")
+    val out = LmScore.perplexityBuckets(docs, reference = docs.select(col("text")),
+        nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))).toMap
+    out should have size 11
+    out(10L)._3 shouldBe None              // survives with NULL bucket
+    out(3L)._3 shouldBe out(11L)._3        // identical text -> identical tier
+    // driver-side replay: T_k = sorted(rank_k - 1), bucket = 1 + #{k: m > T_k}
+    out.values.toSeq.filter(_._2.isDefined).groupBy(_._1).foreach {
+      case (lang, rows) =>
+        val sorted = rows.map(_._2.get).sorted
+        val n = sorted.size
+        def thr(k: Int): Long = sorted((n / 3) * k + ((n % 3) * k + 2) / 3 - 1)
+        rows.foreach { case (_, Some(m), got) =>
+          withClue(s"$lang mean $m:") {
+            got shouldBe Some(1 + Seq(1, 2).count(k => m > thr(k)))
+          }
+        }
+    }
+    // the all-head-token doc is in the head tier; the rarest-mean doc in
+    // the tail; docs 3/11 tie EXACTLY at the T2 threshold and stay middle
+    // (type-1: ties never straddle a cut)
+    out(2L)._3 shouldBe Some(1)
+    out(5L)._3 shouldBe Some(3)
+    out(3L)._3 shouldBe Some(2)
+  }
+
   test("tfidfTopTerms: discriminative terms outrank ubiquitous ones; ties lexicographic; k caps") {
     val docs = Seq(
       (1L, "alpha common common"),
