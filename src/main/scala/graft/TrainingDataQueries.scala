@@ -251,6 +251,18 @@ object TrainingDataQueries {
     "q51_split_contamination" -> ((s, dir) =>
       Contamination.crossSplitCheck(docs(s, dir))),
 
+    // FUZZY contamination: training docs that are MinHash near-duplicates
+    // (exact Jaccard >= 0.5 after LSH candidate generation) of a
+    // "benchmark" doc — the paraphrase-leak complement of q45's verbatim
+    // n-gram gate. Benchmark = every 5th doc, so real near-dup pairs
+    // straddle the split
+    "q127_fuzzy_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.fuzzyContamination(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        threshold = 0.5)
+    }),
+
     // relational HyperLogLog: per-language approx distinct texts, with the
     // exact count alongside so the sketch error is visible (61-bit hash,
     // m = 2^14 registers, linear-counting small-range correction)
@@ -407,10 +419,11 @@ object TrainingDataQueries {
   private def verifySql(threshold: Double): String =
     s"$verifyCte\nSELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold"
 
-  /** CTE chain producing the MinHash-LSH verified pairs in `j` (shared by
-    * q25 and q37's cluster oracle).
+  /** The MinHash signature + band-bucket CTE prefix (through `buckets`),
+    * shared by the self-join dedup oracles and the cross-corpus fuzzy
+    * contamination twin.
     */
-  private[graft] lazy val minhashCtesSql: String = {
+  private lazy val minhashSigCtesSql: String = {
     val sigExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
     }.mkString(", ")
@@ -422,11 +435,17 @@ object TrainingDataQueries {
        |sigs AS (SELECT id, hashes, [$sigExprs] AS sig FROM sets),
        |buckets AS (SELECT id, bb.band AS band,
        |  CASE bb.band $keyArms END AS key
-       |  FROM sigs CROSS JOIN (SELECT unnest(${(0 until LshBands).mkString("[", ", ", "]")}) AS band) bb),
+       |  FROM sigs CROSS JOIN (SELECT unnest(${(0 until LshBands).mkString("[", ", ", "]")}) AS band) bb)""".stripMargin
+  }
+
+  /** CTE chain producing the MinHash-LSH verified pairs in `j` (shared by
+    * q25 and q37's cluster oracle).
+    */
+  private[graft] lazy val minhashCtesSql: String =
+    s"""$minhashSigCtesSql,
        |cand AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
        |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key AND a.id < b2.id),
        |$verifyCte""".stripMargin
-  }
 
   /** left-fold dot product of double-list exprs `a`,`b` (twin of
     * [[graft.functions.VectorFunctions.dot]])
@@ -1027,6 +1046,28 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // fuzzy-contamination twin: the minhash sig/bucket prefix, candidates
+    // constrained to the train x benchmark cross (a.id % 5 <> 0 vs = 0),
+    // exact-Jaccard verify, then the two-step argmax rollup (max jaccard,
+    // ties to the smallest benchmark id) — both steps exact on both
+    // engines because jaccard is a division of identical small integers
+    "q127_fuzzy_contamination" ->
+      s"""WITH $minhashSigCtesSql,
+         |cand AS (SELECT DISTINCT a.id AS tr_id, b2.id AS be_id
+         |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key
+         |  AND a.id % 5 <> 0 AND b2.id % 5 = 0),
+         |j AS (SELECT tr_id, be_id,
+         |  round(len(list_intersect(sa.hashes, sb.hashes)) * 1.0 /
+         |        (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes))), 6) AS jaccard
+         |  FROM cand JOIN sets sa ON cand.tr_id = sa.id JOIN sets sb ON cand.be_id = sb.id),
+         |v AS (SELECT * FROM j WHERE jaccard >= 0.5),
+         |g AS (SELECT tr_id, CAST(count(*) AS BIGINT) AS n_bench_docs,
+         |  max(jaccard) AS max_jaccard FROM v GROUP BY tr_id)
+         |SELECT g.tr_id AS doc_id, g.n_bench_docs, g.max_jaccard,
+         |  CAST(min(v.be_id) AS BIGINT) AS best_bench_id
+         |FROM g JOIN v ON v.tr_id = g.tr_id AND v.jaccard = g.max_jaccard
+         |GROUP BY g.tr_id, g.n_bench_docs, g.max_jaccard""".stripMargin,
 
     // repetition twin: integer line/char sums are order-independent, the
     // bigram argmax is (max count, then min gram) — expressed as

@@ -175,6 +175,64 @@ object Contamination {
         col("max_extent"))
   }
 
+  /** FUZZY (near-duplicate) contamination: which training documents are
+    * MinHash-LSH near-duplicates of a BENCHMARK document? The Jaccard
+    * complement of [[check]]: n-gram overlap counts shared shingles (one
+    * quoted sentence flags), where this detects whole-document similarity
+    * — a lightly-paraphrased eval page that shares only a fraction of its
+    * exact shingles but most of its content. The standard pre-release
+    * audit runs BOTH (GPT-3's 13-gram check + the fuzzy-dedup family).
+    *
+    * Mechanics: both corpora get the house MinHash signature (k=16, 4
+    * bands of 4) over n-gram shingle hashes; train band buckets join the
+    * benchmark's (broadcast by default — eval suites are MBs; the `.hint
+    * ("shuffle_hash")` knob mirrors [[check]] for corpus-scaled
+    * references); candidates verify with EXACT Jaccard on the full
+    * shingle sets, so LSH affects only recall of candidates, never a
+    * reported value. Per contaminated train doc: how many benchmark docs
+    * it matches, the best (max) Jaccard, and the best-matching benchmark
+    * id (ties break to the smallest id — deterministic on both engines).
+    *
+    * Scale shape: the 100 TB side contributes 4 short bucket rows per doc
+    * map-side against a broadcast; only candidate pairs (tiny) carry
+    * shingle sets into the verify; the rollup groups candidate rows, not
+    * the corpus. Threshold default 0.5 — contamination wants recall, not
+    * dedup's 0.8 near-identity cut.
+    */
+  def fuzzyContamination(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+                         threshold: Double = 0.5,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         broadcastReference: Boolean = true): DataFrame = {
+    val trSigs = Dedup.signatures(train, n, idCol, textCol)
+    val beSigs = Dedup.signatures(benchmark, n, idCol, textCol)
+    val beBuckets = Dedup.bandBuckets(beSigs)
+      .select(col("id").as("be_id"), col("band"), col("key"))
+    val beMatch = if (broadcastReference) broadcast(beBuckets)
+                  else beBuckets.hint("shuffle_hash")
+    val candidates = Dedup.bandBuckets(trSigs)
+      .join(beMatch, Seq("band", "key"))
+      .select(col("id").as("tr_id"), col("be_id")).distinct()
+    val beSets = beSigs.select(col("id").as("be_id"), col("hashes").as("be_hashes"))
+    // persisted: the argmax tail reads it twice, and without the pin the
+    // whole signature front would recompute per consumer
+    val verified = Caching.maybePersist(candidates
+      .join(trSigs.select(col("id").as("tr_id"), col("hashes").as("tr_hashes")), "tr_id")
+      .join(if (broadcastReference) broadcast(beSets) else beSets.hint("shuffle_hash"), "be_id")
+      .withColumn("jaccard", round(
+        graft.functions.TextFunctions.jaccardSorted(col("tr_hashes"), col("be_hashes")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("tr_id"), col("be_id"), col("jaccard")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rollup = verified.groupBy(col("tr_id"))
+      .agg(count(lit(1)).as("n_bench_docs"), max(col("jaccard")).as("max_jaccard"))
+    verified.join(rollup, Seq("tr_id"))
+      .filter(col("jaccard") === col("max_jaccard"))
+      .groupBy(col("tr_id"), col("n_bench_docs"), col("max_jaccard"))
+      .agg(min(col("be_id")).as("best_bench_id"))
+      .select(col("tr_id").as(idCol), col("n_bench_docs"), col("max_jaccard"),
+        col("best_bench_id"))
+  }
+
   /** The leakage check every team runs AFTER splitting: which TRAIN-split
     * docs share verbatim n-grams with the val/test splits? Content-hash
     * splitting ([[Sampling.assignSplit]]) keeps byte-identical duplicates

@@ -316,7 +316,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("hashes")))
 
   /** (id, band, key) LSH bucket rows of a signatures frame. */
-  private def bandBuckets(sigs: DataFrame): DataFrame = {
+  private[operators] def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandKeys: Column = array((0 until LshBands).map { b =>
       struct(lit(b).as("band"), lshBandKey(col("sig"), b).as("key"))
     }: _*)

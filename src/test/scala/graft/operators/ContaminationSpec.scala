@@ -107,4 +107,33 @@ class ContaminationSpec extends SparkTestBase {
     Contamination.substringContamination(
       train.filter(col("doc_id") === 2L), bench).count() shouldBe 0L
   }
+
+  test("fuzzyContamination: paraphrase-grade near-dup flagged, argmax deterministic, clean docs absent") {
+    import org.apache.spark.sql.functions.col
+    val core = (1 to 40).map(i => s"token$i").mkString(" ")
+    val bench = Seq(
+      (100L, core),                                    // the leaked page
+      (101L, core),                                    // byte-identical twin: argmax tie -> min id
+      (102L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      // ~90% of shingles shared with 100/101 (paraphrased tail)
+      (1L, (1 to 36).map(i => s"token$i").mkString(" ") + " changed tail here now"),
+      // exact copy: jaccard 1.0
+      (2L, core),
+      // disjoint
+      (3L, (1 to 40).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Contamination.fuzzyContamination(train, bench, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(2L)._2 shouldBe 1.0
+    out(2L)._1 shouldBe 2L        // matches both identical benchmark docs
+    out(2L)._3 shouldBe 100L      // tie at jaccard 1.0 -> smallest id
+    out(1L)._2 should (be >= 0.5 and be < 1.0)
+    // threshold knob: at 0.99 only the exact copy survives
+    Contamination.fuzzyContamination(train, bench, threshold = 0.99)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(2L)
+  }
 }
