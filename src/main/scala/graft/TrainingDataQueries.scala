@@ -238,6 +238,13 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // corpus self-duplication profile (Lee et al. 2022): per-doc fraction
+    // of distinct 3-gram shingles that also occur in another document,
+    // plus the max shingle document-frequency — the measurement pass that
+    // sizes the duplication problem before any dedup threshold is chosen
+    "q128_duplication_profile" -> ((s, dir) =>
+      Dedup.duplicationProfile(docs(s, dir))),
+
     // within-doc repetition metrics (Gopher-style): duplicate-line and
     // top-bigram coverage — the boilerplate/generator-loop filter that
     // cross-doc dedup cannot express
@@ -1068,6 +1075,18 @@ object TrainingDataQueries {
          |  CAST(min(v.be_id) AS BIGINT) AS best_bench_id
          |FROM g JOIN v ON v.tr_id = g.tr_id AND v.jaccard = g.max_jaccard
          |GROUP BY g.tr_id, g.n_bench_docs, g.max_jaccard""".stripMargin,
+
+    // duplication-profile twin: same posting/df construction; the ratio
+    // is a division of identical small integers on both engines
+    "q128_duplication_profile" ->
+      s"""WITH $docSetsSql,
+         |posting AS (SELECT id, unnest(hashes) AS h FROM sets),
+         |dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM posting GROUP BY h)
+         |SELECT p.id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 6) AS dup_ratio,
+         |  CAST(max(d.df) AS BIGINT) AS max_df
+         |FROM posting p JOIN dfreq d USING (h) GROUP BY p.id""".stripMargin,
 
     // repetition twin: integer line/char sums are order-independent, the
     // bigram argmax is (max count, then min gram) — expressed as

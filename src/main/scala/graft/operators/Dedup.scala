@@ -215,6 +215,41 @@ object Dedup {
     docs.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hashes"))
       .filter(size(col("hashes")) > 0)
 
+  /** Corpus self-duplication PROFILE (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §4's measurement side):
+    * for every document, how much of its content also appears elsewhere in
+    * the corpus? Reports the doc's distinct n-gram shingles (`n_shingles`),
+    * how many of those occur in at least one OTHER document (`n_dup`), the
+    * ratio, and the doc's maximum shingle document-frequency (`max_df` —
+    * 1 means fully unique; a huge value means the doc is built from
+    * corpus-wide boilerplate). Dedup operators DECIDE (drop/keep); this
+    * MEASURES — the audit a team runs to size the duplication problem and
+    * rank sources by boilerplate before choosing thresholds.
+    *
+    * Scale shape: one shingle pass (row-local native kernel), a df count
+    * on the content-uniform hash key, a posting-side join back, and one
+    * combinable per-doc aggregate — two shuffles of short rows, no pair
+    * joins, nothing quadratic; this runs strictly cheaper than any dedup
+    * pass over the same corpus. Docs with < n tokens have no shingles and
+    * are excluded (the dedup population rule).
+    */
+  def duplicationProfile(docs: DataFrame, n: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = withShingleHashes(docs, idCol, textCol, n)
+    val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
+    // shingleHashes emits DISTINCT hashes per doc, so count(*) = document
+    // frequency
+    val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    posting.join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("n_dup"),
+        max(col("df")).as("max_df"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_dup"),
+        round(col("n_dup") / col("n_shingles"), 6).as("dup_ratio"),
+        col("max_df"))
+  }
+
   /** Join a candidate-pair set (id_a < id_b) back to the shingle sets and
     * keep pairs with exact Jaccard >= threshold. The per-pair intersection
     * runs in the native sorted-merge kernel ([[jaccardSorted]]) — the

@@ -389,4 +389,23 @@ class DedupSpec extends SparkTestBase {
     Dedup.containmentPairs(corpus, threshold = 0.6)
       .filter(col("id_a") === col("id_b")).count() shouldBe 0L
   }
+
+  test("duplicationProfile: exact copies fully duplicated, unique doc zero, partial overlap counted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // copy of 2: all 3 shingles dup
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma zeta eta theta"), // shares exactly "alpha beta gamma"
+      (4L, "one two three four five"),         // fully unique
+      (5L, "xx yy")                            // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationProfile(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe ((3L, 3L, 1.0, 3L))      // "alpha beta gamma" in 3 docs
+    out(2L) shouldBe out(1L)
+    out(3L) shouldBe ((4L, 1L, 0.25, 3L))     // 1 of its 4 shingles shared
+    out(4L) shouldBe ((3L, 0L, 0.0, 1L))      // max_df 1 = fully unique
+  }
 }
