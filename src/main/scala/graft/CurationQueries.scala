@@ -485,6 +485,14 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // intrinsic token-distribution stats: per-doc Shannon entropy of the
+    // doc's own unigram counts plus type-token ratio — the model-free
+    // repetitiveness gate (generator loops score near zero nats however
+    // fluent each phrase is); every ln a pinned integer series
+    "q129_token_entropy" -> ((s, dir) =>
+      LmScore.tokenEntropy(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")))),
+
     // CCNet perplexity buckets (Wenzek et al. 2020): mean surprisal under
     // a unigram model of the clean seed sources, then per-LANGUAGE
     // head/middle/tail tiers at exact integer-millinat thresholds — the
@@ -1590,6 +1598,30 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // entropy twin: per-(doc, distinct token) pinned ln, HUGEINT-safe
+    // integer folds, the same left-join survival rule as q99
+    "q129_token_entropy" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents) GROUP BY doc_id, w),
+         |lc AS (SELECT doc_id, c, ${steps("lnc", "c")} FROM wc),
+         |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS v,
+         |  CAST(sum(c * lnc_lnfp) AS BIGINT) AS s FROM lc GROUP BY doc_id),
+         |l2 AS (SELECT doc_id, n, v, s, ${steps("lnn", "n")} FROM pd)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(l2.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(l2.v, 0) AS BIGINT) AS n_distinct,
+         |  CASE WHEN coalesce(l2.n, 0) > 0 THEN round(l2.v * 1.0 / l2.n, 6) END AS ttr,
+         |  CAST(l2.n * l2.lnn_lnfp - l2.s AS BIGINT) AS entropy_fp,
+         |  CASE WHEN coalesce(l2.n, 0) > 0
+         |    THEN CAST(l2.n * l2.lnn_lnfp - l2.s AS DOUBLE) / CAST(l2.n AS DOUBLE)
+         |      / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS entropy_nats
+         |FROM documents d LEFT JOIN l2 ON d.doc_id = l2.doc_id""".stripMargin
     },
 
     // CCNet-bucket twin: q99's pinned-ln unigram replay with the model

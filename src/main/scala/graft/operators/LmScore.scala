@@ -317,6 +317,54 @@ object LmScore {
       .select(col(idCol), col("term"), col("tf"), col("score_fp"), col("rank"))
   }
 
+  /** Per-document token-distribution statistics: Shannon entropy of the
+    * doc's own unigram distribution and the type-token ratio — the
+    * model-free repetitiveness signals (a generator loop emitting the same
+    * phrase has near-zero entropy however fluent each phrase is; natural
+    * prose sits near ln(n_distinct)). Standard curation gates threshold
+    * both; unlike [[unigramSurprisal]] no reference corpus is involved, so
+    * the score is intrinsic to the document.
+    *
+    * Exactness: H = ln n - (1/n) * sum_w c_w ln c_w is all count
+    * logarithms, so the pinned-ln discipline applies directly:
+    * `entropy_fp = n * lnfp(n) - sum(c_w * lnfp(c_w))` is an exact BIGINT
+    * (1e-9 token-nats; a billion-token doc would be needed to overflow),
+    * and the display double divides identical integers on both engines.
+    *
+    * Scale shape: token explode -> per-(doc, token) count (map-side
+    * combinable) -> per-doc integer fold; the ln series runs once per
+    * (doc, DISTINCT token) row and once per doc — never per token
+    * instance. Row-linear, one shuffle keyed by (id, token), no joins.
+    * Output: (idCol, n_tokens, n_distinct, ttr, entropy_fp, entropy_nats);
+    * token-less docs survive with zeros and NULL scores.
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val wc = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val perDoc = PinnedMath.lnFpSteps("lnc", "c")
+      .foldLeft(wc) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"),
+        sum(col("c") * col("lnc_lnfp")).as("__s"))
+    val withLnN = PinnedMath.lnFpSteps("lnn", "__n")
+      .foldLeft(perDoc) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+    docs.select(col(idCol))
+      .join(withLnN.select(col(idCol), col("__n"), col("__v"),
+        (col("__n") * col("lnn_lnfp") - col("__s")).as("__h")), Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("__n"), lit(0L)))
+      .withColumn("n_distinct", coalesce(col("__v"), lit(0L)))
+      .withColumn("ttr", when(col("n_tokens") > 0L,
+        round(col("n_distinct") / col("n_tokens"), 6)))
+      .withColumn("entropy_fp", col("__h"))
+      .withColumn("entropy_nats", when(col("n_tokens") > 0L, expr(
+        s"CAST(__h AS DOUBLE) / CAST(n_tokens AS DOUBLE)" +
+          s" / CAST(${PinnedMath.FpScale} AS DOUBLE)")))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"), col("ttr"),
+        col("entropy_fp"), col("entropy_nats"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document's mean surprisal under a unigram model of a CLEAN reference
     * corpus, then split EACH LANGUAGE into `nBuckets` equal tiers by

@@ -208,6 +208,29 @@ class LmScoreSpec extends SparkTestBase {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("tokenEntropy: libm agreement, repetition scores zero, uniform doc hits ln(v), NULLs survive") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // 6 tokens, 'the' twice
+      (2L, "spam spam spam spam"),      // zero entropy: one type
+      (3L, "all four words differ"),    // uniform: H = ln 4
+      (4L, "...")                       // token-less
+    ).toDF("doc_id", "text")
+    val out = LmScore.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    out should have size 4
+    out(4L) shouldBe ((0L, 0L, None))
+    out(2L)._3.get shouldBe 0.0 +- 1e-9
+    out(3L)._3.get shouldBe math.log(4.0) +- 1e-6
+    // libm reference for the mixed doc: H = ln 6 - (2 ln 2)/6
+    out(1L) shouldBe ((6L, 5L,
+      out(1L)._3)) // shape
+    out(1L)._3.get shouldBe (math.log(6.0) - 2 * math.log(2.0) / 6) +- 1e-6
+    // ttr: distinct/total
+    LmScore.tokenEntropy(docs).filter(col("doc_id") === 1L)
+      .select("ttr").head().getDouble(0) shouldBe 5.0 / 6 +- 1e-6
+  }
+
   test("perplexityBuckets: per-language type-1 tiers match a driver replay; ties share; NULLs survive") {
     val docs = Seq(
       (1L, "en", "the cat sat on the mat"),
