@@ -443,6 +443,57 @@ object App {
         val n = fetcher.readParquet(spark, o.required("output-path")).count()
         println(s"[graft] embed-contamination: flagged $n (corpus, benchmark) pairs -> ${o("output-path")}")
 
+      case "fuzzy-contamination" =>
+        // paraphrase-leak audit: MinHash near-dups of any benchmark doc
+        val o = parseArgs(args.tail)
+        val flagged = operators.Contamination.fuzzyContamination(
+          fetcher.readParquet(spark, o.required("docs-path")),
+          fetcher.readParquet(spark, o.required("benchmark-path")),
+          n = o.get("ngram").map(_.toInt).getOrElse(3),
+          threshold = o.get("threshold").map(_.toDouble).getOrElse(0.5),
+          broadcastReference = o.getOrElse("broadcast-reference", "true").toBoolean)
+        writer.writeParquet(flagged, o.required("output-path"))
+        val nFuzzy = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] fuzzy-contamination: flagged $nFuzzy training docs -> ${o("output-path")}")
+
+      case "perplexity-buckets" =>
+        // CCNet head/middle/tail tiers per language against a clean
+        // reference corpus
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.perplexityBuckets(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            fetcher.readParquet(spark, o.required("reference-path")),
+            o.get("buckets").map(_.toInt).getOrElse(3),
+            o.getOrElse("group-col", "lang"),
+            o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] perplexity-buckets: wrote tier assignments to ${o("output-path")}")
+
+      case "dup-profile" =>
+        // corpus self-duplication measurement (per-doc duplicated-shingle
+        // fraction) — run BEFORE choosing dedup thresholds
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.Dedup.duplicationProfile(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            o.get("ngram").map(_.toInt).getOrElse(3)),
+          o.required("output-path"))
+        val prof = fetcher.readParquet(spark, o.required("output-path"))
+        val meanRatio = prof.agg(org.apache.spark.sql.functions.avg("dup_ratio"))
+          .collect().head.getDouble(0)
+        println(f"[graft] dup-profile: mean duplicated-shingle ratio $meanRatio%.4f -> ${o("output-path")}")
+
+      case "entropy" =>
+        // intrinsic repetitiveness: token entropy + type-token ratio
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.tokenEntropy(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] entropy: wrote token-entropy scores to ${o("output-path")}")
+
       case "pmi" =>
         // corpus collocations by pointwise mutual information
         val o = parseArgs(args.tail)
@@ -761,6 +812,17 @@ object App {
       |  weighted-sample    --docs-path <path> --output-path <path>
       |                     [--weight-col <c=n_chars>] [--n <n=1000>]
       |                     [--category-col <c>]  weight-proportional sample
+      |  fuzzy-contamination --docs-path <path> --benchmark-path <path>
+      |                     --output-path <path> [--ngram <n=3>]
+      |                     [--threshold <t=0.5>] [--broadcast-reference <b=true>]
+      |                     MinHash near-dup (paraphrase-grade) leaks
+      |  perplexity-buckets --docs-path <path> --reference-path <path>
+      |                     --output-path <path> [--buckets <n=3>]
+      |                     [--group-col <c=lang>]  CCNet head/middle/tail tiers
+      |  dup-profile        --docs-path <path> --output-path <path>
+      |                     [--ngram <n=3>]  per-doc duplicated-shingle fraction
+      |  entropy            --docs-path <path> --output-path <path>
+      |                     token entropy + type-token ratio per doc
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

@@ -166,7 +166,43 @@ object ScaleBench {
       "semantic_dedup" -> (k => SimilaritySearch.semDedup(scaledEmb(k),
         threshold = 0.4,
         initPred = s"(vec_id % $Stride) >= 100 AND (vec_id % $Stride) < 116",
-        iters = 2)))
+        iters = 2)),
+      // q123 shape: one persisted bucketed-feature scan serves target
+      // counts, raw counts, and scoring; the sources repeat per replica so
+      // the target side grows with the corpus (the in-domain-seed case)
+      "dsir_resample" -> (k => graft.operators.Dsir.resampleFromCorpus(
+        scaledDocs(k),
+        targetPred = col("source").isin("src0", "src1", "src2"),
+        n = 200, buckets = 4096)),
+      // q126 shape: unigram score + bounded per-language millinat
+      // histogram — threshold windows run on the histogram, never the
+      // corpus, so only the scoring passes should scale
+      "perplexity_buckets" -> (k => {
+        val d = scaledDocs(k)
+        graft.operators.LmScore.perplexityBuckets(d,
+          reference = d.filter(col("source").isin("src0", "src1", "src2"))
+            .select(col("text")))
+      }),
+      // q127 shape: corpus grows k-fold, benchmark stays 1x (the eval-set
+      // contract) — train bucket rows meet a broadcast; only replica 0
+      // can produce verified matches, candidates stay linear
+      "fuzzy_contamination" -> (k => graft.operators.Contamination
+        .fuzzyContamination(
+          scaledDocs(k).filter(col("doc_id") % 5 =!= 0),
+          docs0.filter(col("doc_id") % 5 === 0), threshold = 0.5)),
+      // q128 shape: posting + df count + join back — two shuffles of
+      // short rows; rotation keeps replica shingles disjoint, so the df
+      // table grows linearly and no bucket goes hot
+      "duplication_profile" -> (k => Dedup.duplicationProfile(scaledDocs(k))),
+      // q129 shape: per-(doc, distinct-token) pinned ln + integer fold —
+      // one content-keyed shuffle, row-linear
+      "token_entropy" -> (k => graft.operators.LmScore.tokenEntropy(scaledDocs(k))),
+      // q125 shape: coarse route + residual PQ — cells/codebooks stay 1x,
+      // the corpus-scaled costs are the route argmin and the codes scan
+      "knn_ivfpq" -> (k => SimilaritySearch.ivfPqKnn(scaledEmb(k), "vec_id < 10", 3,
+        centroidPred = "vec_id >= 100 AND vec_id < 108",
+        codebookPred = "vec_id >= 108 AND vec_id < 124",
+        nProbe = 2)))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()

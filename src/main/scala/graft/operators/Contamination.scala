@@ -202,9 +202,27 @@ object Contamination {
   def fuzzyContamination(train: DataFrame, benchmark: DataFrame, n: Int = 3,
                          threshold: Double = 0.5,
                          idCol: String = "doc_id", textCol: String = "text",
-                         broadcastReference: Boolean = true): DataFrame = {
+                         broadcastReference: Boolean = true,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    fuzzyContaminationAgainst(train, Dedup.signatures(benchmark, n, idCol, textCol),
+      n, threshold, idCol, textCol, broadcastReference, storage)
+
+  /** [[fuzzyContamination]] against a PRE-SIGNED benchmark
+    * ([[Dedup.signatures]] output — same `n`). The split exists so the
+    * reference side is signed once and reused — batch re-audits, and the
+    * per-micro-batch streaming gate
+    * ([[graft.streaming.EventStream.fuzzyContaminationGateWriter]]), which
+    * also passes `storage = NONE` (each micro-batch is a new plan; the
+    * default persist would leak one cache entry per trigger).
+    */
+  def fuzzyContaminationAgainst(train: DataFrame, beSigs: DataFrame, n: Int = 3,
+                                threshold: Double = 0.5,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                broadcastReference: Boolean = true,
+                                storage: org.apache.spark.storage.StorageLevel =
+                                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val trSigs = Dedup.signatures(train, n, idCol, textCol)
-    val beSigs = Dedup.signatures(benchmark, n, idCol, textCol)
     val beBuckets = Dedup.bandBuckets(beSigs)
       .select(col("id").as("be_id"), col("band"), col("key"))
     val beMatch = if (broadcastReference) broadcast(beBuckets)
@@ -221,8 +239,7 @@ object Contamination {
       .withColumn("jaccard", round(
         graft.functions.TextFunctions.jaccardSorted(col("tr_hashes"), col("be_hashes")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("tr_id"), col("be_id"), col("jaccard")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("tr_id"), col("be_id"), col("jaccard")), storage)
     val rollup = verified.groupBy(col("tr_id"))
       .agg(count(lit(1)).as("n_bench_docs"), max(col("jaccard")).as("max_jaccard"))
     verified.join(rollup, Seq("tr_id"))

@@ -353,6 +353,33 @@ object EventStream {
           batch.toDF(), model, idCol, textCol), batchId)
       }
 
+  /** Streaming FUZZY (near-duplicate) contamination gate: each arriving
+    * micro-batch of documents is MinHash-checked against a FROZEN
+    * benchmark signature table ([[graft.operators.Dedup.signatures]] —
+    * signed once, persisted, reused every trigger) with the batch
+    * operator ([[graft.operators.Contamination.fuzzyContaminationAgainst]]).
+    * The paraphrase-grade complement to [[contaminationGateWriter]]'s
+    * verbatim gate at the TOKEN-SET level — same one-code-path /
+    * zero-streaming-state argument; `storage = NONE` because every
+    * micro-batch is a new plan and the operator's default persist would
+    * leak one cache entry per trigger. `sink` receives the flagged
+    * (idCol, n_bench_docs, max_jaccard, best_bench_id) rows with the
+    * micro-batch id.
+    */
+  def fuzzyContaminationGateWriter(docs: DataFrame, beSigs: DataFrame,
+                                   threshold: Double = 0.5,
+                                   sink: (DataFrame, Long) => Unit,
+                                   n: Int = 3,
+                                   idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Contamination.fuzzyContaminationAgainst(
+          batch.toDF(), beSigs, n, threshold, idCol, textCol,
+          storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
+      }
+
   /** Streaming SEMANTIC contamination gate: each arriving micro-batch of
     * embedded documents is checked against a FROZEN benchmark embedding
     * table with the batch operator

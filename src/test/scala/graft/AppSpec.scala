@@ -377,6 +377,38 @@ class AppSpec extends SparkTestBase {
       contain((8888L, 3L))
   }
 
+  test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs", docs, "overwrite")
+    storage.write("train", docs.filter(col("doc_id") % 5 =!= 0), "overwrite")
+    storage.write("bench", docs.filter(col("doc_id") % 5 === 0), "overwrite")
+    storage.write("ref", docs.filter(col("source").isin("src0", "src1", "src2")),
+      "overwrite")
+    App.run(platform, Seq("fuzzy-contamination",
+      "--docs-path", "train", "--benchmark-path", "bench",
+      "--output-path", "fuzzy", "--threshold", "0.5"))
+    storage.contains("fuzzy") shouldBe true
+    storage.rows("fuzzy").foreach(_.getAs[Double]("max_jaccard") should be >= 0.5)
+    App.run(platform, Seq("perplexity-buckets",
+      "--docs-path", "docs", "--reference-path", "ref",
+      "--output-path", "tiers"))
+    val tiers = storage.rows("tiers")
+    tiers.size shouldBe docs.count()
+    tiers.flatMap(r => Option(r.getAs[Integer]("bucket")))
+      .map(_.toInt).toSet shouldBe Set(1, 2, 3)
+    App.run(platform, Seq("dup-profile",
+      "--docs-path", "docs", "--output-path", "profile"))
+    storage.rows("profile").foreach { r =>
+      r.getAs[Double]("dup_ratio") should (be >= 0.0 and be <= 1.0)
+    }
+    App.run(platform, Seq("entropy",
+      "--docs-path", "docs", "--output-path", "ent"))
+    storage.rows("ent").size shouldBe docs.count()
+  }
+
   test("audit subcommand writes balance, drift, and padding reports") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))

@@ -107,7 +107,11 @@ class PlanSpec extends SparkTestBase {
       // q125's cross joins are the q35 broadcast-centroid assignment
       // (coarse cells, slice-sized) — codes meet the query tables on the
       // keyed (ccid, sub, cid) join, pinned by the q125 guard below
-      "q125_knn_ivfpq")
+      "q125_knn_ivfpq",
+      // q126 embeds q99's one-row ln(N+V) model constant against the
+      // per-doc totals — the q43 scalar-broadcast shape; the tier join
+      // back is keyed on (lang, bin), pinned by the q126 guard below
+      "q126_perplexity_buckets")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
@@ -340,6 +344,39 @@ class PlanSpec extends SparkTestBase {
 
   test("q124: the C4 cleaning bundle is row-local — zero exchanges") {
     exchangeCount(plan("q124_c4_rules")) shouldBe 0
+  }
+
+  test("q126: perplexity tiers window the bounded histogram BY LANGUAGE; no corpus window, no pair join") {
+    // the threshold windows shuffle by lang over millinat BINS (the
+    // corpus collapsed first — partial_count proves map-side combine),
+    // and docs meet their tier on the (lang, bin) key
+    val p = plan("q126_perplexity_buckets")
+    p should include("partial_count")
+    p should include("Window")
+    p should include("hashpartitioning(lang")
+    p should not include "CartesianProduct"
+  }
+
+  test("q127: fuzzy contamination matches the benchmark via broadcast; no pairwise blowup") {
+    val p = plan("q127_fuzzy_contamination")
+    p should include("BroadcastExchange")       // bench buckets + bench sets
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q128: duplication profile is postings + df count — combinable aggregates, keyed joins only") {
+    val p = plan("q128_duplication_profile")
+    p should include("partial_count")           // df counts combine map-side
+    p should not include "Window"               // no corpus window anywhere
+    p should not include "CartesianProduct"
+  }
+
+  test("q129: token entropy rides content-keyed aggregates — no windows, no joins beyond the doc spine") {
+    val p = plan("q129_token_entropy")
+    p should include("partial_count")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
   }
 
   test("q114: PQ rerank joins stay keyed — no pair blowup re-introduced by the rerank stage") {

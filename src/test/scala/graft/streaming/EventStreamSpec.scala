@@ -391,6 +391,41 @@ class EventStreamSpec extends SparkTestBase {
       collected.map(_._1).toSet shouldBe Set(2L, 4L) // and only the planted docs
     } finally { query.stop(); anchors.unpersist() }
   }
+  test("streaming fuzzy-contamination gate: frozen benchmark signatures across micro-batches == batch audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val core = (1 to 40).map(i => s"token$i").mkString(" ")
+    val benchmark = Seq(
+      (9001L, core),
+      (9002L, (1 to 40).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    // benchmark SIGNED once, persisted — micro-batches reuse it
+    val beSigs = graft.operators.Dedup.signatures(benchmark).persist()
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    val query = EventStream.fuzzyContaminationGateWriter(
+        input.toDF().toDF("doc_id", "text"), beSigs, threshold = 0.5,
+        sink = (out, _) => collected.synchronized {
+          collected ++= out.select("doc_id", "n_bench_docs", "max_jaccard", "best_bench_id")
+            .as[(Long, Long, Double, Long)].collect()
+        })
+      .start()
+    try {
+      val batch1 = Seq(
+        (1L, (1 to 36).map(i => s"token$i").mkString(" ") + " changed tail words here"),
+        (2L, (1 to 40).map(i => s"clean$i").mkString(" ")))
+      val batch2 = Seq((3L, core), (4L, (1 to 40).map(i => s"spotless$i").mkString(" ")))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      val batchAudit = graft.operators.Contamination
+        .fuzzyContamination((batch1 ++ batch2).toDF("doc_id", "text"), benchmark,
+          threshold = 0.5)
+        .select("doc_id", "n_bench_docs", "max_jaccard", "best_bench_id")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      collected.toSet shouldBe batchAudit // per-batch independence: identical report
+      collected.map(_._1).toSet shouldBe Set(1L, 3L) // only the planted near-dups
+    } finally { query.stop(); beSigs.unpersist() }
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
