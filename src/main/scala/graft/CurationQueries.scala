@@ -485,6 +485,15 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // C4-style blocklist screen: token-exact category word/phrase counts
+    // (1/2/3-gram windows) + the any-hit page gate; the doc_id-keyed
+    // injections exercise every category and the multi-category overlap
+    "q130_blocklist_screen" -> ((s, dir) =>
+      graft.operators.Blocklist.screenRollup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), blockInjected.as("text")),
+        BlockCats)),
+
     // intrinsic token-distribution stats: per-doc Shannon entropy of the
     // doc's own unigram counts plus type-token ratio — the model-free
     // repetitiveness gate (generator loops score near zero nats however
@@ -538,6 +547,31 @@ object CurationQueries {
     "text" + C4InjFrags.map { case (m, f) =>
       val sqlF = f.split("\n", -1).map(p => s"'$p'").mkString(" || chr(10) || ")
       s" || CASE WHEN doc_id % $m = 0 THEN $sqlF ELSE '' END"
+    }.mkString
+
+  /** q130's category blocklist (stand-in policy lists: production swaps in
+    * LDNOOBW or per-category keyword lists) and the doc_id-keyed injected
+    * fragments — ONE table generating BOTH the Spark concat and the
+    * oracle's CASE chain. doc_id % 91 == 0 hits two categories at once.
+    */
+  private val BlockCats: Seq[(String, String)] = Seq(
+    "gambling" -> "casino", "gambling" -> "jackpot",
+    "pharma" -> "cheap pills", "pharma" -> "pharmacy",
+    "spam" -> "click here", "spam" -> "free money now")
+
+  private val BlockInjFrags: Seq[(Int, String)] = Seq(
+    7 -> " visit our casino jackpot casino tonight",
+    11 -> " buy cheap pills from a licensed pharmacy",
+    13 -> " click here for free money now")
+
+  private def blockInjected: Column = concat(
+    col("text") +: BlockInjFrags.map { case (m, f) =>
+      when(col("doc_id") % m === 0, lit(f)).otherwise(lit(""))
+    }: _*)
+
+  private def blockInjectedSql: String =
+    "text" + BlockInjFrags.map { case (m, f) =>
+      s" || CASE WHEN doc_id % $m = 0 THEN '$f' ELSE '' END"
     }.mkString
 
   /** q108's seed-label split: sources standing in for a curated-positive
@@ -1598,6 +1632,40 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // blocklist twin: the same injection expression, token/2-gram/3-gram
+    // windows via list_transform(range), VALUES-table list join, and the
+    // (hits DESC, category ASC) worst pick as a row_number window — all
+    // integer ordering, engine-exact
+    "q130_blocklist_screen" -> {
+      val values = BlockCats.map { case (c, p) =>
+        s"('$c', '$p', ${p.split("\\s+").length})"
+      }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id, $blockInjectedSql AS text FROM documents),
+         |tk AS (SELECT doc_id, $toksSql AS w FROM base),
+         |bl(category, phrase, n) AS (SELECT * FROM (VALUES $values)),
+         |g1 AS (SELECT doc_id, unnest(w) AS g FROM tk),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), gi -> w[gi]||' '||w[gi+1])) AS g FROM tk),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1), gi -> w[gi]||' '||w[gi+1]||' '||w[gi+2])) AS g FROM tk),
+         |hits AS (SELECT doc_id, category, CAST(count(*) AS BIGINT) AS hits FROM (
+         |  SELECT g1.doc_id, bl.category FROM g1 JOIN bl ON bl.n = 1 AND g1.g = bl.phrase
+         |  UNION ALL SELECT g2.doc_id, bl.category FROM g2 JOIN bl ON bl.n = 2 AND g2.g = bl.phrase
+         |  UNION ALL SELECT g3.doc_id, bl.category FROM g3 JOIN bl ON bl.n = 3 AND g3.g = bl.phrase)
+         |  GROUP BY doc_id, category),
+         |pd AS (SELECT doc_id, CAST(sum(hits) AS BIGINT) AS total_hits,
+         |  CAST(count(*) AS BIGINT) AS n_categories FROM hits GROUP BY doc_id),
+         |wr AS (SELECT doc_id, category AS worst_category FROM (
+         |  SELECT doc_id, category,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, category ASC) AS rn
+         |  FROM hits) WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(pd.total_hits, 0) AS total_hits,
+         |  coalesce(pd.n_categories, 0) AS n_categories,
+         |  wr.worst_category,
+         |  CAST(CASE WHEN pd.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |  LEFT JOIN wr ON d.doc_id = wr.doc_id""".stripMargin
     },
 
     // entropy twin: per-(doc, distinct token) pinned ln, HUGEINT-safe
