@@ -485,6 +485,15 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // SPAN-REMOVAL substring dedup (Lee et al. 2022 apply side): verbatim
+    // >= 48-char passages also present in an EARLIER doc are cut from the
+    // later one; first occurrence keeps its text. Interval merge and the
+    // rebuild are integer-exact, so the cleaned TEXT itself is hash-gated
+    "q131_substring_remove" -> ((s, dir) =>
+      Dedup.substringRemove(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        minLen = SubstrLen, k = SubstrK)),
+
     // C4-style blocklist screen: token-exact category word/phrase counts
     // (1/2/3-gram windows) + the any-hit page gate; the doc_id-keyed
     // injections exercise every category and the multi-category overlap
@@ -1632,6 +1641,63 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // span-removal twin: q95's fingerprint CTEs, then the maximal-extent
+    // expansion replayed via the MONOTONE substr trick — the block of l
+    // chars immediately left of the anchor matching implies every shorter
+    // block matches, so count == max — interval merge as a running-max
+    // window, and the rebuild as an ordered string_agg of gap pieces
+    "q131_substring_remove" -> {
+      val k = SubstrK; val len = SubstrLen
+      s"""WITH dcs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |${winnowFpSql("d", "dcs")},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.apos AS pos_a, a.text AS ta, a.n AS la,
+         |  b.doc_id AS id_b, b.apos AS pos_b, b.text AS tb, b.n AS lb
+         |  FROM fp_d a JOIN fp_d b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  WHERE substr(a.text, CAST(a.apos AS INT), $k) = substr(b.text, CAST(b.apos AS INT), $k)),
+         |ext AS (SELECT id_b, pos_b,
+         |  len(list_filter(range(1, CAST(least(pos_a, pos_b) AS BIGINT)),
+         |    ll -> substr(ta, CAST(pos_a - ll AS INT), CAST(ll AS INT))
+         |        = substr(tb, CAST(pos_b - ll AS INT), CAST(ll AS INT)))) AS lft,
+         |  len(list_filter(range(1, CAST(least(la - pos_a - $k + 1, lb - pos_b - $k + 1) AS BIGINT) + 1),
+         |    rr -> substr(ta, CAST(pos_a + $k AS INT), CAST(rr AS INT))
+         |        = substr(tb, CAST(pos_b + $k AS INT), CAST(rr AS INT)))) AS rgt
+         |  FROM cand),
+         |spans AS (SELECT DISTINCT id_b AS id,
+         |  CAST(pos_b - lft AS BIGINT) AS s,
+         |  CAST(pos_b - lft + $k + lft + rgt - 1 AS BIGINT) AS e
+         |  FROM ext WHERE $k + lft + rgt >= $len),
+         |mk AS (SELECT id, s, e,
+         |  max(e) OVER (PARTITION BY id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM spans),
+         |mg AS (SELECT id, s, e,
+         |  CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+         |  FROM mk),
+         |merged AS (SELECT id, grp, min(s) AS s, max(e) AS e FROM mg GROUP BY id, grp),
+         |wt AS (SELECT m.id, m.s, m.e, d.text AS t,
+         |  coalesce(lag(m.e) OVER (PARTITION BY m.id ORDER BY m.s), 0) AS pe,
+         |  lead(m.s) OVER (PARTITION BY m.id ORDER BY m.s) IS NULL AS islast
+         |  FROM merged m JOIN dcs d ON m.id = d.doc_id),
+         |pieces AS (
+         |  SELECT id, s AS ord, substr(t, CAST(pe + 1 AS INT), CAST(s - pe - 1 AS INT)) AS piece FROM wt
+         |  UNION ALL
+         |  SELECT id, CAST(2147483647 AS BIGINT) AS ord,
+         |    substr(t, CAST(e + 1 AS INT), CAST(length(t) - e AS INT)) AS piece
+         |  FROM wt WHERE islast),
+         |rebuilt AS (SELECT id, string_agg(piece, '' ORDER BY ord) AS clean FROM pieces GROUP BY id),
+         |stats AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS chars_removed FROM merged GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(st.chars_removed, 0) AS chars_removed,
+         |  coalesce(rb.clean, d.text) AS text_clean
+         |FROM documents d
+         |  LEFT JOIN stats st ON d.doc_id = st.id
+         |  LEFT JOIN rebuilt rb ON d.doc_id = rb.id""".stripMargin
     },
 
     // blocklist twin: the same injection expression, token/2-gram/3-gram

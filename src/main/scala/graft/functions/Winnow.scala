@@ -167,14 +167,23 @@ object CommonExtentImpl {
     * Either way this beats the w-offset spine formulation it replaced,
     * which paid w*L reads per candidate whether or not anything matched.
     */
-  def eval(a: UTF8String, pa: Int, b: UTF8String, pb: Int, k: Int): Int = {
+  def eval(a: UTF8String, pa: Int, b: UTF8String, pb: Int, k: Int): Int =
+    (evalSpan(a, pa, b, pb, k) & 0xFFFFFFFFL).toInt
+
+  /** The same expansion returning WHERE the extent sits, packed as
+    * `(left << 32) | extent` (0 on no match): the extent spans 1-based
+    * code-point positions `[pos - left, pos - left + extent - 1]` in each
+    * text. [[graft.operators.Dedup.substringRemove]] needs the start to
+    * cut the span; [[eval]] is the low word.
+    */
+  def evalSpan(a: UTF8String, pa: Int, b: UTF8String, pb: Int, k: Int): Long = {
     if (a.numBytes() == a.numChars() && b.numBytes() == b.numChars()) {
       // pure-ASCII: compare bytes in place
       val (na, nb) = (a.numBytes(), b.numBytes())
-      if (pa < 1 || pb < 1 || pa - 1 + k > na || pb - 1 + k > nb) return 0
+      if (pa < 1 || pb < 1 || pa - 1 + k > na || pb - 1 + k > nb) return 0L
       var i = 0
       while (i < k) {
-        if (a.getByte(pa - 1 + i) != b.getByte(pb - 1 + i)) return 0
+        if (a.getByte(pa - 1 + i) != b.getByte(pb - 1 + i)) return 0L
         i += 1
       }
       var left = 0
@@ -183,14 +192,14 @@ object CommonExtentImpl {
       var right = 0
       while (pa - 1 + k + right < na && pb - 1 + k + right < nb &&
         a.getByte(pa - 1 + k + right) == b.getByte(pb - 1 + k + right)) right += 1
-      return k + left + right
+      return (left.toLong << 32) | (k + left + right).toLong
     }
     val ca = a.toString.codePoints().toArray
     val cb = b.toString.codePoints().toArray
-    if (pa < 1 || pb < 1 || pa - 1 + k > ca.length || pb - 1 + k > cb.length) return 0
+    if (pa < 1 || pb < 1 || pa - 1 + k > ca.length || pb - 1 + k > cb.length) return 0L
     var i = 0
     while (i < k) {
-      if (ca(pa - 1 + i) != cb(pb - 1 + i)) return 0
+      if (ca(pa - 1 + i) != cb(pb - 1 + i)) return 0L
       i += 1
     }
     var left = 0
@@ -199,7 +208,7 @@ object CommonExtentImpl {
     var right = 0
     while (pa - 1 + k + right < ca.length && pb - 1 + k + right < cb.length &&
       ca(pa - 1 + k + right) == cb(pb - 1 + k + right)) right += 1
-    k + left + right
+    (left.toLong << 32) | (k + left + right).toLong
   }
 }
 
@@ -241,10 +250,52 @@ case class CommonExtent(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** [[CommonExtent]] returning position AND length packed in one long:
+  * `(left << 32) | extent`, 0 on no match — the extent covers 1-based
+  * positions `[pos - left, pos - left + extent - 1]` in each text. One
+  * kernel pass serves both the span cut and the length filter; unpack
+  * with `span >> 32` / `span & 0xFFFFFFFF`.
+  */
+case class CommonExtentSpan(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression, k: Int)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType,
+            org.apache.spark.sql.types.StringType, IntegerType) if k >= 1 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "common_extent_span requires (string, int, string, int) inputs and k >= 1, got " +
+          Seq(first, second, third, fourth).map(_.dataType.catalogString).mkString(", "))
+    }
+
+  override protected def nullSafeEval(a: Any, pa: Any, b: Any, pb: Any): Any =
+    CommonExtentImpl.evalSpan(a.asInstanceOf[UTF8String], pa.asInstanceOf[Int],
+      b.asInstanceOf[UTF8String], pb.asInstanceOf[Int], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, pa, b, pb) =>
+      s"${ev.value} = graft.functions.CommonExtentImpl.evalSpan($a, $pa, $b, $pb, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object CommonExtent {
   def commonExtent(textA: Column, posA: Column, textB: Column, posB: Column,
                    k: Int): Column =
     GraftColumnBridge.column(CommonExtent(
+      GraftColumnBridge.expression(textA), GraftColumnBridge.expression(posA),
+      GraftColumnBridge.expression(textB), GraftColumnBridge.expression(posB), k))
+
+  def commonExtentSpan(textA: Column, posA: Column, textB: Column, posB: Column,
+                       k: Int): Column =
+    GraftColumnBridge.column(CommonExtentSpan(
       GraftColumnBridge.expression(textA), GraftColumnBridge.expression(posA),
       GraftColumnBridge.expression(textB), GraftColumnBridge.expression(posB), k))
 }

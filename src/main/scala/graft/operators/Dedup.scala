@@ -637,6 +637,94 @@ object Dedup {
       .agg(count(lit(1)).as("n_anchors"))
   }
 
+  /** SPAN-REMOVAL substring dedup — the APPLY side of [[substringPairs]]
+    * (Lee et al. 2022 deduplicate the text, not just flag it): every
+    * verbatim passage of >= `minLen` chars that also occurs in an
+    * EARLIER document (smaller id) is cut out of the later one; the first
+    * occurrence keeps its text intact. Spans are computed on ORIGINAL
+    * texts (the standard one-pass semantics), overlapping/adjacent spans
+    * merge before cutting, and every input doc survives — clean docs with
+    * their original text.
+    *
+    * Mechanics: the [[substringPairs]] candidate join, but the verify
+    * kernel returns WHERE the extent sits
+    * ([[graft.functions.CommonExtentImpl.evalSpan]] — one pass serves the
+    * filter and the cut); spans merge per doc with the classic
+    * running-max interval window (partitioned BY DOC — frames bounded by
+    * a doc's span count, never the corpus); kept segments rebuild via a
+    * per-doc sorted concat. All interval math is integer, so the oracle
+    * replays the cut byte-for-byte.
+    *
+    * Output: (idCol, n_spans merged, chars_removed, text_clean) for EVERY
+    * input doc. Scale shape: identical joins to [[substringPairs]] (the
+    * hot-bucket cap applies) plus two doc-keyed windows over span rows —
+    * span volume is bounded by verified-candidate volume, tiny relative
+    * to the corpus.
+    */
+  def substringRemove(docs: DataFrame, minLen: Int = 48, k: Int = 16,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                      maxBucket: Int = 1024): DataFrame = {
+    val fp0 = maybePersist(substringState(docs, minLen, k, idCol, textCol), storage)
+    val fp = dropHotBuckets(fp0, maxBucket)
+    val texts = docs.select(col(idCol), col(textCol))
+    // candidates oriented EARLIER -> LATER: spans cut from the later side
+    val cand = fp.as("a")
+      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
+        col("b.id").as("id_b"), col("b.pos").as("pos_b"))
+    val spans = cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("__span", graft.functions.CommonExtent.commonExtentSpan(
+        col("__ta"), col("pos_a"), col("__tb"), col("pos_b"), k))
+      .withColumn("__left", shiftright(col("__span"), 32))
+      .withColumn("__ext", col("__span").bitwiseAND(lit(4294967295L)))
+      .filter(col("__ext") >= minLen)
+      .select(col("id_b").as("id"),
+        (col("pos_b") - col("__left")).cast("int").as("s"),
+        (col("pos_b") - col("__left") + col("__ext") - 1L).cast("int").as("e"))
+      .distinct()
+    // classic interval merge: running max of e over earlier spans; a span
+    // starting past it opens a new group (window partitioned by doc)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    // persisted: three consumers (gaps, tails, stats) — without the pin
+    // the candidate join + verify reruns per consumer
+    val merged = maybePersist(spans
+      .withColumn("__pmax", max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__pmax").isNull || col("s") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e")), storage)
+    // kept segments: the gap BEFORE each merged span, plus the tail after
+    // the last one (lead-null marks it — no text-keyed grouping)
+    val gapW = Window.partitionBy(col("id")).orderBy(col("s"))
+    val withText = merged
+      .join(texts.select(col(idCol).as("id"), col(textCol).as("__t")), "id")
+      .withColumn("__pe", coalesce(lag(col("e"), 1).over(gapW), lit(0)))
+      .withColumn("__islast", lead(col("s"), 1).over(gapW).isNull)
+    val gaps = withText.select(col("id"), col("s").as("__ord"),
+      col("__t").substr(col("__pe") + 1, col("s") - col("__pe") - 1).as("piece"))
+    val tails = withText.filter(col("__islast"))
+      .select(col("id"), lit(Int.MaxValue).as("__ord"),
+        col("__t").substr(col("e") + 1, length(col("__t")) - col("e")).as("piece"))
+    val rebuilt = gaps.unionByName(tails)
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__ord"), col("piece")))),
+        x => x.getField("piece")), "").as("__clean"))
+    val removedStats = merged.groupBy(col("id"))
+      .agg(count(lit(1)).as("__nspans"),
+        sum(col("e") - col("s") + 1L).as("__removed"))
+    docs.select(col(idCol), col(textCol))
+      .join(removedStats.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nspans"), lit(0L)).as("n_spans"),
+        coalesce(col("__removed"), lit(0L)).as("chars_removed"),
+        coalesce(col("__clean"), col(textCol)).as("text_clean"))
+  }
+
   /** Drop anchor rows whose hash occurs more than `maxBucket` times in
     * `fp` — the hot-bucket guard for the substring-fingerprint joins.
     * The hot-hash set is at most totalAnchors/maxBucket rows (tiny for

@@ -390,6 +390,60 @@ class DedupSpec extends SparkTestBase {
       .filter(col("id_a") === col("id_b")).count() shouldBe 0L
   }
 
+  test("substringRemove: later copy loses the quoted span, first occurrence intact, spans merge") {
+    import spark.implicits._
+    val quote = "this exact passage is long enough to be caught by the winnowing fingerprint machinery"
+    val quote2 = "a second reused passage that also clears the minimum length threshold easily here"
+    val docs = Seq(
+      (1L, s"original page starts $quote and keeps going"),
+      // later doc quoting doc 1: the span goes, the unique tail stays
+      (2L, s"aggregator prefix $quote aggregator suffix"),
+      // quotes BOTH docs 1 and 3's passages: two disjoint spans removed
+      (4L, s"mix $quote middle bit $quote2 end"),
+      (3L, s"other source $quote2 trailing words"),
+      (5L, "a totally unique document with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRemove(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    out should have size 5
+    // first occurrences and the clean doc are untouched
+    out(1L) shouldBe ((0L, 0L, s"original page starts $quote and keeps going"))
+    out(3L)._1 shouldBe 0L
+    out(5L)._1 shouldBe 0L
+    // the later copy lost the quote plus the shared boundary chars (the
+    // extent eats the ' ' before and the " a" after — both verbatim-shared)
+    out(2L)._1 shouldBe 1L
+    out(2L)._3 should not include "winnowing"
+    out(2L)._3 shouldBe "aggregator prefixggregator suffix"
+    out(2L)._2 shouldBe (quote.length + 3L)
+    out(2L)._2.toInt shouldBe
+      (docs.filter(col("doc_id") === 2L).head().getString(1).length - out(2L)._3.length)
+    // doc 4: both passages removed as two disjoint merged spans
+    out(4L)._1 shouldBe 2L
+    out(4L)._3 should not include "caught"
+    out(4L)._3 should not include "threshold"
+    // the "ix " prefix goes too: doc 2's "...prefix " shares it verbatim
+    // ahead of the quote, and spans from BOTH earlier docs merge
+    out(4L)._3 shouldBe "mmiddle bitend"
+  }
+
+  test("substringRemove: whole-text duplicate collapses to empty; evalSpan low word == eval") {
+    import spark.implicits._
+    val body = "completely duplicated body text that is well over the forty eight character minimum"
+    val docs = Seq((1L, body), (2L, body)).toDF("doc_id", "text")
+    val out = Dedup.substringRemove(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    out(1L) shouldBe ((0L, body))
+    out(2L)._2 shouldBe ""                          // the entire later copy goes
+    // kernel parity: the packed span's low word IS the extent
+    import org.apache.spark.unsafe.types.UTF8String
+    val (a, b) = (UTF8String.fromString("xx" + body), UTF8String.fromString("yy" + body))
+    val span = graft.functions.CommonExtentImpl.evalSpan(a, 5, b, 5, 16)
+    (span & 0xFFFFFFFFL).toInt shouldBe
+      graft.functions.CommonExtentImpl.eval(a, 5, b, 5, 16)
+    (span >> 32).toInt shouldBe 2                   // left stops at the xx/yy boundary
+  }
+
   test("duplicationProfile: exact copies fully duplicated, unique doc zero, partial overlap counted") {
     import spark.implicits._
     val docs = Seq(
