@@ -485,6 +485,41 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // the END-TO-END curation VERDICT: every filter family this library
+    // ships — Gopher document rules, C4 line rules, the NB seed-trained
+    // quality model, intrinsic entropy, exact dedup — joined into one
+    // keep/drop decision per doc with a failure BITMASK saying WHY
+    // (1=gopher, 2=c4, 4=nb, 8=entropy, 16=duplicate). The operator a
+    // production pipeline actually gates on; every component integer-exact
+    "q132_curation_verdict" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), verdictInjected.as("text"), col("source"))
+      def pick(rules: Seq[(String, Column)], name: String): Column =
+        rules.find(_._1 == name).get._2
+      val gop = d.select(col("doc_id"),
+        pick(TextFunctions.gopherRules(col("text")), "gopher_keep").as("g_keep"))
+      val c4k = d.select(col("doc_id"),
+        pick(TextFunctions.c4Rules(col("text")), "c4_keep").as("c_keep"))
+      val nb = graft.operators.QualityClassifier.nbLogOdds(d,
+          positive = d.filter(col("source").isin(NbPosSources: _*)),
+          negative = d.filter(col("source").isin(NbNegSources: _*)))
+        .select(col("doc_id"), (col("logodds_fp") >= 0L).cast("int").as("nb_pos"))
+      val ent = LmScore.tokenEntropy(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), when(col("n_tokens") > 0L &&
+          col("entropy_fp") >= col("n_tokens") *
+            lit(graft.functions.PinnedMath.FpScale), 1).otherwise(0).as("entropy_ok"))
+      val dup = Dedup.exact(d.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), (lit(1) - col("is_dup")).as("not_dup"))
+      d.select(col("doc_id"))
+        .join(gop, "doc_id").join(c4k, "doc_id").join(nb, "doc_id")
+        .join(ent, "doc_id").join(dup, "doc_id")
+        .withColumn("fail_mask",
+          (lit(1) - col("g_keep")) + (lit(1) - col("c_keep")) * 2 +
+            (lit(1) - col("nb_pos")) * 4 + (lit(1) - col("entropy_ok")) * 8 +
+            (lit(1) - col("not_dup")) * 16)
+        .withColumn("keep", (col("fail_mask") === 0).cast("int"))
+    }),
+
     // SPAN-REMOVAL substring dedup (Lee et al. 2022 apply side): verbatim
     // >= 48-char passages also present in an EARLIER doc are cut from the
     // later one; first occurrence keeps its text. Interval merge and the
@@ -583,6 +618,24 @@ object CurationQueries {
       s" || CASE WHEN doc_id % $m = 0 THEN '$f' ELSE '' END"
     }.mkString
 
+  /** q132's CONSTANT clean-page suffix: three terminal-punctuated >= 5-word
+    * lines carrying >= 2 Gopher stopwords — the raw one-line synthetic
+    * corpus fails C4's min-kept-lines and Gopher's stopword rule
+    * wholesale, which would collapse the verdict to all-drop; a constant
+    * suffix (same for every doc, so exact-dup groups are preserved) turns
+    * the ensemble into a real split where each component decides.
+    */
+  private val VerdictSuffix: String =
+    "\nThe editors have reviewed this report with care and attention." +
+      "\nWe hope that you find the coverage to be useful and fair." +
+      "\nPlease share the story of the day with friends and family."
+
+  private def verdictInjected: Column = concat(col("text"), lit(VerdictSuffix))
+
+  private def verdictInjectedSql: String =
+    "text || " + VerdictSuffix.split("\n", -1).drop(1)
+      .map(l => s"chr(10) || '$l'").mkString(" || ")
+
   /** q108's seed-label split: sources standing in for a curated-positive
     * and a rejected-negative labeling; the remaining 14 sources are
     * scored unseen.
@@ -603,12 +656,18 @@ object CurationQueries {
     * at `sc(doc_id, source, n_tokens, logodds_fp)`. WITH-body only (no
     * prefix), so callers append their own tail CTEs.
     */
-  private lazy val nbScoreCtesSql: String = {
+  private lazy val nbScoreCtesSql: String = nbScoreCtesSqlOver("documents")
+
+  /** [[nbScoreCtesSql]] over an arbitrary (doc_id, source, text) relation
+    * — q132 scores an injected-text CTE; everyone else uses the
+    * `documents` default above.
+    */
+  private def nbScoreCtesSqlOver(rel: String): String = {
     def steps(p: String, x: String): String =
       graft.functions.PinnedMath.lnFpSteps(p, x)
         .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
-    s"""pos AS (SELECT text FROM documents WHERE source IN (${nbSrcList(NbPosSources)})),
-       |neg AS (SELECT text FROM documents WHERE source IN (${nbSrcList(NbNegSources)})),
+    s"""pos AS (SELECT text FROM $rel WHERE source IN (${nbSrcList(NbPosSources)})),
+       |neg AS (SELECT text FROM $rel WHERE source IN (${nbSrcList(NbNegSources)})),
        |ptf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfp
        |  FROM (SELECT unnest($toksSql) AS w FROM pos) GROUP BY w),
        |ntf AS (SELECT w, CAST(count(*) AS BIGINT) AS tfn
@@ -625,14 +684,14 @@ object CurationQueries {
        |k AS (SELECT ${steps("la", "__npv")}, ${steps("lb", "__nnv")},
        |  ${steps("lc", "__dp")}, ${steps("ld", "__dn")} FROM cn CROSS JOIN dc),
        |kk AS (SELECT lb_lnfp - la_lnfp AS pertok_fp, lc_lnfp - ld_lnfp AS prior_fp FROM k),
-       |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |dt AS (SELECT doc_id, unnest($toksSql) AS w FROM $rel),
        |pd AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n,
        |  CAST(sum(coalesce(wv.wfp, 0)) AS BIGINT) AS s
        |  FROM dt LEFT JOIN wv USING (w) GROUP BY dt.doc_id),
        |sc AS (SELECT d.doc_id, d.source,
        |  CAST(coalesce(pd.n, 0) AS BIGINT) AS n_tokens,
        |  CAST(kk.prior_fp + coalesce(pd.n, 0) * kk.pertok_fp + coalesce(pd.s, 0) AS BIGINT) AS logodds_fp
-       |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk)""".stripMargin
+       |  FROM $rel d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN kk)""".stripMargin
   }
 
   /** The q90 grouped-TV-drift tail parameterized over its input: per-bin
@@ -1641,6 +1700,84 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // verdict twin: the NB scoring chain + gopher/C4/entropy/dup
+    // fragments rebuilt from the SAME TextFunctions constants, all flags
+    // integer CASEs, the mask pure integer arithmetic
+    "q132_curation_verdict" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      val tf = graft.functions.TextFunctions
+      val stopArms = tf.GopherStopSmall
+        .map(s => s"CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val endsOk = tf.C4EndMarks
+        .map(m => s"ends_with(rtrim(l), '${if (m == "\"") "\"" else m}')")
+        .mkString("(", " OR ", ")")
+      val policy = tf.C4PolicyPhrases
+        .map(p => s"contains(lower(l), '$p')").mkString("(", " OR ", ")")
+      val nw = "len(list_filter(string_split_regex(l, '\\s+'), x -> len(x) > 0))"
+      val keepPred = s"$endsOk AND $nw >= ${tf.C4MinWordsPerLine} AND " +
+        s"NOT contains(lower(l), 'javascript') AND NOT $policy"
+      s"""WITH docs_inj AS (SELECT doc_id, source, $verdictInjectedSql AS text FROM documents),
+         |${nbScoreCtesSqlOver("docs_inj")},
+         |gw AS (SELECT doc_id, text AS t,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS words,
+         |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+         |  $toksSql AS toks
+         |  FROM docs_inj),
+         |gm AS (SELECT doc_id,
+         |  CAST(len(words) AS BIGINT) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(words, x -> CAST(len(x) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+         |  CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         |  CAST(len(t) - len(replace(t, '#', '')) AS BIGINT)
+         |    + CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS symbol_count,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*]'))) AS BIGINT) AS bullet_lines,
+         |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+         |  CAST($stopArms AS BIGINT) AS n_stop_present
+         |  FROM gw),
+         |gk AS (SELECT doc_id, CAST(CASE WHEN
+         |  n_words >= ${tf.GopherMinWords} AND n_words <= ${tf.GopherMaxWords}
+         |  AND n_words > 0 AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+         |  AND 10 * symbol_count <= n_words
+         |  AND 10 * bullet_lines <= 9 * n_lines
+         |  AND 10 * ellipsis_lines <= 3 * n_lines
+         |  AND 5 * alpha_words >= 4 * n_words
+         |  AND n_stop_present >= 2 THEN 1 ELSE 0 END AS INTEGER) AS g_keep FROM gm),
+         |ckk AS (SELECT doc_id, CAST(CASE WHEN
+         |  len(list_filter(lines, l -> $keepPred)) >= ${tf.C4MinKeptLines}
+         |  AND NOT contains(lower(t), 'lorem ipsum')
+         |  AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c_keep FROM gw),
+         |ewc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM docs_inj) GROUP BY doc_id, w),
+         |elc AS (SELECT doc_id, c, ${steps("elnc", "c")} FROM ewc),
+         |epd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(c * elnc_lnfp) AS BIGINT) AS s FROM elc GROUP BY doc_id),
+         |el2 AS (SELECT doc_id, n, s, ${steps("elnn", "n")} FROM epd),
+         |ek AS (SELECT doc_id, CAST(CASE WHEN n > 0
+         |  AND n * elnn_lnfp - s >= n * ${graft.functions.PinnedMath.FpScale}
+         |  THEN 1 ELSE 0 END AS INTEGER) AS entropy_ok FROM el2),
+         |ddp AS (SELECT doc_id, CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+         |  THEN 1 ELSE 0 END AS INTEGER) AS not_dup FROM docs_inj),
+         |v AS (SELECT d.doc_id, gk.g_keep, ckk.c_keep,
+         |  CAST(CASE WHEN sc.logodds_fp >= 0 THEN 1 ELSE 0 END AS INTEGER) AS nb_pos,
+         |  CAST(coalesce(ek.entropy_ok, 0) AS INTEGER) AS entropy_ok,
+         |  ddp.not_dup
+         |  FROM docs_inj d
+         |    JOIN gk USING (doc_id) JOIN ckk USING (doc_id)
+         |    JOIN sc ON d.doc_id = sc.doc_id
+         |    LEFT JOIN ek ON d.doc_id = ek.doc_id
+         |    JOIN ddp ON d.doc_id = ddp.doc_id)
+         |SELECT doc_id, g_keep, c_keep, nb_pos, entropy_ok, not_dup,
+         |  CAST((1 - g_keep) + (1 - c_keep) * 2 + (1 - nb_pos) * 4
+         |    + (1 - entropy_ok) * 8 + (1 - not_dup) * 16 AS INTEGER) AS fail_mask,
+         |  CAST(CASE WHEN g_keep + c_keep + nb_pos + entropy_ok + not_dup = 5
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM v""".stripMargin
     },
 
     // span-removal twin: q95's fingerprint CTEs, then the maximal-extent
