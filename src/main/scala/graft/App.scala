@@ -565,6 +565,22 @@ object App {
             println(s"[graft] read-version: $tbl v$v rows=${df.count()}")
         }
 
+      case "table-diff" =>
+        // what moved between two retained snapshots of a versioned table
+        val o = parseArgs(args.tail)
+        val tbl = o.required("table")
+        val (v1, v2) = (o.required("from").toLong, o.required("to").toLong)
+        val (a, b) = (fetcher.readTableVersion(spark, tbl, v1),
+          fetcher.readTableVersion(spark, tbl, v2))
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        o.get("output-path").foreach(p => writer.writeParquet(
+          operators.SnapshotDiff.diff(a, b, idCol, textCol), p))
+        val s = operators.SnapshotDiff.diffSummary(a, b, idCol, textCol).head()
+        println(s"[graft] table-diff: $tbl v$v1 -> v$v2 " +
+          s"added=${s.getLong(0)} removed=${s.getLong(1)} " +
+          s"changed=${s.getLong(2)} unchanged=${s.getLong(3)}")
+
       case "vacuum-table" =>
         val o = parseArgs(args.tail)
         val tbl = o.required("table")
@@ -754,6 +770,8 @@ object App {
                      time travel: read a retained snapshot
   vacuum-table       --table <table> [--keep-last <n=3>] [--grace-minutes <m=60>]
                      drop old snapshots + unreferenced data dirs
+  table-diff         --table <table> --from <v> --to <v> [--output-path <p>]
+                     added/removed/changed/unchanged between snapshots
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
       |                     [--kv ...|--redis-host ... as online-sync]

@@ -485,6 +485,20 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // snapshot diff: old = ids <= 400, new = ids > 100 with every 50th
+    // doc's text edited — added/removed/changed/unchanged by content
+    // hash, the audit between two dataset versions (the q34 versioned
+    // table's time-travel companion)
+    "q133_snapshot_diff" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.operators.SnapshotDiff.diff(
+        d.filter(col("doc_id") <= 400),
+        d.filter(col("doc_id") > 100).withColumn("text",
+          when(col("doc_id") % 50 === 0, concat(col("text"), lit(" [edited]")))
+            .otherwise(col("text"))))
+    }),
+
     // the END-TO-END curation VERDICT: every filter family this library
     // ships — Gopher document rules, C4 line rules, the NB seed-trained
     // quality model, intrinsic entropy, exact dedup — joined into one
@@ -1701,6 +1715,21 @@ object CurationQueries {
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
     },
+
+    // snapshot-diff twin: md5 is lowercase hex on both engines; the same
+    // id-range split and % 50 edit
+    "q133_snapshot_diff" ->
+      s"""WITH oldd AS (SELECT doc_id, md5(text) AS old_hash FROM documents WHERE doc_id <= 400),
+         |newd AS (SELECT doc_id, md5(
+         |  CASE WHEN doc_id % 50 = 0 THEN text || ' [edited]' ELSE text END) AS new_hash
+         |  FROM documents WHERE doc_id > 100)
+         |SELECT coalesce(oldd.doc_id, newd.doc_id) AS doc_id,
+         |  CASE WHEN oldd.doc_id IS NULL THEN 'added'
+         |       WHEN newd.doc_id IS NULL THEN 'removed'
+         |       WHEN old_hash = new_hash THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  old_hash, new_hash
+         |FROM oldd FULL JOIN newd ON oldd.doc_id = newd.doc_id""".stripMargin,
 
     // verdict twin: the NB scoring chain + gopher/C4/entropy/dup
     // fragments rebuilt from the SAME TextFunctions constants, all flags

@@ -94,6 +94,13 @@ class AppSpec extends SparkTestBase {
       App.run(platform, Seq("read-version",
         "--table", tbl, "--version", "1", "--output-path", out))
       spark.read.parquet(out).as[(Long, String)].collect().toSet shouldBe Set((1L, "a"))
+      // diff between the retained snapshots: id 1 removed, 2 and 3 added
+      val dp = java.nio.file.Files.createTempDirectory("graft_td").toString + "/d"
+      App.run(platform, Seq("table-diff", "--table", tbl,
+        "--from", "1", "--to", "2", "--id-col", "id", "--text-col", "s",
+        "--output-path", dp))
+      spark.read.parquet(dp).select("id", "status").as[(Long, String)]
+        .collect().toSet shouldBe Set((1L, "removed"), (2L, "added"), (3L, "added"))
       App.run(platform, Seq("vacuum-table",
         "--table", tbl, "--keep-last", "1", "--grace-minutes", "0"))
       graft.sources.ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(2L)

@@ -111,7 +111,11 @@ class PlanSpec extends SparkTestBase {
       // q126 embeds q99's one-row ln(N+V) model constant against the
       // per-doc totals — the q43 scalar-broadcast shape; the tier join
       // back is keyed on (lang, bin), pinned by the q126 guard below
-      "q126_perplexity_buckets")
+      "q126_perplexity_buckets",
+      // q132 embeds q108's one-row NB model constants — the same
+      // sanctioned scalar-broadcast shape; every other verdict join is
+      // keyed on doc_id
+      "q132_curation_verdict")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
