@@ -202,7 +202,30 @@ object ScaleBench {
       "knn_ivfpq" -> (k => SimilaritySearch.ivfPqKnn(scaledEmb(k), "vec_id < 10", 3,
         centroidPred = "vec_id >= 100 AND vec_id < 108",
         codebookPred = "vec_id >= 108 AND vec_id < 124",
-        nProbe = 2)))
+        nProbe = 2)),
+      // q131 shape: the substring-pair join plus doc-keyed interval-merge
+      // windows and the rebuild concat; rotation keeps anchors disjoint
+      // across replicas, so span volume grows with within-replica reuse
+      "substring_remove" -> (k => Dedup.substringRemove(scaledDocs(k))),
+      // q132 shape: five per-doc filter families joined on doc_id — the
+      // NB model constants broadcast, everything else is combinable
+      // aggregates; rotation grows every distinct domain linearly
+      "curation_verdict" -> (k => {
+        val d = scaledDocs(k)
+        val gop = d.select(col("doc_id"),
+          graft.functions.TextFunctions.gopherRules(col("text"))
+            .find(_._1 == "gopher_keep").get._2.as("g_keep"))
+        val nb = graft.operators.QualityClassifier.nbLogOdds(d,
+            positive = d.filter(col("source").isin("src0", "src1", "src2")),
+            negative = d.filter(col("source").isin("src3", "src4", "src5")))
+          .select(col("doc_id"), (col("logodds_fp") >= 0L).cast("int").as("nb_pos"))
+        val ent = graft.operators.LmScore.tokenEntropy(d.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), (col("n_tokens") > 0L).cast("int").as("entropy_ok"))
+        val dup = Dedup.exact(d.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), (lit(1) - col("is_dup")).as("not_dup"))
+        d.select(col("doc_id")).join(gop, "doc_id").join(nb, "doc_id")
+          .join(ent, "doc_id").join(dup, "doc_id")
+      }))
 
     def once(df: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
