@@ -494,6 +494,20 @@ object App {
           o.required("output-path"))
         println(s"[graft] entropy: wrote token-entropy scores to ${o("output-path")}")
 
+      case "corpus-card" =>
+        // the datasheet-style release report: composition, lengths,
+        // duplication pressure, intrinsic quality — one table per facet
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val out = o.required("output-path")
+        val card = operators.CorpusCard.build(docs,
+          o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text"))
+        card.foreach { case (name, df) => writer.writeParquet(df, s"$out/$name") }
+        val langs = fetcher.readParquet(spark, s"$out/languages").count()
+        val dup = fetcher.readParquet(spark, s"$out/duplication").head()
+        println(s"[graft] corpus-card: $langs languages; mean dup ratio " +
+          s"${dup.getAs[Double]("mean_dup_ratio")}; tables under $out")
+
       case "pmi" =>
         // corpus collocations by pointwise mutual information
         val o = parseArgs(args.tail)
@@ -841,6 +855,9 @@ object App {
       |                     [--ngram <n=3>]  per-doc duplicated-shingle fraction
       |  entropy            --docs-path <path> --output-path <path>
       |                     token entropy + type-token ratio per doc
+      |  corpus-card        --docs-path <path> --output-path <path>
+      |                     datasheet report: languages, sources, lengths,
+      |                     duplication, quality tables
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The corpus CARD — the one-shot dataset report a team attaches to a
+  * release (datasheet-style): composition by language and source, length
+  * distribution, duplication pressure, and intrinsic quality signals.
+  * Every table is built from operators this library already gates
+  * elsewhere; the card is the REPORT surface, so columns favor
+  * readability (averages, percents) over the oracle family's exactness
+  * discipline.
+  *
+  * Scale shape: one metadata pass (row-local metrics + combinable
+  * aggregates) plus the [[Dedup.duplicationProfile]] posting pass —
+  * nothing here is heavier than the audits it summarizes.
+  */
+object CorpusCard {
+
+  /** The card as named tables: `languages`, `sources`, `lengths` (token
+    * histogram by power-of-2 bucket), `duplication` (one row),
+    * `quality` (one row). Write each to `<out>/<name>` or read off the
+    * summaries directly.
+    */
+  def build(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): Map[String, DataFrame] = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol), col(textCol),
+      coalesce(col("lang"), lit("??")).as("lang"),
+      coalesce(col("source"), lit("??")).as("source"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val languages = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"))
+      .orderBy(col("docs").desc, col("lang"))
+    val sources = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy(col("docs").desc, col("source"))
+    // power-of-2 token buckets: bounded bins at any corpus size
+    val lengths = base
+      .withColumn("bucket", when(col("n_tokens") === 0L, lit(0L))
+        .otherwise(pow(lit(2.0), floor(log2(col("n_tokens")))).cast("long")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("docs"))
+      .orderBy(col("bucket"))
+    val dupProf = Dedup.duplicationProfile(docs, idCol = idCol, textCol = textCol)
+    val duplication = dupProf.agg(
+      count(lit(1)).as("docs_profiled"),
+      round(avg(col("dup_ratio")), 4).as("mean_dup_ratio"),
+      sum((col("max_df") > 1L).cast("long")).as("docs_with_shared_content"),
+      max(col("max_df")).as("max_shingle_df"))
+    val ent = LmScore.tokenEntropy(docs.select(col(idCol), col(textCol)),
+      idCol, textCol)
+    val quality = ent.agg(
+      round(avg(col("entropy_nats")), 4).as("mean_entropy_nats"),
+      round(avg(col("ttr")), 4).as("mean_ttr"),
+      sum((col("n_tokens") === 0L).cast("long")).as("empty_docs"))
+    Map("languages" -> languages, "sources" -> sources, "lengths" -> lengths,
+      "duplication" -> duplication, "quality" -> quality)
+  }
+}

@@ -414,6 +414,17 @@ class AppSpec extends SparkTestBase {
     App.run(platform, Seq("entropy",
       "--docs-path", "docs", "--output-path", "ent"))
     storage.rows("ent").size shouldBe docs.count()
+    App.run(platform, Seq("corpus-card",
+      "--docs-path", "docs", "--output-path", "card"))
+    storage.rows("card/languages").map(_.getAs[String]("lang")).toSet shouldBe
+      Set("en", "zh", "es", "de", "fr")
+    storage.rows("card/sources").size shouldBe 20
+    storage.rows("card/duplication").head
+      .getAs[Double]("mean_dup_ratio") should (be >= 0.0 and be <= 1.0)
+    storage.rows("card/quality").head
+      .getAs[Double]("mean_entropy_nats") should be > 0.0
+    // histogram buckets are powers of two covering every doc
+    storage.rows("card/lengths").map(_.getAs[Long]("docs")).sum shouldBe docs.count()
   }
 
   test("audit subcommand writes balance, drift, and padding reports") {
