@@ -380,6 +380,26 @@ object EventStream {
           storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
       }
 
+  /** Streaming BLOCKLIST gate: each arriving micro-batch of documents is
+    * screened against the category word/phrase lists with the batch
+    * operator ([[graft.operators.Blocklist.screenRollup]]) — matching is
+    * entirely row-local against a broadcast list, so per-batch
+    * independence is trivially exact and there is no state to freeze.
+    * `sink` receives every batch doc's (idCol, total_hits, n_categories,
+    * worst_category, keep) row with the micro-batch id — route keep=0 to
+    * quarantine at ingest instead of scrubbing after the fact.
+    */
+  def blocklistGateWriter(docs: DataFrame, blocklist: Seq[(String, String)],
+                          sink: (DataFrame, Long) => Unit,
+                          idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Blocklist.screenRollup(
+          batch.toDF(), blocklist, idCol, textCol), batchId)
+      }
+
   /** Streaming SEMANTIC contamination gate: each arriving micro-batch of
     * embedded documents is checked against a FROZEN benchmark embedding
     * table with the batch operator

@@ -444,6 +444,33 @@ class DedupSpec extends SparkTestBase {
     (span >> 32).toInt shouldBe 2                   // left stops at the xx/yy boundary
   }
 
+  test("substringRemove invariants on the real corpus: length accounting, survival, flagged-doc consistency") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = Dedup.substringRemove(corpus)
+      .join(corpus, "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+        org.apache.spark.sql.functions.length(col("text")).cast("long").as("orig_len"),
+        org.apache.spark.sql.functions.length(col("text_clean")).cast("long").as("clean_len"),
+        (col("text") === col("text_clean")).as("same"))
+      .collect()
+    out.length.toLong shouldBe corpus.count() // every doc survives
+    out.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}:") {
+        // chars_removed accounts exactly for the length delta
+        r.getLong(2) shouldBe r.getLong(3) - r.getLong(4)
+        // docs without spans are byte-identical; docs with spans are not
+        (r.getLong(1) == 0L) shouldBe r.getBoolean(5)
+      }
+    }
+    // the pair report and the removal agree on which docs lost text:
+    // every doc with spans is the LATER side of some verified pair
+    val laterIds = Dedup.substringPairs(corpus)
+      .select(col("id_b")).as[Long].collect().toSet
+    out.filter(_.getLong(1) > 0).map(_.getLong(0)).toSet shouldBe laterIds
+  }
+
   test("duplicationProfile: exact copies fully duplicated, unique doc zero, partial overlap counted") {
     import spark.implicits._
     val docs = Seq(

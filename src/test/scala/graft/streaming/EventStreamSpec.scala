@@ -426,6 +426,33 @@ class EventStreamSpec extends SparkTestBase {
     } finally { query.stop(); beSigs.unpersist() }
   }
 
+  test("streaming blocklist gate: row-local screen per micro-batch == batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val list = Seq("gambling" -> "casino", "spam" -> "click here")
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val query = EventStream.blocklistGateWriter(
+        input.toDF().toDF("doc_id", "text"), list,
+        (out, _) => collected.synchronized {
+          collected ++= out.select("doc_id", "total_hits", "keep")
+            .as[(Long, Long, Int)].collect()
+        })
+      .start()
+    try {
+      val batch1 = Seq((1L, "win at the casino"), (2L, "a clean doc"))
+      val batch2 = Seq((3L, "click here now"), (4L, "another clean doc"))
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2); query.processAllAvailable()
+      val batchAudit = graft.operators.Blocklist
+        .screenRollup((batch1 ++ batch2).toDF("doc_id", "text"), list)
+        .select("doc_id", "total_hits", "keep")
+        .as[(Long, Long, Int)].collect().toSet
+      collected.toSet shouldBe batchAudit
+      collected.filter(_._3 == 0).map(_._1).toSet shouldBe Set(1L, 3L)
+    } finally query.stop()
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
