@@ -120,15 +120,18 @@ object Dedup {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
       storage)
-    // Labels start from the union of docs and pair endpoints: an endpoint
-    // outside `docs` still CONDUCTS merges (a-x, x-b with x filtered out of
-    // docs must still cluster a with b); the output below is restricted
-    // back to docs, so phantom conduits never surface as rows or counts.
+    // Labels iterate over PAIR-GRAPH NODES ONLY (both endpoints of every
+    // edge — including conduits outside `docs`: a-x, x-b with x filtered
+    // out must still cluster a with b). Singleton docs never change label,
+    // so carrying them through every round would only inflate each
+    // round's shuffle from |graph| to |corpus| — at dedup rates the graph
+    // is a small fraction of the corpus, and the full doc set joins the
+    // converged labels exactly once below.
     val endpoints = edges.select(col("src").as("id"))
     // eager localCheckpoint: materializes AND truncates the logical plan —
     // see scaladoc. Old rounds' blocks are released by the ContextCleaner
     // once unreferenced.
-    var labels = nodes.union(endpoints).distinct()
+    var labels = endpoints.distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
     // Convergence, numeric ids: labels only ever DECREASE, so the (exact,
     // decimal — long ids could overflow a bigint sum) label total strictly
@@ -189,8 +192,10 @@ object Dedup {
     // count docs-only members, and the keeper is the min DOC id of the
     // component — a phantom conduit may hold the component's min label but
     // can never be a keeper (when pairs ⊆ docs, min doc id == label and
-    // this is the identity).
-    val docLabels = labels.join(nodes, "id")
+    // this is the identity). Docs outside the pair graph are singletons:
+    // their own id is their label (the left join's coalesce arm).
+    val docLabels = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     val keepers = docLabels.groupBy(col("label"))
       .agg(min(col("id")).as("cluster_id"), count(lit(1)).as("cluster_size"))
     docLabels.join(keepers, "label")
