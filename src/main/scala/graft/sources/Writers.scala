@@ -46,6 +46,30 @@ trait Writer {
     ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(path)
   }
 
+  /** BLOOM-FILTERED parquet sink: the POINT-LOOKUP pruning lever, for key
+    * columns whose values are uniform (hashes, ids) — exactly where the
+    * min/max stats of [[writeClusteredParquet]] prune nothing unless the
+    * data is range-clustered on that key. Parquet writes a split-block
+    * bloom filter per row group for each listed column; a pushed equality
+    * predicate then skips row groups whose filter proves absence —
+    * O(row-groups) membership probes instead of a full scan, no reorder
+    * of the data, composable with clustering on a DIFFERENT column (e.g.
+    * cluster by day, bloom on user_id: range scans prune by day, point
+    * lookups prune by user). `ndv` sizes the filter (expected distinct
+    * values per row group — overestimate; an undersized filter saturates
+    * to all-positive and prunes nothing).
+    */
+  def writeBloomFilteredParquet(df: DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 100000L,
+      mode: String = "overwrite"): Unit = {
+    require(bloomCols.nonEmpty, "bloomCols must be non-empty")
+    require(ndv > 0, "ndv must be positive")
+    bloomCols.foldLeft(df.write.mode(mode)) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Z-ORDERED parquet sink: the TWO-dimensional layout lever.
     * [[writeClusteredParquet]] on (a, b) prunes perfectly on `a` but not
     * on `b` alone — lexicographic order gives the secondary key the full

@@ -52,6 +52,37 @@ class WritersSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("bloom-filtered write records per-row-group filters for listed columns only; data round-trips") {
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    val docs = (1L to 2000L).map(i => (i, s"content$i", i % 7)).toDF("doc_id", "text", "grp")
+    ProdWriter.writeBloomFilteredParquet(docs, s"$dir/b", Seq("doc_id"), ndv = 2000L)
+    ProdWriter.writeParquet(docs, s"$dir/plain")
+    def bloomOffsets(path: String): Map[String, Seq[Long]] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getBlocks.asScala.flatMap(b =>
+            b.getColumns.asScala.map(c =>
+              c.getPath.toDotString -> c.getBloomFilterOffset))
+        } finally r.close()
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    val withBloom = bloomOffsets(s"$dir/b")
+    withBloom("doc_id").foreach(_ should be >= 0L)   // filter present per row group
+    withBloom("text").foreach(_ shouldBe -1L)        // unlisted columns: none
+    bloomOffsets(s"$dir/plain")("doc_id").foreach(_ shouldBe -1L) // default write: none
+    // data unchanged; a pushed point lookup still returns exactly its row
+    spark.read.parquet(s"$dir/b").filter(col("doc_id") === 1234L)
+      .select("text").as[String].collect() shouldBe Array("content1234")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("numFiles = 0 sorts within existing partitions without a shuffle") {
     val dir = Files.createTempDirectory("graft_writers0").toString
     val rows = (0 until 1000).map(i => (i.toLong % 50, i)).toDF("user_id", "n")
