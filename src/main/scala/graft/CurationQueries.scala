@@ -485,6 +485,43 @@ object CurationQueries {
         .select(col("doc_id") +:
           TextFunctions.c4Rules(c4Injected).map { case (n, c) => c.as(n) }: _*)),
 
+    // the CONTAMINATION verdict: all four leak gates — verbatim n-gram
+    // (q45), substring (q98), MinHash fuzzy (q127), embedding-space
+    // (q116) — joined into one per-train-doc report with a method bitmask
+    // (1=ngram, 2=substring, 4=fuzzy, 8=embedding). ONE bench/train split
+    // (ids <= 100 = benchmark) across every method; the pre-release audit
+    // a team actually runs before an eval claim
+    "q134_contamination_verdict" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") <= ContamSplitId)
+      val train = d.filter(col("doc_id") > ContamSplitId)
+      val ng = Contamination.check(train, bench)
+        .select(col("doc_id"), col("contaminated").as("ngram_hit"))
+      val sub = Contamination.substringContamination(train, bench,
+          minLen = SubstrLen, k = SubstrK)
+        .select(col("doc_id"), lit(1).as("substr_hit"))
+      val fz = Contamination.fuzzyContamination(train, bench, threshold = 0.5)
+        .select(col("doc_id"), lit(1).as("fuzzy_hit"))
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val em = graft.operators.SimilaritySearch.crossNearDup(
+          e.filter(col("vec_id") > ContamSplitId),
+          e.filter(col("vec_id") <= ContamSplitId), threshold = 0.3)
+        .select(col("vec_id").as("doc_id")).distinct()
+        .withColumn("embed_hit", lit(1))
+      train.select(col("doc_id"))
+        .join(ng, Seq("doc_id"), "left").join(sub, Seq("doc_id"), "left")
+        .join(fz, Seq("doc_id"), "left").join(em, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ngram_hit"), lit(0)).as("ngram_hit"),
+          coalesce(col("substr_hit"), lit(0)).as("substr_hit"),
+          coalesce(col("fuzzy_hit"), lit(0)).as("fuzzy_hit"),
+          coalesce(col("embed_hit"), lit(0)).as("embed_hit"))
+        .withColumn("method_mask", col("ngram_hit") + col("substr_hit") * 2
+          + col("fuzzy_hit") * 4 + col("embed_hit") * 8)
+        .withColumn("clean", (col("method_mask") === 0).cast("int"))
+    }),
+
     // snapshot diff: old = ids <= 400, new = ids > 100 with every 50th
     // doc's text edited — added/removed/changed/unchanged by content
     // hash, the audit between two dataset versions (the q34 versioned
@@ -1714,6 +1751,71 @@ object CurationQueries {
          |    AND NOT contains(t, '{') THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
          |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
          |FROM m""".stripMargin
+    },
+
+    // contamination-verdict twin: four gate fragments — q45's posting
+    // semi-join, q98's winnowing extent, q127's minhash cross with exact
+    // Jaccard, q116's sign-band cross with exact cosine — each reduced to
+    // a distinct train-id set, then integer mask arithmetic
+    "q134_contamination_verdict" -> {
+      val k = SubstrK; val len = SubstrLen
+      import graft.TrainingDataQueries.{minhashSigCtesSql, embBaseSql, signKeySql, dotSql}
+      s"""WITH $minhashSigCtesSql,
+         |ngb AS (SELECT DISTINCT unnest(hashes) AS h FROM sets WHERE id <= $ContamSplitId),
+         |ngh AS (SELECT DISTINCT p.id AS doc_id
+         |  FROM (SELECT id, unnest(hashes) AS h FROM sets WHERE id > $ContamSplitId) p
+         |  JOIN ngb USING (h)),
+         |trd AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id > $ContamSplitId),
+         |bnd AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id <= $ContamSplitId),
+         |${winnowFpSql("tr", "trd")},
+         |${winnowFpSql("be", "bnd")},
+         |sbc AS (SELECT t.doc_id AS tr_id, t.text AS ta, t.n AS la, t.apos AS pa,
+         |  b.text AS tb, b.n AS lb, b.apos AS pb
+         |  FROM fp_tr t JOIN fp_be b ON t.h = b.h),
+         |sbe AS (SELECT tr_id,
+         |  CASE WHEN substr(ta, CAST(pa AS INT), $k) = substr(tb, CAST(pb AS INT), $k)
+         |    THEN $k
+         |      + coalesce(list_aggregate(list_transform(range(0, least(pa, pb)),
+         |          ll -> CASE WHEN substr(ta, CAST(pa - ll AS INT), CAST(ll AS INT))
+         |                     = substr(tb, CAST(pb - ll AS INT), CAST(ll AS INT)) THEN ll END), 'max'), 0)
+         |      + coalesce(list_aggregate(list_transform(range(0, least(la - pa - $k + 1, lb - pb - $k + 1) + 1),
+         |          rr -> CASE WHEN substr(ta, CAST(pa + $k AS INT), CAST(rr AS INT))
+         |                     = substr(tb, CAST(pb + $k AS INT), CAST(rr AS INT)) THEN rr END), 'max'), 0)
+         |    ELSE 0 END AS extent
+         |  FROM sbc),
+         |sbh AS (SELECT DISTINCT tr_id AS doc_id FROM sbe WHERE extent >= $len),
+         |fzc AS (SELECT DISTINCT a.id AS tr_id, b2.id AS be_id
+         |  FROM buckets a JOIN buckets b2 ON a.band = b2.band AND a.key = b2.key
+         |  AND a.id > $ContamSplitId AND b2.id <= $ContamSplitId),
+         |fzh AS (SELECT DISTINCT fzc.tr_id AS doc_id
+         |  FROM fzc JOIN sets sa ON fzc.tr_id = sa.id JOIN sets sb ON fzc.be_id = sb.id
+         |  WHERE round(len(list_intersect(sa.hashes, sb.hashes)) * 1.0 /
+         |        (len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes))), 6) >= 0.5),
+         |$embBaseSql,
+         |emb2 AS (SELECT vec_id, bb.band AS band, ${signKeySql("v", "bb.band")} AS key
+         |  FROM en CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS band) bb),
+         |emc AS (SELECT DISTINCT c.vec_id, r.vec_id AS ref_id
+         |  FROM emb2 c JOIN emb2 r ON c.band = r.band AND c.key = r.key
+         |  WHERE c.vec_id > $ContamSplitId AND r.vec_id <= $ContamSplitId),
+         |emh AS (SELECT DISTINCT emc.vec_id AS doc_id
+         |  FROM emc JOIN en a ON emc.vec_id = a.vec_id JOIN en b ON emc.ref_id = b.vec_id
+         |  WHERE round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.3),
+         |flags AS (SELECT d.doc_id,
+         |  CAST(CASE WHEN ngh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS ngram_hit,
+         |  CAST(CASE WHEN sbh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS substr_hit,
+         |  CAST(CASE WHEN fzh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS fuzzy_hit,
+         |  CAST(CASE WHEN emh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS embed_hit
+         |  FROM documents d
+         |    LEFT JOIN ngh ON d.doc_id = ngh.doc_id
+         |    LEFT JOIN sbh ON d.doc_id = sbh.doc_id
+         |    LEFT JOIN fzh ON d.doc_id = fzh.doc_id
+         |    LEFT JOIN emh ON d.doc_id = emh.doc_id
+         |  WHERE d.doc_id > $ContamSplitId)
+         |SELECT doc_id, ngram_hit, substr_hit, fuzzy_hit, embed_hit,
+         |  CAST(ngram_hit + substr_hit * 2 + fuzzy_hit * 4 + embed_hit * 8 AS INTEGER) AS method_mask,
+         |  CAST(CASE WHEN ngram_hit + substr_hit + fuzzy_hit + embed_hit = 0
+         |    THEN 1 ELSE 0 END AS INTEGER) AS clean
+         |FROM flags""".stripMargin
     },
 
     // snapshot-diff twin: md5 is lowercase hex on both engines; the same

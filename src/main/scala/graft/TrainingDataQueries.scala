@@ -430,7 +430,7 @@ object TrainingDataQueries {
     * shared by the self-join dedup oracles and the cross-corpus fuzzy
     * contamination twin.
     */
-  private lazy val minhashSigCtesSql: String = {
+  private[graft] lazy val minhashSigCtesSql: String = {
     val sigExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(hashes, h$j -> (${MinhashA(j)}*h$j + ${MinhashB(j)}) % $MinhashMod))"
     }.mkString(", ")
@@ -457,7 +457,7 @@ object TrainingDataQueries {
   /** left-fold dot product of double-list exprs `a`,`b` (twin of
     * [[graft.functions.VectorFunctions.dot]])
     */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a)+1), di -> $a[di]*$b[di])), (acc, x) -> acc + x)"
 
@@ -465,7 +465,7 @@ object TrainingDataQueries {
     s"""e AS (SELECT vec_id, list_transform(embedding, ei -> CAST(ei AS DOUBLE)) AS v FROM embeddings WHERE $pred),
        |en AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e)""".stripMargin
 
-  private val embBaseSql = embBaseSqlWhere("TRUE")
+  private[graft] val embBaseSql = embBaseSqlWhere("TRUE")
 
   /** The PQ-ADC replay shared by q111 and q113 (frozen-codebook encoding
     * is row-local, so the incremental build equals the one-shot — the q53
@@ -559,7 +559,7 @@ object TrainingDataQueries {
     * [[graft.functions.VectorFunctions.signBandKey]]'s guard, so Spark and
     * oracle agree that out-of-range bands contribute no candidates.
     */
-  private def signKeySql(v: String, band: String): String = {
+  private[graft] def signKeySql(v: String, band: String): String = {
     val bits = (1 to 8).map(i => s"(CASE WHEN $v[$i + 8*($band)] > 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
     s"(CASE WHEN len($v) >= 8*(($band)+1) THEN $bits END)"
