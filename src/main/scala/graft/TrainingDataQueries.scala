@@ -135,6 +135,21 @@ object TrainingDataQueries {
         codebookPred = "vec_id >= 108 AND vec_id < 124",
         nProbe = 2, m = 4, dim = EmbeddingDim)),
 
+    // INCREMENTAL IVF-PQ: build on the first slice, append the rest
+    // against the FROZEN coarse centroids + residual codebook (row-local),
+    // query the grown composite index. Incremental == one-shot by
+    // construction, so the oracle IS q125's
+    "q135_knn_ivfpq_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = SimilaritySearch.buildIvfPqIndex(e.filter(col("vec_id") < 300),
+        centroidPred = "vec_id >= 100 AND vec_id < 108",
+        codebookPred = "vec_id >= 108 AND vec_id < 124",
+        m = 4, dim = EmbeddingDim)
+      SimilaritySearch.queryIvfPqIndex(
+        SimilaritySearch.addToIvfPqIndex(idx, e.filter(col("vec_id") >= 300)),
+        e.filter(col("vec_id") < 10), k = 3, nProbe = 2)
+    }),
+
     // SemDeDup semantic dedup: trained-k-means cells (the q35 quantizer),
     // in-cell cosine pairs, drop the closer-to-centroid side of every
     // near-duplicate pair — the paraphrase-level dedup complement to the
@@ -530,6 +545,55 @@ object TrainingDataQueries {
        |pq$i AS (SELECT cid, sub, cv, ${dotSql("cv", "cv")} AS cvv FROM pc$i)""".stripMargin
   }
 
+
+  /** The IVF-PQ replay shared by q125 and q135 (frozen quantizers ->
+    * build-then-add equals one-shot, so the incremental oracle IS the
+    * one-shot's text).
+    */
+  private lazy val ivfPqOracleSql: String = {
+      val subDim = EmbeddingDim / 4
+      s"""WITH $embBaseSql,
+         |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
+         |cc AS (SELECT vec_id AS ccid, vn AS cn FROM evn WHERE vec_id >= 100 AND vec_id < 108),
+         |asg AS (SELECT evn.vec_id, evn.vn, cc.ccid, cc.cn,
+         |  ${dotSql("evn.vn", "cc.cn")} AS cscore FROM evn CROSS JOIN cc
+         |  QUALIFY row_number() OVER (PARTITION BY evn.vec_id ORDER BY cscore DESC, ccid ASC) = 1),
+         |rr AS (SELECT vec_id, ccid,
+         |  list_transform(range(1, ${EmbeddingDim + 1}), ri -> vn[ri] - cn[ri]) AS r FROM asg),
+         |rs AS (SELECT vec_id, ccid, sub, list_slice(r, sub*$subDim + 1, (sub+1)*$subDim) AS rv
+         |  FROM rr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
+         |rsn AS (SELECT vec_id, ccid, sub, rv, ${dotSql("rv", "rv")} AS rvv FROM rs),
+         |cb AS (SELECT vec_id AS cid, sub, rv AS cv, rvv AS cvv FROM rsn
+         |  WHERE vec_id >= 108 AND vec_id < 124),
+         |enc AS (SELECT rsn.vec_id, rsn.ccid, rsn.sub, cb.cid,
+         |  rsn.rvv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("rsn.rv", "cb.cv")} AS d2
+         |  FROM rsn JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, ccid, sub, cid FROM enc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
+         |qp AS (SELECT evn.vec_id, evn.vn, cc.ccid, cc.cn,
+         |  ${dotSql("evn.vn", "cc.cn")} AS cscore FROM evn CROSS JOIN cc
+         |  WHERE evn.vec_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY evn.vec_id ORDER BY cscore DESC, ccid ASC) <= 2),
+         |qr AS (SELECT vec_id, ccid,
+         |  list_transform(range(1, ${EmbeddingDim + 1}), ri -> vn[ri] - cn[ri]) AS r FROM qp),
+         |qs AS (SELECT vec_id, ccid, sub, list_slice(r, sub*$subDim + 1, (sub+1)*$subDim) AS rv
+         |  FROM qr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss2),
+         |qsn AS (SELECT vec_id, ccid, sub, rv, ${dotSql("rv", "rv")} AS rvv FROM qs),
+         |qt AS (SELECT qsn.vec_id AS query_id, qsn.ccid, qsn.sub, cb.cid,
+         |  CAST(floor((qsn.rvv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("qsn.rv", "cb.cv")})
+         |    * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dfp
+         |  FROM qsn JOIN cb USING (sub)),
+         |ad AS (SELECT qt.query_id, codes.vec_id AS neighbor_id,
+         |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
+         |  FROM codes JOIN qt ON codes.ccid = qt.ccid AND codes.sub = qt.sub
+         |    AND codes.cid = qt.cid AND codes.vec_id <> qt.query_id
+         |  GROUP BY qt.query_id, codes.vec_id)
+         |SELECT query_id, neighbor_id, adist_fp,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |FROM ad
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
+  }
+
   private lazy val pqAdcOracleSql: String =
     s"""$pqAdcCtes
        |SELECT query_id, neighbor_id, adist_fp,
@@ -847,49 +911,12 @@ object TrainingDataQueries {
     // residual, the q111 subspace/encode/ADC machinery over residuals
     // with the cell id carried through every key (per-cell query tables;
     // the candidate join adds ccid to the (sub, cid) key)
-    "q125_knn_ivfpq" -> {
-      val subDim = EmbeddingDim / 4
-      s"""WITH $embBaseSql,
-         |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
-         |cc AS (SELECT vec_id AS ccid, vn AS cn FROM evn WHERE vec_id >= 100 AND vec_id < 108),
-         |asg AS (SELECT evn.vec_id, evn.vn, cc.ccid, cc.cn,
-         |  ${dotSql("evn.vn", "cc.cn")} AS cscore FROM evn CROSS JOIN cc
-         |  QUALIFY row_number() OVER (PARTITION BY evn.vec_id ORDER BY cscore DESC, ccid ASC) = 1),
-         |rr AS (SELECT vec_id, ccid,
-         |  list_transform(range(1, ${EmbeddingDim + 1}), ri -> vn[ri] - cn[ri]) AS r FROM asg),
-         |rs AS (SELECT vec_id, ccid, sub, list_slice(r, sub*$subDim + 1, (sub+1)*$subDim) AS rv
-         |  FROM rr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss),
-         |rsn AS (SELECT vec_id, ccid, sub, rv, ${dotSql("rv", "rv")} AS rvv FROM rs),
-         |cb AS (SELECT vec_id AS cid, sub, rv AS cv, rvv AS cvv FROM rsn
-         |  WHERE vec_id >= 108 AND vec_id < 124),
-         |enc AS (SELECT rsn.vec_id, rsn.ccid, rsn.sub, cb.cid,
-         |  rsn.rvv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("rsn.rv", "cb.cv")} AS d2
-         |  FROM rsn JOIN cb USING (sub)),
-         |codes AS (SELECT vec_id, ccid, sub, cid FROM enc
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cid ASC) = 1),
-         |qp AS (SELECT evn.vec_id, evn.vn, cc.ccid, cc.cn,
-         |  ${dotSql("evn.vn", "cc.cn")} AS cscore FROM evn CROSS JOIN cc
-         |  WHERE evn.vec_id < 10
-         |  QUALIFY row_number() OVER (PARTITION BY evn.vec_id ORDER BY cscore DESC, ccid ASC) <= 2),
-         |qr AS (SELECT vec_id, ccid,
-         |  list_transform(range(1, ${EmbeddingDim + 1}), ri -> vn[ri] - cn[ri]) AS r FROM qp),
-         |qs AS (SELECT vec_id, ccid, sub, list_slice(r, sub*$subDim + 1, (sub+1)*$subDim) AS rv
-         |  FROM qr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS sub) ss2),
-         |qsn AS (SELECT vec_id, ccid, sub, rv, ${dotSql("rv", "rv")} AS rvv FROM qs),
-         |qt AS (SELECT qsn.vec_id AS query_id, qsn.ccid, qsn.sub, cb.cid,
-         |  CAST(floor((qsn.rvv + cb.cvv - CAST(2 AS DOUBLE) * ${dotSql("qsn.rv", "cb.cv")})
-         |    * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS dfp
-         |  FROM qsn JOIN cb USING (sub)),
-         |ad AS (SELECT qt.query_id, codes.vec_id AS neighbor_id,
-         |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
-         |  FROM codes JOIN qt ON codes.ccid = qt.ccid AND codes.sub = qt.sub
-         |    AND codes.cid = qt.cid AND codes.vec_id <> qt.query_id
-         |  GROUP BY qt.query_id, codes.vec_id)
-         |SELECT query_id, neighbor_id, adist_fp,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
-         |FROM ad
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
-    },
+    "q125_knn_ivfpq" -> ivfPqOracleSql,
+
+    // incremental IVF-PQ twin: both quantizers frozen at build, so
+    // assign + residual-encode of a shard is row-local and build-then-add
+    // equals one-shot — the q113 argument; the oracle is q125's verbatim
+    "q135_knn_ivfpq_incremental" -> ivfPqOracleSql,
 
     // SemDeDup twin: the q35 trained quantizer (two unrolled ordered-fold
     // Lloyd rounds), assignment keeps the winning score as keep-priority,

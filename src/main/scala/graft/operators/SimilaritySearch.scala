@@ -591,75 +591,128 @@ object SimilaritySearch {
                centroidPred: String, codebookPred: String,
                nProbe: Int = 2, m: Int = 4, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+               storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    queryIvfPqIndex(
+      buildIvfPqIndex(embeddings, centroidPred, codebookPred, m, dim,
+        idCol, vecCol, storage),
+      embeddings.filter(queryPred), k, nProbe, idCol, vecCol)
+
+  /** The PERSISTABLE IVF-PQ index: coarse unit centroids `cents(ccid,
+    * cn)`, residual codebook `cbook(cid, sub, cv, cvv)`, and the code
+    * table `codes(id, ccid, sub, cid)` — m ints per stored vector. Both
+    * quantizers are FROZEN at build, so appending a shard
+    * ([[addToIvfPqIndex]]) is row-local (assign + residual-encode against
+    * broadcasts) and build-then-add equals one-shot EXACTLY — the
+    * [[PqIndex]]/q113 argument carried to the composite index.
+    */
+  case class IvfPqIndex(cents: DataFrame, cbook: DataFrame, codes: DataFrame,
+                        m: Int = 4, dim: Int = 64)
+
+  // (id, vn): unit vectors, with pqSubbed's zero-norm fail-fast
+  private def ivfPqUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val p = prep(df, idCol, vecCol)
+    val safeNrm = when(col("nrm") > 0, col("nrm")).otherwise(
+      raise_error(concat(lit("ivfPqKnn: zero-norm embedding id="), col("id").cast("string")))
+        .cast("double"))
+    p.withColumn("vn", transform(col("v"), x => x.cast("double") / safeNrm))
+      .select(col("id"), col("vn"))
+  }
+
+  // argmax-cosine cell (the assignCells aggregate — the xK fan-out
+  // collapses map-side), centroid re-attached by its key
+  private def ivfPqAssigned(df: DataFrame, cents: DataFrame): DataFrame = {
+    val cell = df.crossJoin(broadcast(cents))
+      .withColumn("cscore", vecDot(col("vn"), col("cn")))
+      .groupBy(col("id"))
+      .agg(max_by(col("ccid"), struct(col("cscore"), (-col("ccid")).as("nc"))).as("ccid"))
+    df.join(cell, Seq("id")).join(broadcast(cents), Seq("ccid"))
+  }
+
+  // subspace slices of the residual carried under `keyCols`
+  private def ivfPqResidSubs(df: DataFrame, keyCols: Seq[String],
+                             m: Int, subDim: Int): DataFrame =
+    df.withColumn("r", zip_with(col("vn"), col("cn"), (a, b) => a - b))
+      .select(keyCols.map(col) :+ explode(array((0 until m).map { i =>
+        struct(lit(i).as("sub"), slice(col("r"), i * subDim + 1, subDim).as("rv"))
+      }: _*)).as("s"): _*)
+      .select(keyCols.map(col) :+ col("s.sub").as("sub") :+ col("s.rv").as("rv"): _*)
+      .withColumn("rvv", vecDot(col("rv"), col("rv")))
+
+  // residual-subspace rows -> (id, ccid, sub, cid) code rows
+  private def ivfPqEncode(subs: DataFrame, cbook: DataFrame): DataFrame =
+    subs.join(broadcast(cbook), Seq("sub"))
+      .withColumn("d2", col("rvv") + col("cvv") - lit(2.0) * vecDot(col("rv"), col("cv")))
+      .groupBy(col("id"), col("ccid"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+
+  /** Build the index over the initial corpus: coarse centroids and the
+    * residual codebook from their slice predicates, every corpus vector
+    * assigned + residual-encoded once.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame,
+                      centroidPred: String, codebookPred: String,
+                      m: Int = 4, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): IvfPqIndex = {
     require(dim % m == 0, s"ivfPqKnn: dim $dim must split into $m subspaces")
-    require(nProbe > 0, "ivfPqKnn: nProbe must be positive")
     require(!embeddings.filter(centroidPred).limit(1).isEmpty,
       s"ivfPqKnn: centroidPred '$centroidPred' selects no rows — no cells")
     require(!embeddings.filter(codebookPred).limit(1).isEmpty,
       s"ivfPqKnn: codebookPred '$codebookPred' selects no rows — empty codebook")
     val subDim = dim / m
-
-    // (id, vn): unit vectors, with pqSubbed's zero-norm fail-fast
-    def unit(df: DataFrame): DataFrame = {
-      val p = prep(df, idCol, vecCol)
-      val safeNrm = when(col("nrm") > 0, col("nrm")).otherwise(
-        raise_error(concat(lit("ivfPqKnn: zero-norm embedding id="), col("id").cast("string")))
-          .cast("double"))
-      p.withColumn("vn", transform(col("v"), x => x.cast("double") / safeNrm))
-        .select(col("id"), col("vn"))
-    }
-    val cents = unit(embeddings.filter(centroidPred))
+    val cents = ivfPqUnit(embeddings.filter(centroidPred), idCol, vecCol)
       .select(col("id").as("ccid"), col("vn").as("cn"))
-
-    // argmax-cosine cell (the assignCells aggregate — the xK fan-out
-    // collapses map-side), centroid re-attached by its key
-    def assigned(df: DataFrame): DataFrame = {
-      val cell = df.crossJoin(broadcast(cents))
-        .withColumn("cscore", vecDot(col("vn"), col("cn")))
-        .groupBy(col("id"))
-        .agg(max_by(col("ccid"), struct(col("cscore"), (-col("ccid")).as("nc"))).as("ccid"))
-      df.join(cell, Seq("id")).join(broadcast(cents), Seq("ccid"))
-    }
-
-    // subspace slices of the residual carried under `keyCols`
-    def residSubs(df: DataFrame, keyCols: Seq[String]): DataFrame =
-      df.withColumn("r", zip_with(col("vn"), col("cn"), (a, b) => a - b))
-        .select(keyCols.map(col) :+ explode(array((0 until m).map { i =>
-          struct(lit(i).as("sub"), slice(col("r"), i * subDim + 1, subDim).as("rv"))
-        }: _*)).as("s"): _*)
-        .select(keyCols.map(col) :+ col("s.sub").as("sub") :+ col("s.rv").as("rv"): _*)
-        .withColumn("rvv", vecDot(col("rv"), col("rv")))
-
-    val cbook = residSubs(assigned(unit(embeddings.filter(codebookPred))),
-        Seq("id"))
+    val cbook = ivfPqResidSubs(
+        ivfPqAssigned(ivfPqUnit(embeddings.filter(codebookPred), idCol, vecCol), cents),
+        Seq("id"), m, subDim)
       .select(col("id").as("cid"), col("sub"), col("rv").as("cv"), col("rvv").as("cvv"))
-    val corpus = maybePersist(
-      residSubs(assigned(unit(embeddings)), Seq("id", "ccid")), storage)
-    val codes = corpus.join(broadcast(cbook), Seq("sub"))
-      .withColumn("d2", col("rvv") + col("cvv") - lit(2.0) * vecDot(col("rv"), col("cv")))
-      .groupBy(col("id"), col("ccid"), col("sub"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+    val corpus = maybePersist(ivfPqResidSubs(
+      ivfPqAssigned(ivfPqUnit(embeddings, idCol, vecCol), cents),
+      Seq("id", "ccid"), m, subDim), storage)
+    IvfPqIndex(cents, cbook, ivfPqEncode(corpus, cbook), m, dim)
+  }
 
+  /** Append a shard against the FROZEN quantizers: the new vectors
+    * assign + encode row-locally against the broadcast centroids and
+    * codebook — stored floats are never re-read, and the grown index
+    * equals a one-shot build over the union exactly.
+    */
+  def addToIvfPqIndex(index: IvfPqIndex, newEmbeddings: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): IvfPqIndex = {
+    val subs = ivfPqResidSubs(
+      ivfPqAssigned(ivfPqUnit(newEmbeddings, idCol, vecCol), index.cents),
+      Seq("id", "ccid"), index.m, index.dim / index.m)
+    index.copy(codes = index.codes.unionByName(ivfPqEncode(subs, index.cbook)))
+  }
+
+  /** Query a (possibly incrementally grown) index: probe the nProbe
+    * nearest cells, per-cell ADC tables, candidates met on the
+    * (cell, sub, codeword) key.
+    */
+  def queryIvfPqIndex(index: IvfPqIndex, queries: DataFrame, k: Int,
+                      nProbe: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe > 0, "ivfPqKnn: nProbe must be positive")
+    val subDim = index.dim / index.m
     // nProbe nearest cells per query; the window is |queries| x nCells
     // rows, never the corpus
     val wProbe = Window.partitionBy(col("id"))
       .orderBy(col("cscore").desc, col("ccid").asc)
-    val probes = unit(embeddings.filter(queryPred))
-      .crossJoin(broadcast(cents))
+    val probes = ivfPqUnit(queries, idCol, vecCol)
+      .crossJoin(broadcast(index.cents))
       .withColumn("cscore", vecDot(col("vn"), col("cn")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("id"), col("ccid"), col("vn"), col("cn"))
-    val dt = residSubs(probes, Seq("id", "ccid"))
-      .join(broadcast(cbook), Seq("sub"))
+    val dt = ivfPqResidSubs(probes, Seq("id", "ccid"), index.m, subDim)
+      .join(broadcast(index.cbook), Seq("sub"))
       .withColumn("d2", col("rvv") + col("cvv") - lit(2.0) * vecDot(col("rv"), col("cv")))
       .withColumn("dfp", expr(
         "CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
       .select(col("id").as("query_id"), col("ccid"), col("sub"), col("cid"), col("dfp"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist_fp").asc, col("id").asc)
-    codes.join(broadcast(dt), Seq("ccid", "sub", "cid"))
+    index.codes.join(broadcast(dt), Seq("ccid", "sub", "cid"))
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("dfp")).as("adist_fp"))

@@ -377,6 +377,33 @@ class SimilaritySearchSpec extends SparkTestBase {
       oneShot.codes.as[(Long, Int, Long)].collect().toSet
   }
 
+  test("incremental IVF-PQ: appended shard searchable; codes grow by the shard; matches one-shot") {
+    val idx0 = SimilaritySearch.buildIvfPqIndex(
+      realEmb.filter(col("vec_id") <= 300),
+      centroidPred = "vec_id >= 100 AND vec_id < 108",
+      codebookPred = "vec_id >= 108 AND vec_id < 124")
+    // same-direction copy of query 5 in the NEW shard: identical unit
+    // vector -> identical cell + residual codes -> minimal ADC distance
+    val planted = realEmb.filter(col("vec_id") === 5)
+      .select(lit(9999L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.9f)).as("embedding"),
+        col("label"))
+    val shard = realEmb.filter(col("vec_id") > 300).unionByName(planted)
+    val idx1 = SimilaritySearch.addToIvfPqIndex(idx0, shard)
+    val top = SimilaritySearch.queryIvfPqIndex(idx1,
+        realEmb.filter(col("vec_id") === 5), 3, nProbe = 2)
+      .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    top shouldBe 9999L
+    // appendable: m code rows per added vector, stored codes untouched
+    idx1.codes.count() - idx0.codes.count() shouldBe shard.count() * 4
+    // frozen quantizers: build-then-add == one-shot build over the union
+    val oneShot = SimilaritySearch.buildIvfPqIndex(realEmb.unionByName(planted),
+      centroidPred = "vec_id >= 100 AND vec_id < 108",
+      codebookPred = "vec_id >= 108 AND vec_id < 124")
+    idx1.codes.as[(Long, Long, Int, Long)].collect().toSet shouldBe
+      oneShot.codes.as[(Long, Long, Int, Long)].collect().toSet
+  }
+
   test("incremental IVF: an added near-copy becomes the top neighbor without retraining") {
     val idx0 = SimilaritySearch.buildIvfIndex(
       realEmb.filter(col("vec_id") <= 300), "vec_id >= 100 AND vec_id < 116")
