@@ -106,8 +106,9 @@ class PlanSpec extends SparkTestBase {
       "q123_dsir_resample",
       // q125's cross joins are the q35 broadcast-centroid assignment
       // (coarse cells, slice-sized) — codes meet the query tables on the
-      // keyed (ccid, sub, cid) join, pinned by the q125 guard below
-      "q125_knn_ivfpq",
+      // keyed (ccid, sub, cid) join, pinned by the q125 guard below;
+      // q135 is the same index built in two frozen-quantizer steps
+      "q125_knn_ivfpq", "q135_knn_ivfpq_incremental",
       // q126 embeds q99's one-row ln(N+V) model constant against the
       // per-doc totals — the q43 scalar-broadcast shape; the tier join
       // back is keyed on (lang, bin), pinned by the q126 guard below
