@@ -779,13 +779,13 @@ object App {
       |                     [--redis-host <h> [--redis-port <p=6379>]
       |                      [--redis-password <pw>]]
       |  offline-lookup     --features-table <table> --user-id <id> --as-of <date>
-  table-history      --table <table>   list retained snapshot versions
-  read-version       --table <table> --version <n> [--output-path <path>]
-                     time travel: read a retained snapshot
-  vacuum-table       --table <table> [--keep-last <n=3>] [--grace-minutes <m=60>]
-                     drop old snapshots + unreferenced data dirs
-  table-diff         --table <table> --from <v> --to <v> [--output-path <p>]
-                     added/removed/changed/unchanged between snapshots
+      |  table-history      --table <table>   list retained snapshot versions
+      |  read-version       --table <table> --version <n> [--output-path <path>]
+      |                     time travel: read a retained snapshot
+      |  vacuum-table       --table <table> [--keep-last <n=3>] [--grace-minutes <m=60>]
+      |                     drop old snapshots + unreferenced data dirs
+      |  table-diff         --table <table> --from <v> --to <v> [--output-path <p>]
+      |                     added/removed/changed/unchanged between snapshots
       |  serve              --features-table <table> [--port <p=8080>]
       |                     [--hours-back <n=24>] [--cutoff <date>]
       |                     [--kv ...|--redis-host ... as online-sync]

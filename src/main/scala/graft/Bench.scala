@@ -41,13 +41,14 @@ object Bench {
     // cost so per-query deltas across rounds compare like with like.
     // optional arg/env filter (Verify's prefix semantics) — dev-only fast
     // path to re-time a handful of queries; the driver passes nothing
-    val only: String => Boolean =
-      args.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY")) match {
-        case Some(spec) if spec.nonEmpty =>
-          val pats = spec.split(',').toSeq
-          name => pats.exists(p => name == p || name.startsWith(p + "_"))
-        case _ => _ => true
-      }
+    val filterSpec = args.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .filter(_.nonEmpty)
+    val only: String => Boolean = filterSpec match {
+      case Some(spec) =>
+        val pats = spec.split(',').toSeq
+        name => pats.exists(p => name == p || name.startsWith(p + "_"))
+      case None => _ => true
+    }
     val sampledResults = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
       .sortBy(_._1).map { case (name, fn) => name -> sampled(fn) }
     val results = sampledResults.map { case (name, s) => name -> minOr(s) }
@@ -58,7 +59,8 @@ object Bench {
     // comparable across rounds.
     val featPath = s"/tmp/graft_bench_features_${spark.sparkContext.applicationId}"
     val attribution =
-      try {
+      if (filterSpec.isDefined) Seq.empty  // subset fast path: skip the twins
+      else try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
         SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) => name -> minOr(sampled(fn)) }
       } catch { case scala.util.control.NonFatal(_) =>
@@ -83,7 +85,9 @@ object Bench {
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line
     // in-repo so cross-round comparisons can diff complete suites.
-    try {
+    // a FILTERED run must never clobber the canonical full-suite artifact
+    // with a partial total — print only
+    if (filterSpec.isEmpty) try {
       val out = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json"))
       Option(out.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))

@@ -215,6 +215,9 @@ object ScaleBench {
         val gop = d.select(col("doc_id"),
           graft.functions.TextFunctions.gopherRules(col("text"))
             .find(_._1 == "gopher_keep").get._2.as("g_keep"))
+        val c4k = d.select(col("doc_id"),
+          graft.functions.TextFunctions.c4Rules(col("text"))
+            .find(_._1 == "c4_keep").get._2.as("c_keep"))
         val nb = graft.operators.QualityClassifier.nbLogOdds(d,
             positive = d.filter(col("source").isin("src0", "src1", "src2")),
             negative = d.filter(col("source").isin("src3", "src4", "src5")))
@@ -223,8 +226,8 @@ object ScaleBench {
           .select(col("doc_id"), (col("n_tokens") > 0L).cast("int").as("entropy_ok"))
         val dup = Dedup.exact(d.select(col("doc_id"), col("text")))
           .select(col("doc_id"), (lit(1) - col("is_dup")).as("not_dup"))
-        d.select(col("doc_id")).join(gop, "doc_id").join(nb, "doc_id")
-          .join(ent, "doc_id").join(dup, "doc_id")
+        d.select(col("doc_id")).join(gop, "doc_id").join(c4k, "doc_id")
+          .join(nb, "doc_id").join(ent, "doc_id").join(dup, "doc_id")
       }))
 
     def once(df: => DataFrame): Option[Double] = {

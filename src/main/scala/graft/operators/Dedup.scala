@@ -691,13 +691,15 @@ object Dedup {
         (col("pos_b") - col("__left") + col("__ext") - 1L).cast("int").as("e"))
       .distinct()
     // classic interval merge: running max of e over earlier spans; a span
-    // starting past it opens a new group (window partitioned by doc)
+    // opens a new group only when a GAP separates it from everything
+    // before (s > pmax + 1 — ADJACENT spans [a,b][b+1,c] are one removed
+    // region and must count as one, per the scaladoc contract)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
     // persisted: three consumers (gaps, tails, stats) — without the pin
     // the candidate join + verify reruns per consumer
     val merged = maybePersist(spans
       .withColumn("__pmax", max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("__new", when(col("__pmax").isNull || col("s") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__new", when(col("__pmax").isNull || col("s") > col("__pmax") + 1, 1).otherwise(0))
       .withColumn("__grp", sum(col("__new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("id"), col("__grp"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e")), storage)

@@ -93,9 +93,17 @@ object Dsir {
       .withColumnRenamed("cnt", "cp")
     val cq = bucketCounts(raw, buckets, textCol)
       .withColumnRenamed("cnt", "cq")
-    val merged = cp.join(cq, Seq("b"), "full")
+    modelFromMerged(cp.join(cq, Seq("b"), "full")
       .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
+        coalesce(col("cq"), lit(0L)).as("cq")), buckets)
+  }
+
+  /** The model from a merged `(b, cp, cq)` count table — ONE definition
+    * of the pinned-ln weight and base-rate math, shared by
+    * [[trainModel]] and [[resampleFromCorpus]] so the one-pass and
+    * composed forms stay identical by construction.
+    */
+  private def modelFromMerged(merged: DataFrame, buckets: Int): DsirModel = {
     val bucketLn = PinnedMath.lnFpSteps("lp", "(cp + 1)")
       .++(PinnedMath.lnFpSteps("lq", "(cq + 1)"))
       .foldLeft(merged) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
@@ -115,14 +123,23 @@ object Dsir {
     */
   def logWeights(docs: DataFrame, model: DsirModel,
                  idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
-    val perDoc = docs
-      .select(col(idCol), explode(featureBuckets(col(textCol), model.buckets)).as("b"))
+                 textCol: String = "text"): DataFrame =
+    weightsFromFeatures(docs.select(col(idCol)),
+      docs.select(col(idCol),
+        explode(featureBuckets(col(textCol), model.buckets)).as("b")),
+      model, idCol)
+
+  /** The scoring tail over pre-exploded `(idCol, b)` feature rows — ONE
+    * definition shared by [[logWeights]] and [[resampleFromCorpus]].
+    */
+  private def weightsFromFeatures(docIds: DataFrame, featureRows: DataFrame,
+                                  model: DsirModel, idCol: String): DataFrame = {
+    val perDoc = featureRows
       .join(broadcast(model.bucketLn), Seq("b"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),
         sum(coalesce(col("__dw_fp"), lit(0L))).as("__s"))
-    docs.select(col(idCol))
+    docIds
       .join(perDoc, Seq(idCol), "left")
       .crossJoin(broadcast(model.baseLn))
       .withColumn("n_feats", coalesce(col("__n"), lit(0L)))
@@ -167,32 +184,12 @@ object Dsir {
         explode(featureBuckets(col(textCol), buckets)).as("b")), storage)
     val cq = fb.groupBy(col("b")).agg(count(lit(1)).as("cq"))
     val cp = fb.filter(col("__tgt")).groupBy(col("b")).agg(count(lit(1)).as("cp"))
-    val merged = cp.join(cq, Seq("b"), "full")
+    val model = modelFromMerged(cp.join(cq, Seq("b"), "full")
       .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
-        coalesce(col("cq"), lit(0L)).as("cq"))
-    val bucketLn = PinnedMath.lnFpSteps("lp", "(cp + 1)")
-      .++(PinnedMath.lnFpSteps("lq", "(cq + 1)"))
-      .foldLeft(merged) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
-      .select(col("b"), (col("lp_lnfp") - col("lq_lnfp")).as("__dw_fp"))
-    val baseLn = PinnedMath.lnFpSteps("lnp", s"(np + $buckets)")
-      .++(PinnedMath.lnFpSteps("lnq", s"(nq + $buckets)"))
-      .foldLeft(merged.agg(sum(col("cp")).as("np"), sum(col("cq")).as("nq"))) {
-        case (df, (alias, e)) => df.withColumn(alias, expr(e))
-      }
-      .select((col("lnq_lnfp") - col("lnp_lnfp")).as("__base_fp"))
-    val perDoc = fb
-      .join(broadcast(bucketLn), Seq("b"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n"),
-        sum(coalesce(col("__dw_fp"), lit(0L))).as("__s"))
-    val lw = docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .crossJoin(broadcast(baseLn))
-      .withColumn("n_feats", coalesce(col("__n"), lit(0L)))
-      .withColumn("logw_fp",
-        coalesce(col("__s"), lit(0L)) + col("n_feats") * col("__base_fp"))
-      .select(col(idCol), col("n_feats"), col("logw_fp"))
-    resampleTail(lw,
+        coalesce(col("cq"), lit(0L)).as("cq")), buckets)
+    resampleTail(
+      weightsFromFeatures(docs.select(col(idCol)),
+        fb.select(col(idCol), col("b")), model, idCol),
       docs.select(col(idCol), PolyHash61.polyHash61(col(textCol)).as("__h")),
       n, idCol)
   }

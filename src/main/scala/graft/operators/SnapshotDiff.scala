@@ -39,10 +39,12 @@ object SnapshotDiff {
   def diffSummary(oldSnap: DataFrame, newSnap: DataFrame,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val d = diff(oldSnap, newSnap, idCol, textCol)
+    // coalesce: both snapshots empty -> zero diff rows -> sum is SQL NULL,
+    // and the release gate should read zeros, not NPE
     d.agg(
-      sum(when(col("status") === "added", 1L).otherwise(0L)).as("added"),
-      sum(when(col("status") === "removed", 1L).otherwise(0L)).as("removed"),
-      sum(when(col("status") === "changed", 1L).otherwise(0L)).as("changed"),
-      sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("unchanged"))
+      coalesce(sum(when(col("status") === "added", 1L).otherwise(0L)), lit(0L)).as("added"),
+      coalesce(sum(when(col("status") === "removed", 1L).otherwise(0L)), lit(0L)).as("removed"),
+      coalesce(sum(when(col("status") === "changed", 1L).otherwise(0L)), lit(0L)).as("changed"),
+      coalesce(sum(when(col("status") === "unchanged", 1L).otherwise(0L)), lit(0L)).as("unchanged"))
   }
 }

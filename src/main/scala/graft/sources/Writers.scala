@@ -185,6 +185,12 @@ trait Writer {
     val maxParts = spark.conf
       .get("spark.graft.catalogMirrorMaxPartitions", "4096").toInt
     if (m.partitionBy.nonEmpty && (m.entries.isEmpty || m.entries.size > maxParts)) {
+      // the PREVIOUS snapshot's view must not survive the skip: a stale
+      // view silently serves pre-overwrite rows now and broken paths after
+      // a vacuum — drop it so SQL readers fail loudly toward readTable
+      if (spark.catalog.tableExists(tableName) &&
+          spark.catalog.getTable(tableName).tableType == "VIEW")
+        spark.sql(s"DROP VIEW ${WarehousePaths.quote(tableName)}")
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"catalog mirror for $tableName skipped (${m.entries.size} partitions); " +
           "read through Fetcher.readTable")
