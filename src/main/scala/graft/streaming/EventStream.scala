@@ -380,6 +380,58 @@ object EventStream {
           storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
       }
 
+  /** Streaming SELF-dedup ingest gate: each arriving micro-batch of
+    * documents is checked for verbatim >= `minLen`-char passage overlap
+    * against EVERYTHING INGESTED SO FAR, then folded into the state —
+    * ingest-time dedup, the streaming form of
+    * `substring-dedup --state-path`. Unlike the contamination gates this
+    * one is legitimately STATEFUL (the reference corpus is the stream's
+    * own past), so state lives as two append-mode parquet tables under
+    * `statePath`: `anchors/` ((id, h, pos) winnowing fingerprints — text
+    * never re-fingerprints) and `texts/` ((idCol, textCol) — kept because
+    * extent VERIFICATION must read both sides' text). Each trigger runs
+    * [[graft.operators.Dedup.substringPairsIncremental]] (batch ==
+    * streaming, one code path; chained eras equal the one-shot recompute
+    * — the q100 property), sinks the pairs touching the batch, then
+    * appends the batch's anchors and texts.
+    *
+    * foreachBatch gives exactly-once sinks only if `sink` is idempotent;
+    * a REPLAYED batch here also re-appends its state rows, so on restart
+    * recovery dedupe state by (id) — or point `statePath` at a fresh dir
+    * per run, the simple dev posture. `sink` receives (id_a, id_b,
+    * n_anchors) pairs with the micro-batch id.
+    */
+  def substringDedupGateWriter(docs: DataFrame, statePath: String,
+                               sink: (DataFrame, Long) => Unit,
+                               minLen: Int = 48, k: Int = 16,
+                               idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val (anchorsPath, textsPath) = (s"$statePath/anchors", s"$statePath/texts")
+        def tableOr(path: String, empty: => DataFrame): DataFrame =
+          try spark.read.parquet(path)
+          catch { case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
+            empty }
+        val stored = tableOr(anchorsPath,
+          graft.operators.Dedup.substringState(b.limit(0), minLen, k, idCol, textCol))
+        val storedTexts = tableOr(textsPath, b.select(col(idCol), col(textCol)).limit(0))
+        val pairs = graft.operators.Dedup.substringPairsIncremental(
+          stored, b, storedTexts.unionByName(b.select(col(idCol), col(textCol))),
+          minLen, k, idCol, textCol,
+          storage = org.apache.spark.storage.StorageLevel.NONE)
+        sink(pairs, batchId)
+        // state append AFTER the sink: a crash between the two replays the
+        // batch without half-ingested state shadowing its own pairs
+        graft.operators.Dedup.substringState(b, minLen, k, idCol, textCol)
+          .write.mode("append").parquet(anchorsPath)
+        b.select(col(idCol), col(textCol)).write.mode("append").parquet(textsPath)
+      }
+
   /** Streaming BLOCKLIST gate: each arriving micro-batch of documents is
     * screened against the category word/phrase lists with the batch
     * operator ([[graft.operators.Blocklist.screenRollup]]) — matching is

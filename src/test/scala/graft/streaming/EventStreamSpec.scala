@@ -426,6 +426,44 @@ class EventStreamSpec extends SparkTestBase {
     } finally { query.stop(); beSigs.unpersist() }
   }
 
+  test("streaming self-dedup gate: chained micro-batch eras == the one-shot pair recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_sdgate").toString
+    val quote = "a long verbatim passage that easily clears the forty eight character minimum length"
+    val filler = (1 to 30).map(i => s"pad$i qq$i").mkString(" ")
+    val b1 = Seq(
+      (1L, s"first doc contains $quote and more"),
+      (2L, s"clean one $filler"))
+    val b2 = Seq(
+      (3L, s"later doc also quotes $quote differently framed"), // pairs with 1
+      (4L, "another clean " +
+        (1 to 30).map(i => s"zz$i ww$i").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = EventStream.substringDedupGateWriter(
+        input.toDF().toDF("doc_id", "text"), statePath,
+        sink = (out, _) => collected.synchronized {
+          collected ++= out.select("id_a", "id_b").as[(Long, Long)].collect()
+        })
+      .start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val oneShot = graft.operators.Dedup.substringPairs((b1 ++ b2).toDF("doc_id", "text"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      collected.toSet shouldBe oneShot          // chained eras == one-shot
+      collected.toSet shouldBe Set((1L, 3L))    // and it is the planted pair
+      // state accumulated: both tables cover all four docs
+      spark.read.parquet(s"$statePath/texts").count() shouldBe 4L
+      spark.read.parquet(s"$statePath/anchors")
+        .select("id").distinct().count() shouldBe 4L
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming blocklist gate: row-local screen per micro-batch == batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
