@@ -376,23 +376,36 @@ object CurationQueries {
     // token-distribution drift per source: KL(P_source || P_corpus) in
     // nats, every ln a pinned integer series, the weighted sum in
     // DECIMAL(38,0) (BIGINT wraps once shard counts pass ~1e8).
-    // The gated contract carries only exact integer columns: kl_nats
-    // (a DOUBLE fully determined by kl_fp / n_tokens) stays API-side —
-    // the round-6 de-float discipline; it failed the round-9 driver
-    // hash gate while matching bit-for-bit locally
+    // Round-10's q109a probe localized the driver's hash divergence to
+    // the DECIMAL(38,0) column itself (rows/schema green, local DuckDB
+    // bit-for-bit), so the gated contract now carries the exact value as
+    // a canonical digit STRING — one level further down the round-6
+    // de-float discipline. DECIMAL stays API-side in LmScore.
     "q109_source_kl" -> ((s, dir) =>
       LmScore.sourceKlDrift(
         s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))
-        .drop("kl_nats")),
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          col("kl_fp").cast("string").as("kl_str"))),
 
     // bisection probe for q109 (the q65a/q65b precedent): the two-column
     // exact core — if q109 ever diverges on the driver gate again, this
-    // row localizes whether the decimal itself or a companion column is
+    // row localizes whether a companion column or the value column is
     // the fault line
     "q109a_source_kl_probe" -> ((s, dir) =>
       LmScore.sourceKlDrift(
         s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))
-        .select(col("source"), col("kl_fp"))),
+        .select(col("source"), col("kl_fp").cast("string").as("kl_str"))),
+
+    // second-level probe: the same exact value re-quantized to a bounded
+    // BIGINT (floor millinats per token — integer floor division of
+    // exact integers, scale-safe past BIGINT corpus sums). If the driver
+    // gate ever reds kl_str while this stays green, the artifact itself
+    // says the divergence is in big-number STRING canonicalization, not
+    // the value; if both red, the value differs
+    "q109b_source_kl_millinats" -> ((s, dir) =>
+      LmScore.sourceKlDrift(
+        s.read.parquet(s"$dir/documents.parquet").select(col("source"), col("text")))
+        .select(col("source"), expr(KlMillinatsExpr).as("kl_millinats_per_token"))),
 
     // per-document TF-IDF keywords: top-5 terms by tf * (ln D - ln df),
     // exact integers end-to-end, ties to the lexicographically first term
@@ -432,7 +445,8 @@ object CurationQueries {
       val st0 = LmScore.klState(d.filter(col("doc_id") <= IncrSplitId2))
       LmScore.sourceKlFromState(
         LmScore.incrementKlState(st0, d.filter(col("doc_id") > IncrSplitId2)))
-        .drop("kl_nats")
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          col("kl_fp").cast("string").as("kl_str"))
     }),
 
     // q108's calibration audit, part 1: confusion counts + exact-ppm
@@ -791,6 +805,20 @@ object CurationQueries {
   /** q100's stored-vs-new-shard id split. */
   private val IncrSplitId2 = 250L
 
+  /** q109b's bounded re-quantization: floor(kl_fp / (n_tokens * 1e6)) =
+    * per-token millinats as a BIGINT. Both engines' `div`/`//` truncate
+    * toward zero and `%` carries the dividend's sign (verified on DuckDB
+    * 1.0.0), so floor division is spelled as the identical
+    * truncate-then-adjust CASE on both sides. n_tokens is widened to
+    * DECIMAL before the *1e6 so the divisor can't wrap BIGINT on a
+    * ~1e13-token source.
+    */
+  private val KlMillinatsExpr: String = {
+    val d = "(CAST(n_tokens AS DECIMAL(38,0)) * 1000000)"
+    s"""CAST(CASE WHEN kl_fp < 0 AND kl_fp % $d != 0
+       | THEN kl_fp div $d - 1 ELSE kl_fp div $d END AS BIGINT)""".stripMargin
+  }
+
   /** q101's sample size. */
   private val WeightedSampleN = 30
 
@@ -885,13 +913,14 @@ object CurationQueries {
        |  coalesce(r.text_dedup, '') AS text_dedup
        |FROM p0 LEFT JOIN r ON p0.doc_id = r.doc_id""".stripMargin
 
-  /** The KL-drift replay shared by q109 and q115 (per-(group, word)
-    * counts sum-merge exactly, so the incremental formulation equals this
-    * one-shot audit): identical pinned-ln steps on the three distinct
-    * domains, the weighted sum in HUGEINT cast to the same DECIMAL(38,0)
-    * the Spark side emits.
+  /** The KL-drift replay shared by q109/q109a/q109b/q115 (per-(group,
+    * word) counts sum-merge exactly, so the incremental formulation
+    * equals this one-shot audit): identical pinned-ln steps on the three
+    * distinct domains, the weighted sum kept in HUGEINT — the gated
+    * variants below re-emit it as a canonical digit VARCHAR or a bounded
+    * BIGINT, never as DECIMAL (the round-10 driver-divergence finding).
     */
-  private lazy val sourceKlOracleSql: String = {
+  private lazy val sourceKlCoreSql: String = {
     def steps(p: String, x: String): String =
       graft.functions.PinnedMath.lnFpSteps(p, x)
         .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
@@ -912,14 +941,34 @@ object CurationQueries {
        |SELECT g AS source,
        |  CAST(max(n_g) AS BIGINT) AS n_tokens,
        |  CAST(max(v_g) AS BIGINT) AS n_distinct,
-       |  CAST(sum(term) AS DECIMAL(38,0)) AS kl_fp
+       |  sum(term) AS kl_hug
        |FROM term GROUP BY g""".stripMargin
   }
 
-  /** q109a's two-column bisection core: same replay, kl_fp only. */
+  /** q109/q115's gated shape: the exact HUGEINT as canonical digits. */
+  private lazy val sourceKlOracleSql: String =
+    s"""WITH base AS ($sourceKlCoreSql)
+       |SELECT source, n_tokens, n_distinct,
+       |  CAST(kl_hug AS VARCHAR) AS kl_str FROM base""".stripMargin
+
+  /** q109a's two-column bisection core: same replay, kl_str only. */
   private lazy val sourceKlProbeOracleSql: String =
-    s"""WITH base AS ($sourceKlOracleSql)
-       |SELECT source, kl_fp FROM base""".stripMargin
+    s"""WITH base AS ($sourceKlCoreSql)
+       |SELECT source, CAST(kl_hug AS VARCHAR) AS kl_str FROM base""".stripMargin
+
+  /** q109b's BIGINT re-quantization: floor(kl / (n_tokens * 1e6)) —
+    * `//` truncates toward zero in DuckDB (verified), so floor is the
+    * same truncate-then-adjust CASE the Spark side uses.
+    */
+  private lazy val sourceKlMillinatsOracleSql: String =
+    s"""WITH base AS ($sourceKlCoreSql)
+       |SELECT source,
+       |  CAST(CASE WHEN kl_hug < 0
+       |      AND kl_hug % (CAST(n_tokens AS HUGEINT) * 1000000) != 0
+       |    THEN kl_hug // (CAST(n_tokens AS HUGEINT) * 1000000) - 1
+       |    ELSE kl_hug // (CAST(n_tokens AS HUGEINT) * 1000000)
+       |  END AS BIGINT) AS kl_millinats_per_token
+       |FROM base""".stripMargin
 
   /** q96's oracle: replay the perceptual-dedup output — including the
     * DECODE, not just the join — in pure SQL. This is possible because
@@ -1324,11 +1373,16 @@ object CurationQueries {
 
     // KL-drift twin: identical pinned-ln steps on the three distinct
     // domains ((g,w) counts, word totals, group totals), the weighted sum
-    // in HUGEINT cast to the same DECIMAL(38,0) the Spark side emits
+    // in HUGEINT emitted as the same canonical digit string the Spark
+    // side casts its DECIMAL(38,0) to
     "q109_source_kl" -> sourceKlOracleSql,
 
     // q109's bisection probe: the exact two-column core
     "q109a_source_kl_probe" -> sourceKlProbeOracleSql,
+
+    // q109's second-level probe: the value re-quantized to a bounded
+    // BIGINT (string-canonicalization vs value bisect)
+    "q109b_source_kl_millinats" -> sourceKlMillinatsOracleSql,
 
     // image-dedup twin: the expected dHashes recompute from doc_id in
     // pure integer SQL (deterministic fixture + lossless PNG + JPEG-proof

@@ -85,7 +85,8 @@ class PlanSpec extends SparkTestBase {
       // never corpus x corpus (q111/q113/q114/q116's joins are all
       // keyed: they stay under the full guard); q115 is q109's read off
       // merged state
-      "q109_source_kl", "q109a_source_kl_probe", "q110_tfidf_terms",
+      "q109_source_kl", "q109a_source_kl_probe", "q109b_source_kl_millinats",
+      "q110_tfidf_terms",
       "q112_pmi_collocations", "q115_source_kl_incremental",
       // q119 embeds the q35 trained quantizer: the only cross join is the
       // tiny broadcast centroid set against the corpus (assignment
