@@ -11,6 +11,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Logged-stack watchdog: round 10's driver artifact captured a benign
+    // caught analyzer stack as its entire 2000-char tail — exactly where a
+    // real failure would need to surface. Count every log event that is
+    // ERROR-level or carries a throwable at WARN+; the count ships in the
+    // JSON line ("log_stacks") and the offenders print BEFORE it, so the
+    // timing line stays the tail and a nonzero count is visible evidence.
+    val stackEvents = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-stack-watchdog", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(ev: org.apache.logging.log4j.core.LogEvent): Unit =
+          if (ev.getThrown != null || ev.getLevel.isMoreSpecificThan(Level.ERROR))
+            stackEvents.add(ev.getLoggerName + ": " +
+              ev.getMessage.getFormattedMessage.replaceAll("\\s+", " ").take(160))
+      }
+      app.start()
+      ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
+      ctx.updateLoggers()
+    } catch { case scala.util.control.NonFatal(_) => () } // watchdog is best-effort
     // noop-format write: every expression executes (a count() would let
     // Spark prune the very columns the query exists to compute). A failed
     // run yields None — a crash must never enter the min as a fast sample.
@@ -80,7 +103,16 @@ object Bench {
     // Sum successes only: adding -1.0 sentinels into the total understates
     // it and makes cross-round totals incomparable whenever a query fails.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"sf":"$sfDir"}"""
+    // Cleanup runs BEFORE the metric line prints: anything it logs lands
+    // above the JSON, so the driver's 2000-char tail capture ends on the
+    // timing line, not on whatever the teardown said.
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
+    SparkEntry.cleanupScratch(spark, sfDir)
+    if (!stackEvents.isEmpty) {
+      System.err.println(s"[bench] ${stackEvents.size} logged stack(s) during the run:")
+      stackEvents.forEach(s => System.err.println(s"[bench]   $s"))
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line
@@ -92,8 +124,6 @@ object Bench {
       Option(out.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () } // bench output must never fail the run
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
-    SparkEntry.cleanupScratch(spark, sfDir)
     spark.stop()
   }
 }

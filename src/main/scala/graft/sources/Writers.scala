@@ -216,12 +216,17 @@ trait Writer {
     * and the catalog entry (view or legacy table).
     */
   def dropTable(spark: SparkSession, tableName: String): Unit = {
-    WarehousePaths.resolve(spark, tableName).foreach { case (fs, loc) =>
-      if (VersionedTable.isVersioned(fs, loc)) fs.delete(loc, true)
-    }
+    // Catalog entry goes FIRST: DROP VIEW uncaches by re-analyzing the
+    // view body, which reads the current snapshot's data dirs — deleting
+    // the data before the drop makes Spark log full PATH_NOT_FOUND /
+    // FileNotFound stacks (DropTableCommand + FileStreamSink, WARN with
+    // throwable) for a table that is being removed on purpose.
     if (spark.catalog.tableExists(tableName)) {
       val kind = if (spark.catalog.getTable(tableName).tableType == "VIEW") "VIEW" else "TABLE"
       spark.sql(s"DROP $kind ${WarehousePaths.quote(tableName)}")
+    }
+    WarehousePaths.resolve(spark, tableName).foreach { case (fs, loc) =>
+      if (VersionedTable.isVersioned(fs, loc)) fs.delete(loc, true)
     }
   }
 
