@@ -480,7 +480,11 @@ object App {
             o.get("ngram").map(_.toInt).getOrElse(3)),
           o.required("output-path"))
         val prof = fetcher.readParquet(spark, o.required("output-path"))
-        val meanRatio = prof.agg(org.apache.spark.sql.functions.avg("dup_ratio"))
+        // avg over an empty profile (every doc shorter than the shingle
+        // width) is SQL NULL — report 0 instead of NPEing post-write
+        val meanRatio = prof.agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.avg("dup_ratio"),
+            org.apache.spark.sql.functions.lit(0.0)))
           .collect().head.getDouble(0)
         println(f"[graft] dup-profile: mean duplicated-shingle ratio $meanRatio%.4f -> ${o("output-path")}")
 

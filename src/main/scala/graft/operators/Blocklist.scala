@@ -39,9 +39,18 @@ object Blocklist {
     require(blocklist.forall(_._2.trim.nonEmpty), "blocklist phrases must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
+    // normalize every phrase through the HOUSE tokenizer (lowercase,
+    // [^a-z0-9]+ splits, empties dropped), exactly what the document side
+    // n-grams are built from: a raw split("\\s+") phrase with doubled
+    // spaces or punctuation ("state-of-the-art") would silently never
+    // match any single-space-joined gram. A phrase that tokenizes to
+    // nothing (pure punctuation) can never match — reject it loudly.
     val entries = blocklist.map { case (cat, phrase) =>
-      val n = phrase.trim.split("\\s+").length
-      (cat, phrase.trim.toLowerCase, n)
+      val toks = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      require(toks.nonEmpty,
+        s"blocklist phrase '$phrase' (category $cat) tokenizes to nothing " +
+          "under the house tokenizer and could never match")
+      (cat, toks.mkString(" "), toks.length)
     }
     val widths = entries.map(_._3).distinct.sorted
     val list = broadcast(entries.toDF("category", "__phrase", "__n"))

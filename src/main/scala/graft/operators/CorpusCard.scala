@@ -23,13 +23,20 @@ object CorpusCard {
     * histogram by power-of-2 bucket), `duplication` (one row),
     * `quality` (one row). Write each to `<out>/<name>` or read off the
     * summaries directly.
+    *
+    * Required input columns: `idCol` and `textCol`. `lang` and `source`
+    * are optional — a frame without them (or with NULLs) reports the
+    * facet as the single bucket "??" instead of failing to resolve.
     */
   def build(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): Map[String, DataFrame] = {
     val toks = TextFunctions.tokens(col(textCol))
+    def optCol(name: String): org.apache.spark.sql.Column =
+      if (docs.columns.contains(name)) coalesce(col(name).cast("string"), lit("??"))
+      else lit("??")
     val base = docs.select(col(idCol), col(textCol),
-      coalesce(col("lang"), lit("??")).as("lang"),
-      coalesce(col("source"), lit("??")).as("source"),
+      optCol("lang").as("lang"),
+      optCol("source").as("source"),
       size(toks).cast("long").as("n_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
     val languages = base.groupBy(col("lang"))

@@ -201,6 +201,12 @@ object Dsir {
   private def resampleTail(lw: DataFrame, hashSrc: DataFrame, n: Int,
                            idCol: String): DataFrame = {
     require(n > 0, "sample size must be positive")
+    // the (-id) tie-break below needs a numeric id: under a non-ANSI
+    // session, negating a string silently yields NULL and the threshold
+    // comparison would mis-select rows instead of failing loudly
+    require(lw.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"resample tie-break requires a numeric $idCol, got " +
+        lw.schema(idCol).dataType.simpleString)
     val hashed = lw.join(hashSrc, Seq(idCol))
     // -ln(u) in 1e-9 nats, floored to 1 so the second series stays in
     // domain (u = 1 - 2^-61 collapses to 0 at this fixed point)
