@@ -350,6 +350,30 @@ object CurationQueries {
       Packing.bpeMergeTable(s.read.parquet(s"$dir/documents.parquet"),
         nMerges = BpeMerges)),
 
+    // TOKENIZED OUTPUT: the actual token-id sequences the training
+    // shards need (q97 counts pieces, q104 trains merges; this
+    // materializes the array<int>) — greedy longest-match over the
+    // q104-trained merge inventory, <sp>-separated words, char-id
+    // fallback; PackingSpec pins decode(encode(x)) == normalized x
+    "q136_encode_ids" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Packing.encodeToIds(d, Packing.bpeMergeTable(d, nMerges = BpeMerges),
+        maxWordLen = BpeMaxWordLen)
+    }),
+
+    // the packed trainable artifact: id stream in doc order with <doc>
+    // boundaries, fixed-length rows, <pad> tail — global offsets via the
+    // q42 two-phase prefix sum, never an unpartitioned window
+    "q137_pack_ids" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Packing.packTokenRows(
+        Packing.encodeToIds(d, Packing.bpeMergeTable(d, nMerges = BpeMerges),
+          maxWordLen = BpeMaxWordLen),
+        seqLen = PackSeqLen)
+    }),
+
     // reproducible per-epoch training order: global rank of an
     // epoch-salted hash, two-phase (never an unpartitioned corpus window)
     "q105_epoch_shuffle" -> ((s, dir) =>
@@ -828,6 +852,80 @@ object CurationQueries {
 
   /** q97's bounded greedy fold depth (>= the longest corpus word). */
   private val BpeMaxWordLen = 24
+
+  /** q137's fixed training-row length. */
+  private val PackSeqLen = 64
+
+  /** The q104 merge replay as reusable CTE text (q136/q137 encode over
+    * the same learned table): per round — pair counts from the
+    * ||-fenced symbolization, lexicographic-tie argmax, replace-all
+    * rewrite.
+    */
+  private lazy val bpeMergeCtesSql: String = {
+    val steps = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT pa, pb, CAST(sum(tf) AS BIGINT) AS pair_tf FROM (
+         |  SELECT tf, s[i] AS pa, s[i + 1] AS pb
+         |  FROM (SELECT tf, string_split(trim(r, '|'), '||') AS s FROM st${i - 1}) tt,
+         |  LATERAL (SELECT unnest(range(1, len(s))) AS i) ii
+         |) GROUP BY pa, pb),
+         |b$i AS (SELECT CAST($i AS INT) AS step, pa, pb, pa || pb AS merged, pair_tf
+         |  FROM p$i ORDER BY pair_tf DESC, pa ASC, pb ASC LIMIT 1),
+         |st$i AS (SELECT tf,
+         |  replace(r, '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS r
+         |  FROM st${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    s"""wt AS (SELECT unnest($toksSql) AS w FROM documents),
+       |wtf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
+       |st0 AS (SELECT tf, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS r FROM wtf),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeMergeUnionSql: String = (1 to BpeMerges)
+    .map(i => s"SELECT step, pa, pb, merged, pair_tf FROM b$i")
+    .mkString("\nUNION ALL\n")
+
+  /** q136's encode replay: greedy longest-match ids per DISTINCT word
+    * (integer-packed best-match table: len * 1e6 - id, max -> longest
+    * piece then earliest merge), words joined with <sp>=2, char ids by
+    * ascii arithmetic (a..z -> 3..28, 0..9 -> 29..38), merge ids
+    * 38 + step — [[graft.operators.Packing]]'s exact id scheme.
+    */
+  private lazy val encodeIdsCtesSql: String = {
+    def charId(pos: String): String =
+      s"CASE WHEN ascii(substr(w, CAST($pos AS INT), 1)) >= 97 " +
+        s"THEN ascii(substr(w, CAST($pos AS INT), 1)) - 94 " +
+        s"ELSE ascii(substr(w, CAST($pos AS INT), 1)) - 19 END"
+    val fold =
+      s"""list_reduce(
+         |  list_prepend(struct_pack(s := '', pos := 1),
+         |    list_transform(range(1, ${BpeMaxWordLen + 1}),
+         |      x -> struct_pack(s := '', pos := 0))),
+         |  (a, b) -> CASE WHEN a.pos > length(w) THEN a ELSE struct_pack(
+         |    s := a.s || ',' || CAST(CASE WHEN best[a.pos] > 0
+         |      THEN ((best[a.pos] + 999999) // 1000000) * 1000000 - best[a.pos]
+         |      ELSE ${charId("a.pos")} END AS VARCHAR),
+         |    pos := CAST(a.pos + greatest(1, (best[a.pos] + 999999) // 1000000) AS INT)) END)""".stripMargin
+    s"""$bpeMergeCtesSql,
+       |mt AS ($bpeMergeUnionSql),
+       |mpl AS (SELECT list(struct_pack(piece := merged, id := CAST(38 + step AS BIGINT))) AS mp FROM mt),
+       |dw AS (SELECT DISTINCT w FROM wt),
+       |pb AS (SELECT w, list_transform(range(1, length(w) + 1),
+       |    i -> greatest(0, list_aggregate(list_transform(mp,
+       |      p -> CASE WHEN substr(w, CAST(i AS INT), length(p.piece)) = p.piece
+       |        THEN CAST(length(p.piece) AS BIGINT) * 1000000 - p.id ELSE 0 END), 'max'))) AS best
+       |  FROM dw CROSS JOIN mpl),
+       |pf AS (SELECT w, $fold AS f FROM pb),
+       |pw AS (SELECT w, list_transform(string_split(substr(
+       |    f.s || coalesce(list_aggregate(list_transform(range(f.pos, length(w) + 1),
+       |      i -> ',' || CAST(${charId("i")} AS VARCHAR)), 'string_agg', ''), ''),
+       |    2), ','), x -> CAST(x AS INT)) AS ids FROM pf),
+       |dt AS (SELECT doc_id, unnest(l) AS w, unnest(generate_series(1, len(l))) AS pos
+       |  FROM (SELECT doc_id, $toksSql AS l FROM documents)),
+       |enc0 AS (SELECT dt.doc_id, flatten(list(list_append(pw.ids, 2) ORDER BY dt.pos)) AS fl
+       |  FROM dt JOIN pw USING (w) GROUP BY dt.doc_id),
+       |enc AS (SELECT d.doc_id, coalesce(e.fl[1:len(e.fl) - 1], CAST([] AS INT[])) AS ids
+       |  FROM documents d LEFT JOIN enc0 e ON d.doc_id = e.doc_id)""".stripMargin
+  }
 
   /** q104's merge-round count (each round unrolls into 3 oracle CTEs). */
   private val BpeMerges = 8
@@ -1546,28 +1644,33 @@ object CurationQueries {
     // to Spark's (leftmost non-overlapping replace-all IS BPE merge
     // application); DuckDB range(1, n) is empty when n <= 1, so
     // single-symbol words drop out of pair counting on both engines
-    "q104_bpe_merge_table" -> {
-      val steps = (1 to BpeMerges).map { i =>
-        s"""p$i AS (SELECT pa, pb, CAST(sum(tf) AS BIGINT) AS pair_tf FROM (
-           |  SELECT tf, s[i] AS pa, s[i + 1] AS pb
-           |  FROM (SELECT tf, string_split(trim(r, '|'), '||') AS s FROM st${i - 1}) tt,
-           |  LATERAL (SELECT unnest(range(1, len(s))) AS i) ii
-           |) GROUP BY pa, pb),
-           |b$i AS (SELECT CAST($i AS INT) AS step, pa, pb, pa || pb AS merged, pair_tf
-           |  FROM p$i ORDER BY pair_tf DESC, pa ASC, pb ASC LIMIT 1),
-           |st$i AS (SELECT tf,
-           |  replace(r, '|' || pa || '||' || pb || '|', '|' || pa || pb || '|') AS r
-           |  FROM st${i - 1} CROSS JOIN b$i)""".stripMargin
-      }
-      val union = (1 to BpeMerges)
-        .map(i => s"SELECT step, pa, pb, merged, pair_tf FROM b$i")
-        .mkString("\nUNION ALL\n")
-      s"""WITH wt AS (SELECT unnest($toksSql) AS w FROM documents),
-         |wtf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY w),
-         |st0 AS (SELECT tf, regexp_replace(w, '(.)', '||\\1', 'g') || '||' AS r FROM wtf),
-         |${steps.mkString(",\n")}
-         |$union""".stripMargin
-    },
+    "q104_bpe_merge_table" -> s"WITH $bpeMergeCtesSql\n$bpeMergeUnionSql",
+
+    // encode twin: the same merge replay feeds a per-distinct-word greedy
+    // longest-match list_reduce (string-accumulated ids — DuckDB 1.0.0's
+    // list_reduce drops LIST-typed struct accumulator fields across
+    // iterations, and the (value-field, THEN pos) struct_pack order reads
+    // only pre-update fields, so the fold is correct under both the
+    // in-place-aliasing implementation and a fixed one), then per-doc
+    // assembly with <sp>=2 separators
+    "q136_encode_ids" ->
+      s"""WITH $encodeIdsCtesSql
+         |SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_ids FROM enc""".stripMargin,
+
+    // pack twin: the doc-order stream with <doc>=0 boundaries, cut into
+    // $PackSeqLen-id rows, tail padded with <pad>=1 — the NAIVE global
+    // list build the two-phase Spark prefix sum must equal exactly
+    "q137_pack_ids" ->
+      s"""WITH $encodeIdsCtesSql,
+         |stream AS (SELECT flatten(list(list_prepend(0, ids) ORDER BY doc_id)) AS st FROM enc),
+         |rows0 AS (SELECT st, len(st) AS t FROM stream),
+         |rows1 AS (SELECT r, st[CAST(r * $PackSeqLen + 1 AS INT) :
+         |    CAST(least((r + 1) * $PackSeqLen, t) AS INT)] AS ids0
+         |  FROM rows0, LATERAL (SELECT unnest(range(0, (t + ${PackSeqLen - 1}) // $PackSeqLen)) AS r) rr)
+         |SELECT CAST(r AS BIGINT) AS row_id,
+         |  ids0 || CAST(list_transform(range(0, $PackSeqLen - len(ids0)), x -> 1) AS INT[]) AS ids,
+         |  CAST($PackSeqLen - len(ids0) AS BIGINT) AS n_pad
+         |FROM rows1""".stripMargin,
 
     // epoch-shuffle twin: the NAIVE global window over the same
     // epoch-salted avalanching hash — the two-phase decomposition must

@@ -262,6 +262,177 @@ object Packing {
         coalesce(col("n_tokens_bpe"), lit(0L)).as("n_tokens_bpe"))
   }
 
+  /** Fixed piece-id scheme shared by [[encodeToIds]], [[decodeIds]] and
+    * [[packTokenRows]]: 0 = `<doc>` boundary, 1 = `<pad>`, 2 = `<sp>`
+    * (inter-word space), 3..28 = 'a'..'z' (ascii - 94), 29..38 =
+    * '0'..'9' (ascii - 19), 38 + step = the piece merged at `step` of a
+    * [[bpeMergeTable]]. Pure arithmetic for the base alphabet means both
+    * engines (and [[decodeIds]]) recover chars without a lookup table.
+    */
+  val DocId = 0
+  val PadId = 1
+  val SpId = 2
+  val MergeIdBase = 38
+
+  /** Encode documents to token-ID sequences with a trained merge table —
+    * the step that turns `corpus-prep` output into an actual trainable
+    * artifact (q97 counts pieces, q104 trains merges; this emits the
+    * `array<int>` the training shards need).
+    *
+    * Per word: greedy longest-match against the merged-piece inventory
+    * (single-character fallback = byte-fallback semantics; the house
+    * alphabet [a-z0-9] makes the fallback total). Words join with
+    * [[SpId]] between them, so decode can reconstruct the normalized
+    * text exactly ([[decodeIds]]; PackingSpec pins the round trip).
+    *
+    * The greedy fold runs once per DISTINCT word (the [[greedyTokenCounts]]
+    * scale shape): a per-position best-match table (`len * 1e6 - id`,
+    * integer-packed so the longest piece wins and ties break to the
+    * EARLIEST merge — portable max, no struct comparisons), then a
+    * bounded `maxWordLen`-step walk appending ids; characters past the
+    * bound encode one id each. Per-word id arrays join back on the word
+    * and per-doc assembly is one keyed collect bounded by doc length.
+    *
+    * Output: (idCol, ids array<int>, n_ids) — every input row survives,
+    * token-less docs carry an empty array.
+    */
+  def encodeToIds(docs: DataFrame, mergeTable: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxWordLen: Int = 24): DataFrame = {
+    require(maxWordLen >= 1, "maxWordLen must be positive")
+    val words = docs.select(col(idCol).as("__e_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as(Seq("__e_pos", "w")))
+    // merged-piece inventory as ONE collected array column (a few KB,
+    // broadcast): (piece, id = 38 + step); duplicate merged strings from
+    // different steps keep distinct ids, the score packing below picks
+    // the earliest
+    val mp = mergeTable.agg(collect_list(struct(
+      col("merged").as("piece"),
+      (lit(MergeIdBase) + col("step")).cast("long").as("id"))).as("__mp"))
+    // per-position best merged match, packed as len * 1e6 - id (max ->
+    // longest piece, then smallest id); 0 = no merged piece matches here
+    val bestAt = expr(
+      s"""transform(sequence(1, length(w)),
+         |  i -> greatest(0L, array_max(transform(__mp,
+         |    p -> IF(substring(w, i, length(p.piece)) = p.piece,
+         |            CAST(length(p.piece) AS BIGINT) * 1000000L - p.id,
+         |            0L)))))""".stripMargin)
+    // id of the single char at position i: ascii arithmetic on the fixed
+    // [a-z0-9] alphabet (see the id scheme above)
+    def charId(pos: String): String =
+      s"IF(ascii(substring(w, $pos, 1)) >= 97, ascii(substring(w, $pos, 1)) - 94, ascii(substring(w, $pos, 1)) - 19)"
+    val idsExpr = expr(
+      s"""aggregate(sequence(1, $maxWordLen),
+         |  named_struct('pos', 1, 'ids', CAST(array() AS array<int>)),
+         |  (acc, step) -> IF(acc.pos > length(w), acc,
+         |    named_struct(
+         |      'pos', CAST(acc.pos + greatest(1L, (element_at(__best, acc.pos) + 999999L) div 1000000L) AS INT),
+         |      'ids', concat(acc.ids, array(CAST(
+         |        IF(element_at(__best, acc.pos) > 0L,
+         |           ((element_at(__best, acc.pos) + 999999L) div 1000000L) * 1000000L
+         |             - element_at(__best, acc.pos),
+         |           ${charId("acc.pos")}) AS INT))))),
+         |  acc -> concat(acc.ids,
+         |    IF(acc.pos <= length(w),
+         |       transform(sequence(acc.pos, length(w)),
+         |         i -> CAST(${charId("i")} AS INT)),
+         |       CAST(array() AS array<int>))))""".stripMargin)
+    val perWord = words.select(col("w")).distinct()
+      .crossJoin(broadcast(mp))
+      .withColumn("__best", bestAt)
+      .select(col("w").as("__pw_w"), idsExpr.as("__pw_ids"))
+    // doc assembly in word order: every word's ids get a trailing <sp>,
+    // flatten, drop the trailing separator
+    val perDoc = words.join(perWord, col("w") === col("__pw_w"))
+      .groupBy(col("__e_id"))
+      .agg(expr(
+        s"""flatten(transform(
+           |  array_sort(collect_list(struct(__e_pos, __pw_ids))),
+           |  x -> concat(x.__pw_ids, array($SpId))))""".stripMargin).as("__flat"))
+      .select(col("__e_id"),
+        expr("slice(__flat, 1, size(__flat) - 1)").as("__ids"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__e_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__ids"), expr("CAST(array() AS array<int>)")).as("ids"))
+      .withColumn("n_ids", size(col("ids")).cast("long"))
+  }
+
+  /** Inverse of [[encodeToIds]]: ids back to the normalized text
+    * (tokens joined by single spaces). `<doc>`/`<pad>` decode to
+    * nothing, `<sp>` to a space, base ids by arithmetic, merge ids
+    * through the merge table. PackingSpec pins
+    * `decode(encode(x)) == normalized x` on the real corpus.
+    */
+  def decodeIds(encoded: DataFrame, mergeTable: DataFrame,
+                idCol: String = "doc_id", idsCol: String = "ids"): DataFrame = {
+    val mmap = mergeTable.agg(
+      map_from_entries(collect_list(struct(
+        (lit(MergeIdBase) + col("step")).cast("int").as("id"),
+        col("merged").as("piece")))).as("__mmap"))
+    encoded.crossJoin(broadcast(mmap))
+      .select(col(idCol), expr(
+        s"""array_join(transform($idsCol, i -> CASE
+           |  WHEN i = $SpId THEN ' '
+           |  WHEN i <= $PadId THEN ''
+           |  WHEN i <= 28 THEN char(i + 94)
+           |  WHEN i <= $MergeIdBase THEN char(i + 19)
+           |  ELSE element_at(__mmap, CAST(i AS INT)) END), '')""".stripMargin)
+        .as("text"))
+  }
+
+  /** Cut the encoded corpus into fixed-length training rows: documents
+    * concatenate in id order, each preceded by a `<doc>` boundary
+    * marker, and the stream chops into `seqLen`-id rows; the final row
+    * pads with `<pad>` — the standard packed pre-training layout, now
+    * with real ids instead of counts.
+    *
+    * Scale shape: the global stream offset is [[packChunks]]'s two-phase
+    * prefix sum (never an unpartitioned window); each doc then emits one
+    * row PER TRAINING ROW IT SPANS carrying only the id slice that lands
+    * there (row-local arithmetic), and rows assemble with a keyed
+    * collect bounded by `seqLen` ids. The one-row total-token count
+    * comes back as a broadcast to pad the tail row.
+    *
+    * Output: (row_id, ids array<int> of exactly seqLen, n_pad).
+    */
+  def packTokenRows(encoded: DataFrame, seqLen: Int,
+                    idCol: String = "doc_id", idsCol: String = "ids",
+                    bucketWidth: Long = 4096L): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val withBoundary = encoded.select(col(idCol),
+      expr(s"concat(array(CAST($DocId AS INT)), $idsCol)").as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+    val offsets = packChunks(withBoundary, seqLen.toLong, idCol, "__n", bucketWidth)
+      .select(col(idCol), col("start_offset"))
+    val spans = withBoundary.join(offsets, idCol)
+      .select(col("__arr"), col("__n"), col("start_offset"),
+        explode(sequence(
+          expr(s"start_offset div $seqLen"),
+          expr(s"(start_offset + __n - 1) div $seqLen"))).as("row_id"))
+      .withColumn("__gfrom", greatest(col("start_offset"), col("row_id") * seqLen))
+      .withColumn("__gto",
+        least(col("start_offset") + col("__n"), (col("row_id") + 1) * seqLen))
+      .select(col("row_id"),
+        (col("__gfrom") - col("row_id") * seqLen).as("__slot"),
+        expr("slice(__arr, CAST(__gfrom - start_offset + 1 AS INT), CAST(__gto - __gfrom AS INT))")
+          .as("__piece"))
+    spans.groupBy(col("row_id"))
+      .agg(expr(
+        """flatten(transform(array_sort(collect_list(struct(__slot, __piece))),
+          |  x -> x.__piece))""".stripMargin).as("__ids"))
+      // only the tail row is short (the stream is contiguous); NB Spark's
+      // sequence(1, 0) DESCENDS, so the empty-pad case must short-circuit
+      .select(col("row_id"),
+        expr(
+          s"""IF(size(__ids) < $seqLen,
+             |   concat(__ids, transform(sequence(1, $seqLen - size(__ids)),
+             |     i -> CAST($PadId AS INT))),
+             |   __ids)""".stripMargin).as("ids"),
+        (lit(seqLen) - size(col("__ids"))).cast("long").as("n_pad"))
+  }
+
   /** REAL byte-pair-encoding training: the iterative merge loop (Sennrich
     * et al. 2016) rather than [[bpePieces]]' frequency-ranked n-gram
     * stand-in. Each of the `nMerges` rounds counts every adjacent symbol

@@ -80,6 +80,11 @@ class PlanSpec extends SparkTestBase {
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
       "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal",
       "q108_nb_quality",
+      // q136/q137 embed q104's 1-row argmax broadcasts (the merge loop)
+      // plus the collected merge-piece inventory — a one-row vocab array
+      // crossed into the DISTINCT-word table, the q97 scalar-broadcast
+      // shape; q137 adds nothing beyond q136's joins (pack is keyed)
+      "q136_encode_ids", "q137_pack_ids",
       // q109/q110/q112's one-row ln(N) totals cross the aggregated
       // (distinct-domain) tables — the same q43 scalar-broadcast shape,
       // never corpus x corpus (q111/q113/q114/q116's joins are all

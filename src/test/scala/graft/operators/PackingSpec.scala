@@ -231,4 +231,83 @@ class PackingSpec extends SparkTestBase {
       .as[(Int, String, String, String, Long)].collect().toSeq
     got shouldBe Seq((1, "a", "b", "ab", 3L))
   }
+
+  /** Hand merge table: (step, pa, pb, merged, pair_tf). */
+  private def merges(rows: (Int, String)*) =
+    rows.map { case (s, m) => (s, m.take(1), m.drop(1), m, 1L) }
+      .toDF("step", "pa", "pb", "merged", "pair_tf")
+
+  test("encodeToIds: hand-computed greedy ids — longest match, earliest-merge ties, sp separators") {
+    // ids: chars a=3..z=28, 0=29..9=38; merge step s -> 38+s
+    val mt = merges((1, "th"), (2, "the"))  // th=39, the=40
+    val docs = Seq((1L, "the cat"), (2L, "thx"), (3L, "...")).toDF("doc_id", "text")
+    val got = Packing.encodeToIds(docs, mt).orderBy("doc_id")
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, Seq(40, 2, 5, 3, 22), 5L),     // "the" | <sp> | c a t
+      (2L, Seq(39, 26), 2L),              // "th" + x (greedy longest at pos 1 is th? no: "the" needs e — th wins)
+      (3L, Seq(), 0L))                    // tokenizes to nothing
+    // duplicate merged strings: the EARLIEST step's id wins
+    val dup = Seq((1, "a", "b", "ab", 9L), (3, "a", "b", "ab", 5L))
+      .toDF("step", "pa", "pb", "merged", "pair_tf")
+    val one = Packing.encodeToIds(Seq((1L, "ab")).toDF("doc_id", "text"), dup)
+      .select("ids").as[Seq[Int]].head()
+    one shouldBe Seq(39)                  // 38+1, never 38+3
+    // longer merge beats an earlier shorter one at the same position
+    val longer = merges((1, "ab"), (2, "abc"))
+    Packing.encodeToIds(Seq((1L, "abcd")).toDF("doc_id", "text"), longer)
+      .select("ids").as[Seq[Int]].head() shouldBe Seq(40, 6) // abc, d
+  }
+
+  test("decode(encode(x)) == normalized text, hand case and the real corpus with trained merges") {
+    val mt = merges((1, "th"), (2, "the"))
+    val docs = Seq((1L, "The cat... sat 42 times!"), (2L, "")).toDF("doc_id", "text")
+    val dec = Packing.decodeIds(Packing.encodeToIds(docs, mt), mt).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    dec shouldBe Seq((1L, "the cat sat 42 times"), (2L, ""))
+    // real corpus + really-trained merges: round trip must hold for every doc
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val trained = Packing.bpeMergeTable(corpus, nMerges = 8)
+    val normalized = corpus.select(col("doc_id"),
+      expr("array_join(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), ' ')").as("exp"))
+    val roundTrip = Packing.decodeIds(Packing.encodeToIds(corpus, trained), trained)
+      .join(normalized, "doc_id")
+    roundTrip.filter(col("text") =!= col("exp")).count() shouldBe 0L
+    roundTrip.count() shouldBe corpus.count()
+  }
+
+  test("packTokenRows: hand-computed rows — boundaries, spans, tail padding") {
+    // stream: [0,5,6, 0,7, 0,8,9,10] (T=9), seqLen 4
+    val enc = Seq((1L, Seq(5, 6)), (2L, Seq(7)), (3L, Seq(8, 9, 10)))
+      .toDF("doc_id", "ids")
+    val got = Packing.packTokenRows(enc, seqLen = 4).orderBy("row_id")
+      .as[(Long, Seq[Int], Long)].collect().toSeq
+    got shouldBe Seq(
+      (0L, Seq(0, 5, 6, 0), 0L),
+      (1L, Seq(7, 0, 8, 9), 0L),
+      (2L, Seq(10, 1, 1, 1), 3L))
+  }
+
+  test("packTokenRows invariants on the real corpus: exact seqLen rows, stream reconstruction, bucketWidth-invariant") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val enc = Packing.encodeToIds(corpus, Packing.bpeMergeTable(corpus, nMerges = 4))
+    val packed = Packing.packTokenRows(enc, seqLen = 64).cache()
+    // every row is exactly seqLen ids; only the tail row is padded
+    packed.filter(expr("size(ids) != 64")).count() shouldBe 0L
+    val maxRow = packed.agg(max("row_id")).as[Long].head()
+    packed.filter(col("n_pad") > 0 && col("row_id") =!= maxRow).count() shouldBe 0L
+    // rows reassemble into the exact doc-order stream (pads stripped)
+    val stream = packed.orderBy("row_id")
+      .select(explode(col("ids")).as("t")).as[Int].collect().toSeq
+    val expected = enc.orderBy("doc_id").as[(Long, Seq[Int], Long)].collect()
+      .flatMap { case (_, ids, _) => 0 +: ids }.toSeq
+    stream.take(expected.size) shouldBe expected
+    stream.drop(expected.size).forall(_ == 1) shouldBe true
+    // the two-phase offset knob never changes results
+    val alt = Packing.packTokenRows(enc, seqLen = 64, bucketWidth = 7L)
+      .orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
+    alt shouldBe packed.orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
+  }
 }
