@@ -256,6 +256,17 @@ object CurationQueries {
           s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
           "doc_id"))),
 
+    // AUDIO near-dup — the multimodal gap q96 left: WAV/AU re-encodings
+    // of the same PCM fingerprint identically (integer band-energy
+    // signature), the same pigeonhole band join finds them. The fixture
+    // tone shares the test card's integer mix, so the q96 oracle replay
+    // value-checks this REAL decode path too (javax.sound, not ImageIO)
+    "q138_audio_neardup" -> ((s, dir) =>
+      Multimodal.perceptualAudioPairs(
+        Multimodal.testToneMedia(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+          "doc_id"))),
+
     // verbatim-substring benchmark contamination: training docs quoting
     // >= 48 literal chars from a benchmark doc — the character-granular
     // leak q45's token-shingle ratio under-weights (one long answer
@@ -1486,6 +1497,13 @@ object CurationQueries {
     // pure integer SQL (deterministic fixture + lossless PNG + JPEG-proof
     // margins), then the same pigeonhole band join replays
     "q96_image_neardup" -> imageNearDupOracleSql,
+
+    // audio-dedup twin: the tone fixture shares the card's integer mix
+    // and its energy ORDER equals the card's level order, so the
+    // expected 64-bit signatures — and the whole band join — are the
+    // SAME replay; what differs is the engine path being checked
+    // (javax.sound PCM decode + integer energy cells vs ImageIO)
+    "q138_audio_neardup" -> imageNearDupOracleSql,
 
     // incremental-KL twin: per-(group, word) counts sum-merge exactly
     // (count addition is associative), so state-increment-read equals the

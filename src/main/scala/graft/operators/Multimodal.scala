@@ -676,33 +676,148 @@ object Multimodal {
     * times makes one bucket hot — [[Skew]]'s salting applies, same as
     * every dedup join here.
     */
-  def perceptualImagePairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def perceptualImagePairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    pigeonholeHashPairs(
+      imageHashes(media).toDF()
+        .filter(col("width") > 0)
+        .select(col("media_id").as("id"), col("dhash").as("hash")),
+      maxHamming)
+
+  /** The shared 64-bit pigeonhole band join behind [[perceptualImagePairs]]
+    * and [[perceptualAudioPairs]]: four 16-bit blocks, a pair within
+    * Hamming 3 must agree on at least one block, so the join touches
+    * bucket collisions only and never all pairs. Input: (id, hash).
+    */
+  private def pigeonholeHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 4,
       s"pigeonhole bands (4 blocks of 16 bits) are exact only for maxHamming <= 3: got $maxHamming")
-    val spark = media.sparkSession
-    import spark.implicits._
     // persisted: the self-join reads this frame twice, and each read
     // would otherwise re-decode and re-hash every payload (same reason
     // Dedup.substringPairs persists its fingerprint frame)
-    val h = Caching.maybePersist(
-      imageHashes(media).toDF()
-        .filter(col("width") > 0)
-        .select(col("media_id").as("id"), col("dhash")),
+    val h = Caching.maybePersist(hashes,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blockKeys = array((0 until 4).map { k =>
       struct(lit(k).as("blk"),
-        expr(s"shiftright(dhash, ${k * 16}) & 65535").as("key"))
+        expr(s"shiftright(hash, ${k * 16}) & 65535").as("key"))
     }: _*)
-    val blocks = h.select(col("id"), col("dhash"), explode(blockKeys).as("bk"))
-      .select(col("id"), col("dhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val blocks = h.select(col("id"), col("hash"), explode(blockKeys).as("bk"))
+      .select(col("id"), col("hash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+        expr("bit_count(a.hash ^ b.hash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Audio fingerprint row: container header fields + a 64-bit
+    * band-energy signature ([[audioFingerprints]]). Sentinel convention:
+    * undecodable / non-PCM16 / shorter than 72 frames report afp 0 with
+    * n_frames saying why — [[perceptualAudioPairs]] filters on it.
+    */
+  case class AudioFingerprint(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      sample_rate: Float,
+      channels: Int,
+      n_frames: Long,
+      afp: Long,
+      fp_valid: Boolean)
+
+  /** Chromaprint-style (quantized band-energy) audio fingerprint: the
+    * decoded PCM stream truncates to a multiple of 72 frames, splits into
+    * 72 EQUAL time cells laid out 8 rows x 9 columns (coarse x fine
+    * time, the image dHash grid), and bit r*8+c of the signature says
+    * whether cell (r, c+1) carries more energy than cell (r, c). Energy
+    * per cell is the exact INTEGER sum of squared mono-mixed samples
+    * (channel SUM, not mean: uniform scaling never flips a comparison)
+    * over identical frame counts, so the signature is bit-stable under
+    * lossless container re-encoding (WAV <-> AIFF <-> AU) and under any
+    * uniform volume change that scales samples exactly — the audio twin
+    * of the image hash's brightness-shift invariance.
+    *
+    * Same honest codec boundary as [[decodeAudio]]: only PCM_SIGNED
+    * 16-bit fingerprints; mp3/aac are not in the JVM and sentinel out.
+    */
+  def audioFingerprints(media: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) => fingerprintOneAudio(id, payload) }
+      }
+  }
+
+  private def fingerprintOneAudio(id: Long, payload: Array[Byte]): AudioFingerprint = {
+    import javax.sound.sampled.AudioSystem
+    val nBytes = if (payload == null) 0L else payload.length.toLong
+    def sentinel = AudioFingerprint(id, "undecodable", nBytes, -1f, -1, -1L, 0L, false)
+    if (payload == null) return sentinel
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        var afp = 0L
+        var valid = false
+        if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && nFrames >= 72) {
+          val data = in.readAllBytes()
+          val frameBytes = 2 * fmt.getChannels
+          val total = data.length / frameBytes
+          val used = total - total % 72
+          if (used >= 72) {
+            valid = true
+            val cellW = used / 72
+            val energy = new Array[Long](72)
+            var f = 0
+            while (f < used) {
+              var c = 0
+              var s = 0L
+              while (c < fmt.getChannels) {
+                val off = f * frameBytes + c * 2
+                val lo = data(off) & 0xff
+                val hi = data(off + 1).toInt
+                s += (if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo).toShort
+                c += 1
+              }
+              energy(f / cellW) += s * s
+              f += 1
+            }
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                if (energy(r * 9 + c + 1) > energy(r * 9 + c)) afp |= 1L << (r * 8 + c)
+                c += 1
+              }
+              r += 1
+            }
+          }
+        }
+        AudioFingerprint(id, detectAudioFormat(payload), nBytes,
+          fmt.getSampleRate, fmt.getChannels, nFrames, afp, valid)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => sentinel }
+  }
+
+  /** Perceptual near-duplicate audio pairs: fingerprint Hamming distance
+    * <= `maxHamming` through the same pigeonhole band join as the image
+    * path — closes the "images have perceptual dedup, audio only has
+    * decode" gap. Re-encoded (WAV <-> AU <-> AIFF) and volume-scaled
+    * copies fingerprint identically while their payload bytes share
+    * nothing. Payloads decode map-side and never shuffle; only
+    * (id, 16-bit key) rows enter the exchange.
+    */
+  def perceptualAudioPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    pigeonholeHashPairs(
+      audioFingerprints(media).toDF()
+        .filter(col("fp_valid"))
+        .select(col("media_id").as("id"), col("afp").as("hash")),
+      maxHamming)
 
   /** Deterministic 32x32 test card for the image-dedup contract query and
     * specs: the test corpus ships no binary media, so q96 derives payloads
@@ -741,6 +856,79 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(renderTestCard(seed, size), format, out)
     out.toByteArray
+  }
+
+  /** Deterministic PCM test tone for the audio-dedup contract query and
+    * specs — [[renderTestCard]]'s audio twin, sharing its exact integer
+    * mix: 72 cells of `framesPerCell` frames each; cell i carries a
+    * square wave of amplitude `level(seed, i) * 100`, where level is the
+    * test card's 40..215 gray ramp (odd-column +25 margin included). The
+    * energy ORDER of adjacent cells therefore equals the card's level
+    * order, so a tone's [[audioFingerprints]] signature is bit-identical
+    * to the card's dHash — one generative model, one oracle replay, two
+    * real decode paths.
+    */
+  def renderTestTone(seed: Long, framesPerCell: Int = 25): Array[Byte] = {
+    require(framesPerCell >= 1, "framesPerCell must be positive")
+    val pcm = new Array[Byte](72 * framesPerCell * 2)
+    var i = 0
+    while (i < 72) {
+      var m = seed * 1000003L + i * 0x9e3779b97f4a7c15L
+      m ^= m >>> 29; m *= 0xbf58476d1ce4e5b9L; m ^= m >>> 32
+      val base = ((m % 4 + 4) % 4).toInt
+      val amp = (40 + base * 50 + (i % 9 % 2) * 25) * 100
+      var j = 0
+      while (j < framesPerCell) {
+        val s = (if (j % 2 == 0) amp else -amp).toShort
+        val off = (i * framesPerCell + j) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = (s >> 8).toByte
+        j += 1
+      }
+      i += 1
+    }
+    pcm
+  }
+
+  /** [[renderTestTone]] encoded to real container bytes ("wave", "au",
+    * "aiff" — the three writers the JDK ships; the AU/AIFF writers
+    * byte-swap to big-endian themselves, which is exactly the re-encode
+    * the dedup must see through).
+    */
+  def encodeTestTone(seed: Long, format: String, framesPerCell: Int = 25): Array[Byte] = {
+    import javax.sound.sampled._
+    val tpe = format match {
+      case "wave" | "wav" => AudioFileFormat.Type.WAVE
+      case "au" => AudioFileFormat.Type.AU
+      case "aiff" => AudioFileFormat.Type.AIFF
+      case other => throw new IllegalArgumentException(s"no JDK writer for '$other'")
+    }
+    val pcm = renderTestTone(seed, framesPerCell)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, tpe, out)
+    out.toByteArray
+  }
+
+  /** One WAV + one AU encoding of each key's test tone, in the canonical
+    * media schema — media_id = 2*key for the WAV, 2*key+1 for the AU.
+    * The audio-dedup fixture: every (2k, 2k+1) pair is a true re-encoded
+    * near-duplicate; distinct keys are distinct signals.
+    */
+  def testToneMedia(keys: DataFrame, keyCol: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val rows = keys.select(col(keyCol).cast("long")).as[Long]
+      .flatMap { k =>
+        Seq(
+          MediaRow(2 * k, encodeTestTone(k, "wave"), MediaMeta("wav", -1L)),
+          MediaRow(2 * k + 1, encodeTestTone(k, "au"), MediaMeta("au", -1L)))
+      }
+    rows.toDF().select(col("media_id"), col("payload"),
+      struct(col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")).as("meta"))
   }
 
   /** One PNG + one JPEG encoding of each key's test card, in the canonical

@@ -330,4 +330,63 @@ class MultimodalSpec extends SparkTestBase {
     out(1).format shouldBe "undecodable"
     out(1).frame_idx shouldBe 1
   }
+
+  test("audio fingerprint: container re-encode and volume scaling never change the signature") {
+    // one synthetic signal, three containers + one half-volume WAV
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.asMedia(rows.toDF("media_id", "payload")
+        .withColumn("fmt", org.apache.spark.sql.functions.lit("audio")),
+        "media_id", "payload", "fmt")
+    val pcm = Multimodal.renderTestTone(42L)
+    val half = pcm.grouped(2).flatMap { b =>
+      val s = (((b(1) << 8) | (b(0) & 0xff)).toShort / 2).toShort
+      Seq((s & 0xff).toByte, (s >> 8).toByte)
+    }.toArray
+    def wavOf(bytes: Array[Byte]): Array[Byte] = {
+      import javax.sound.sampled._
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new AudioFormat(8000f, 16, 1, true, false), bytes.length / 2),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val fps = Multimodal.audioFingerprints(mediaOf(Seq(
+        1L -> Multimodal.encodeTestTone(42L, "wave"),
+        2L -> Multimodal.encodeTestTone(42L, "au"),
+        3L -> Multimodal.encodeTestTone(42L, "aiff"),
+        4L -> wavOf(half),
+        5L -> Multimodal.encodeTestTone(7L, "wave"))))
+      .collect().sortBy(_.media_id)
+    fps.forall(_.fp_valid) shouldBe true
+    fps.map(_.afp).distinct.length shouldBe 2          // seed 42 x4, seed 7
+    fps.take(4).map(_.afp).distinct.length shouldBe 1  // re-encode + volume invariant
+    fps(4).afp should not be fps(0).afp
+  }
+
+  test("perceptualAudioPairs: every re-encoded twin at hamming 0; short and non-audio payloads excluded") {
+    val keys = Seq(10L, 11L, 12L).toDF("k")
+    val fixture = Multimodal.testToneMedia(keys, "k")
+    // inject junk: a 40-frame (sub-72) WAV and a non-audio payload
+    val shortWav = {
+      import javax.sound.sampled._
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](80)),
+        new AudioFormat(8000f, 16, 1, true, false), 40),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val junk = Multimodal.asMedia(
+      Seq((1000L, shortWav, "wav"), (1001L, Array.fill[Byte](64)(3), "bin"))
+        .toDF("media_id", "payload", "fmt"), "media_id", "payload", "fmt")
+    val pairs = Multimodal.perceptualAudioPairs(fixture.unionByName(junk))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each (2k, 2k+1) twin present at hamming 0
+    Seq(10L, 11L, 12L).foreach { k =>
+      pairs should contain ((2 * k, 2 * k + 1, 0))
+    }
+    // junk ids never appear
+    pairs.flatMap(p => Seq(p._1, p._2)).toSet.intersect(Set(1000L, 1001L)) shouldBe Set.empty
+  }
 }
