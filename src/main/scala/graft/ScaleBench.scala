@@ -34,6 +34,19 @@ object ScaleBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // optional 2nd arg / env: comma-separated workload-name prefixes —
+    // dev fast path to re-measure one growth curve; a filtered run skips
+    // the recall/increment rows (they are not per-workload) and the
+    // caller redirects its partial output somewhere other than
+    // scale_latest.json
+    val filterSpec = args.drop(1).headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SCALE_ONLY")).filter(_.nonEmpty)
+    val only: String => Boolean = filterSpec match {
+      case Some(spec) =>
+        val pats = spec.split(',').toSeq
+        name => pats.exists(p => name == p || name.startsWith(p))
+      case None => _ => true
+    }
     // the growth comparison and the (mult-1)-replica increment base are
     // both meaningless below 2x — and scaledDocs(0) would empty-reduce
     require(mult >= 2, s"ScaleBench needs a multiplier >= 2, got $mult")
@@ -249,7 +262,7 @@ object ScaleBench {
     // corpus_pipeline growth read 6.2x in one pass vs 1.5-1.9x in two
     // earlier rounds, and without the per-point spread in the artifact a
     // curve shift is indistinguishable from a load spike on one point
-    val rows = workloads.map { case (name, fn) =>
+    val rows = workloads.filter(kv => only(kv._1)).map { case (name, fn) =>
       spark.sharedState.cacheManager.clearCache()
       val s1 = sampled(fn(1))
       spark.sharedState.cacheManager.clearCache()
@@ -274,7 +287,7 @@ object ScaleBench {
     // vectors are scaled copies of replica 0 (cosine 1.0 with the
     // queries), so the true top-k IS the replica set and lands in the
     // query's own cell; expect ~1.0 there regardless of probe width.
-    val recallRows = {
+    val recallRows = if (filterSpec.isDefined) Seq.empty[String] else {
       def pairs(df: DataFrame) =
         df.select("query_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -298,7 +311,7 @@ object ScaleBench {
     // timed region (exactly the --state-path workflow); timed =
     // incrementState(one 1x shard) + prepareFromState off the reloaded
     // tables, vs the full one-shot prepare over all mult replicas.
-    val incRow = {
+    val incRow = if (filterSpec.isDefined) Seq.empty[String] else Seq {
       spark.sharedState.cacheManager.clearCache()
       val stateDir = s"/tmp/graft_scalebench_state_${spark.sparkContext.applicationId}"
       try {
@@ -320,7 +333,7 @@ object ScaleBench {
         s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows :+ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -632,14 +632,49 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
         col("b.id").as("id_b"), col("b.pos").as("pos_b"))
     val texts = docs.select(col(idCol), col(textCol))
-    cand
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
-      .filter(graft.functions.CommonExtent.commonExtent(
-        col("__ta"), col("pos_a"), col("__tb"), col("pos_b"), k) >= minLen)
+    windowVerified(cand, texts, minLen, k, idCol, textCol)
       .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b")).distinct()
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_anchors"))
+  }
+
+  /** The bounded-window verify shared by every substring join: candidates
+    * with `extent >= minLen` through their anchors, decided on
+    * `2*(minLen-k)+k`-char text WINDOWS instead of whole documents.
+    *
+    * Why windows: the verify previously joined the FULL text of both
+    * sides per candidate row, so a doc with many candidate anchors
+    * re-shipped its text once per candidate through the id_b exchange —
+    * the round-10 scale finding (substring_remove grew 3.6x at 10x data).
+    * Each side's window now slices in the projection right after its own
+    * doc-keyed text join, so only ~2*minLen chars per candidate ever
+    * cross an exchange, and the kernel stays inside whole-stage codegen.
+    *
+    * Why the window predicate is EXACT (not a prefilter): with margin
+    * m = minLen - k on each side of the anchor, the windowed extent is
+    * min(left, m) + k + min(right, m); true extent >= minLen implies the
+    * windowed one >= minLen (each truncated side contributes its full m
+    * = (minLen-k) bound), and the windowed extent never exceeds the true
+    * one — so `windowed >= minLen` iff `true >= minLen`. Returns the
+    * surviving (id_a, pos_a, id_b, pos_b) rows.
+    */
+  private def windowVerified(cand: DataFrame, texts: DataFrame,
+                             minLen: Int, k: Int,
+                             idCol: String, textCol: String): DataFrame = {
+    val m = minLen - k
+    val winLen = 2 * m + k
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("__ta").substr(greatest(lit(1), col("pos_a") - m), lit(winLen)).as("__wa"),
+        (col("pos_a") - greatest(lit(1), col("pos_a") - m) + 1).as("__rpa"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"), col("__wa"), col("__rpa"),
+        col("__tb").substr(greatest(lit(1), col("pos_b") - m), lit(winLen)).as("__wb"),
+        (col("pos_b") - greatest(lit(1), col("pos_b") - m) + 1).as("__rpb"))
+      .filter(graft.functions.CommonExtent.commonExtent(
+        col("__wa"), col("__rpa"), col("__wb"), col("__rpb"), k) >= minLen)
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"))
   }
 
   /** SPAN-REMOVAL substring dedup — the APPLY side of [[substringPairs]]
@@ -678,7 +713,13 @@ object Dedup {
       .join(fp.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("a.pos").as("pos_a"),
         col("b.id").as("id_b"), col("b.pos").as("pos_b"))
-    val spans = cand
+    // two-stage verify: the bounded-window test ([[windowVerified]] —
+    // exact for the >= minLen decision) kills the hash-collision bulk of
+    // the candidates with ~2*minLen-char windows; only TRUE anchors (a
+    // tiny, duplicate-mass-proportional set) join the full texts to learn
+    // where their unbounded extent actually sits
+    val spans = windowVerified(cand, texts, minLen, k, idCol, textCol)
+      .distinct()
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
       .withColumn("__span", graft.functions.CommonExtent.commonExtentSpan(
@@ -820,11 +861,7 @@ object Dedup {
         when(col("a.id") < col("b.id"), col("b.pos")).otherwise(col("a.pos")).as("pos_b"))
       .distinct()
     val texts = corpusTexts.select(col(idCol), col(textCol))
-    cand
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
-      .filter(graft.functions.CommonExtent.commonExtent(
-        col("__ta"), col("pos_a"), col("__tb"), col("pos_b"), k) >= minLen)
+    windowVerified(cand, texts, minLen, k, idCol, textCol)
       .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b")).distinct()
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_anchors"))
