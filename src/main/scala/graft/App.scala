@@ -512,6 +512,65 @@ object App {
         println(s"[graft] corpus-card: $langs languages; mean dup ratio " +
           s"${dup.getAs[Double]("mean_dup_ratio")}; tables under $out")
 
+      case "curation-verdict" =>
+        // the q132 composite on the CLI: five filter families joined into
+        // one keep/drop per doc with a failure bitmask saying WHY
+        // (1=gopher, 2=c4, 4=nb, 8=entropy, 16=duplicate). NB seeds come
+        // from explicit frames or from source values in the docs frame.
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val srcCol = o.getOrElse("source-col", "source")
+        def seeds(pathKey: String, srcKey: String): org.apache.spark.sql.DataFrame =
+          (o.get(pathKey), o.get(srcKey)) match {
+            case (Some(p), _) => fetcher.readParquet(spark, p)
+            case (None, Some(srcs)) =>
+              docs.filter(org.apache.spark.sql.functions.col(srcCol)
+                .isin(srcs.split(',').toSeq: _*))
+            case _ => throw new IllegalArgumentException(
+              s"curation-verdict needs --$pathKey or --$srcKey")
+          }
+        val verdict = operators.Verdicts.curationVerdict(docs,
+          positive = seeds("positive-path", "positive-sources"),
+          negative = seeds("negative-path", "negative-sources"),
+          idCol = o.getOrElse("id-col", "doc_id"),
+          textCol = o.getOrElse("text-col", "text"))
+        writer.writeParquet(verdict, o.required("output-path"))
+        val written = fetcher.readParquet(spark, o("output-path"))
+        val total = written.count()
+        val kept = written.filter(org.apache.spark.sql.functions.col("keep") === 1).count()
+        println(s"[graft] curation-verdict: kept $kept / $total docs -> ${o("output-path")}")
+
+      case "contamination-verdict" =>
+        // the q134 composite on the CLI: all four leak gates (verbatim
+        // n-gram, substring, MinHash fuzzy, embedding-space) joined into
+        // one per-train-doc report with a method bitmask (1=ngram,
+        // 2=substring, 4=fuzzy, 8=embedding); embedding gates run only
+        // when both embedding paths are supplied
+        val o = parseArgs(args.tail)
+        val train = fetcher.readParquet(spark, o.required("docs-path"))
+        val bench = fetcher.readParquet(spark, o.required("benchmark-path"))
+        val emb = (o.get("embeddings-path"), o.get("benchmark-embeddings-path")) match {
+          case (Some(te), Some(be)) =>
+            (Some(fetcher.readParquet(spark, te)), Some(fetcher.readParquet(spark, be)))
+          case (None, None) => (None, None)
+          case _ => throw new IllegalArgumentException(
+            "supply both --embeddings-path and --benchmark-embeddings-path or neither")
+        }
+        val verdict = operators.Verdicts.contaminationVerdict(
+          train = train, bench = bench,
+          trainEmb = emb._1, benchEmb = emb._2,
+          minLen = o.getOrElse("min-len", "48").toInt,
+          k = o.getOrElse("k", "16").toInt,
+          fuzzyThreshold = o.getOrElse("fuzzy-threshold", "0.5").toDouble,
+          embedThreshold = o.getOrElse("embed-threshold", "0.3").toDouble,
+          idCol = o.getOrElse("id-col", "doc_id"),
+          textCol = o.getOrElse("text-col", "text"))
+        writer.writeParquet(verdict, o.required("output-path"))
+        val written = fetcher.readParquet(spark, o("output-path"))
+        val total = written.count()
+        val clean = written.filter(org.apache.spark.sql.functions.col("clean") === 1).count()
+        println(s"[graft] contamination-verdict: $clean / $total train docs clean -> ${o("output-path")}")
+
       case "pmi" =>
         // corpus collocations by pointwise mutual information
         val o = parseArgs(args.tail)
@@ -862,6 +921,16 @@ object App {
       |  corpus-card        --docs-path <path> --output-path <path>
       |                     datasheet report: languages, sources, lengths,
       |                     duplication, quality tables
+      |  curation-verdict   --docs-path <path> --output-path <path>
+      |                     (--positive-path <p> --negative-path <p> |
+      |                      --positive-sources a,b --negative-sources c,d
+      |                      [--source-col <c=source>])
+      |                     gopher+c4+nb+entropy+dedup keep/drop w/ fail bitmask
+      |  contamination-verdict --docs-path <train> --benchmark-path <path>
+      |                     --output-path <path> [--min-len <n=48>] [--k <n=16>]
+      |                     [--fuzzy-threshold <t=0.5>] [--embed-threshold <t=0.3>]
+      |                     [--embeddings-path <p> --benchmark-embeddings-path <p>]
+      |                     4-gate leak verdict w/ method bitmask per train doc
       |  demo               [--events-raw-path <path>]   end-to-end walkthrough
       |""".stripMargin
 }

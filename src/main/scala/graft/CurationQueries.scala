@@ -543,32 +543,14 @@ object CurationQueries {
     "q134_contamination_verdict" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      val bench = d.filter(col("doc_id") <= ContamSplitId)
-      val train = d.filter(col("doc_id") > ContamSplitId)
-      val ng = Contamination.check(train, bench)
-        .select(col("doc_id"), col("contaminated").as("ngram_hit"))
-      val sub = Contamination.substringContamination(train, bench,
-          minLen = SubstrLen, k = SubstrK)
-        .select(col("doc_id"), lit(1).as("substr_hit"))
-      val fz = Contamination.fuzzyContamination(train, bench, threshold = 0.5)
-        .select(col("doc_id"), lit(1).as("fuzzy_hit"))
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val em = graft.operators.SimilaritySearch.crossNearDup(
-          e.filter(col("vec_id") > ContamSplitId),
-          e.filter(col("vec_id") <= ContamSplitId), threshold = 0.3)
-        .select(col("vec_id").as("doc_id")).distinct()
-        .withColumn("embed_hit", lit(1))
-      train.select(col("doc_id"))
-        .join(ng, Seq("doc_id"), "left").join(sub, Seq("doc_id"), "left")
-        .join(fz, Seq("doc_id"), "left").join(em, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("ngram_hit"), lit(0)).as("ngram_hit"),
-          coalesce(col("substr_hit"), lit(0)).as("substr_hit"),
-          coalesce(col("fuzzy_hit"), lit(0)).as("fuzzy_hit"),
-          coalesce(col("embed_hit"), lit(0)).as("embed_hit"))
-        .withColumn("method_mask", col("ngram_hit") + col("substr_hit") * 2
-          + col("fuzzy_hit") * 4 + col("embed_hit") * 8)
-        .withColumn("clean", (col("method_mask") === 0).cast("int"))
+      graft.operators.Verdicts.contaminationVerdict(
+        train = d.filter(col("doc_id") > ContamSplitId),
+        bench = d.filter(col("doc_id") <= ContamSplitId),
+        trainEmb = Some(e.filter(col("vec_id") > ContamSplitId)),
+        benchEmb = Some(e.filter(col("vec_id") <= ContamSplitId)),
+        minLen = SubstrLen, k = SubstrK,
+        fuzzyThreshold = 0.5, embedThreshold = 0.3)
     }),
 
     // snapshot diff: old = ids <= 400, new = ids > 100 with every 50th
@@ -594,30 +576,9 @@ object CurationQueries {
     "q132_curation_verdict" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), verdictInjected.as("text"), col("source"))
-      def pick(rules: Seq[(String, Column)], name: String): Column =
-        rules.find(_._1 == name).get._2
-      val gop = d.select(col("doc_id"),
-        pick(TextFunctions.gopherRules(col("text")), "gopher_keep").as("g_keep"))
-      val c4k = d.select(col("doc_id"),
-        pick(TextFunctions.c4Rules(col("text")), "c4_keep").as("c_keep"))
-      val nb = graft.operators.QualityClassifier.nbLogOdds(d,
-          positive = d.filter(col("source").isin(NbPosSources: _*)),
-          negative = d.filter(col("source").isin(NbNegSources: _*)))
-        .select(col("doc_id"), (col("logodds_fp") >= 0L).cast("int").as("nb_pos"))
-      val ent = LmScore.tokenEntropy(d.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), when(col("n_tokens") > 0L &&
-          col("entropy_fp") >= col("n_tokens") *
-            lit(graft.functions.PinnedMath.FpScale), 1).otherwise(0).as("entropy_ok"))
-      val dup = Dedup.exact(d.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), (lit(1) - col("is_dup")).as("not_dup"))
-      d.select(col("doc_id"))
-        .join(gop, "doc_id").join(c4k, "doc_id").join(nb, "doc_id")
-        .join(ent, "doc_id").join(dup, "doc_id")
-        .withColumn("fail_mask",
-          (lit(1) - col("g_keep")) + (lit(1) - col("c_keep")) * 2 +
-            (lit(1) - col("nb_pos")) * 4 + (lit(1) - col("entropy_ok")) * 8 +
-            (lit(1) - col("not_dup")) * 16)
-        .withColumn("keep", (col("fail_mask") === 0).cast("int"))
+      graft.operators.Verdicts.curationVerdict(d,
+        positive = d.filter(col("source").isin(NbPosSources: _*)),
+        negative = d.filter(col("source").isin(NbNegSources: _*)))
     }),
 
     // SPAN-REMOVAL substring dedup (Lee et al. 2022 apply side): verbatim

@@ -445,4 +445,65 @@ class AppSpec extends SparkTestBase {
     }
     storage.rows("reports/length_buckets").size should be > 0
   }
+
+  test("curation-verdict subcommand: per-doc keep/drop with the 5-gate fail bitmask") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs", docs, "overwrite")
+    App.run(platform, Seq("curation-verdict",
+      "--docs-path", "docs", "--output-path", "verdict",
+      "--positive-sources", "src0,src1,src2",
+      "--negative-sources", "src3,src4,src5"))
+    val rows = storage.rows("verdict")
+    rows.size shouldBe docs.count()
+    rows.foreach { r =>
+      val mask = r.getAs[Int]("fail_mask")
+      mask should (be >= 0 and be <= 31)
+      r.getAs[Int]("keep") shouldBe (if (mask == 0) 1 else 0)
+    }
+    // explicit seed frames behave identically to source filters
+    storage.write("pos", docs.filter(col("source").isin("src0", "src1", "src2")), "overwrite")
+    storage.write("neg", docs.filter(col("source").isin("src3", "src4", "src5")), "overwrite")
+    App.run(platform, Seq("curation-verdict",
+      "--docs-path", "docs", "--output-path", "verdict2",
+      "--positive-path", "pos", "--negative-path", "neg"))
+    storage.rows("verdict2").map(r => (r.getLong(0), r.getAs[Int]("fail_mask"))).toSet shouldBe
+      rows.map(r => (r.getLong(0), r.getAs[Int]("fail_mask"))).toSet
+  }
+
+  test("contamination-verdict subcommand: 4-gate method bitmask; embedding gates optional") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    storage.write("train", docs.filter(col("doc_id") > 10), "overwrite")
+    storage.write("bench", docs.filter(col("doc_id") <= 10), "overwrite")
+    storage.write("train_emb", emb.filter(col("vec_id") > 10), "overwrite")
+    storage.write("bench_emb", emb.filter(col("vec_id") <= 10), "overwrite")
+    App.run(platform, Seq("contamination-verdict",
+      "--docs-path", "train", "--benchmark-path", "bench",
+      "--embeddings-path", "train_emb", "--benchmark-embeddings-path", "bench_emb",
+      "--output-path", "leaks"))
+    val rows = storage.rows("leaks")
+    rows.size shouldBe docs.filter(col("doc_id") > 10).count()
+    rows.foreach { r =>
+      val mask = r.getAs[Int]("method_mask")
+      mask shouldBe (r.getAs[Int]("ngram_hit") + r.getAs[Int]("substr_hit") * 2
+        + r.getAs[Int]("fuzzy_hit") * 4 + r.getAs[Int]("embed_hit") * 8)
+      r.getAs[Int]("clean") shouldBe (if (mask == 0) 1 else 0)
+    }
+    // text-only run: embedding bit never sets, other gates unchanged
+    App.run(platform, Seq("contamination-verdict",
+      "--docs-path", "train", "--benchmark-path", "bench",
+      "--output-path", "leaks_text"))
+    val textRows = storage.rows("leaks_text")
+    textRows.foreach(_.getAs[Int]("embed_hit") shouldBe 0)
+    textRows.map(r => (r.getLong(0), r.getAs[Int]("ngram_hit"), r.getAs[Int]("substr_hit"),
+      r.getAs[Int]("fuzzy_hit"))).toSet shouldBe
+      rows.map(r => (r.getLong(0), r.getAs[Int]("ngram_hit"), r.getAs[Int]("substr_hit"),
+        r.getAs[Int]("fuzzy_hit"))).toSet
+  }
 }
