@@ -500,13 +500,48 @@ object App {
 
       case "corpus-card" =>
         // the datasheet-style release report: composition, lengths,
-        // duplication pressure, intrinsic quality — one table per facet
+        // duplication pressure, intrinsic quality — one table per facet.
+        // --state-path turns it incremental: docs-path is a SHARD whose
+        // per-doc sufficient statistics append to stored state, and the
+        // card reads off the merged state (== full recompute bit-for-bit)
         val o = parseArgs(args.tail)
         val docs = fetcher.readParquet(spark, o.required("docs-path"))
         val out = o.required("output-path")
-        val card = operators.CorpusCard.build(docs,
-          o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text"))
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val textCol = o.getOrElse("text-col", "text")
+        val (state, appendState) = o.get("state-path") match {
+          case None =>
+            (operators.CorpusCard.buildState(docs, idCol, textCol), () => ())
+          case Some(sp) =>
+            // same existence-probe discipline as curate/corpus-prep: a
+            // read failure of existing state aborts loudly, never
+            // silently re-initializes
+            if (!fetcher.exists(spark, s"$sp/meta")) {
+              val st = operators.CorpusCard.buildState(docs, idCol, textCol)
+              (st, () => {
+                writer.writeParquet(st.meta, s"$sp/meta")
+                writer.writeParquet(st.postings, s"$sp/postings")
+                println(s"[graft] corpus-card: initialized card state at $sp")
+              })
+            } else {
+              val stored = operators.CorpusCard.CardState(
+                fetcher.readParquet(spark, s"$sp/meta"),
+                fetcher.readParquet(spark, s"$sp/postings"))
+              val shardSt = operators.CorpusCard.buildState(docs, idCol, textCol)
+              val merged = operators.CorpusCard.CardState(
+                stored.meta.unionByName(shardSt.meta),
+                stored.postings.unionByName(shardSt.postings))
+              (merged, () => {
+                writer.writeParquet(shardSt.meta, s"$sp/meta", mode = "append")
+                writer.writeParquet(shardSt.postings, s"$sp/postings", mode = "append")
+                println(s"[graft] corpus-card: appended shard state at $sp")
+              })
+            }
+        }
+        val card = operators.CorpusCard.buildFromState(state, idCol)
         card.foreach { case (name, df) => writer.writeParquet(df, s"$out/$name") }
+        // OUTPUT first, state append after (the curate crash-retry rule)
+        appendState()
         val langs = fetcher.readParquet(spark, s"$out/languages").count()
         val dup = fetcher.readParquet(spark, s"$out/duplication").head()
         println(s"[graft] corpus-card: $langs languages; mean dup ratio " +
@@ -919,6 +954,8 @@ object App {
       |  entropy            --docs-path <path> --output-path <path>
       |                     token entropy + type-token ratio per doc
       |  corpus-card        --docs-path <path> --output-path <path>
+      |                     [--state-path <dir>]  incremental: docs-path is a
+      |                     SHARD; per-doc stats append, card reads merged state
       |                     datasheet report: languages, sources, lengths,
       |                     duplication, quality tables
       |  curation-verdict   --docs-path <path> --output-path <path>

@@ -75,14 +75,36 @@ object Blocklist {
     * engines), and the C4 keep flag (zero hits anywhere).
     */
   def screenRollup(docs: DataFrame, blocklist: Seq[(String, String)],
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hits = screen(docs, blocklist, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    screenRollupFromState(docs.select(col(idCol)),
+      screen(docs, blocklist, idCol, textCol), idCol)
+
+  /** The screen's appendable STATE is [[screen]]'s own long-format
+    * output: per-doc hits are a pure row-local function of (text, list),
+    * so a shard's rows union into stored state and the rollup read off
+    * merged state equals the one-shot recompute bit-for-bit — provided
+    * the LIST is frozen across increments (the same frozen-artifact
+    * contract as every incremental gate here; re-screen from scratch
+    * when the list changes).
+    */
+  def incrementScreenState(state: DataFrame, shard: DataFrame,
+                           blocklist: Seq[(String, String)],
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    state.unionByName(screen(shard, blocklist, idCol, textCol))
+
+  /** The per-doc gate rollup read off (possibly incrementally grown)
+    * state; `ids` is one row per doc the report must cover (hit-less
+    * docs keep their row).
+    */
+  def screenRollupFromState(ids: DataFrame, hits: DataFrame,
+                            idCol: String = "doc_id"): DataFrame = {
     val perDoc = hits.groupBy(col(idCol))
       .agg(sum(col("hits")).as("__total"),
         count(lit(1)).as("__ncat"),
         min(struct((-col("hits")).as("neg"), col("category").as("cat")))
           .getField("cat").as("__worst"))
-    docs.select(col(idCol))
+    ids.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__total"), lit(0L)).as("total_hits"),

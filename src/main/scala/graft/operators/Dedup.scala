@@ -239,11 +239,28 @@ object Dedup {
     * are excluded (the dedup population rule).
     */
   def duplicationProfile(docs: DataFrame, n: Int = 3,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = withShingleHashes(docs, idCol, textCol, n)
-    val posting = sets.select(col("id"), explode(col("hashes")).as("h"))
-    // shingleHashes emits DISTINCT hashes per doc, so count(*) = document
-    // frequency
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    duplicationProfileFromPostings(shinglePostings(docs, n, idCol, textCol), idCol)
+
+  /** The duplication profile's appendable STATE: one (id, h) row per
+    * DISTINCT shingle hash per doc. Exact and union-mergeable (a doc's
+    * rows are independent of every other doc), so shards append without
+    * re-shingling stored corpora and the profile read off merged state
+    * equals the one-shot recompute bit-for-bit — the [[Vocabulary]] /
+    * klState argument, carried to [[graft.operators.CorpusCard]]'s
+    * incremental form.
+    */
+  def shinglePostings(docs: DataFrame, n: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withShingleHashes(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("hashes")).as("h"))
+
+  /** The profile read off (possibly incrementally grown) postings.
+    * shingleHashes emits DISTINCT hashes per doc, so count(*) per hash =
+    * document frequency.
+    */
+  def duplicationProfileFromPostings(posting: DataFrame,
+                                     idCol: String = "doc_id"): DataFrame = {
     val dfreq = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
     posting.join(dfreq, Seq("h"))
       .groupBy(col("id"))

@@ -427,6 +427,32 @@ class AppSpec extends SparkTestBase {
     storage.rows("card/lengths").map(_.getAs[Long]("docs")).sum shouldBe docs.count()
   }
 
+  test("corpus-card --state-path: two shard runs read off merged state == the one-shot card") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("all", docs, "overwrite")
+    storage.write("shard1", docs.filter(col("doc_id") <= 25), "overwrite")
+    storage.write("shard2", docs.filter(col("doc_id") > 25), "overwrite")
+    App.run(platform, Seq("corpus-card",
+      "--docs-path", "all", "--output-path", "card_full"))
+    App.run(platform, Seq("corpus-card",
+      "--docs-path", "shard1", "--output-path", "card_s1", "--state-path", "cstate"))
+    App.run(platform, Seq("corpus-card",
+      "--docs-path", "shard2", "--output-path", "card_s2", "--state-path", "cstate"))
+    // the second incremental run covers the whole corpus: every facet
+    // table equals the one-shot build exactly (per-doc stats append,
+    // duplication postings union-merge)
+    Seq("languages", "sources", "lengths", "duplication", "quality").foreach { t =>
+      storage.rows(s"card_s2/$t").map(_.toSeq).toSet shouldBe
+        storage.rows(s"card_full/$t").map(_.toSeq).toSet
+    }
+    // the first run saw only shard1: strictly fewer docs profiled
+    storage.rows("card_s1/duplication").head.getAs[Long]("docs_profiled") should
+      be < storage.rows("card_full/duplication").head.getAs[Long]("docs_profiled")
+  }
+
   test("audit subcommand writes balance, drift, and padding reports") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))

@@ -47,4 +47,34 @@ class BlocklistSpec extends SparkTestBase {
     Blocklist.screenRollup(docs, list)
       .head().getString(3) shouldBe "spam" // 2 spam vs 1 gambling
   }
+
+  test("phrases normalize through the house tokenizer; untokenizable entries reject loudly") {
+    // doubled spaces and punctuation in a LIST entry still match the
+    // single-space-joined document n-grams
+    val messy = Seq("spam" -> "click  here", "spam" -> "free, money... now!")
+    val docs = Seq((1L, "please click here for free money now")).toDF("doc_id", "text")
+    val hits = Blocklist.screen(docs, messy).collect()
+    hits.map(_.getAs[Long]("hits")).sum shouldBe 2L
+    val err = intercept[IllegalArgumentException] {
+      Blocklist.screen(docs, Seq("junk" -> "?!...")).collect()
+    }
+    err.getMessage should include ("tokenizes to nothing")
+  }
+
+  test("incremental screen state: shard appends read off merged state == one-shot rollup") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("doc_id") % 7 === 0,
+            org.apache.spark.sql.functions.lit(" casino jackpot click here"))
+            .otherwise(org.apache.spark.sql.functions.lit(""))).as("text"))
+    val (s1, s2) = (corpus.filter("doc_id <= 25"), corpus.filter("doc_id > 25"))
+    val grown = Blocklist.incrementScreenState(Blocklist.screen(s1, list), s2, list)
+    val incremental = Blocklist.screenRollupFromState(
+        corpus.select("doc_id"), grown)
+      .collect().map(_.toSeq).toSet
+    incremental shouldBe Blocklist.screenRollup(corpus, list).collect().map(_.toSeq).toSet
+  }
 }
