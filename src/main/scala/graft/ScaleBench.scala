@@ -305,6 +305,65 @@ object ScaleBench {
       }
     }
 
+    // PLANTED-CLUSTER recall floor: the near-uniform sf embeddings are
+    // the structureless WORST case for any IVF (recall there is a probe
+    // knob, reported above) — but real corpora cluster, and the
+    // 100x-scale argument needs a recall row measured on clustered data
+    // AT BENCH SCALE, not just the 300-vector spec fixture. This corpus
+    // is the SimilaritySearchSpec generator scaled and made distributed:
+    // 32*k clusters x 100 members x 32 dims, centroid components
+    // hash-uniform in ±[0.5, 1.0] (sign-stable) and members add ±0.1
+    // noise, all from xxhash64 so the corpus is a pure function of ids
+    // (replayable, no driver-side arrays). Scaling adds CLUSTERS (new
+    // content, the realistic growth mode), queries stay member 1 of the
+    // first 32 clusters — so the index must route among k-times more
+    // cells to keep its recall. PQ rows rerank a 128-deep shortlist:
+    // within-cell ADC collapses to code resolution (every member of a
+    // planted cluster shares its cell's code — the documented tradeoff),
+    // so the shortlist must cover the ~100-member cell population for
+    // exact top-10 recovery; that sizing rule IS the finding the row
+    // documents.
+    val plantedRows = if (!only("planted_recall@10_ivf")) Seq.empty[String] else {
+      val members = 100L
+      val dim = 32
+      def plantedEmb(k: Int): DataFrame = {
+        val clusters = 32L * k
+        spark.range(clusters * members).select(
+          (col("id") / members * 1000L + col("id") % members).cast("long").as("vec_id"),
+          expr(
+            s"""transform(sequence(0, ${dim - 1}), d -> CAST(
+               |  (CASE WHEN abs(xxhash64(id DIV $members * 64 + d, 1)) % 1000000 < 500000
+               |    THEN -1.0 ELSE 1.0 END)
+               |  * (0.5 + 0.5 * (abs(xxhash64(id DIV $members * 64 + d, 2)) % 1000000) / 1000000.0)
+               |  + 0.2 * ((abs(xxhash64(id, d, 3)) % 1000000) / 1000000.0 - 0.5)
+               |  AS FLOAT))""".stripMargin).as("embedding"))
+      }
+      val qPred = "vec_id % 1000 = 1 AND vec_id < 32000"
+      val seedPred = "vec_id % 1000 = 0"
+      def pairs(df: DataFrame) =
+        df.select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recallsAt(mul: Int): Map[String, Double] = {
+        spark.sharedState.cacheManager.clearCache()
+        val e = plantedEmb(mul)
+        val truth = pairs(SimilaritySearch.bruteKnn(e, qPred, 10))
+        def r(got: Set[(Long, Long)]): Double =
+          if (truth.isEmpty) -1.0 else (got & truth).size.toDouble / truth.size
+        Map(
+          "ivf" -> r(pairs(SimilaritySearch.ivfKnnTrained(
+            e, qPred, 10, initPred = seedPred, iters = 2, nProbe = 2))),
+          "pq" -> r(pairs(SimilaritySearch.pqKnnReranked(
+            e, qPred, 10, codebookPred = seedPred, shortlist = 128, m = 8, dim = dim))),
+          "ivfpq" -> r(pairs(SimilaritySearch.ivfPqKnnReranked(
+            e, qPred, 10, centroidPred = seedPred, codebookPred = seedPred,
+            shortlist = 128, nProbe = 2, m = 8, dim = dim))))
+      }
+      val (r1, rN) = (recallsAt(1), recallsAt(mult))
+      Seq("ivf", "pq", "ivfpq").map { meth =>
+        s""""planted_recall@10_$meth":{"x1":${math.rint(r1(meth) * 1000) / 1000},"x$mult":${math.rint(rN(meth) * 1000) / 1000}}"""
+      }
+    }
+
     // increment-vs-full: the q49 claim is that adding ONE shard to stored
     // state costs ~shard + metadata stages, not ~corpus. State on the
     // first (mult-1) replicas is materialized to parquet OUTSIDE the
@@ -333,7 +392,7 @@ object ScaleBench {
         s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

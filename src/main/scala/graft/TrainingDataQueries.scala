@@ -135,6 +135,16 @@ object TrainingDataQueries {
         codebookPred = "vec_id >= 108 AND vec_id < 124",
         nProbe = 2, m = 4, dim = EmbeddingDim)),
 
+    // IVF-PQ + exact rerank: the full production retrieval shape —
+    // composite ADC shortlist of 32, true cosine on the candidates only
+    // (q114's second stage on q125's candidate set). ScaleBench's
+    // planted-cluster rows measure this path's recall@10 at bench scale
+    "q139_knn_ivfpq_reranked" -> ((s, dir) =>
+      SimilaritySearch.ivfPqKnnReranked(emb(s, dir), "vec_id < 10", 3,
+        centroidPred = "vec_id >= 100 AND vec_id < 108",
+        codebookPred = "vec_id >= 108 AND vec_id < 124",
+        shortlist = 32, nProbe = 2, m = 4, dim = EmbeddingDim)),
+
     // INCREMENTAL IVF-PQ: build on the first slice, append the rest
     // against the FROZEN coarse centroids + residual codebook (row-local),
     // query the grown composite index. Incremental == one-shot by
@@ -550,9 +560,12 @@ object TrainingDataQueries {
     * build-then-add equals one-shot, so the incremental oracle IS the
     * one-shot's text).
     */
-  private lazy val ivfPqOracleSql: String = {
+  /** Everything up to the per-candidate ADC distances (`ad`) — shared by
+    * q125/q135's top-k read and q139's rerank stage.
+    */
+  private lazy val ivfPqAdcCtes: String = {
       val subDim = EmbeddingDim / 4
-      s"""WITH $embBaseSql,
+      s"""$embBaseSql,
          |evn AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM en),
          |cc AS (SELECT vec_id AS ccid, vn AS cn FROM evn WHERE vec_id >= 100 AND vec_id < 108),
          |asg AS (SELECT evn.vec_id, evn.vn, cc.ccid, cc.cn,
@@ -587,12 +600,32 @@ object TrainingDataQueries {
          |  CAST(sum(qt.dfp) AS BIGINT) AS adist_fp
          |  FROM codes JOIN qt ON codes.ccid = qt.ccid AND codes.sub = qt.sub
          |    AND codes.cid = qt.cid AND codes.vec_id <> qt.query_id
-         |  GROUP BY qt.query_id, codes.vec_id)
-         |SELECT query_id, neighbor_id, adist_fp,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
-         |FROM ad
-         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
+         |  GROUP BY qt.query_id, codes.vec_id)""".stripMargin
   }
+
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $ivfPqAdcCtes
+       |SELECT query_id, neighbor_id, adist_fp,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM ad
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 3""".stripMargin
+
+  /** q139's rerank stage over the same composite ADC scan: shortlist 32
+    * by (adist, id), exact cosine on the candidates only, (cos desc, id)
+    * rerank to top-3 — the q114 pattern on the IVF-PQ candidate set.
+    */
+  private lazy val ivfPqRerankOracleSql: String =
+    s"""WITH $ivfPqAdcCtes,
+       |short AS (SELECT query_id, neighbor_id FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adist_fp ASC, neighbor_id ASC) <= 32),
+       |scored AS (SELECT short.query_id, short.neighbor_id,
+       |  round(${dotSql("n.v", "q.v")} / (n.nrm * q.nrm), 6) AS cos_sim
+       |  FROM short JOIN en n ON short.neighbor_id = n.vec_id
+       |             JOIN en q ON short.query_id = q.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin
 
   private lazy val pqAdcOracleSql: String =
     s"""$pqAdcCtes
@@ -912,6 +945,10 @@ object TrainingDataQueries {
     // with the cell id carried through every key (per-cell query tables;
     // the candidate join adds ccid to the (sub, cid) key)
     "q125_knn_ivfpq" -> ivfPqOracleSql,
+
+    // composite + rerank twin: q114's exact-cosine second stage over the
+    // same IVF-PQ candidate replay
+    "q139_knn_ivfpq_reranked" -> ivfPqRerankOracleSql,
 
     // incremental IVF-PQ twin: both quantizers frozen at build, so
     // assign + residual-encode of a shard is row-local and build-then-add

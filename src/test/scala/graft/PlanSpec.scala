@@ -115,6 +115,9 @@ class PlanSpec extends SparkTestBase {
       // keyed (ccid, sub, cid) join, pinned by the q125 guard below;
       // q135 is the same index built in two frozen-quantizer steps
       "q125_knn_ivfpq", "q135_knn_ivfpq_incremental",
+      // q139 is q125's shortlist plus a keyed exact-rerank join — its
+      // only cross joins are the same broadcast-centroid assignment
+      "q139_knn_ivfpq_reranked",
       // q126 embeds q99's one-row ln(N+V) model constant against the
       // per-doc totals — the q43 scalar-broadcast shape; the tier join
       // back is keyed on (lang, bin), pinned by the q126 guard below

@@ -312,6 +312,34 @@ class SimilaritySearchSpec extends SparkTestBase {
     rr shouldBe brute
   }
 
+  test("IVF-PQ rerank: on the planted corpus the two-stage composite EQUALS brute force") {
+    // the full production shape: coarse route -> residual-PQ ADC
+    // shortlist -> exact cosine rerank. Same geometry as the PQ rerank
+    // test; the composite must also recover exact top-k (ScaleBench's
+    // planted_recall@10_ivfpq row measures this at bench scale)
+    val rnd = new scala.util.Random(7)
+    val centroids = Array.fill(10)(Array.fill(16)(
+      ((0.5 + 0.5 * rnd.nextDouble()) * (if (rnd.nextBoolean()) 1 else -1)).toFloat))
+    val rows = for (j <- 0 until 10; m <- 0 until 30) yield {
+      val v = centroids(j).map(c => c + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      ((j * 100 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def ranked(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = ranked(SimilaritySearch.bruteKnn(emb, "vec_id % 100 = 1", 10))
+    val rr = ranked(SimilaritySearch.ivfPqKnnReranked(emb, "vec_id % 100 = 1", 10,
+      centroidPred = "vec_id % 100 = 0", codebookPred = "vec_id % 100 = 0",
+      shortlist = 32, nProbe = 2, m = 4, dim = 16))
+    rr shouldBe brute
+    // guard: shortlist below k rejects loudly
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqKnnReranked(emb, "vec_id % 100 = 1", 10,
+        centroidPred = "vec_id % 100 = 0", codebookPred = "vec_id % 100 = 0",
+        shortlist = 5, m = 4, dim = 16)
+    }
+  }
+
   test("PQ rerank on the real corpus: recall improves over raw ADC") {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
