@@ -547,6 +547,60 @@ object App {
         println(s"[graft] corpus-card: $langs languages; mean dup ratio " +
           s"${dup.getAs[Double]("mean_dup_ratio")}; tables under $out")
 
+      case "bpe-train" =>
+        // train the merge table once (the tokenizer artifact a run ships);
+        // tokenize/pack consume it FROZEN — the incremental contract
+        val o = parseArgs(args.tail)
+        val merges = operators.Packing.bpeMergeTable(
+          fetcher.readParquet(spark, o.required("docs-path")),
+          nMerges = o.getOrElse("n-merges", "8").toInt,
+          textCol = o.getOrElse("text-col", "text"))
+        writer.writeParquet(merges, o.required("merges-path"))
+        val n = fetcher.readParquet(spark, o("merges-path")).count()
+        println(s"[graft] bpe-train: learned $n merges -> ${o("merges-path")}")
+
+      case "tokenize" =>
+        // encode docs to token-id sequences with a stored merge table
+        val o = parseArgs(args.tail)
+        val encoded = operators.Packing.encodeToIds(
+          fetcher.readParquet(spark, o.required("docs-path")),
+          fetcher.readParquet(spark, o.required("merges-path")),
+          idCol = o.getOrElse("id-col", "doc_id"),
+          textCol = o.getOrElse("text-col", "text"),
+          maxWordLen = o.getOrElse("max-word-len", "24").toInt)
+        writer.writeParquet(encoded, o.required("output-path"))
+        val st = fetcher.readParquet(spark, o("output-path"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("n_ids")).head()
+        println(s"[graft] tokenize: ${st.getLong(0)} docs, " +
+          s"${st.getLong(1)} ids -> ${o("output-path")}")
+
+      case "pack" =>
+        // cut encoded docs into fixed-length training rows; --packed-path
+        // appends the encoded SHARD to an existing packed corpus (only
+        // the shard computes offsets; rows from the re-opened tail on
+        // are REWRITTEN, earlier rows are immutable)
+        val o = parseArgs(args.tail)
+        val enc = fetcher.readParquet(spark, o.required("encoded-path"))
+        val seqLen = o.getOrElse("seq-len", "64").toInt
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val packed = o.get("packed-path") match {
+          case None => operators.Packing.packTokenRows(enc, seqLen, idCol)
+          case Some(pp) =>
+            import org.apache.spark.sql.functions.{broadcast, col, max}
+            val stored = fetcher.readParquet(spark, pp)
+            val tail = operators.Packing.packTokenRowsIncremental(
+              stored, enc, seqLen, idCol)
+            val cut = stored.agg(max(col("row_id")).as("__cut"))
+            stored.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
+              .select(col("row_id"), col("ids"), col("n_pad"))
+              .unionByName(tail)
+        }
+        writer.writeParquet(packed, o.required("output-path"))
+        val n = fetcher.readParquet(spark, o("output-path")).count()
+        println(s"[graft] pack: $n rows of $seqLen ids -> ${o("output-path")}")
+
       case "curation-verdict" =>
         // the q132 composite on the CLI: five filter families joined into
         // one keep/drop per doc with a failure bitmask saying WHY
@@ -958,6 +1012,15 @@ object App {
       |                     SHARD; per-doc stats append, card reads merged state
       |                     datasheet report: languages, sources, lengths,
       |                     duplication, quality tables
+      |  bpe-train          --docs-path <path> --merges-path <path>
+      |                     [--n-merges <n=8>]  learn the BPE merge table
+      |  tokenize           --docs-path <path> --merges-path <path>
+      |                     --output-path <path> [--max-word-len <n=24>]
+      |                     encode docs to token-id arrays (frozen merges)
+      |  pack               --encoded-path <path> --output-path <path>
+      |                     [--seq-len <n=64>] [--packed-path <stored>]
+      |                     fixed-length training rows with doc boundaries;
+      |                     --packed-path appends the shard incrementally
       |  curation-verdict   --docs-path <path> --output-path <path>
       |                     (--positive-path <p> --negative-path <p> |
       |                      --positive-sources a,b --negative-sources c,d

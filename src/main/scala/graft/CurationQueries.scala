@@ -385,6 +385,26 @@ object CurationQueries {
         seqLen = PackSeqLen)
     }),
 
+    // INCREMENTAL packing: pack the first half, append the second as a
+    // shard — only the shard computes offsets, the stored tail row
+    // re-opens, and head + replacement tail equals the one-shot q137
+    // bit-for-bit (frozen merge table — the frozen-quantizer discipline)
+    "q140_pack_ids_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val enc = Packing.encodeToIds(d,
+        Packing.bpeMergeTable(d, nMerges = BpeMerges), maxWordLen = BpeMaxWordLen)
+      val head = Packing.packTokenRows(
+        enc.filter(col("doc_id") <= IncrSplitId2), seqLen = PackSeqLen)
+      val tail = Packing.packTokenRowsIncremental(head,
+        enc.filter(col("doc_id") > IncrSplitId2), seqLen = PackSeqLen)
+      // replace-from-tail: stored rows below the re-opened one + the tail
+      val cut = head.agg(max(col("row_id")).as("__cut"))
+      head.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
+        .select(col("row_id"), col("ids"), col("n_pad"))
+        .unionByName(tail)
+    }),
+
     // reproducible per-epoch training order: global rank of an
     // epoch-salted hash, two-phase (never an unpartitioned corpus window)
     "q105_epoch_shuffle" -> ((s, dir) =>
@@ -1635,6 +1655,21 @@ object CurationQueries {
     "q136_encode_ids" ->
       s"""WITH $encodeIdsCtesSql
          |SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_ids FROM enc""".stripMargin,
+
+    // incremental-pack twin: the stream only grows at the end, so
+    // head + re-opened tail + shard equals the one-shot pack — the
+    // oracle is q137's text verbatim (the q135 pattern)
+    "q140_pack_ids_incremental" ->
+      s"""WITH $encodeIdsCtesSql,
+         |stream AS (SELECT flatten(list(list_prepend(0, ids) ORDER BY doc_id)) AS st FROM enc),
+         |rows0 AS (SELECT st, len(st) AS t FROM stream),
+         |rows1 AS (SELECT r, st[CAST(r * $PackSeqLen + 1 AS INT) :
+         |    CAST(least((r + 1) * $PackSeqLen, t) AS INT)] AS ids0
+         |  FROM rows0, LATERAL (SELECT unnest(range(0, (t + ${PackSeqLen - 1}) // $PackSeqLen)) AS r) rr)
+         |SELECT CAST(r AS BIGINT) AS row_id,
+         |  ids0 || CAST(list_transform(range(0, $PackSeqLen - len(ids0)), x -> 1) AS INT[]) AS ids,
+         |  CAST($PackSeqLen - len(ids0) AS BIGINT) AS n_pad
+         |FROM rows1""".stripMargin,
 
     // pack twin: the doc-order stream with <doc>=0 boundaries, cut into
     // $PackSeqLen-id rows, tail padded with <pad>=1 — the NAIVE global

@@ -406,7 +406,65 @@ object Packing {
       .withColumn("__n", size(col("__arr")).cast("long"))
     val offsets = packChunks(withBoundary, seqLen.toLong, idCol, "__n", bucketWidth)
       .select(col(idCol), col("start_offset"))
-    val spans = withBoundary.join(offsets, idCol)
+    assembleRows(withBoundary.join(offsets, idCol), seqLen)
+  }
+
+  /** Append shards to an already-packed corpus WITHOUT repacking: the
+    * stored rows below the current tail are immutable (the stream only
+    * grows at the end), so the increment computes offsets for the SHARD
+    * alone, re-opens the tail row (its real tokens become the first
+    * slice, its pads are discarded), and emits the REPLACEMENT TAIL —
+    * every row with `row_id >=` the stored maximum. Full packed corpus =
+    * stored rows below that id + this result; PackingSpec pins chained
+    * shards == the one-shot [[packTokenRows]] bit-for-bit.
+    *
+    * Caller contract (the incremental-family discipline): shard doc ids
+    * must exceed every already-packed id (the stream is id-ordered), and
+    * the id-scheme/merge-table behind the encoding is FROZEN across
+    * increments. The stored total recovers from the packed rows
+    * themselves (max row_id and its pad count) — one tiny aggregate, no
+    * side metadata to keep consistent.
+    */
+  def packTokenRowsIncremental(packed: DataFrame, encodedShard: DataFrame,
+                               seqLen: Int,
+                               idCol: String = "doc_id", idsCol: String = "ids",
+                               bucketWidth: Long = 4096L): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    // an empty stored side has no tail to re-open (and the crossJoin
+    // below would silently drop the shard) — init with packTokenRows
+    require(!packed.limit(1).isEmpty,
+      "packTokenRowsIncremental needs a non-empty packed corpus; " +
+        "initialize with packTokenRows")
+    // 1-row tail descriptor: (last row id, its unpadded prefix) — the
+    // quantile-threshold broadcast pattern, no collect
+    val tail = packed
+      .select(col("row_id"), col(idsCol).as("__tids"), col("n_pad"))
+      .orderBy(col("row_id").desc).limit(1)
+      .select(col("row_id").as("__trow"),
+        expr(s"slice(__tids, 1, $seqLen - CAST(n_pad AS INT))").as("__tpre"))
+    val withBoundary = encodedShard.select(col(idCol),
+      expr(s"concat(array(CAST($DocId AS INT)), $idsCol)").as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+    // shard offsets start where the stored stream ends
+    val shardRows = packChunks(withBoundary, seqLen.toLong, idCol, "__n", bucketWidth)
+      .select(col(idCol), col("start_offset"))
+      .join(withBoundary, idCol)
+      .crossJoin(broadcast(tail))
+      .select(col("__arr"), col("__n"),
+        (col("start_offset") + col("__trow") * seqLen + size(col("__tpre"))).as("start_offset"))
+    // the re-opened tail rides the same assembly as a pseudo-doc pinned
+    // at its row start
+    val tailRow = tail.select(col("__tpre").as("__arr"),
+      size(col("__tpre")).cast("long").as("__n"),
+      (col("__trow") * seqLen).as("start_offset"))
+    assembleRows(shardRows.unionByName(tailRow), seqLen)
+  }
+
+  /** Shared row assembly: (__arr, __n, start_offset) rows -> padded
+    * seqLen-id training rows.
+    */
+  private def assembleRows(placed: DataFrame, seqLen: Int): DataFrame = {
+    val spans = placed
       .select(col("__arr"), col("__n"), col("start_offset"),
         explode(sequence(
           expr(s"start_offset div $seqLen"),

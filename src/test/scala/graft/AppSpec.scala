@@ -472,6 +472,37 @@ class AppSpec extends SparkTestBase {
     storage.rows("reports/length_buckets").size should be > 0
   }
 
+  test("bpe-train -> tokenize -> pack chain; incremental pack equals one-shot") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs", docs, "overwrite")
+    storage.write("shard1", docs.filter(col("doc_id") <= 25), "overwrite")
+    storage.write("shard2", docs.filter(col("doc_id") > 25), "overwrite")
+    App.run(platform, Seq("bpe-train",
+      "--docs-path", "docs", "--merges-path", "merges", "--n-merges", "4"))
+    storage.rows("merges").size shouldBe 4
+    App.run(platform, Seq("tokenize",
+      "--docs-path", "docs", "--merges-path", "merges", "--output-path", "enc"))
+    storage.rows("enc").size shouldBe docs.count()
+    App.run(platform, Seq("pack",
+      "--encoded-path", "enc", "--output-path", "packed", "--seq-len", "48"))
+    val oneShot = storage.rows("packed").map(_.toSeq).toSet
+    // shard-by-shard: tokenize each against the SAME frozen merges, pack
+    // the first, append the second
+    App.run(platform, Seq("tokenize",
+      "--docs-path", "shard1", "--merges-path", "merges", "--output-path", "enc1"))
+    App.run(platform, Seq("tokenize",
+      "--docs-path", "shard2", "--merges-path", "merges", "--output-path", "enc2"))
+    App.run(platform, Seq("pack",
+      "--encoded-path", "enc1", "--output-path", "packed1", "--seq-len", "48"))
+    App.run(platform, Seq("pack",
+      "--encoded-path", "enc2", "--output-path", "packed2", "--seq-len", "48",
+      "--packed-path", "packed1"))
+    storage.rows("packed2").map(_.toSeq).toSet shouldBe oneShot
+  }
+
   test("curation-verdict subcommand: per-doc keep/drop with the 5-gate fail bitmask") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage

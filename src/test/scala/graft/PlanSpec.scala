@@ -85,6 +85,10 @@ class PlanSpec extends SparkTestBase {
       // crossed into the DISTINCT-word table, the q97 scalar-broadcast
       // shape; q137 adds nothing beyond q136's joins (pack is keyed)
       "q136_encode_ids", "q137_pack_ids",
+      // q140 adds two more 1-row broadcasts to q137's shape: the stored
+      // tail descriptor and the replace-from cut — both limit(1)/agg
+      // scalars crossed into keyed frames
+      "q140_pack_ids_incremental",
       // q109/q110/q112's one-row ln(N) totals cross the aggregated
       // (distinct-domain) tables — the same q43 scalar-broadcast shape,
       // never corpus x corpus (q111/q113/q114/q116's joins are all

@@ -310,4 +310,34 @@ class PackingSpec extends SparkTestBase {
       .orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
     alt shouldBe packed.orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
   }
+
+  test("packTokenRowsIncremental: chained shard appends equal the one-shot pack bit-for-bit") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mt = Packing.bpeMergeTable(corpus, nMerges = 4) // frozen across shards
+    val enc = Packing.encodeToIds(corpus, mt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
+    val oneShot = rows(Packing.packTokenRows(enc, seqLen = 48))
+    // three id-ordered shards, chained
+    def shard(lo: Long, hi: Long) = enc.filter(col("doc_id") > lo && col("doc_id") <= hi)
+    val p0 = Packing.packTokenRows(shard(-1L, 15L), seqLen = 48)
+    def graft(head: Seq[(Long, Seq[Int], Long)], tail: Seq[(Long, Seq[Int], Long)]) =
+      head.filter(_._1 < tail.map(_._1).min) ++ tail
+    val s1 = graft(rows(p0),
+      rows(Packing.packTokenRowsIncremental(p0, shard(15L, 30L), seqLen = 48)))
+    val p1 = s1.toDF("row_id", "ids", "n_pad")
+    val s2 = graft(s1,
+      rows(Packing.packTokenRowsIncremental(p1, shard(30L, Long.MaxValue), seqLen = 48)))
+    s2 shouldBe oneShot
+    // guard: an empty stored side rejects loudly instead of dropping the shard
+    val err = intercept[IllegalArgumentException] {
+      Packing.packTokenRowsIncremental(
+        spark.emptyDataFrame.select(lit(0L).as("row_id"),
+          expr("CAST(array() AS array<int>)").as("ids"), lit(0L).as("n_pad"))
+          .filter(lit(false)),
+        enc, seqLen = 48)
+    }
+    err.getMessage should include ("non-empty packed corpus")
+  }
 }
