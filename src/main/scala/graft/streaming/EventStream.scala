@@ -452,6 +452,30 @@ object EventStream {
           batch.toDF(), blocklist, idCol, textCol), batchId)
       }
 
+  /** Streaming TOKENIZE gate: each arriving micro-batch encodes to
+    * token-id sequences against a FROZEN merge table with the batch
+    * operator ([[graft.operators.Packing.encodeToIds]]) — tokenize at
+    * ingest, the last streaming step before shards pack into training
+    * rows. Same one-code-path / zero-streaming-state argument as every
+    * gate here: encoding is a pure per-doc function of (text, merges),
+    * so per-batch independence needs no update-mode state and streamed
+    * union == batch encode bit-for-bit (EventStreamSpec). The merge
+    * table is the frozen tokenizer artifact (`App bpe-train`); per-batch
+    * re-encoding against a CHANGED table would silently mix id schemes —
+    * freeze it like every incremental consumer does.
+    */
+  def tokenizeGateWriter(docs: DataFrame, mergeTable: DataFrame,
+                         sink: (DataFrame, Long) => Unit,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         maxWordLen: Int = 24)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Packing.encodeToIds(
+          batch.toDF(), mergeTable, idCol, textCol, maxWordLen), batchId)
+      }
+
   /** Streaming SEMANTIC contamination gate: each arriving micro-batch of
     * embedded documents is checked against a FROZEN benchmark embedding
     * table with the batch operator

@@ -491,6 +491,39 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming tokenize gate: frozen merges across micro-batches == batch encode, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // frozen tokenizer artifact: merges trained once, shared by every batch
+    val corpus = Seq((1L, "the cat sat"), (2L, "the thin cat"),
+      (3L, "that the cat"), (4L, "")).toDF("doc_id", "text")
+    val merges = graft.operators.Packing.bpeMergeTable(corpus, nMerges = 3)
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int], Long)]
+    val query = EventStream.tokenizeGateWriter(
+        input.toDF().toDF("doc_id", "text"), merges,
+        (out, _) => collected.synchronized {
+          collected ++= out.select("doc_id", "ids", "n_ids")
+            .as[(Long, Seq[Int], Long)].collect()
+        })
+      .start()
+    try {
+      input.addData(Seq((1L, "the cat sat"), (2L, "the thin cat")))
+      query.processAllAvailable()
+      input.addData(Seq((3L, "that the cat"), (4L, "")))
+      query.processAllAvailable()
+      val batchEncode = graft.operators.Packing.encodeToIds(corpus, merges)
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      collected.toSet shouldBe batchEncode
+      // and the streamed ids decode back to the normalized text
+      val dec = graft.operators.Packing.decodeIds(
+          collected.toSeq.map(r => (r._1, r._2)).toDF("doc_id", "ids"), merges)
+        .as[(Long, String)].collect().toMap
+      dec(1L) shouldBe "the cat sat"
+      dec(4L) shouldBe ""
+    } finally query.stop()
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
