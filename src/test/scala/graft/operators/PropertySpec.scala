@@ -188,4 +188,43 @@ class PropertySpec extends SparkTestBase {
       funnel.head shouldBe rolled.size.toLong  // depth 0 counts every session
     }
   }
+
+  test("tokenize/pack: decode(encode(x)) == normalized x and the packed stream reconstructs, on random corpora") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // text over the house alphabet plus punctuation/whitespace noise the
+    // tokenizer must strip; empty and punctuation-only docs included
+    val wordGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.alphaLowerChar, 2 -> Gen.numChar)).map(_.mkString))
+    val sepGen = Gen.oneOf(" ", "  ", ", ", "... ", "! ", "\n", " - ")
+    val docGen = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, for { w <- wordGen; s <- sepGen } yield w + s)
+        .map(_.mkString))
+    (1 to Rounds).foreach { i =>
+      val seed = org.scalacheck.rng.Seed(42L + i)
+      val texts = Gen.listOfN(30, docGen).pureApply(Gen.Parameters.default, seed)
+      val nMerges = 1 + i  // 2..6 across rounds
+      val seqLen = 8 + 7 * i
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val mt = Packing.bpeMergeTable(docs, nMerges = nMerges)
+      val enc = Packing.encodeToIds(docs, mt).cache()
+      // exact round trip for EVERY doc, whatever the merges learned
+      val normalized = docs.select(col("doc_id"),
+        expr("array_join(filter(split(lower(text), '[^a-z0-9]+'), t -> t != ''), ' ')").as("exp"))
+      val bad = Packing.decodeIds(enc, mt).join(normalized, "doc_id")
+        .filter(col("text") =!= col("exp")).count()
+      assert(bad == 0L, s"round $i: $bad docs failed the encode/decode round trip")
+      // the packed stream is exactly boundaries + ids in doc order + pads
+      val packed = Packing.packTokenRows(enc, seqLen = seqLen)
+      val stream = packed.orderBy("row_id")
+        .select(expr("explode(ids)").as("t")).as[Int].collect().toSeq
+      val expected = enc.orderBy("doc_id")
+        .select("ids").as[Seq[Int]].collect().flatMap(0 +: _).toSeq
+      assert(stream.take(expected.size) == expected, s"round $i: stream mismatch")
+      assert(stream.drop(expected.size).forall(_ == 1), s"round $i: tail not padded")
+      assert(stream.size % seqLen == 0, s"round $i: ragged rows")
+      enc.unpersist()
+    }
+  }
 }
