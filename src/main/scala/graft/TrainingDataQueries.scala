@@ -51,6 +51,17 @@ object TrainingDataQueries {
     // exact dedup: content-hash groups with keeper assignment
     "q23_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    // URL dedup — the step BEFORE any content pass on a web corpus: the
+    // test tables carry no URL column, so (the q118 injection trick)
+    // URLs synthesize as a pure function of doc_id exercising every
+    // canonicalization rule — case folding, default port, trailing
+    // slash, fragment, tracking params, param order — plus an https
+    // variant that must stay DISTINCT
+    "q141_url_dedup" -> ((s, dir) =>
+      Dedup.urlDedup(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), expr(urlCaseSql("CAST(doc_id div 16 AS STRING)")).as("url")))),
+
     // exact n-gram Jaccard near-dup pairs (shingle inverted-index join)
     "q24_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
@@ -651,6 +662,25 @@ object TrainingDataQueries {
        |FROM scored
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) <= 3""".stripMargin
 
+  /** q141's synthesized URLs: 8 variants per 16-id site, seven of which
+    * canonicalize to the same page (case, default port, trailing slash,
+    * fragment, tracking param, param order) and one https variant that
+    * must stay distinct. `siteExpr` is the dialect's integer-division
+    * cast (`div`/STRING on Spark, `//`/VARCHAR on DuckDB) — the rest of
+    * the CASE parses identically in both.
+    */
+  private def urlCaseSql(siteExpr: String): String =
+    s"""CASE CAST(doc_id % 8 AS INT)
+       | WHEN 0 THEN 'http://site' || $siteExpr || '.example.com/a/b?a=1&b=2'
+       | WHEN 1 THEN 'HTTP://Site' || $siteExpr || '.Example.COM/a/b?a=1&b=2'
+       | WHEN 2 THEN 'http://site' || $siteExpr || '.example.com:80/a/b?a=1&b=2'
+       | WHEN 3 THEN 'http://site' || $siteExpr || '.example.com/a/b/?a=1&b=2'
+       | WHEN 4 THEN 'http://site' || $siteExpr || '.example.com/a/b?a=1&b=2#sec'
+       | WHEN 5 THEN 'http://site' || $siteExpr || '.example.com/a/b?utm_source=x&a=1&b=2'
+       | WHEN 6 THEN 'http://site' || $siteExpr || '.example.com/a/b?b=2&a=1'
+       | ELSE 'https://site' || $siteExpr || '.example.com/a/b?a=1&b=2'
+       |END""".stripMargin
+
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
     * NULL when the vector is shorter than the band's range — mirroring
     * [[graft.functions.VectorFunctions.signBandKey]]'s guard, so Spark and
@@ -808,6 +838,41 @@ object TrainingDataQueries {
 
     "q22_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fingerprint FROM documents",
+
+    // url-dedup twin: the same synthesized URL CASE, the canonicalizer
+    // replayed with the SAME regexes (scheme/host fold, default ports,
+    // trailing slash, fragment, tracking filter + param sort), then
+    // q23's window-dedup shape on the canonical key
+    "q141_url_dedup" -> {
+      val re = "^[a-zA-Z][a-zA-Z0-9+.-]*"
+      s"""WITH u AS (SELECT doc_id, ${urlCaseSql("CAST(doc_id // 16 AS VARCHAR)")} AS url FROM documents),
+         |c AS (SELECT doc_id, url, string_split(trim(url), '#')[1] AS base FROM u),
+         |p AS (SELECT doc_id, url,
+         |  lower(regexp_extract(base, '^($re)://', 1)) AS scheme,
+         |  lower(regexp_extract(base, '^$re://([^/?#]+)', 1)) AS hostraw,
+         |  regexp_extract(base, '^$re://[^/?#]+([^?#]*)', 1) AS path0,
+         |  regexp_extract(base, '\\?(.*)$$', 1) AS query0 FROM c),
+         |n AS (SELECT doc_id, url, scheme,
+         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+         |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+         |       ELSE hostraw END AS host,
+         |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+         |       ELSE regexp_replace(path0, '/$$', '') END AS path,
+         |  coalesce(list_aggregate(list_sort(list_filter(string_split(query0, '&'),
+         |    x -> x != '' AND NOT regexp_matches(x, '${graft.functions.TextFunctions.TrackingParamRe}'))),
+         |    'string_agg', '&'), '') AS params FROM p),
+         |cu AS (SELECT doc_id,
+         |  CASE WHEN scheme = '' THEN lower(trim(url))
+         |       ELSE scheme || '://' || host || path ||
+         |            CASE WHEN params = '' THEN '' ELSE '?' || params END
+         |  END AS canonical_url FROM n)
+         |SELECT doc_id, canonical_url,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
+         |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
+         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+         |    THEN 0 ELSE 1 END AS is_dup
+         |FROM cu""".stripMargin
+    },
 
     "q23_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,

@@ -509,4 +509,43 @@ object TextFunctions {
     }
     counts
   }
+
+  /** Query parameters dropped by [[canonicalizeUrl]]: tracking noise that
+    * makes byte-distinct URLs point at the same page.
+    */
+  val TrackingParamRe: String =
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+
+  /** Canonical form of a URL — the standard web-corpus ingest step
+    * (C4/CCNet dedup by URL before any content pass): scheme and host
+    * case-fold, default ports drop (:80 on http, :443 on https),
+    * fragments drop, tracking query params ([[TrackingParamRe]]) drop,
+    * surviving params SORT (param order is transport noise), the empty
+    * path becomes "/" and other paths lose one trailing slash. Built
+    * entirely from builtin string/array functions (codegen'd, and the
+    * oracle replays it with the same regexes), row-local by definition.
+    *
+    * Honest scope: a syntactic canonicalizer — it does not resolve
+    * dot-segments, decode percent-escapes, or consult redirects; http
+    * and https remain DISTINCT (they can serve different content). An
+    * input without a `scheme://` prefix falls back to lowercase-trim.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val base = substring_index(trim(url), "#", 1)
+    val scheme = lower(regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostRaw = lower(regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val path0 = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(path0 === "/", lit("/"))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query0 = regexp_extract(base, "\\?(.*)$", 1)
+    val params = array_join(array_sort(filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))), "&")
+    when(scheme === "", lower(trim(url)))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
+  }
 }

@@ -52,6 +52,29 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("keeper_id"), col("group_size"), col("is_dup"))
   }
 
+  /** URL dedup — the step BEFORE any content pass in a web-corpus
+    * pipeline (C4/CCNet drop re-crawls of the same page by URL): group by
+    * the [[graft.functions.TextFunctions.canonicalizeUrl]] canonical form
+    * (case-folded scheme/host, default ports and fragments and tracking
+    * params dropped, surviving params sorted, trailing-slash normalized),
+    * keep the lowest id per page. Strictly cheaper than any content
+    * dedup: one shuffle of (canonical-url, id) rows, no text read at all.
+    * Output: (idCol, canonical_url, keeper_id, group_size, is_dup) for
+    * every input row — [[exact]]'s exact shape on the URL key.
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame = {
+    val cu = graft.functions.TextFunctions.canonicalizeUrl(col(urlCol))
+    val w = Window.partitionBy(col("canonical_url"))
+    docs
+      .withColumn("canonical_url", cu)
+      .withColumn("keeper_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keeper_id")).cast("int"))
+      .select(col(idCol), col("canonical_url"), col("keeper_id"),
+        col("group_size"), col("is_dup"))
+  }
+
   /** [[exact]] with a QUALITY-aware keeper: among byte-identical rows, keep
     * the one with the highest `scoreCol` (ties to the lowest id) instead of
     * blindly the lowest id — the variant that matters when duplicates

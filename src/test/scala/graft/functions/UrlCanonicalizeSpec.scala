@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkTestBase
+
+/** URL canonicalization: every rule hand-checked, plus the honest-scope
+  * negatives (https stays distinct, dot-segments untouched).
+  */
+class UrlCanonicalizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toSeq.toDF("u")
+      .select(TextFunctions.canonicalizeUrl(col("u")))
+      .as[String].collect().toSeq
+
+  test("case folds scheme+host only; path and query keep their case") {
+    canon("HTTP://ExAmple.COM/Path/File?Q=Abc") shouldBe
+      Seq("http://example.com/Path/File?Q=Abc")
+  }
+
+  test("default ports drop per scheme; explicit non-default ports survive") {
+    canon(
+      "http://a.com:80/x", "https://a.com:443/x",
+      "http://a.com:443/x", "https://a.com:80/x", "http://a.com:8080/x") shouldBe Seq(
+      "http://a.com/x", "https://a.com/x",
+      "http://a.com:443/x", "https://a.com:80/x", "http://a.com:8080/x")
+  }
+
+  test("fragment drops; empty path becomes /; one trailing slash drops") {
+    canon(
+      "http://a.com/x#section-2", "http://a.com", "http://a.com/",
+      "http://a.com/x/", "http://a.com/x//") shouldBe Seq(
+      "http://a.com/x", "http://a.com/", "http://a.com/",
+      "http://a.com/x", "http://a.com/x/")
+  }
+
+  test("tracking params drop, survivors sort, empty query drops the ?") {
+    canon(
+      "http://a.com/x?utm_source=tw&utm_campaign=c&b=2&a=1",
+      "http://a.com/x?b=2&a=1",
+      "http://a.com/x?gclid=123",
+      "http://a.com/x?fbclid=1&ref=home&mc_cid=9") shouldBe Seq(
+      "http://a.com/x?a=1&b=2",
+      "http://a.com/x?a=1&b=2",
+      "http://a.com/x",
+      "http://a.com/x")
+  }
+
+  test("honest scope: https != http, dot-segments and percent-escapes untouched, schemeless falls back to lowercase") {
+    canon("https://a.com/x").head should not be canon("http://a.com/x").head
+    canon("http://a.com/x/../y") shouldBe Seq("http://a.com/x/../y")
+    canon("http://a.com/%7Euser") shouldBe Seq("http://a.com/%7Euser")
+    canon("  WWW.Example.com/X  ") shouldBe Seq("www.example.com/x")
+  }
+
+  test("urlDedup groups every syntactic variant of a page; distinct pages stay apart") {
+    val rows = Seq(
+      (1L, "http://site.com/a/b?a=1&b=2"),
+      (2L, "HTTP://Site.COM/a/b?a=1&b=2"),
+      (3L, "http://site.com:80/a/b?a=1&b=2"),
+      (4L, "http://site.com/a/b/?a=1&b=2"),
+      (5L, "http://site.com/a/b?a=1&b=2#frag"),
+      (6L, "http://site.com/a/b?utm_source=x&a=1&b=2"),
+      (7L, "http://site.com/a/b?b=2&a=1"),
+      (8L, "https://site.com/a/b?a=1&b=2"),   // different scheme: distinct
+      (9L, "http://site.com/a/c?a=1&b=2"))    // different path: distinct
+      .toDF("doc_id", "url")
+    val out = graft.operators.Dedup.urlDedup(rows)
+      .select("doc_id", "keeper_id", "group_size", "is_dup")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1)
+    out.take(7).foreach { case (_, keeper, size, _) =>
+      keeper shouldBe 1L; size shouldBe 7L
+    }
+    out.take(7).map(_._4).toSeq shouldBe (0 +: Seq.fill(6)(1))
+    out(7) shouldBe ((8L, 8L, 1L, 0))
+    out(8) shouldBe ((9L, 9L, 1L, 0))
+  }
+}
