@@ -274,6 +274,16 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // q45's REVERSE direction: the per-BENCHMARK-item leak report — which
+    // eval items are compromised, how much of each leaked, and the worst
+    // training-side offender (ties to the lowest id); clean items keep
+    // their row with zeros
+    "q142_benchmark_leaks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.benchmarkLeakReport(
+        d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
+    }),
+
     // corpus self-duplication profile (Lee et al. 2022): per-doc fraction
     // of distinct 3-gram shingles that also occur in another document,
     // plus the max shingle document-frequency — the measurement pass that
@@ -1182,6 +1192,31 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // benchmark-leak twin: both directions off the same shingle sets —
+    // per-item distinct-leak count against the train hash domain, per
+    // (item, train doc) shared counts, argmax offender by (shared desc,
+    // id asc) via min over the negated pair
+    "q142_benchmark_leaks" ->
+      s"""WITH $docSetsSql,
+         |bp AS (SELECT id AS bid, unnest(hashes) AS h FROM sets WHERE id <= 25),
+         |tp AS (SELECT id AS tid, unnest(hashes) AS h FROM sets WHERE id > 25),
+         |pair AS (SELECT bid, tid, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM tp JOIN bp USING (h) GROUP BY bid, tid),
+         |off AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_train_docs,
+         |  min(struct_pack(k := -n_shared, tid := tid)) AS top FROM pair GROUP BY bid),
+         |lk AS (SELECT bid, CAST(count(*) AS BIGINT) AS n_leaked
+         |  FROM (SELECT DISTINCT h FROM tp) th JOIN bp USING (h) GROUP BY bid)
+         |SELECT sets.id AS doc_id,
+         |  CAST(len(sets.hashes) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+         |  round(CAST(coalesce(lk.n_leaked, 0) AS BIGINT) * 1.0 / len(sets.hashes), 6) AS leak_ratio,
+         |  CAST(coalesce(off.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+         |  off.top.tid AS top_offender_id,
+         |  CAST(coalesce(-off.top.k, 0) AS BIGINT) AS top_offender_shared
+         |FROM sets LEFT JOIN lk ON sets.id = lk.bid
+         |          LEFT JOIN off ON sets.id = off.bid
+         |WHERE sets.id <= 25""".stripMargin,
 
     // fuzzy-contamination twin: the minhash sig/bucket prefix, candidates
     // constrained to the train x benchmark cross (a.id % 5 <> 0 vs = 0),

@@ -67,6 +67,60 @@ object Contamination {
         (col("n_shared") > 0).cast("int").as("contaminated"))
   }
 
+  /** [[check]]'s REVERSE direction: the per-BENCHMARK-doc leak report —
+    * the view an eval OWNER needs ("which of my items are compromised,
+    * how badly, and by whom") where [[check]] answers the corpus owner's
+    * question ("which training docs must go"). One row per benchmark doc
+    * with >= 1 shingle, clean items included:
+    * (idCol, n_shingles, n_leaked distinct shingles found ANYWHERE in
+    * training, leak_ratio, n_train_docs sharing >= 1 shingle,
+    * top_offender_id / top_offender_shared — the training doc sharing
+    * the most of this item's shingles, ties to the lowest id; NULL/0 on
+    * clean items).
+    *
+    * Scale shape: the training corpus contributes (id, h) posting rows
+    * into a keyed join against the (small, broadcast by default)
+    * benchmark posting — the same orientation knob as [[check]]; per-pair
+    * counts combine map-side and the offender argmax is one max_by
+    * struct, never a per-item sort.
+    */
+  def benchmarkLeakReport(train: DataFrame, benchmark: DataFrame, n: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          broadcastReference: Boolean = true): DataFrame = {
+    val bSets = benchmark
+      .select(col(idCol).as("bid"), shingleHashes(col(textCol), n).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+    val bPost = bSets.select(col("bid"), explode(col("hashes")).as("h"))
+    val tPost = train
+      .select(col(idCol).as("tid"), explode(shingleHashes(col(textCol), n)).as("h"))
+    def matchSide(df: DataFrame): DataFrame =
+      if (broadcastReference) broadcast(df) else df.hint("shuffle_hash")
+    // per (bench item, train doc): distinct shared shingles (both sides
+    // emit distinct hashes per doc, so count(*) counts distinct shares)
+    val pairShared = tPost.join(matchSide(bPost), "h")
+      .groupBy(col("bid"), col("tid")).agg(count(lit(1)).as("n_shared"))
+    val offenders = pairShared.groupBy(col("bid"))
+      .agg(count(lit(1)).as("n_train_docs"),
+        max_by(struct(col("tid"), col("n_shared")),
+          struct(col("n_shared"), -col("tid"))).as("__top"))
+    // distinct leaked shingles per item: the DISTINCT training hash
+    // domain probes the (small) benchmark posting — the corpus side is
+    // never the broadcast side
+    val leaked = tPost.select(col("h")).distinct()
+      .join(matchSide(bPost), "h")
+      .groupBy(col("bid")).agg(count(lit(1)).as("n_leaked"))
+    bSets
+      .join(leaked, Seq("bid"), "left")
+      .join(offenders, Seq("bid"), "left")
+      .select(col("bid").as(idCol),
+        size(col("hashes")).cast("long").as("n_shingles"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        round(coalesce(col("n_leaked"), lit(0L)) / size(col("hashes")), 6).as("leak_ratio"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        col("__top.tid").as("top_offender_id"),
+        coalesce(col("__top.n_shared"), lit(0L)).as("top_offender_shared"))
+  }
+
   /** VERBATIM-SUBSTRING contamination: which training docs contain a
     * literal character run of >= `minLen` from a benchmark document? The
     * character-granular complement of [[check]]: token-shingle overlap

@@ -136,4 +136,33 @@ class ContaminationSpec extends SparkTestBase {
     Contamination.fuzzyContamination(train, bench, threshold = 0.99)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(2L)
   }
+
+  test("benchmarkLeakReport: per-item leak counts, worst offender, clean items keep zero rows") {
+    // bench item 1: "alpha beta gamma delta" -> 3-gram shingles
+    //   {abc-like: (alpha beta gamma), (beta gamma delta)} = 2 shingles
+    // train 10 quotes the full item (shares both), train 11 quotes only
+    // the first 3-gram (shares 1), train 12 is disjoint
+    // bench item 2 is fully clean
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "omicron sigma tau upsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "intro alpha beta gamma delta outro filler words here"),
+      (11L, "quote alpha beta gamma end of line"),
+      (12L, "completely unrelated training content")).toDF("doc_id", "text")
+    val out = Contamination.benchmarkLeakReport(train, bench)
+      .as[(Long, Long, Long, Double, Long, Option[Long], Long)]
+      .collect().sortBy(_._1)
+    out.length shouldBe 2
+    val (id1, nSh1, nLk1, ratio1, nDocs1, top1, topN1) = out(0)
+    (id1, nSh1, nLk1, nDocs1, top1, topN1) shouldBe ((1L, 2L, 2L, 2L, Some(10L), 2L))
+    ratio1 shouldBe 1.0
+    out(1) shouldBe ((2L, 2L, 0L, 0.0, 0L, None, 0L))
+    // offender ties break to the LOWEST train id: make 11 share both too
+    val train2 = train.union(Seq(
+      (9L, "also alpha beta gamma delta verbatim")).toDF("doc_id", "text"))
+    val top = Contamination.benchmarkLeakReport(train2, bench)
+      .filter($"doc_id" === 1L).select("top_offender_id").as[Long].head()
+    top shouldBe 9L
+  }
 }
