@@ -274,6 +274,17 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // INCREMENTAL URL dedup: page state on the first half, the second
+    // folded in (only the shard canonicalizes), the report over all rows
+    // off merged state — equals the one-shot q141 bit-for-bit
+    "q143_url_dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr(urlCaseSql("CAST(doc_id div 16 AS STRING)")).as("url"))
+      val st0 = Dedup.urlState(d.filter(col("doc_id") <= 250))
+      Dedup.urlDedupFromState(d,
+        Dedup.incrementUrlState(st0, d.filter(col("doc_id") > 250)))
+    }),
+
     // q45's REVERSE direction: the per-BENCHMARK-item leak report — which
     // eval items are compromised, how much of each leaked, and the worst
     // training-side offender (ties to the lowest id); clean items keep
@@ -691,6 +702,43 @@ object TrainingDataQueries {
        | ELSE 'https://site' || $siteExpr || '.example.com/a/b?a=1&b=2'
        |END""".stripMargin
 
+  /** q141/q143's shared twin: the canonicalizer replayed with the SAME
+    * regexes (scheme/host fold, default ports, trailing slash, fragment,
+    * tracking filter + param sort), then q23's window-dedup shape on the
+    * canonical key. q143's incremental formulation equals this one-shot
+    * because page counts min/sum-merge exactly.
+    */
+  private lazy val urlDedupOracleSql: String = {
+    val re = "^[a-zA-Z][a-zA-Z0-9+.-]*"
+    s"""WITH u AS (SELECT doc_id, ${urlCaseSql("CAST(doc_id // 16 AS VARCHAR)")} AS url FROM documents),
+       |c AS (SELECT doc_id, url, string_split(trim(url), '#')[1] AS base FROM u),
+       |p AS (SELECT doc_id, url,
+       |  lower(regexp_extract(base, '^($re)://', 1)) AS scheme,
+       |  lower(regexp_extract(base, '^$re://([^/?#]+)', 1)) AS hostraw,
+       |  regexp_extract(base, '^$re://[^/?#]+([^?#]*)', 1) AS path0,
+       |  regexp_extract(base, '\\?(.*)$$', 1) AS query0 FROM c),
+       |n AS (SELECT doc_id, url, scheme,
+       |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
+       |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
+       |       ELSE hostraw END AS host,
+       |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+       |       ELSE regexp_replace(path0, '/$$', '') END AS path,
+       |  coalesce(list_aggregate(list_sort(list_filter(string_split(query0, '&'),
+       |    x -> x != '' AND NOT regexp_matches(x, '${graft.functions.TextFunctions.TrackingParamRe}'))),
+       |    'string_agg', '&'), '') AS params FROM p),
+       |cu AS (SELECT doc_id,
+       |  CASE WHEN scheme = '' THEN lower(trim(url))
+       |       ELSE scheme || '://' || host || path ||
+       |            CASE WHEN params = '' THEN '' ELSE '?' || params END
+       |  END AS canonical_url FROM n)
+       |SELECT doc_id, canonical_url,
+       |  min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
+       |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
+       |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+       |    THEN 0 ELSE 1 END AS is_dup
+       |FROM cu""".stripMargin
+  }
+
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
     * NULL when the vector is shorter than the band's range — mirroring
     * [[graft.functions.VectorFunctions.signBandKey]]'s guard, so Spark and
@@ -853,36 +901,7 @@ object TrainingDataQueries {
     // replayed with the SAME regexes (scheme/host fold, default ports,
     // trailing slash, fragment, tracking filter + param sort), then
     // q23's window-dedup shape on the canonical key
-    "q141_url_dedup" -> {
-      val re = "^[a-zA-Z][a-zA-Z0-9+.-]*"
-      s"""WITH u AS (SELECT doc_id, ${urlCaseSql("CAST(doc_id // 16 AS VARCHAR)")} AS url FROM documents),
-         |c AS (SELECT doc_id, url, string_split(trim(url), '#')[1] AS base FROM u),
-         |p AS (SELECT doc_id, url,
-         |  lower(regexp_extract(base, '^($re)://', 1)) AS scheme,
-         |  lower(regexp_extract(base, '^$re://([^/?#]+)', 1)) AS hostraw,
-         |  regexp_extract(base, '^$re://[^/?#]+([^?#]*)', 1) AS path0,
-         |  regexp_extract(base, '\\?(.*)$$', 1) AS query0 FROM c),
-         |n AS (SELECT doc_id, url, scheme,
-         |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
-         |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
-         |       ELSE hostraw END AS host,
-         |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
-         |       ELSE regexp_replace(path0, '/$$', '') END AS path,
-         |  coalesce(list_aggregate(list_sort(list_filter(string_split(query0, '&'),
-         |    x -> x != '' AND NOT regexp_matches(x, '${graft.functions.TextFunctions.TrackingParamRe}'))),
-         |    'string_agg', '&'), '') AS params FROM p),
-         |cu AS (SELECT doc_id,
-         |  CASE WHEN scheme = '' THEN lower(trim(url))
-         |       ELSE scheme || '://' || host || path ||
-         |            CASE WHEN params = '' THEN '' ELSE '?' || params END
-         |  END AS canonical_url FROM n)
-         |SELECT doc_id, canonical_url,
-         |  min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
-         |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
-         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
-         |    THEN 0 ELSE 1 END AS is_dup
-         |FROM cu""".stripMargin
-    },
+    "q141_url_dedup" -> urlDedupOracleSql,
 
     "q23_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -1192,6 +1211,11 @@ object TrainingDataQueries {
          |  CASE WHEN coalesce(shared.n_shared, 0) > 0 THEN 1 ELSE 0 END AS contaminated
          |FROM sets LEFT JOIN shared ON sets.id = shared.id
          |WHERE sets.id > 25""".stripMargin,
+
+    // incremental-URL twin: page counts min/sum-merge exactly, so
+    // state-increment-read equals the one-shot dedup — q141's oracle
+    // verbatim (the q115/q135 pattern)
+    "q143_url_dedup_incremental" -> urlDedupOracleSql,
 
     // benchmark-leak twin: both directions off the same shingle sets —
     // per-item distinct-leak count against the train hash domain, per

@@ -63,17 +63,47 @@ object Dedup {
     * every input row — [[exact]]'s exact shape on the URL key.
     */
   def urlDedup(docs: DataFrame, urlCol: String = "url",
-               idCol: String = "doc_id"): DataFrame = {
-    val cu = graft.functions.TextFunctions.canonicalizeUrl(col(urlCol))
-    val w = Window.partitionBy(col("canonical_url"))
-    docs
-      .withColumn("canonical_url", cu)
-      .withColumn("keeper_id", min(col(idCol)).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("is_dup", (col(idCol) =!= col("keeper_id")).cast("int"))
+               idCol: String = "doc_id"): DataFrame =
+    urlDedupFromState(docs, urlState(docs, urlCol, idCol), urlCol, idCol)
+
+  /** URL dedup's appendable STATE: one (canonical_url, keeper_id,
+    * group_size) row per distinct page — sum/min-mergeable, so shard
+    * ingest appends without re-reading stored corpora and the report
+    * off merged state equals the one-shot recompute bit-for-bit
+    * (provided shard ids are increasing, keeper = global min id — the
+    * first-write-wins semantics every incremental gate here uses).
+    */
+  def urlState(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame =
+    docs.select(
+        graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Fold a new shard's pages into stored state — only the shard
+    * canonicalizes; the merge is one min/sum per touched page.
+    */
+  def incrementUrlState(state: DataFrame, shard: DataFrame,
+                        urlCol: String = "url",
+                        idCol: String = "doc_id"): DataFrame =
+    state.unionByName(urlState(shard, urlCol, idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        sum(col("group_size")).as("group_size"))
+
+  /** The per-row report read off (possibly incrementally grown) state —
+    * [[urlDedup]]'s one code path.
+    */
+  def urlDedupFromState(docs: DataFrame, state: DataFrame,
+                        urlCol: String = "url",
+                        idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .join(state, "canonical_url")
       .select(col(idCol), col("canonical_url"), col("keeper_id"),
-        col("group_size"), col("is_dup"))
-  }
+        col("group_size"),
+        (col(idCol) =!= col("keeper_id")).cast("int").as("is_dup"))
 
   /** [[exact]] with a QUALITY-aware keeper: among byte-identical rows, keep
     * the one with the highest `scoreCol` (ties to the lowest id) instead of

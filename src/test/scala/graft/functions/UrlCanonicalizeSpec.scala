@@ -77,4 +77,17 @@ class UrlCanonicalizeSpec extends SparkTestBase {
     out(7) shouldBe ((8L, 8L, 1L, 0))
     out(8) shouldBe ((9L, 9L, 1L, 0))
   }
+
+  test("incremental url state: shard appends read off merged state == one-shot dedup") {
+    val all = (0L until 40L).map(i =>
+      (i, s"http://site${i % 5}.com/p${i % 10}?utm_source=x&v=${i % 2}"))
+      .toDF("doc_id", "url")
+    val oneShot = graft.operators.Dedup.urlDedup(all)
+      .collect().map(_.toSeq).toSet
+    val (s1, s2) = (all.filter("doc_id < 20"), all.filter("doc_id >= 20"))
+    val grown = graft.operators.Dedup.incrementUrlState(
+      graft.operators.Dedup.urlState(s1), s2)
+    graft.operators.Dedup.urlDedupFromState(all, grown)
+      .collect().map(_.toSeq).toSet shouldBe oneShot
+  }
 }
