@@ -515,25 +515,31 @@ object App {
           case Some(sp) =>
             // same existence-probe discipline as curate/corpus-prep: a
             // read failure of existing state aborts loudly, never
-            // silently re-initializes
+            // silently re-initializes. Meta is the COMMIT ANCHOR (probe
+            // AND last write — the corpus-prep rule): a crash between
+            // the two appends leaves orphan postings that normalizeState
+            // discards on every read, and the retry's duplicate rows
+            // collapse the same way — appends stay idempotent
             if (!fetcher.exists(spark, s"$sp/meta")) {
               val st = operators.CorpusCard.buildState(docs, idCol, textCol)
               (st, () => {
-                writer.writeParquet(st.meta, s"$sp/meta")
                 writer.writeParquet(st.postings, s"$sp/postings")
+                writer.writeParquet(st.meta, s"$sp/meta")
                 println(s"[graft] corpus-card: initialized card state at $sp")
               })
             } else {
-              val stored = operators.CorpusCard.CardState(
-                fetcher.readParquet(spark, s"$sp/meta"),
-                fetcher.readParquet(spark, s"$sp/postings"))
+              val stored = operators.CorpusCard.normalizeState(
+                operators.CorpusCard.CardState(
+                  fetcher.readParquet(spark, s"$sp/meta"),
+                  fetcher.readParquet(spark, s"$sp/postings")),
+                idCol)
               val shardSt = operators.CorpusCard.buildState(docs, idCol, textCol)
               val merged = operators.CorpusCard.CardState(
                 stored.meta.unionByName(shardSt.meta),
                 stored.postings.unionByName(shardSt.postings))
               (merged, () => {
-                writer.writeParquet(shardSt.meta, s"$sp/meta", mode = "append")
                 writer.writeParquet(shardSt.postings, s"$sp/postings", mode = "append")
+                writer.writeParquet(shardSt.meta, s"$sp/meta", mode = "append")
                 println(s"[graft] corpus-card: appended shard state at $sp")
               })
             }
@@ -569,10 +575,13 @@ object App {
           textCol = o.getOrElse("text-col", "text"),
           maxWordLen = o.getOrElse("max-word-len", "24").toInt)
         writer.writeParquet(encoded, o.required("output-path"))
+        // sum over an empty shard is SQL NULL — the dup-profile lesson
         val st = fetcher.readParquet(spark, o("output-path"))
           .agg(org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum("n_ids")).head()
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.sum("n_ids"),
+              org.apache.spark.sql.functions.lit(0L))).head()
         println(s"[graft] tokenize: ${st.getLong(0)} docs, " +
           s"${st.getLong(1)} ids -> ${o("output-path")}")
 
@@ -588,14 +597,9 @@ object App {
         val packed = o.get("packed-path") match {
           case None => operators.Packing.packTokenRows(enc, seqLen, idCol)
           case Some(pp) =>
-            import org.apache.spark.sql.functions.{broadcast, col, max}
             val stored = fetcher.readParquet(spark, pp)
-            val tail = operators.Packing.packTokenRowsIncremental(
-              stored, enc, seqLen, idCol)
-            val cut = stored.agg(max(col("row_id")).as("__cut"))
-            stored.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
-              .select(col("row_id"), col("ids"), col("n_pad"))
-              .unionByName(tail)
+            operators.Packing.replaceTail(stored,
+              operators.Packing.packTokenRowsIncremental(stored, enc, seqLen, idCol))
         }
         writer.writeParquet(packed, o.required("output-path"))
         val n = fetcher.readParquet(spark, o("output-path")).count()

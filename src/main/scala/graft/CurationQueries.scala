@@ -396,13 +396,9 @@ object CurationQueries {
         Packing.bpeMergeTable(d, nMerges = BpeMerges), maxWordLen = BpeMaxWordLen)
       val head = Packing.packTokenRows(
         enc.filter(col("doc_id") <= IncrSplitId2), seqLen = PackSeqLen)
-      val tail = Packing.packTokenRowsIncremental(head,
-        enc.filter(col("doc_id") > IncrSplitId2), seqLen = PackSeqLen)
-      // replace-from-tail: stored rows below the re-opened one + the tail
-      val cut = head.agg(max(col("row_id")).as("__cut"))
-      head.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
-        .select(col("row_id"), col("ids"), col("n_pad"))
-        .unionByName(tail)
+      Packing.replaceTail(head,
+        Packing.packTokenRowsIncremental(head,
+          enc.filter(col("doc_id") > IncrSplitId2), seqLen = PackSeqLen))
     }),
 
     // reproducible per-epoch training order: global rank of an

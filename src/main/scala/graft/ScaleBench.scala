@@ -329,7 +329,12 @@ object ScaleBench {
       def plantedEmb(k: Int): DataFrame = {
         val clusters = 32L * k
         spark.range(clusters * members).select(
-          (col("id") / members * 1000L + col("id") % members).cast("long").as("vec_id"),
+          // INTEGER division (`div`): Spark's `/` is floating-point and
+          // would scramble vec_id to 1000*cluster + 11*member — the
+          // round-11 review catch; the id scheme must match the
+          // documented "member m of cluster c = 1000c + m" so the
+          // query/seed predicates select what the comment claims
+          expr(s"id div $members * 1000 + id % $members").cast("long").as("vec_id"),
           expr(
             s"""transform(sequence(0, ${dim - 1}), d -> CAST(
                |  (CASE WHEN abs(xxhash64(id DIV $members * 64 + d, 1)) % 1000000 < 500000

@@ -511,10 +511,12 @@ object TextFunctions {
   }
 
   /** Query parameters dropped by [[canonicalizeUrl]]: tracking noise that
-    * makes byte-distinct URLs point at the same page.
+    * makes byte-distinct URLs point at the same page. Case-insensitive
+    * (query case is otherwise preserved, so `UTM_Source=` must still
+    * match) and the `=` is optional (a bare `?gclid` is the same noise).
     */
   val TrackingParamRe: String =
-    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+    "(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)(=|$)"
 
   /** Canonical form of a URL — the standard web-corpus ingest step
     * (C4/CCNet dedup by URL before any content pass): scheme and host

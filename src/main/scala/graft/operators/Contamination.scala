@@ -86,13 +86,19 @@ object Contamination {
     */
   def benchmarkLeakReport(train: DataFrame, benchmark: DataFrame, n: Int = 3,
                           idCol: String = "doc_id", textCol: String = "text",
-                          broadcastReference: Boolean = true): DataFrame = {
-    val bSets = benchmark
+                          broadcastReference: Boolean = true,
+                          storage: org.apache.spark.storage.StorageLevel =
+                            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // both posting frames feed two consumers (pair counts + the distinct
+    // leak probe); without the pin the expensive side — the CORPUS
+    // tokenize/shingle explode — reruns per consumer
+    val bSets = Caching.maybePersist(benchmark
       .select(col(idCol).as("bid"), shingleHashes(col(textCol), n).as("hashes"))
-      .filter(size(col("hashes")) > 0)
+      .filter(size(col("hashes")) > 0), storage)
     val bPost = bSets.select(col("bid"), explode(col("hashes")).as("h"))
-    val tPost = train
-      .select(col(idCol).as("tid"), explode(shingleHashes(col(textCol), n)).as("h"))
+    val tPost = Caching.maybePersist(train
+      .select(col(idCol).as("tid"), explode(shingleHashes(col(textCol), n)).as("h")),
+      storage)
     def matchSide(df: DataFrame): DataFrame =
       if (broadcastReference) broadcast(df) else df.hint("shuffle_hash")
     // per (bench item, train doc): distinct shared shingles (both sides

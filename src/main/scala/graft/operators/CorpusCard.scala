@@ -61,6 +61,20 @@ object CorpusCard {
       state.postings.unionByName(s.postings))
   }
 
+  /** Crash/retry hygiene for PERSISTED state (the corpus-prep commit-
+    * anchor discipline): meta is the append commit anchor (written
+    * LAST), so posting rows from a crashed partial append — or
+    * duplicates from its retry — are discarded until their doc's meta
+    * lands; duplicate meta rows from a retried append collapse to one.
+    * A pure in-memory [[incrementState]] chain never needs this.
+    */
+  def normalizeState(state: CardState, idCol: String = "doc_id"): CardState = {
+    val meta = state.meta.dropDuplicates(idCol)
+    CardState(meta,
+      state.postings.distinct()
+        .join(meta.select(col(idCol).as("id")), Seq("id"), "left_semi"))
+  }
+
   /** The card read off (possibly incrementally grown) state. */
   def buildFromState(state: CardState, idCol: String = "doc_id"): Map[String, DataFrame] = {
     val meta = state.meta

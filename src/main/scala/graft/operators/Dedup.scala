@@ -93,15 +93,23 @@ object Dedup {
         sum(col("group_size")).as("group_size"))
 
   /** The per-row report read off (possibly incrementally grown) state —
-    * [[urlDedup]]'s one code path.
+    * [[urlDedup]]'s one code path. Caller contract: every doc's page
+    * must be IN the state (fold the shard in first); a missing page
+    * raises per-row instead of silently dropping the doc from the
+    * report (the substringPairsIncremental hazard, made loud here).
     */
   def urlDedupFromState(docs: DataFrame, state: DataFrame,
                         urlCol: String = "url",
                         idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol),
         graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)).as("canonical_url"))
-      .join(state, "canonical_url")
-      .select(col(idCol), col("canonical_url"), col("keeper_id"),
+      .join(state, Seq("canonical_url"), "left")
+      .select(col(idCol), col("canonical_url"),
+        when(col("keeper_id").isNull, raise_error(concat(
+            lit("urlDedupFromState: page not in state for "),
+            col(idCol).cast("string"),
+            lit(" — fold the shard into the state first"))))
+          .otherwise(col("keeper_id")).as("keeper_id"),
         col("group_size"),
         (col(idCol) =!= col("keeper_id")).cast("int").as("is_dup"))
 

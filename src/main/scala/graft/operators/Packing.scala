@@ -460,6 +460,19 @@ object Packing {
     assembleRows(shardRows.unionByName(tailRow), seqLen)
   }
 
+  /** Stitch a [[packTokenRowsIncremental]] replacement tail onto the
+    * stored rows: everything strictly below the tail's first row id is
+    * immutable and survives; the tail replaces the rest. One code path
+    * for the CLI (`pack --packed-path`) and the q140 contract — the
+    * stored maximum comes back as a 1-row broadcast, no collect.
+    */
+  def replaceTail(stored: DataFrame, tail: DataFrame): DataFrame = {
+    val cut = stored.agg(max(col("row_id")).as("__cut"))
+    stored.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
+      .select(col("row_id"), col("ids"), col("n_pad"))
+      .unionByName(tail)
+  }
+
   /** Shared row assembly: (__arr, __n, start_offset) rows -> padded
     * seqLen-id training rows.
     */

@@ -41,11 +41,17 @@ class UrlCanonicalizeSpec extends SparkTestBase {
       "http://a.com/x?utm_source=tw&utm_campaign=c&b=2&a=1",
       "http://a.com/x?b=2&a=1",
       "http://a.com/x?gclid=123",
-      "http://a.com/x?fbclid=1&ref=home&mc_cid=9") shouldBe Seq(
+      "http://a.com/x?fbclid=1&ref=home&mc_cid=9",
+      "http://a.com/x?UTM_Source=tw&a=1",  // tracking match is case-blind
+      "http://a.com/x?gclid",              // ...and = is optional
+      "http://a.com/x?refresh=1") shouldBe Seq(  // prefix-only never matches
       "http://a.com/x?a=1&b=2",
       "http://a.com/x?a=1&b=2",
       "http://a.com/x",
-      "http://a.com/x")
+      "http://a.com/x",
+      "http://a.com/x?a=1",
+      "http://a.com/x",
+      "http://a.com/x?refresh=1")
   }
 
   test("honest scope: https != http, dot-segments and percent-escapes untouched, schemeless falls back to lowercase") {
