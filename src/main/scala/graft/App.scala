@@ -363,9 +363,17 @@ object App {
           operators.Contamination.substringContamination(train, bench,
             minLen = o.get("min-len").map(_.toInt).getOrElse(48),
             broadcastReference = broadcastRef), s"$out/substring_leaks")
+        // the REVERSE direction: per eval item — how much leaked, worst
+        // training-side offender (the report an eval owner reads)
+        writer.writeParquet(
+          operators.Contamination.benchmarkLeakReport(train, bench,
+            n = o.get("ngram").map(_.toInt).getOrElse(3),
+            broadcastReference = broadcastRef), s"$out/benchmark_report")
         val nLeaks = fetcher.readParquet(spark, s"$out/substring_leaks").count()
-        println(s"[graft] contamination: $nLeaks docs with verbatim leaks; " +
-          s"reports under $out")
+        val nItems = fetcher.readParquet(spark, s"$out/benchmark_report")
+          .filter(org.apache.spark.sql.functions.col("n_leaked") > 0).count()
+        println(s"[graft] contamination: $nLeaks docs with verbatim leaks, " +
+          s"$nItems benchmark items touched; reports under $out")
 
       case "lm-score" =>
         // CCNet-style fluency scoring; --reference-path switches from the
@@ -982,6 +990,7 @@ object App {
       |                     --output-path <path> [--ngram <n=3>] [--min-len <n=48>]
       |                     [--broadcast-reference <b=true>]
       |                     shingle-overlap + verbatim-substring leak reports
+      |                     + per-benchmark-item report (worst offender)
       |  lm-score           --docs-path <path> --output-path <path>
       |                     [--reference-path <path>]  unigram surprisal scores
       |  lm-train           --reference-path <path> --model-path <dir>

@@ -319,6 +319,9 @@ class AppSpec extends SparkTestBase {
     storage.rows("leaks/shingle_overlap").size should be > 0
     // substring report exists (possibly empty at this corpus slice)
     storage.contains("leaks/substring_leaks") shouldBe true
+    // reverse-direction report: one row per benchmark item with shingles
+    storage.rows("leaks/benchmark_report").size shouldBe
+      docs.filter(col("doc_id") <= 10).count()
     App.run(platform, Seq("lm-score",
       "--docs-path", "train", "--output-path", "scores",
       "--reference-path", "bench"))
