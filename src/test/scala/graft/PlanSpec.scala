@@ -207,6 +207,27 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q141/q143: url dedup never reads text — the scan prunes to doc_id; canonicalization is row-local") {
+    Seq("q141_url_dedup", "q143_url_dedup_incremental").foreach { q =>
+      val p = plan(q)
+      val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      withClue(readSchemas.mkString("\n")) {
+        readSchemas.foreach { rs =>
+          rs should include("doc_id")
+          rs should not include "text"
+        }
+      }
+      p should not include "CartesianProduct"
+    }
+  }
+
+  test("q142: benchmark leak report matches via broadcast; the corpus side is never the build side") {
+    val p = plan("q142_benchmark_leaks")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q51: cross-split contamination must NOT broadcast the holdout (it scales with the corpus)") {
     // the match stage joins posting x holdout-hashes on h: a shuffle join
     // keyed on both sides. Size stats would auto-broadcast the holdout at
