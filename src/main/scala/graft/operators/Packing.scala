@@ -310,38 +310,11 @@ object Packing {
     val mp = mergeTable.agg(collect_list(struct(
       col("merged").as("piece"),
       (lit(MergeIdBase) + col("step")).cast("long").as("id"))).as("__mp"))
-    // per-position best merged match, packed as len * 1e6 - id (max ->
-    // longest piece, then smallest id); 0 = no merged piece matches here
-    val bestAt = expr(
-      s"""transform(sequence(1, length(w)),
-         |  i -> greatest(0L, array_max(transform(__mp,
-         |    p -> IF(substring(w, i, length(p.piece)) = p.piece,
-         |            CAST(length(p.piece) AS BIGINT) * 1000000L - p.id,
-         |            0L)))))""".stripMargin)
-    // id of the single char at position i: ascii arithmetic on the fixed
-    // [a-z0-9] alphabet (see the id scheme above)
-    def charId(pos: String): String =
-      s"IF(ascii(substring(w, $pos, 1)) >= 97, ascii(substring(w, $pos, 1)) - 94, ascii(substring(w, $pos, 1)) - 19)"
-    val idsExpr = expr(
-      s"""aggregate(sequence(1, $maxWordLen),
-         |  named_struct('pos', 1, 'ids', CAST(array() AS array<int>)),
-         |  (acc, step) -> IF(acc.pos > length(w), acc,
-         |    named_struct(
-         |      'pos', CAST(acc.pos + greatest(1L, (element_at(__best, acc.pos) + 999999L) div 1000000L) AS INT),
-         |      'ids', concat(acc.ids, array(CAST(
-         |        IF(element_at(__best, acc.pos) > 0L,
-         |           ((element_at(__best, acc.pos) + 999999L) div 1000000L) * 1000000L
-         |             - element_at(__best, acc.pos),
-         |           ${charId("acc.pos")}) AS INT))))),
-         |  acc -> concat(acc.ids,
-         |    IF(acc.pos <= length(w),
-         |       transform(sequence(acc.pos, length(w)),
-         |         i -> CAST(${charId("i")} AS INT)),
-         |       CAST(array() AS array<int>))))""".stripMargin)
     val perWord = words.select(col("w")).distinct()
       .crossJoin(broadcast(mp))
-      .withColumn("__best", bestAt)
-      .select(col("w").as("__pw_w"), idsExpr.as("__pw_ids"))
+      .select(col("w").as("__pw_w"),
+        graft.functions.GreedyEncode.greedyEncode(
+          col("w"), col("__mp"), maxWordLen).as("__pw_ids"))
     // doc assembly in word order: every word's ids get a trailing <sp>,
     // flatten, drop the trailing separator
     val perDoc = words.join(perWord, col("w") === col("__pw_w"))
@@ -358,6 +331,42 @@ object Packing {
         coalesce(col("__ids"), expr("CAST(array() AS array<int>)")).as("ids"))
       .withColumn("n_ids", size(col("ids")).cast("long"))
   }
+
+  /** The COMPOSED greedy fold [[encodeToIds]] replaced with the native
+    * [[graft.functions.GreedyEncode]] kernel — kept ONLY as the
+    * bit-parity witness (PackingSpec asserts native == composed on the
+    * real corpus and random merge tables; the PolyHash/RepStats
+    * discipline). Input shape matches the kernel's: one row per
+    * (w, __mp) with __mp = array<struct<piece, id>>.
+    */
+  private[graft] def greedyIdsComposed(maxWordLen: Int): org.apache.spark.sql.Column = {
+    def charId(pos: String): String =
+      s"IF(ascii(substring(w, $pos, 1)) >= 97, ascii(substring(w, $pos, 1)) - 94, ascii(substring(w, $pos, 1)) - 19)"
+    expr(
+      s"""aggregate(sequence(1, $maxWordLen),
+         |  named_struct('pos', 1, 'ids', CAST(array() AS array<int>)),
+         |  (acc, step) -> IF(acc.pos > length(w), acc,
+         |    named_struct(
+         |      'pos', CAST(acc.pos + greatest(1L, (element_at(__best, acc.pos) + 999999L) div 1000000L) AS INT),
+         |      'ids', concat(acc.ids, array(CAST(
+         |        IF(element_at(__best, acc.pos) > 0L,
+         |           ((element_at(__best, acc.pos) + 999999L) div 1000000L) * 1000000L
+         |             - element_at(__best, acc.pos),
+         |           ${charId("acc.pos")}) AS INT))))),
+         |  acc -> concat(acc.ids,
+         |    IF(acc.pos <= length(w),
+         |       transform(sequence(acc.pos, length(w)),
+         |         i -> CAST(${charId("i")} AS INT)),
+         |       CAST(array() AS array<int>))))""".stripMargin)
+  }
+
+  /** [[greedyIdsComposed]]'s per-position best-match table. */
+  private[graft] val composedBestAt: org.apache.spark.sql.Column = expr(
+    s"""transform(sequence(1, length(w)),
+       |  i -> greatest(0L, array_max(transform(__mp,
+       |    p -> IF(substring(w, i, length(p.piece)) = p.piece,
+       |            CAST(length(p.piece) AS BIGINT) * 1000000L - p.id,
+       |            0L)))))""".stripMargin)
 
   /** Inverse of [[encodeToIds]]: ids back to the normalized text
     * (tokens joined by single spaces). `<doc>`/`<pad>` decode to

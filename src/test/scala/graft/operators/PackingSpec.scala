@@ -311,6 +311,39 @@ class PackingSpec extends SparkTestBase {
     alt shouldBe packed.orderBy("row_id").as[(Long, Seq[Int], Long)].collect().toSeq
   }
 
+  test("GreedyEncode witness: native kernel == composed fold, real corpus + adversarial pieces") {
+    import org.apache.spark.sql.functions.{broadcast, collect_list, lit, struct}
+    // words: the real corpus's distinct tokens plus crafted edge cases
+    val corpusWords = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("w")).distinct()
+    val edgeWords = Seq("a", "aa", "aaa", "abcabcabc", "0123456789" * 4,
+      "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz").toDF("w")
+    val words = corpusWords.unionByName(edgeWords).distinct()
+    // pieces: overlapping, nested, duplicate-string, and 1-char entries —
+    // every tie/fallback arm of the kernel
+    val pieces = Seq((1, "ab"), (2, "abc"), (3, "ab"), (4, "a"), (5, "aaa"),
+      (6, "23"), (7, "z"))
+      .toDF("step", "m")
+      .agg(collect_list(struct(col("m").as("piece"),
+        (lit(38L) + col("step")).as("id"))).as("__mp"))
+    val frame = words.crossJoin(broadcast(pieces))
+      .withColumn("__best", Packing.composedBestAt)
+    val diff = frame.select(col("w"),
+        graft.functions.GreedyEncode.greedyEncode(col("w"), col("__mp"), 24).as("native"),
+        Packing.greedyIdsComposed(24).as("composed"))
+      .filter(expr("native != composed"))
+    withClue(diff.limit(5).collect().mkString("\n")) { diff.count() shouldBe 0L }
+    // and with an EMPTY piece inventory (pure char fallback)
+    val empty = words.limit(50).crossJoin(broadcast(
+        pieces.select(expr("CAST(array() AS array<struct<piece: string, id: bigint>>)").as("__mp"))))
+      .withColumn("__best", Packing.composedBestAt)
+      .select(graft.functions.GreedyEncode.greedyEncode(col("w"), col("__mp"), 24).as("native"),
+        Packing.greedyIdsComposed(24).as("composed"))
+      .filter(expr("native != composed"))
+    empty.count() shouldBe 0L
+  }
+
   test("packTokenRowsIncremental: chained shard appends equal the one-shot pack bit-for-bit") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
