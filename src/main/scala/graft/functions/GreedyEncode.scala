@@ -16,7 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object GreedyEncodeImpl {
 
   /** UTF-8 bytes -> code points (the house `ascii`/`substring` domain —
-    * positions in the composed fold are code-point positions).
+    * positions in the composed fold are code-point positions). Char
+    * boundaries come from `UTF8String.numBytesForFirstByte`, the SAME
+    * table `substring`/`numChars` use, so char COUNT and positions agree
+    * with the composed witness even on malformed bytes (a stray
+    * continuation byte counts as one char there, and must here too —
+    * decoding-table drift would silently swallow the following char).
     */
   private def codePoints(s: UTF8String): Array[Int] = {
     val bytes = s.getBytes
@@ -24,14 +29,14 @@ object GreedyEncodeImpl {
     var i = 0
     var j = 0
     val n = bytes.length
-    while (i < n) {
+    while (i < n && j < out.length) {
       val b0 = bytes(i) & 0xFF
-      var cp = 0
-      var len = 1
-      if (b0 < 0x80) { cp = b0 }
-      else if (b0 < 0xE0) { cp = b0 & 0x1F; len = 2 }
-      else if (b0 < 0xF0) { cp = b0 & 0x0F; len = 3 }
-      else { cp = b0 & 0x07; len = 4 }
+      val len = UTF8String.numBytesForFirstByte(bytes(i))
+      var cp =
+        if (len == 1) b0
+        else if (len == 2) b0 & 0x1F
+        else if (len == 3) b0 & 0x0F
+        else b0 & 0x07
       var k = 1
       while (k < len && i + k < n) {
         cp = (cp << 6) | (bytes(i + k) & 0x3F)
@@ -62,6 +67,9 @@ object GreedyEncodeImpl {
     val pid = new Array[Long](m)
     var i = 0
     while (i < m) {
+      if (pieces.isNullAt(i))
+        throw new IllegalArgumentException(
+          "greedy_encode: the piece inventory must not contain null entries")
       val row = pieces.getStruct(i, 2)
       pcp(i) = codePoints(row.getUTF8String(0))
       pid(i) = row.getLong(1)
@@ -129,7 +137,8 @@ case class GreedyEncode(left: Expression, right: Expression, maxWordLen: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(s: StructType, _))
-        if s.length == 2 && s(0).dataType == StringType =>
+        if s.length == 2 && s(0).dataType == StringType &&
+          s(1).dataType == org.apache.spark.sql.types.LongType =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"greedy_encode requires (string, array<struct<piece: string, id: bigint>>), " +

@@ -89,31 +89,35 @@ object Contamination {
                           broadcastReference: Boolean = true,
                           storage: org.apache.spark.storage.StorageLevel =
                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    // both posting frames feed two consumers (pair counts + the distinct
-    // leak probe); without the pin the expensive side — the CORPUS
-    // tokenize/shingle explode — reruns per consumer
+    // bSets feeds the match stage AND the final item roster; the corpus
+    // side streams once into `matched` below (pinned there) and needs no
+    // pin of its own
     val bSets = Caching.maybePersist(benchmark
       .select(col(idCol).as("bid"), shingleHashes(col(textCol), n).as("hashes"))
       .filter(size(col("hashes")) > 0), storage)
     val bPost = bSets.select(col("bid"), explode(col("hashes")).as("h"))
-    val tPost = Caching.maybePersist(train
-      .select(col(idCol).as("tid"), explode(shingleHashes(col(textCol), n)).as("h")),
-      storage)
+    val tPost = train
+      .select(col(idCol).as("tid"), explode(shingleHashes(col(textCol), n)).as("h"))
     def matchSide(df: DataFrame): DataFrame =
       if (broadcastReference) broadcast(df) else df.hint("shuffle_hash")
+    // ONE map-side broadcast join feeds both readings: the corpus side
+    // streams past the (small) benchmark posting exactly once, and every
+    // aggregate below runs over matched (leak-mass-sized) rows only — a
+    // corpus-wide distinct before the join would cost a global dedup
+    // pass for the same answer
+    val matched = Caching.maybePersist(
+      tPost.join(matchSide(bPost), "h")
+        .select(col("bid"), col("tid"), col("h")), storage)
     // per (bench item, train doc): distinct shared shingles (both sides
     // emit distinct hashes per doc, so count(*) counts distinct shares)
-    val pairShared = tPost.join(matchSide(bPost), "h")
+    val pairShared = matched
       .groupBy(col("bid"), col("tid")).agg(count(lit(1)).as("n_shared"))
     val offenders = pairShared.groupBy(col("bid"))
       .agg(count(lit(1)).as("n_train_docs"),
         max_by(struct(col("tid"), col("n_shared")),
           struct(col("n_shared"), -col("tid"))).as("__top"))
-    // distinct leaked shingles per item: the DISTINCT training hash
-    // domain probes the (small) benchmark posting — the corpus side is
-    // never the broadcast side
-    val leaked = tPost.select(col("h")).distinct()
-      .join(matchSide(bPost), "h")
+    // distinct leaked shingles per item, off the matched rows
+    val leaked = matched.select(col("bid"), col("h")).distinct()
       .groupBy(col("bid")).agg(count(lit(1)).as("n_leaked"))
     bSets
       .join(leaked, Seq("bid"), "left")

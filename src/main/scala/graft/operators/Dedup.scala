@@ -75,11 +75,19 @@ object Dedup {
     */
   def urlState(docs: DataFrame, urlCol: String = "url",
                idCol: String = "doc_id"): DataFrame =
-    docs.select(
-        graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)).as("canonical_url"),
-        col(idCol))
+    docs.select(urlKeyOrRaise(urlCol).as("canonical_url"), col(idCol))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** A NULL url has no page identity: it would land in a NULL-key group
+    * that equi-joins can never match (the report's state join would then
+    * misreport it as "not in state") — fail loudly per-row instead, the
+    * packChunks NULL-id rule.
+    */
+  private def urlKeyOrRaise(urlCol: String) =
+    when(col(urlCol).isNull,
+      raise_error(lit("urlDedup: NULL url has no page identity")))
+      .otherwise(graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)))
 
   /** Fold a new shard's pages into stored state — only the shard
     * canonicalizes; the merge is one min/sum per touched page.
@@ -101,8 +109,7 @@ object Dedup {
   def urlDedupFromState(docs: DataFrame, state: DataFrame,
                         urlCol: String = "url",
                         idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-        graft.functions.TextFunctions.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    docs.select(col(idCol), urlKeyOrRaise(urlCol).as("canonical_url"))
       .join(state, Seq("canonical_url"), "left")
       .select(col(idCol), col("canonical_url"),
         when(col("keeper_id").isNull, raise_error(concat(

@@ -84,6 +84,15 @@ class UrlCanonicalizeSpec extends SparkTestBase {
     out(8) shouldBe ((9L, 9L, 1L, 0))
   }
 
+  test("NULL urls fail loudly — a NULL key would silently never equi-join against state") {
+    val rows = Seq((1L, "http://a.com/x"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.urlDedup(rows).collect()
+    }
+    e.getMessage should include ("NULL url has no page identity")
+  }
+
   test("incremental url state: shard appends read off merged state == one-shot dedup") {
     val all = (0L until 40L).map(i =>
       (i, s"http://site${i % 5}.com/p${i % 10}?utm_source=x&v=${i % 2}"))
