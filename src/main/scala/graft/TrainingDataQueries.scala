@@ -274,6 +274,16 @@ object TrainingDataQueries {
       Contamination.check(d.filter(col("doc_id") > 25), d.filter(col("doc_id") <= 25))
     }),
 
+    // SITE-coherent split: every page of a canonical host shares its
+    // train/val/test assignment — the q81 leakage discipline at host
+    // granularity (near-dups concentrate within sites); same synthesized
+    // URLs, so case/port/param noise provably cannot split a site
+    "q144_host_split" -> ((s, dir) =>
+      Sampling.hostCoherentSplit(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), expr(urlCaseSql("CAST(doc_id div 16 AS STRING)")).as("url")))
+        .select(col("doc_id"), col("host"), col("split"))),
+
     // INCREMENTAL URL dedup: page state on the first half, the second
     // folded in (only the shard canonicalizes), the report over all rows
     // off merged state — equals the one-shot q141 bit-for-bit
@@ -708,9 +718,12 @@ object TrainingDataQueries {
     * canonical key. q143's incremental formulation equals this one-shot
     * because page counts min/sum-merge exactly.
     */
-  private lazy val urlDedupOracleSql: String = {
+  /** The canonicalization replay shared by q141/q143/q144 — ends at
+    * `cu(doc_id, canonical_url)`.
+    */
+  private lazy val urlCanonCtes: String = {
     val re = "^[a-zA-Z][a-zA-Z0-9+.-]*"
-    s"""WITH u AS (SELECT doc_id, ${urlCaseSql("CAST(doc_id // 16 AS VARCHAR)")} AS url FROM documents),
+    s"""u AS (SELECT doc_id, ${urlCaseSql("CAST(doc_id // 16 AS VARCHAR)")} AS url FROM documents),
        |c AS (SELECT doc_id, url, string_split(trim(url), '#')[1] AS base FROM u),
        |p AS (SELECT doc_id, url,
        |  lower(regexp_extract(base, '^($re)://', 1)) AS scheme,
@@ -730,14 +743,25 @@ object TrainingDataQueries {
        |  CASE WHEN scheme = '' THEN lower(trim(url))
        |       ELSE scheme || '://' || host || path ||
        |            CASE WHEN params = '' THEN '' ELSE '?' || params END
-       |  END AS canonical_url FROM n)
+       |  END AS canonical_url FROM n)""".stripMargin
+  }
+
+  private lazy val urlDedupOracleSql: String =
+    s"""WITH $urlCanonCtes
        |SELECT doc_id, canonical_url,
        |  min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_id,
        |  count(*) OVER (PARTITION BY canonical_url) AS group_size,
        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
        |    THEN 0 ELSE 1 END AS is_dup
        |FROM cu""".stripMargin
-  }
+
+  /** q144's twin: the canonical host through q39's split CASE. */
+  private lazy val hostSplitOracleSql: String =
+    s"""WITH $urlCanonCtes,
+       |hh AS (SELECT doc_id,
+       |  regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host
+       |  FROM cu)
+       |SELECT doc_id, host, ${splitCaseSql("host")} AS split FROM hh""".stripMargin
 
   /** sign-band key of vector expr `v` for band index expr `band` (8 dims).
     * NULL when the vector is shorter than the band's range — mirroring
@@ -902,6 +926,9 @@ object TrainingDataQueries {
     // trailing slash, fragment, tracking filter + param sort), then
     // q23's window-dedup shape on the canonical key
     "q141_url_dedup" -> urlDedupOracleSql,
+
+    // host-split twin: canonical host through the q39 split CASE
+    "q144_host_split" -> hostSplitOracleSql,
 
     "q23_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,

@@ -208,6 +208,28 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** SITE-coherent split: every page of the same canonical HOST lands in
+    * the same train/val/test split. Near-duplicates concentrate within
+    * sites (templates, re-crawls, mirrored paths), so a per-document
+    * content split leaks them across train and val — the host key closes
+    * the site-level leak the way [[clusterCoherentSplit]] closes the
+    * near-dup-cluster one. The host comes off
+    * [[graft.functions.TextFunctions.canonicalizeUrl]], so scheme case,
+    * ports, params, and fragments can never split a site; a schemeless
+    * input contributes host "" (one shared bucket), and a NULL url
+    * raises per-row (it has no site identity — the urlDedup rule).
+    * Output: the input plus (host, split). Row-local end to end.
+    */
+  def hostCoherentSplit(docs: DataFrame, urlCol: String = "url",
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val host = regexp_extract(
+      when(col(urlCol).isNull,
+        raise_error(lit("hostCoherentSplit: NULL url has no site identity")))
+        .otherwise(graft.functions.TextFunctions.canonicalizeUrl(col(urlCol))),
+      "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    assignSplit(docs.withColumn("host", host), "host", trainPct, valPct)
+  }
+
   /** Contingency audit of two categorical columns: observed count per
     * (a, b) cell vs the count independence would predict
     * (`n_a * n_b / N`), plus the observed/expected ratio — the balance

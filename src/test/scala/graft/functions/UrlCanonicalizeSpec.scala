@@ -93,6 +93,34 @@ class UrlCanonicalizeSpec extends SparkTestBase {
     e.getMessage should include ("NULL url has no page identity")
   }
 
+  test("hostCoherentSplit: one split per site whatever the URL noise; ratios near the knobs") {
+    // 60 sites x 5 noisy variants each: every variant of a site must
+    // land in the SAME split, and the site-level ratios track 80/10/10
+    val rows = (0L until 300L).map { i =>
+      val site = i / 5
+      val u = (i % 5) match {
+        case 0 => s"http://s$site.com/p"
+        case 1 => s"HTTP://S$site.COM/p"
+        case 2 => s"http://s$site.com:80/p"
+        case 3 => s"http://s$site.com/p?utm_source=x"
+        case _ => s"http://s$site.com/p#frag"
+      }
+      (i, u)
+    }.toDF("doc_id", "url")
+    val out = graft.operators.Sampling.hostCoherentSplit(rows)
+      .select("doc_id", "host", "split").as[(Long, String, String)].collect()
+    out.groupBy(_._2).values.foreach { site =>
+      site.map(_._3).distinct.length shouldBe 1   // site-coherent
+      site.length shouldBe 5                       // noise never splits a site
+    }
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    bySplit.values.sum shouldBe 300
+    bySplit.getOrElse("train", 0) should be > bySplit.getOrElse("val", 0)
+    // and the assignment matches the content-bucket rule on the host key
+    val h0 = out.find(_._1 == 0L).get._2
+    h0 shouldBe "s0.com"
+  }
+
   test("incremental url state: shard appends read off merged state == one-shot dedup") {
     val all = (0L until 40L).map(i =>
       (i, s"http://site${i % 5}.com/p${i % 10}?utm_source=x&v=${i % 2}"))
