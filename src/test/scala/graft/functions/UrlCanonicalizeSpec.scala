@@ -93,6 +93,30 @@ class UrlCanonicalizeSpec extends SparkTestBase {
     e.getMessage should include ("NULL url has no page identity")
   }
 
+  test("canonicalization is idempotent and total on adversarial inputs") {
+    // canon(canon(x)) == canon(x): a canonical form re-entering the
+    // pipeline (re-crawl of an already-normalized url list) must be a
+    // fixed point, or dedup keys drift across passes
+    val rnd = new scala.util.Random(11)
+    val schemes = Seq("http://", "https://", "HTTP://", "ftp://", "")
+    val hosts = Seq("A.com", "a.b.c.org:8080", "x.com:80", "x.com:443", "")
+    val paths = Seq("", "/", "/p", "/p/", "/p//q/", "/%7E/../x")
+    val queries = Seq("", "?", "?a=1", "?b=2&a=1&utm_x=9", "?&&", "?gclid", "?A=1&a=2")
+    val frags = Seq("", "#f", "##")
+    val urls = (1 to 200).map { _ =>
+      schemes(rnd.nextInt(schemes.size)) + hosts(rnd.nextInt(hosts.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size))
+    } ++ Seq("", "   ", "not a url at all", "http://", "://x", "http:///path")
+    val once = urls.toDF("u")
+      .select(col("u"), TextFunctions.canonicalizeUrl(col("u")).as("c1"))
+      .withColumn("c2", TextFunctions.canonicalizeUrl(col("c1")))
+    val broken = once.filter(col("c1") =!= col("c2") || col("c1").isNull)
+    withClue(broken.limit(5).collect().mkString("\n")) {
+      broken.count() shouldBe 0L
+    }
+  }
+
   test("hostCoherentSplit: one split per site whatever the URL noise; ratios near the knobs") {
     // 60 sites x 5 noisy variants each: every variant of a site must
     // land in the SAME split, and the site-level ratios track 80/10/10
