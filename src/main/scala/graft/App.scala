@@ -561,6 +561,52 @@ object App {
         println(s"[graft] corpus-card: $langs languages; mean dup ratio " +
           s"${dup.getAs[Double]("mean_dup_ratio")}; tables under $out")
 
+      case "url-dedup" =>
+        // the pre-content pass on a web corpus: group by canonical URL,
+        // keep the first crawl of each page; --state-path turns it
+        // incremental (page counts min/sum-merge; docs-path is a SHARD).
+        // Incremental keeper/is_dup verdicts are FINAL at ingest (ids
+        // only increase, so the first crawl can never be displaced);
+        // group_size in a shard's report is the count as of that ingest
+        val o = parseArgs(args.tail)
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val urlCol = o.getOrElse("url-col", "url")
+        val idCol = o.getOrElse("id-col", "doc_id")
+        val report = o.get("state-path") match {
+          case None => operators.Dedup.urlDedup(docs, urlCol, idCol)
+          case Some(sp) =>
+            // APPEND-ONLY per-shard partials (an in-place overwrite would
+            // read-and-clobber the same path); normalizeUrlState collapses
+            // them at read and makes a crashed append's retry idempotent
+            val action = if (fetcher.exists(spark, s"$sp/pages")) "folded shard into"
+              else "initialized"
+            writer.writeParquet(operators.Dedup.urlState(docs, urlCol, idCol),
+              s"$sp/pages", mode = "append")
+            println(s"[graft] url-dedup: $action page state at $sp")
+            operators.Dedup.urlDedupFromState(docs,
+              operators.Dedup.normalizeUrlState(
+                fetcher.readParquet(spark, s"$sp/pages")), urlCol, idCol)
+        }
+        writer.writeParquet(report, o.required("output-path"))
+        val written = fetcher.readParquet(spark, o("output-path"))
+        val dups = written.filter(org.apache.spark.sql.functions.col("is_dup") === 1).count()
+        println(s"[graft] url-dedup: ${written.count()} rows, $dups re-crawls -> ${o("output-path")}")
+
+      case "host-split" =>
+        // site-coherent train/val/test: every page of a canonical host
+        // shares its split (the site-level leakage discipline)
+        val o = parseArgs(args.tail)
+        val out = operators.Sampling.hostCoherentSplit(
+          fetcher.readParquet(spark, o.required("docs-path")),
+          o.getOrElse("url-col", "url"),
+          o.getOrElse("train-pct", "80").toInt,
+          o.getOrElse("val-pct", "10").toInt)
+        writer.writeParquet(out, o.required("output-path"))
+        val counts = fetcher.readParquet(spark, o("output-path"))
+          .groupBy("split").count().collect()
+          .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+        println(s"[graft] host-split: $counts -> ${o("output-path")}")
+
       case "bpe-train" =>
         // train the merge table once (the tokenizer artifact a run ships);
         // tokenize/pack consume it FROZEN — the incremental contract
@@ -1025,6 +1071,13 @@ object App {
       |                     SHARD; per-doc stats append, card reads merged state
       |                     datasheet report: languages, sources, lengths,
       |                     duplication, quality tables
+      |  url-dedup          --docs-path <path> --output-path <path>
+      |                     [--url-col <c=url>] [--state-path <dir>]
+      |                     canonical-URL page dedup; state-path appends the
+      |                     SHARD's page partials (first crawl wins)
+      |  host-split         --docs-path <path> --output-path <path>
+      |                     [--url-col <c=url>] [--train-pct <80>] [--val-pct <10>]
+      |                     site-coherent train/val/test by canonical host
       |  bpe-train          --docs-path <path> --merges-path <path>
       |                     [--n-merges <n=8>]  learn the BPE merge table
       |  tokenize           --docs-path <path> --merges-path <path>

@@ -100,6 +100,20 @@ object Dedup {
       .agg(min(col("keeper_id")).as("keeper_id"),
         sum(col("group_size")).as("group_size"))
 
+  /** Collapse PERSISTED per-shard state partials into the merged page
+    * state: shards append their own [[urlState]] rows (append-only — an
+    * overwrite would read-and-clobber the same path), and this re-groups
+    * at read. `dropDuplicates()` first makes a crashed append's retry
+    * idempotent: a shard's partial rows are a deterministic pure
+    * function of the shard, and identical rows can never come from two
+    * DIFFERENT shards (disjoint ids give each shard distinct keepers).
+    */
+  def normalizeUrlState(raw: DataFrame): DataFrame =
+    raw.dropDuplicates()
+      .groupBy(col("canonical_url"))
+      .agg(min(col("keeper_id")).as("keeper_id"),
+        sum(col("group_size")).as("group_size"))
+
   /** The per-row report read off (possibly incrementally grown) state —
     * [[urlDedup]]'s one code path. Caller contract: every doc's page
     * must be IN the state (fold the shard in first); a missing page

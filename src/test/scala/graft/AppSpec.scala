@@ -475,6 +475,37 @@ class AppSpec extends SparkTestBase {
     storage.rows("reports/length_buckets").size should be > 0
   }
 
+  test("url-dedup and host-split subcommands: page dedup with appendable state, site-coherent splits") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = (0L until 60L).map(i =>
+      (i, s"http://s${i % 10}.com/p${i % 20}?utm_source=x")).toDF("doc_id", "url")
+    storage.write("docs", docs, "overwrite")
+    App.run(platform, Seq("url-dedup",
+      "--docs-path", "docs", "--output-path", "ud"))
+    val oneShot = storage.rows("ud").map(_.toSeq).toSet
+    oneShot.size shouldBe 60
+    // two-shard incremental run: keeper/is_dup verdicts are FINAL at
+    // ingest (ids only increase, so the first crawl can never be
+    // displaced); group_size is as-of-ingest by design, so the
+    // comparison covers the stable columns
+    def stable(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getAs[Int]("is_dup"))).toSet
+    storage.write("s1", docs.filter(col("doc_id") < 30), "overwrite")
+    storage.write("s2", docs.filter(col("doc_id") >= 30), "overwrite")
+    App.run(platform, Seq("url-dedup",
+      "--docs-path", "s1", "--output-path", "ud1", "--state-path", "ust"))
+    App.run(platform, Seq("url-dedup",
+      "--docs-path", "s2", "--output-path", "ud2", "--state-path", "ust"))
+    (stable(storage.rows("ud1")) ++ stable(storage.rows("ud2"))) shouldBe stable(storage.rows("ud"))
+    App.run(platform, Seq("host-split",
+      "--docs-path", "docs", "--output-path", "hs"))
+    val hs = storage.rows("hs")
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("split")))
+    hs.groupBy(_._1).values.foreach(_.map(_._2).distinct.length shouldBe 1)
+  }
+
   test("bpe-train -> tokenize -> pack chain; incremental pack equals one-shot") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage
