@@ -107,6 +107,7 @@ object Bench {
     // above the JSON, so the driver's 2000-char tail capture ends on the
     // timing line, not on whatever the teardown said.
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + "_tok"))
     SparkEntry.cleanupScratch(spark, sfDir)
     if (!stackEvents.isEmpty) {
       System.err.println(s"[bench] ${stackEvents.size} logged stack(s) during the run:")

@@ -323,7 +323,10 @@ object ScaleBench {
     // so the shortlist must cover the ~100-member cell population for
     // exact top-10 recovery; that sizing rule IS the finding the row
     // documents.
-    val plantedRows = if (!only("planted_recall@10_ivf")) Seq.empty[String] else {
+    // gate on ANY of the three emitted row names — a dev filter naming
+    // only planted_recall@10_pq / _ivfpq must still run this block
+    val plantedRows = if (!Seq("ivf", "pq", "ivfpq")
+        .exists(m => only(s"planted_recall@10_$m"))) Seq.empty[String] else {
       val members = 100L
       val dim = 32
       def plantedEmb(k: Int): DataFrame = {

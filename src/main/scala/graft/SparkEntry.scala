@@ -316,8 +316,10 @@ object SparkEntry {
   /** Materialize the backfill output once (parquet at `path`) so the
     * attribution twins below can time their own operator in isolation.
     */
-  def materializeFeatures(s: SparkSession, dir: String, path: String): Unit =
+  def materializeFeatures(s: SparkSession, dir: String, path: String): Unit = {
     backfill(s, dir).write.mode("overwrite").parquet(path)
+    CurationQueries.materializeTokenizerArtifacts(s, dir, path + "_tok")
+  }
 
   /** Bench-only twins of q15/q16/q17: those contract queries recompute the
     * FULL backfill inside their own timing (a backfill regression shows up
@@ -329,14 +331,16 @@ object SparkEntry {
     */
   def attributionQueries(featuresPath: String): Map[String, (SparkSession, String) => DataFrame] = {
     def feats(s: SparkSession) = s.read.parquet(featuresPath)
-    Map(
+    val base: Map[String, (SparkSession, String) => DataFrame] = Map(
       "b15_pit_join_only" -> ((s, dir) =>
         PointInTimeJoinPipeline.transform(labels(s, dir), feats(s))),
       "b16_pit_rank_only" -> ((s, dir) =>
         PointInTimeJoinPipeline.transform(labels(s, dir), feats(s), useUnionPlan = false)),
       "b17_online_only" -> ((s, _) =>
         OnlineSyncPipeline.payload(
-          OnlineSyncPipeline.latestPerUser(feats(s), lit("2024-01-24").cast("date")))))
+          OnlineSyncPipeline.latestPerUser(feats(s), lit("2024-01-24").cast("date"))))
+    )
+    base ++ CurationQueries.tokenizerAttribution(featuresPath + "_tok")
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -734,8 +734,8 @@ object TrainingDataQueries {
        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$$', '')
        |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$$', '')
        |       ELSE hostraw END AS host,
-       |  CASE WHEN path0 = '' OR path0 = '/' THEN '/'
-       |       ELSE regexp_replace(path0, '/$$', '') END AS path,
+       |  CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+       |       ELSE regexp_replace(path0, '/+$$', '') END AS path,
        |  coalesce(list_aggregate(list_sort(list_filter(string_split(query0, '&'),
        |    x -> x != '' AND NOT regexp_matches(x, '${graft.functions.TextFunctions.TrackingParamRe}'))),
        |    'string_agg', '&'), '') AS params FROM p),

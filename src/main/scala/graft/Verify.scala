@@ -1,6 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Contract-surface type lint: the driver's checker loads each result
+  * into pandas, sorts rows across ALL columns, then hashes — so every
+  * contract column must be a scalar type pandas can lexsort and DuckDB
+  * reproduces bit-for-bit. Two rounds were lost to this exact class
+  * (DECIMAL in r9-10, array<int> in r11): the VALUES were right, the
+  * REPRESENTATION crashed or drifted the gate. This lint fails locally
+  * (ContractLintSpec) and at Verify time, before the driver ever sees a
+  * non-sortable column.
+  */
+object ContractLint {
+  import org.apache.spark.sql.types._
+
+  /** Column-level violations: anything not in the driver-stable scalar
+    * set. DECIMAL is banned even though pandas sorts it (the r9 lesson:
+    * DuckDB's decimal width/scale inference drifts the hash); arrays,
+    * maps and structs crash the checker's lexsort outright; binary is
+    * banned because parquet->pandas yields bytes objects whose repr (and
+    * so the driver's string hash) is not cross-engine stable.
+    */
+  def violations(schema: StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if !isDriverStable(f.dataType) =>
+        s"${f.name}: ${f.dataType.catalogString}"
+    }
+
+  private def isDriverStable(dt: DataType): Boolean = dt match {
+    // TimestampNTZ is in the stable set by evidence: q07 has carried it
+    // driver-green since round 1 (parquet TIMESTAMP without tz)
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -26,9 +62,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          val bad = ContractLint.violations(df.schema)
+          if (bad.nonEmpty)
+            // refuse to dump: a loud local/driver err beats the checker
+            // crashing three queries deep in a pandas lexsort
+            throw new IllegalStateException(
+              s"contract-type lint: non-driver-stable columns [${bad.mkString("; ")}]")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }

@@ -73,6 +73,13 @@ object GreedyEncodeImpl {
       val row = pieces.getStruct(i, 2)
       pcp(i) = codePoints(row.getUTF8String(0))
       pid(i) = row.getLong(1)
+      // the len*1e6-id score packing recovers (len, id) by arithmetic —
+      // an id at or past 1e6 would silently decode as a SHORTER piece
+      // with a different id; fail loudly at the domain edge instead
+      if (pid(i) < 0L || pid(i) >= 1000000L)
+        throw new IllegalArgumentException(
+          s"greedy_encode: piece id ${pid(i)} outside [0, 1000000) — " +
+            "the integer score packing cannot represent it")
       i += 1
     }
     val ids = new java.util.ArrayList[Integer](n)

@@ -540,9 +540,12 @@ object TextFunctions {
       .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
       .otherwise(hostRaw)
     val path0 = regexp_extract(base, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1)
-    val path = when(path0 === "", lit("/"))
-      .when(path0 === "/", lit("/"))
-      .otherwise(regexp_replace(path0, "/$", ""))
+    // ALL trailing slashes strip (one pass) and an emptied path maps back
+    // to "/" — stripping only one would break idempotence on ".../x//"
+    // (canon of the canonical form would strip again), drifting dedup
+    // keys across re-canonicalization passes
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
     val query0 = regexp_extract(base, "\\?(.*)$", 1)
     val params = array_join(array_sort(filter(split(query0, "&"),
       p => p =!= "" && !p.rlike(TrackingParamRe))), "&")

@@ -605,7 +605,7 @@ object Multimodal {
         // bits; integer levels make equal-luminance cells EXACTLY equal
         // and a uniform brightness shift an exact no-op on both hashes
         val g = gridLumLevels(img, 9, 8)
-        var dh = 0L
+        val dh = dhashFromGrid(g)
         var ah = 0L
         var meanSum = 0L
         var r = 0
@@ -620,9 +620,7 @@ object Multimodal {
         while (r < 8) {
           var c = 0
           while (c < 8) {
-            val bit = r * 8 + c
-            if (g(r * 9 + c + 1) > g(r * 9 + c)) dh |= 1L << bit
-            if (g(r * 9 + c) * 64L > meanSum) ah |= 1L << bit
+            if (g(r * 9 + c) * 64L > meanSum) ah |= 1L << (r * 8 + c)
             c += 1
           }
           r += 1
@@ -630,6 +628,24 @@ object Multimodal {
         ImageHash(id, label, nBytes, img.getWidth, img.getHeight, dh, ah)
       }
     } catch { case scala.util.control.NonFatal(_) => sentinel }
+  }
+
+  /** The 64-bit dHash over a 9x8 integer luminance grid (bit r*8+c set
+    * when cell (r, c+1) is brighter than (r, c)) — shared by the image
+    * hash and the per-frame hash inside [[videoFingerprints]].
+    */
+  private def dhashFromGrid(g: Array[Long]): Long = {
+    var dh = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) dh |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    dh
   }
 
   /** Mean luminance LEVEL (integer 0..255) per (gw x gh) grid cell —
@@ -819,6 +835,107 @@ object Multimodal {
         .select(col("media_id").as("id"), col("afp").as("hash")),
       maxHamming)
 
+  /** Per-video perceptual fingerprint: the majority-vote dHash over the
+    * sampled decoded frames. Sentinel convention: fp_valid=false when no
+    * sampled frame decodes (non-AVI payload, non-JPEG codec) —
+    * [[perceptualVideoPairs]] filters on it; n_frames counts demuxed
+    * frame CHUNKS, n_decoded the sampled frames that actually decoded.
+    */
+  case class VideoFingerprint(
+      media_id: Long,
+      format: String,
+      n_bytes: Long,
+      n_frames: Int,
+      n_decoded: Int,
+      vfp: Long,
+      fp_valid: Boolean)
+
+  /** Perceptual fingerprint of each MJPEG-AVI payload: demux
+    * ([[aviFrameRanges]] — the [[decodeVideoFrames]] walker), decode every
+    * `stride`-th frame with ImageIO, dHash each on the shared 9x8 integer
+    * grid, then MAJORITY-VOTE the 64 bits across frames (bit set when
+    * more than half the decoded frames set it) — SimHash over the frame
+    * sequence. Majority is what makes the signature robust where a single
+    * frame's hash is not: re-muxing (chunk ids, `rec ` grouping, frame
+    * count changes from dropped/duplicated frames) and per-frame
+    * re-encoding leave it fixed as long as most frames still hash the
+    * same, and frame-sampling stride changes survive whenever the
+    * per-bit majorities do (MultimodalSpec pins both invariances on the
+    * fixture).
+    *
+    * Scale: payloads demux and hash map-side, one 64-bit signature per
+    * video crosses the exchange — identical shape to the image/audio
+    * paths; a viral clip repeated corpus-wide is one hot bucket, salted
+    * by [[Skew]] like every dedup join here.
+    */
+  def videoFingerprints(media: DataFrame, stride: Int = 1): Dataset[VideoFingerprint] = {
+    require(stride > 0, "stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, p) => fingerprintOneVideo(id, p, stride) }
+      }
+  }
+
+  private def fingerprintOneVideo(id: Long, p: Array[Byte], stride: Int): VideoFingerprint = {
+    val nBytes = if (p == null) 0L else p.length.toLong
+    def sentinel = VideoFingerprint(id, "undecodable", nBytes, -1, 0, 0L, false)
+    if (p == null || p.length < 12 || fourcc(p, 0) != "RIFF" || fourcc(p, 8) != "AVI ")
+      return sentinel
+    val frames =
+      try aviFrameRanges(p, 12, p.length)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    if (frames.isEmpty) return sentinel
+    val bitCounts = new Array[Int](64)
+    var decoded = 0
+    frames.iterator.zipWithIndex
+      .filter { case (_, idx) => idx % stride == 0 }
+      .foreach { case ((fs, fe), _) =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p, fs, fe - fs))
+          if (img != null) {
+            decoded += 1
+            val dh = dhashFromGrid(gridLumLevels(img, 9, 8))
+            var b = 0
+            while (b < 64) {
+              if ((dh & (1L << b)) != 0L) bitCounts(b) += 1
+              b += 1
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // frame stays uncounted
+      }
+    if (decoded == 0)
+      VideoFingerprint(id, "avi", nBytes, frames.size, 0, 0L, false)
+    else {
+      var vfp = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * bitCounts(b) > decoded) vfp |= 1L << b // ties break to 0
+        b += 1
+      }
+      VideoFingerprint(id, "mjpeg-avi", nBytes, frames.size, decoded, vfp, true)
+    }
+  }
+
+  /** Perceptual near-duplicate video pairs: majority-dHash Hamming
+    * distance <= `maxHamming` through the shared pigeonhole band join —
+    * the last multimodal modality without a near-dup pass (images q96,
+    * audio q138). Re-muxed (chunk ids, grouping, frame-count changes)
+    * and per-frame re-encoded copies of a clip fingerprint within a few
+    * bits while their payload bytes share nothing.
+    */
+  def perceptualVideoPairs(media: DataFrame, maxHamming: Int = 3,
+                           stride: Int = 1): DataFrame =
+    pigeonholeHashPairs(
+      videoFingerprints(media, stride).toDF()
+        .filter(col("fp_valid"))
+        .select(col("media_id").as("id"), col("vfp").as("hash")),
+      maxHamming)
+
   /** Deterministic 32x32 test card for the image-dedup contract query and
     * specs: the test corpus ships no binary media, so q96 derives payloads
     * from table keys. The card is a 9x8 BLOCK pattern (blocks aligned to
@@ -944,6 +1061,65 @@ object Multimodal {
         Seq(
           MediaRow(2 * k, encodeTestCard(k, "png"), MediaMeta("png", -1L)),
           MediaRow(2 * k + 1, encodeTestCard(k, "jpg"), MediaMeta("jpeg", -1L)))
+      }
+    rows.toDF().select(col("media_id"), col("payload"),
+      struct(col("meta.format").as("format"),
+        length(col("payload")).cast("long").as("n_bytes")).as("meta"))
+  }
+
+  /** A RIFF chunk: [fourcc][LE size][data][pad-to-even]. */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val n = data.length
+    out.write(n & 0xff); out.write((n >> 8) & 0xff)
+    out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+    out.write(data, 0, n)
+    if ((n & 1) == 1) out.write(0) // RIFF pads chunks to even sizes
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG-AVI test clip — [[renderTestCard]]'s video twin:
+    * `nFrames` JPEG encodings of the SAME seed-`seed` card inside a real
+    * RIFF AVI. Two mux variants exercise the demuxer surface a re-encode
+    * crosses: variant 0 writes `00dc` chunks directly under `movi`;
+    * variant 1 writes `00db` chunks nested in a `rec ` grouping (and
+    * callers vary nFrames) — byte-level nothing alike, perceptually the
+    * same clip. Every frame carries the card's dHash, so the clip's
+    * majority fingerprint IS the card hash and the q96 oracle replay
+    * value-checks this real demux+decode path too (the q138 pattern).
+    */
+  def encodeTestVideo(seed: Long, nFrames: Int, variant: Int): Array[Byte] = {
+    require(nFrames >= 1, "nFrames must be positive")
+    val jpeg = encodeTestCard(seed, "jpg")
+    val chunkId = if (variant == 0) "00dc" else "00db"
+    val frames = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nFrames) { frames.write(riffChunk(chunkId, jpeg)); i += 1 }
+    val inner =
+      if (variant == 0) frames.toByteArray
+      else riffChunk("LIST",
+        "rec ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ frames.toByteArray)
+    val movi = "movi".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ inner
+    val body = "AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      riffChunk("LIST", movi)
+    riffChunk("RIFF", body)
+  }
+
+  /** Two mux variants of each key's test clip, in the canonical media
+    * schema — media_id = 2*key for the 3-frame movi-direct variant,
+    * 2*key+1 for the 5-frame rec-grouped one. The video-dedup fixture:
+    * every (2k, 2k+1) pair is a true re-muxed near-duplicate; distinct
+    * keys are distinct clips.
+    */
+  def testVideoMedia(keys: DataFrame, keyCol: String): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val rows = keys.select(col(keyCol).cast("long")).as[Long]
+      .flatMap { k =>
+        Seq(
+          MediaRow(2 * k, encodeTestVideo(k, nFrames = 3, variant = 0), MediaMeta("avi", -1L)),
+          MediaRow(2 * k + 1, encodeTestVideo(k, nFrames = 5, variant = 1), MediaMeta("avi", -1L)))
       }
     rows.toDF().select(col("media_id"), col("payload"),
       struct(col("meta.format").as("format"),

@@ -380,6 +380,11 @@ object Packing {
       map_from_entries(collect_list(struct(
         (lit(MergeIdBase) + col("step")).cast("int").as("id"),
         col("merged").as("piece")))).as("__mmap"))
+    // an id past MergeIdBase that is NOT in the merge table means the
+    // caller decoded with a wrong / non-frozen table — element_at would
+    // yield NULL and array_join would silently DROP it, producing
+    // plausible-but-wrong text; raise instead (the frozen-artifact
+    // contract must fail loudly, not drift)
     encoded.crossJoin(broadcast(mmap))
       .select(col(idCol), expr(
         s"""array_join(transform($idsCol, i -> CASE
@@ -387,6 +392,9 @@ object Packing {
            |  WHEN i <= $PadId THEN ''
            |  WHEN i <= 28 THEN char(i + 94)
            |  WHEN i <= $MergeIdBase THEN char(i + 19)
+           |  WHEN element_at(__mmap, CAST(i AS INT)) IS NULL
+           |    THEN raise_error(concat('decodeIds: id ', CAST(i AS STRING),
+           |      ' is not in the merge table - wrong or non-frozen artifact'))
            |  ELSE element_at(__mmap, CAST(i AS INT)) END), '')""".stripMargin)
         .as("text"))
   }

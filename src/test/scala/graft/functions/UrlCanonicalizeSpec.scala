@@ -28,12 +28,14 @@ class UrlCanonicalizeSpec extends SparkTestBase {
       "http://a.com:443/x", "https://a.com:80/x", "http://a.com:8080/x")
   }
 
-  test("fragment drops; empty path becomes /; one trailing slash drops") {
+  test("fragment drops; empty path becomes /; ALL trailing slashes drop") {
+    // "x//" must strip BOTH slashes: stripping one at a time breaks
+    // idempotence (canon of the canonical form would strip again)
     canon(
       "http://a.com/x#section-2", "http://a.com", "http://a.com/",
-      "http://a.com/x/", "http://a.com/x//") shouldBe Seq(
+      "http://a.com/x/", "http://a.com/x//", "http://a.com//") shouldBe Seq(
       "http://a.com/x", "http://a.com/", "http://a.com/",
-      "http://a.com/x", "http://a.com/x/")
+      "http://a.com/x", "http://a.com/x", "http://a.com/")
   }
 
   test("tracking params drop, survivors sort, empty query drops the ?") {
@@ -100,7 +102,7 @@ class UrlCanonicalizeSpec extends SparkTestBase {
     val rnd = new scala.util.Random(11)
     val schemes = Seq("http://", "https://", "HTTP://", "ftp://", "")
     val hosts = Seq("A.com", "a.b.c.org:8080", "x.com:80", "x.com:443", "")
-    val paths = Seq("", "/", "/p", "/p/", "/p//q/", "/%7E/../x")
+    val paths = Seq("", "/", "//", "/p", "/p/", "/p//", "/p///", "/p//q/", "/%7E/../x")
     val queries = Seq("", "?", "?a=1", "?b=2&a=1&utm_x=9", "?&&", "?gclid", "?A=1&a=2")
     val frags = Seq("", "#f", "##")
     val urls = (1 to 200).map { _ =>
