@@ -580,6 +580,31 @@ object App {
             // them at read and makes a crashed append's retry idempotent
             val action = if (fetcher.exists(spark, s"$sp/pages")) "folded shard into"
               else "initialized"
+            // Canonical-key version gate: state seeded under an older
+            // canonicalizer holds keys this build no longer produces —
+            // folding a shard into it would raise "page not in state"
+            // MID-JOB on every multi-trailing-slash re-crawl. Fail loudly
+            // up front with the re-seed instruction instead.
+            val vCur = graft.functions.TextFunctions.UrlCanonVersion
+            if (action == "initialized") {
+              import spark.implicits._
+              writer.writeParquet(Seq(vCur).toDF("canon_version"),
+                s"$sp/canon_version")
+            } else if (fetcher.exists(spark, s"$sp/canon_version")) {
+              val v = fetcher.readParquet(spark, s"$sp/canon_version")
+                .head().getInt(0)
+              require(v == vCur,
+                s"url-dedup: state at $sp was written with URL-canonicalizer " +
+                  s"v$v but this build is v$vCur — canonical keys changed " +
+                  "(trailing-slash rule); re-seed the state from the full " +
+                  "corpus instead of folding shards into stale keys")
+            } else
+              // pre-v2 state predates the marker entirely = v1 by definition
+              throw new IllegalArgumentException(
+                s"url-dedup: state at $sp has no canon_version marker " +
+                  "(written by a pre-v2 build, whose trailing-slash rule " +
+                  s"differs from this build's v$vCur) — re-seed the state " +
+                  "from the full corpus")
             writer.writeParquet(operators.Dedup.urlState(docs, urlCol, idCol),
               s"$sp/pages", mode = "append")
             println(s"[graft] url-dedup: $action page state at $sp")
@@ -658,6 +683,42 @@ object App {
         writer.writeParquet(packed, o.required("output-path"))
         val n = fetcher.readParquet(spark, o("output-path")).count()
         println(s"[graft] pack: $n rows of $seqLen ids -> ${o("output-path")}")
+
+      case "export-shards" =>
+        // deterministic training-shard export: pack (or read pre-packed
+        // rows), order by the optional epoch permutation, write one
+        // size-bounded internally-ordered file per shard — the artifact a
+        // data loader streams in filename order. Hive-style shard_id=N
+        // directories; shard rows sort by shard_pos inside each file, so
+        // concatenating shards in id order reproduces the (possibly
+        // epoch-shuffled) packed stream bit-for-bit (AppSpec pins it)
+        val o = parseArgs(args.tail)
+        val packed = (o.get("packed-path"), o.get("encoded-path")) match {
+          case (Some(pp), None) => fetcher.readParquet(spark, pp)
+          case (None, Some(ep)) => operators.Packing.packTokenRows(
+            fetcher.readParquet(spark, ep),
+            seqLen = o.getOrElse("seq-len", "64").toInt,
+            idCol = o.getOrElse("id-col", "doc_id"))
+          case _ => throw new IllegalArgumentException(
+            "export-shards: exactly one of --packed-path / --encoded-path is required")
+        }
+        val rps = o.required("rows-per-shard").toInt
+        val sharded = operators.Packing.shardPacked(packed, rps,
+          o.get("epoch").map(_.toInt))
+        // all rows of a shard into one task, ordered — with partitionBy
+        // each shard then lands as exactly one file
+        writer.writeParquet(
+          sharded.repartition(org.apache.spark.sql.functions.col("shard_id"))
+            .sortWithinPartitions(
+              org.apache.spark.sql.functions.col("shard_id"),
+              org.apache.spark.sql.functions.col("shard_pos")),
+          o.required("output-path"), partitionBy = Seq("shard_id"))
+        val st = fetcher.readParquet(spark, o("output-path"))
+          .agg(org.apache.spark.sql.functions.countDistinct("shard_id"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))).head()
+        println(s"[graft] export-shards: ${st.getLong(1)} rows in " +
+          s"${st.getLong(0)} shards of <= $rps -> ${o("output-path")}")
 
       case "curation-verdict" =>
         // the q132 composite on the CLI: five filter families joined into
@@ -1087,6 +1148,12 @@ object App {
       |                     [--seq-len <n=64>] [--packed-path <stored>]
       |                     fixed-length training rows with doc boundaries;
       |                     --packed-path appends the shard incrementally
+      |  export-shards      --packed-path <path> | --encoded-path <path>
+      |                     --output-path <path> --rows-per-shard <n>
+      |                     [--epoch <n>] [--seq-len <n=64>]
+      |                     one bounded ordered file per shard; --epoch
+      |                     bakes the deterministic epoch shuffle into
+      |                     the shard layout
       |  curation-verdict   --docs-path <path> --output-path <path>
       |                     (--positive-path <p> --negative-path <p> |
       |                      --positive-sources a,b --negative-sources c,d

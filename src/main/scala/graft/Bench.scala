@@ -108,6 +108,7 @@ object Bench {
     // timing line, not on whatever the teardown said.
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + "_tok"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + "_media"))
     SparkEntry.cleanupScratch(spark, sfDir)
     if (!stackEvents.isEmpty) {
       System.err.println(s"[bench] ${stackEvents.size} logged stack(s) during the run:")

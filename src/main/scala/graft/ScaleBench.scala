@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusPipeline, Dedup, Sketches, SimilaritySearch}
+import graft.operators.{CorpusPipeline, Dedup, Multimodal, Sketches, SimilaritySearch}
 
 /** Scale-GROWTH probe for the iterative/composite operators: times each at
   * 1x and Nx (default 10x) the corpus and reports the growth ratio — the
@@ -216,6 +216,26 @@ object ScaleBench {
         centroidPred = "vec_id >= 100 AND vec_id < 108",
         codebookPred = "vec_id >= 108 AND vec_id < 124",
         nProbe = 2)),
+      // q96/q138/q145 shapes: media fixture encode + perceptual fingerprint
+      // + pigeonhole pair join. Keys sample 1-in-8 per replica (Stride is
+      // divisible by 8, so the modulo is replica-uniform) to keep the
+      // fixture-encode cost bounded; replica keys are distinct seeds, so
+      // fingerprints stay distinct across replicas and the planted
+      // (2k, 2k+1) pair population grows linearly with the corpus — the
+      // reads should show the map-side fingerprint scaling, with one
+      // 64-bit signature per payload crossing the exchange
+      "image_neardup" -> (k => Multimodal.perceptualImagePairs(
+        Multimodal.testCardMedia(
+          scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
+          "doc_id"))),
+      "audio_neardup" -> (k => Multimodal.perceptualAudioPairs(
+        Multimodal.testToneMedia(
+          scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
+          "doc_id"))),
+      "video_neardup" -> (k => Multimodal.perceptualVideoPairs(
+        Multimodal.testVideoMedia(
+          scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
+          "doc_id"))),
       // q131 shape: the substring-pair join plus doc-keyed interval-merge
       // windows and the rebuild concat; rotation keeps anchors disjoint
       // across replicas, so span volume grows with within-replica reuse

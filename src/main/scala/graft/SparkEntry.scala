@@ -319,6 +319,7 @@ object SparkEntry {
   def materializeFeatures(s: SparkSession, dir: String, path: String): Unit = {
     backfill(s, dir).write.mode("overwrite").parquet(path)
     CurationQueries.materializeTokenizerArtifacts(s, dir, path + "_tok")
+    CurationQueries.materializeMediaFixtures(s, dir, path + "_media")
   }
 
   /** Bench-only twins of q15/q16/q17: those contract queries recompute the
@@ -340,7 +341,8 @@ object SparkEntry {
         OnlineSyncPipeline.payload(
           OnlineSyncPipeline.latestPerUser(feats(s), lit("2024-01-24").cast("date"))))
     )
-    base ++ CurationQueries.tokenizerAttribution(featuresPath + "_tok")
+    base ++ CurationQueries.tokenizerAttribution(featuresPath + "_tok") ++
+      CurationQueries.mediaAttribution(featuresPath + "_media")
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -523,7 +523,7 @@ object TextFunctions {
     * case-fold, default ports drop (:80 on http, :443 on https),
     * fragments drop, tracking query params ([[TrackingParamRe]]) drop,
     * surviving params SORT (param order is transport noise), the empty
-    * path becomes "/" and other paths lose one trailing slash. Built
+    * path becomes "/" and other paths lose ALL trailing slashes. Built
     * entirely from builtin string/array functions (codegen'd, and the
     * oracle replays it with the same regexes), row-local by definition.
     *
@@ -532,6 +532,18 @@ object TextFunctions {
     * and https remain DISTINCT (they can serve different content). An
     * input without a `scheme://` prefix falls back to lowercase-trim.
     */
+  /** Version of the canonical-URL KEY FORMAT, stamped into persisted
+    * url-dedup state (App `url-dedup --state-path`) and checked before
+    * any shard fold. Bump whenever [[canonicalizeUrl]]'s output can
+    * change for ANY input: state written under an older rule holds keys
+    * a re-crawl will no longer produce, and urlDedupFromState would then
+    * raise "page not in state" MID-JOB — the version check turns that
+    * into a loud up-front "re-seed the state" error instead.
+    *   v1: strip ONE trailing slash (rounds <= 12 pre-fix)
+    *   v2: strip ALL trailing slashes (idempotence fix, f5c97c1 follow-up)
+    */
+  val UrlCanonVersion = 2
+
   def canonicalizeUrl(url: Column): Column = {
     val base = substring_index(trim(url), "#", 1)
     val scheme = lower(regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))

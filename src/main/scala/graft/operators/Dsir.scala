@@ -68,7 +68,7 @@ object Dsir {
     * it exactly; avalanche quality is irrelevant for bag-of-bucket
     * counting).
     */
-  private def featureBuckets(textCol: Column, buckets: Int): Column = {
+  private[operators] def featureBuckets(textCol: Column, buckets: Int): Column = {
     val toks = TextFunctions.tokens(textCol)
     transform(concat(toks, TextFunctions.wordShinglesAll(toks, 2)),
       f => PolyHash.polyHash(f) % buckets)

@@ -936,6 +936,54 @@ object Multimodal {
         .select(col("media_id").as("id"), col("vfp").as("hash")),
       maxHamming)
 
+  // ---- appendable fingerprint state (the url-dedup discipline for media) --
+
+  /** Appendable media-fingerprint STATE: one (id, hash) row per payload
+    * whose fingerprint is VALID — the fingerprint-once table every text
+    * dedup family already has (urlState, substringState): shard ingest
+    * appends its own partial, payload bytes decode exactly ONCE and are
+    * never re-read when later shards arrive or the pair report re-runs.
+    * Sentinel payloads own no state row — they can never pair, and a
+    * valid re-crawl under a new id fingerprints fresh. The three
+    * modalities share one state shape because the pair join is the same
+    * pigeonhole band join over a 64-bit signature.
+    */
+  def imageHashState(media: DataFrame): DataFrame =
+    imageHashes(media).toDF().filter(col("width") > 0)
+      .select(col("media_id").as("id"), col("dhash").as("hash"))
+
+  /** [[imageHashState]]'s audio twin (valid = fp_valid). */
+  def audioFingerprintState(media: DataFrame): DataFrame =
+    audioFingerprints(media).toDF().filter(col("fp_valid"))
+      .select(col("media_id").as("id"), col("afp").as("hash"))
+
+  /** [[imageHashState]]'s video twin. The stride is part of the state
+    * contract: fingerprints from different strides may differ when a
+    * per-bit majority is stride-sensitive, so a state table freezes ONE
+    * stride — the frozen-artifact rule every incremental family follows.
+    */
+  def videoFingerprintState(media: DataFrame, stride: Int = 1): DataFrame =
+    videoFingerprints(media, stride).toDF().filter(col("fp_valid"))
+      .select(col("media_id").as("id"), col("vfp").as("hash"))
+
+  /** Collapse persisted per-shard state partials at read:
+    * `dropDuplicates()` makes a crashed append's retry idempotent — a
+    * shard's rows are a deterministic pure function of the shard's
+    * payloads, and identical rows can never come from two DIFFERENT
+    * shards (disjoint media ids) — the normalizeUrlState argument.
+    */
+  def normalizeMediaState(raw: DataFrame): DataFrame = raw.dropDuplicates()
+
+  /** Perceptual near-dup pairs off (possibly incrementally grown) state:
+    * exactly [[perceptualImagePairs]]/audio/video's band join, but the
+    * decode already happened at state-append time. Chained shards equal
+    * the one-shot pair recompute bit-for-bit (fingerprints are per-row
+    * pure functions of the payload, so state union == fingerprint of the
+    * union — MediaStateSpec and q146 pin it).
+    */
+  def perceptualPairsFromState(state: DataFrame, maxHamming: Int = 3): DataFrame =
+    pigeonholeHashPairs(state.select(col("id"), col("hash")), maxHamming)
+
   /** Deterministic 32x32 test card for the image-dedup contract query and
     * specs: the test corpus ships no binary media, so q96 derives payloads
     * from table keys. The card is a 9x8 BLOCK pattern (blocks aligned to
@@ -1092,10 +1140,19 @@ object Multimodal {
   def encodeTestVideo(seed: Long, nFrames: Int, variant: Int): Array[Byte] = {
     require(nFrames >= 1, "nFrames must be positive")
     val jpeg = encodeTestCard(seed, "jpg")
+    muxAvi(Seq.fill(nFrames)(jpeg), variant)
+  }
+
+  /** Mux arbitrary frame payloads into a real RIFF AVI — the shared body
+    * of [[encodeTestVideo]], exposed package-private so VideoDedupSpec
+    * can plant clips encodeTestVideo cannot express (a corrupt frame
+    * mid-clip, two DIFFERENT cards for the majority-tie case, non-JPEG
+    * frame chunks for the zero-decoded sentinel).
+    */
+  private[graft] def muxAvi(framePayloads: Seq[Array[Byte]], variant: Int): Array[Byte] = {
     val chunkId = if (variant == 0) "00dc" else "00db"
     val frames = new java.io.ByteArrayOutputStream()
-    var i = 0
-    while (i < nFrames) { frames.write(riffChunk(chunkId, jpeg)); i += 1 }
+    framePayloads.foreach(f => frames.write(riffChunk(chunkId, f)))
     val inner =
       if (variant == 0) frames.toByteArray
       else riffChunk("LIST",

@@ -360,13 +360,23 @@ object Packing {
          |       CAST(array() AS array<int>))))""".stripMargin)
   }
 
-  /** [[greedyIdsComposed]]'s per-position best-match table. */
+  /** [[greedyIdsComposed]]'s per-position best-match table. Piece ids
+    * outside [0, 1e6) cannot be represented by the len*1e6-id score
+    * packing; the native kernel throws on them (GreedyEncode.scala), so
+    * the composed witness raises the SAME loud error instead of silently
+    * decoding a shorter piece with a different id — bit-parity must hold
+    * (or both sides fail) across the whole id domain. */
   private[graft] val composedBestAt: org.apache.spark.sql.Column = expr(
     s"""transform(sequence(1, length(w)),
        |  i -> greatest(0L, array_max(transform(__mp,
-       |    p -> IF(substring(w, i, length(p.piece)) = p.piece,
+       |    p -> IF(p.id < 0L OR p.id >= 1000000L,
+       |            CAST(raise_error(concat('greedy_encode: piece id ',
+       |              CAST(p.id AS STRING),
+       |              ' outside [0, 1000000) - the integer score packing',
+       |              ' cannot represent it')) AS BIGINT),
+       |         IF(substring(w, i, length(p.piece)) = p.piece,
        |            CAST(length(p.piece) AS BIGINT) * 1000000L - p.id,
-       |            0L)))))""".stripMargin)
+       |            0L))))))""".stripMargin)
 
   /** Inverse of [[encodeToIds]]: ids back to the normalized text
     * (tokens joined by single spaces). `<doc>`/`<pad>` decode to
@@ -488,6 +498,44 @@ object Packing {
     stored.crossJoin(broadcast(cut)).filter(col("row_id") < col("__cut"))
       .select(col("row_id"), col("ids"), col("n_pad"))
       .unionByName(tail)
+  }
+
+  /** Cut the packed training stream into export SHARDS: every packed row
+    * gets (shard_id = position div rowsPerShard, shard_pos = position mod
+    * rowsPerShard), so each shard holds at most `rowsPerShard` rows and
+    * shard order concatenates back into the stream. `epoch = None` keeps
+    * the stream's own order (position = row_id — concatenating the
+    * shards reproduces [[packTokenRows]]'s output verbatim); `epoch =
+    * Some(e)` orders by the deterministic epoch-`e` permutation
+    * ([[Sampling.epochShuffle]] on row_id), so every training epoch
+    * exports a DIFFERENT but replayable shard sequence — the data-loader
+    * contract where the shuffle is baked into the shard layout and
+    * readers just stream shards in filename order.
+    *
+    * Scale shape: the permutation is epochShuffle's two-phase bucket
+    * prefix sum (no global window), the join back to the packed rows is
+    * keyed on row_id, and shard assignment is row-local arithmetic —
+    * nothing here materializes more than (row_id, position) pairs beyond
+    * the packed rows themselves. Output: (shard_id, shard_pos, row_id,
+    * ids, n_pad); the writer clusters by (shard_id, shard_pos) so each
+    * shard lands as one bounded, internally-ordered file.
+    */
+  def shardPacked(packed: DataFrame, rowsPerShard: Int,
+                  epoch: Option[Int] = None): DataFrame = {
+    require(rowsPerShard >= 1, "rowsPerShard must be positive")
+    val pos = epoch match {
+      case None =>
+        // row_id IS the contiguous stream position (packTokenRows contract)
+        packed.select(col("row_id"), col("row_id").as("__pos"))
+      case Some(e) =>
+        Sampling.epochShuffle(packed.select(col("row_id")), e, idCol = "row_id")
+          .select(col("row_id"), col("shuffle_pos").as("__pos"))
+    }
+    packed.join(pos, "row_id")
+      .select(
+        expr(s"__pos div ${rowsPerShard}L").as("shard_id"),
+        expr(s"__pos % ${rowsPerShard}L").as("shard_pos"),
+        col("row_id"), col("ids"), col("n_pad"))
   }
 
   /** Shared row assembly: (__arr, __n, start_offset) rows -> padded

@@ -46,16 +46,48 @@ object QualityClassifier {
     */
   def nbLogOdds(docs: DataFrame, positive: DataFrame, negative: DataFrame,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    def words(d: DataFrame) =
-      d.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-    val posTf = words(positive).groupBy(col("w")).agg(count(lit(1)).as("tfp"))
-    val negTf = words(negative).groupBy(col("w")).agg(count(lit(1)).as("tfn"))
+                textCol: String = "text"): DataFrame =
+    nbOverFeatures(docs, positive, negative, idCol,
+      TextFunctions.tokens(col(textCol)), "n_tokens")
+
+  /** [[nbLogOdds]] in the HASHED feature space [[Dsir]] uses: every
+    * unigram AND word-bigram hashed into `buckets` slots. Bigrams give
+    * the classifier phrase signal a unigram bag cannot see ("click
+    * here", "terms of service"), and the hashing bounds the model at
+    * `buckets` rows NO MATTER the corpus — the fastText/DSIR trick that
+    * makes the weight table a broadcast at 100 TB where a raw bigram
+    * vocabulary would itself need a shuffle join. Same pinned-integer
+    * math, same add-one smoothing over the observed-bucket union
+    * "vocabulary", so the DuckDB oracle extends verbatim (q147/q148).
+    * Output: (idCol, n_feats, logodds_fp, predict_pos).
+    */
+  def nbLogOddsHashed(docs: DataFrame, positive: DataFrame, negative: DataFrame,
+                      buckets: Int = 4096,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    nbOverFeatures(docs, positive, negative, idCol,
+      Dsir.featureBuckets(col(textCol), buckets), "n_feats")
+  }
+
+  /** The shared NB pipeline over any array-typed feature expression of a
+    * document row: feature tf tables per seed, FULL-JOIN union
+    * vocabulary, pinned-ln per-distinct-feature weights, one-row model
+    * constants, per-doc integer fold. `nName` names the per-doc feature
+    * count in the output (n_tokens for words, n_feats for hashed).
+    */
+  private def nbOverFeatures(docs: DataFrame, positive: DataFrame,
+                             negative: DataFrame, idCol: String,
+                             featureExpr: org.apache.spark.sql.Column,
+                             nName: String): DataFrame = {
+    def feats(d: DataFrame) = d.select(explode(featureExpr).as("w"))
+    val posTf = feats(positive).groupBy(col("w")).agg(count(lit(1)).as("tfp"))
+    val negTf = feats(negative).groupBy(col("w")).agg(count(lit(1)).as("tfn"))
     val vocab = posTf.join(negTf, Seq("w"), "full_outer")
       .select(col("w"),
         coalesce(col("tfp"), lit(0L)).as("tfp"),
         coalesce(col("tfn"), lit(0L)).as("tfn"))
-    // per-distinct-word weight: lnfp(tfp+1) - lnfp(tfn+1)
+    // per-distinct-feature weight: lnfp(tfp+1) - lnfp(tfn+1)
     val wordW = (PinnedMath.lnFpSteps("lp", "(tfp + 1)") ++
         PinnedMath.lnFpSteps("lq", "(tfn + 1)"))
       .foldLeft(vocab) { case (df, (a, e)) => df.withColumn(a, expr(e)) }
@@ -74,21 +106,20 @@ object QualityClassifier {
       .foldLeft(counts) { case (df, (a, e)) => df.withColumn(a, expr(e)) }
       .select((col("lb_lnfp") - col("la_lnfp")).as("__pertok_fp"),
         (col("lc_lnfp") - col("ld_lnfp")).as("__prior_fp"))
-    val docWords = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val docWords = docs.select(col(idCol), explode(featureExpr).as("w"))
     val perDoc = docWords
-      .join(wordW, Seq("w"), "left") // neither-seed word: weight 0
+      .join(wordW, Seq("w"), "left") // neither-seed feature: weight 0
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),
         sum(coalesce(col("__w_fp"), lit(0L))).as("__s"))
     docs.select(col(idCol))
       .join(perDoc, Seq(idCol), "left")
       .crossJoin(broadcast(consts))
-      .withColumn("n_tokens", coalesce(col("__n"), lit(0L)))
+      .withColumn(nName, coalesce(col("__n"), lit(0L)))
       .withColumn("logodds_fp",
-        col("__prior_fp") + col("n_tokens") * col("__pertok_fp") +
+        col("__prior_fp") + col(nName) * col("__pertok_fp") +
           coalesce(col("__s"), lit(0L)))
-      .select(col(idCol), col("n_tokens"), col("logodds_fp"),
+      .select(col(idCol), col(nName), col("logodds_fp"),
         (col("logodds_fp") > 0L).cast("int").as("predict_pos"))
   }
 
@@ -108,9 +139,25 @@ object QualityClassifier {
   def thresholdSweep(labeled: DataFrame, positive: DataFrame, negative: DataFrame,
                      thresholdsFp: Seq[Long],
                      idCol: String = "doc_id", textCol: String = "text",
-                     labelCol: String = "label"): DataFrame = {
+                     labelCol: String = "label"): DataFrame =
+    sweepScored(nbLogOdds(labeled, positive, negative, idCol, textCol),
+      labeled, thresholdsFp, idCol, labelCol)
+
+  /** [[thresholdSweep]] for the hashed-feature classifier — the same
+    * calibration table read off [[nbLogOddsHashed]] scores. */
+  def thresholdSweepHashed(labeled: DataFrame, positive: DataFrame,
+                           negative: DataFrame, thresholdsFp: Seq[Long],
+                           buckets: Int = 4096,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           labelCol: String = "label"): DataFrame =
+    sweepScored(nbLogOddsHashed(labeled, positive, negative, buckets, idCol, textCol),
+      labeled, thresholdsFp, idCol, labelCol)
+
+  private def sweepScored(scoredIn: DataFrame, labeled: DataFrame,
+                          thresholdsFp: Seq[Long],
+                          idCol: String, labelCol: String): DataFrame = {
     require(thresholdsFp.nonEmpty, "thresholdSweep needs at least one threshold")
-    val scored = nbLogOdds(labeled, positive, negative, idCol, textCol)
+    val scored = scoredIn
       .join(labeled.select(col(idCol), col(labelCol).cast("int").as("__y")), idCol)
     def cnt(p: org.apache.spark.sql.Column) = sum(p.cast("long"))
     // exact floor-division ppm: DECIMAL(38,0) keeps the 1e6-scaled

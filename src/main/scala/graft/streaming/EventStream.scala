@@ -23,6 +23,15 @@ import graft.sources.{KVClient, KVSink}
   */
 object EventStream {
 
+  /** Read a state table, or the caller's empty frame when the path has
+    * never been written — the stateful gates' shared first-trigger shape. */
+  private def tableOr(spark: org.apache.spark.sql.SparkSession, path: String,
+                      empty: => DataFrame): DataFrame =
+    try spark.read.parquet(path)
+    catch { case e: org.apache.spark.sql.AnalysisException
+      if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
+      empty }
+
   /** Apply the event-time watermark unless the plan already carries one:
     * Spark disallows REDEFINING a watermark once multiple stateful
     * operators are chained, so every entry point here is idempotent about
@@ -413,10 +422,7 @@ object EventStream {
         val b = batch.toDF()
         val (anchorsPath, textsPath) = (s"$statePath/anchors", s"$statePath/texts")
         def tableOr(path: String, empty: => DataFrame): DataFrame =
-          try spark.read.parquet(path)
-          catch { case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
-            empty }
+          EventStream.tableOr(spark, path, empty)
         val stored = tableOr(anchorsPath,
           graft.operators.Dedup.substringState(b.limit(0), minLen, k, idCol, textCol))
         val storedTexts = tableOr(textsPath, b.select(col(idCol), col(textCol)).limit(0))
@@ -430,6 +436,65 @@ object EventStream {
         graft.operators.Dedup.substringState(b, minLen, k, idCol, textCol)
           .write.mode("append").parquet(anchorsPath)
         b.select(col(idCol), col(textCol)).write.mode("append").parquet(textsPath)
+      }
+
+  /** Streaming URL-dedup ingest gate: each arriving micro-batch of
+    * documents is grouped by canonical URL against EVERY page ingested so
+    * far, then folded into the page state — re-crawl dropping at ingest,
+    * the streaming form of `url-dedup --state-path` and the cheapest gate
+    * in the chain (no text read at all; one (canonical-url, id) shuffle
+    * per batch). One code path with batch q141: each trigger reads the
+    * stored per-shard partials ([[graft.operators.Dedup.normalizeUrlState]]
+    * collapses them, making a crashed append's replay idempotent), folds
+    * the batch in with [[graft.operators.Dedup.incrementUrlState]], sinks
+    * the batch's per-row report, then appends the batch's OWN
+    * [[graft.operators.Dedup.urlState]] partial — append AFTER the sink,
+    * the crash-replay rule every stateful gate here follows. The state
+    * layout (`pages/` partials + `canon_version` marker) is exactly the
+    * CLI's, so a stream-seeded state serves `App url-dedup` and vice
+    * versa; the version marker makes a canonicalizer change a loud
+    * up-front "re-seed" error instead of a mid-job join miss.
+    *
+    * Verdict stability: keeper_id and is_dup are FINAL at ingest (ids
+    * only increase across batches, so the first crawl is never
+    * displaced); group_size in a batch's report is the page's count as
+    * of that ingest — chained batches therefore equal the one-shot
+    * [[graft.operators.Dedup.urlDedup]] on everything but group_size's
+    * in-flight reads (EventStreamSpec pins both).
+    */
+  def urlDedupGateWriter(docs: DataFrame, statePath: String,
+                         sink: (DataFrame, Long) => Unit,
+                         urlCol: String = "url", idCol: String = "doc_id")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val (pagesPath, versionPath) = (s"$statePath/pages", s"$statePath/canon_version")
+        val vCur = graft.functions.TextFunctions.UrlCanonVersion
+        val vStored = tableOr(spark, versionPath, {
+          import spark.implicits._
+          Seq(vCur).toDF("canon_version")
+        }).head().getInt(0)
+        require(vStored == vCur,
+          s"urlDedupGate: state at $statePath was written with URL-canonicalizer " +
+            s"v$vStored but this build is v$vCur — re-seed the state")
+        val stored = graft.operators.Dedup.normalizeUrlState(
+          tableOr(spark, pagesPath,
+            graft.operators.Dedup.urlState(b.limit(0), urlCol, idCol)))
+        val merged = graft.operators.Dedup.incrementUrlState(stored, b, urlCol, idCol)
+        sink(graft.operators.Dedup.urlDedupFromState(b, merged, urlCol, idCol), batchId)
+        // state append AFTER the sink: a crash between the two replays the
+        // batch without half-ingested state shadowing its own report
+        locally {
+          import spark.implicits._
+          // mode("ignore") = write once, no-op when the marker exists —
+          // FS-agnostic, unlike a java.io existence probe
+          Seq(vCur).toDF("canon_version").write.mode("ignore").parquet(versionPath)
+        }
+        graft.operators.Dedup.urlState(b, urlCol, idCol)
+          .write.mode("append").parquet(pagesPath)
       }
 
   /** Streaming BLOCKLIST gate: each arriving micro-batch of documents is

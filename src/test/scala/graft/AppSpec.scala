@@ -537,6 +537,76 @@ class AppSpec extends SparkTestBase {
     storage.rows("packed2").map(_.toSeq).toSet shouldBe oneShot
   }
 
+  test("export-shards: size-bounded deterministic shard files reassemble the packed stream bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // REAL fetcher/writer: the command's contract IS the on-disk layout
+    // (one bounded ordered file per shard), which the in-memory doubles
+    // cannot witness
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val platform = Platform(spark, graft.sources.ProdFetcher, graft.sources.ProdWriter)
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .write.parquet(s"$tmp/docs")
+      App.run(platform, Seq("bpe-train",
+        "--docs-path", s"$tmp/docs", "--merges-path", s"$tmp/merges", "--n-merges", "4"))
+      App.run(platform, Seq("tokenize",
+        "--docs-path", s"$tmp/docs", "--merges-path", s"$tmp/merges",
+        "--output-path", s"$tmp/enc"))
+      App.run(platform, Seq("export-shards",
+        "--encoded-path", s"$tmp/enc", "--seq-len", "48",
+        "--output-path", s"$tmp/shards", "--rows-per-shard", "7"))
+      val packed = operators.Packing.packTokenRows(
+        spark.read.parquet(s"$tmp/enc"), seqLen = 48)
+      val stream = packed.orderBy("row_id")
+        .select("row_id", "ids", "n_pad").collect().map(_.toSeq).toSeq
+      // one file per shard_id=K directory, each bounded by rows-per-shard
+      val dirs = new java.io.File(s"$tmp/shards").listFiles()
+        .filter(_.getName.startsWith("shard_id="))
+      dirs.length.toLong shouldBe (stream.size + 6L) / 7L
+      dirs.foreach { d =>
+        withClue(s"${d.getName}:")(
+          d.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1)
+      }
+      spark.read.parquet(s"$tmp/shards").groupBy("shard_id").count()
+        .collect().foreach(_.getLong(1) should be <= 7L)
+      def reassemble(path: String) = spark.read.parquet(path)
+        .orderBy(col("shard_id"), col("shard_pos"))
+        .select("row_id", "ids", "n_pad").collect().map(_.toSeq).toSeq
+      // no epoch: shard concatenation == the packed stream, bit for bit
+      reassemble(s"$tmp/shards") shouldBe stream
+      // epoch export: deterministic across runs, same rows, genuinely
+      // permuted, and the order IS epochShuffle's permutation
+      spark.read.parquet(s"$tmp/enc")
+        .write.parquet(s"$tmp/enc2") // distinct input path per run below
+      App.run(platform, Seq("export-shards",
+        "--encoded-path", s"$tmp/enc", "--seq-len", "48",
+        "--output-path", s"$tmp/shards_e1", "--rows-per-shard", "7", "--epoch", "1"))
+      App.run(platform, Seq("export-shards",
+        "--encoded-path", s"$tmp/enc2", "--seq-len", "48",
+        "--output-path", s"$tmp/shards_e1b", "--rows-per-shard", "7", "--epoch", "1"))
+      val e1 = reassemble(s"$tmp/shards_e1")
+      reassemble(s"$tmp/shards_e1b") shouldBe e1
+      e1.toSet shouldBe stream.toSet
+      e1 should not equal stream
+      val expected = packed
+        .join(operators.Sampling.epochShuffle(
+          packed.select(col("row_id")), 1, idCol = "row_id"), "row_id")
+        .orderBy("shuffle_pos")
+        .select("row_id", "ids", "n_pad").collect().map(_.toSeq).toSeq
+      e1 shouldBe expected
+      // --packed-path consumes pre-packed rows identically
+      packed.write.parquet(s"$tmp/packed")
+      App.run(platform, Seq("export-shards",
+        "--packed-path", s"$tmp/packed",
+        "--output-path", s"$tmp/shards_pp", "--rows-per-shard", "7"))
+      reassemble(s"$tmp/shards_pp") shouldBe stream
+      the[IllegalArgumentException] thrownBy App.run(platform, Seq("export-shards",
+        "--packed-path", s"$tmp/packed", "--encoded-path", s"$tmp/enc",
+        "--output-path", s"$tmp/x", "--rows-per-shard", "7")) should have message
+        "export-shards: exactly one of --packed-path / --encoded-path is required"
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("curation-verdict subcommand: per-doc keep/drop with the 5-gate fail bitmask") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage

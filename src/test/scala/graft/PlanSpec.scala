@@ -83,8 +83,10 @@ class PlanSpec extends SparkTestBase {
       // q136/q137 embed q104's 1-row argmax broadcasts (the merge loop)
       // plus the collected merge-piece inventory — a one-row vocab array
       // crossed into the DISTINCT-word table, the q97 scalar-broadcast
-      // shape; q137 adds nothing beyond q136's joins (pack is keyed)
-      "q136_encode_ids", "q137_pack_ids",
+      // shape; q137 adds nothing beyond q136's joins (pack is keyed);
+      // q136a is q136's encode path read as per-doc counts — identical
+      // sanctioned merge-map broadcasts, no new join
+      "q136_encode_ids", "q136a_encode_ids_counts", "q137_pack_ids",
       // q140 adds two more 1-row broadcasts to q137's shape: the stored
       // tail descriptor and the replace-from cut — both limit(1)/agg
       // scalars crossed into keyed frames
@@ -106,6 +108,9 @@ class PlanSpec extends SparkTestBase {
       // q90 one-row histogram total) — the same sanctioned
       // scalar-broadcast shape
       "q120_nb_calibration", "q121_nb_score_drift",
+      // q147/q148 are q108/q120 in the hashed feature space — identical
+      // one-row NB model-constant broadcasts, no new join shape
+      "q147_nb_hashed", "q148_nb_hashed_calibration",
       // q122 is q119's broadcast-centroid assignment run twice (build +
       // frozen-centroid shard) — same sanctioned shape, pair stage keyed
       "q122_semantic_dedup_incremental",

@@ -72,6 +72,43 @@ class QualityClassifierSpec extends SparkTestBase {
     out(5L)._1 shouldBe 0L // token-less doc survives, scored on the prior
   }
 
+  test("hashed features see phrase signal the unigram bag cannot") {
+    // seeds with IDENTICAL unigram counts that differ only in word order:
+    // every unigram weight is lnfp(t+1) - lnfp(t+1) = 0 and the doc-count
+    // prior is 0, so the word model scores any doc exactly 0 — the
+    // bigram-bearing hashed model still separates
+    val p = Seq((1L, "alpha beta alpha beta"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val n = Seq((3L, "beta alpha beta alpha"), (4L, "beta alpha gamma"))
+      .toDF("doc_id", "text")
+    val docs = Seq((10L, "alpha beta"), (11L, "beta alpha")).toDF("doc_id", "text")
+    val word = QualityClassifier.nbLogOdds(docs, p, n)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    word(10L) shouldBe word(11L) // unigram bag is blind here
+    val hashed = QualityClassifier.nbLogOddsHashed(docs, p, n)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    hashed(10L)._1 should be > hashed(11L)._1
+    hashed(10L)._2 shouldBe 1
+    hashed(11L)._2 shouldBe 0
+  }
+
+  test("seed-corpus separation: hashed accuracy >= unigram accuracy on the real seeds") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "source")
+    val posSeed = d.filter(col("source").isin("src0", "src1", "src2"))
+    val negSeed = d.filter(col("source").isin("src3", "src4", "src5"))
+    val seeds = posSeed.withColumn("label", lit(1))
+      .unionByName(negSeed.withColumn("label", lit(0)))
+    def correct(scored: org.apache.spark.sql.DataFrame) = scored
+      .join(seeds.select(col("doc_id"), col("label")), "doc_id")
+      .filter(col("predict_pos") === col("label")).count()
+    val total = seeds.count()
+    val w = correct(QualityClassifier.nbLogOdds(seeds, posSeed, negSeed))
+    val h = correct(QualityClassifier.nbLogOddsHashed(seeds, posSeed, negSeed))
+    withClue(s"word $w/$total vs hashed $h/$total:")(h should be >= w)
+  }
+
   test("partition-order invariance: integer sums make the score deterministic") {
     val scored = (1L to 40L).map(i =>
       (i, if (i % 2 == 0) "good clean meaning spam" else "buy click good now"))

@@ -464,6 +464,75 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming url-dedup gate: chained micro-batches == one-shot urlDedup on stable columns") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_urlgate").toString
+    // b2 re-crawls page A under a differently-noised URL; keeper/is_dup
+    // must be FINAL at ingest while group_size reads the in-flight count
+    val b1 = Seq(
+      (1L, "https://Example.com/a/?utm_source=x"),
+      (2L, "https://example.com/b"))
+    val b2 = Seq(
+      (3L, "https://example.com:443/a//"), // page A again
+      (4L, "http://other.net/c"))
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Int)]
+    val query = EventStream.urlDedupGateWriter(
+        input.toDF().toDF("doc_id", "url"), statePath,
+        sink = (out, _) => collected.synchronized {
+          collected ++= out
+            .select("doc_id", "canonical_url", "keeper_id", "group_size", "is_dup")
+            .as[(Long, String, Long, Long, Int)].collect()
+        })
+      .start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val oneShot = graft.operators.Dedup
+        .urlDedup((b1 ++ b2).toDF("doc_id", "url"))
+        .select("doc_id", "canonical_url", "keeper_id", "is_dup")
+        .as[(Long, String, Long, Int)].collect().toSet
+      // stable columns: chained == one-shot exactly
+      collected.map(r => (r._1, r._2, r._3, r._5)).toSet shouldBe oneShot
+      collected.map(r => (r._1, r._5)).toSet shouldBe
+        Set((1L, 0), (2L, 0), (3L, 1), (4L, 0)) // the planted re-crawl
+      // group_size is the count AS OF each row's ingest: page A reads 1
+      // in batch 1 and 2 in batch 2
+      collected.find(_._1 == 1L).get._4 shouldBe 1L
+      collected.find(_._1 == 3L).get._4 shouldBe 2L
+      // state accumulated: 3 distinct pages, replayable by the CLI layout
+      graft.operators.Dedup.normalizeUrlState(
+        spark.read.parquet(s"$statePath/pages")).count() shouldBe 3L
+      spark.read.parquet(s"$statePath/canon_version").head().getInt(0) shouldBe
+        graft.functions.TextFunctions.UrlCanonVersion
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
+  test("streaming url-dedup gate: a stale canon_version marker fails loudly before any fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_urlgate_v").toString
+    Seq(1).toDF("canon_version").write.parquet(s"$statePath/canon_version")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.urlDedupGateWriter(
+        input.toDF().toDF("doc_id", "url"), statePath, sink = (_, _) => ())
+      .start()
+    try {
+      input.addData(Seq((1L, "https://example.com/a")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      e.getMessage should include("re-seed the state")
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming blocklist gate: row-local screen per micro-batch == batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
