@@ -684,6 +684,58 @@ object App {
         val n = fetcher.readParquet(spark, o("output-path")).count()
         println(s"[graft] pack: $n rows of $seqLen ids -> ${o("output-path")}")
 
+      case "media-dedup" =>
+        // perceptual near-dup pairs over binary payloads (image dHash /
+        // audio band-energy / video majority-dHash), one shared pigeonhole
+        // band join; --state-path turns it incremental: payloads
+        // fingerprint ONCE into appendable (id, hash) state, later shards
+        // join 64-bit signatures only — the url-dedup discipline for media
+        val o = parseArgs(args.tail)
+        val raw = fetcher.readParquet(spark, o.required("media-path"))
+        val media =
+          if (raw.schema.fieldNames.contains("meta")) raw
+          else operators.Multimodal.asMedia(raw,
+            o.getOrElse("id-col", "media_id"),
+            o.getOrElse("payload-col", "payload"),
+            o.getOrElse("format-col", "format"))
+        val modality = o.getOrElse("modality", "image")
+        val maxHamming = o.getOrElse("max-hamming", "3").toInt
+        def fingerprint(m: org.apache.spark.sql.DataFrame) = modality match {
+          case "image" => operators.Multimodal.imageHashState(m)
+          case "audio" => operators.Multimodal.audioFingerprintState(m)
+          case "video" => operators.Multimodal.videoFingerprintState(m,
+            o.getOrElse("stride", "1").toInt)
+          case other => throw new IllegalArgumentException(
+            s"media-dedup: unknown modality '$other' (image|audio|video)")
+        }
+        o.get("state-path") match {
+          case None =>
+            writer.writeParquet(operators.Multimodal.perceptualPairsFromState(
+              fingerprint(media), maxHamming), o.required("output-path"))
+          case Some(sp) =>
+            val action = if (fetcher.exists(spark, s"$sp/hashes"))
+              "folded shard into" else "initialized"
+            // persist: the pair join reads the shard fingerprints twice
+            // and the state append once — payloads must decode ONCE
+            val shardState = fingerprint(media)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val stored =
+                if (action == "initialized") shardState.limit(0)
+                else operators.Multimodal.normalizeMediaState(
+                  fetcher.readParquet(spark, s"$sp/hashes"))
+              // OUTPUT first, state append after (the crash-retry rule)
+              writer.writeParquet(operators.Multimodal.perceptualPairsIncremental(
+                stored, shardState, maxHamming,
+                storage = org.apache.spark.storage.StorageLevel.NONE),
+                o.required("output-path"))
+              writer.writeParquet(shardState, s"$sp/hashes", mode = "append")
+              println(s"[graft] media-dedup: $action fingerprint state at $sp")
+            } finally { shardState.unpersist(); () }
+        }
+        val nPairs = fetcher.readParquet(spark, o("output-path")).count()
+        println(s"[graft] media-dedup: $nPairs $modality near-dup pairs -> ${o("output-path")}")
+
       case "export-shards" =>
         // deterministic training-shard export: pack (or read pre-packed
         // rows), order by the optional epoch permutation, write one
@@ -1148,6 +1200,12 @@ object App {
       |                     [--seq-len <n=64>] [--packed-path <stored>]
       |                     fixed-length training rows with doc boundaries;
       |                     --packed-path appends the shard incrementally
+      |  media-dedup        --media-path <path> --output-path <path>
+      |                     [--modality image|audio|video] [--max-hamming <n=3>]
+      |                     [--stride <n=1>] [--state-path <path>]
+      |                     [--id-col/--payload-col/--format-col]
+      |                     perceptual near-dup pairs; --state-path appends
+      |                     fingerprint-once (id, hash) state incrementally
       |  export-shards      --packed-path <path> | --encoded-path <path>
       |                     --output-path <path> --rows-per-shard <n>
       |                     [--epoch <n>] [--seq-len <n=64>]

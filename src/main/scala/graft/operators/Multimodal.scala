@@ -710,18 +710,56 @@ object Multimodal {
     // persisted: the self-join reads this frame twice, and each read
     // would otherwise re-decode and re-hash every payload (same reason
     // Dedup.substringPairs persists its fingerprint frame)
-    val h = Caching.maybePersist(hashes,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blockKeys = array((0 until 4).map { k =>
-      struct(lit(k).as("blk"),
-        expr(s"shiftright(hash, ${k * 16}) & 65535").as("key"))
-    }: _*)
-    val blocks = h.select(col("id"), col("hash"), explode(blockKeys).as("bk"))
-      .select(col("id"), col("hash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val blocks = hashBlocks(Caching.maybePersist(hashes,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.hash ^ b.hash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One row per (id, hash, 16-bit block): the pigeonhole join's posting
+    * side — shared by the one-shot self-join and the incremental form. */
+  private def hashBlocks(h: DataFrame): DataFrame = {
+    val blockKeys = array((0 until 4).map { k =>
+      struct(lit(k).as("blk"),
+        expr(s"shiftright(hash, ${k * 16}) & 65535").as("key"))
+    }: _*)
+    h.select(col("id"), col("hash"), explode(blockKeys).as("bk"))
+      .select(col("id"), col("hash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+  }
+
+  /** Near-dup pairs TOUCHING a new shard, against stored state ∪ the
+    * shard — the incremental pair read: stored-vs-stored pairs were
+    * already reported when THEIR shard arrived, so each trigger joins
+    * only the shard's block postings against the merged side (shard
+    * rows × bucket co-occupants, never stored × stored). Both inputs
+    * are (id, hash) state frames — payload bytes were already paid at
+    * state-append time. Pairs normalize to id_a < id_b and dedup, so a
+    * shard-internal pair reports exactly once; the union of every
+    * era's report equals the one-shot [[perceptualPairsFromState]] over
+    * the final state (every pair touches the LATER of its two eras —
+    * the substringPairsIncremental argument; MediaStateSpec pins it).
+    */
+  def perceptualPairsIncremental(stored: DataFrame, shard: DataFrame,
+                                 maxHamming: Int = 3,
+                                 storage: org.apache.spark.storage.StorageLevel =
+                                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole bands (4 blocks of 16 bits) are exact only for maxHamming <= 3: got $maxHamming")
+    // the shard side is read twice (its own postings + inside the union);
+    // callers that already persisted the shard state pass NONE — the
+    // streaming gate's per-trigger leak argument (substring gate ditto)
+    val sh = Caching.maybePersist(shard.select(col("id"), col("hash")), storage)
+    val all = stored.select(col("id"), col("hash")).unionByName(sh)
+    hashBlocks(sh).as("a").join(hashBlocks(all).as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
         expr("bit_count(a.hash ^ b.hash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

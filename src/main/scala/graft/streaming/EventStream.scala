@@ -497,6 +497,47 @@ object EventStream {
           .write.mode("append").parquet(pagesPath)
       }
 
+  /** Streaming MEDIA-dedup ingest gate: each arriving micro-batch of
+    * payloads fingerprints ONCE into appendable (id, hash) state
+    * ([[graft.operators.Multimodal.imageHashState]] or its audio/video
+    * twins — `fingerprint` picks the modality and freezes its knobs, the
+    * video-stride rule), near-dup pairs TOUCHING the batch sink per
+    * trigger via [[graft.operators.Multimodal.perceptualPairsIncremental]]
+    * (batch postings × merged state — stored×stored never recomputes),
+    * then the batch's state partial appends. Payload bytes are read
+    * exactly once, at their own trigger: later batches join 64-bit
+    * signatures only. Union of every trigger's pairs == the one-shot
+    * pair recompute over everything ingested (every pair touches the
+    * later of its two eras); state append AFTER the sink, the
+    * crash-replay rule; `normalizeMediaState` at read makes a replayed
+    * append idempotent.
+    */
+  def mediaDedupGateWriter(media: DataFrame, statePath: String,
+                           fingerprint: DataFrame => DataFrame,
+                           sink: (DataFrame, Long) => Unit,
+                           maxHamming: Int = 3)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashesPath = s"$statePath/hashes"
+        // persist the batch's fingerprints: pairs read them twice and the
+        // state append once — without this the payloads decode 3x
+        val bState = fingerprint(batch.toDF())
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stored = graft.operators.Multimodal.normalizeMediaState(
+            tableOr(spark, hashesPath, bState.limit(0)))
+          sink(graft.operators.Multimodal.perceptualPairsIncremental(
+            stored, bState, maxHamming,
+            storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
+          // state append AFTER the sink: a crash between the two replays
+          // the batch without half-ingested state shadowing its own pairs
+          bState.write.mode("append").parquet(hashesPath)
+        } finally { bState.unpersist(); () }
+      }
+
   /** Streaming BLOCKLIST gate: each arriving micro-batch of documents is
     * screened against the category word/phrase lists with the batch
     * operator ([[graft.operators.Blocklist.screenRollup]]) — matching is

@@ -537,6 +537,40 @@ class AppSpec extends SparkTestBase {
     storage.rows("packed2").map(_.toSeq).toSet shouldBe oneShot
   }
 
+  test("media-dedup subcommand: batch pairs; two-shard incremental state == one-shot") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val rows = (1L to 6L).flatMap { k => Seq(
+      (2 * k, operators.Multimodal.encodeTestCard(k, "png"), "png"),
+      (2 * k + 1, operators.Multimodal.encodeTestCard(k, "jpg"), "jpeg"))
+    }
+    val planted = (1L to 6L).map(k => (2 * k, 2 * k + 1)).toSet
+    storage.write("media", rows.toDF("media_id", "payload", "format"), "overwrite")
+    App.run(platform, Seq("media-dedup",
+      "--media-path", "media", "--output-path", "pairs"))
+    def pairs(path: String) = storage.rows(path)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs("pairs") shouldBe planted
+    // incremental: PNGs first, JPEG mates second — every pair crosses the
+    // shard boundary, so the second ingest must find ALL of them against
+    // state alone (the first shard's payloads are never re-read)
+    storage.write("shard1",
+      rows.filter(_._1 % 2 == 0).toDF("media_id", "payload", "format"), "overwrite")
+    storage.write("shard2",
+      rows.filter(_._1 % 2 == 1).toDF("media_id", "payload", "format"), "overwrite")
+    App.run(platform, Seq("media-dedup",
+      "--media-path", "shard1", "--output-path", "p1", "--state-path", "st"))
+    App.run(platform, Seq("media-dedup",
+      "--media-path", "shard2", "--output-path", "p2", "--state-path", "st"))
+    pairs("p1") shouldBe Set.empty
+    pairs("p2") shouldBe planted
+    storage.rows("st/hashes").size shouldBe 12
+    the[IllegalArgumentException] thrownBy {
+      App.run(platform, Seq("media-dedup",
+        "--media-path", "media", "--output-path", "x", "--modality", "gif"))
+    } should have message "media-dedup: unknown modality 'gif' (image|audio|video)"
+  }
+
   test("export-shards: size-bounded deterministic shard files reassemble the packed stream bit-for-bit") {
     import org.apache.spark.sql.functions.col
     // REAL fetcher/writer: the command's contract IS the on-disk layout

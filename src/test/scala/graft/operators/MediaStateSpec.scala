@@ -51,6 +51,37 @@ class MediaStateSpec extends SparkTestBase {
       pairsOf(Multimodal.perceptualVideoPairs(all, stride = 2))
   }
 
+  test("incremental pairs: union of per-era reports == one-shot pairs; no double counting") {
+    // 3 eras; pairs span eras ((2k, 2k+1) with k's halves landing apart
+    // when the era cut falls between them is impossible here — media ids
+    // 2k/2k+1 stay together per key, so plant CROSS-era near-dups by
+    // splitting each key's PNG and JPEG into different eras
+    val spark0 = spark
+    import spark0.implicits._
+    def half(r: Range, fmt: String) = {
+      val rows = r.map { k =>
+        (if (fmt == "png") 2L * k else 2L * k + 1,
+          Multimodal.encodeTestCard(k.toLong, fmt), if (fmt == "png") "png" else "jpeg")
+      }
+      Multimodal.asMedia(rows.toDF("id", "payload", "fmt"), "id", "payload", "fmt")
+    }
+    val eras = Seq(
+      half(1 to 8, "png"),                                   // era 0: PNGs of keys 1-8
+      half(1 to 4, "jpg").unionByName(half(9 to 10, "png")), // era 1: cross-era mates + new keys
+      half(5 to 10, "jpg"))                                  // era 2: the rest of the mates
+    var state = Multimodal.imageHashState(eras.head).limit(0)
+    val reported = scala.collection.mutable.Set.empty[(Long, Long)]
+    eras.foreach { era =>
+      val eraState = Multimodal.imageHashState(era)
+      val pairs = Multimodal.perceptualPairsIncremental(state, eraState)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      pairs.foreach { p => reported should not contain p; reported += p }
+      state = Multimodal.normalizeMediaState(state.unionByName(eraState))
+    }
+    reported.toSet shouldBe pairsOf(Multimodal.perceptualPairsFromState(state))
+    reported.toSet shouldBe (1L to 10L).map(k => (2 * k, 2 * k + 1)).toSet
+  }
+
   test("sentinel payloads own no state row; a replayed partial collapses at read") {
     val garbage: Array[Byte] = Array.fill(64)(0x5a.toByte)
     val mixed = Multimodal.asMedia(

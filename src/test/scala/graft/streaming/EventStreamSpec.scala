@@ -464,6 +464,49 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming media-dedup gate: chained micro-batches == one-shot pairs; payloads fingerprint once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_mediagate").toString
+    // batch 1 carries keys 1-3's PNGs; batch 2 brings their JPEG mates
+    // (cross-batch near-dups) plus key 4's full pair (within-batch)
+    def rows(r: Range, fmt: String) = r.map { k =>
+      (if (fmt == "png") 2L * k else 2L * k + 1,
+        graft.operators.Multimodal.encodeTestCard(k.toLong, fmt),
+        if (fmt == "png") "png" else "jpeg")
+    }
+    val b1 = rows(1 to 3, "png")
+    val b2 = rows(1 to 3, "jpg") ++ rows(4 to 4, "png") ++ rows(4 to 4, "jpg")
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val query = EventStream.mediaDedupGateWriter(
+        graft.operators.Multimodal.asMedia(
+          input.toDF().toDF("id", "payload", "fmt"), "id", "payload", "fmt"),
+        statePath,
+        fingerprint = graft.operators.Multimodal.imageHashState,
+        sink = (out, _) => collected.synchronized {
+          collected ++= out.select("id_a", "id_b").as[(Long, Long)].collect()
+        })
+      .start()
+    try {
+      input.addData(b1); query.processAllAvailable()
+      val afterB1 = collected.size // no pairs yet: PNGs of distinct cards
+      afterB1 shouldBe 0
+      input.addData(b2); query.processAllAvailable()
+      val oneShot = graft.operators.Multimodal.perceptualImagePairs(
+        graft.operators.Multimodal.asMedia(
+          (b1 ++ b2).toDF("id", "payload", "fmt"), "id", "payload", "fmt"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      collected.toSet shouldBe oneShot
+      collected.toSet shouldBe (1L to 4L).map(k => (2 * k, 2 * k + 1)).toSet
+      // state accumulated one fingerprint row per payload
+      spark.read.parquet(s"$statePath/hashes").count() shouldBe 8L
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming url-dedup gate: chained micro-batches == one-shot urlDedup on stable columns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
