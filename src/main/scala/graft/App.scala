@@ -715,6 +715,23 @@ object App {
           case Some(sp) =>
             val action = if (fetcher.exists(spark, s"$sp/hashes"))
               "folded shard into" else "initialized"
+            // fingerprint-config marker (the canon_version discipline):
+            // modality and stride DEFINE the stored hashes — folding a
+            // shard fingerprinted differently would silently mix
+            // incompatible signatures into one pair space
+            val fpConfig = modality +
+              (if (modality == "video") s":stride=${o.getOrElse("stride", "1")}" else "")
+            if (action == "initialized") {
+              import spark.implicits._
+              writer.writeParquet(Seq(fpConfig).toDF("fp_config"), s"$sp/fp_config")
+            } else if (fetcher.exists(spark, s"$sp/fp_config")) {
+              val stored0 = fetcher.readParquet(spark, s"$sp/fp_config")
+                .head().getString(0)
+              require(stored0 == fpConfig,
+                s"media-dedup: state at $sp holds '$stored0' fingerprints but " +
+                  s"this run asked for '$fpConfig' — modality/stride define the " +
+                  "signature; use a separate state path per configuration")
+            }
             // persist: the pair join reads the shard fingerprints twice
             // and the state append once — payloads must decode ONCE
             val shardState = fingerprint(media)

@@ -565,6 +565,15 @@ class AppSpec extends SparkTestBase {
     pairs("p1") shouldBe Set.empty
     pairs("p2") shouldBe planted
     storage.rows("st/hashes").size shouldBe 12
+    // the fingerprint-config marker rejects a mismatched fold loudly
+    the[IllegalArgumentException] thrownBy {
+      App.run(platform, Seq("media-dedup",
+        "--media-path", "shard2", "--output-path", "p3",
+        "--state-path", "st", "--modality", "audio"))
+    } should have message ("requirement failed: media-dedup: state at st " +
+      "holds 'image' fingerprints but this run asked for 'audio' — " +
+      "modality/stride define the signature; use a separate state path " +
+      "per configuration")
     the[IllegalArgumentException] thrownBy {
       App.run(platform, Seq("media-dedup",
         "--media-path", "media", "--output-path", "x", "--modality", "gif"))

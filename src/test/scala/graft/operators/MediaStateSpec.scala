@@ -82,6 +82,55 @@ class MediaStateSpec extends SparkTestBase {
     reported.toSet shouldBe (1L to 10L).map(k => (2 * k, 2 * k + 1)).toSet
   }
 
+  test("hash-level fuzz: era-union == one-shot for random hashes and random era splits") {
+    // codec-free: the pigeonhole + incremental math over raw (id, hash)
+    // frames, including planted near-pairs (<= 3 flipped bits), planted
+    // far-pairs (exactly 4 flips — the band bound's edge, must NOT pair),
+    // and random-hash noise, split into random eras
+    (1 to 3).foreach { trial =>
+      val rnd = new scala.util.Random(4200 + trial)
+      val base = (0 until 12).map(_ => rnd.nextLong())
+      def flip(h: Long, k: Int): Long = {
+        // flip k DISTINCT bits
+        val bits = rnd.shuffle((0 until 64).toList).take(k)
+        bits.foldLeft(h)((x, b) => x ^ (1L << b))
+      }
+      val rows: Seq[(Long, Long)] =
+        base.zipWithIndex.flatMap { case (h, i) =>
+          val id = 10L * i
+          val near = (id + 1, flip(h, 1 + rnd.nextInt(3)))  // pairs
+          val far = (id + 2, flip(h, 4))                    // never pairs w/ h...
+          Seq((id, h), near, far)
+        }
+      // NOTE: far rows may still pair with SOMETHING (far vs near can be
+      // within 3 by chance composition) — the property under test is only
+      // chained == one-shot, so accidental pairs are fine
+      val nEras = 2 + rnd.nextInt(3)
+      val eras = rows.groupBy(_ => rnd.nextInt(nEras)).values.toSeq
+      val sp = spark
+      import sp.implicits._
+      var state = Seq.empty[(Long, Long)].toDF("id", "hash")
+      val reported = scala.collection.mutable.Set.empty[(Long, Long)]
+      eras.foreach { era =>
+        val eraDf = era.toDF("id", "hash")
+        val pairs = Multimodal.perceptualPairsIncremental(state, eraDf)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        pairs.foreach { p =>
+          withClue(s"trial $trial duplicate report:")(reported should not contain p)
+          reported += p
+        }
+        state = Multimodal.normalizeMediaState(state.unionByName(eraDf))
+      }
+      val oneShot = pairsOf(Multimodal.perceptualPairsFromState(state))
+      withClue(s"trial $trial:")(reported.toSet shouldBe oneShot)
+      // and the planted near pairs are all in there
+      base.indices.foreach { i =>
+        withClue(s"trial $trial planted $i:")(
+          oneShot should contain ((10L * i, 10L * i + 1)))
+      }
+    }
+  }
+
   test("sentinel payloads own no state row; a replayed partial collapses at read") {
     val garbage: Array[Byte] = Array.fill(64)(0x5a.toByte)
     val mixed = Multimodal.asMedia(
