@@ -763,7 +763,14 @@ object App {
         // epoch-shuffled) packed stream bit-for-bit (AppSpec pins it)
         val o = parseArgs(args.tail)
         val packed = (o.get("packed-path"), o.get("encoded-path")) match {
-          case (Some(pp), None) => fetcher.readParquet(spark, pp)
+          case (Some(pp), None) =>
+            val raw = fetcher.readParquet(spark, pp)
+            // the streaming pack gate's state is an append-only era-tagged
+            // log — collapse it transparently, so ingest -> shard export
+            // is two commands with no manual state surgery between
+            if (raw.schema.fieldNames.contains("era"))
+              operators.Packing.latestPackedRows(raw)
+            else raw
           case (None, Some(ep)) => operators.Packing.packTokenRows(
             fetcher.readParquet(spark, ep),
             seqLen = o.getOrElse("seq-len", "64").toInt,

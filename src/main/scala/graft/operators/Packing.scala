@@ -500,6 +500,21 @@ object Packing {
       .unionByName(tail)
   }
 
+  /** Collapse an APPEND-ONLY packed-row log into the current packed
+    * corpus: each ingest era appends its replacement tail (rows with
+    * `row_id >=` the then-current maximum) tagged with a monotone `era`,
+    * and this read keeps each row_id's LATEST version — so a streaming
+    * pack gate writes O(batch) rows per trigger instead of rewriting the
+    * corpus ([[replaceTail]]'s shape is O(corpus) per call, fine for a
+    * one-shot CLI, wrong for a per-trigger fold). One row-keyed
+    * combinable aggregate; a crash-replayed era re-appends identical
+    * rows, and max_by picks an identical winner either way — idempotent.
+    */
+  def latestPackedRows(raw: DataFrame): DataFrame =
+    raw.groupBy(col("row_id"))
+      .agg(max_by(struct(col("ids"), col("n_pad")), col("era")).as("__v"))
+      .select(col("row_id"), col("__v.ids").as("ids"), col("__v.n_pad").as("n_pad"))
+
   /** Cut the packed training stream into export SHARDS: every packed row
     * gets (shard_id = position div rowsPerShard, shard_pos = position mod
     * rowsPerShard), so each shard holds at most `rowsPerShard` rows and

@@ -582,6 +582,58 @@ object EventStream {
           batch.toDF(), mergeTable, idCol, textCol, maxWordLen), batchId)
       }
 
+  /** Streaming PACK gate — the tokenizer chain's last streaming step:
+    * each micro-batch encodes against the FROZEN merge table
+    * ([[tokenizeGateWriter]]'s contract) and folds into a persisted
+    * packed-row corpus, so training rows are ready the moment ingest
+    * stops. State is an APPEND-ONLY packed-row log at `statePath/packed`:
+    * the first batch appends its full [[graft.operators.Packing
+    * .packTokenRows]] output, every later batch appends only its
+    * REPLACEMENT TAIL ([[graft.operators.Packing.packTokenRowsIncremental]]
+    * — rows from the re-opened tail on, O(batch) rows per trigger, never
+    * an O(corpus) rewrite) tagged with the batch id as its era;
+    * [[graft.operators.Packing.latestPackedRows]] collapses the log at
+    * read (latest era wins per row_id, crash-replayed appends collapse
+    * to the same winner). Chained batches == the one-shot pack of the
+    * full corpus bit-for-bit (the q140/PackingSpec property, pinned
+    * again here). Caller contract, as with `App pack --packed-path`:
+    * batch doc ids must exceed every already-packed id, merges frozen.
+    * `sink` receives each trigger's newly-written rows (the replacement
+    * tail) — exactly what a downstream shard exporter must rewrite.
+    */
+  def packGateWriter(docs: DataFrame, mergeTable: DataFrame, statePath: String,
+                     sink: (DataFrame, Long) => Unit,
+                     seqLen: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxWordLen: Int = 24)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val packedPath = s"$statePath/packed"
+        val enc = graft.operators.Packing.encodeToIds(
+          batch.toDF(), mergeTable, idCol, textCol, maxWordLen)
+        val storedRaw = tableOr(spark, packedPath, null)
+        val newRows =
+          if (storedRaw == null)
+            graft.operators.Packing.packTokenRows(enc, seqLen, idCol)
+          else
+            graft.operators.Packing.packTokenRowsIncremental(
+              graft.operators.Packing.latestPackedRows(storedRaw), enc, seqLen, idCol)
+        // persist: the sink and the state append both consume the rows —
+        // without it the batch re-encodes and re-packs twice
+        val rows = newRows.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(rows, batchId)
+          // state append AFTER the sink (the crash-replay rule); the era
+          // tag makes the replayed append collapse at read
+          rows.withColumn("era", lit(batchId))
+            .write.mode("append").parquet(packedPath)
+        } finally { rows.unpersist(); () }
+      }
+
   /** Streaming SEMANTIC contamination gate: each arriving micro-batch of
     * embedded documents is checked against a FROZEN benchmark embedding
     * table with the batch operator

@@ -643,6 +643,19 @@ class AppSpec extends SparkTestBase {
         "--packed-path", s"$tmp/packed",
         "--output-path", s"$tmp/shards_pp", "--rows-per-shard", "7"))
       reassemble(s"$tmp/shards_pp") shouldBe stream
+      // ...and the streaming pack gate's era-tagged log collapses
+      // transparently: a superseded era-0 tail must NOT leak into shards
+      packed.withColumn("era", org.apache.spark.sql.functions
+          .when(col("row_id") >= 5, 1L).otherwise(0L))
+        .unionByName(packed.filter(col("row_id") === 5)
+          .withColumn("ids", org.apache.spark.sql.functions.expr(
+            "transform(ids, x -> 0)")) // stale era-0 tail version
+          .withColumn("era", org.apache.spark.sql.functions.lit(0L)))
+        .write.parquet(s"$tmp/packed_log")
+      App.run(platform, Seq("export-shards",
+        "--packed-path", s"$tmp/packed_log",
+        "--output-path", s"$tmp/shards_log", "--rows-per-shard", "7"))
+      reassemble(s"$tmp/shards_log") shouldBe stream
       the[IllegalArgumentException] thrownBy App.run(platform, Seq("export-shards",
         "--packed-path", s"$tmp/packed", "--encoded-path", s"$tmp/enc",
         "--output-path", s"$tmp/x", "--rows-per-shard", "7")) should have message

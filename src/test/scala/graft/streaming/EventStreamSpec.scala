@@ -636,6 +636,47 @@ class EventStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming pack gate: chained micro-batches fold into the one-shot packed corpus bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_packgate").toString
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat"), (2L, "the thin cat sat")),
+      Seq((3L, "that the cat sat there")),
+      Seq((4L, ""), (5L, "the mat sat still")))
+    val corpus = batches.flatten.toDF("doc_id", "text")
+    val merges = graft.operators.Packing.bpeMergeTable(corpus, nMerges = 3)
+    val input = MemoryStream[(Long, String)]
+    var lastTail = Set.empty[(Long, Seq[Int], Long)]
+    val query = EventStream.packGateWriter(
+        input.toDF().toDF("doc_id", "text"), merges, statePath,
+        sink = (out, _) => {
+          lastTail = out.select("row_id", "ids", "n_pad")
+            .as[(Long, Seq[Int], Long)].collect().toSet
+        },
+        seqLen = 16)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      val oneShot = graft.operators.Packing.packTokenRows(
+          graft.operators.Packing.encodeToIds(corpus, merges), seqLen = 16)
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      // the collapsed append-only log IS the one-shot pack
+      val state = graft.operators.Packing.latestPackedRows(
+          spark.read.parquet(s"$statePath/packed"))
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      state shouldBe oneShot
+      // the last trigger's sink rows are exactly the corpus rows from the
+      // then-current tail on (what a shard exporter must rewrite)
+      val cut = lastTail.map(_._1).min
+      lastTail shouldBe oneShot.filter(_._1 >= cut)
+      lastTail.map(_._1).max shouldBe oneShot.map(_._1).max
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
