@@ -731,7 +731,13 @@ object App {
                 s"media-dedup: state at $sp holds '$stored0' fingerprints but " +
                   s"this run asked for '$fpConfig' — modality/stride define the " +
                   "signature; use a separate state path per configuration")
-            }
+            } else
+              // hashes exist but no marker: unknown configuration — a
+              // silent fold here is the mixed-signature hazard the marker
+              // exists to prevent
+              throw new IllegalArgumentException(
+                s"media-dedup: state at $sp has no fp_config marker — its " +
+                  "fingerprint configuration is unknown; re-seed the state")
             // persist: the pair join reads the shard fingerprints twice
             // and the state append once — payloads must decode ONCE
             val shardState = fingerprint(media)

@@ -40,11 +40,6 @@ object ContractLint {
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query names — dev-only fast path
     // to re-verify a handful of queries (driver passes 2 args). A pattern
@@ -71,7 +66,8 @@ object Verify {
           // Drop any stale dump for this query up front: if the compute or
           // the lint below throws, the driver must see a MISSING result
           // (red row), never a surviving parquet from an earlier run.
-          deleteRecursively(new java.io.File(s"$outDir/$name"))
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$outDir/$name"))
           val df = fn(spark, sfDir)
           val bad = ContractLint.violations(df.schema)
           if (bad.nonEmpty)

@@ -473,16 +473,26 @@ object EventStream {
         val b = batch.toDF()
         val (pagesPath, versionPath) = (s"$statePath/pages", s"$statePath/canon_version")
         val vCur = graft.functions.TextFunctions.UrlCanonVersion
-        val vStored = tableOr(spark, versionPath, {
-          import spark.implicits._
-          Seq(vCur).toDF("canon_version")
-        }).head().getInt(0)
+        val storedPagesRaw = tableOr(spark, pagesPath, null)
+        // marker semantics MATCH the CLI's exactly: existing pages with no
+        // marker = pre-v2 state whose keys this build no longer produces —
+        // loud re-seed, never a silent default-to-current (which would
+        // fold v1-keyed state AND stamp it v2, defeating the CLI's guard)
+        val vStored = tableOr(spark, versionPath, null) match {
+          case null if storedPagesRaw == null => vCur // fresh state
+          case null => throw new IllegalArgumentException(
+            s"urlDedupGate: state at $statePath has no canon_version marker " +
+              "(written by a pre-v2 build, whose trailing-slash rule differs " +
+              s"from this build's v$vCur) — re-seed the state from the full corpus")
+          case m => m.head().getInt(0)
+        }
         require(vStored == vCur,
           s"urlDedupGate: state at $statePath was written with URL-canonicalizer " +
             s"v$vStored but this build is v$vCur — re-seed the state")
         val stored = graft.operators.Dedup.normalizeUrlState(
-          tableOr(spark, pagesPath,
-            graft.operators.Dedup.urlState(b.limit(0), urlCol, idCol)))
+          if (storedPagesRaw == null)
+            graft.operators.Dedup.urlState(b.limit(0), urlCol, idCol)
+          else storedPagesRaw)
         val merged = graft.operators.Dedup.incrementUrlState(stored, b, urlCol, idCol)
         sink(graft.operators.Dedup.urlDedupFromState(b, merged, urlCol, idCol), batchId)
         // state append AFTER the sink: a crash between the two replays the
@@ -514,6 +524,7 @@ object EventStream {
     */
   def mediaDedupGateWriter(media: DataFrame, statePath: String,
                            fingerprint: DataFrame => DataFrame,
+                           fpConfig: String,
                            sink: (DataFrame, Long) => Unit,
                            maxHamming: Int = 3)
       : DataStreamWriter[org.apache.spark.sql.Row] =
@@ -521,19 +532,42 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val hashesPath = s"$statePath/hashes"
+        val (hashesPath, configPath) = (s"$statePath/hashes", s"$statePath/fp_config")
+        val storedRaw = tableOr(spark, hashesPath, null)
+        // fp_config marker, the CLI's exact semantics: `fpConfig` names
+        // what `fingerprint` computes (the CLI writes "image" / "audio" /
+        // "video:stride=N") — modality and stride DEFINE the stored
+        // signatures, and existing hashes with no marker are of unknown
+        // configuration: loud re-seed, never a silent mixed-signature fold
+        tableOr(spark, configPath, null) match {
+          case null if storedRaw == null => () // fresh state
+          case null => throw new IllegalArgumentException(
+            s"mediaDedupGate: state at $statePath has no fp_config marker — " +
+              "its fingerprint configuration is unknown; re-seed the state")
+          case m =>
+            val stored0 = m.head().getString(0)
+            require(stored0 == fpConfig,
+              s"mediaDedupGate: state at $statePath holds '$stored0' " +
+                s"fingerprints but this gate computes '$fpConfig' — " +
+                "modality/stride define the signature; use a separate " +
+                "state path per configuration")
+        }
         // persist the batch's fingerprints: pairs read them twice and the
         // state append once — without this the payloads decode 3x
         val bState = fingerprint(batch.toDF())
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val stored = graft.operators.Multimodal.normalizeMediaState(
-            tableOr(spark, hashesPath, bState.limit(0)))
+            if (storedRaw == null) bState.limit(0) else storedRaw)
           sink(graft.operators.Multimodal.perceptualPairsIncremental(
             stored, bState, maxHamming,
             storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
           // state append AFTER the sink: a crash between the two replays
           // the batch without half-ingested state shadowing its own pairs
+          locally {
+            import spark.implicits._
+            Seq(fpConfig).toDF("fp_config").write.mode("ignore").parquet(configPath)
+          }
           bState.write.mode("append").parquet(hashesPath)
         } finally { bState.unpersist(); () }
       }
@@ -614,13 +648,22 @@ object EventStream {
         val packedPath = s"$statePath/packed"
         val enc = graft.operators.Packing.encodeToIds(
           batch.toDF(), mergeTable, idCol, textCol, maxWordLen)
-        val storedRaw = tableOr(spark, packedPath, null)
+        // "initialized" means the state HAS ROWS, not that the path
+        // exists: an all-filtered first micro-batch appends a schema-only
+        // parquet, and path-existence alone would then route every later
+        // batch into packTokenRowsIncremental's non-empty require —
+        // wedging the query permanently, across restarts
+        val stored = tableOr(spark, packedPath, null) match {
+          case null => null
+          case raw =>
+            val collapsed = graft.operators.Packing.latestPackedRows(raw)
+            if (collapsed.limit(1).isEmpty) null else collapsed
+        }
         val newRows =
-          if (storedRaw == null)
+          if (stored == null)
             graft.operators.Packing.packTokenRows(enc, seqLen, idCol)
           else
-            graft.operators.Packing.packTokenRowsIncremental(
-              graft.operators.Packing.latestPackedRows(storedRaw), enc, seqLen, idCol)
+            graft.operators.Packing.packTokenRowsIncremental(stored, enc, seqLen, idCol)
         // persist: the sink and the state append both consume the rows —
         // without it the batch re-encodes and re-packs twice
         val rows = newRows.persist(

@@ -574,6 +574,15 @@ class AppSpec extends SparkTestBase {
       "holds 'image' fingerprints but this run asked for 'audio' — " +
       "modality/stride define the signature; use a separate state path " +
       "per configuration")
+    // hashes with NO marker (pre-marker or foreign state): unknown
+    // configuration must refuse the fold, not silently mix signatures
+    storage.write("st2/hashes",
+      Seq((1L, 42L)).toDF("id", "hash"), "overwrite")
+    the[IllegalArgumentException] thrownBy {
+      App.run(platform, Seq("media-dedup",
+        "--media-path", "shard2", "--output-path", "p4", "--state-path", "st2"))
+    } should have message ("media-dedup: state at st2 has no fp_config " +
+      "marker — its fingerprint configuration is unknown; re-seed the state")
     the[IllegalArgumentException] thrownBy {
       App.run(platform, Seq("media-dedup",
         "--media-path", "media", "--output-path", "x", "--modality", "gif"))

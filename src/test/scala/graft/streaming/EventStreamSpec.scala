@@ -484,6 +484,7 @@ class EventStreamSpec extends SparkTestBase {
           input.toDF().toDF("id", "payload", "fmt"), "id", "payload", "fmt"),
         statePath,
         fingerprint = graft.operators.Multimodal.imageHashState,
+        fpConfig = "image",
         sink = (out, _) => collected.synchronized {
           collected ++= out.select("id_a", "id_b").as[(Long, Long)].collect()
         })
@@ -499,8 +500,92 @@ class EventStreamSpec extends SparkTestBase {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       collected.toSet shouldBe oneShot
       collected.toSet shouldBe (1L to 4L).map(k => (2 * k, 2 * k + 1)).toSet
-      // state accumulated one fingerprint row per payload
+      // state accumulated one fingerprint row per payload + the config marker
       spark.read.parquet(s"$statePath/hashes").count() shouldBe 8L
+      spark.read.parquet(s"$statePath/fp_config").head().getString(0) shouldBe "image"
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
+  test("media-dedup gate: a mismatched or missing fp_config marker fails loudly before any fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def runOne(statePath: String, fpConfig: String): Throwable = {
+      val input = MemoryStream[(Long, Array[Byte], String)]
+      val query = EventStream.mediaDedupGateWriter(
+          graft.operators.Multimodal.asMedia(
+            input.toDF().toDF("id", "payload", "fmt"), "id", "payload", "fmt"),
+          statePath, fingerprint = graft.operators.Multimodal.imageHashState,
+          fpConfig = fpConfig, sink = (_, _) => ())
+        .start()
+      try {
+        input.addData(Seq((2L, graft.operators.Multimodal.encodeTestCard(1L, "png"), "png")))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
+    // mismatched marker
+    val sp1 = java.nio.file.Files.createTempDirectory("graft_mg_v").toString
+    Seq("video:stride=2").toDF("fp_config").write.parquet(s"$sp1/fp_config")
+    Seq((1L, 42L)).toDF("id", "hash").write.parquet(s"$sp1/hashes")
+    runOne(sp1, "image").getMessage should include("use a separate state path")
+    // hashes with NO marker: unknown configuration
+    val sp2 = java.nio.file.Files.createTempDirectory("graft_mg_m").toString
+    Seq((1L, 42L)).toDF("id", "hash").write.parquet(s"$sp2/hashes")
+    runOne(sp2, "image").getMessage should include("no fp_config marker")
+    Seq(sp1, sp2).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+  }
+
+  test("url-dedup gate: existing pages with NO canon_version marker fail loudly (pre-v2 state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_urlgate_m").toString
+    Seq(("https://example.com/a", 1L, 1L))
+      .toDF("canonical_url", "keeper_id", "group_size")
+      .write.parquet(s"$statePath/pages")
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.urlDedupGateWriter(
+        input.toDF().toDF("doc_id", "url"), statePath, sink = (_, _) => ())
+      .start()
+    try {
+      input.addData(Seq((2L, "https://example.com/a")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      e.getMessage should include("no canon_version marker")
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
+  test("pack gate: an all-filtered first micro-batch does not wedge the state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_packgate_e").toString
+    val corpus = Seq((10L, "the cat sat"), (11L, "the thin cat")).toDF("doc_id", "text")
+    val merges = graft.operators.Packing.bpeMergeTable(corpus, nMerges = 2)
+    val input = MemoryStream[(Long, String)]
+    val query = EventStream.packGateWriter(
+        // upstream filter: ids < 10 vanish — batch 1 arrives EMPTY
+        input.toDF().toDF("doc_id", "text").filter($"doc_id" >= 10),
+        merges, statePath, sink = (_, _) => (), seqLen = 16)
+      .start()
+    try {
+      input.addData(Seq((1L, "filtered away"))); query.processAllAvailable()
+      input.addData(Seq((10L, "the cat sat"))); query.processAllAvailable()
+      input.addData(Seq((11L, "the thin cat"))); query.processAllAvailable()
+      val state = graft.operators.Packing.latestPackedRows(
+          spark.read.parquet(s"$statePath/packed"))
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      val oneShot = graft.operators.Packing.packTokenRows(
+          graft.operators.Packing.encodeToIds(corpus, merges), seqLen = 16)
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      state shouldBe oneShot
     } finally {
       query.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
