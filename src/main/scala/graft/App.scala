@@ -795,12 +795,45 @@ object App {
               org.apache.spark.sql.functions.col("shard_id"),
               org.apache.spark.sql.functions.col("shard_pos")),
           o.required("output-path"), partitionBy = Seq("shard_id"))
+        // integrity manifest off the WRITTEN bytes (not the pre-write
+        // frame): what the loader will read is what gets checksummed.
+        // The _-prefixed dir is invisible to parquet reads of the root
+        writer.writeParquet(
+          operators.Packing.shardManifest(
+            fetcher.readParquet(spark, o("output-path"))),
+          s"${o("output-path")}/_manifest")
         val st = fetcher.readParquet(spark, o("output-path"))
           .agg(org.apache.spark.sql.functions.countDistinct("shard_id"),
             org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1))).head()
         println(s"[graft] export-shards: ${st.getLong(1)} rows in " +
           s"${st.getLong(0)} shards of <= $rps -> ${o("output-path")}")
+
+      case "verify-shards" =>
+        // loader-side integrity gate: recompute each shard's order-free
+        // checksum and compare against the export-time _manifest — a
+        // flipped id, dropped/duplicated row, or missing/extra shard
+        // fails loudly with the offending shard ids
+        val o = parseArgs(args.tail)
+        val sp = o.required("shards-path")
+        val got = operators.Packing.shardManifest(fetcher.readParquet(spark, sp))
+        val want = fetcher.readParquet(spark, s"$sp/_manifest")
+        import org.apache.spark.sql.functions.coalesce
+        val bad = got.as("g")
+          .join(want.as("w"), got("shard_id") === want("shard_id"), "full_outer")
+          .filter(
+            got("shard_id").isNull || want("shard_id").isNull ||
+              got("n_rows") =!= want("n_rows") ||
+              got("content_sum") =!= want("content_sum"))
+          .select(coalesce(got("shard_id"), want("shard_id")).as("shard_id"))
+          .orderBy(col("shard_id")).limit(20)
+          .collect().map(_.getLong(0))
+        if (bad.nonEmpty)
+          throw new IllegalStateException(
+            s"verify-shards: ${bad.length}+ shard(s) fail integrity at $sp: " +
+              bad.mkString(", "))
+        val n = want.count()
+        println(s"[graft] verify-shards: $n shards verified at $sp")
 
       case "curation-verdict" =>
         // the q132 composite on the CLI: five filter families joined into
@@ -1241,7 +1274,11 @@ object App {
       |                     [--epoch <n>] [--seq-len <n=64>]
       |                     one bounded ordered file per shard; --epoch
       |                     bakes the deterministic epoch shuffle into
-      |                     the shard layout
+      |                     the shard layout; writes a _manifest of
+      |                     per-shard order-free checksums
+      |  verify-shards      --shards-path <path>
+      |                     recompute checksums vs the _manifest; fails
+      |                     loudly with the offending shard ids
       |  curation-verdict   --docs-path <path> --output-path <path>
       |                     (--positive-path <p> --negative-path <p> |
       |                      --positive-sources a,b --negative-sources c,d

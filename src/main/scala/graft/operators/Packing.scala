@@ -515,6 +515,21 @@ object Packing {
       .agg(max_by(struct(col("ids"), col("n_pad")), col("era")).as("__v"))
       .select(col("row_id"), col("__v.ids").as("ids"), col("__v.n_pad").as("n_pad"))
 
+  /** Per-shard integrity manifest over [[shardPacked]] output: row count
+    * plus an ORDER-FREE content checksum (the sum of each row's xxhash64
+    * over every column), so a loader — or `App verify-shards` — can
+    * verify a shard file with one combinable aggregate and no ordering
+    * assumption. Commutative sum means partial/parallel reads verify the
+    * same; any flipped id, dropped row, or duplicated row moves the sum.
+    */
+  def shardManifest(sharded: DataFrame): DataFrame =
+    sharded.groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        // DECIMAL(38,0) accumulator: a sum of 64-bit hashes overflows
+        // BIGINT under ANSI mode after a handful of rows
+        sum(xxhash64(col("shard_pos"), col("row_id"), col("ids"), col("n_pad"))
+          .cast("decimal(38,0)")).as("content_sum"))
+
   /** Cut the packed training stream into export SHARDS: every packed row
     * gets (shard_id = position div rowsPerShard, shard_pos = position mod
     * rowsPerShard), so each shard holds at most `rowsPerShard` rows and

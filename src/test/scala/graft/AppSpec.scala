@@ -665,6 +665,24 @@ class AppSpec extends SparkTestBase {
         "--packed-path", s"$tmp/packed_log",
         "--output-path", s"$tmp/shards_log", "--rows-per-shard", "7"))
       reassemble(s"$tmp/shards_log") shouldBe stream
+      // integrity: the written _manifest verifies clean...
+      App.run(platform, Seq("verify-shards", "--shards-path", s"$tmp/shards"))
+      // ...a corrupted shard (one id flipped in shard 3) fails loudly with
+      // its id; the _manifest dir stays invisible to root parquet reads
+      val s3 = spark.read.parquet(s"$tmp/shards/shard_id=3").collect()
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(s3.toSeq.map { r =>
+            // file columns: (shard_pos, row_id, ids, n_pad) — shard_id
+            // lives in the directory name
+            org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+              r.getSeq[Int](2).updated(0, 999999), r.getLong(3))
+          }),
+          spark.read.parquet(s"$tmp/shards/shard_id=3").schema)
+        .write.mode("overwrite").parquet(s"$tmp/shards/shard_id=3")
+      val e = the[IllegalStateException] thrownBy
+        App.run(platform, Seq("verify-shards", "--shards-path", s"$tmp/shards"))
+      e.getMessage should include("fail integrity")
+      e.getMessage should include("3")
       the[IllegalArgumentException] thrownBy App.run(platform, Seq("export-shards",
         "--packed-path", s"$tmp/packed", "--encoded-path", s"$tmp/enc",
         "--output-path", s"$tmp/x", "--rows-per-shard", "7")) should have message

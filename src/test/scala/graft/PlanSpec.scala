@@ -47,6 +47,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q146 media state: scans read doc_id only; payload bytes never enter an exchange") {
+    // the media-dedup 100TB contract, asserted on the plan: payloads are
+    // generated/decoded and hashed INSIDE one map-side stage — every
+    // Exchange (shuffle or broadcast) carries (id, hash)-shaped rows only
+    val p = plan("q146_image_state_neardup")
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      l should include("doc_id")
+      l should not include "text"
+    }
+    // formatted explain prints one detail section per node, blank-line
+    // separated and headed "(n) Exchange" / "(n) BroadcastExchange"
+    val exchangeSections = p.split("\n\\s*\n").filter(
+      _.linesIterator.nextOption().exists(_.matches("""\(\d+\) (Broadcast)?Exchange.*""")))
+    exchangeSections should not be empty
+    exchangeSections.foreach { s =>
+      withClue(s"exchange section:\n$s\n")(s should not include "payload")
+    }
+  }
+
   test("no accidental nested-loop joins: only sanctioned queries may use BNLJ/cartesian") {
     // q05 is an explicit cross join; q31 is the documented small-n exact
     // all-pairs verifier; q28/q35 broadcast a tiny side across the corpus
