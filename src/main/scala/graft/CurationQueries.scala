@@ -593,6 +593,19 @@ object CurationQueries {
         thresholdsFp = NbSweepThresholdsFp, buckets = DsirBuckets)
     }),
 
+    // CHAR-n-gram NB (the fastText subword idea): every 3-char window of
+    // the normalized token stream, hashed — a misspelled/inflected word
+    // still shares most windows with its seed form where whole-word
+    // features OOV to the bare prior; same bounded broadcast model
+    "q149_nb_chargram" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      graft.operators.QualityClassifier.nbLogOddsCharNgram(d,
+        positive = d.filter(col("source").isin(NbPosSources: _*)),
+        negative = d.filter(col("source").isin(NbNegSources: _*)),
+        n = 3, buckets = DsirBuckets)
+    }),
+
     // part 2: per-source drift of the SCORE distribution (whole-nat
     // histogram TV vs rest) over ALL sources — a source whose scores
     // depart from the corpus is different quality or miscalibrated domain
@@ -855,14 +868,34 @@ object CurationQueries {
     * polyHash-mod bucketing are copied verbatim from the q123 twin, so
     * the two oracles cannot drift apart on what a "feature" is.
     */
-  private lazy val nbHashedScoreCtesSql: String = {
-    def steps(p: String, x: String): String =
-      graft.functions.PinnedMath.lnFpSteps(p, x)
-        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+  private lazy val nbHashedScoreCtesSql: String = nbBucketScoreCtes(
     s"""t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
        |fb AS (SELECT doc_id, source, ${polyHashSql("f")} % $DsirBuckets AS b
        |  FROM (SELECT doc_id, source, unnest(list_concat(w,
-       |    list_transform(range(1, len(w)), bi -> w[bi] || ' ' || w[bi + 1]))) AS f FROM t)),
+       |    list_transform(range(1, len(w)), bi -> w[bi] || ' ' || w[bi + 1]))) AS f FROM t))""".stripMargin)
+
+  /** q149's feature CTEs: char 3-gram windows of the normalized token
+    * stream (tokens re-joined by single spaces — the Spark side's
+    * array_join), the winnowFpSql LATERAL-range idiom; texts shorter
+    * than 3 chars contribute no rows, matching the Spark guard.
+    */
+  private lazy val nbCharNgramScoreCtesSql: String = nbBucketScoreCtes(
+    s"""t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+       |nrm AS (SELECT doc_id, source, array_to_string(w, ' ') AS s FROM t),
+       |fb AS (SELECT doc_id, source,
+       |  ${polyHashSql("substr(s, CAST(i AS INT), 3)")} % $DsirBuckets AS b
+       |  FROM nrm, LATERAL (SELECT unnest(range(1, len(s) - 1)) AS i) ix
+       |  WHERE len(s) >= 3)""".stripMargin)
+
+  /** The NB scoring chain over ANY `fb(doc_id, source, b)` feature CTE —
+    * shared by the word-bigram (q147/q148) and char-n-gram (q149)
+    * twins, so the feature space is the only thing that can differ.
+    */
+  private def nbBucketScoreCtes(featureCtes: String): String = {
+    def steps(p: String, x: String): String =
+      graft.functions.PinnedMath.lnFpSteps(p, x)
+        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+    s"""$featureCtes,
        |ptf AS (SELECT b, CAST(count(*) AS BIGINT) AS tfp FROM fb
        |  WHERE source IN (${nbSrcList(NbPosSources)}) GROUP BY b),
        |ntf AS (SELECT b, CAST(count(*) AS BIGINT) AS tfn FROM fb
@@ -1687,6 +1720,14 @@ object CurationQueries {
          |  CASE WHEN 2 * tp + fp + fn > 0
          |    THEN CAST(CAST(tp AS HUGEINT) * 2000000 // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
          |FROM cm""".stripMargin,
+
+    // char-n-gram NB twin: the shared bucket chain over the char-trigram
+    // feature CTEs — q147's SELECT verbatim
+    "q149_nb_chargram" ->
+      s"""WITH $nbCharNgramScoreCtesSql
+         |SELECT doc_id, n_feats, logodds_fp,
+         |  CAST(CASE WHEN logodds_fp > 0 THEN 1 ELSE 0 END AS INT) AS predict_pos
+         |FROM sc""".stripMargin,
 
     // score-drift twin: the q90 drift tail over whole-nat score buckets
     // (identical double division then round — both engines see the same

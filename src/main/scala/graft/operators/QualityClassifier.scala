@@ -70,6 +70,39 @@ object QualityClassifier {
       Dsir.featureBuckets(col(textCol), buckets), "n_feats")
   }
 
+  /** [[nbLogOdds]] over hashed CHARACTER n-grams of the normalized token
+    * stream (tokens re-joined with single spaces, every length-`n`
+    * window hashed into `buckets`) — the fastText subword idea: a
+    * misspelled or inflected word still shares most of its character
+    * windows with the seed form, where whole-word features OOV to the
+    * bare prior (QualityClassifierSpec demonstrates exactly that). Same
+    * bounded-model/broadcast-at-any-scale property as
+    * [[nbLogOddsHashed]]; the window enumeration is row-local.
+    * Output: (idCol, n_feats, logodds_fp, predict_pos).
+    */
+  def nbLogOddsCharNgram(docs: DataFrame, positive: DataFrame,
+                         negative: DataFrame,
+                         n: Int = 3, buckets: Int = 4096,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(buckets > 0, "buckets must be positive")
+    nbOverFeatures(docs, positive, negative, idCol,
+      charNgramBuckets(col(textCol), n, buckets), "n_feats")
+  }
+
+  /** Hashed char-n-gram buckets of one document's normalized token
+    * stream. Texts shorter than `n` chars contribute no features (the
+    * guard also dodges `sequence(1, 0)` counting DOWN). */
+  private def charNgramBuckets(textCol: org.apache.spark.sql.Column,
+                               n: Int, buckets: Int): org.apache.spark.sql.Column = {
+    val norm = array_join(TextFunctions.tokens(textCol), " ")
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => graft.functions.PolyHash.polyHash(norm.substr(i, lit(n))) % buckets))
+      .otherwise(expr("CAST(array() AS array<bigint>)"))
+  }
+
   /** The shared NB pipeline over any array-typed feature expression of a
     * document row: feature tf tables per seed, FULL-JOIN union
     * vocabulary, pinned-ln per-distinct-feature weights, one-row model

@@ -127,9 +127,9 @@ class PlanSpec extends SparkTestBase {
       // q90 one-row histogram total) — the same sanctioned
       // scalar-broadcast shape
       "q120_nb_calibration", "q121_nb_score_drift",
-      // q147/q148 are q108/q120 in the hashed feature space — identical
+      // q147/q148/q149 are q108/q120 in hashed feature spaces — identical
       // one-row NB model-constant broadcasts, no new join shape
-      "q147_nb_hashed", "q148_nb_hashed_calibration",
+      "q147_nb_hashed", "q148_nb_hashed_calibration", "q149_nb_chargram",
       // q122 is q119's broadcast-centroid assignment run twice (build +
       // frozen-centroid shard) — same sanctioned shape, pair stage keyed
       "q122_semantic_dedup_incremental",

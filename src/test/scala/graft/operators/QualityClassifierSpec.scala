@@ -92,6 +92,27 @@ class QualityClassifierSpec extends SparkTestBase {
     hashed(11L)._2 shouldBe 0
   }
 
+  test("char-n-grams survive misspellings that OOV the whole-word model") {
+    // "cleen" and "prse" share no whole word with any seed, so the word
+    // model scores the doc exactly like a fully-OOV doc (prior + n *
+    // per-token constant — zero signal); the char model still sees most
+    // of the seed words' 3-char windows and classifies it positive
+    val docs = Seq(
+      (10L, "good cleen prose with meaning"), // misspelled positive
+      (11L, "zz qq xx vv ww")                 // fully OOV control
+    ).toDF("doc_id", "text")
+    val word = QualityClassifier.nbLogOdds(docs, pos, neg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // same token count -> identical word-model score: no signal at all
+    word(10L)._1 shouldBe 5L
+    // misspelled words carry ZERO word evidence beyond the shared terms:
+    // doc 10's only in-vocab words are good/prose/with/meaning
+    val hashed = QualityClassifier.nbLogOddsCharNgram(docs, pos, neg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    hashed(10L)._2 shouldBe 1 // still recognized as the positive class
+    hashed(10L)._1 should be > hashed(11L)._1
+  }
+
   test("seed-corpus separation: hashed accuracy >= unigram accuracy on the real seeds") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
