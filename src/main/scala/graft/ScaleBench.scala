@@ -236,6 +236,24 @@ object ScaleBench {
         Multimodal.testVideoMedia(
           scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
           "doc_id"))),
+      // q147/q149 shapes: the hashed NB feature spaces. The model is one
+      // bounded bucket row however large the corpus (FULL-JOIN union over
+      // <= buckets keys, broadcast back), so the corpus-scaled cost under
+      // test is the row-local feature enumeration + one content-keyed
+      // aggregate; rotation grows the distinct word/bigram domain linearly
+      // while the char-window count tracks total text bytes
+      "nb_hashed" -> (k => {
+        val d = scaledDocs(k)
+        graft.operators.QualityClassifier.nbLogOddsHashed(d,
+          positive = d.filter(col("source").isin("src0", "src1", "src2")),
+          negative = d.filter(col("source").isin("src3", "src4", "src5")))
+      }),
+      "nb_chargram" -> (k => {
+        val d = scaledDocs(k)
+        graft.operators.QualityClassifier.nbLogOddsCharNgram(d,
+          positive = d.filter(col("source").isin("src0", "src1", "src2")),
+          negative = d.filter(col("source").isin("src3", "src4", "src5")))
+      }),
       // q131 shape: the substring-pair join plus doc-keyed interval-merge
       // windows and the rebuild concat; rotation keeps anchors disjoint
       // across replicas, so span volume grows with within-replica reuse

@@ -92,10 +92,24 @@ object QualityClassifier {
   }
 
   /** Hashed char-n-gram buckets of one document's normalized token
-    * stream. Texts shorter than `n` chars contribute no features (the
-    * guard also dodges `sequence(1, 0)` counting DOWN). */
+    * stream, via the native one-pass kernel
+    * ([[graft.functions.CharNgramHashBuckets]]). Texts shorter than `n`
+    * normalized chars (and NULL texts) contribute no features. */
   private def charNgramBuckets(textCol: org.apache.spark.sql.Column,
-                               n: Int, buckets: Int): org.apache.spark.sql.Column = {
+                               n: Int, buckets: Int): org.apache.spark.sql.Column =
+    coalesce(
+      graft.functions.CharNgramHashBuckets.charNgramHashBuckets(textCol, n, buckets),
+      expr("CAST(array() AS array<bigint>)"))
+
+  /** The original composed HOF form, kept ONLY as the bit-parity witness
+    * for [[graft.functions.CharNgramHashBuckets]] (QualityClassifierSpec
+    * asserts native == composed on adversarial strings). O(chars^2) per
+    * document — the interpreted `transform` lambda re-evaluates the full
+    * tokenize+join `norm` expression once per window; never use in a
+    * corpus path.
+    */
+  private[graft] def charNgramBucketsHof(textCol: org.apache.spark.sql.Column,
+                                         n: Int, buckets: Int): org.apache.spark.sql.Column = {
     val norm = array_join(TextFunctions.tokens(textCol), " ")
     when(length(norm) >= n,
       transform(sequence(lit(1), length(norm) - (n - 1)),

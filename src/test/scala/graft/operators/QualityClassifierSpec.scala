@@ -92,6 +92,34 @@ class QualityClassifierSpec extends SparkTestBase {
     hashed(11L)._2 shouldBe 0
   }
 
+  test("native char-window kernel == composed HOF on adversarial strings") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "good clean prose"),             // plain ASCII
+      (2L, "  Mixed   CASE\twith,punct!!"), // case fold + delimiter runs
+      (3L, "héllo wörld café"), // multi-byte chars split tokens
+      (4L, "ab"),                           // shorter than n -> empty
+      (5L, ""),                             // token-less -> empty
+      (6L, "!!! ??? ..."),                  // delimiters only -> empty
+      (7L, "a1b2c3 999 x"),                 // digits are token bytes
+      (8L, null.asInstanceOf[String])       // NULL text -> empty
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 5); buckets <- Seq(7, 4096)) {
+      val both = cases.select(col("doc_id"),
+        QualityClassifier.charNgramBucketsHof(col("text"), n, buckets).as("hof"),
+        org.apache.spark.sql.functions.coalesce(
+          graft.functions.CharNgramHashBuckets.charNgramHashBuckets(col("text"), n, buckets),
+          org.apache.spark.sql.functions.expr("CAST(array() AS array<bigint>)")).as("nat"))
+        .collect()
+      for (r <- both) {
+        val hof = Option(r.getSeq[Long](1)).getOrElse(Seq.empty)
+        withClue(s"doc ${r.getLong(0)} n=$n buckets=$buckets: ") {
+          r.getSeq[Long](2) shouldBe hof
+        }
+      }
+    }
+  }
+
   test("char-n-grams survive misspellings that OOV the whole-word model") {
     // "cleen" and "prse" share no whole word with any seed, so the word
     // model scores the doc exactly like a fully-OOV doc (prior + n *
