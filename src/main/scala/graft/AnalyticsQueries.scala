@@ -368,8 +368,17 @@ object AnalyticsQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
         .withColumnRenamed("lang", "__hm_lang")
       thr.join(shards, col("lang") <=> col("__hm_lang")).drop("__hm_lang")
-    })
+    }),
+
+    // table profiling: the per-column data-quality report (rows, nulls,
+    // exact distinct, native-order min/max, modal value, mean stringified
+    // length) over every documents column — two passes, one combinable
+    // aggregate + one (column, value) posting shuffle
+    "q150_profile" -> ((s, dir) => graft.operators.Profile.tableProfile(
+      s.read.parquet(s"$dir/documents.parquet"), ProfileCols))
   )
+
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** Pinned event-type pivot columns (the values the synthetic events
     * table contains; a new type would land nowhere — pivot contracts pin
@@ -757,8 +766,36 @@ object AnalyticsQueries {
         |sh AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shards
         |  FROM (SELECT DISTINCT lang, source FROM v0 WHERE v0v IS NOT NULL) GROUP BY lang)
         |SELECT thr.lang, thr.threshold, sh.n_shards
-        |FROM thr JOIN sh ON thr.lang IS NOT DISTINCT FROM sh.lang""".stripMargin
+        |FROM thr JOIN sh ON thr.lang IS NOT DISTINCT FROM sh.lang""".stripMargin,
+
+    // profile twin: per column, the single-aggregate stats block crossed
+    // with the modal-value subquery (min over struct(-count, value) — the
+    // exact tie-break the operator's struct ordering rides), one UNION ALL
+    // arm per profiled column
+    "q150_profile" -> ProfileCols.map(profileColSql).mkString("\nUNION ALL\n")
   )
+
+  /** One q150 UNION ALL arm: every count CAST to BIGINT (DuckDB count is
+    * BIGINT but sum is HUGEINT), min/max in NATIVE type order then
+    * stringified, floor-division ppm via `//` on HUGEINT.
+    */
+  private def profileColSql(c: String): String =
+    s"""SELECT * FROM (
+       |  SELECT '$c' AS col_name,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(count(*) - count($c) AS BIGINT) AS n_null,
+       |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |    CAST(min($c) AS VARCHAR) AS min_str,
+       |    CAST(max($c) AS VARCHAR) AS max_str,
+       |    CASE WHEN count($c) > 0 THEN
+       |      CAST(CAST(sum(length(CAST($c AS VARCHAR))) AS HUGEINT) * 1000000
+       |        // count($c) AS BIGINT) END AS avg_len_ppm
+       |  FROM documents) pa
+       |CROSS JOIN (
+       |  SELECT (m).vv AS mode_str, CAST(-(m).nc AS BIGINT) AS mode_count FROM (
+       |    SELECT min(struct_pack(nc := -c, vv := v)) AS m FROM (
+       |      SELECT CAST($c AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS c
+       |      FROM documents WHERE $c IS NOT NULL GROUP BY 1))) pb""".stripMargin
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —
     * CASE arms generated from [[BloomFilter]]'s pinned constants.

@@ -308,6 +308,17 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"),
           col("s_nationkey").cast("int").as("s_nationkey"),
           round(col("s_acctbal"), 2).as("s_acctbal"))
+    }),
+
+    // ORC sink -> ORC scan round trip (beyond the reference's format set);
+    // lossless typed columnar round trip, so the oracle is the source table
+    "q151_orc_roundtrip" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val tmp = s"/tmp/graft_io/q151_orc_${scratchTag(s, dir)}"
+      graft.sources.ProdWriter.writeOrc(part, tmp)
+      graft.sources.ProdFetcher.readOrc(s, tmp, Some(part.schema))
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
     })
   )
 
@@ -454,6 +465,8 @@ object SparkEntry {
     "q33_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q34_table_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier"
+      "SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal FROM supplier",
+    "q151_orc_roundtrip" ->
+      "SELECT p_partkey, p_name, p_size, round(p_retailprice, 2) AS p_retailprice FROM part"
   ) ++ TrainingDataQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ CurationQueries.oracleSql
 }

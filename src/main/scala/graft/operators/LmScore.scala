@@ -180,6 +180,94 @@ object LmScore {
         col("mean_surprisal"))
   }
 
+  /** Trigram surprisal with TWO-LEVEL stupid backoff (Brants et al. 2007 —
+    * the MapReduce-scale n-gram LM recipe, one order up from
+    * [[bigramSurprisal]]):
+    *
+    *   S(w|u,v) = c(uvw) / c(uv.)                 when c(uvw) > 0
+    *            = 0.4 * c(vw) / c(v.)             elif c(vw) > 0
+    *            = 0.4^2 * (tf_w + 1) / (N + V)    otherwise (add-one unigram)
+    *
+    * where `c(uv.)` / `c(v.)` are the exact PREFIX TOTALS of the trigram /
+    * bigram tables (sum over the final token), so every probability stays a
+    * pure ratio and every -ln a difference of integer pinned series:
+    * `lnfp(c(uv.)) - lnfp(c(uvw))` seen; `lnfp(5*c(v.)) - lnfp(2*c(vw))`
+    * one level down (0.4 = 2/5 folded in); `lnfp(25*(N+V)) -
+    * lnfp(4*(tf_w+1))` at the floor (0.16 = 4/25). OOV current token:
+    * tf = 0, the `lnfp(4)` literal.
+    *
+    * Per-doc score = mean over the doc's n-2 trigram positions; docs with
+    * < 3 tokens emit NULL. Scale shape: all ln math runs once per DISTINCT
+    * trigram/bigram/unigram; the per-position work is three hash joins on
+    * gram strings plus one broadcast one-row constant — the [[bigramSurprisal]]
+    * plan one keyed join wider, no window, no pair blowup.
+    * Output: (idCol, n_trigrams, surprisal_fp, mean_surprisal).
+    */
+  def trigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    def grams(d: DataFrame, n: Int, cols: Seq[org.apache.spark.sql.Column], as: String) =
+      d.select(cols :+ explode(TextFunctions.wordShinglesAll(
+        TextFunctions.tokens(col(textCol)), n)).as(as): _*)
+    val ref = reference.getOrElse(docs)
+    val vocab = ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    // one-row floor constant: ln(25 * (N + V))
+    val lnD25 = PinnedMath.lnFpSteps("lnd", "(__d * 25)")
+      .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("lnd_lnfp").as("__lnd25_fp"))
+    // bigram level: counts + prefix totals -> ln(5*c(v.)) - ln(2*c(vw))
+    val bg = grams(ref, 2, Seq.empty, "bg").groupBy(col("bg")).agg(count(lit(1)).as("cuv"))
+      .withColumn("__u", substring_index(col("bg"), " ", 1))
+    val pre = bg.groupBy(col("__u")).agg(sum(col("cuv")).as("cu"))
+    val seen2 = PinnedMath.lnFpSteps("l5cu", "(5 * cu)")
+      .++(PinnedMath.lnFpSteps("l2cuv", "(2 * cuv)"))
+      .foldLeft(bg.join(pre, "__u")) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("bg").as("__s2_bg"),
+        (col("l5cu_lnfp") - col("l2cuv_lnfp")).as("__s2_fp"))
+    // trigram level: counts + context totals -> ln(c(uv.)) - ln(c(uvw))
+    val tg = grams(ref, 3, Seq.empty, "tg").groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+      .withColumn("__p2", substring_index(col("tg"), " ", 2))
+    val pre3 = tg.groupBy(col("__p2")).agg(sum(col("c3")).as("c2x"))
+    val seen3 = PinnedMath.lnFpSteps("lc2x", "c2x")
+      .++(PinnedMath.lnFpSteps("lc3", "c3"))
+      .foldLeft(tg.join(pre3, "__p2")) {
+        case (df, (alias, e)) => df.withColumn(alias, expr(e))
+      }
+      .select(col("tg").as("__s3_tg"),
+        (col("lc2x_lnfp") - col("lc3_lnfp")).as("__s3_fp"))
+    val backoffLn = PinnedMath.lnFpSteps("lbk", "(4 * (tf + 1))")
+      .foldLeft(vocab) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
+      .select(col("w").as("__bk_w"), col("lbk_lnfp").as("__bk_fp"))
+    val trans = grams(docs, 3, Seq(col(idCol)), "tg")
+      .withColumn("__mid", substring_index(col("tg"), " ", -2))
+      .withColumn("__cur", substring_index(col("tg"), " ", -1))
+      .join(seen3, col("tg") === col("__s3_tg"), "left")
+      .join(seen2, col("__mid") === col("__s2_bg"), "left")
+      .join(backoffLn, col("__cur") === col("__bk_w"), "left")
+      .crossJoin(broadcast(lnD25))
+      .withColumn("__t_fp", coalesce(col("__s3_fp"), col("__s2_fp"),
+        col("__lnd25_fp") - coalesce(col("__bk_fp"),
+          lit(PinnedMath.lnFp(4L)))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum(col("__t_fp")).as("__s"))
+    docs.select(col(idCol))
+      .join(trans, Seq(idCol), "left")
+      .withColumn("n_trigrams", coalesce(col("__nt"), lit(0L)))
+      .withColumn("surprisal_fp", coalesce(col("__s"), lit(0L)))
+      .withColumn("mean_surprisal",
+        when(col("n_trigrams") === 0L, lit(null)).otherwise(expr(
+          s"CAST(surprisal_fp AS DOUBLE) / CAST(n_trigrams AS DOUBLE)" +
+            s" / CAST(${PinnedMath.FpScale} AS DOUBLE)")))
+      .select(col(idCol), col("n_trigrams"), col("surprisal_fp"),
+        col("mean_surprisal"))
+  }
+
   /** Per-group token-distribution drift: KL(P_group || P_corpus) over the
     * unigram distributions, in nats — the "is this source/shard/snapshot
     * still the same language mix" audit a training-data pipeline runs per

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the "know your data" report a training-data pipeline
+  * runs before (and after) every curation stage: per-column row/null/distinct
+  * counts, min/max, the modal value, and mean stringified length.
+  *
+  * Reference anchor: the reference engine exposes no profiling surface; this
+  * is a beyond-reference component (SURVEY §7.4 scale extensions) — the
+  * audit table data-quality dashboards and schema-drift alerts read from.
+  *
+  * Output, one row per profiled column (all driver-stable scalars):
+  * {{{
+  *   col_name     STRING  profiled column
+  *   n_rows       BIGINT  total rows (same for every column)
+  *   n_null       BIGINT  NULL count
+  *   n_distinct   BIGINT  exact distinct non-NULL values
+  *   min_str      STRING  min in NATIVE type order, then cast to string
+  *   max_str      STRING  max in NATIVE type order, then cast to string
+  *   mode_str     STRING  most frequent non-NULL value (ties: smallest
+  *                        string) — NULL when the column is all-NULL
+  *   mode_count   BIGINT  the mode's occurrence count
+  *   avg_len_ppm  BIGINT  floor(1e6 * mean stringified length) over
+  *                        non-NULL values — integer, no float compare
+  * }}}
+  *
+  * Scale shape (the 100 TB read): two jobs, each one pass.
+  *  1. min/max/counts collapse in a SINGLE combinable aggregate — one
+  *     reduce, no shuffle of values, whatever the corpus size.
+  *  2. distinct/mode/length ride ONE posting shuffle keyed by
+  *     (column, value): partial map-side aggregation collapses repeated
+  *     values before the exchange, then per-column stats are a second
+  *     combinable aggregate over the distinct-value table. This is the
+  *     honest EXACT-distinct cost (the value domain crosses the wire
+  *     once); for corpora where that shuffle is the budget, the sketch
+  *     path is [[Sketches.approxDistinct]] / [[Sketches.sketchVector]]
+  *     (registers-only exchange), and `columns` lets the caller exclude
+  *     wide text columns from the exact pass.
+  *
+  * Every min/max is taken in the column's native type (numeric order for
+  * numerics) and stringified only for the uniform report schema; the modal
+  * tie-break rides the `min(struct(-count, value))` struct ordering, so the
+  * whole report is deterministic and engine-portable (the DuckDB twin
+  * reproduces it bit-for-bit).
+  */
+object Profile {
+
+  def tableProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "tableProfile needs at least one column")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+
+    // pass 1: one combinable aggregate row -> exploded to per-column rows
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = one.select(col("__n"),
+      explode(array(columns.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__nn_$c").as("__notnull"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))): _*)).as("s"))
+      .select(col("__n").as("n_rows"), col("s.*"))
+
+    // pass 2: the (column, value) posting -> distinct-value table ->
+    // per-column distinct/mode/length stats
+    val pairs = df.select(explode(array(columns.map(c => struct(
+        lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("v").isNotNull)
+    val valueCounts = pairs.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val post = valueCounts.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("nc"), col("v").as("vv"))).as("__m"),
+        sum(col("c") * length(col("v"))).as("__lensum"),
+        sum(col("c")).as("__cnt"))
+      .select(col("col_name"), col("n_distinct"),
+        col("__m.vv").as("mode_str"),
+        (-col("__m.nc")).as("mode_count"),
+        floor(col("__lensum").cast("decimal(38,0)") * lit(1000000L) /
+          col("__cnt").cast("decimal(38,0)")).cast("long").as("avg_len_ppm"))
+
+    perCol.join(post, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("__notnull")).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_str"), col("max_str"),
+        col("mode_str"), col("mode_count"), col("avg_len_ppm"))
+  }
+}

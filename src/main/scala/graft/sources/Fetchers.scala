@@ -43,6 +43,16 @@ trait Fetcher {
     schema.fold(r)(r.schema).json(path)
   }
 
+  /** ORC scan — the [[readParquet]] contract for ORC data (vectorized
+    * reader, column pruning + predicate pushdown; explicit schema skips
+    * footer sampling). Beyond the reference's format set.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
   /** CSV scan with header/delimiter options (reference: Fetchers.scala:105-120). */
   def readCsv(spark: SparkSession, path: String,
       schema: Option[StructType] = None,

@@ -118,6 +118,14 @@ trait Writer {
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC sink — beyond the reference's format set (ProdWriter.scala covers
+    * parquet/json/csv): the columnar interchange format for Hive-side
+    * consumers, same lossless typed round trip as parquet (OrcRoundTripSpec
+    * + q151 pin it).
+    */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** CSV sink (reference: ProdWriter.scala:44-55). */
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite",
       header: Boolean = true, delimiter: String = ","): Unit =

@@ -106,6 +106,33 @@ class LmScoreSpec extends SparkTestBase {
     scrambled should be > self
   }
 
+  test("trigram stupid backoff: all three levels match a driver model") {
+    // trigrams: "a b c" x2, "b c d", "b c x" -> ctx totals "a b"=2, "b c"=2
+    // bigrams: "a b"=2, "b c"=3, "c d"=1, "c x"=1 -> prefix a=2, b=3, c=2
+    // unigrams: a=2 b=3 c=3 d=1 x=1 -> N=10, V=5, D=15
+    val ref = Seq((10L, "a b c d"), (11L, "a b c"), (12L, "b c x"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),   // seen trigram: ln(2/2) = 0
+      (2L, "a b c d"), // 0 + seen "b c d": ln(2/1) -> mean ln(2)/2
+      (3L, "c a b"),   // trigram unseen, bigram "a b" seen: 0.4*2/2 -> ln 2.5
+      (4L, "q c d"),   // bigram "c d" seen: 0.4*1/2 -> ln 5
+      (5L, "b c a"),   // bigram "c a" unseen: 0.16*(2+1)/15 -> ln(375/12)
+      (6L, "q q q"),   // OOV floor: 0.16*1/15 -> ln(375/4)
+      (7L, "a b"))     // < 3 tokens: no trigram positions -> NULL
+      .toDF("doc_id", "text")
+    val out = LmScore.trigramSurprisal(score, reference = Some(ref))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    out(1L)._2.get shouldBe 0.0 +- 1e-6
+    out(2L)._2.get shouldBe math.log(2.0) / 2.0 +- 1e-6
+    out(3L)._2.get shouldBe math.log(2.5) +- 1e-6
+    out(4L)._2.get shouldBe math.log(5.0) +- 1e-6
+    out(5L)._2.get shouldBe math.log(375.0 / 12.0) +- 1e-6
+    out(6L)._2.get shouldBe math.log(375.0 / 4.0) +- 1e-6
+    out(7L) shouldBe ((0L, None))
+  }
+
   test("partition-order invariance: integer fixed-point sums cannot drift") {
     val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
