@@ -378,6 +378,20 @@ object CurationQueries {
         reference = Some(d.filter(col("doc_id") <= IncrSplitId2)))
     }),
 
+    // incremental trigram-LM state: gram counts are sum-mergeable, so
+    // state(first half) + increment(second half) scores every doc
+    // EXACTLY like a model trained on the whole corpus in one shot —
+    // the oracle replays the one-shot form (the q143 pattern); stored
+    // shards never retokenize on ingest
+    "q153_trigram_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val st0 = LmScore.trigramState(d.filter(col("doc_id") <= IncrSplitId2))
+      val st = LmScore.incrementTrigramState(st0,
+        d.filter(col("doc_id") > IncrSplitId2))
+      LmScore.trigramSurprisalFromState(d, st)
+    }),
+
     // tokenizer-aware packing: whitespace vs vocab-driven greedy
     // longest-match ("BPE-ish") token counts, and the chunk budgets each
     // implies — the honest packing math when a real tokenizer splits
@@ -1371,6 +1385,59 @@ object CurationQueries {
        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
 
+  /** q152/q153's oracle: the full trigram stupid-backoff CTE chain.
+    * `refWhere` restricts the TRAINING reference (q152: first half);
+    * empty = whole corpus, the q153 incremental-state one-shot replay.
+    */
+  private def trigramSurprisalOracleSql(refWhere0: String): String = {
+    val refWhere = if (refWhere0.isEmpty) "" else " " + refWhere0
+    def steps(p: String, x: String): String =
+      graft.functions.PinnedMath.lnFpSteps(p, x)
+        .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+    s"""WITH rt AS (SELECT doc_id, $toksSql AS w FROM documents$refWhere),
+         |st AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |wt AS (SELECT unnest(w) AS v FROM rt),
+         |vocab AS (SELECT v, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY v),
+         |tot AS (SELECT CAST((sum(tf) + count(*)) * 25 AS BIGINT) AS __d25 FROM vocab),
+         |lnd AS (SELECT ${steps("lnd", "__d25")} FROM tot),
+         |rbg AS (SELECT unnest(list_transform(range(1, len(w)),
+         |  bi -> w[bi] || ' ' || w[bi + 1])) AS bg FROM rt),
+         |bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM rbg GROUP BY bg),
+         |pre AS (SELECT split_part(bg, ' ', 1) AS u, CAST(sum(cuv) AS BIGINT) AS cu
+         |  FROM bgc GROUP BY 1),
+         |seen2 AS (SELECT bg, ${steps("l5cu", "(5 * cu)")}, ${steps("l2cuv", "(2 * cuv)")}
+         |  FROM bgc JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.u),
+         |s2 AS (SELECT bg, CAST(l5cu_lnfp - l2cuv_lnfp AS BIGINT) AS s2_fp FROM seen2),
+         |rtg AS (SELECT unnest(list_transform(range(1, len(w) - 1),
+         |  ti -> w[ti] || ' ' || w[ti + 1] || ' ' || w[ti + 2])) AS tg FROM rt),
+         |tgc AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM rtg GROUP BY tg),
+         |pre3 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
+         |  CAST(sum(c3) AS BIGINT) AS c2x FROM tgc GROUP BY 1),
+         |seen3 AS (SELECT tg, ${steps("lc2x", "c2x")}, ${steps("lc3", "c3")}
+         |  FROM tgc JOIN pre3
+         |  ON split_part(tgc.tg, ' ', 1) || ' ' || split_part(tgc.tg, ' ', 2) = pre3.p2),
+         |s3 AS (SELECT tg, CAST(lc2x_lnfp - lc3_lnfp AS BIGINT) AS s3_fp FROM seen3),
+         |bk AS (SELECT v, ${steps("lbk", "(4 * (tf + 1))")} FROM vocab),
+         |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |  ti -> w[ti] || ' ' || w[ti + 1] || ' ' || w[ti + 2])) AS tg FROM st),
+         |tr AS (SELECT dt.doc_id,
+         |  coalesce(s3.s3_fp, s2.s2_fp,
+         |    lnd.lnd_lnfp - coalesce(bk.lbk_lnfp, ${graft.functions.PinnedMath.lnFp(4L)})) AS t_fp
+         |  FROM dt LEFT JOIN s3 USING (tg)
+         |  LEFT JOIN s2 ON split_part(dt.tg, ' ', 2) || ' ' || split_part(dt.tg, ' ', 3) = s2.bg
+         |  LEFT JOIN bk ON split_part(dt.tg, ' ', 3) = bk.v
+         |  CROSS JOIN lnd),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+         |  CAST(sum(t_fp) AS BIGINT) AS s FROM tr GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(pd.nt, 0) AS BIGINT) AS n_trigrams,
+         |  CAST(coalesce(pd.s, 0) AS BIGINT) AS surprisal_fp,
+         |  CASE WHEN coalesce(pd.nt, 0) = 0 THEN NULL
+         |    ELSE CAST(coalesce(pd.s, 0) AS DOUBLE) / CAST(pd.nt AS DOUBLE)
+         |      / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // segment-dedup twin: zip-unnest for (seg, pos), first occurrence via
     // row_number over (doc_id, pos), ordered string_agg rebuild, LEFT JOIN
@@ -1611,53 +1678,14 @@ object CurationQueries {
     // counts with exact prefix totals on the seen path, the q103 bigram
     // ratio + ln(5/2) (folded as ln(5 cu) - ln(2 cuv)) one level down,
     // and the ln(25 D) - ln(4 (tf+1)) add-one floor (0.4^2 = 4/25)
-    "q152_trigram_surprisal" -> {
-      def steps(p: String, x: String): String =
-        graft.functions.PinnedMath.lnFpSteps(p, x)
-          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
-      s"""WITH rt AS (SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id <= $IncrSplitId2),
-         |st AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |wt AS (SELECT unnest(w) AS v FROM rt),
-         |vocab AS (SELECT v, CAST(count(*) AS BIGINT) AS tf FROM wt GROUP BY v),
-         |tot AS (SELECT CAST((sum(tf) + count(*)) * 25 AS BIGINT) AS __d25 FROM vocab),
-         |lnd AS (SELECT ${steps("lnd", "__d25")} FROM tot),
-         |rbg AS (SELECT unnest(list_transform(range(1, len(w)),
-         |  bi -> w[bi] || ' ' || w[bi + 1])) AS bg FROM rt),
-         |bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS cuv FROM rbg GROUP BY bg),
-         |pre AS (SELECT split_part(bg, ' ', 1) AS u, CAST(sum(cuv) AS BIGINT) AS cu
-         |  FROM bgc GROUP BY 1),
-         |seen2 AS (SELECT bg, ${steps("l5cu", "(5 * cu)")}, ${steps("l2cuv", "(2 * cuv)")}
-         |  FROM bgc JOIN pre ON split_part(bgc.bg, ' ', 1) = pre.u),
-         |s2 AS (SELECT bg, CAST(l5cu_lnfp - l2cuv_lnfp AS BIGINT) AS s2_fp FROM seen2),
-         |rtg AS (SELECT unnest(list_transform(range(1, len(w) - 1),
-         |  ti -> w[ti] || ' ' || w[ti + 1] || ' ' || w[ti + 2])) AS tg FROM rt),
-         |tgc AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM rtg GROUP BY tg),
-         |pre3 AS (SELECT split_part(tg, ' ', 1) || ' ' || split_part(tg, ' ', 2) AS p2,
-         |  CAST(sum(c3) AS BIGINT) AS c2x FROM tgc GROUP BY 1),
-         |seen3 AS (SELECT tg, ${steps("lc2x", "c2x")}, ${steps("lc3", "c3")}
-         |  FROM tgc JOIN pre3
-         |  ON split_part(tgc.tg, ' ', 1) || ' ' || split_part(tgc.tg, ' ', 2) = pre3.p2),
-         |s3 AS (SELECT tg, CAST(lc2x_lnfp - lc3_lnfp AS BIGINT) AS s3_fp FROM seen3),
-         |bk AS (SELECT v, ${steps("lbk", "(4 * (tf + 1))")} FROM vocab),
-         |dt AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
-         |  ti -> w[ti] || ' ' || w[ti + 1] || ' ' || w[ti + 2])) AS tg FROM st),
-         |tr AS (SELECT dt.doc_id,
-         |  coalesce(s3.s3_fp, s2.s2_fp,
-         |    lnd.lnd_lnfp - coalesce(bk.lbk_lnfp, ${graft.functions.PinnedMath.lnFp(4L)})) AS t_fp
-         |  FROM dt LEFT JOIN s3 USING (tg)
-         |  LEFT JOIN s2 ON split_part(dt.tg, ' ', 2) || ' ' || split_part(dt.tg, ' ', 3) = s2.bg
-         |  LEFT JOIN bk ON split_part(dt.tg, ' ', 3) = bk.v
-         |  CROSS JOIN lnd),
-         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
-         |  CAST(sum(t_fp) AS BIGINT) AS s FROM tr GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(pd.nt, 0) AS BIGINT) AS n_trigrams,
-         |  CAST(coalesce(pd.s, 0) AS BIGINT) AS surprisal_fp,
-         |  CASE WHEN coalesce(pd.nt, 0) = 0 THEN NULL
-         |    ELSE CAST(coalesce(pd.s, 0) AS DOUBLE) / CAST(pd.nt AS DOUBLE)
-         |      / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
-         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
-    },
+    "q152_trigram_surprisal" ->
+      trigramSurprisalOracleSql(s"WHERE doc_id <= $IncrSplitId2"),
+
+    // incremental-state twin: counts are sum-mergeable, so state(first
+    // half) + increment(second half) == model(whole corpus) — the oracle
+    // is the ONE-SHOT replay over the full reference (the q143 pattern)
+    "q153_trigram_incremental" -> trigramSurprisalOracleSql(""),
+
 
     // correlation twin: the same HUGEINT-exact moments, the same single
     // double conversion, sqrt*sqrt (NOT sqrt of the product — the forms

@@ -147,6 +147,15 @@ object ScaleBench {
       // the distinct domains linearly (worst case for the trick)
       "lm_surprisal" -> (k => graft.operators.LmScore.unigramSurprisal(scaledDocs(k))),
       "bigram_surprisal" -> (k => graft.operators.LmScore.bigramSurprisal(scaledDocs(k))),
+      // q152 shape: one gram order up — distinct trigram/bigram domains
+      // both grow linearly under rotation (worst case for the
+      // per-distinct-gram trick), per-position work is keyed joins
+      "trigram_surprisal" -> (k => graft.operators.LmScore.trigramSurprisal(scaledDocs(k))),
+      // q150 shape: one combinable-aggregate pass + the (column, value)
+      // posting shuffle; text dominates the posting bytes, so growth
+      // should track corpus bytes, never pairs
+      "table_profile" -> (k => graft.operators.Profile.tableProfile(
+        scaledDocs(k), Seq("doc_id", "text", "lang", "source"))),
       // q109/q110/q112 shapes: more pinned-ln-on-distinct-domain scores —
       // KL's weighted DECIMAL sum, tf-idf's per-doc window, PMI's
       // TakeOrdered cut; rotation again grows the distinct domains

@@ -205,14 +205,49 @@ object LmScore {
     */
   def trigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
                        idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text"): DataFrame =
+    trigramSurprisalFromState(docs,
+      trigramState(reference.getOrElse(docs), textCol), idCol, textCol)
+
+  /** The trigram LM's persistable state: `(ord, gram, cnt)` — uni/bi/tri
+    * gram counts (ord 1/2/3) in one frame, built in a SINGLE tokenize
+    * pass + one combinable aggregate. Exact and sum-mergeable, so shards
+    * APPEND via [[incrementTrigramState]] without retokenizing stored
+    * corpora and increment == full retrain bit-for-bit (every downstream
+    * ln reads the same integers) — the LM-family analogue of [[klState]].
+    */
+  def trigramState(reference: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    reference.select(TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(explode(concat(
+        transform(col("__toks"),
+          w => struct(lit(1).as("ord"), w.as("gram"))),
+        transform(TextFunctions.wordShinglesAll(col("__toks"), 2),
+          g => struct(lit(2).as("ord"), g.as("gram"))),
+        transform(TextFunctions.wordShinglesAll(col("__toks"), 3),
+          g => struct(lit(3).as("ord"), g.as("gram"))))).as("p"))
+      .select(col("p.ord").as("ord"), col("p.gram").as("gram"))
+      .groupBy(col("ord"), col("gram")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a new shard's gram counts into stored state — only the shard
+    * tokenizes; the merge is one sum per touched (ord, gram).
+    */
+  def incrementTrigramState(state: DataFrame, shard: DataFrame,
+                            textCol: String = "text"): DataFrame =
+    state.unionByName(trigramState(shard, textCol))
+      .groupBy(col("ord"), col("gram")).agg(sum(col("cnt")).as("cnt"))
+
+  /** [[trigramSurprisal]] read off (possibly incrementally grown) state. */
+  def trigramSurprisalFromState(docs: DataFrame, state: DataFrame,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions
     def grams(d: DataFrame, n: Int, cols: Seq[org.apache.spark.sql.Column], as: String) =
       d.select(cols :+ explode(TextFunctions.wordShinglesAll(
         TextFunctions.tokens(col(textCol)), n)).as(as): _*)
-    val ref = reference.getOrElse(docs)
-    val vocab = ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = state.filter(col("ord") === 1)
+      .select(col("gram").as("w"), col("cnt").as("tf"))
     // one-row floor constant: ln(25 * (N + V))
     val lnD25 = PinnedMath.lnFpSteps("lnd", "(__d * 25)")
       .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
@@ -220,7 +255,8 @@ object LmScore {
       }
       .select(col("lnd_lnfp").as("__lnd25_fp"))
     // bigram level: counts + prefix totals -> ln(5*c(v.)) - ln(2*c(vw))
-    val bg = grams(ref, 2, Seq.empty, "bg").groupBy(col("bg")).agg(count(lit(1)).as("cuv"))
+    val bg = state.filter(col("ord") === 2)
+      .select(col("gram").as("bg"), col("cnt").as("cuv"))
       .withColumn("__u", substring_index(col("bg"), " ", 1))
     val pre = bg.groupBy(col("__u")).agg(sum(col("cuv")).as("cu"))
     val seen2 = PinnedMath.lnFpSteps("l5cu", "(5 * cu)")
@@ -231,7 +267,8 @@ object LmScore {
       .select(col("bg").as("__s2_bg"),
         (col("l5cu_lnfp") - col("l2cuv_lnfp")).as("__s2_fp"))
     // trigram level: counts + context totals -> ln(c(uv.)) - ln(c(uvw))
-    val tg = grams(ref, 3, Seq.empty, "tg").groupBy(col("tg")).agg(count(lit(1)).as("c3"))
+    val tg = state.filter(col("ord") === 3)
+      .select(col("gram").as("tg"), col("cnt").as("c3"))
       .withColumn("__p2", substring_index(col("tg"), " ", 2))
     val pre3 = tg.groupBy(col("__p2")).agg(sum(col("c3")).as("c2x"))
     val seen3 = PinnedMath.lnFpSteps("lc2x", "c2x")

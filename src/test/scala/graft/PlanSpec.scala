@@ -98,9 +98,9 @@ class PlanSpec extends SparkTestBase {
       "q59_temperature_mix", "q73_split_drift", "q90_source_drift",
       "q92_time_to_convert", "q93_decile_profile", "q94_logbucket_profile",
       "q97_bpe_packing", "q99_lm_surprisal", "q103_bigram_surprisal",
-      // q152 is q103 one order up — the same one-row ln(25D) floor
+      // q152/q153 are q103 one order up — the same one-row ln(25D) floor
       // constant crosses as a sanctioned broadcast
-      "q152_trigram_surprisal",
+      "q152_trigram_surprisal", "q153_trigram_incremental",
       "q108_nb_quality",
       // q136/q137 embed q104's 1-row argmax broadcasts (the merge loop)
       // plus the collected merge-piece inventory — a one-row vocab array

@@ -133,6 +133,27 @@ class LmScoreSpec extends SparkTestBase {
     out(7L) shouldBe ((0L, None))
   }
 
+  test("trigram state: chained increments == one-shot model bit-for-bit") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val eras = Seq(
+      corpus.filter(col("doc_id") % 3 === 0),
+      corpus.filter(col("doc_id") % 3 === 1),
+      corpus.filter(col("doc_id") % 3 === 2))
+    val chained = eras.tail.foldLeft(LmScore.trigramState(eras.head)) {
+      (st, shard) => LmScore.incrementTrigramState(st, shard)
+    }
+    val inc = LmScore.trigramSurprisalFromState(corpus, chained)
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = LmScore.trigramSurprisal(corpus)
+      .orderBy("doc_id").collect().toSeq
+    inc shouldBe oneShot
+    // the state itself merges exactly: summed counts == whole-corpus counts
+    val whole = LmScore.trigramState(corpus)
+      .orderBy("ord", "gram").collect().toSeq
+    chained.orderBy("ord", "gram").collect().toSeq shouldBe whole
+  }
+
   test("partition-order invariance: integer fixed-point sums cannot drift") {
     val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
