@@ -230,13 +230,20 @@ object LmScore {
       .groupBy(col("ord"), col("gram")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Sum-merge two gram-count states (also collapses appended per-shard
+    * PARTIALS of the same state — reading raw partials through this is
+    * the normalize step).
+    */
+  def mergeTrigramStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("ord"), col("gram")).agg(sum(col("cnt")).as("cnt"))
+
   /** Fold a new shard's gram counts into stored state — only the shard
     * tokenizes; the merge is one sum per touched (ord, gram).
     */
   def incrementTrigramState(state: DataFrame, shard: DataFrame,
                             textCol: String = "text"): DataFrame =
-    state.unionByName(trigramState(shard, textCol))
-      .groupBy(col("ord"), col("gram")).agg(sum(col("cnt")).as("cnt"))
+    mergeTrigramStates(state, trigramState(shard, textCol))
 
   /** [[trigramSurprisal]] read off (possibly incrementally grown) state. */
   def trigramSurprisalFromState(docs: DataFrame, state: DataFrame,

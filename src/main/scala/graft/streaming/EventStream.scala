@@ -362,6 +362,56 @@ object EventStream {
           batch.toDF(), model, idCol, textCol), batchId)
       }
 
+  /** Streaming trigram-LM gate with a GROWING model: each arriving
+    * micro-batch scores against the trigram stupid-backoff model of
+    * EVERYTHING ingested so far INCLUDING the batch itself (the as-of-
+    * ingest semantics of [[urlDedupGateWriter]]'s group_size), then the
+    * batch's own gram-count partial lands in the state. One code path
+    * with batch q152/q153: the foreachBatch body is
+    * [[graft.operators.LmScore.trigramSurprisalFromState]] over
+    * [[graft.operators.LmScore.mergeTrigramStates]], so after N triggers
+    * the accumulated state IS the q153 incremental model bit-for-bit
+    * (EventStreamSpec pins it) — in-flight per-trigger scores reflect the
+    * model as of that ingest, exactly like a self-trained corpus model
+    * that keeps training.
+    *
+    * State layout: `counts/batch=<id>/` — one partial per trigger,
+    * written with OVERWRITE into its batch-scoped dir, so a crash-replayed
+    * batch rewrites the same partial instead of double-counting (counts
+    * are sum-merged, the one state family where a blind re-append would
+    * NOT be idempotent); reads collapse partials through the merge's
+    * groupBy-sum. Unlike [[surprisalGateWriter]]'s frozen unigram model,
+    * this gate needs no pre-trained reference — it bootstraps from the
+    * stream itself (batch 1 scores against its own counts alone).
+    * `sink` receives (idCol, n_trigrams, surprisal_fp, mean_surprisal)
+    * with the micro-batch id.
+    */
+  def trigramGateWriter(docs: DataFrame, statePath: String,
+                        sink: (DataFrame, Long) => Unit,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val countsPath = s"$statePath/counts"
+        val bState = graft.operators.LmScore.trigramState(b, textCol)
+        val storedRaw = tableOr(spark, countsPath, null)
+        val merged =
+          if (storedRaw == null) {
+            // first trigger: still collapse (ord, gram) in case the batch
+            // state is read back later next to appended partials
+            graft.operators.LmScore.mergeTrigramStates(bState, bState.limit(0))
+          } else graft.operators.LmScore.mergeTrigramStates(
+            storedRaw.select(col("ord"), col("gram"), col("cnt")), bState)
+        sink(graft.operators.LmScore.trigramSurprisalFromState(
+          b, merged, idCol, textCol), batchId)
+        // batch-scoped OVERWRITE after the sink: replayed batches rewrite
+        // their own partial (idempotent), never double-count
+        bState.write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+      }
+
   /** Streaming FUZZY (near-duplicate) contamination gate: each arriving
     * micro-batch of documents is MinHash-checked against a FROZEN
     * benchmark signature table ([[graft.operators.Dedup.signatures]] —

@@ -762,6 +762,57 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming trigram-LM gate: accumulated state == one-shot model; scores are as-of-ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_trigate").toString
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat"), (2L, "the thin cat sat")),
+      Seq((3L, "that the cat sat there")),
+      Seq((4L, ""), (5L, "the mat sat still")))
+    val corpus = batches.flatten.toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    var perBatch = Map.empty[Long, Map[Long, (Long, Long)]]
+    val query = EventStream.trigramGateWriter(
+        input.toDF().toDF("doc_id", "text"), statePath,
+        sink = (out, bid) => {
+          perBatch += bid -> out.select("doc_id", "n_trigrams", "surprisal_fp")
+            .as[(Long, Long, Long)].collect()
+            .map(r => r._1 -> (r._2, r._3)).toMap
+        })
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      // the accumulated partials collapse to the one-shot whole-corpus state
+      val collapsed = graft.operators.LmScore.mergeTrigramStates(
+          spark.read.parquet(s"$statePath/counts").select("ord", "gram", "cnt"),
+          graft.operators.LmScore.trigramState(corpus).limit(0))
+        .orderBy("ord", "gram").collect().toSeq
+      val oneShot = graft.operators.LmScore.trigramState(corpus)
+        .orderBy("ord", "gram").collect().toSeq
+      collapsed shouldBe oneShot
+      // trigger 1's scores are as-of-ingest: the model of batch 1 alone
+      val asOf1 = graft.operators.LmScore.trigramSurprisal(
+          batches.head.toDF("doc_id", "text"))
+        .select("doc_id", "n_trigrams", "surprisal_fp")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      perBatch(0L) shouldBe asOf1
+      // and scoring the corpus off the final state == the q153 batch form
+      val incQ = graft.operators.LmScore.trigramSurprisalFromState(corpus,
+          spark.read.parquet(s"$statePath/counts")
+            .select("ord", "gram", "cnt")
+            .groupBy("ord", "gram").agg(org.apache.spark.sql.functions
+              .sum("cnt").as("cnt")))
+        .orderBy("doc_id").collect().toSeq
+      val batchQ = graft.operators.LmScore.trigramSurprisal(corpus)
+        .orderBy("doc_id").collect().toSeq
+      incQ shouldBe batchQ
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
