@@ -49,6 +49,10 @@ object SqlFunctions {
     register(spark, "simhash", classOf[SimHash], Set(1, 2),
       es => if (es.length == 1) SimHash(es.head)
             else SimHash(es.head, intLit(es(1), "simhash", "bits")))
+    register(spark, "char_ngram_hash_buckets", classOf[CharNgramHashBuckets], Set(3),
+      es => CharNgramHashBuckets(es.head,
+        intLit(es(1), "char_ngram_hash_buckets", "n"),
+        intLit(es(2), "char_ngram_hash_buckets", "buckets")))
     // redact_pii(s): the same ordered RegExpReplace chain
     // TextFunctions.redactPii composes — built directly as catalyst
     // expressions so the SQL surface shares one source of truth

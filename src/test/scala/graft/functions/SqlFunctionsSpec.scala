@@ -42,6 +42,11 @@ class SqlFunctionsSpec extends SparkTestBase {
       .as[Long].head() shouldBe 2L
     sql("SELECT size(minhash_signature(array(1L, 2L, 3L))) AS k")
       .as[Int].head() shouldBe TextFunctions.MinhashK
+    // "ab cd" -> windows "ab ", "b c", " cd", "cd" is 2 chars short of 5
+    sql("SELECT char_ngram_hash_buckets('Ab,cd', 3, 4096) AS b")
+      .selectExpr("size(b)").as[Int].head() shouldBe 3
+    sql("SELECT char_ngram_hash_buckets('ab', 3, 4096) AS b")
+      .selectExpr("size(b)").as[Int].head() shouldBe 0
   }
 
   test("bad arity and non-literal parameters fail loudly") {
