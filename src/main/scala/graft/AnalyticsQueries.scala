@@ -375,10 +375,28 @@ object AnalyticsQueries {
     // length) over every documents column — two passes, one combinable
     // aggregate + one (column, value) posting shuffle
     "q150_profile" -> ((s, dir) => graft.operators.Profile.tableProfile(
-      s.read.parquet(s"$dir/documents.parquet"), ProfileCols))
+      s.read.parquet(s"$dir/documents.parquet"), ProfileCols)),
+
+    // profile drift: the before/after data-quality alert — before is the
+    // first-half snapshot profiling (doc_id, text, lang, source), after
+    // is the full corpus profiling (doc_id, text, lang, n_chars), so the
+    // diff exercises common/removed/added rows plus every delta column
+    "q154_profile_diff" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Profile.diffProfiles(
+        graft.operators.Profile.tableProfile(
+          d.filter(col("doc_id") <= ProfileSplitId),
+          Seq("doc_id", "text", "lang", "source")),
+        graft.operators.Profile.tableProfile(d,
+          Seq("doc_id", "text", "lang", "n_chars")))
+    })
   )
 
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  /** Same first-half cut the incremental families use (CurationQueries'
+    * IncrSplitId2) — here it makes the before-snapshot's counts differ.
+    */
+  private val ProfileSplitId = 250L
 
   /** Pinned event-type pivot columns (the values the synthetic events
     * table contains; a new type would land nowhere — pivot contracts pin
@@ -772,14 +790,49 @@ object AnalyticsQueries {
     // with the modal-value subquery (min over struct(-count, value) — the
     // exact tie-break the operator's struct ordering rides), one UNION ALL
     // arm per profiled column
-    "q150_profile" -> ProfileCols.map(profileColSql).mkString("\nUNION ALL\n")
+    "q150_profile" ->
+      ProfileCols.map(profileColSql(_, "documents")).mkString("\nUNION ALL\n"),
+
+    // profile-diff twin: two profile CTEs (different column sets AND a
+    // different before-relation) full-joined, every delta in the same
+    // integer ppm / IS-DISTINCT-FROM flag forms the operator computes
+    "q154_profile_diff" -> {
+      val relB = s"(SELECT * FROM documents WHERE doc_id <= $ProfileSplitId)"
+      val bf = Seq("doc_id", "text", "lang", "source")
+        .map(profileColSql(_, relB)).mkString("\nUNION ALL\n")
+      val af = Seq("doc_id", "text", "lang", "n_chars")
+        .map(profileColSql(_, "documents")).mkString("\nUNION ALL\n")
+      def ppmSql(num: String, den: String): String =
+        s"CASE WHEN $den > 0 THEN CAST(CAST($num AS HUGEINT) * 1000000 // $den AS BIGINT) END"
+      def changedSql(c: String): String =
+        s"""CASE WHEN bf.n_rows IS NOT NULL AND af.n_rows IS NOT NULL
+           |    THEN CAST(bf.$c IS DISTINCT FROM af.$c AS INT) END""".stripMargin
+      s"""WITH bf AS ($bf),
+         |af AS ($af)
+         |SELECT coalesce(bf.col_name, af.col_name) AS col_name,
+         |  CASE WHEN bf.n_rows IS NOT NULL AND af.n_rows IS NOT NULL THEN 'common'
+         |       WHEN af.n_rows IS NOT NULL THEN 'added' ELSE 'removed' END AS status,
+         |  ${ppmSql("bf.n_null", "bf.n_rows")} AS null_ppm_before,
+         |  ${ppmSql("af.n_null", "af.n_rows")} AS null_ppm_after,
+         |  (${ppmSql("af.n_null", "af.n_rows")}) -
+         |    (${ppmSql("bf.n_null", "bf.n_rows")}) AS null_ppm_delta,
+         |  bf.n_distinct AS n_distinct_before,
+         |  af.n_distinct AS n_distinct_after,
+         |  ${ppmSql("af.n_distinct", "bf.n_distinct")} AS distinct_ratio_ppm,
+         |  ${changedSql("min_str")} AS min_changed,
+         |  ${changedSql("max_str")} AS max_changed,
+         |  ${changedSql("mode_str")} AS mode_changed,
+         |  af.avg_len_ppm - bf.avg_len_ppm AS avg_len_delta_ppm
+         |FROM bf FULL JOIN af ON bf.col_name = af.col_name""".stripMargin
+    }
   )
 
-  /** One q150 UNION ALL arm: every count CAST to BIGINT (DuckDB count is
-    * BIGINT but sum is HUGEINT), min/max in NATIVE type order then
-    * stringified, floor-division ppm via `//` on HUGEINT.
+  /** One q150/q154 profile UNION ALL arm over relation `rel`: every count
+    * CAST to BIGINT (DuckDB count is BIGINT but sum is HUGEINT), min/max
+    * in NATIVE type order then stringified, floor-division ppm via `//`
+    * on HUGEINT.
     */
-  private def profileColSql(c: String): String =
+  private def profileColSql(c: String, rel: String): String =
     s"""SELECT * FROM (
        |  SELECT '$c' AS col_name,
        |    CAST(count(*) AS BIGINT) AS n_rows,
@@ -790,12 +843,12 @@ object AnalyticsQueries {
        |    CASE WHEN count($c) > 0 THEN
        |      CAST(CAST(sum(length(CAST($c AS VARCHAR))) AS HUGEINT) * 1000000
        |        // count($c) AS BIGINT) END AS avg_len_ppm
-       |  FROM documents) pa
+       |  FROM $rel) pa
        |CROSS JOIN (
        |  SELECT (m).vv AS mode_str, CAST(-(m).nc AS BIGINT) AS mode_count FROM (
        |    SELECT min(struct_pack(nc := -c, vv := v)) AS m FROM (
        |      SELECT CAST($c AS VARCHAR) AS v, CAST(count(*) AS BIGINT) AS c
-       |      FROM documents WHERE $c IS NOT NULL GROUP BY 1))) pb""".stripMargin
+       |      FROM $rel t WHERE $c IS NOT NULL GROUP BY 1))) pb""".stripMargin
 
   /** Bloom probe position for probe-index expr `k` over hash expr `h` —
     * CASE arms generated from [[BloomFilter]]'s pinned constants.

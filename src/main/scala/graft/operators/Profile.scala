@@ -93,4 +93,41 @@ object Profile {
         col("min_str"), col("max_str"),
         col("mode_str"), col("mode_count"), col("avg_len_ppm"))
   }
+
+  /** Drift report between two [[tableProfile]] snapshots — the
+    * schema/data-quality alert a pipeline runs after every ingest or
+    * curation stage: per column, the null-rate and distinct-count moves,
+    * whether min/max/mode shifted, and the mean-length delta; columns
+    * only one side knows are flagged `added`/`removed` (schema drift).
+    * All integer ppm / flag / string outputs — engine-portable like the
+    * profiles themselves. Scale: a full-outer join on a
+    * columns-per-table-sized frame — driver-trivial at any corpus size
+    * (the cost lives in producing the profiles).
+    */
+  def diffProfiles(before: DataFrame, after: DataFrame): DataFrame = {
+    def side(df: DataFrame, sfx: String) = df.select(col("col_name") +:
+      df.columns.filterNot(_ == "col_name").map(c => col(c).as(s"${c}_$sfx")).toSeq: _*)
+    val ppm = (num: Column, den: Column) =>
+      when(den > 0L, floor(num.cast("decimal(38,0)") * lit(1000000L) /
+        den.cast("decimal(38,0)")).cast("long"))
+    val j = side(before, "b").join(side(after, "a"), Seq("col_name"), "full_outer")
+    val common = col("n_rows_b").isNotNull && col("n_rows_a").isNotNull
+    def changed(c: String) =
+      when(common, (!(col(s"${c}_b") <=> col(s"${c}_a"))).cast("int"))
+    j.select(col("col_name"),
+      when(common, lit("common"))
+        .when(col("n_rows_a").isNotNull, lit("added"))
+        .otherwise(lit("removed")).as("status"),
+      ppm(col("n_null_b"), col("n_rows_b")).as("null_ppm_before"),
+      ppm(col("n_null_a"), col("n_rows_a")).as("null_ppm_after"),
+      (ppm(col("n_null_a"), col("n_rows_a")) -
+        ppm(col("n_null_b"), col("n_rows_b"))).as("null_ppm_delta"),
+      col("n_distinct_b").as("n_distinct_before"),
+      col("n_distinct_a").as("n_distinct_after"),
+      ppm(col("n_distinct_a"), col("n_distinct_b")).as("distinct_ratio_ppm"),
+      changed("min_str").as("min_changed"),
+      changed("max_str").as("max_changed"),
+      changed("mode_str").as("mode_changed"),
+      (col("avg_len_ppm_a") - col("avg_len_ppm_b")).as("avg_len_delta_ppm"))
+  }
 }

@@ -445,6 +445,26 @@ class PlanSpec extends SparkTestBase {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q150: profile rides combinable aggregates — one-row stats pass + keyed posting, no window") {
+    val p = plan("q150_profile")
+    p should include("partial_count") // map-side partials on both passes
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q152: trigram joins stay keyed on gram strings; all ln math on distinct-gram domains") {
+    val p = plan("q152_trigram_surprisal")
+    p should include("partial_count")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    // exactly the sanctioned one-row floor-constant broadcast — the gram
+    // joins themselves must stay hash joins (count the numbered operator
+    // headers; the tree section repeats each name once more)
+    p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) shouldBe 1
+  }
+
   test("q114: PQ rerank joins stay keyed — no pair blowup re-introduced by the rerank stage") {
     val p = plan("q114_knn_pq_reranked")
     p should include("BroadcastExchange")

@@ -44,6 +44,40 @@ class ProfileSpec extends SparkTestBase {
     assert(dead.isNullAt(7) && dead.isNullAt(8))
   }
 
+  test("profile diff: statuses, ppm deltas, changed flags") {
+    val before = Profile.tableProfile(
+      Seq((1L, Some("x")), (2L, None)).toDF("id", "s"), Seq("id", "s"))
+    val after = Profile.tableProfile(
+      Seq((1L, 7L), (2L, 7L), (3L, 9L), (4L, 9L)).toDF("id", "v"), Seq("id", "v"))
+    val d = Profile.diffProfiles(before, after)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val id = d("id")
+    id.getString(1) shouldBe "common"
+    id.getLong(2) shouldBe 0L            // null ppm before
+    id.getLong(3) shouldBe 0L
+    id.getLong(4) shouldBe 0L            // delta
+    id.getLong(5) shouldBe 2L            // distinct before
+    id.getLong(6) shouldBe 4L
+    id.getLong(7) shouldBe 2000000L      // distinct ratio 2x
+    id.getInt(8) shouldBe 0              // min "1" unchanged
+    id.getInt(9) shouldBe 1              // max "2" -> "4"
+    id.getInt(10) shouldBe 0             // mode: tie -> "1" both sides
+    id.getLong(11) shouldBe 0L           // all ids are 1 char
+
+    val s = d("s")
+    s.getString(1) shouldBe "removed"
+    assert(s.isNullAt(3) && s.isNullAt(4) && s.isNullAt(6) && s.isNullAt(7))
+    assert(s.isNullAt(8) && s.isNullAt(9) && s.isNullAt(10) && s.isNullAt(11))
+    s.getLong(2) shouldBe 500000L        // 1 of 2 null before
+
+    val v = d("v")
+    v.getString(1) shouldBe "added"
+    assert(v.isNullAt(2) && v.isNullAt(4) && v.isNullAt(5) && v.isNullAt(7))
+    v.getLong(3) shouldBe 0L
+    v.getLong(6) shouldBe 2L
+  }
+
   test("unknown column is a loud error") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val e = intercept[IllegalArgumentException] {
