@@ -412,6 +412,67 @@ object App {
           o.required("output-path"))
         println(s"[graft] lm-score-with-model: wrote scores to ${o("output-path")}")
 
+      case "trigram-train" =>
+        // trigram stupid-backoff model state: one (ord, gram, cnt) table,
+        // sum-mergeable — trigram-ingest appends shard partials without
+        // retokenizing stored corpora
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.trigramState(
+            fetcher.readParquet(spark, o.required("reference-path")),
+            o.getOrElse("text-col", "text")),
+          o.required("state-path"))
+        println(s"[graft] trigram-train: wrote gram-count state to ${o("state-path")}")
+
+      case "trigram-ingest" =>
+        // append the shard's OWN count partial; readers collapse partials
+        // through the sum-merge, so ingest never rewrites stored state
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.trigramState(
+            fetcher.readParquet(spark, o.required("shard-path")),
+            o.getOrElse("text-col", "text")),
+          o.required("state-path"), mode = "append")
+        println(s"[graft] trigram-ingest: appended shard counts to ${o("state-path")}")
+
+      case "trigram-score" =>
+        // score-many half: frozen (possibly partial-appended) state, only
+        // the docs tokenize — increment == one-shot retrain bit-for-bit
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.LmScore.trigramSurprisalFromState(
+            fetcher.readParquet(spark, o.required("docs-path")),
+            operators.LmScore.normalizeTrigramState(
+              fetcher.readParquet(spark, o.required("state-path"))),
+            o.getOrElse("id-col", "doc_id"), o.getOrElse("text-col", "text")),
+          o.required("output-path"))
+        println(s"[graft] trigram-score: wrote trigram surprisal to ${o("output-path")}")
+
+      case "profile" =>
+        // the per-column data-quality report; --before-path diffs against
+        // a STORED profile snapshot (schema + data drift alert)
+        val o = parseArgs(args.tail)
+        val table = fetcher.readParquet(spark, o.required("table-path"))
+        val cols = o.get("columns")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(table.columns.toSeq)
+        val prof = operators.Profile.tableProfile(table, cols)
+        writer.writeParquet(prof, o.required("output-path"))
+        println(s"[graft] profile: wrote ${cols.size}-column report to ${o("output-path")}")
+        o.get("before-path").foreach { bp =>
+          val diff = operators.Profile.diffProfiles(
+            fetcher.readParquet(spark, bp),
+            fetcher.readParquet(spark, o.required("output-path")))
+          val diffOut = o.getOrElse("diff-output-path", s"${o("output-path")}_diff")
+          writer.writeParquet(diff, diffOut)
+          val moved = fetcher.readParquet(spark, diffOut)
+            .filter(org.apache.spark.sql.functions.expr(
+              "status <> 'common' OR min_changed = 1 OR max_changed = 1 " +
+                "OR mode_changed = 1 OR coalesce(abs(null_ppm_delta), 0) > 0"))
+            .count()
+          println(s"[graft] profile: diff vs $bp -> $moved column(s) moved ($diffOut)")
+        }
+
       case "kl-drift" =>
         // per-group token-distribution drift vs the whole corpus
         val o = parseArgs(args.tail)
@@ -1219,6 +1280,16 @@ object App {
       |                     persist the unigram model state (train once)
       |  lm-score-with-model --docs-path <path> --model-path <dir>
       |                     --output-path <path>  score against frozen state
+      |  trigram-train      --reference-path <path> --state-path <dir>
+      |                     persist trigram stupid-backoff gram counts
+      |  trigram-ingest     --shard-path <path> --state-path <dir>
+      |                     append a shard's count partial (no retrain)
+      |  trigram-score      --docs-path <path> --state-path <dir>
+      |                     --output-path <path>  score off (grown) state
+      |  profile            --table-path <path> --output-path <path>
+      |                     [--columns a,b,c] [--before-path <stored profile>
+      |                      [--diff-output-path <path>]]  per-column
+      |                     data-quality report + drift alert vs snapshot
       |  kl-drift           --docs-path <path> --output-path <path>
       |                     [--group-col <c=source>]  per-group token KL
       |  tfidf              --docs-path <path> --output-path <path>

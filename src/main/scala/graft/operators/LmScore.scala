@@ -238,6 +238,13 @@ object LmScore {
     a.unionByName(b)
       .groupBy(col("ord"), col("gram")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Collapse a state dir's appended per-shard partials to one count per
+    * (ord, gram) — what every reader of raw stored state goes through.
+    */
+  def normalizeTrigramState(raw: DataFrame): DataFrame =
+    mergeTrigramStates(raw.select(col("ord"), col("gram"), col("cnt")),
+      raw.select(col("ord"), col("gram"), col("cnt")).limit(0))
+
   /** Fold a new shard's gram counts into stored state — only the shard
     * tokenizes; the merge is one sum per touched (ord, gram).
     */

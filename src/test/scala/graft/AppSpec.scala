@@ -387,6 +387,48 @@ class AppSpec extends SparkTestBase {
       contain((8888L, 3L))
   }
 
+  test("trigram-train/ingest/score and profile subcommands") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    storage.write("docs", docs, "overwrite")
+    storage.write("half1", docs.filter(col("doc_id") <= 250), "overwrite")
+    storage.write("half2", docs.filter(col("doc_id") > 250), "overwrite")
+    // train on half 1, ingest half 2 as an appended partial, score — must
+    // equal the one-shot self-model (q153's increment == retrain)
+    App.run(platform, Seq("trigram-train",
+      "--reference-path", "half1", "--state-path", "tri_state"))
+    App.run(platform, Seq("trigram-ingest",
+      "--shard-path", "half2", "--state-path", "tri_state"))
+    App.run(platform, Seq("trigram-score",
+      "--docs-path", "docs", "--state-path", "tri_state",
+      "--output-path", "tri_scores"))
+    def scoreSet(p: String) = storage.rows(p)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("surprisal_fp"))).toSet
+    val oneShot = graft.operators.LmScore.trigramSurprisal(
+        docs.select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    scoreSet("tri_scores") shouldBe oneShot
+    // profile + drift alert between the half-1 snapshot and the full corpus
+    App.run(platform, Seq("profile",
+      "--table-path", "half1", "--output-path", "prof_before",
+      "--columns", "doc_id,text,lang,source"))
+    App.run(platform, Seq("profile",
+      "--table-path", "docs", "--output-path", "prof_after",
+      "--columns", "doc_id,text,lang,n_chars",
+      "--before-path", "prof_before", "--diff-output-path", "prof_diff"))
+    storage.rows("prof_before").size shouldBe 4
+    val diff = storage.rows("prof_diff")
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("status")).toMap
+    diff("source") shouldBe "removed"
+    diff("n_chars") shouldBe "added"
+    diff("doc_id") shouldBe "common"
+    // doc_id's max moved between the half and the full corpus
+    storage.rows("prof_diff").find(_.getAs[String]("col_name") == "doc_id")
+      .get.getAs[Int]("max_changed") shouldBe 1
+  }
+
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage
