@@ -833,7 +833,9 @@ object AnalyticsQueries {
     * on HUGEINT.
     */
   private def profileColSql(c: String, rel: String): String =
-    s"""SELECT * FROM (
+    s"""SELECT col_name, n_rows, n_null, n_distinct, min_str, max_str,
+       |  mode_str, mode_count, avg_len_ppm
+       |FROM (
        |  SELECT '$c' AS col_name,
        |    CAST(count(*) AS BIGINT) AS n_rows,
        |    CAST(count(*) - count($c) AS BIGINT) AS n_null,

@@ -63,7 +63,8 @@ object SparkEntry {
     */
   def cleanupScratch(s: SparkSession, dir: String): Unit = {
     val tag = scratchTag(s, dir)
-    Seq(s"/tmp/graft_io/q32_csv_$tag", s"/tmp/graft_io/q33_json_$tag")
+    Seq(s"/tmp/graft_io/q32_csv_$tag", s"/tmp/graft_io/q33_json_$tag",
+        s"/tmp/graft_io/q151_orc_$tag")
       .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     graft.sources.ProdWriter.dropTable(s, s"graft_q34_supplier_$tag")
   }

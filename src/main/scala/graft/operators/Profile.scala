@@ -42,8 +42,13 @@ import org.apache.spark.sql.functions._
   * Every min/max is taken in the column's native type (numeric order for
   * numerics) and stringified only for the uniform report schema; the modal
   * tie-break rides the `min(struct(-count, value))` struct ordering, so the
-  * whole report is deterministic and engine-portable (the DuckDB twin
-  * reproduces it bit-for-bit).
+  * whole report is deterministic, and for integer/string/date columns the
+  * DuckDB twin reproduces it bit-for-bit. CAVEAT for float/double columns:
+  * n_distinct/mode/avg_len count distinct STRING REPRESENTATIONS (the
+  * posting casts values to string for the uniform shuffle key), so 0.0 and
+  * -0.0 count as two, and the rendering of large doubles is
+  * engine-specific — profile floats for the min/max/null counts, not for
+  * exact distinct parity.
   */
 object Profile {
 
@@ -83,8 +88,7 @@ object Profile {
       .select(col("col_name"), col("n_distinct"),
         col("__m.vv").as("mode_str"),
         (-col("__m.nc")).as("mode_count"),
-        floor(col("__lensum").cast("decimal(38,0)") * lit(1000000L) /
-          col("__cnt").cast("decimal(38,0)")).cast("long").as("avg_len_ppm"))
+        ExactPpm.ppm(col("__lensum"), col("__cnt")).as("avg_len_ppm"))
 
     perCol.join(post, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"),
@@ -107,9 +111,7 @@ object Profile {
   def diffProfiles(before: DataFrame, after: DataFrame): DataFrame = {
     def side(df: DataFrame, sfx: String) = df.select(col("col_name") +:
       df.columns.filterNot(_ == "col_name").map(c => col(c).as(s"${c}_$sfx")).toSeq: _*)
-    val ppm = (num: Column, den: Column) =>
-      when(den > 0L, floor(num.cast("decimal(38,0)") * lit(1000000L) /
-        den.cast("decimal(38,0)")).cast("long"))
+    val ppm = (num: Column, den: Column) => ExactPpm.ppm(num, den)
     val j = side(before, "b").join(side(after, "a"), Seq("col_name"), "full_outer")
     val common = col("n_rows_b").isNotNull && col("n_rows_a").isNotNull
     def changed(c: String) =

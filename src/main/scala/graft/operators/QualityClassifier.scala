@@ -207,12 +207,12 @@ object QualityClassifier {
     val scored = scoredIn
       .join(labeled.select(col(idCol), col(labelCol).cast("int").as("__y")), idCol)
     def cnt(p: org.apache.spark.sql.Column) = sum(p.cast("long"))
-    // exact floor-division ppm: DECIMAL(38,0) keeps the 1e6-scaled
-    // numerator exact far past the 2^53 double ceiling
+    // exact floor-division ppm: DECIMAL keeps the 1e6-scaled numerator
+    // exact far past the 2^53 double ceiling, and [[ExactPpm]] dodges the
+    // scale-6 HALF_UP round that would drift from the oracle's `//` at
+    // seed counts past ~2e6
     val ppm = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
-      when(den > 0L,
-        floor(num.cast("decimal(38,0)") * lit(1000000L) / den.cast("decimal(38,0)"))
-          .cast("long"))
+      ExactPpm.ppm(num, den)
     scored
       .withColumn("thr_fp", explode(array(thresholdsFp.map(lit): _*)))
       .withColumn("__pred", (col("logodds_fp") >= col("thr_fp")).cast("int"))

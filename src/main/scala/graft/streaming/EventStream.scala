@@ -380,7 +380,9 @@ object EventStream {
     * batch rewrites the same partial instead of double-counting (counts
     * are sum-merged, the one state family where a blind re-append would
     * NOT be idempotent); reads collapse partials through the merge's
-    * groupBy-sum. Unlike [[surprisalGateWriter]]'s frozen unigram model,
+    * groupBy-sum, and a trigger excludes its OWN batch id from the stored
+    * side so a replay whose partial already landed scores against the
+    * same as-of-ingest model it originally emitted. Unlike [[surprisalGateWriter]]'s frozen unigram model,
     * this gate needs no pre-trained reference — it bootstraps from the
     * stream itself (batch 1 scores against its own counts alone).
     * `sink` receives (idCol, n_trigrams, surprisal_fp, mean_surprisal)
@@ -396,20 +398,34 @@ object EventStream {
         val spark = batch.sparkSession
         val b = batch.toDF()
         val countsPath = s"$statePath/counts"
+        // persist: the scoring chain filters the merged state once per gram
+        // order and the batch tokenizes for both its state and its
+        // postings — without these the stored partials re-aggregate 3x and
+        // the batch tokenizes 4x per trigger (the mediaDedupGate rule)
         val bState = graft.operators.LmScore.trigramState(b, textCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val storedRaw = tableOr(spark, countsPath, null)
-        val merged =
+        val merged = (
           if (storedRaw == null) {
             // first trigger: still collapse (ord, gram) in case the batch
             // state is read back later next to appended partials
             graft.operators.LmScore.mergeTrigramStates(bState, bState.limit(0))
           } else graft.operators.LmScore.mergeTrigramStates(
-            storedRaw.select(col("ord"), col("gram"), col("cnt")), bState)
-        sink(graft.operators.LmScore.trigramSurprisalFromState(
-          b, merged, idCol, textCol), batchId)
-        // batch-scoped OVERWRITE after the sink: replayed batches rewrite
-        // their own partial (idempotent), never double-count
-        bState.write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+            // a crash AFTER the partial write but BEFORE the checkpoint
+            // commit replays this batchId with its own partial already on
+            // disk — drop it, or the replayed trigger's scores would
+            // double-count the batch (the state itself stays correct via
+            // the overwrite; this keeps the SINK emission as-of-ingest too)
+            storedRaw.filter(col("batch") =!= batchId)
+              .select(col("ord"), col("gram"), col("cnt")), bState)
+          ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(graft.operators.LmScore.trigramSurprisalFromState(
+            b, merged, idCol, textCol), batchId)
+          // batch-scoped OVERWRITE after the sink: replayed batches rewrite
+          // their own partial (idempotent), never double-count
+          bState.write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+        } finally { merged.unpersist(); bState.unpersist(); () }
       }
 
   /** Streaming FUZZY (near-duplicate) contamination gate: each arriving
