@@ -362,6 +362,34 @@ object EventStream {
           batch.toDF(), model, idCol, textCol), batchId)
       }
 
+  /** Streaming profile-drift monitor: each arriving micro-batch is
+    * profiled ([[graft.operators.Profile.tableProfile]] over `columns`)
+    * and diffed against a PINNED baseline profile (profiled once from a
+    * known-good corpus, persisted, reused every trigger — the
+    * [[surprisalGateWriter]] frozen-reference shape, stateless on the
+    * streaming side). The sink receives the per-column drift report
+    * ([[graft.operators.Profile.diffProfiles]] columns: status, null-ppm
+    * deltas, distinct ratio, min/max/mode flags, mean-length delta) with
+    * the micro-batch id — alert when a shard's schema or data departs
+    * from the corpus it is supposed to extend. One code path with batch
+    * q154: the foreachBatch body IS the batch diff, so streamed and
+    * batch reports cannot drift. NOTE a micro-batch is a SAMPLE of the
+    * corpus: expect distinct_ratio/min/max moves proportional to batch
+    * size; the load-bearing signals per trigger are `status`
+    * (added/removed columns = schema drift), null_ppm_delta, and
+    * mode/mean-length shifts.
+    */
+  def profileDriftGateWriter(docs: DataFrame, baseline: DataFrame,
+                             columns: Seq[String],
+                             sink: (DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Profile.diffProfiles(baseline,
+          graft.operators.Profile.tableProfile(batch.toDF(), columns)), batchId)
+      }
+
   /** Streaming trigram-LM gate with a GROWING model: each arriving
     * micro-batch scores against the trigram stupid-backoff model of
     * EVERYTHING ingested so far INCLUDING the batch itself (the as-of-

@@ -762,6 +762,49 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming profile-drift gate: per-batch diff == batch q154 form; schema drift flags") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val baseline = graft.operators.Profile.tableProfile(
+      corpus, Seq("doc_id", "text", "lang")).persist()
+    val batches = Seq(
+      // batch 1: a clean sample — everything common
+      Seq((9001L, "plain prose sample", "en")),
+      // batch 2: lang gone dark (all NULL) — the null_ppm alarm
+      Seq((9002L, "more prose", null.asInstanceOf[String]),
+        (9003L, "and more", null.asInstanceOf[String])))
+    val input = MemoryStream[(Long, String, String)]
+    var reports = Map.empty[Long, Seq[org.apache.spark.sql.Row]]
+    val query = EventStream.profileDriftGateWriter(
+        input.toDF().toDF("doc_id", "text", "lang"), baseline,
+        Seq("doc_id", "text", "lang"),
+        sink = (out, bid) => reports += bid -> out.collect().toSeq)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      // every report row is "common" (same columns both sides)
+      reports.values.flatten.map(_.getAs[String]("status")).toSet shouldBe Set("common")
+      // batch 2's lang went from 0-null baseline to all-null: delta 1e6
+      val lang2 = reports(1L).find(_.getAs[String]("col_name") == "lang").get
+      lang2.getAs[Long]("null_ppm_delta") shouldBe 1000000L
+      // and the gate body IS the batch diff — bit-identical to composing
+      // the operators directly on the same micro-batch
+      val direct = graft.operators.Profile.diffProfiles(baseline,
+          graft.operators.Profile.tableProfile(
+            batches(1).toDF("doc_id", "text", "lang"),
+            Seq("doc_id", "text", "lang")))
+        .orderBy("col_name").collect().toSeq
+      reports(1L).sortBy(_.getAs[String]("col_name")) shouldBe direct
+    } finally {
+      query.stop()
+      baseline.unpersist()
+      ()
+    }
+  }
+
   test("streaming trigram-LM gate: accumulated state == one-shot model; scores are as-of-ingest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
