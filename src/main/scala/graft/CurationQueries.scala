@@ -1168,6 +1168,43 @@ object CurationQueries {
           seqLen = PackSeqLen))
     }))
 
+  // ---- bench-only LM attribution twins ---------------------------------
+
+  /** Materialize trigram-LM state once per bench run (whole-corpus state
+    * + the q153 half-corpus head) so the twins below time scoring and
+    * shard ingest in isolation — q152/q153's contract timings retrain the
+    * model inside the query (the honest end-to-end cost; `App
+    * trigram-train` amortizes it), so a scoring regression hides behind
+    * training cost, the b136-b140 dilution one family over.
+    */
+  def materializeLmState(s: SparkSession, dir: String, base: String): Unit = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    LmScore.trigramState(d)
+      .write.mode("overwrite").parquet(s"$base/state_full")
+    LmScore.trigramState(d.filter(col("doc_id") <= IncrSplitId2))
+      .write.mode("overwrite").parquet(s"$base/state_head")
+  }
+
+  /** Bench-only attribution twins against [[materializeLmState]]: score
+    * alone (frozen whole-corpus state — the `App trigram-score` shape)
+    * and shard ingest alone (stored head state + the second-half shard).
+    * NOT oracle-gated — q152/q153 gate the same operators; these split
+    * train/ingest/score cost and stay out of the headline total.
+    */
+  def lmAttribution(base: String): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b152_trigram_score_only" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      LmScore.trigramSurprisalFromState(d, s.read.parquet(s"$base/state_full"))
+    }),
+    "b153_trigram_ingest_only" -> ((s, dir) =>
+      LmScore.incrementTrigramState(
+        s.read.parquet(s"$base/state_head"),
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") > IncrSplitId2))))
+
   // ---- bench-only media attribution twins -----------------------------
 
   /** Materialize the media-dedup fixture payloads once per bench run

@@ -332,6 +332,7 @@ object SparkEntry {
     backfill(s, dir).write.mode("overwrite").parquet(path)
     CurationQueries.materializeTokenizerArtifacts(s, dir, path + "_tok")
     CurationQueries.materializeMediaFixtures(s, dir, path + "_media")
+    CurationQueries.materializeLmState(s, dir, path + "_lm")
   }
 
   /** Bench-only twins of q15/q16/q17: those contract queries recompute the
@@ -354,7 +355,8 @@ object SparkEntry {
           OnlineSyncPipeline.latestPerUser(feats(s), lit("2024-01-24").cast("date"))))
     )
     base ++ CurationQueries.tokenizerAttribution(featuresPath + "_tok") ++
-      CurationQueries.mediaAttribution(featuresPath + "_media")
+      CurationQueries.mediaAttribution(featuresPath + "_media") ++
+      CurationQueries.lmAttribution(featuresPath + "_lm")
   }
 
   def oracleSql: Map[String, String] = Map(

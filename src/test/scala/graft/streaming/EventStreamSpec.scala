@@ -856,6 +856,46 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("trigram gate replay: a re-delivered batch id scores against the same as-of model, state unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_trireplay").toString
+    val rows = Seq((1L, "the cat sat on the mat"), (2L, "the thin cat sat"))
+    def runOnce(): Map[Long, (Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      var got = Map.empty[Long, (Long, Long)]
+      val query = EventStream.trigramGateWriter(
+          input.toDF().toDF("doc_id", "text"), statePath,
+          sink = (out, _) => {
+            got = out.select("doc_id", "n_trigrams", "surprisal_fp")
+              .as[(Long, Long, Long)].collect()
+              .map(r => r._1 -> (r._2, r._3)).toMap
+          })
+        .start()
+      try { input.addData(rows); query.processAllAvailable(); got }
+      finally { query.stop(); () }
+    }
+    try {
+      val first = runOnce()
+      // a fresh stream re-delivers the same data as batchId 0 while the
+      // batch=0 partial already sits in the state dir — the crash-replay
+      // shape. The reader must EXCLUDE that partial, or the replayed
+      // scores double-count the batch's own grams.
+      val replayed = runOnce()
+      replayed shouldBe first
+      // and the state still holds exactly one copy of the batch's counts
+      val st = graft.operators.LmScore.normalizeTrigramState(
+          spark.read.parquet(s"$statePath/counts"))
+        .orderBy("ord", "gram").collect().toSeq
+      val want = graft.operators.LmScore.trigramState(
+          rows.toDF("doc_id", "text"))
+        .orderBy("ord", "gram").collect().toSeq
+      st shouldBe want
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming embedding-contamination gate across micro-batches == batch audit") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
