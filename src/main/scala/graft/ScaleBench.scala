@@ -156,6 +156,18 @@ object ScaleBench {
       // should track corpus bytes, never pairs
       "table_profile" -> (k => graft.operators.Profile.tableProfile(
         scaledDocs(k), Seq("doc_id", "text", "lang", "source"))),
+      // q155 shape: K power iterations over an edge table that grows
+      // linearly with the corpus (replica ids shift hosts by Stride/16,
+      // so the host graph grows k-fold; the edge join + contrib sum per
+      // iteration are both edge-linear)
+      "host_pagerank" -> (k => graft.operators.PageRank.rank(
+        scaledDocs(k).select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id + 21) div 16").as("dst"))
+        .unionByName(scaledDocs(k).select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = 5)),
       // q109/q110/q112 shapes: more pinned-ln-on-distinct-domain scores —
       // KL's weighted DECIMAL sum, tf-idf's per-doc window, PMI's
       // TakeOrdered cut; rotation again grows the distinct domains

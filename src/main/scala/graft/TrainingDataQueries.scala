@@ -62,6 +62,21 @@ object TrainingDataQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), expr(urlCaseSql("CAST(doc_id div 16 AS STRING)")).as("url")))),
 
+    // fixed-point PageRank over the synthesized host-link graph (two
+    // deterministic edge families per doc) — the crawl-prioritization /
+    // domain-authority signal; integer ppm ranks, bit-identical across
+    // engines and partitionings
+    "q155_host_pagerank" -> ((s, dir) =>
+      graft.operators.PageRank.rank(
+        s.read.parquet(s"$dir/documents.parquet").select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id + 21) div 16").as("dst"))
+        .unionByName(
+          s.read.parquet(s"$dir/documents.parquet").select(
+            expr("doc_id div 16").as("src"),
+            expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = PrIters)),
+
     // exact n-gram Jaccard near-dup pairs (shingle inverted-index join)
     "q24_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
@@ -746,6 +761,37 @@ object TrainingDataQueries {
        |  END AS canonical_url FROM n)""".stripMargin
   }
 
+  /** q155 power-iteration count — shared by the Spark query and the
+    * unrolled oracle so they cannot drift.
+    */
+  private val PrIters = 5
+
+  /** q155's oracle: edge synthesis + PrIters unrolled (contrib, update)
+    * CTE pairs. All integer: `//` floor division for contributions, the
+    * damped update on a HUGEINT product — mirrors [[graft.operators
+    * .PageRank]]'s `div` / DECIMAL(38,0) forms exactly.
+    */
+  private lazy val pageRankOracleSql: String = {
+    val base =
+      s"""ed AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT doc_id // 16 AS src, (doc_id + 21) // 16 AS dst FROM documents
+         |  UNION ALL
+         |  SELECT doc_id // 16, (doc_id * 3 + 5) // 16 FROM documents)
+         |  WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT h FROM (SELECT src AS h FROM ed UNION SELECT dst FROM ed)),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM ed GROUP BY src),
+         |r0 AS (SELECT h, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT ed.dst AS h, CAST(sum(r${i - 1}.r // deg.d) AS BIGINT) AS cs
+         |  FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.h JOIN deg ON ed.src = deg.src
+         |  GROUP BY ed.dst),
+         |r$i AS (SELECT n.h, CAST(150000 +
+         |    CAST(850000 AS HUGEINT) * coalesce(c$i.cs, 0) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i ON n.h = c$i.h)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $base,\n$its\nSELECT h AS host, r AS rank_ppm FROM r$PrIters"
+  }
+
   private lazy val urlDedupOracleSql: String =
     s"""WITH $urlCanonCtes
        |SELECT doc_id, canonical_url,
@@ -926,6 +972,11 @@ object TrainingDataQueries {
     // trailing slash, fragment, tracking filter + param sort), then
     // q23's window-dedup shape on the canonical key
     "q141_url_dedup" -> urlDedupOracleSql,
+
+    // PageRank twin: the same edge synthesis, then PrIters power
+    // iterations UNROLLED as CTE pairs (contrib -> damped update), every
+    // step integer floor division — the q104 unrolled-loop precedent
+    "q155_host_pagerank" -> pageRankOracleSql,
 
     // host-split twin: canonical host through the q39 split CASE
     "q144_host_split" -> hostSplitOracleSql,
