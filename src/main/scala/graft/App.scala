@@ -473,6 +473,24 @@ object App {
           println(s"[graft] profile: diff vs $bp -> $moved column(s) moved ($diffOut)")
         }
 
+      case "pagerank" =>
+        // host/domain authority over an edge table (src, dst) — integer
+        // fixed-point power iteration, deterministic at any partitioning
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.PageRank.rank(
+            fetcher.readParquet(spark, o.required("edges-path")),
+            iters = o.getOrElse("iters", "5").toInt,
+            srcCol = o.getOrElse("src-col", "src"),
+            dstCol = o.getOrElse("dst-col", "dst")),
+          o.required("output-path"))
+        val top = fetcher.readParquet(spark, o.required("output-path"))
+          .orderBy(org.apache.spark.sql.functions.col("rank_ppm").desc)
+          .limit(1).collect().headOption
+        top.foreach(r => println(
+          s"[graft] pagerank: top host ${r.get(0)} rank_ppm=${r.getLong(1)}"))
+        println(s"[graft] pagerank: wrote host ranks to ${o("output-path")}")
+
       case "kl-drift" =>
         // per-group token-distribution drift vs the whole corpus
         val o = parseArgs(args.tail)
@@ -1280,6 +1298,9 @@ object App {
       |                     persist the unigram model state (train once)
       |  lm-score-with-model --docs-path <path> --model-path <dir>
       |                     --output-path <path>  score against frozen state
+      |  pagerank           --edges-path <path> --output-path <path>
+      |                     [--iters <n=5>] [--src-col src] [--dst-col dst]
+      |                     fixed-point host/domain authority ranking
       |  trigram-train      --reference-path <path> --state-path <dir>
       |                     persist trigram stupid-backoff gram counts
       |  trigram-ingest     --shard-path <path> --state-path <dir>

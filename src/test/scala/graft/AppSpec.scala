@@ -427,6 +427,14 @@ class AppSpec extends SparkTestBase {
     // doc_id's max moved between the half and the full corpus
     storage.rows("prof_diff").find(_.getAs[String]("col_name") == "doc_id")
       .get.getAs[Int]("max_changed") shouldBe 1
+    // pagerank CLI: a 3-cycle's fixed point is uniform 1e6
+    storage.write("edges",
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), "overwrite")
+    App.run(platform, Seq("pagerank",
+      "--edges-path", "edges", "--output-path", "ranks", "--iters", "3"))
+    storage.rows("ranks").map(r =>
+      r.getAs[Long]("host") -> r.getAs[Long]("rank_ppm")).toMap shouldBe
+      Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
   }
 
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
