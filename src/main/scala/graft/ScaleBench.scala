@@ -157,9 +157,12 @@ object ScaleBench {
       "table_profile" -> (k => graft.operators.Profile.tableProfile(
         scaledDocs(k), Seq("doc_id", "text", "lang", "source"))),
       // q155 shape: K power iterations over an edge table that grows
-      // linearly with the corpus (replica ids shift hosts by Stride/16,
-      // so the host graph grows k-fold; the edge join + contrib sum per
-      // iteration are both edge-linear)
+      // linearly with the corpus. Replica i's src hosts live at
+      // ~i*Stride/16; the second edge family CROSS-LINKS replicas (dst
+      // ~3i*Stride/16 lands in replica 3i's range) — one connected
+      // growing graph, NOT k disjoint copies, but edges and nodes both
+      // grow k-fold, which is what the edge-linear-per-iteration read
+      // needs
       "host_pagerank" -> (k => graft.operators.PageRank.rank(
         scaledDocs(k).select(
           expr("doc_id div 16").as("src"),

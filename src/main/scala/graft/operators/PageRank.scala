@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * grows; ranks/edges persist across iterations (edges once, each rank
   * frame until its successor materializes). No windows, no collect, no
   * pair blowup — edge-linear per iteration at any graph size.
+  *
+  * The RETURNED frame stays persisted (node-count-sized — one row per
+  * host) so consumers read the materialized ranks instead of replaying
+  * the iteration lineage; long-lived callers ranking many graphs should
+  * `unpersist()` results they are done with. No incremental form on
+  * purpose: ranks are a GLOBAL fixed point of the whole graph — new
+  * edges shift every node's rank, so "increment == recompute" holds
+  * trivially and an appendable-state variant would be a lie.
   */
 object PageRank {
 
@@ -64,6 +72,11 @@ object PageRank {
       r.unpersist()
       r = rNew
     }
+    // the final ranks are materialized, so the big inputs can release;
+    // a cache-evicted recompute of `r` would re-derive them (slower,
+    // still correct)
+    e.unpersist()
+    nodes.unpersist()
     r
   }
 }

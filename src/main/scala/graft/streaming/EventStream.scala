@@ -386,8 +386,13 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(graft.operators.Profile.diffProfiles(baseline,
-          graft.operators.Profile.tableProfile(batch.toDF(), columns)), batchId)
+        // persist: tableProfile's two passes (combinable aggregate +
+        // value posting) would otherwise read the batch source twice
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try sink(graft.operators.Profile.diffProfiles(baseline,
+          graft.operators.Profile.tableProfile(b, columns)), batchId)
+        finally { b.unpersist(); () }
       }
 
   /** Streaming trigram-LM gate with a GROWING model: each arriving
