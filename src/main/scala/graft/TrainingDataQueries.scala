@@ -77,6 +77,26 @@ object TrainingDataQueries {
             expr("(doc_id * 3 + 5) div 16").as("dst"))),
         iters = PrIters)),
 
+    // authority-weighted corpus sampling: q155's host ranks become the
+    // Efraimidis-Spirakis weights, so inclusion probability tracks
+    // domain authority — the crawl-prioritization recipe, one broadcast
+    // join (ranks are node-count-sized) + q101's deterministic top-N
+    "q156_authority_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ranks = graft.operators.PageRank.rank(
+        d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id + 21) div 16").as("dst"))
+          .unionByName(d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = PrIters)
+      graft.operators.Sampling.weightedSample(
+        d.select(col("doc_id"), col("text"), expr("doc_id div 16").as("host"))
+          .join(ranks, "host")
+          .withColumnRenamed("rank_ppm", "weight"),
+        "weight", n = AuthoritySampleN)
+        .select(col("doc_id"), col("host"), col("weight"), col("priority"))
+    }),
+
     // exact n-gram Jaccard near-dup pairs (shingle inverted-index join)
     "q24_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
@@ -766,12 +786,23 @@ object TrainingDataQueries {
     */
   private val PrIters = 5
 
+  /** q156 sample size — big enough that several hosts contribute, small
+    * enough that the priority cut actually excludes docs.
+    */
+  private val AuthoritySampleN = 30
+
   /** q155's oracle: edge synthesis + PrIters unrolled (contrib, update)
     * CTE pairs. All integer: `//` floor division for contributions, the
     * damped update on a HUGEINT product — mirrors [[graft.operators
     * .PageRank]]'s `div` / DECIMAL(38,0) forms exactly.
     */
-  private lazy val pageRankOracleSql: String = {
+  private lazy val pageRankOracleSql: String =
+    s"WITH $pageRankCtesSql\nSELECT h AS host, r AS rank_ppm FROM r$PrIters"
+
+  /** The q155 CTE chain (edges + unrolled iterations), shared with q156's
+    * authority-weighted sampling twin.
+    */
+  private lazy val pageRankCtesSql: String = {
     val base =
       s"""ed AS (SELECT DISTINCT src, dst FROM (
          |  SELECT doc_id // 16 AS src, (doc_id + 21) // 16 AS dst FROM documents
@@ -789,7 +820,7 @@ object TrainingDataQueries {
          |    CAST(850000 AS HUGEINT) * coalesce(c$i.cs, 0) // 1000000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN c$i ON n.h = c$i.h)""".stripMargin
     }.mkString(",\n")
-    s"WITH $base,\n$its\nSELECT h AS host, r AS rank_ppm FROM r$PrIters"
+    s"$base,\n$its"
   }
 
   private lazy val urlDedupOracleSql: String =
@@ -977,6 +1008,25 @@ object TrainingDataQueries {
     // iterations UNROLLED as CTE pairs (contrib -> damped update), every
     // step integer floor division — the q104 unrolled-loop precedent
     "q155_host_pagerank" -> pageRankOracleSql,
+
+    // authority-sampling twin: the q155 CTE chain feeding q101's
+    // Efraimidis-Spirakis priority (pinned-ln of the 61-bit content
+    // hash over the host's rank weight), same DESC/doc_id tie-break
+    "q156_authority_sample" -> {
+      def steps(p: String, x: String): String =
+        graft.functions.PinnedMath.lnFpSteps(p, x)
+          .map { case (a, e) => s"$e AS $a" }.mkString(",\n  ")
+      s"""WITH $pageRankCtesSql,
+         |wsrc AS (SELECT d.doc_id, d.text, d.doc_id // 16 AS host, rr.r AS weight
+         |  FROM documents d JOIN r$PrIters rr ON d.doc_id // 16 = rr.h),
+         |hh AS (SELECT doc_id, host, weight, ${polyHash61StepsSql("text")} FROM wsrc),
+         |ln1 AS (SELECT doc_id, host, weight, ${steps("lnu", "(h + 1)")} FROM hh)
+         |SELECT doc_id, host, weight,
+         |  CAST(lnu_lnfp - ${graft.functions.PinnedMath.LnFp2Pow61} AS DOUBLE)
+         |    / CAST(weight AS DOUBLE)
+         |    / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) AS priority
+         |FROM ln1 ORDER BY priority DESC, doc_id ASC LIMIT $AuthoritySampleN""".stripMargin
+    },
 
     // host-split twin: canonical host through the q39 split CASE
     "q144_host_split" -> hostSplitOracleSql,
