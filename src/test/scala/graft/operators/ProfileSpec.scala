@@ -78,6 +78,28 @@ class ProfileSpec extends SparkTestBase {
     v.getLong(6) shouldBe 2L
   }
 
+  test("empty table: one row per column, zero counts, NULL stats") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val out = Profile.tableProfile(empty, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("id", "s")
+    for (r <- out.values) {
+      r.getLong(1) shouldBe 0L // n_rows
+      r.getLong(2) shouldBe 0L // n_null
+      r.getLong(3) shouldBe 0L // n_distinct
+      assert((4 to 8).forall(r.isNullAt)) // min/max/mode/count/avg_len
+    }
+    // and diffing an empty-table snapshot against data is all-common with
+    // NULL before-side ppms (den 0), never a divide error
+    val d = Profile.diffProfiles(
+      Profile.tableProfile(empty, Seq("id", "s")),
+      Profile.tableProfile(Seq((1L, "a")).toDF("id", "s"), Seq("id", "s")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    d("id").getString(1) shouldBe "common"
+    assert(d("id").isNullAt(2))  // null_ppm_before: n_rows 0 -> NULL
+    d("id").getLong(3) shouldBe 0L
+  }
+
   test("unknown column is a loud error") {
     val df = Seq((1L, "a")).toDF("id", "s")
     val e = intercept[IllegalArgumentException] {
