@@ -34,14 +34,45 @@ object Bench {
       ctx.getConfiguration.getRootLogger.addAppender(app, Level.WARN, null)
       ctx.updateLoggers()
     } catch { case scala.util.control.NonFatal(_) => () } // watchdog is best-effort
+
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    // The PREVIOUS committed run's per-query mins, read before this run
+    // overwrites the artifact: the resample rule below compares against
+    // them so a load burst that swallows BOTH samples of a query earns a
+    // flagged third sample instead of poisoning the cross-round min
+    // (round 13's driver artifact read q149 at [36.6, 20.5]s vs 1.74s
+    // committed, and the artifact alone couldn't prove the burst).
+    val prevMins: Map[String, Double] = try {
+      val f = new java.io.File(benchOut)
+      if (!f.exists) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val q = root.get("queries")
+        if (q == null) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          q.properties().forEach(e => b += e.getKey -> e.getValue.asDouble)
+          b.result()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
     // noop-format write: every expression executes (a count() would let
     // Spark prune the very columns the query exists to compute). A failed
     // run yields None — a crash must never enter the min as a fast sample.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // The returned frame unpersists AFTER the clock stops (operators like
+    // PageRank return persisted frames by contract; the release is bench
+    // hygiene, not query cost). Each sample also records its start epoch
+    // second — the burst-adjudication breadcrumb the r13 artifact lacked.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Option[(Double, Long)] = {
+      val started = System.currentTimeMillis() / 1000L
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+        Some((dt, started))
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     // min of two consecutive successful runs: the box runs other tenants,
@@ -52,10 +83,35 @@ object Bench {
     // spread is the load-not-plan signature (round 9's q52 read 51x under
     // sustained box load with an unchanged plan), and without the samples
     // in the artifact that adjudication needs an out-of-band re-run.
-    def sampled(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
-      Seq(once(fn), once(fn)).flatten
+    // Burst rule: when BOTH samples exceed 3x the previous committed min,
+    // take ONE bounded extra sample and flag the query as resampled in
+    // the artifact — min-of-2 fails exactly when a burst spans both
+    // samples, and the retry usually lands outside it.
+    def sampled(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Seq[Double], Seq[Long], Boolean) = {
+      val two = Seq(once(fn), once(fn)).flatten
+      val prev = prevMins.getOrElse(name, -1.0)
+      val burst = prev > 0 && two.nonEmpty && two.forall(_._1 > 3 * prev)
+      val all = if (burst) two ++ once(fn).toSeq else two
+      (all.map(_._1), all.map(_._2), burst)
+    }
     def minOr(samples: Seq[Double]): Double =
       if (samples.isEmpty) -1.0 else samples.min
+    // Between-queries cache release: every operator-internal persist that
+    // outlives its query (PageRank's returned ranks, composite pipelines'
+    // shared stages) would otherwise accumulate MEMORY_AND_DISK blocks
+    // across the 170+-key run — eviction pressure that confounds burst
+    // adjudication. Clearing between QUERIES (never between a query's two
+    // samples — the warm second sample stays the steady-state read) also
+    // pins each query's cost to itself: nothing rides an earlier query's
+    // leftover cache. Leftover count after release ships in the JSON
+    // ("persist_leftovers" — expected 0).
+    def releaseCaches(): Unit = {
+      try spark.catalog.clearCache() catch { case scala.util.control.NonFatal(_) => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(r => try r.unpersist(blocking = false) catch { case scala.util.control.NonFatal(_) => () })
+    }
     // Sorted-name order, ALWAYS. `SparkEntry.queries` is an unordered Map
     // whose iteration order reshuffles whenever an entry is added, which
     // silently moves shared scan/cache build costs between queries across
@@ -73,19 +129,29 @@ object Bench {
       case None => _ => true
     }
     val sampledResults = SparkEntry.queries.toSeq.filter(kv => only(kv._1))
-      .sortBy(_._1).map { case (name, fn) => name -> sampled(fn) }
-    val results = sampledResults.map { case (name, s) => name -> minOr(s) }
-    // Attribution twins (BASELINE.md "Bench attribution"): q15/q16/q17 time
-    // backfill+operator together; the b-keys time the operator alone
-    // against a pre-materialized features table. Reported alongside the
-    // contract queries but EXCLUDED from the headline total, which stays
-    // comparable across rounds.
+      .sortBy(_._1).map { case (name, fn) =>
+        val r = sampled(name, fn)
+        releaseCaches()
+        name -> r
+      }
+    val results = sampledResults.map { case (name, (s, _, _)) => name -> minOr(s) }
+    val resampledNames = sampledResults.collect { case (name, (_, _, true)) => name }
+    // Attribution twins (BASELINE.md "Bench attribution"): contract keys
+    // like q15/q16/q17 time backfill+operator together; the b-keys time
+    // the operator alone against pre-materialized artifact tables.
+    // Reported alongside the contract queries but EXCLUDED from the
+    // headline total, which stays comparable across rounds.
     val featPath = s"/tmp/graft_bench_features_${spark.sparkContext.applicationId}"
     val attribution =
       if (filterSpec.isDefined) Seq.empty  // subset fast path: skip the twins
       else try {
         SparkEntry.materializeFeatures(spark, sfDir, featPath)
-        SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) => name -> minOr(sampled(fn)) }
+        releaseCaches()
+        SparkEntry.attributionQueries(featPath).toSeq.sortBy(_._1).map { case (name, fn) =>
+          val (s, _, _) = sampled(name, fn)
+          releaseCaches()
+          name -> minOr(s)
+        }
       } catch { case scala.util.control.NonFatal(_) =>
         // materialization failed: report every twin as the -1 sentinel —
         // same "visibly broken, not fast" convention as a failed query,
@@ -95,26 +161,36 @@ object Bench {
     val qs = (results ++ attribution).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Raw contract-query samples (rounded: they are diagnostics, not the
-    // regression signal): [s1, s2] per query, fewer entries if a run
-    // failed. "queries" stays the min — the cross-round comparable.
-    val sm = sampledResults.map { case (k, s) =>
+    // regression signal): [s1, s2(, s3 when resampled)] per query, fewer
+    // entries if a run failed. "queries" stays the min — the cross-round
+    // comparable. "sample_starts" carries each sample's start epoch
+    // second, so an external-load burst shows as a contiguous wall-clock
+    // window instead of needing judge re-runs.
+    val sm = sampledResults.map { case (k, (s, _, _)) =>
       "\"" + k + "\":[" + s.map(v => math.rint(v * 1000) / 1000).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val st = sampledResults.map { case (k, (_, ts, _)) =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val rs = resampledNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Sum successes only: adding -1.0 sentinels into the total understates
     // it and makes cross-round totals incomparable whenever a query fails.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Cleanup runs BEFORE the metric line prints: anything it logs lands
     // above the JSON, so the driver's 2000-char tail capture ends on the
     // timing line, not on whatever the teardown said.
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + "_tok"))
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + "_media"))
+    Seq("", "_tok", "_media", "_lm", "_nb", "_pr").foreach(sfx =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(featPath + sfx)))
     SparkEntry.cleanupScratch(spark, sfDir)
+    releaseCaches()
+    val leftovers = spark.sparkContext.getPersistentRDDs.size
     if (!stackEvents.isEmpty) {
       System.err.println(s"[bench] ${stackEvents.size} logged stack(s) during the run:")
       stackEvents.forEach(s => System.err.println(s"[bench]   $s"))
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
+    if (leftovers > 0)
+      System.err.println(s"[bench] $leftovers persisted RDD(s) survived the final release")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"sample_starts":$st,"resampled":$rs,"persist_leftovers":$leftovers,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line
@@ -122,7 +198,7 @@ object Bench {
     // a FILTERED run must never clobber the canonical full-suite artifact
     // with a partial total — print only
     if (filterSpec.isEmpty) try {
-      val out = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json"))
+      val out = new java.io.File(benchOut)
       Option(out.getParentFile).foreach(_.mkdirs())
       java.nio.file.Files.write(out.toPath, (line + "\n").getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () } // bench output must never fail the run

@@ -1205,6 +1205,64 @@ object CurationQueries {
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") > IncrSplitId2))))
 
+  // ---- bench-only NB attribution twins ---------------------------------
+
+  /** Materialize the trained NB models once per bench run (hashed and
+    * char-n-gram weight/constant tables, plus the hashed-scored seeds for
+    * the sweep twin) so the twins below time per-doc SCORING and the
+    * calibration fan-out in isolation — q147/q148/q149's contract timings
+    * retrain the model inside the query (the honest end-to-end cost;
+    * production amortizes it via the nb*Model split), so a scoring
+    * regression hides behind featurization+training cost, the b136-b140
+    * dilution one family over. q149 was r13's most burst-exposed query
+    * precisely because it had no twin to bisect with.
+    */
+  def materializeNbModel(s: SparkSession, dir: String, base: String): Unit = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val pos = d.filter(col("source").isin(NbPosSources: _*))
+    val neg = d.filter(col("source").isin(NbNegSources: _*))
+    val (hw, hc) = graft.operators.QualityClassifier.nbHashedModel(
+      pos, neg, buckets = DsirBuckets)
+    hw.write.mode("overwrite").parquet(s"$base/hashed_w")
+    hc.write.mode("overwrite").parquet(s"$base/hashed_c")
+    val (cw, cc) = graft.operators.QualityClassifier.nbCharNgramModel(
+      pos, neg, n = 3, buckets = DsirBuckets)
+    cw.write.mode("overwrite").parquet(s"$base/char_w")
+    cc.write.mode("overwrite").parquet(s"$base/char_c")
+    val seeds = d.filter(col("source").isin((NbPosSources ++ NbNegSources): _*))
+      .withColumn("label", col("source").isin(NbPosSources: _*).cast("int"))
+    graft.operators.QualityClassifier.nbLogOddsHashed(
+        seeds, pos, neg, buckets = DsirBuckets)
+      .write.mode("overwrite").parquet(s"$base/scored_seeds")
+    seeds.select(col("doc_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$base/seed_labels")
+  }
+
+  /** Bench-only attribution twins against [[materializeNbModel]]: hashed
+    * scoring alone (frozen weights+constants — the broadcast-model
+    * production shape), the calibration sweep alone (pre-scored seeds),
+    * and char-n-gram scoring alone. NOT oracle-gated — q147/q148/q149
+    * gate the same operators; these split train vs score cost and stay
+    * out of the headline total.
+    */
+  def nbAttribution(base: String): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b147_nb_hashed_score_only" -> ((s, dir) =>
+      graft.operators.QualityClassifier.nbScoreHashedFromModel(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        s.read.parquet(s"$base/hashed_w"), s.read.parquet(s"$base/hashed_c"),
+        buckets = DsirBuckets)),
+    "b148_nb_sweep_only" -> ((s, _) =>
+      graft.operators.QualityClassifier.thresholdSweepFromScores(
+        s.read.parquet(s"$base/scored_seeds"),
+        s.read.parquet(s"$base/seed_labels"),
+        thresholdsFp = NbSweepThresholdsFp)),
+    "b149_nb_chargram_score_only" -> ((s, dir) =>
+      graft.operators.QualityClassifier.nbScoreCharNgramFromModel(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text")),
+        s.read.parquet(s"$base/char_w"), s.read.parquet(s"$base/char_c"),
+        n = 3, buckets = DsirBuckets)))
+
   // ---- bench-only media attribution twins -----------------------------
 
   /** Materialize the media-dedup fixture payloads once per bench run

@@ -77,6 +77,29 @@ object ScaleBench {
           transform(col("embedding"), x => x * lit(1.0f + i * 0.01f)).as("embedding"))
       }.reduce(_ unionByName _)
 
+    // authority_sample's pre-materialized host ranks: built once per scale
+    // point (the q155 edge synthesis, 5 iterations), written to parquet,
+    // memoized — later samples read the parquet, isolating the sampling
+    // cost the row exists to curve. Paths are cleaned up before the JSON
+    // line prints.
+    val prRanksPaths = scala.collection.mutable.Map.empty[Int, String]
+    def prRanks(k: Int): DataFrame = {
+      val path = prRanksPaths.getOrElseUpdate(k, {
+        val p = s"/tmp/graft_scale_pr_${spark.sparkContext.applicationId}_$k"
+        val d = scaledDocs(k)
+        val r = graft.operators.PageRank.rank(
+          d.select(expr("doc_id div 16").as("src"),
+              expr("(doc_id + 21) div 16").as("dst"))
+            .unionByName(d.select(expr("doc_id div 16").as("src"),
+              expr("(doc_id * 3 + 5) div 16").as("dst"))),
+          iters = 5)
+        r.write.mode("overwrite").parquet(p)
+        r.unpersist()
+        p
+      })
+      spark.read.parquet(path)
+    }
+
     val workloads: Seq[(String, Int => DataFrame)] = Seq(
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
@@ -303,6 +326,22 @@ object ScaleBench {
           .select(col("doc_id"), (lit(1) - col("is_dup")).as("not_dup"))
         d.select(col("doc_id")).join(gop, "doc_id").join(c4k, "doc_id")
           .join(nb, "doc_id").join(ent, "doc_id").join(dup, "doc_id")
+      }),
+      // q156 shape, SAMPLING SIDE ONLY: ranks pre-materialize to parquet
+      // on the first sample (memoized per scale point — the b156 twin's
+      // isolation, so a weighted-sample regression isn't diluted 10:1 by
+      // the power iteration, which host_pagerank already curves); min-of-2
+      // therefore reads the steady-state broadcast-join + E-S top-N cost.
+      // Sample 1 of each point includes the one-time rank build — visible
+      // as the expected high first sample in the artifact's spread.
+      "authority_sample" -> (k => {
+        val d = scaledDocs(k)
+        graft.operators.Sampling.weightedSample(
+          d.select(col("doc_id"), col("text"), expr("doc_id div 16").as("host"))
+            .join(prRanks(k), "host")
+            .withColumnRenamed("rank_ppm", "weight"),
+          "weight", n = 30)
+          .select(col("doc_id"), col("host"), col("weight"), col("priority"))
       }))
 
     def once(df: => DataFrame): Option[Double] = {
@@ -462,6 +501,8 @@ object ScaleBench {
         s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
+    prRanksPaths.values.foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
     println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -333,6 +333,8 @@ object SparkEntry {
     CurationQueries.materializeTokenizerArtifacts(s, dir, path + "_tok")
     CurationQueries.materializeMediaFixtures(s, dir, path + "_media")
     CurationQueries.materializeLmState(s, dir, path + "_lm")
+    CurationQueries.materializeNbModel(s, dir, path + "_nb")
+    TrainingDataQueries.materializePageRank(s, dir, path + "_pr")
   }
 
   /** Bench-only twins of q15/q16/q17: those contract queries recompute the
@@ -356,7 +358,9 @@ object SparkEntry {
     )
     base ++ CurationQueries.tokenizerAttribution(featuresPath + "_tok") ++
       CurationQueries.mediaAttribution(featuresPath + "_media") ++
-      CurationQueries.lmAttribution(featuresPath + "_lm")
+      CurationQueries.lmAttribution(featuresPath + "_lm") ++
+      CurationQueries.nbAttribution(featuresPath + "_nb") ++
+      TrainingDataQueries.pagerankAttribution(featuresPath + "_pr")
   }
 
   def oracleSql: Map[String, String] = Map(

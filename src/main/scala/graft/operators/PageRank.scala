@@ -17,17 +17,38 @@ import org.apache.spark.sql.functions._
   * keeps the scale-invariant un-normalized form — init 1.0 per node —
   * so ranks stay integers and rankings are unchanged.)
   *
-  * Semantics: parallel edges and self-loops are dropped; dangling nodes
-  * (no out-edges) leak their mass — the standard simplification (their
-  * rank is still computed and they still receive the teleport term).
+  * Keys: src/dst may be ANY atomic type — numeric host ids or raw host
+  * STRINGS both work; every step (self-loop filter, distinct, the keyed
+  * join, groupBy(dst), the spine join) is key-type-agnostic, so the
+  * string hosts a real crawl edge table carries never need a pre-mapping
+  * to ids. A NULL endpoint has no node identity (it would silently drop
+  * through every equi-join and the ranking would quietly lose edges) —
+  * it raises per-row instead, the urlDedup NULL-url rule.
+  *
+  * Semantics: parallel edges and self-loops are dropped. Dangling nodes
+  * (no out-edges) leak their mass by default — the standard
+  * simplification (their rank is still computed and they still receive
+  * the teleport term). Real crawl host graphs are ~30-40% dangling, and
+  * leaked mass shifts top-k ordering that authority-weighted sampling
+  * consumes — so `danglingRedistribute = true` folds the dangling rank
+  * mass back in uniformly (the exact treatment): per iteration, ONE
+  * combinable sum over the node-count-sized rank frame computes the
+  * dangling mass, `share = dangling_sum div N` (floor — stays integer,
+  * stays replayable) joins in as a 1-row broadcast, and the update
+  * becomes `(1-d)*1e6 + (d_ppm * (contrib_sum + share)) div 1e6`. Total
+  * mass then holds at N * 1e6 within floor-division slack
+  * (PageRankSpec pins it). Default OFF: the leaky form is the
+  * documented q155 contract and the cross-engine oracle.
   *
   * Scale shape: each iteration is ONE keyed join (ranks to edges on src —
   * both sides hash-partitioned on the same key, so AQE reuses the
   * exchange) + one combinable groupBy(dst) sum + a left join back to the
-  * node spine. K iterations = K such rounds over an edge table that never
-  * grows; ranks/edges persist across iterations (edges once, each rank
-  * frame until its successor materializes). No windows, no collect, no
-  * pair blowup — edge-linear per iteration at any graph size.
+  * node spine (+ with redistribution: one node-count-sized combinable
+  * aggregate, broadcast back as a single row). K iterations = K such
+  * rounds over an edge table that never grows; ranks/edges persist across
+  * iterations (edges once, each rank frame until its successor
+  * materializes). No windows, no collect, no pair blowup — edge-linear
+  * per iteration at any graph size.
   *
   * The RETURNED frame stays persisted (node-count-sized — one row per
   * host) so consumers read the materialized ranks instead of replaying
@@ -40,12 +61,18 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   def rank(edges: DataFrame, iters: Int = 5, dampPpm: Long = 850000L,
-           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+           srcCol: String = "src", dstCol: String = "dst",
+           danglingRedistribute: Boolean = false): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    def keyOrRaise(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"pagerank: NULL $c — a null endpoint has no node identity " +
+          "(it would drop through every keyed join and silently lose edges)")))
+        .otherwise(col(c))
+    val e = edges.select(keyOrRaise(srcCol).as("src"),
+        keyOrRaise(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(storage)
     val nodes = e.select(col("src").as("host"))
@@ -53,6 +80,15 @@ object PageRank {
       .persist(storage)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     val teleport = 1000000L - dampPpm
+    // redistribution inputs, built once: the dangling node set (in the
+    // spine, absent from the out-degree table) and the 1-row node count
+    val dangling =
+      if (!danglingRedistribute) null
+      else nodes.join(e.select(col("src").as("host")).distinct(),
+        Seq("host"), "left_anti").persist(storage)
+    val nCount =
+      if (!danglingRedistribute) null
+      else nodes.agg(count(lit(1)).as("__N")).persist(storage)
     var r = nodes.select(col("host"), lit(1000000L).as("rank_ppm"))
       .persist(storage)
     for (_ <- 1 to iters) {
@@ -61,22 +97,38 @@ object PageRank {
         .join(deg, "src")
         .select(col("dst"), expr("rank_ppm div __d").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__cs"))
-      val rNew = nodes
+      // the uniform dangling share for THIS iteration: one combinable
+      // sum over the current ranks, floor-divided by N — a 1-row frame
+      // broadcast into the update (0 when redistribution is off)
+      val share =
+        if (!danglingRedistribute) lit(0L)
+        else col("__share")
+      val spine =
+        if (!danglingRedistribute) nodes
+        else nodes.crossJoin(broadcast(
+          r.join(dangling, Seq("host"))
+            .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("__dsum"))
+            .crossJoin(nCount)
+            .select(expr("__dsum div __N").as("__share"))))
+      val rMat = spine
         .join(contrib.select(col("dst").as("host"), col("__cs")), Seq("host"), "left")
+        .withColumn("__mass", coalesce(col("__cs"), lit(0L)) + share)
         .select(col("host"),
           (lit(teleport) + expr(
-            s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * coalesce(__cs, 0L)) div 1000000 AS BIGINT)"))
+            s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * __mass) div 1000000 AS BIGINT)"))
             .as("rank_ppm"))
         .persist(storage)
-      rNew.count() // materialize before releasing the previous iteration
+      rMat.count() // materialize before releasing the previous iteration
       r.unpersist()
-      r = rNew
+      r = rMat
     }
     // the final ranks are materialized, so the big inputs can release;
     // a cache-evicted recompute of `r` would re-derive them (slower,
     // still correct)
     e.unpersist()
     nodes.unpersist()
+    if (dangling != null) dangling.unpersist()
+    if (nCount != null) nCount.unpersist()
     r
   }
 }

@@ -117,16 +117,19 @@ object QualityClassifier {
       .otherwise(expr("CAST(array() AS array<bigint>)"))
   }
 
-  /** The shared NB pipeline over any array-typed feature expression of a
-    * document row: feature tf tables per seed, FULL-JOIN union
-    * vocabulary, pinned-ln per-distinct-feature weights, one-row model
-    * constants, per-doc integer fold. `nName` names the per-doc feature
-    * count in the output (n_tokens for words, n_feats for hashed).
+  /** The TRAINED model over any array-typed feature expression: the
+    * per-distinct-feature weight table `(w, __w_fp)` and the 1-row
+    * constants frame `(__pertok_fp, __prior_fp)` — exactly the two
+    * frames [[nbScoreFromModel]] consumes. Split out so the model can be
+    * built ONCE, persisted, and scored against many times (the
+    * train-once/score-many production shape, and the bench attribution
+    * twins' isolation boundary): feature tf tables per seed, FULL-JOIN
+    * union vocabulary, pinned-ln per-distinct-feature weights,
+    * pinned-ln smoothing/prior constants.
     */
-  private def nbOverFeatures(docs: DataFrame, positive: DataFrame,
-                             negative: DataFrame, idCol: String,
-                             featureExpr: org.apache.spark.sql.Column,
-                             nName: String): DataFrame = {
+  private def nbModelOverFeatures(positive: DataFrame, negative: DataFrame,
+                                  featureExpr: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
     def feats(d: DataFrame) = d.select(explode(featureExpr).as("w"))
     val posTf = feats(positive).groupBy(col("w")).agg(count(lit(1)).as("tfp"))
     val negTf = feats(negative).groupBy(col("w")).agg(count(lit(1)).as("tfn"))
@@ -153,6 +156,19 @@ object QualityClassifier {
       .foldLeft(counts) { case (df, (a, e)) => df.withColumn(a, expr(e)) }
       .select((col("lb_lnfp") - col("la_lnfp")).as("__pertok_fp"),
         (col("lc_lnfp") - col("ld_lnfp")).as("__prior_fp"))
+    (wordW, consts)
+  }
+
+  /** Score documents against an ALREADY-TRAINED model — [[nbModelOverFeatures]]'s
+    * (weights, constants) pair, possibly read back from parquet: one
+    * feature-keyed join (short rows, content-uniform key; the weight
+    * table is `buckets`-bounded for the hashed families = a broadcast at
+    * any corpus size) + one combinable integer fold per document.
+    */
+  private def nbScoreFromModel(docs: DataFrame, wordW: DataFrame,
+                               consts: DataFrame, idCol: String,
+                               featureExpr: org.apache.spark.sql.Column,
+                               nName: String): DataFrame = {
     val docWords = docs.select(col(idCol), explode(featureExpr).as("w"))
     val perDoc = docWords
       .join(wordW, Seq("w"), "left") // neither-seed feature: weight 0
@@ -168,6 +184,68 @@ object QualityClassifier {
           coalesce(col("__s"), lit(0L)))
       .select(col(idCol), col(nName), col("logodds_fp"),
         (col("logodds_fp") > 0L).cast("int").as("predict_pos"))
+  }
+
+  /** The composed train-and-score pipeline every q-contract entry uses —
+    * [[nbModelOverFeatures]] feeding [[nbScoreFromModel]], one plan.
+    */
+  private def nbOverFeatures(docs: DataFrame, positive: DataFrame,
+                             negative: DataFrame, idCol: String,
+                             featureExpr: org.apache.spark.sql.Column,
+                             nName: String): DataFrame = {
+    val (wordW, consts) = nbModelOverFeatures(positive, negative, featureExpr)
+    nbScoreFromModel(docs, wordW, consts, idCol, featureExpr, nName)
+  }
+
+  /** [[nbLogOddsHashed]]'s trained model as two persistable frames:
+    * (weights `(w, __w_fp)` — at most `buckets` rows — and 1-row
+    * constants `(__pertok_fp, __prior_fp)`). Train once, write to
+    * parquet, score shards forever with [[nbScoreHashedFromModel]] —
+    * the amortized production shape (and the b147 bench twin's input).
+    */
+  def nbHashedModel(positive: DataFrame, negative: DataFrame,
+                    buckets: Int = 4096,
+                    textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(buckets > 0, "buckets must be positive")
+    nbModelOverFeatures(positive, negative,
+      Dsir.featureBuckets(col(textCol), buckets))
+  }
+
+  /** Score against a stored [[nbHashedModel]]. `buckets` must match the
+    * training call — a mismatch silently maps features to wrong weights,
+    * so freeze it with the model like every incremental consumer does.
+    */
+  def nbScoreHashedFromModel(docs: DataFrame, weights: DataFrame,
+                             consts: DataFrame, buckets: Int = 4096,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    nbScoreFromModel(docs, weights, consts, idCol,
+      Dsir.featureBuckets(col(textCol), buckets), "n_feats")
+  }
+
+  /** [[nbLogOddsCharNgram]]'s trained model — same split as
+    * [[nbHashedModel]], char-n-gram feature space. */
+  def nbCharNgramModel(positive: DataFrame, negative: DataFrame,
+                       n: Int = 3, buckets: Int = 4096,
+                       textCol: String = "text"): (DataFrame, DataFrame) = {
+    require(n >= 1, "n must be positive")
+    require(buckets > 0, "buckets must be positive")
+    nbModelOverFeatures(positive, negative,
+      charNgramBuckets(col(textCol), n, buckets))
+  }
+
+  /** Score against a stored [[nbCharNgramModel]] (freeze `n`/`buckets`
+    * with the model). */
+  def nbScoreCharNgramFromModel(docs: DataFrame, weights: DataFrame,
+                                consts: DataFrame,
+                                n: Int = 3, buckets: Int = 4096,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(buckets > 0, "buckets must be positive")
+    nbScoreFromModel(docs, weights, consts, idCol,
+      charNgramBuckets(col(textCol), n, buckets), "n_feats")
   }
 
   /** Calibration sweep: confusion counts and exact-ppm precision / recall /
@@ -199,6 +277,17 @@ object QualityClassifier {
                            labelCol: String = "label"): DataFrame =
     sweepScored(nbLogOddsHashed(labeled, positive, negative, buckets, idCol, textCol),
       labeled, thresholdsFp, idCol, labelCol)
+
+  /** The calibration sweep read off ALREADY-SCORED rows (any `logodds_fp`
+    * producer, possibly read back from parquet) — the fan-out/collapse
+    * alone, no re-featurization. The b148 bench twin's shape, and the
+    * production one when scores are materialized anyway.
+    */
+  def thresholdSweepFromScores(scored: DataFrame, labeled: DataFrame,
+                               thresholdsFp: Seq[Long],
+                               idCol: String = "doc_id",
+                               labelCol: String = "label"): DataFrame =
+    sweepScored(scored, labeled, thresholdsFp, idCol, labelCol)
 
   private def sweepScored(scoredIn: DataFrame, labeled: DataFrame,
                           thresholdsFp: Seq[Long],

@@ -545,7 +545,9 @@ object EventStream {
     * per batch). One code path with batch q141: each trigger reads the
     * stored per-shard partials ([[graft.operators.Dedup.normalizeUrlState]]
     * collapses them, making a crashed append's replay idempotent), folds
-    * the batch in with [[graft.operators.Dedup.incrementUrlState]], sinks
+    * the batch's own partial through the SAME dropDuplicates collapse
+    * (so a replayed trigger whose partial already landed reports the
+    * same as-of-ingest group_size, never a double-count), sinks
     * the batch's per-row report, then appends the batch's OWN
     * [[graft.operators.Dedup.urlState]] partial — append AFTER the sink,
     * the crash-replay rule every stateful gate here follows. The state
@@ -588,11 +590,19 @@ object EventStream {
         require(vStored == vCur,
           s"urlDedupGate: state at $statePath was written with URL-canonicalizer " +
             s"v$vStored but this build is v$vCur — re-seed the state")
-        val stored = graft.operators.Dedup.normalizeUrlState(
-          if (storedPagesRaw == null)
-            graft.operators.Dedup.urlState(b.limit(0), urlCol, idCol)
-          else storedPagesRaw)
-        val merged = graft.operators.Dedup.incrementUrlState(stored, b, urlCol, idCol)
+        val bPartial = graft.operators.Dedup.urlState(b, urlCol, idCol)
+        // fold the batch THROUGH normalizeUrlState's dropDuplicates rather
+        // than incrementUrlState on the already-normalized state: on a
+        // crash replay (pages append landed, checkpoint commit did not)
+        // the stored partials ALREADY contain this batch's rows —
+        // bit-identical, because urlState is a pure function of the batch
+        // and disjoint shard ids mean no OTHER shard can produce them —
+        // so the dedup collapses the re-delivered fold and the replayed
+        // trigger's group_size report matches the original emission
+        // instead of double-counting the batch's pages.
+        val merged = graft.operators.Dedup.normalizeUrlState(
+          (if (storedPagesRaw == null) bPartial.limit(0) else storedPagesRaw)
+            .unionByName(bPartial))
         sink(graft.operators.Dedup.urlDedupFromState(b, merged, urlCol, idCol), batchId)
         // state append AFTER the sink: a crash between the two replays the
         // batch without half-ingested state shadowing its own report
@@ -755,7 +765,18 @@ object EventStream {
         val stored = tableOr(spark, packedPath, null) match {
           case null => null
           case raw =>
-            val collapsed = graft.operators.Packing.latestPackedRows(raw)
+            // crash-replay: a crash between the era-tagged append and the
+            // checkpoint commit replays this batchId with its own
+            // replacement tail already on disk. Unlike a same-row_id
+            // re-append (which max_by collapses), a replayed trigger that
+            // reads its OWN tail back would pack the batch's tokens a
+            // SECOND time at FRESH row_ids — rows latest-era-wins can
+            // never collapse. Exclude the current era from the stored
+            // read (trigramGateWriter's storedRaw filter), so the replay
+            // recomputes the identical tail and its re-append collapses
+            // era-on-era at read.
+            val collapsed = graft.operators.Packing.latestPackedRows(
+              raw.filter(col("era") =!= lit(batchId)))
             if (collapsed.limit(1).isEmpty) null else collapsed
         }
         val newRows =

@@ -57,4 +57,45 @@ class PageRankSpec extends SparkTestBase {
     r.values.sum should be <= 1000000L * r.size
     all(r.values.toSeq) should be >= 150000L
   }
+
+  test("danglingRedistribute conserves mass within floor-division slack") {
+    // a dangling-heavy graph (the crawl shape): 2 and 4 have no out-edges
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (1L, 4L), (5L, 1L))
+    val iters = 6
+    val leaky = PageRank.rank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val closed = PageRank.rank(edges.toDF("src", "dst"), iters,
+        danglingRedistribute = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = closed.size.toLong
+    // leaky form loses the dangling mass visibly (~damped share of 2/5
+    // of the graph's rank per round); the closed form holds N * 1e6
+    // within the per-round floor-division slack (< ~3 ppm per node per
+    // round, geometric-damped — budget generously at 10 per node-round)
+    leaky.values.sum should be < n * 1000000L - n * 10 * iters
+    math.abs(closed.values.sum - n * 1000000L) should be <= n * 10L * iters
+    // redistribution preserves who the receivers are and the teleport
+    // floor; dangling nodes still receive mass and rank above it
+    closed.keySet shouldBe leaky.keySet
+    all(closed.values.toSeq) should be >= 150000L
+    closed(2L) should be > leaky(2L) // receivers gain the recycled mass
+  }
+
+  test("string keys rank identically to their numeric relabeling") {
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L))
+    val byId = ranks(edges)
+    val hosts = edges.map { case (s, d) => (s"host-$s.example", s"host-$d.example") }
+    val byHost = PageRank.rank(hosts.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byHost shouldBe byId.map { case (k, v) => s"host-$k.example" -> v }
+  }
+
+  test("a NULL edge endpoint raises instead of silently dropping edges") {
+    val e = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("src", "dst")
+    val ex = intercept[Exception] {
+      PageRank.rank(e, iters = 1).collect()
+    }
+    ex.getMessage should include("null endpoint has no node identity")
+  }
 }

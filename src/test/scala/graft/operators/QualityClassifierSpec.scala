@@ -214,6 +214,56 @@ class QualityClassifierSpec extends SparkTestBase {
     (tpHi + fpHi) should be < 5L
   }
 
+  test("stored model round trip: score-from-parquet model == train-and-score, bit for bit") {
+    // the train-once/score-many split (and the b147/b149 bench twins'
+    // isolation boundary): weights + constants written to parquet and
+    // read back must score EXACTLY like the composed one-plan form —
+    // both feature spaces
+    val docs = Seq(
+      (1L, "good clean meaning prose"),
+      (2L, "buy spam click now"),
+      (3L, "goood cleann prose"), // misspellings: char-grams still fire
+      (4L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbmodel").toString
+    try {
+      val (hw, hc) = QualityClassifier.nbHashedModel(pos, neg, buckets = 64)
+      hw.write.parquet(s"$dir/hw"); hc.write.parquet(s"$dir/hc")
+      val fromStored = QualityClassifier.nbScoreHashedFromModel(docs,
+          spark.read.parquet(s"$dir/hw"), spark.read.parquet(s"$dir/hc"),
+          buckets = 64)
+        .orderBy("doc_id").collect().toSeq
+      val composed = QualityClassifier.nbLogOddsHashed(docs, pos, neg, buckets = 64)
+        .orderBy("doc_id").collect().toSeq
+      fromStored shouldBe composed
+
+      val (cw, cc) = QualityClassifier.nbCharNgramModel(pos, neg, n = 3, buckets = 64)
+      cw.write.parquet(s"$dir/cw"); cc.write.parquet(s"$dir/cc")
+      val cStored = QualityClassifier.nbScoreCharNgramFromModel(docs,
+          spark.read.parquet(s"$dir/cw"), spark.read.parquet(s"$dir/cc"),
+          n = 3, buckets = 64)
+        .orderBy("doc_id").collect().toSeq
+      val cComposed = QualityClassifier.nbLogOddsCharNgram(docs, pos, neg,
+          n = 3, buckets = 64)
+        .orderBy("doc_id").collect().toSeq
+      cStored shouldBe cComposed
+
+      // the sweep off stored scores == the composed sweep
+      val labeled = Seq((1L, 1), (2L, 0), (3L, 1)).toDF("doc_id", "label")
+      val thr = Seq(-1000000000L, 0L, 1000000000L)
+      QualityClassifier.nbLogOddsHashed(labeled.join(docs, "doc_id"), pos, neg, buckets = 64)
+        .write.parquet(s"$dir/scored")
+      val sweepStored = QualityClassifier.thresholdSweepFromScores(
+          spark.read.parquet(s"$dir/scored"), labeled, thr)
+        .orderBy("thr_fp").collect().toSeq
+      val sweepComposed = QualityClassifier.thresholdSweepHashed(
+          labeled.join(docs, "doc_id"), pos, neg, thr, buckets = 64)
+        .orderBy("thr_fp").collect().toSeq
+      sweepStored shouldBe sweepComposed
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("score drift: a planted off-distribution source stands out; output well-formed") {
     // three sources: two share the seed vocabulary mix, one is pure spam
     // (systematically negative scores — the drifted score distribution)

@@ -592,6 +592,93 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("pack gate replay: a re-delivered batch id re-emits the same tail and never duplicates the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_packreplay").toString
+    val b1 = Seq((10L, "the cat sat on the mat"), (11L, "the thin cat sat"))
+    val b2 = Seq((12L, "a cat on a mat sat"))
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val merges = graft.operators.Packing.bpeMergeTable(corpus, nMerges = 2)
+    def runStream(batches: Seq[Seq[(Long, String)]]): Seq[Set[(Long, Seq[Int], Long)]] = {
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Seq[Int], Long)]]
+      val query = EventStream.packGateWriter(
+          input.toDF().toDF("doc_id", "text"), merges, statePath,
+          sink = (out, _) => got.synchronized {
+            got += out.select("row_id", "ids", "n_pad")
+              .as[(Long, Seq[Int], Long)].collect().toSet
+          }, seqLen = 16)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    try {
+      val first = runStream(Seq(b1)).head
+      // a FRESH stream re-delivers b1 as batchId 0 while its era-0 tail
+      // already sits in the packed log — the crash-between-append-and-
+      // commit shape. The reader must EXCLUDE its own era, or the replay
+      // reads its own tail back and packs the batch AGAIN at fresh
+      // row_ids (which latest-era-wins can never collapse). The replayed
+      // stream then chains b2 as batch 1 to prove the state stayed sound.
+      val replayed = runStream(Seq(b1, b2))
+      replayed.head shouldBe first
+      val state = graft.operators.Packing.latestPackedRows(
+          spark.read.parquet(s"$statePath/packed"))
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      val oneShot = graft.operators.Packing.packTokenRows(
+          graft.operators.Packing.encodeToIds(corpus, merges), seqLen = 16)
+        .as[(Long, Seq[Int], Long)].collect().toSet
+      state shouldBe oneShot
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
+  test("url-dedup gate replay: a re-delivered batch id reports the same group_size, state unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_urlreplay").toString
+    val b1 = Seq(
+      (1L, "https://Example.com/a/?utm_source=x"),
+      (2L, "https://example.com/b"),
+      (3L, "https://example.com:443/a//")) // page A twice WITHIN the batch
+    def runOnce(): Set[(Long, String, Long, Long, Int)] = {
+      val input = MemoryStream[(Long, String)]
+      var got = Set.empty[(Long, String, Long, Long, Int)]
+      val query = EventStream.urlDedupGateWriter(
+          input.toDF().toDF("doc_id", "url"), statePath,
+          sink = (out, _) => {
+            got = out.select("doc_id", "canonical_url", "keeper_id", "group_size", "is_dup")
+              .as[(Long, String, Long, Long, Int)].collect().toSet
+          })
+        .start()
+      try { input.addData(b1); query.processAllAvailable(); got }
+      finally { query.stop(); () }
+    }
+    try {
+      val first = runOnce()
+      // page A's group_size reads 2 at first ingest (two in-batch crawls)
+      first.find(_._1 == 1L).get._4 shouldBe 2L
+      // fresh stream re-delivers b1 as batchId 0 while the batch's pages
+      // partial already sits in the state dir — the crash-replay shape.
+      // The fold must collapse the re-delivered partial against the
+      // stored identical rows, or group_size double-counts to 4.
+      val replayed = runOnce()
+      replayed shouldBe first
+      // and the state still holds exactly one copy of the batch's pages
+      graft.operators.Dedup.normalizeUrlState(
+          spark.read.parquet(s"$statePath/pages"))
+        .orderBy("canonical_url").collect().toSeq shouldBe
+        graft.operators.Dedup.urlState(b1.toDF("doc_id", "url"))
+          .orderBy("canonical_url").collect().toSeq
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming url-dedup gate: chained micro-batches == one-shot urlDedup on stable columns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
