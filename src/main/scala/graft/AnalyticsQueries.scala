@@ -389,8 +389,48 @@ object AnalyticsQueries {
           Seq("doc_id", "text", "lang", "source")),
         graft.operators.Profile.tableProfile(d,
           Seq("doc_id", "text", "lang", "n_chars")))
-    })
+    }),
+
+    // exponentially-decayed per-user event value (EWMA) — the
+    // recency-weighted feature-store form of the backfill counts: exact
+    // integer fixed point folded in (event time, event id) order via the
+    // ordered-collect left fold, one user-keyed shuffle
+    "q162_ewma" -> ((s, dir) =>
+      graft.operators.DecayFeatures.ewma(SparkEntry.events(s, dir))),
+
+    // INCREMENTAL EWMA: build per-user state on the first half-month,
+    // fold the second half in (stored events never re-read — the EWMA
+    // recurrence composes exactly by continuing the fold from the stored
+    // accumulator), read the features off the merged state — equals the
+    // one-shot q162 fold bit-for-bit (the q153/q143 increment contract)
+    "q163_ewma_incremental" -> ((s, dir) => {
+      val e = SparkEntry.events(s, dir)
+      val cut = lit(EwmaCutDate).cast("timestamp")
+      graft.operators.DecayFeatures.incrementEwma(
+        graft.operators.DecayFeatures.ewmaState(e.filter(col("ts") < cut)),
+        e.filter(col("ts") >= cut))
+        .select(col("user_id"), col("n_events"), col("ewma_fp"), col("last_ts_us"))
+    }),
+
+    // CMS-prefiltered EXACT heavy hitters — q150's modal-value question
+    // at the 100 TB shuffle budget: only plausibly-heavy values cross the
+    // exchange (the sketch is a pure performance filter, invisible in the
+    // result, so the oracle is plain exact SQL). At 10% share: lang has
+    // hitters, the uniform-5% source and all-distinct text have none —
+    // the query exercises both the pass and the full-drop path
+    "q157_heavy_hitters" -> ((s, dir) => graft.operators.Profile.heavyHitters(
+      s.read.parquet(s"$dir/documents.parquet"),
+      Seq("lang", "source", "text"), minSharePpm = HeavyHitterSharePpm))
   )
+
+  private val HeavyHitterSharePpm = 100000L
+
+  /** q163's time split — mid-range of the events table, so both halves
+    * carry rows for most users and the increment genuinely continues
+    * stored folds (equal-ts events can never span a strict ts cut, so
+    * the shard-after-stored contract holds by construction).
+    */
+  private val EwmaCutDate = "2024-01-15"
 
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
   /** Same first-half cut the incremental families use (CurationQueries'
@@ -824,7 +864,53 @@ object AnalyticsQueries {
          |  ${changedSql("mode_str")} AS mode_changed,
          |  af.avg_len_ppm - bf.avg_len_ppm AS avg_len_delta_ppm
          |FROM bf FULL JOIN af ON bf.col_name = af.col_name""".stripMargin
-    }
+    },
+
+    // incremental-EWMA twin: increment == one-shot by construction, so
+    // the oracle is the q162 fold over EVERYTHING plus the stream
+    // position (max (ts_us, event_id)) the state carries
+    "q163_ewma_incremental" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(v ORDER BY ts_us, event_id)),
+         |    (acc, x) -> (850000 * acc) // 1000000 + x) AS ewma_fp,
+         |  max(ts_us) AS last_ts_us
+         |FROM e GROUP BY user_id""".stripMargin,
+
+    // EWMA twin: the same fixed-point fold as a list_reduce over the
+    // (ts_us, event_id)-ordered value list — scalar BIGINT accumulator;
+    // `//` and Spark's `div` both truncate toward zero, so the step is
+    // bit-identical for signed accumulators too
+    "q162_ewma" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(v ORDER BY ts_us, event_id)),
+         |    (acc, x) -> (850000 * acc) // 1000000 + x) AS ewma_fp
+         |FROM e GROUP BY user_id""".stripMargin,
+
+    // heavy-hitters twin: the CMS prefilter is invisible in the result
+    // (upper-bound estimates admit every true hitter; the exact recount
+    // drops the false positives), so the oracle is the plain exact form —
+    // values whose count clears the cross-multiplied share threshold
+    "q157_heavy_hitters" ->
+      s"""WITH p AS (
+         |  SELECT 'lang' AS col_name, CAST(lang AS VARCHAR) AS v FROM documents WHERE lang IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'source', CAST(source AS VARCHAR) FROM documents WHERE source IS NOT NULL
+         |  UNION ALL
+         |  SELECT 'text', CAST(text AS VARCHAR) FROM documents WHERE text IS NOT NULL),
+         |t AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY col_name),
+         |c AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY col_name, v),
+         |h AS (SELECT c.col_name, c.v, c.cnt, t.n FROM c JOIN t USING (col_name)
+         |  WHERE CAST(c.cnt AS HUGEINT) * 1000000 >= $HeavyHitterSharePpm * CAST(t.n AS HUGEINT))
+         |SELECT col_name, v AS value, cnt,
+         |  CAST(CAST(cnt AS HUGEINT) * 1000000 // n AS BIGINT) AS share_ppm,
+         |  CAST(row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v ASC) AS INT) AS rank
+         |FROM h""".stripMargin
   )
 
   /** One q150/q154 profile UNION ALL arm over relation `rel`: every count

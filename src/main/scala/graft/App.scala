@@ -491,6 +491,54 @@ object App {
           s"[graft] pagerank: top host ${r.get(0)} rank_ppm=${r.getLong(1)}"))
         println(s"[graft] pagerank: wrote host ranks to ${o("output-path")}")
 
+      case "heavy-hitters" =>
+        // the 100 TB modal-value path: CMS-prefiltered EXACT heavy
+        // hitters — only plausibly-heavy values cross the exchange
+        val o = parseArgs(args.tail)
+        val table = fetcher.readParquet(spark, o.required("table-path"))
+        val cols = o.get("columns")
+          .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+          .getOrElse(table.columns.toSeq)
+        val out = operators.Profile.heavyHitters(table, cols,
+          minSharePpm = o.getOrElse("min-share-ppm", "10000").toLong)
+        writer.writeParquet(out, o.required("output-path"))
+        val n = fetcher.readParquet(spark, o.required("output-path")).count()
+        println(s"[graft] heavy-hitters: $n hitter(s) across ${cols.size} column(s) -> ${o("output-path")}")
+
+      case "embed-clusters" =>
+        // k-means topic buckets over an embeddings table: trained Lloyd
+        // quantizer + full-corpus argmax assignment (+ cohesion profile)
+        val o = parseArgs(args.tail)
+        val out = operators.SimilaritySearch.embeddingClusters(
+          fetcher.readParquet(spark, o.required("input-path")),
+          initPred = o.required("init-pred"),
+          iters = o.getOrElse("iters", "2").toInt,
+          idCol = o.getOrElse("id-col", "vec_id"),
+          vecCol = o.getOrElse("vec-col", "embedding"))
+        writer.writeParquet(out, o.required("output-path"))
+        o.get("profile-path").foreach { pp =>
+          writer.writeParquet(operators.SimilaritySearch.clusterProfile(
+            fetcher.readParquet(spark, o.required("output-path"))), pp)
+          println(s"[graft] embed-clusters: cohesion profile -> $pp")
+        }
+        println(s"[graft] embed-clusters: wrote assignments to ${o("output-path")}")
+
+      case "rrf" =>
+        // reciprocal-rank fusion of N scored signals (comma-separated
+        // parquet paths, each (id, score_fp) higher-better)
+        val o = parseArgs(args.tail)
+        val paths = o.required("signal-paths").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        require(paths.nonEmpty, "rrf: --signal-paths must name at least one parquet table")
+        val out = operators.Fusion.reciprocalRankFusion(
+          paths.map(fetcher.readParquet(spark, _)),
+          m = o.getOrElse("list-depth", "1000").toInt,
+          kRrf = o.getOrElse("k-rrf", "60").toLong,
+          idCol = o.getOrElse("id-col", "doc_id"),
+          scoreCol = o.getOrElse("score-col", "score_fp"))
+        writer.writeParquet(out, o.required("output-path"))
+        println(s"[graft] rrf: fused ${paths.size} signal(s) -> ${o("output-path")}")
+
       case "kl-drift" =>
         // per-group token-distribution drift vs the whole corpus
         val o = parseArgs(args.tail)
@@ -1301,6 +1349,15 @@ object App {
       |  pagerank           --edges-path <path> --output-path <path>
       |                     [--iters <n=5>] [--src-col src] [--dst-col dst]
       |                     fixed-point host/domain authority ranking
+      |  heavy-hitters      --table-path <path> --output-path <path>
+      |                     [--columns a,b] [--min-share-ppm <n=10000>]
+      |                     CMS-prefiltered EXACT per-column heavy hitters
+      |  embed-clusters     --input-path <path> --init-pred <sql>
+      |                     --output-path <path> [--iters <n=2>]
+      |                     [--profile-path <path>]  k-means topic buckets
+      |  rrf                --signal-paths a,b,... --output-path <path>
+      |                     [--list-depth <n=1000>] [--k-rrf <n=60>]
+      |                     reciprocal-rank fusion of scored signals
       |  trigram-train      --reference-path <path> --state-path <dir>
       |                     persist trigram stupid-backoff gram counts
       |  trigram-ingest     --shard-path <path> --state-path <dir>

@@ -631,6 +631,44 @@ object CurationQueries {
         n = 3, buckets = DsirBuckets)
     }),
 
+    // reciprocal-rank fusion of two curation signals — NB quality
+    // log-odds and host PageRank authority: the rank-only consensus that
+    // needs no cross-signal score calibration. Each signal cuts to its
+    // top-RrfListDepth via TakeOrdered (never a global corpus sort);
+    // contributions are integer 1e9 div (60 + rank), the fuse one
+    // combinable BIGINT sum
+    "q160_rrf_fusion" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val nb = graft.operators.QualityClassifier.nbLogOdds(d,
+          positive = d.filter(col("source").isin(NbPosSources: _*)),
+          negative = d.filter(col("source").isin(NbNegSources: _*)))
+        .select(col("doc_id"), col("logodds_fp").as("score_fp"))
+      val ranks = graft.operators.PageRank.rank(
+        d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id + 21) div 16").as("dst"))
+          .unionByName(d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = TrainingDataQueries.PrIters)
+      val auth = d.select(col("doc_id"), expr("doc_id div 16").as("host"))
+        .join(ranks, "host")
+        .select(col("doc_id"), col("rank_ppm").as("score_fp"))
+      graft.operators.Fusion.reciprocalRankFusion(Seq(nb, auth), m = RrfListDepth)
+    }),
+
+    // per-HOST quality rollup — the domain-level gate a crawler blocks
+    // on (one bad page is noise, a bad domain is policy): mean NB
+    // log-odds (exact floor of the BIGINT sum) + positive share per host
+    "q164_host_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+      val scored = graft.operators.QualityClassifier.nbLogOdds(d,
+          positive = d.filter(col("source").isin(NbPosSources: _*)),
+          negative = d.filter(col("source").isin(NbNegSources: _*)))
+        .withColumn("host", expr("doc_id div 16"))
+      graft.operators.QualityClassifier.groupQuality(scored, "host")
+    }),
+
     // part 2: per-source drift of the SCORE distribution (whole-nat
     // histogram TV vs rest) over ALL sources — a source whose scores
     // depart from the corpus is different quality or miscalibrated domain
@@ -840,6 +878,12 @@ object CurationQueries {
     * as 1e-9 fixed point like `logodds_fp`.
     */
   private val NbSweepThresholdsFp: Seq[Long] = (-4 to 4).map(_ * 500000000L)
+
+  /** q160's per-signal RRF list depth — deep enough that the two lists
+    * only partially overlap (docs on one list, both, or neither all
+    * occur), shallow enough that the union stays a clearly bounded cut.
+    */
+  private val RrfListDepth = 100
 
   private def nbSrcList(ss: Seq[String]): String =
     ss.map(s => s"'$s'").mkString(", ")
@@ -1237,7 +1281,28 @@ object CurationQueries {
       .write.mode("overwrite").parquet(s"$base/scored_seeds")
     seeds.select(col("doc_id"), col("label"))
       .write.mode("overwrite").parquet(s"$base/seed_labels")
+    // corpus WORD-NB scores for the b160 fusion twin (q160's signal A)
+    graft.operators.QualityClassifier.nbLogOdds(d, pos, neg)
+      .select(col("doc_id"), col("logodds_fp").as("score_fp"))
+      .write.mode("overwrite").parquet(s"$base/scored_corpus")
   }
+
+  /** Bench-only attribution twin for q160: the RRF fuse alone, off
+    * pre-materialized corpus NB scores ([[materializeNbModel]]) and
+    * stored PageRank host ranks ([[TrainingDataQueries
+    * .materializePageRank]]) — q160's contract timing re-runs NB training
+    * AND the 5-iteration power iteration inside the query, so a
+    * fusion-side regression would be diluted ~20:1 without this.
+    */
+  def fusionAttribution(nbBase: String, prBase: String): Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b160_rrf_only" -> ((s, dir) => {
+      val auth = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), expr("doc_id div 16").as("host"))
+        .join(s.read.parquet(s"$prBase/ranks"), "host")
+        .select(col("doc_id"), col("rank_ppm").as("score_fp"))
+      graft.operators.Fusion.reciprocalRankFusion(
+        Seq(s.read.parquet(s"$nbBase/scored_corpus"), auth), m = RrfListDepth)
+    }))
 
   /** Bench-only attribution twins against [[materializeNbModel]]: hashed
     * scoring alone (frozen weights+constants — the broadcast-model
@@ -1842,6 +1907,43 @@ object CurationQueries {
          |      / CAST(pd.n AS DOUBLE) / CAST(${graft.functions.PinnedMath.FpScale} AS DOUBLE) END AS mean_surprisal
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN lnd""".stripMargin
     },
+
+    // RRF twin: the q108 scoring CTEs + the q155 power-iteration CTEs
+    // (CTE namespaces are disjoint), per-signal ORDER BY/LIMIT lists,
+    // integer 1e9 // (60 + rank) contributions, BIGINT fuse
+    "q160_rrf_fusion" ->
+      s"""WITH $nbScoreCtesSql,
+         |${TrainingDataQueries.pageRankCtesSql},
+         |la AS (SELECT doc_id, logodds_fp AS score_fp FROM sc
+         |  ORDER BY score_fp DESC, doc_id ASC LIMIT $RrfListDepth),
+         |ra AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank FROM la),
+         |lb AS (SELECT d.doc_id, pr.r AS score_fp FROM documents d
+         |  JOIN r${TrainingDataQueries.PrIters} pr ON d.doc_id // 16 = pr.h
+         |  ORDER BY score_fp DESC, doc_id ASC LIMIT $RrfListDepth),
+         |rb AS (SELECT doc_id,
+         |  row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank FROM lb),
+         |u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+         |f AS (SELECT doc_id,
+         |  CAST(sum(CAST(1000000000 AS BIGINT) // (60 + rank)) AS BIGINT) AS rrf_fp,
+         |  CAST(count(*) AS BIGINT) AS n_signals,
+         |  CAST(min(rank) AS INT) AS best_rank
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, rrf_fp, n_signals, best_rank,
+         |  CAST(row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS INT) AS rank
+         |FROM f""".stripMargin,
+
+    // host-quality twin: the q108 scoring CTEs grouped by the synthesized
+    // host id; `//` truncates the (possibly negative) log-odds sum
+    // toward zero, bit-matching the Spark side's `div`
+    "q164_host_quality" ->
+      s"""WITH $nbScoreCtesSql,
+         |hq AS (SELECT doc_id // 16 AS host, logodds_fp,
+         |  CASE WHEN logodds_fp > 0 THEN 1 ELSE 0 END AS p FROM sc)
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(CAST(sum(logodds_fp) AS HUGEINT) // count(*) AS BIGINT) AS mean_logodds_fp,
+         |  CAST(CAST(sum(p) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS pos_share_ppm
+         |FROM hq GROUP BY host""".stripMargin,
 
     // NB-classifier twin: union vocab via FULL JOIN, per-word pinned-ln
     // weight difference, four one-row constants (smoothing denominators +

@@ -179,6 +179,13 @@ object ScaleBench {
       // should track corpus bytes, never pairs
       "table_profile" -> (k => graft.operators.Profile.tableProfile(
         scaledDocs(k), Seq("doc_id", "text", "lang", "source"))),
+      // q157 shape: CMS build pass (bounded cells) + map-side estimate
+      // filter + exact count of survivors only — growth should track the
+      // two corpus scans; the exact shuffle stays bounded by the share
+      // threshold however large the corpus (the text column's distinct
+      // values never cross the exchange)
+      "heavy_hitters" -> (k => graft.operators.Profile.heavyHitters(
+        scaledDocs(k), Seq("lang", "source", "text"), minSharePpm = 100000L)),
       // q155 shape: K power iterations over an edge table that grows
       // linearly with the corpus. Replica i's src hosts live at
       // ~i*Stride/16; the second edge family CROSS-LINKS replicas (dst
@@ -194,6 +201,17 @@ object ScaleBench {
           expr("doc_id div 16").as("src"),
           expr("(doc_id * 3 + 5) div 16").as("dst"))),
         iters = 5)),
+      // q161 shape: 2 keyed joins + 2 combinable sums + 2 one-row maxes
+      // per iteration over the same linearly-growing graph — should track
+      // host_pagerank's edge-linear curve (x2 the joins per round)
+      "hits_rank" -> (k => graft.operators.Hits.rank(
+        scaledDocs(k).select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id + 21) div 16").as("dst"))
+        .unionByName(scaledDocs(k).select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = 4)),
       // q109/q110/q112 shapes: more pinned-ln-on-distinct-domain scores —
       // KL's weighted DECIMAL sum, tf-idf's per-doc window, PMI's
       // TakeOrdered cut; rotation again grows the distinct domains

@@ -360,7 +360,8 @@ object SparkEntry {
       CurationQueries.mediaAttribution(featuresPath + "_media") ++
       CurationQueries.lmAttribution(featuresPath + "_lm") ++
       CurationQueries.nbAttribution(featuresPath + "_nb") ++
-      TrainingDataQueries.pagerankAttribution(featuresPath + "_pr")
+      TrainingDataQueries.pagerankAttribution(featuresPath + "_pr") ++
+      CurationQueries.fusionAttribution(featuresPath + "_nb", featuresPath + "_pr")
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -97,6 +97,38 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("host"), col("weight"), col("priority"))
     }),
 
+    // HITS hubs/authorities over the same host graph — PageRank's
+    // link-analysis complement (authority = pages worth keeping, hub =
+    // link pages worth recrawling); integer ppm with exact per-round
+    // max-normalization, 2 edge-linear keyed joins per iteration
+    "q161_hits" -> ((s, dir) =>
+      graft.operators.Hits.rank(
+        s.read.parquet(s"$dir/documents.parquet").select(
+          expr("doc_id div 16").as("src"),
+          expr("(doc_id + 21) div 16").as("dst"))
+        .unionByName(
+          s.read.parquet(s"$dir/documents.parquet").select(
+            expr("doc_id div 16").as("src"),
+            expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        iters = HitsIters)),
+
+    // full-corpus k-means clustering as a DELIVERABLE (topic buckets for
+    // mixing/splits/per-topic budgets): the q35 trained quantizer, every
+    // vector assigned to its argmax-cosine cluster with the winning
+    // similarity — assignment is broadcast + combinable max_by, one row
+    // per vector across the exchange
+    "q158_embed_clusters" -> ((s, dir) =>
+      SimilaritySearch.embeddingClusters(emb(s, dir),
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+
+    // per-cluster cohesion profile off the same clustering: member count
+    // + integer-ppm mean centroid similarity (order-free exact sum over
+    // the 6dp-rounded sims) — the k-row table mixture planning reads
+    "q159_cluster_profile" -> ((s, dir) =>
+      SimilaritySearch.clusterProfile(
+        SimilaritySearch.embeddingClusters(emb(s, dir),
+          initPred = "vec_id >= 100 AND vec_id < 116", iters = 2))),
+
     // exact n-gram Jaccard near-dup pairs (shingle inverted-index join)
     "q24_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
 
@@ -784,7 +816,7 @@ object TrainingDataQueries {
   /** q155 power-iteration count — shared by the Spark query and the
     * unrolled oracle so they cannot drift.
     */
-  private val PrIters = 5
+  private[graft] val PrIters = 5
 
   /** q156 sample size — big enough that several hosts contribute, small
     * enough that the priority cut actually excludes docs.
@@ -835,7 +867,7 @@ object TrainingDataQueries {
   /** The q155 CTE chain (edges + unrolled iterations), shared with q156's
     * authority-weighted sampling twin.
     */
-  private lazy val pageRankCtesSql: String = {
+  private[graft] lazy val pageRankCtesSql: String = {
     val base =
       s"""ed AS (SELECT DISTINCT src, dst FROM (
          |  SELECT doc_id // 16 AS src, (doc_id + 21) // 16 AS dst FROM documents
@@ -852,6 +884,37 @@ object TrainingDataQueries {
          |r$i AS (SELECT n.h, CAST(150000 +
          |    CAST(850000 AS HUGEINT) * coalesce(c$i.cs, 0) // 1000000 AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN c$i ON n.h = c$i.h)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its"
+  }
+
+  /** q161 iteration count — shared by the Spark query and the unrolled
+    * oracle.
+    */
+  private val HitsIters = 4
+
+  /** The q161 HITS CTE chain: reuses [[pageRankCtesSql]]'s `ed`/`nodes`
+    * (DuckDB materializes only referenced CTEs, so the unused r/c
+    * iterations cost nothing), then per iteration an authority half-step
+    * (in-edge sum off the previous hub scores, max-normalized to 1e6 by
+    * exact HUGEINT floor division) and the mirrored hub half-step.
+    */
+  private lazy val hitsCtesSql: String = {
+    def half(out: String, prevRel: String, prevCol: String,
+             joinKey: String, groupKey: String): String =
+      s"""${out}r AS (SELECT n.h, coalesce(x.s, 0) AS s FROM nodes n LEFT JOIN (
+         |    SELECT ed.$groupKey AS h, CAST(sum(p.s) AS BIGINT) AS s
+         |    FROM ed JOIN $prevRel p ON ed.$joinKey = p.h GROUP BY ed.$groupKey) x
+         |  ON n.h = x.h),
+         |${out}m AS (SELECT max(s) AS mx FROM ${out}r),
+         |$out AS (SELECT h, CASE WHEN mx > 0
+         |  THEN CAST(CAST(s AS HUGEINT) * 1000000 // mx AS BIGINT) ELSE 0 END AS s
+         |  FROM ${out}r CROSS JOIN ${out}m)""".stripMargin
+    val base = "hh0 AS (SELECT h, CAST(1000000 AS BIGINT) AS s FROM nodes)"
+    val its = (1 to HitsIters).map { i =>
+      // authority from hubs (sum over in-edges), then hubs from authority
+      half(s"aa$i", s"hh${i - 1}", "s", "src", "dst") + ",\n" +
+        half(s"hh$i", s"aa$i", "s", "dst", "src")
     }.mkString(",\n")
     s"$base,\n$its"
   }
@@ -1042,6 +1105,15 @@ object TrainingDataQueries {
     // step integer floor division — the q104 unrolled-loop precedent
     "q155_host_pagerank" -> pageRankOracleSql,
 
+    // HITS twin: the q155 edge CTEs + HitsIters unrolled (authority, hub)
+    // half-step pairs, each max-normalized by exact HUGEINT floor division
+    "q161_hits" ->
+      s"""WITH ${pageRankCtesSql},
+         |$hitsCtesSql
+         |SELECT hh$HitsIters.h AS host, hh$HitsIters.s AS hub_ppm,
+         |  aa$HitsIters.s AS auth_ppm
+         |FROM hh$HitsIters JOIN aa$HitsIters ON hh$HitsIters.h = aa$HitsIters.h""".stripMargin,
+
     // authority-sampling twin: the q155 CTE chain feeding q101's
     // Efraimidis-Spirakis priority (pinned-ln of the 61-bit content
     // hash over the host's rank weight), same DESC/doc_id tie-break
@@ -1209,6 +1281,37 @@ object TrainingDataQueries {
     // assign + residual-encode of a shard is row-local and build-then-add
     // equals one-shot — the q113 argument; the oracle is q125's verbatim
     "q135_knn_ivfpq_incremental" -> ivfPqOracleSql,
+
+    // clustering-deliverable twin: the q35/q119 trained-quantizer replay
+    // ending at the scored argmax assignment itself
+    "q158_embed_clusters" ->
+      s"""WITH $embBaseSql,
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim)},
+         |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2)
+         |SELECT vec_id, cid AS cluster_id, round(cscore, 6) AS cent_sim FROM cs
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1""".stripMargin,
+
+    // cluster-profile twin: the same assignment grouped per cluster; the
+    // mean is the BIGINT sum of the 6dp-rounded sims under `//` —
+    // truncation toward zero, bit-matching the Spark side's `div`
+    "q159_cluster_profile" ->
+      s"""WITH $embBaseSql,
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim)},
+         |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
+         |asg AS (SELECT vec_id, cid, round(cscore, 6) AS cent_sim FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1)
+         |SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(CAST(sum(CAST(round(cent_sim * 1000000) AS BIGINT)) AS HUGEINT)
+         |    // count(*) AS BIGINT) AS mean_sim_ppm
+         |FROM asg GROUP BY cid""".stripMargin,
 
     // SemDeDup twin: the q35 trained quantizer (two unrolled ordered-fold
     // Lloyd rounds), assignment keeps the winning score as keep-priority,

@@ -38,7 +38,7 @@ object FrequencySketch {
   val RowB: Seq[Long] = Seq(12345L, 971L, 31337L, 271828L)
 
   /** The d probe cells of one hashed value: (row, idx) pairs. */
-  private def cellIdx(h: Column, i: Int): Column =
+  private[operators] def cellIdx(h: Column, i: Int): Column =
     ((lit(RowA(i)) * h + lit(RowB(i))) % lit(RowMod)) % lit(Width)
 
   /** Build the sketch: one row per (groupCols..., r, idx) touched cell with

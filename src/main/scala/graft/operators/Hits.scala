@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities over a (src, dst) edge list (Kleinberg 1999)
+  * — [[PageRank]]'s complement for link analysis of a crawl graph:
+  * authority separates the PAGES worth keeping (pointed at by good
+  * hubs), hub scores separate the LINK PAGES worth recrawling for
+  * discovery. PageRank conflates the two into one stationary mass.
+  *
+  * Engine-exact by the pinned-integer discipline: scores are INTEGER ppm;
+  * each half-step is a BIGINT sum over the in/out edge join (order-free,
+  * combinable), and the per-round normalization — mandatory for HITS,
+  * whose un-normalized scores grow geometrically with the iteration
+  * count — divides by the round's MAXIMUM via exact floor division
+  * `score * 1e6 div max` (a DECIMAL(38,0) product, so no overflow at any
+  * graph size), putting the top node at exactly 1e6 each round. Every
+  * quantity is a pure integer function of the graph: bit-identical
+  * across engines and partitionings, replayable by an unrolled oracle.
+  *
+  * Semantics: parallel edges and self-loops are dropped (the [[PageRank]]
+  * edge normalization); NULL endpoints raise per-row. Every node gets a
+  * row; a node with no in-edges has authority 0 after the first round,
+  * no out-edges hub 0 — genuine zeros, unlike PageRank's teleport floor.
+  *
+  * Scale shape: each iteration is TWO keyed joins (scores to edges — the
+  * same hash partitioning both directions, so AQE reuses exchanges) +
+  * two combinable sums + two 1-row max aggregates broadcast back into
+  * the normalization. K iterations = 2K edge-linear rounds; edges and
+  * the node spine persist once. No windows, no collect.
+  *
+  * The returned frame stays persisted (one row per node) — the
+  * [[PageRank.rank]] contract; release it when done.
+  */
+object Hits {
+
+  def rank(edges: DataFrame, iters: Int = 4,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def keyOrRaise(c: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"hits: NULL $c — a null endpoint has no node identity " +
+          "(it would drop through every keyed join and silently lose edges)")))
+        .otherwise(col(c))
+    val e = edges.select(keyOrRaise(srcCol).as("src"),
+        keyOrRaise(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(storage)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+      .persist(storage)
+    // re-normalize a raw BIGINT score column to [0, 1e6] by the round max:
+    // exact integer floor division on a DECIMAL(38,0) product
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val mx = raw.agg(max(col(scoreCol)).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("host"),
+          when(col("__mx") > 0L, expr(
+            s"CAST((CAST($scoreCol AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)"))
+            .otherwise(lit(0L)).as(scoreCol))
+    }
+    // each half-step's frame is LINEAGE-TRUNCATED (eager localCheckpoint),
+    // not merely persisted: the normalization references its input twice
+    // (raw + its 1-row max), so an un-truncated plan DOUBLES per half-step
+    // — 2^(2*iters) plan nodes, which OOMs the driver on the plan STRING
+    // alone long before any data moves. Checkpointed frames are
+    // node-count-sized; the blocks release with the session's cache
+    // cleanup (Bench clears persistent RDDs between queries). On a real
+    // cluster swap localCheckpoint for reliable checkpointing if executor
+    // loss mid-iteration must be survivable — the standard iterative-
+    // graph tradeoff; results are unaffected (the math is order-free).
+    var h = nodes.select(col("host"), lit(1000000L).as("hub_ppm"))
+      .localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authority half-step: a(v) = sum of h(u) over in-edges (u -> v)
+      val aRaw = nodes.join(
+          e.join(h.select(col("host").as("src"), col("hub_ppm")), "src")
+            .groupBy(col("dst").as("host")).agg(sum(col("hub_ppm")).as("auth_ppm")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
+      a = normalized(aRaw, "auth_ppm").localCheckpoint(true)
+      // hub half-step: h(u) = sum of a(v) over out-edges (u -> v)
+      val hRaw = nodes.join(
+          e.join(a.select(col("host").as("dst"), col("auth_ppm")), "dst")
+            .groupBy(col("src").as("host")).agg(sum(col("auth_ppm")).as("hub_ppm")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
+      h = normalized(hRaw, "hub_ppm").localCheckpoint(true)
+    }
+    val out = h.join(a, Seq("host"))
+      .select(col("host"), col("hub_ppm"), col("auth_ppm"))
+      .persist(storage)
+    out.count()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+}

@@ -98,6 +98,87 @@ object Profile {
         col("mode_str"), col("mode_count"), col("avg_len_ppm"))
   }
 
+  /** EXACT per-column heavy hitters with a CMS pre-filter — the 100 TB
+    * path for the modal-value question [[tableProfile]] answers exactly:
+    * `tableProfile`'s (column, value) posting shuffle is per-DISTINCT-value
+    * exact, which for a high-cardinality text column is corpus-sized.
+    * This variant keeps the ANSWER exact while bounding what crosses the
+    * exchange: values whose share is below `minSharePpm` never shuffle.
+    *
+    * Mechanics (all deterministic — the sketch is a pure performance
+    * filter, invisible in the result):
+    *  1. one combinable pass builds the per-column count-min sketch
+    *     ([[FrequencySketch]] — depth x width cells per column, corpus-
+    *     size-independent) and the per-column non-null totals;
+    *  2. a second scan estimates each row's value count map-side (the
+    *     bounded sketch broadcasts; `Depth` broadcast joins, no exchange)
+    *     and drops rows whose UPPER-BOUND estimate is already below the
+    *     threshold — CMS never underestimates, so no heavy value is lost;
+    *  3. survivors (only plausibly-heavy values) take the exact
+    *     groupBy(column, value) count, and a final exact filter removes
+    *     the CMS false positives.
+    * Result: exactly the values with `count * 1e6 >= minSharePpm * n`
+    * (per column, n = non-null rows), their exact counts, exact-ppm
+    * shares, and a deterministic per-column rank — bit-identical to the
+    * all-exact oracle at any partitioning. Cost: two corpus scans + a
+    * shuffle bounded by `<= 1e6 / minSharePpm` values per column, vs
+    * `tableProfile`'s one scan + corpus-sized posting shuffle.
+    *
+    * Output: (col_name, value STRING, cnt, share_ppm, rank INT).
+    */
+  def heavyHitters(df: DataFrame, columns: Seq[String],
+                   minSharePpm: Long = 10000L,
+                   storage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(columns.nonEmpty, "heavyHitters needs at least one column")
+    require(minSharePpm > 0 && minSharePpm <= 1000000L,
+      "minSharePpm must be in (0, 1e6]")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    val pairs = df.select(explode(array(columns.map(c => struct(
+        lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("v").isNotNull)
+    // per-column non-null totals: |columns| rows, broadcast into both
+    // threshold checks
+    val totals = pairs.groupBy(col("col_name")).agg(count(lit(1)).as("__n"))
+    // the persist bounds the sketch to ONE corpus pass: each of the Depth
+    // broadcast joins below filters its own row out of the cell table
+    val sk = Caching.maybePersist(
+      FrequencySketch.merge(
+        FrequencySketch.sketch(pairs, "v", Seq("col_name")), Seq("col_name")),
+      storage)
+    // map-side per-row estimate: min over the Depth probed cells (absent
+    // cell = 0); decimal cross-multiply keeps the threshold exact at any
+    // corpus size (cnt * 1e6 would pass 2^63 around 9e12 rows)
+    val hashed = pairs.withColumn("__h",
+      graft.functions.TextFunctions.polyHash(col("v")))
+    val estimated = (0 until FrequencySketch.Depth).foldLeft(
+      hashed.withColumn("__est", lit(Long.MaxValue))) { case (acc, i) =>
+        val cells = sk.filter(col("r") === i)
+          .select(col("col_name"), col("idx").as(s"__idx$i"), col("cnt").as(s"__c$i"))
+        acc.withColumn(s"__idx$i", FrequencySketch.cellIdx(col("__h"), i))
+          .join(broadcast(cells), Seq("col_name", s"__idx$i"), "left")
+          .withColumn("__est", least(col("__est"), coalesce(col(s"__c$i"), lit(0L))))
+      }
+    def heavy(cnt: org.apache.spark.sql.Column) =
+      cnt.cast("decimal(38,0)") * lit(1000000L) >=
+        lit(minSharePpm).cast("decimal(38,0)") * col("__n")
+    val survivors = estimated
+      .join(broadcast(totals), "col_name")
+      .filter(heavy(col("__est")))
+      .select(col("col_name"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name")).orderBy(col("cnt").desc, col("value").asc)
+    survivors.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "col_name")
+      .filter(heavy(col("cnt"))) // drop the CMS false positives exactly
+      .select(col("col_name"), col("v").as("value"), col("cnt"),
+        ExactPpm.ppm(col("cnt"), col("__n")).as("share_ppm"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Drift report between two [[tableProfile]] snapshots — the
     * schema/data-quality alert a pipeline runs after every ingest or
     * curation stage: per column, the null-rate and distinct-count moves,

@@ -317,6 +317,26 @@ object QualityClassifier {
         ppm(col("tp") * 2L, col("tp") * 2L + col("fp") + col("fn")).as("f1_ppm"))
   }
 
+  /** Per-group rollup of NB scores — the DOMAIN-quality table: mean
+    * log-odds and positive share per host/source/domain, the signal a
+    * crawler uses to block or deprioritize whole domains (one bad page is
+    * noise; a bad domain is policy). `scored` is any `nbLogOdds*` output
+    * joined with `groupCol`. All integer: the mean is `div` of the
+    * BIGINT log-odds sum — truncation toward zero, which is EXACTLY
+    * DuckDB's `//` on signed values (both engines' native integral
+    * division; a floor-division construction would diverge by one on
+    * negative sums) — and the share exact ppm. One combinable aggregate;
+    * output is group-count-sized.
+    */
+  def groupQuality(scored: DataFrame, groupCol: String): DataFrame =
+    scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("logodds_fp")).as("__s"),
+        sum(col("predict_pos").cast("long")).as("__p"))
+      .select(col(groupCol), col("n_docs"),
+        expr("__s div n_docs").as("mean_logodds_fp"),
+        ExactPpm.ppm(col("__p"), col("n_docs")).as("pos_share_ppm"))
+
   /** Per-group drift of the SCORE distribution: each group's
     * total-variation distance (at whole-nat histogram resolution) from the
     * rest of the corpus — the calibration-shift audit. A source whose

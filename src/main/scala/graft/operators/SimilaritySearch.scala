@@ -849,6 +849,50 @@ object SimilaritySearch {
         (!coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** Full-corpus k-means clustering as a DELIVERABLE — the topic-bucket /
+    * data-mixing primitive (SemDeDup's §4 "cluster then act" shape, with
+    * the clustering itself as the output): train the deterministic Lloyd
+    * quantizer from the `initPred` seed slice ([[trainedCentroids]] — the
+    * same ordered-fold training q35/q119 replay bit-for-bit in the
+    * oracle), then assign EVERY vector to its argmax-cosine cluster.
+    * Downstream: per-cluster mixture weights, cluster-coherent splits
+    * ([[Sampling]]'s cluster splits consume exactly this), per-topic
+    * dedup budgets.
+    *
+    * Scale shape: training is `iters` bounded corpus passes (the
+    * recompute shuffle is k x dims groups, corpus-size-independent);
+    * assignment is one broadcast of the tiny centroid set + a map-side
+    * argmax collapsed by a combinable max_by — one row per vector crosses
+    * the exchange, never the xk fan-out. Output: (idCol, cluster_id,
+    * cent_sim DOUBLE rounded to 6dp).
+    */
+  def embeddingClusters(embeddings: DataFrame, initPred: String, iters: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"embeddingClusters: initPred '$initPred' selects no rows — nothing to train from")
+    val cent = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    assignCellsScored(e, cent)
+      .select(col("id").as(idCol), col("cid").as("cluster_id"), col("cent_sim"))
+  }
+
+  /** Per-cluster corpus summary off [[embeddingClusters]] output: member
+    * count and the mean centroid similarity (cluster cohesion) — the
+    * table mixture planning reads. The mean is INTEGER ppm over the
+    * 6dp-rounded similarities — a sum of exact per-member longs, then
+    * `div` (truncation toward zero, bit-matching DuckDB's `//` on signed
+    * sums) — so it is order-free and engine-exact where a float mean
+    * would drift with partition order. One combinable aggregate over a
+    * member-count-sized input; output is k rows.
+    */
+  def clusterProfile(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("cent_sim") * lit(1000000.0)).cast("long")).as("__s"))
+      .select(col("cluster_id"), col("n_members"),
+        expr("__s div n_members").as("mean_sim_ppm"))
+
   /** Scored frozen-centroid assignment: (id, cid, cent_sim) — the argmax
     * cell plus the winning score, rounded like every gated cosine.
     */

@@ -828,6 +828,68 @@ object EventStream {
           storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
       }
 
+  /** Streaming EWMA feature gate: each micro-batch of events folds into
+    * per-user exponentially-decayed value state
+    * ([[graft.operators.DecayFeatures.incrementEwma]] — the EWMA
+    * recurrence continues exactly from the stored accumulator, so stored
+    * events are never re-read and chained triggers equal the one-shot
+    * [[graft.operators.DecayFeatures.ewmaState]] bit-for-bit;
+    * EventStreamSpec pins it). State is an append-only era-tagged log at
+    * `statePath/ewma` holding only the users each trigger TOUCHED
+    * (O(batch) rows per era, never an O(users) snapshot rewrite);
+    * latest-era-wins per user reconstructs the snapshot at read, and a
+    * trigger excludes its OWN era before folding — the packGateWriter
+    * crash-replay rule, applied here from day one: a replayed batch
+    * recomputes the identical rows and its re-append collapses at read.
+    * `sink` receives the batch's updated user states (exactly what an
+    * online feature push must write) with the micro-batch id. Caller
+    * contract: event time only moves forward across triggers (the
+    * incrementEwma per-row guard raises otherwise); `decayPpm` frozen
+    * with the state.
+    */
+  def ewmaGateWriter(events: DataFrame, statePath: String,
+                     sink: (DataFrame, Long) => Unit,
+                     decayPpm: Long = 850000L,
+                     userCol: String = "user_id")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val ewmaPath = s"$statePath/ewma"
+        val stored = tableOr(spark, ewmaPath, null) match {
+          case null => null
+          case raw =>
+            val latest = raw.filter(col("era") =!= lit(batchId))
+              .groupBy(col(userCol))
+              .agg(max_by(struct(col("n_events"), col("ewma_fp"),
+                col("last_ts_us"), col("last_event_id")), col("era")).as("__v"))
+              .select(col(userCol), col("__v.n_events").as("n_events"),
+                col("__v.ewma_fp").as("ewma_fp"),
+                col("__v.last_ts_us").as("last_ts_us"),
+                col("__v.last_event_id").as("last_event_id"))
+            if (latest.limit(1).isEmpty) null else latest
+        }
+        val next =
+          if (stored == null)
+            graft.operators.DecayFeatures.ewmaState(b, decayPpm, userCol)
+          else graft.operators.DecayFeatures.incrementEwma(stored, b, decayPpm, userCol)
+        // only the TOUCHED users append (incrementEwma passes untouched
+        // users through unchanged — appending them would grow each era to
+        // the full user set); persist: the sink and the append both read
+        val touched = next
+          .join(b.select(col(userCol)).distinct(), Seq(userCol), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(touched, batchId)
+          // state append AFTER the sink (the crash-replay rule); the era
+          // tag + own-era exclusion make a replayed append collapse at read
+          touched.withColumn("era", lit(batchId))
+            .write.mode("append").parquet(ewmaPath)
+        } finally { touched.unpersist(); () }
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

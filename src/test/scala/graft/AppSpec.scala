@@ -437,6 +437,38 @@ class AppSpec extends SparkTestBase {
       Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
   }
 
+  test("heavy-hitters, embed-clusters, and rrf subcommands") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    // heavy hitters: 'a' x 6 of 10 rows clears 50%; the rest don't
+    storage.write("t",
+      (Seq.fill(6)("a") ++ Seq.fill(3)("b") :+ "c").zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+      "overwrite")
+    App.run(platform, Seq("heavy-hitters",
+      "--table-path", "t", "--output-path", "hh",
+      "--columns", "v", "--min-share-ppm", "500000"))
+    storage.rows("hh").map(r =>
+      (r.getAs[String]("value"), r.getAs[Long]("cnt"))) shouldBe Seq(("a", 6L))
+    // embed-clusters over the real embeddings + cohesion profile
+    storage.write("emb",
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), "overwrite")
+    App.run(platform, Seq("embed-clusters",
+      "--input-path", "emb", "--init-pred", "vec_id >= 100 AND vec_id < 116",
+      "--output-path", "clu", "--profile-path", "clu_prof"))
+    val nVec = storage.rows("emb").size
+    storage.rows("clu").size shouldBe nVec // every vector assigned once
+    storage.rows("clu_prof").map(_.getAs[Long]("n_members")).sum shouldBe nVec
+    // rrf over two stored signals == the operator directly
+    storage.write("sa", Seq((10L, 100L), (20L, 90L)).toDF("doc_id", "score_fp"), "overwrite")
+    storage.write("sb", Seq((20L, 50L), (30L, 40L)).toDF("doc_id", "score_fp"), "overwrite")
+    App.run(platform, Seq("rrf",
+      "--signal-paths", "sa,sb", "--output-path", "fused"))
+    storage.rows("fused").find(_.getAs[Long]("doc_id") == 20L)
+      .get.getAs[Int]("rank") shouldBe 1 // consensus doc wins
+  }
+
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage

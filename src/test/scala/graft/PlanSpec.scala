@@ -156,7 +156,18 @@ class PlanSpec extends SparkTestBase {
       // q132 embeds q108's one-row NB model constants — the same
       // sanctioned scalar-broadcast shape; every other verdict join is
       // keyed on doc_id
-      "q132_curation_verdict")
+      "q132_curation_verdict",
+      // q158/q159 embed the q35 trained quantizer — the only cross join
+      // is the tiny broadcast-centroid assignment argmax; the profile
+      // aggregate is keyed on cluster_id
+      "q158_embed_clusters", "q159_cluster_profile",
+      // q160/q164 embed q108's one-row NB model constants (the PageRank
+      // side of q160 crosses nothing); the RRF fuse and host rollup are
+      // keyed aggregates
+      "q160_rrf_fusion", "q164_host_quality",
+      // q161's only cross joins are HITS' per-round 1-row
+      // max-normalization scalars — the q43 scalar-broadcast shape
+      "q161_hits")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** HITS: star-graph fixed point, hand-computed max-normalization on a
+  * mixed-degree bipartite graph, genuine zeros, edge normalization, and
+  * partition-order determinism.
+  */
+class HitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int = 4): Map[Long, (Long, Long)] =
+    Hits.rank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("star graph: spokes are pure hubs, the center a pure authority") {
+    val r = ranks(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))
+    Seq(1L, 2L, 3L, 4L).foreach { u => r(u) shouldBe ((1000000L, 0L)) }
+    r(5L) shouldBe ((0L, 1000000L))
+  }
+
+  test("a cycle is a fixed point: uniform 1e6 hubs and authorities") {
+    ranks(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 6) shouldBe
+      Map(1L -> ((1000000L, 1000000L)), 2L -> ((1000000L, 1000000L)),
+        3L -> ((1000000L, 1000000L)))
+  }
+
+  test("hand-computed normalization on a mixed-degree bipartite graph") {
+    // 1 -> 10, 2 -> 10, 2 -> 11; two iterations by hand:
+    //   a1: raw (2e6, 1e6) -> (1e6, 500000); h1: raw (1e6, 1.5e6) -> (666666, 1e6)
+    //   a2: raw (1666666, 1e6) -> (1e6, 600000); h2: raw (1e6, 1.6e6) -> (625000, 1e6)
+    val r = ranks(Seq((1L, 10L), (2L, 10L), (2L, 11L)), iters = 2)
+    r(1L)._1 shouldBe 625000L
+    r(2L)._1 shouldBe 1000000L
+    r(10L)._2 shouldBe 1000000L
+    r(11L)._2 shouldBe 600000L
+    // pure sources/sinks have genuine zeros on the other score
+    r(10L)._1 shouldBe 0L
+    r(1L)._2 shouldBe 0L
+  }
+
+  test("parallel edges and self-loops are dropped") {
+    val withDups = ranks(Seq((1L, 5L), (1L, 5L), (5L, 5L), (2L, 5L)))
+    withDups shouldBe ranks(Seq((1L, 5L), (2L, 5L)))
+  }
+
+  test("deterministic under repartition (integer sums + exact normalization)") {
+    val edges = (0L until 400L).flatMap(i =>
+      Seq((i % 37, (i * 31 + 7) % 37), (i % 37, (i * 3 + 5) % 37)))
+    val a = Hits.rank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Hits.rank(edges.toDF("src", "dst").repartition(17), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    a shouldBe b
+  }
+
+  test("a NULL edge endpoint raises instead of silently dropping edges") {
+    val e = Seq((Some(1L), Some(2L)), (Some(3L), None)).toDF("src", "dst")
+    val ex = intercept[Exception] { Hits.rank(e, iters = 1).collect() }
+    ex.getMessage should include("null endpoint has no node identity")
+  }
+}

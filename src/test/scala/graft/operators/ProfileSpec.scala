@@ -107,4 +107,38 @@ class ProfileSpec extends SparkTestBase {
     }
     e.getMessage should include("nope")
   }
+
+  test("heavy hitters: exact counts, threshold semantics, CMS filter invisible") {
+    // skewed column: 'a' x 50, 'b' x 30, 'c' x 15, 'd' x 5 (n = 100)
+    val rows = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++
+      Seq.fill(15)("c") ++ Seq.fill(5)("d")).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, s"uniq-$i") }
+    val df = rows.toDF("id", "skewed", "unique")
+    // 10% threshold: a/b/c pass, d (5%) drops; the all-distinct column
+    // has no hitters at all
+    val out = Profile.heavyHitters(df, Seq("skewed", "unique"), minSharePpm = 100000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    out.filter(_._1 == "unique") shouldBe empty
+    val sk = out.filter(_._1 == "skewed").sortBy(_._5)
+    sk.map(t => (t._2, t._3, t._4, t._5)) shouldBe Seq(
+      ("a", 50L, 500000L, 1), ("b", 30L, 300000L, 2), ("c", 15L, 150000L, 3))
+    // the top hitter IS tableProfile's exact mode — the CMS path answers
+    // the modal-value question exactly (the sketch only pre-filters)
+    val mode = Profile.tableProfile(df, Seq("skewed"))
+      .select("mode_str", "mode_count").head()
+    (sk.head._2, sk.head._3) shouldBe ((mode.getString(0), mode.getLong(1)))
+  }
+
+  test("heavy hitters: boundary share passes, deterministic under repartition") {
+    // 'x' at exactly 20% (the >= boundary), 'y' just under
+    val rows = (Seq.fill(20)("x") ++ Seq.fill(19)("y") ++
+      (0 until 61).map(i => s"v$i")).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "c")
+    def hits(d: org.apache.spark.sql.DataFrame) =
+      Profile.heavyHitters(d, Seq("c"), minSharePpm = 200000L)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    val a = hits(df)
+    a shouldBe Set(("x", 20L))
+    hits(df.repartition(13)) shouldBe a
+  }
 }

@@ -24,6 +24,42 @@ class SimilaritySearchSpec extends SparkTestBase {
     (3L, vec(i => if (i == 0) -1f else -0.01f))
   ).toDF("vec_id", "embedding")
 
+  test("embeddingClusters: planted members land on their seed centroid; profile is exact") {
+    // three orthogonal directions; members are positive scalings of their
+    // seed (cosine exactly 1 with it, ~0 with the others)
+    def axis(a: Int, scale: Float) = vec(i => if (i == a) scale else 0f)
+    val rows = Seq(
+      (100L, axis(0, 1f)), (101L, axis(1, 1f)), (102L, axis(2, 1f)), // seeds
+      (1L, axis(0, 2f)), (2L, axis(0, 0.5f)),
+      (3L, axis(1, 3f)),
+      (4L, axis(2, 2f)), (5L, axis(2, 4f)), (6L, axis(2, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val clusters = SimilaritySearch.embeddingClusters(rows,
+      initPred = "vec_id >= 100", iters = 2)
+    val byId = clusters.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    byId(1L)._1 shouldBe 100L
+    byId(2L)._1 shouldBe 100L
+    byId(3L)._1 shouldBe 101L
+    Seq(4L, 5L, 6L).map(byId(_)._1).toSet shouldBe Set(102L)
+    // exact-copy members sit at cosine 1.0 with their (same-direction) centroid
+    byId(1L)._2 shouldBe 1.0
+    // every vector gets exactly one row
+    clusters.count() shouldBe rows.count()
+    val prof = SimilaritySearch.clusterProfile(clusters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    prof(100L)._1 shouldBe 3L // seed + 2 members
+    prof(101L)._1 shouldBe 2L
+    prof(102L)._1 shouldBe 4L
+    prof(100L)._2 shouldBe 1000000L // all exact copies: mean ppm = 1e6
+    // deterministic under repartition (the ordered-fold training + integer profile)
+    val prof2 = SimilaritySearch.clusterProfile(
+      SimilaritySearch.embeddingClusters(rows.repartition(7),
+        initPred = "vec_id >= 100", iters = 2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    prof2 shouldBe prof
+  }
+
   test("brute knn ranks the near-parallel vector first") {
     val out = SimilaritySearch.bruteKnn(embs, "vec_id = 0", 3)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq

@@ -679,6 +679,64 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming EWMA gate: chained micro-batches == one-shot state; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val statePath = java.nio.file.Files.createTempDirectory("graft_ewmagate").toString
+    def ev(id: Long, day: Int, user: Long, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 06:00:00"), user, "e", v)
+    val b1 = Seq(ev(1, 1, 7, 1.0), ev(2, 2, 7, 2.0), ev(3, 1, 8, 4.0))
+    val b2 = Seq(ev(4, 3, 7, 0.5), ev(5, 4, 9, 1.0)) // user 8 untouched
+    def runStream(batches: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double)]])
+        : Seq[Map[Long, (Long, Long)]] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (Long, Long)]]
+      val query = EventStream.ewmaGateWriter(
+          input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+          statePath,
+          sink = (out, _) => got.synchronized {
+            got += out.select("user_id", "n_events", "ewma_fp")
+              .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+          })
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    try {
+      val first = runStream(Seq(b1))
+      // trigger 1 emits exactly the batch's users
+      first.head.keySet shouldBe Set(7L, 8L)
+      // a FRESH stream re-delivers b1 as batchId 0 with its era-0 rows
+      // already in the log — the crash-replay shape; the own-era
+      // exclusion must make the replayed emission identical. The second
+      // trigger then chains b2: only touched users emit, untouched user 8
+      // keeps its stored state.
+      val replayed = runStream(Seq(b1, b2))
+      replayed.head shouldBe first.head
+      replayed(1).keySet shouldBe Set(7L, 9L)
+      // latest-era snapshot == the one-shot state over everything
+      val all = (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value")
+      val oneShot = graft.operators.DecayFeatures.ewmaState(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val raw = spark.read.parquet(s"$statePath/ewma")
+      val snapshot = raw.groupBy(col("user_id"))
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct(col("n_events"), col("ewma_fp")),
+          col("era")).as("v"))
+        .select(col("user_id"), col("v.n_events"), col("v.ewma_fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      snapshot shouldBe oneShot
+      // O(batch) eras: era 1 holds only b2's touched users
+      raw.filter(col("era") === 1L).select("user_id").as[Long]
+        .collect().toSet shouldBe Set(7L, 9L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming url-dedup gate: chained micro-batches == one-shot urlDedup on stable columns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
