@@ -412,6 +412,17 @@ object AnalyticsQueries {
         .select(col("user_id"), col("n_events"), col("ewma_fp"), col("last_ts_us"))
     }),
 
+    // k-anonymity audit: quasi-identifier (lang, source, length-bucket)
+    // equivalence classes with size-below-k risk flags — the
+    // re-identification report a training-data release runs; one
+    // combinable aggregate bounded by the distinct quasi domain
+    "q165_kanonymity" -> ((s, dir) =>
+      graft.operators.Profile.kAnonymity(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), col("source"),
+            expr("n_chars div 256").as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = KAnonK)),
+
     // CMS-prefiltered EXACT heavy hitters — q150's modal-value question
     // at the 100 TB shuffle budget: only plausibly-heavy values cross the
     // exchange (the sketch is a pure performance filter, invisible in the
@@ -424,6 +435,11 @@ object AnalyticsQueries {
   )
 
   private val HeavyHitterSharePpm = 100000L
+
+  /** q165's k floor — small enough that the synthetic corpus has both
+    * safe and at-risk classes.
+    */
+  private val KAnonK = 3L
 
   /** q163's time split — mid-range of the events table, so both halves
     * carry rows for most users and the increment genuinely continues
@@ -891,6 +907,13 @@ object AnalyticsQueries {
          |      list(v ORDER BY ts_us, event_id)),
          |    (acc, x) -> (850000 * acc) // 1000000 + x) AS ewma_fp
          |FROM e GROUP BY user_id""".stripMargin,
+
+    // k-anonymity twin: plain grouped count + flag
+    "q165_kanonymity" ->
+      s"""SELECT lang, source, n_chars // 256 AS len_bucket,
+         |  CAST(count(*) AS BIGINT) AS class_size,
+         |  CAST(count(*) < $KAnonK AS INT) AS at_risk
+         |FROM documents GROUP BY 1, 2, 3""".stripMargin,
 
     // heavy-hitters twin: the CMS prefilter is invisible in the result
     // (upper-bound estimates admit every true hitter; the exact recount

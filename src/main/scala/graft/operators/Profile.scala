@@ -179,6 +179,32 @@ object Profile {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** K-anonymity audit over quasi-identifier columns — the
+    * re-identification risk report a training-data release runs before
+    * publishing (Sweeney 2002): every combination of quasi-identifiers
+    * (language, source, length bucket, region, ...) forms an equivalence
+    * class; a class smaller than `k` means its members are
+    * distinguishable enough to re-identify or to memorize verbatim.
+    * Output: one row per class — the quasi columns, `class_size`, and
+    * `at_risk` (size < k). NULL quasi values form their own class (they
+    * are exactly as distinguishing as any other shared value).
+    *
+    * Scale shape: ONE combinable aggregate keyed by the quasi tuple —
+    * map-side partials collapse repeated combinations before the
+    * exchange, so the shuffle is bounded by the distinct quasi domain,
+    * not the corpus. Downstream: join `at_risk` classes back to drop or
+    * generalize their members.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier column")
+    require(k >= 1, "k must be positive")
+    val missing = quasiCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", (col("class_size") < k).cast("int"))
+  }
+
   /** Drift report between two [[tableProfile]] snapshots — the
     * schema/data-quality alert a pipeline runs after every ingest or
     * curation stage: per column, the null-rate and distinct-count moves,

@@ -220,6 +220,29 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q157: heavy-hitter CMS estimate is broadcast-joined map-side; no pair blowup") {
+    val p = plan("q157_heavy_hitters")
+    // the Depth cell lookups and the per-column totals meet the posting
+    // on broadcast hash joins (the sketch is cells-bounded); the only
+    // window ranks the already-filtered hitters (<= 1e6/minShare rows)
+    p should include("BroadcastHashJoin")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
+  test("q160: per-signal RRF cuts are TakeOrdered, never a corpus-wide sort") {
+    val p = plan("q160_rrf_fusion")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
+  test("q158: cluster assignment is the combinable max_by argmax, not a corpus window") {
+    val p = plan("q158_embed_clusters")
+    p should include("max_by")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("q17: latest-per-user is a combinable aggregate, not an un-splittable window") {
     val p = plan("q17_online_payload")
     p should include("max_by")

@@ -129,6 +129,27 @@ class ProfileSpec extends SparkTestBase {
     (sk.head._2, sk.head._3) shouldBe ((mode.getString(0), mode.getLong(1)))
   }
 
+  test("k-anonymity: class sizes, the k boundary, NULL quasi values form a class") {
+    val rows = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"), // size 3: safe at k=3
+      (4L, "en", "b"), (5L, "en", "b"),                  // size 2: at risk
+      (6L, "de", null.asInstanceOf[String]),             // NULL class, size 1
+      (7L, "de", "a")                                    // size 1: at risk
+    ).toDF("id", "lang", "src")
+    val out = Profile.kAnonymity(rows, Seq("lang", "src"), k = 3L)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getInt(3))).toSet
+    out shouldBe Set(
+      ("en", Some("a"), 3L, 0), ("en", Some("b"), 2L, 1),
+      ("de", None, 1L, 1), ("de", Some("a"), 1L, 1))
+    // exactly-k sits on the safe side of the boundary
+    Profile.kAnonymity(rows, Seq("lang", "src"), k = 2L)
+      .filter("lang = 'en' AND src = 'b'").head().getInt(3) shouldBe 0
+    val e = intercept[IllegalArgumentException] {
+      Profile.kAnonymity(rows, Seq("nope"))
+    }
+    e.getMessage should include("nope")
+  }
+
   test("heavy hitters: boundary share passes, deterministic under repartition") {
     // 'x' at exactly 20% (the >= boundary), 'y' just under
     val rows = (Seq.fill(20)("x") ++ Seq.fill(19)("y") ++
