@@ -412,6 +412,13 @@ object AnalyticsQueries {
         .select(col("user_id"), col("n_events"), col("ewma_fp"), col("last_ts_us"))
     }),
 
+    // point-in-time EWMA: the decayed feature AS-OF every event — what a
+    // training-set join reads at label time (q162's end-of-stream value
+    // would leak the future); per-event rows joinable like the backfill
+    // features feed the PIT join
+    "q167_ewma_at_event" -> ((s, dir) =>
+      graft.operators.DecayFeatures.ewmaAtEvent(SparkEntry.events(s, dir))),
+
     // k-anonymity audit: quasi-identifier (lang, source, length-bucket)
     // equivalence classes with size-below-k risk flags — the
     // re-identification report a training-data release runs; one
@@ -907,6 +914,24 @@ object AnalyticsQueries {
          |      list(v ORDER BY ts_us, event_id)),
          |    (acc, x) -> (850000 * acc) // 1000000 + x) AS ewma_fp
          |FROM e GROUP BY user_id""".stripMargin,
+
+    // point-in-time-EWMA twin: per event, the same fixed-point fold over
+    // the (ts_us, event_id)-ordered PREFIX ending at that event — the
+    // slice keeps the reduce scalar-accumulated (the safe list_reduce
+    // shape), O(history) per event
+    "q167_ewma_at_event" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |w AS (SELECT user_id,
+         |  list(struct_pack(t := ts_us, i := event_id, v := v)
+         |    ORDER BY ts_us, event_id) AS xs FROM e GROUP BY user_id),
+         |x AS (SELECT user_id, xs, unnest(xs) AS el,
+         |  generate_subscripts(xs, 1) AS k FROM w)
+         |SELECT user_id, el.i AS event_id, el.t AS ts_us,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(xs[1:k], y -> y.v)),
+         |    (acc, vv) -> (850000 * acc) // 1000000 + vv) AS ewma_fp
+         |FROM x""".stripMargin,
 
     // k-anonymity twin: plain grouped count + flag
     "q165_kanonymity" ->

@@ -491,6 +491,20 @@ object App {
           s"[graft] pagerank: top host ${r.get(0)} rank_ppm=${r.getLong(1)}"))
         println(s"[graft] pagerank: wrote host ranks to ${o("output-path")}")
 
+      case "trustrank" =>
+        // seed-personalized PageRank: teleport lands only on the trusted
+        // host whitelist — rank measures proximity to trust
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.PageRank.trustRank(
+            fetcher.readParquet(spark, o.required("edges-path")),
+            fetcher.readParquet(spark, o.required("seeds-path")),
+            iters = o.getOrElse("iters", "5").toInt,
+            srcCol = o.getOrElse("src-col", "src"),
+            dstCol = o.getOrElse("dst-col", "dst")),
+          o.required("output-path"))
+        println(s"[graft] trustrank: wrote seeded host ranks to ${o("output-path")}")
+
       case "heavy-hitters" =>
         // the 100 TB modal-value path: CMS-prefiltered EXACT heavy
         // hitters — only plausibly-heavy values cross the exchange
@@ -1349,6 +1363,9 @@ object App {
       |  pagerank           --edges-path <path> --output-path <path>
       |                     [--iters <n=5>] [--src-col src] [--dst-col dst]
       |                     fixed-point host/domain authority ranking
+      |  trustrank          --edges-path <path> --seeds-path <path>
+      |                     --output-path <path> [--iters <n=5>]
+      |                     seed-personalized PageRank (proximity to trust)
       |  heavy-hitters      --table-path <path> --output-path <path>
       |                     [--columns a,b] [--min-share-ppm <n=10000>]
       |                     CMS-prefiltered EXACT per-column heavy hitters

@@ -97,6 +97,22 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("host"), col("weight"), col("priority"))
     }),
 
+    // TrustRank: teleport mass lands ONLY on the trusted host whitelist,
+    // so rank measures proximity to trust — a host no seed (transitively)
+    // links to scores exactly 0, where q155's uniform teleport gives
+    // every spam host 150000 ppm for free
+    "q166_trustrank" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.PageRank.trustRank(
+        d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id + 21) div 16").as("dst"))
+          .unionByName(d.select(expr("doc_id div 16").as("src"),
+            expr("(doc_id * 3 + 5) div 16").as("dst"))),
+        seeds = d.select(expr("doc_id div 16").as("host"))
+          .filter(col("host") < TrustSeedMaxHost).distinct(),
+        iters = PrIters)
+    }),
+
     // HITS hubs/authorities over the same host graph — PageRank's
     // link-analysis complement (authority = pages worth keeping, hub =
     // link pages worth recrawling); integer ppm with exact per-round
@@ -893,6 +909,30 @@ object TrainingDataQueries {
     */
   private val HitsIters = 4
 
+  /** q166's trusted-seed cut: hosts 0..4 — small enough that most of the
+    * graph earns rank only transitively (and the unreachable tail reads
+    * exactly 0).
+    */
+  private val TrustSeedMaxHost = 5L
+
+  /** The q166 TrustRank CTE chain: [[pageRankCtesSql]]'s `ed`/`nodes`/
+    * `deg` plus seeded iterations — teleport lands only on seed hosts.
+    */
+  private lazy val trustRankCtesSql: String = {
+    val seed = s"h < $TrustSeedMaxHost"
+    val base =
+      s"""t0 AS (SELECT h, CAST(CASE WHEN $seed THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nodes)"""
+    val its = (1 to PrIters).map { i =>
+      s"""tc$i AS (SELECT ed.dst AS h, CAST(sum(t${i - 1}.r // deg.d) AS BIGINT) AS cs
+         |  FROM ed JOIN t${i - 1} ON ed.src = t${i - 1}.h JOIN deg ON ed.src = deg.src
+         |  GROUP BY ed.dst),
+         |t$i AS (SELECT n.h, CAST(CASE WHEN n.$seed THEN 150000 ELSE 0 END +
+         |    CAST(850000 AS HUGEINT) * coalesce(tc$i.cs, 0) // 1000000 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN tc$i ON n.h = tc$i.h)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its"
+  }
+
   /** The q161 HITS CTE chain: reuses [[pageRankCtesSql]]'s `ed`/`nodes`
     * (DuckDB materializes only referenced CTEs, so the unused r/c
     * iterations cost nothing), then per iteration an authority half-step
@@ -1104,6 +1144,12 @@ object TrainingDataQueries {
     // iterations UNROLLED as CTE pairs (contrib -> damped update), every
     // step integer floor division — the q104 unrolled-loop precedent
     "q155_host_pagerank" -> pageRankOracleSql,
+
+    // TrustRank twin: the q155 edge CTEs + seeded unrolled iterations
+    "q166_trustrank" ->
+      s"""WITH ${pageRankCtesSql},
+         |$trustRankCtesSql
+         |SELECT h AS host, r AS rank_ppm FROM t$PrIters""".stripMargin,
 
     // HITS twin: the q155 edge CTEs + HitsIters unrolled (authority, hub)
     // half-step pairs, each max-normalized by exact HUGEINT floor division

@@ -73,6 +73,42 @@ object DecayFeatures {
         col("__last.t").as("last_ts_us"), col("__last.i").as("last_event_id"))
   }
 
+  /** The EWMA AS-OF every event — the point-in-time-correct per-event
+    * feature (what a training-set join must read at label time, where
+    * [[ewma]]'s single end-of-stream value would LEAK the future): for
+    * each event, the accumulator value INCLUDING that event,
+    * bit-identical to running the [[ewma]] recurrence on the prefix
+    * ending there. Output: (userCol, event_id, ts_us, ewma_fp) — one row
+    * per event, joinable against labels by (user, time) exactly like the
+    * backfill features feed the PIT join.
+    *
+    * Same ordered-collect fold as [[ewma]], emitting the running value
+    * at every step (the accumulator carries the intermediate array; the
+    * per-element array append makes a user's fold O(history^2) COPIES —
+    * bounded by per-user history like the collect itself, never by
+    * corpus size). One user-keyed shuffle.
+    */
+  def ewmaAtEvent(events: DataFrame, decayPpm: Long = 850000L,
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(decayPpm >= 0 && decayPpm <= 1000000L, "decayPpm must be in [0, 1e6]")
+    val step = s"($decayPpm * acc.s) div 1000000 + x.v"
+    prepped(events, userCol, tsCol, idCol, valueCol)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("s"))).as("__xs"))
+      .select(col(userCol),
+        explode(expr(
+          s"""zip_with(__xs,
+             |  aggregate(__xs,
+             |    struct(CAST(0 AS BIGINT) AS s, CAST(array() AS array<bigint>) AS a),
+             |    (acc, x) -> struct(CAST($step AS BIGINT) AS s,
+             |                       concat(acc.a, array(CAST($step AS BIGINT))) AS a),
+             |    acc -> acc.a),
+             |  (x, w) -> struct(x.i AS event_id, x.t AS ts_us, w AS ewma_fp))""".stripMargin)).as("r"))
+      .select(col(userCol), col("r.event_id").as("event_id"),
+        col("r.ts_us").as("ts_us"), col("r.ewma_fp").as("ewma_fp"))
+  }
+
   /** Fold a new shard of events into stored [[ewmaState]]: each user's
     * shard events fold IN ORDER from the stored accumulator — O(shard)
     * work, stored events never re-read. Caller contract (the

@@ -467,6 +467,17 @@ class AppSpec extends SparkTestBase {
       "--signal-paths", "sa,sb", "--output-path", "fused"))
     storage.rows("fused").find(_.getAs[Long]("doc_id") == 20L)
       .get.getAs[Int]("rank") shouldBe 1 // consensus doc wins
+    // trustrank CLI: the disconnected island scores exactly 0
+    storage.write("tr_edges",
+      Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst"), "overwrite")
+    storage.write("tr_seeds", Seq(Tuple1(1L)).toDF("host"), "overwrite")
+    App.run(platform, Seq("trustrank",
+      "--edges-path", "tr_edges", "--seeds-path", "tr_seeds",
+      "--output-path", "tr_ranks"))
+    val tr = storage.rows("tr_ranks")
+      .map(r => r.getAs[Long]("host") -> r.getAs[Long]("rank_ppm")).toMap
+    tr(4L) shouldBe 0L
+    tr(2L) should be > 0L
   }
 
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {

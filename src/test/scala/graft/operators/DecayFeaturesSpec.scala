@@ -64,6 +64,25 @@ class DecayFeaturesSpec extends SparkTestBase {
     a.length shouldBe 29
   }
 
+  test("per-event EWMA: every prefix value matches the recurrence; last row == ewma()") {
+    val out = DecayFeatures.ewmaAtEvent(events)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // hand-computed prefixes: 1e6; 850000 + 2e6; 2422500 + 5e5
+    out shouldBe Map(1L -> 1000000L, 2L -> 2850000L, 3L -> 2922500L)
+    // the final as-of value IS the end-of-stream ewma
+    out(3L) shouldBe DecayFeatures.ewma(events).head().getLong(2)
+    // one row per event, deterministic under repartition
+    val big = (0L until 300L).map(i =>
+      (i, ts(f"2024-01-01 ${(i % 24)}%02d:30:00"), i % 11, "e", (i % 7) * 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val a = DecayFeatures.ewmaAtEvent(big)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(x => (x._1, x._2))
+    a.length shouldBe 300
+    val b = DecayFeatures.ewmaAtEvent(big.repartition(13))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(x => (x._1, x._2))
+    a shouldBe b
+  }
+
   test("incremental state: chained shard folds == one-shot, users pass through and appear") {
     val all = (0L until 200L).map(i =>
       (i, ts(f"2024-01-${(i % 28) + 1}%02d 06:00:00"), i % 7, "e", (i % 11) * 0.5))

@@ -81,6 +81,37 @@ class PageRankSpec extends SparkTestBase {
     closed(2L) should be > leaky(2L) // receivers gain the recycled mass
   }
 
+  test("trustrank: mass reaches only hosts downstream of seeds; unreachable hosts score 0") {
+    // 1 (seed) -> 2 -> 3; 4 -> 5 is a disconnected spam island
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("host")
+    val r = PageRank.trustRank(edges, seeds, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(1L) shouldBe 150000L                 // teleport only (no in-links)
+    r(2L) should be > 0L                   // one hop from trust
+    r(3L) should be > 0L                   // two hops
+    r(2L) should be > r(3L)                // trust decays with distance
+    r(4L) shouldBe 0L                      // the island gets NOTHING —
+    r(5L) shouldBe 0L                      // unlike rank()'s uniform floor
+    // the uniform-teleport form floors the island at 150000
+    val pr = PageRank.rank(edges, iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    pr(4L) shouldBe 150000L
+  }
+
+  test("trustrank: deterministic under repartition; seed rows matching no node are ignored") {
+    val edges = (0L until 400L).flatMap(i =>
+      Seq((i % 37, (i * 31 + 7) % 37), (i % 37, (i * 3 + 5) % 37)))
+    val seeds = Seq(0L, 1L, 2L, 999999L).toDF("host") // 999999 not in graph
+    val a = PageRank.trustRank(edges.toDF("src", "dst"), seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = PageRank.trustRank(edges.toDF("src", "dst").repartition(17),
+        seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    a shouldBe b
+    a.keySet should not contain 999999L
+  }
+
   test("string keys rank identically to their numeric relabeling") {
     val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L))
     val byId = ranks(edges)
