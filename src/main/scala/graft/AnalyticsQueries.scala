@@ -412,6 +412,14 @@ object AnalyticsQueries {
         .select(col("user_id"), col("n_events"), col("ewma_fp"), col("last_ts_us"))
     }),
 
+    // multi-touch linear attribution: each purchase's fixed-point value
+    // splits equally across the user's in-window clicks, remainder to the
+    // most recent touch — credits conserve the conversion value EXACTLY;
+    // one user-keyed band join + one combinable per-conversion aggregate
+    "q168_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.linearAttribution(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays)),
+
     // point-in-time EWMA: the decayed feature AS-OF every event — what a
     // training-set join reads at label time (q162's end-of-stream value
     // would leak the future); per-event rows joinable like the backfill
@@ -447,6 +455,11 @@ object AnalyticsQueries {
     * safe and at-risk classes.
     */
   private val KAnonK = 3L
+
+  /** q168's lookback — wide enough that most purchases find clicks,
+    * narrow enough that the window actually prunes pairs.
+    */
+  private val AttributionWindowDays = 7
 
   /** q163's time split — mid-range of the events table, so both halves
     * carry rows for most users and the increment genuinely continues
@@ -914,6 +927,31 @@ object AnalyticsQueries {
          |      list(v ORDER BY ts_us, event_id)),
          |    (acc, x) -> (850000 * acc) // 1000000 + x) AS ewma_fp
          |FROM e GROUP BY user_id""".stripMargin,
+
+    // attribution twin: the same band-join pairs, window count per
+    // conversion, `div` share + remainder to the max-(ts, id) touch
+    "q168_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us
+         |  FROM e WHERE event_type = 'click'),
+         |p AS (SELECT c.user_id, c.conv_event_id, c.conv_ts_us, c.v,
+         |  t.touch_event_id, t.touch_ts_us
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000),
+         |g AS (SELECT *,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_touches,
+         |  max(struct_pack(ts := touch_ts_us, id := touch_event_id)) OVER w AS last_t
+         |  FROM p WINDOW w AS (PARTITION BY user_id, conv_event_id))
+         |SELECT user_id, conv_event_id, conv_ts_us, touch_event_id,
+         |  touch_ts_us, n_touches,
+         |  CAST(v // n_touches + CASE WHEN touch_event_id = last_t.id
+         |    THEN v - n_touches * (v // n_touches) ELSE 0 END AS BIGINT) AS credit_fp
+         |FROM g""".stripMargin,
 
     // point-in-time-EWMA twin: per event, the same fixed-point fold over
     // the (ts_us, event_id)-ordered PREFIX ending at that event — the

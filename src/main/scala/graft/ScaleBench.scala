@@ -100,7 +100,28 @@ object ScaleBench {
       spark.read.parquet(path)
     }
 
+    // events-table replicas: each shifts user/event ids by the stride and
+    // keeps timestamps/values — the corpus grows by USERS (per-user
+    // history length constant), the realistic event-log growth mode
+    lazy val ev0 = SparkEntry.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def scaledEvents(k: Int): DataFrame =
+      (0 until k).map(i => ev0.select(
+        (col("event_id") + lit(Stride * i)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(Stride * i)).as("user_id"),
+        col("event_type"), col("value"))).reduce(_ unionByName _)
+
     val workloads: Seq[(String, Int => DataFrame)] = Seq(
+      // q167 shape: per-user ordered collect + running fold emitting every
+      // prefix — per-user cost constant under user-growth, so the curve
+      // should read the one user-keyed shuffle's linearity
+      "ewma_at_event" -> (k => graft.operators.DecayFeatures.ewmaAtEvent(scaledEvents(k))),
+      // q168 shape: user-keyed conversions x touches band join + one
+      // combinable per-conversion aggregate — pair fan-out bounded by
+      // per-user activity, which user-growth holds constant
+      "attribution" -> (k => graft.operators.Attribution.linearAttribution(scaledEvents(k))),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)

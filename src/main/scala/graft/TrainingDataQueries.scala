@@ -97,6 +97,15 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("host"), col("weight"), col("priority"))
     }),
 
+    // semantic-dedup threshold calibration — q120's operating-point idea
+    // for the q119 knob: per candidate ppm threshold, in-cell pair count
+    // + documents the keep rule would drop; pairs score once at the grid
+    // minimum, the sweep is an explode + combinable aggregate
+    "q169_semdedup_calibration" -> ((s, dir) =>
+      SimilaritySearch.semDedupCalibration(emb(s, dir),
+        thresholdsPpm = SemCalThresholdsPpm,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)),
+
     // TrustRank: teleport mass lands ONLY on the trusted host whitelist,
     // so rank measures proximity to trust — a host no seed (transitively)
     // links to scores exactly 0, where q155's uniform teleport gives
@@ -909,6 +918,12 @@ object TrainingDataQueries {
     */
   private val HitsIters = 4
 
+  /** q169's threshold grid — brackets q119's 0.4 operating point on both
+    * sides so the table shows the knob's actual tradeoff curve.
+    */
+  private val SemCalThresholdsPpm: Seq[Long] =
+    (3 to 9).map(_ * 100000L)
+
   /** q166's trusted-seed cut: hosts 0..4 — small enough that most of the
     * graph earns rank only transitively (and the unreachable tail reads
     * exactly 0).
@@ -1144,6 +1159,31 @@ object TrainingDataQueries {
     // iterations UNROLLED as CTE pairs (contrib -> damped update), every
     // step integer floor division — the q104 unrolled-loop precedent
     "q155_host_pagerank" -> pageRankOracleSql,
+
+    // calibration twin: the q119 pair chain, then a grid join + grouped
+    // counts; ppm comparison on round(cos*1e6) keeps the cut integer
+    "q169_semdedup_calibration" ->
+      s"""WITH $embBaseSql,
+         |c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterSql("c0", 1, EmbeddingDim)},
+         |${kmeansIterSql("c1", 2, EmbeddingDim)},
+         |cs AS (SELECT en.vec_id, en.v, en.nrm, c2.cid,
+         |  ${dotSql("en.v", "c2.cv")} / (en.nrm * c2.cnrm) AS cscore
+         |  FROM en CROSS JOIN c2),
+         |asg AS (SELECT vec_id, v, nrm, cid, round(cscore, 6) AS cent_sim FROM cs
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) = 1),
+         |pp AS (SELECT CAST(round(round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6) * 1000000) AS BIGINT) AS sim_ppm,
+         |  CASE WHEN a.cent_sim > b.cent_sim THEN a.vec_id ELSE b.vec_id END AS drop_id
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |grid AS (SELECT unnest([${SemCalThresholdsPpm.mkString(", ")}]) AS threshold_ppm),
+         |agg AS (SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT drop_id) AS BIGINT) AS n_dropped
+         |  FROM grid JOIN pp ON pp.sim_ppm >= grid.threshold_ppm
+         |  GROUP BY threshold_ppm)
+         |SELECT grid.threshold_ppm,
+         |  coalesce(agg.n_pairs, 0) AS n_pairs,
+         |  coalesce(agg.n_dropped, 0) AS n_dropped
+         |FROM grid LEFT JOIN agg ON grid.threshold_ppm = agg.threshold_ppm""".stripMargin,
 
     // TrustRank twin: the q155 edge CTEs + seeded unrolled iterations
     "q166_trustrank" ->

@@ -849,6 +849,56 @@ object SimilaritySearch {
         (!coalesce(col("dup"), lit(false))).as("kept"))
   }
 
+  /** The [[semDedup]] OPERATING-POINT table — what q120's calibration
+    * sweep is to the NB gate, this is to the semantic-dedup threshold:
+    * per candidate threshold, how many in-cell pairs clear it and how
+    * many documents the keep rule would drop. The knob is read off this
+    * table instead of hardcoding 0.4; thresholds are integer ppm and
+    * pairs compare on `round(cos_sim * 1e6)`, so every count is exact on
+    * both engines. The pair stage runs ONCE at the grid minimum; the
+    * sweep is an explode + combinable aggregate over the already-scored
+    * pairs (|grid| groups — the q120 fan-out/collapse shape). Thresholds
+    * no pair clears still emit a zero row. Output: (threshold_ppm,
+    * n_pairs, n_dropped).
+    */
+  def semDedupCalibration(embeddings: DataFrame, thresholdsPpm: Seq[Long],
+                          initPred: String, iters: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    require(thresholdsPpm.nonEmpty, "semDedupCalibration needs at least one threshold")
+    val e = maybePersist(prep(embeddings, idCol, vecCol), storage)
+    require(!embeddings.filter(initPred).limit(1).isEmpty,
+      s"semDedupCalibration: initPred '$initPred' selects no rows — nothing to train from")
+    val cent = trainedCentroids(e, prep(embeddings.filter(initPred), idCol, vecCol), iters)
+    val slim = assignCellsScored(e, cent)
+    val pairs = slim
+      .select(col("id").as("id_a"), col("cid"), col("cent_sim").as("ca"))
+      .join(slim.select(col("id").as("id_b"), col("cid"), col("cent_sim").as("cb")),
+        Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim_ppm",
+        round(round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 6) * lit(1000000.0))
+          .cast("long"))
+      .filter(col("sim_ppm") >= lit(thresholdsPpm.min))
+      // the keep rule's victim is threshold-independent: score it once
+      .select(col("sim_ppm"),
+        when(col("ca") > col("cb"), col("id_a")).otherwise(col("id_b")).as("drop_id"))
+    val agg = pairs
+      .withColumn("threshold_ppm", explode(array(thresholdsPpm.map(lit): _*)))
+      .filter(col("sim_ppm") >= col("threshold_ppm"))
+      .groupBy(col("threshold_ppm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("drop_id")).as("n_dropped"))
+    import e.sparkSession.implicits._
+    thresholdsPpm.toDF("threshold_ppm")
+      .join(agg, Seq("threshold_ppm"), "left")
+      .select(col("threshold_ppm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Full-corpus k-means clustering as a DELIVERABLE — the topic-bucket /
     * data-mixing primitive (SemDeDup's §4 "cluster then act" shape, with
     * the clustering itself as the output): train the deterministic Lloyd

@@ -167,7 +167,10 @@ class PlanSpec extends SparkTestBase {
       "q160_rrf_fusion", "q164_host_quality",
       // q161's only cross joins are HITS' per-round 1-row
       // max-normalization scalars — the q43 scalar-broadcast shape
-      "q161_hits")
+      "q161_hits",
+      // q169 embeds q119's broadcast-centroid assignment; the pair stage
+      // and the grid sweep are keyed joins/aggregates
+      "q169_semdedup_calibration")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

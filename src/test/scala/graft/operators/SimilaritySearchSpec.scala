@@ -60,6 +60,25 @@ class SimilaritySearchSpec extends SparkTestBase {
     prof2 shouldBe prof
   }
 
+  test("semDedup calibration: monotone counts, zero rows kept, agrees with semDedup at a point") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val grid = (3 to 9).map(_ * 100000L)
+    val cal = SimilaritySearch.semDedupCalibration(emb, grid,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cal.keySet shouldBe grid.toSet // every threshold emits a row, even at 0
+    // raising the threshold never ADDS pairs or drops
+    grid.sliding(2).foreach { case Seq(lo, hi) =>
+      cal(lo)._1 should be >= cal(hi)._1
+      cal(lo)._2 should be >= cal(hi)._2
+    }
+    // the table's n_dropped at 0.4 == what semDedup(threshold = 0.4) drops
+    val dropped = SimilaritySearch.semDedup(emb, threshold = 0.4,
+        initPred = "vec_id >= 100 AND vec_id < 116", iters = 2)
+      .filter("NOT kept").count()
+    cal(400000L)._2 shouldBe dropped
+  }
+
   test("brute knn ranks the near-parallel vector first") {
     val out = SimilaritySearch.bruteKnn(embs, "vec_id = 0", 3)
       .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
