@@ -491,6 +491,52 @@ object App {
           s"[graft] pagerank: top host ${r.get(0)} rank_ppm=${r.getLong(1)}"))
         println(s"[graft] pagerank: wrote host ranks to ${o("output-path")}")
 
+      case "ewma" =>
+        // per-user decayed event features: end-of-stream state by default
+        // (persistable, incrementable via --state-path), --at-event true
+        // for the point-in-time per-event form a training join reads
+        val o = parseArgs(args.tail)
+        val events = fetcher.readParquet(spark, o.required("events-path"))
+        val decay = o.getOrElse("decay-ppm", "850000").toLong
+        val out = (o.get("state-path"),
+            o.getOrElse("at-event", "false").toBoolean) match {
+          case (_, true) =>
+            operators.DecayFeatures.ewmaAtEvent(events, decay)
+          case (Some(sp), _) =>
+            // fold the shard into stored state (train once, ingest forever)
+            operators.DecayFeatures.incrementEwma(
+              fetcher.readParquet(spark, sp), events, decay)
+          case _ => operators.DecayFeatures.ewmaState(events, decay)
+        }
+        writer.writeParquet(out, o.required("output-path"))
+        println(s"[graft] ewma: wrote features to ${o("output-path")}")
+
+      case "attribution" =>
+        // multi-touch linear conversion attribution with exact credit
+        // conservation (remainder to the most recent touch)
+        val o = parseArgs(args.tail)
+        writer.writeParquet(
+          operators.Attribution.linearAttribution(
+            fetcher.readParquet(spark, o.required("events-path")),
+            windowDays = o.getOrElse("window-days", "7").toInt,
+            convType = o.getOrElse("conv-type", "purchase"),
+            touchType = o.getOrElse("touch-type", "click")),
+          o.required("output-path"))
+        println(s"[graft] attribution: wrote credit table to ${o("output-path")}")
+
+      case "k-anonymity" =>
+        // quasi-identifier re-identification audit before a data release
+        val o = parseArgs(args.tail)
+        val table = fetcher.readParquet(spark, o.required("table-path"))
+        val cols = o.required("columns").split(',').toSeq
+          .map(_.trim).filter(_.nonEmpty)
+        val out = operators.Profile.kAnonymity(table, cols,
+          k = o.getOrElse("k", "5").toLong)
+        writer.writeParquet(out, o.required("output-path"))
+        val risky = fetcher.readParquet(spark, o.required("output-path"))
+          .filter(org.apache.spark.sql.functions.col("at_risk") === 1).count()
+        println(s"[graft] k-anonymity: $risky at-risk class(es) -> ${o("output-path")}")
+
       case "trustrank" =>
         // seed-personalized PageRank: teleport lands only on the trusted
         // host whitelist — rank measures proximity to trust
@@ -1363,6 +1409,16 @@ object App {
       |  pagerank           --edges-path <path> --output-path <path>
       |                     [--iters <n=5>] [--src-col src] [--dst-col dst]
       |                     fixed-point host/domain authority ranking
+      |  ewma               --events-path <path> --output-path <path>
+      |                     [--decay-ppm <n=850000>] [--state-path <dir>]
+      |                     [--at-event true]  decayed per-user features:
+      |                     state (default), shard ingest, or per-event
+      |  attribution        --events-path <path> --output-path <path>
+      |                     [--window-days <n=7>] [--conv-type purchase]
+      |                     [--touch-type click]  multi-touch linear credit
+      |  k-anonymity        --table-path <path> --columns a,b
+      |                     --output-path <path> [--k <n=5>]
+      |                     quasi-identifier re-identification audit
       |  trustrank          --edges-path <path> --seeds-path <path>
       |                     --output-path <path> [--iters <n=5>]
       |                     seed-personalized PageRank (proximity to trust)

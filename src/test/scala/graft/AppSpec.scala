@@ -480,6 +480,47 @@ class AppSpec extends SparkTestBase {
     tr(2L) should be > 0L
   }
 
+  test("ewma, attribution, and k-anonymity subcommands") {
+    import org.apache.spark.sql.functions.col
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    def ev(id: Long, day: Int, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 06:00:00"), user, typ, v)
+    val events = Seq(
+      ev(1, 1, 7, "click", 1.0), ev(2, 2, 7, "click", 2.0),
+      ev(3, 3, 7, "purchase", 10.0), ev(4, 4, 7, "click", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    storage.write("ev", events, "overwrite")
+    storage.write("ev_head", events.filter(col("event_id") <= 2), "overwrite")
+    storage.write("ev_tail", events.filter(col("event_id") > 2), "overwrite")
+    // state train + shard ingest == one-shot state (the q163 contract)
+    App.run(platform, Seq("ewma",
+      "--events-path", "ev_head", "--output-path", "st0"))
+    App.run(platform, Seq("ewma",
+      "--events-path", "ev_tail", "--state-path", "st0", "--output-path", "st1"))
+    App.run(platform, Seq("ewma",
+      "--events-path", "ev", "--output-path", "st_oneshot"))
+    def snap(p: String) = storage.rows(p)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("ewma_fp"))).toSet
+    snap("st1") shouldBe snap("st_oneshot")
+    // per-event form: one row per event
+    App.run(platform, Seq("ewma",
+      "--events-path", "ev", "--output-path", "pe", "--at-event", "true"))
+    storage.rows("pe").size shouldBe 4
+    // attribution: the purchase's 1e7 fp credit splits over 2 in-window clicks
+    App.run(platform, Seq("attribution",
+      "--events-path", "ev", "--output-path", "att"))
+    storage.rows("att")
+      .map(_.getAs[Long]("credit_fp")).sum shouldBe 10000000L
+    // k-anonymity: user 7's 4 rows form one (user) class at k=5 -> at risk
+    App.run(platform, Seq("k-anonymity",
+      "--table-path", "ev", "--columns", "user_id,event_type",
+      "--output-path", "ka", "--k", "2"))
+    storage.rows("ka").find(_.getAs[String]("event_type") == "purchase")
+      .get.getAs[Int]("at_risk") shouldBe 1
+  }
+
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage
