@@ -498,6 +498,13 @@ object App {
         val o = parseArgs(args.tail)
         val events = fetcher.readParquet(spark, o.required("events-path"))
         val decay = o.getOrElse("decay-ppm", "850000").toLong
+        // the two modes are mutually exclusive: --at-event emits per-event
+        // rows, --state-path folds a shard into stored state — silently
+        // picking one would discard the other intent (r14 advice)
+        require(!(o.contains("state-path") &&
+            o.getOrElse("at-event", "false").toBoolean),
+          "ewma: --at-event and --state-path are mutually exclusive — " +
+            "the per-event form has no incremental state to fold into")
         val out = (o.get("state-path"),
             o.getOrElse("at-event", "false").toBoolean) match {
           case (_, true) =>

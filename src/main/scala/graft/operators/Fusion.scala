@@ -44,8 +44,20 @@ object Fusion {
     require(kRrf >= 0, "kRrf must be non-negative")
     val perList = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
     val contribs = signals.map { s =>
+      // A signal may carry duplicate ids (e.g. a raw posting list): keep
+      // each id's best row WITHIN the m-row cut, so one id can never
+      // contribute twice to a signal's sum or inflate n_signals past the
+      // signal count. The dedup window partitions <= m rows (bounded,
+      // after the TakeOrdered cut — never a corpus shuffle); a signal with
+      // in-cut duplicates yields < m distinct docs, the standard
+      // ranked-list-of-distinct-documents reading. Unique-id signals are
+      // bit-unchanged (the dedup is the identity, ranks re-number the
+      // same rows).
       s.select(col(idCol), col(scoreCol))
         .orderBy(col(scoreCol).desc, col(idCol).asc).limit(m)
+        .withColumn("__dup", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col(scoreCol).desc)))
+        .filter(col("__dup") === 1).drop("__dup")
         .withColumn("rank", row_number().over(perList))
         .select(col(idCol), col("rank"),
           expr(s"CAST(1000000000L div ($kRrf + rank) AS BIGINT)").as("__c"))

@@ -89,8 +89,20 @@ object PageRank {
     val nCount =
       if (!danglingRedistribute) null
       else nodes.agg(count(lit(1)).as("__N")).persist(storage)
-    var r = nodes.select(col("host"), lit(1000000L).as("rank_ppm"))
-      .persist(storage)
+    // With redistribution ON, each iteration's plan references the rank
+    // frame TWICE (the contrib join AND the dangling-mass aggregate in the
+    // spine); persist does not truncate lineage, so the logical plan would
+    // DOUBLE per iteration — 2^iters nodes, which OOMs the driver on plan
+    // analysis alone long before any data moves (the Hits.rank hazard).
+    // Eager localCheckpoint truncates the lineage each round; checkpointed
+    // frames are node-count-sized and release with the session's cache
+    // cleanup (they cannot be unpersisted mid-loop — their cached blocks
+    // ARE the data). The single-reference leaky path keeps the cheaper
+    // persist+unpersist rotation (linear lineage, blocks released eagerly).
+    def materialize(df: DataFrame): DataFrame =
+      if (danglingRedistribute) df.localCheckpoint(true)
+      else df.persist(storage)
+    var r = materialize(nodes.select(col("host"), lit(1000000L).as("rank_ppm")))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(r.select(col("host").as("src"), col("rank_ppm")), "src")
@@ -110,16 +122,17 @@ object PageRank {
             .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("__dsum"))
             .crossJoin(nCount)
             .select(expr("__dsum div __N").as("__share"))))
-      val rMat = spine
+      val rMat = materialize(spine
         .join(contrib.select(col("dst").as("host"), col("__cs")), Seq("host"), "left")
         .withColumn("__mass", coalesce(col("__cs"), lit(0L)) + share)
         .select(col("host"),
           (lit(teleport) + expr(
             s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * __mass) div 1000000 AS BIGINT)"))
-            .as("rank_ppm"))
-        .persist(storage)
-      rMat.count() // materialize before releasing the previous iteration
-      r.unpersist()
+            .as("rank_ppm")))
+      if (!danglingRedistribute) {
+        rMat.count() // materialize before releasing the previous iteration
+        r.unpersist()
+      }
       r = rMat
     }
     // the final ranks are materialized, so the big inputs can release;

@@ -34,6 +34,18 @@ class FusionSpec extends SparkTestBase {
     out(30L) shouldBe c2                   // only S2's rank-2 remains
   }
 
+  test("duplicate ids within one signal contribute once, at their best rank") {
+    // doc 10 appears twice in the dup signal's top-m — without the in-cut
+    // dedup it would contribute twice to rrf_fp and push n_signals to 3
+    // with only two signals (r14 advice)
+    val dup = Seq((10L, 100L), (10L, 90L), (20L, 80L)).toDF("doc_id", "score_fp")
+    val out = Fusion.reciprocalRankFusion(Seq(dup, s2))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    out(10L) shouldBe ((c1, 1L, 1))      // once, at its best (first) rank
+    out(20L) shouldBe ((c2 + c1, 2L, 1)) // ranks re-number the deduped list
+    all(out.values.map(_._2)) should be <= 2L
+  }
+
   test("deterministic under repartition (integer ranks and sums)") {
     val big1 = (0L until 500L).map(i => (i, (i * 37) % 499)).toDF("doc_id", "score_fp")
     val big2 = (0L until 500L).map(i => (i, (i * 91) % 499)).toDF("doc_id", "score_fp")

@@ -81,6 +81,24 @@ class PageRankSpec extends SparkTestBase {
     closed(2L) should be > leaky(2L) // receivers gain the recycled mass
   }
 
+  test("danglingRedistribute truncates lineage per iteration (constant-size plan)") {
+    // each redistribution round references the rank frame TWICE (contrib
+    // join + dangling-mass aggregate) — without per-round truncation the
+    // logical plan doubles per iteration (2^iters nodes) and iters=16
+    // would hang plan analysis long before any data moved (r14 advice)
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (1L, 4L), (5L, 1L))
+    val iters = 16
+    val r = PageRank.rank(edges.toDF("src", "dst"), iters,
+      danglingRedistribute = true)
+    // the returned frame is a checkpointed leaf, not an iteration chain
+    r.queryExecution.analyzed.collectLeaves() should have size 1
+    r.queryExecution.analyzed.collect { case n => n }.size should be <= 3
+    // and the deep run still conserves mass within floor-division slack
+    val ranks = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val n = ranks.size.toLong
+    math.abs(ranks.values.sum - n * 1000000L) should be <= n * 10L * iters
+  }
+
   test("trustrank: mass reaches only hosts downstream of seeds; unreachable hosts score 0") {
     // 1 (seed) -> 2 -> 3; 4 -> 5 is a disconnected spam island
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
