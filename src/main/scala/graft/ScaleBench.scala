@@ -113,6 +113,24 @@ object ScaleBench {
         (col("user_id") + lit(Stride * i)).as("user_id"),
         col("event_type"), col("value"))).reduce(_ unionByName _)
 
+    // HISTORY-growth replicas — the transpose of scaledEvents: user ids
+    // stay, each replica shifts timestamps 40 days later (and event ids by
+    // the stride), so PER-USER HISTORY grows xk while the user count holds.
+    // This is the axis the per-user ordered-collect operators are sensitive
+    // to and user-growth is blind to (the r14 watch item: ewmaAtEvent's
+    // collect_list row is un-splittable, so its per-user cost curve IS the
+    // operator's worst case). The 40-day gap exceeds every attribution
+    // lookback used here, so windows never span replicas and the operator's
+    // per-conversion fan-out stays constant — growth reads the operator's
+    // cost in history length, not a semantically-forced pair blowup
+    // (in-window density x10 would multiply the OUTPUT rows x100).
+    def scaledEventsHistory(k: Int): DataFrame =
+      (0 until k).map(i => ev0.select(
+        (col("event_id") + lit(Stride * i)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL '${i * 40}' DAY")).as("ts"),
+        col("user_id"),
+        col("event_type"), col("value"))).reduce(_ unionByName _)
+
     val workloads: Seq[(String, Int => DataFrame)] = Seq(
       // q167 shape: per-user ordered collect + running fold emitting every
       // prefix — per-user cost constant under user-growth, so the curve
@@ -122,6 +140,13 @@ object ScaleBench {
       // combinable per-conversion aggregate — pair fan-out bounded by
       // per-user activity, which user-growth holds constant
       "attribution" -> (k => graft.operators.Attribution.linearAttribution(scaledEvents(k))),
+      // the same two operators under HISTORY growth (users constant,
+      // per-user events xk): ewma_at_event should read ~linear through the
+      // native EwmaScan kernel (the HOF fold it replaced was O(history^2)
+      // per user); attribution's per-conversion fan-out is window-bounded,
+      // so conversions xk at constant fan-out should also read ~linear
+      "ewma_at_event_history" -> (k => graft.operators.DecayFeatures.ewmaAtEvent(scaledEventsHistory(k))),
+      "attribution_history" -> (k => graft.operators.Attribution.linearAttribution(scaledEventsHistory(k))),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)

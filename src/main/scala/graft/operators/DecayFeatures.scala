@@ -82,15 +82,39 @@ object DecayFeatures {
     * per event, joinable against labels by (user, time) exactly like the
     * backfill features feed the PIT join.
     *
-    * Same ordered-collect fold as [[ewma]], emitting the running value
-    * at every step (the accumulator carries the intermediate array; the
-    * per-element array append makes a user's fold O(history^2) COPIES —
-    * bounded by per-user history like the collect itself, never by
-    * corpus size). One user-keyed shuffle.
+    * Same ordered-collect shuffle as [[ewma]]; the per-user prefix array
+    * comes from the native [[graft.functions.EwmaScan]] kernel — ONE
+    * O(history) codegen'd pass over the sorted value array (the composed
+    * `aggregate` fold appended to its accumulator array via `concat`,
+    * O(history^2) copies inside one un-splittable collect_list row, with
+    * the step inlined twice per element — the r14 watch item). The HOF
+    * form survives as [[ewmaAtEventHof]], the bit-parity witness
+    * DecayFeaturesSpec pins (the RepStats/GreedyEncode discipline).
     */
   def ewmaAtEvent(events: DataFrame, decayPpm: Long = 850000L,
                   userCol: String = "user_id", tsCol: String = "ts",
                   idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    require(decayPpm >= 0 && decayPpm <= 1000000L, "decayPpm must be in [0, 1e6]")
+    prepped(events, userCol, tsCol, idCol, valueCol)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("s"))).as("__xs"))
+      .withColumn("__ws", graft.functions.EwmaScan.ewmaScan(
+        expr("transform(__xs, x -> x.v)"), decayPpm))
+      .select(col(userCol),
+        explode(expr(
+          "zip_with(__xs, __ws, (x, w) -> struct(x.i AS event_id, x.t AS ts_us, w AS ewma_fp))")).as("r"))
+      .select(col(userCol), col("r.event_id").as("event_id"),
+        col("r.ts_us").as("ts_us"), col("r.ewma_fp").as("ewma_fp"))
+  }
+
+  /** The composed higher-order-function form of [[ewmaAtEvent]] — the
+    * accumulator struct carries the growing prefix array (O(history^2)
+    * `concat` copies per user). Kept as the kernel's bit-parity WITNESS,
+    * never the production path.
+    */
+  private[graft] def ewmaAtEventHof(events: DataFrame, decayPpm: Long = 850000L,
+                                    userCol: String = "user_id", tsCol: String = "ts",
+                                    idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
     require(decayPpm >= 0 && decayPpm <= 1000000L, "decayPpm must be in [0, 1e6]")
     val step = s"($decayPpm * acc.s) div 1000000 + x.v"
     prepped(events, userCol, tsCol, idCol, valueCol)

@@ -83,6 +83,28 @@ class DecayFeaturesSpec extends SparkTestBase {
     a shouldBe b
   }
 
+  test("native prefix-scan kernel == HOF witness bit-for-bit (incl. negatives and NULL values)") {
+    // negative values swing the accumulator through zero, exercising the
+    // truncate-toward-zero division both ways; a NULL value must null the
+    // accumulator permanently in BOTH forms
+    val mixed = (0L until 400L).map { i =>
+      val v: java.lang.Double =
+        if (i == 137L || i == 310L) null
+        else (i % 9).toDouble - 4.0
+      (i, ts(f"2024-01-${(i % 28) + 1}%02d ${(i % 24)}%02d:00:00"), i % 13, "e", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).sortBy(x => (x._1, x._2))
+    rows(DecayFeatures.ewmaAtEvent(mixed)) shouldBe
+      rows(DecayFeatures.ewmaAtEventHof(mixed))
+    // and at the decay extremes (plain running sum / last-value-only)
+    rows(DecayFeatures.ewmaAtEvent(mixed, decayPpm = 1000000L)) shouldBe
+      rows(DecayFeatures.ewmaAtEventHof(mixed, decayPpm = 1000000L))
+    rows(DecayFeatures.ewmaAtEvent(mixed, decayPpm = 0L)) shouldBe
+      rows(DecayFeatures.ewmaAtEventHof(mixed, decayPpm = 0L))
+  }
+
   test("incremental state: chained shard folds == one-shot, users pass through and appear") {
     val all = (0L until 200L).map(i =>
       (i, ts(f"2024-01-${(i % 28) + 1}%02d 06:00:00"), i % 7, "e", (i % 11) * 0.5))
