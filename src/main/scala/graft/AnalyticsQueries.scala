@@ -446,7 +446,34 @@ object AnalyticsQueries {
     // the query exercises both the pass and the full-drop path
     "q157_heavy_hitters" -> ((s, dir) => graft.operators.Profile.heavyHitters(
       s.read.parquet(s"$dir/documents.parquet"),
-      Seq("lang", "source", "text"), minSharePpm = HeavyHitterSharePpm))
+      Seq("lang", "source", "text"), minSharePpm = HeavyHitterSharePpm)),
+
+    // INCREMENTAL attribution: touch state on the first half-month, the
+    // second half arrives as a shard — its conversions credit against
+    // stored + shard touches (stored conversions immutable, stored
+    // touches never re-pair with each other); equals the one-shot q168
+    // recompute restricted to the shard's conversions (the q143 pattern)
+    "q170_attribution_incremental" -> ((s, dir) => {
+      val e = SparkEntry.events(s, dir)
+      val cut = lit(EwmaCutDate).cast("timestamp")
+      graft.operators.Attribution.incrementAttribution(
+        graft.operators.Attribution.attributionState(
+          e.filter(col("ts") < cut), windowDays = AttributionWindowDays),
+        e.filter(col("ts") >= cut), windowDays = AttributionWindowDays)
+    }),
+
+    // U-shape (position-based) 40/20/40 attribution — first and last
+    // touch 40% each, middles share 20%, last absorbs floor remainders
+    "q171_position_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.positionAttribution(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays)),
+
+    // exponential time-decay attribution — 2^(maxH - elapsed half-lives)
+    // integer weights, DECIMAL(38,0) products, anchor absorbs the slack
+    "q172_timedecay_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.timeDecayAttribution(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
+        halfLifeDays = TimeDecayHalfLifeDays))
   )
 
   private val HeavyHitterSharePpm = 100000L
@@ -460,6 +487,11 @@ object AnalyticsQueries {
     * narrow enough that the window actually prunes pairs.
     */
   private val AttributionWindowDays = 7
+
+  /** q172's decay bucket: 1 day against the 7-day window puts maxH at 6
+    * (weights 64..1 — every in-window age bucket actually occurs).
+    */
+  private val TimeDecayHalfLifeDays = 1
 
   /** q163's time split — mid-range of the events table, so both halves
     * carry rows for most users and the increment genuinely continues
@@ -952,6 +984,102 @@ object AnalyticsQueries {
          |  CAST(v // n_touches + CASE WHEN touch_event_id = last_t.id
          |    THEN v - n_touches * (v // n_touches) ELSE 0 END AS BIGINT) AS credit_fp
          |FROM g""".stripMargin,
+
+    // incremental-attribution twin: increment == one-shot restricted to
+    // the shard's conversions by construction, so the oracle is the q168
+    // band join with the conversion CTE cut at the shard boundary
+    "q170_attribution_incremental" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'
+         |  AND ts_us >= epoch_ns(TIMESTAMP '$EwmaCutDate 00:00:00') // 1000),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us
+         |  FROM e WHERE event_type = 'click'),
+         |p AS (SELECT c.user_id, c.conv_event_id, c.conv_ts_us, c.v,
+         |  t.touch_event_id, t.touch_ts_us
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000),
+         |g AS (SELECT *,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_touches,
+         |  max(struct_pack(ts := touch_ts_us, id := touch_event_id)) OVER w AS last_t
+         |  FROM p WINDOW w AS (PARTITION BY user_id, conv_event_id))
+         |SELECT user_id, conv_event_id, conv_ts_us, touch_event_id,
+         |  touch_ts_us, n_touches,
+         |  CAST(v // n_touches + CASE WHEN touch_event_id = last_t.id
+         |    THEN v - n_touches * (v // n_touches) ELSE 0 END AS BIGINT) AS credit_fp
+         |FROM g""".stripMargin,
+
+    // U-shape twin: the same band join; first/last via min/max window
+    // structs, middles share the 20% slice, last takes v minus the rest
+    "q171_position_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us
+         |  FROM e WHERE event_type = 'click'),
+         |p AS (SELECT c.user_id, c.conv_event_id, c.conv_ts_us, c.v,
+         |  t.touch_event_id, t.touch_ts_us
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000),
+         |g AS (SELECT *,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_touches,
+         |  max(struct_pack(ts := touch_ts_us, id := touch_event_id)) OVER w AS last_t,
+         |  min(struct_pack(ts := touch_ts_us, id := touch_event_id)) OVER w AS first_t
+         |  FROM p WINDOW w AS (PARTITION BY user_id, conv_event_id))
+         |SELECT user_id, conv_event_id, conv_ts_us, touch_event_id,
+         |  touch_ts_us, n_touches,
+         |  CAST(CASE WHEN n_touches = 1 THEN v
+         |    WHEN n_touches = 2 THEN CASE WHEN touch_event_id = last_t.id
+         |      THEN v - v // 2 ELSE v // 2 END
+         |    WHEN touch_event_id = first_t.id THEN (v * 40) // 100
+         |    WHEN touch_event_id = last_t.id THEN
+         |      v - (v * 40) // 100 - (n_touches - 2) * (((v * 20) // 100) // (n_touches - 2))
+         |    ELSE ((v * 20) // 100) // (n_touches - 2) END AS BIGINT) AS credit_fp
+         |FROM g""".stripMargin,
+
+    // time-decay twin: 2^(maxH - h) weights via integer shifts, HUGEINT
+    // products (Spark's DECIMAL(38,0)), floor shares summed per
+    // conversion, anchor absorbs v - sum(shares)
+    "q172_timedecay_attribution" -> {
+      val halfLifeUs = TimeDecayHalfLifeDays.toLong * 86400000000L
+      val maxH = (AttributionWindowDays.toLong * 86400000000L - 1) / halfLifeUs
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us
+         |  FROM e WHERE event_type = 'click'),
+         |p AS (SELECT c.user_id, c.conv_event_id, c.conv_ts_us, c.v,
+         |  t.touch_event_id, t.touch_ts_us
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000),
+         |g AS (SELECT *,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_touches,
+         |  max(struct_pack(ts := touch_ts_us, id := touch_event_id)) OVER w AS last_t
+         |  FROM p WINDOW w AS (PARTITION BY user_id, conv_event_id)),
+         |wg AS (SELECT *, CAST(1::BIGINT << CAST($maxH -
+         |    (conv_ts_us - touch_ts_us) // $halfLifeUs AS INT) AS BIGINT) AS w
+         |  FROM g),
+         |ws AS (SELECT *, CAST(sum(w) OVER w2 AS BIGINT) AS wsum
+         |  FROM wg WINDOW w2 AS (PARTITION BY user_id, conv_event_id)),
+         |sh AS (SELECT *, CAST((CAST(v AS HUGEINT) * w) // wsum AS BIGINT) AS share
+         |  FROM ws),
+         |ss AS (SELECT *, CAST(sum(share) OVER w3 AS BIGINT) AS ssum
+         |  FROM sh WINDOW w3 AS (PARTITION BY user_id, conv_event_id))
+         |SELECT user_id, conv_event_id, conv_ts_us, touch_event_id,
+         |  touch_ts_us, n_touches,
+         |  CAST(share + CASE WHEN touch_event_id = last_t.id
+         |    THEN v - ssum ELSE 0 END AS BIGINT) AS credit_fp
+         |FROM ss""".stripMargin
+    },
 
     // point-in-time-EWMA twin: per event, the same fixed-point fold over
     // the (ts_us, event_id)-ordered PREFIX ending at that event — the

@@ -519,16 +519,68 @@ object App {
         println(s"[graft] ewma: wrote features to ${o("output-path")}")
 
       case "attribution" =>
-        // multi-touch linear conversion attribution with exact credit
-        // conservation (remainder to the most recent touch)
+        // multi-touch conversion attribution with exact credit
+        // conservation (anchor touch absorbs floor remainders); --scheme
+        // picks linear (default) / position (U-shape 40/20/40) /
+        // timedecay (2^half-lives weights); --state-path turns it
+        // incremental: events-path is a SHARD whose conversions credit
+        // against stored + shard touches (stored conversions immutable),
+        // state folds forward era-tagged (the streaming gate's layout —
+        // a stream-seeded state serves this command and vice versa)
         val o = parseArgs(args.tail)
-        writer.writeParquet(
-          operators.Attribution.linearAttribution(
-            fetcher.readParquet(spark, o.required("events-path")),
-            windowDays = o.getOrElse("window-days", "7").toInt,
-            convType = o.getOrElse("conv-type", "purchase"),
-            touchType = o.getOrElse("touch-type", "click")),
-          o.required("output-path"))
+        val events = fetcher.readParquet(spark, o.required("events-path"))
+        val windowDays = o.getOrElse("window-days", "7").toInt
+        val convType = o.getOrElse("conv-type", "purchase")
+        val touchType = o.getOrElse("touch-type", "click")
+        val scheme = o.getOrElse("scheme", "linear") match {
+          case "linear" => operators.Attribution.Linear
+          case "position" => operators.Attribution.Position
+          case "timedecay" => operators.Attribution.TimeDecay(
+            o.getOrElse("half-life-days", "1").toLong * 86400000000L)
+          case other => throw new IllegalArgumentException(
+            s"attribution: unknown --scheme '$other' (linear|position|timedecay)")
+        }
+        o.get("state-path") match {
+          case None =>
+            val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+              scheme match {
+                case operators.Attribution.Linear =>
+                  operators.Attribution.linearAttribution(_, windowDays,
+                    convType, touchType)
+                case operators.Attribution.Position =>
+                  operators.Attribution.positionAttribution(_, windowDays,
+                    convType, touchType)
+                case operators.Attribution.TimeDecay(_) =>
+                  operators.Attribution.timeDecayAttribution(_, windowDays,
+                    o.getOrElse("half-life-days", "1").toInt,
+                    convType, touchType)
+              }
+            writer.writeParquet(fn(events), o.required("output-path"))
+          case Some(sp) =>
+            val path = s"$sp/touch_state"
+            val (stored, nextEra, action) =
+              if (fetcher.exists(spark, path)) {
+                val raw = fetcher.readParquet(spark, path)
+                (operators.Attribution.latestState(raw),
+                  raw.agg(org.apache.spark.sql.functions.max("era")).head().getLong(0) + 1L,
+                  "folded shard into")
+              } else (operators.Attribution.attributionState(
+                events.limit(0), windowDays, convType, touchType), 0L, "initialized")
+            writer.writeParquet(operators.Attribution.incrementAttribution(
+              stored, events, windowDays, scheme, convType, touchType),
+              o.required("output-path"))
+            // OUTPUT first, state append after (the crash-retry rule); a
+            // retried append lands a new era with identical rows —
+            // latest-era-wins keeps the snapshot unchanged
+            writer.writeParquet(
+              operators.Attribution.incrementAttributionState(
+                  stored, events, windowDays, convType, touchType)
+                .join(events.filter(col("event_type").isin(convType, touchType))
+                  .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+                .withColumn("era", lit(nextEra)),
+              path, mode = "append")
+            println(s"[graft] attribution: $action touch state at $sp")
+        }
         println(s"[graft] attribution: wrote credit table to ${o("output-path")}")
 
       case "k-anonymity" =>
@@ -1422,7 +1474,12 @@ object App {
       |                     state (default), shard ingest, or per-event
       |  attribution        --events-path <path> --output-path <path>
       |                     [--window-days <n=7>] [--conv-type purchase]
-      |                     [--touch-type click]  multi-touch linear credit
+      |                     [--touch-type click]
+      |                     [--scheme linear|position|timedecay]
+      |                     [--half-life-days <n=1>]  multi-touch credit
+      |                     [--state-path <dir>]  incremental: events-path
+      |                     is a SHARD; conversions credit against stored
+      |                     + shard touches, state folds forward
       |  k-anonymity        --table-path <path> --columns a,b
       |                     --output-path <path> [--k <n=5>]
       |                     quasi-identifier re-identification audit

@@ -890,6 +890,60 @@ object EventStream {
         } finally { touched.unpersist(); () }
       }
 
+  /** Streaming ATTRIBUTION ingest gate: each arriving micro-batch's
+    * conversions are credited against everything ingested so far (stored
+    * in-window touches + the batch's own), then the batch folds into the
+    * touch state — ingest-time attribution, the streaming form of
+    * `attribution --state-path`. One code path with batch:
+    * [[graft.operators.Attribution.incrementAttribution]] emits the
+    * shard's credits (already-attributed conversions are IMMUTABLE — a
+    * conversion is credited exactly once, by the trigger that carries
+    * it), [[graft.operators.Attribution.incrementAttributionState]]
+    * advances the window-bounded touch state. State lives era-tagged
+    * under `statePath/touch_state` (the ewmaGateWriter layout for
+    * multi-row-per-user state): latest-era-wins per user reconstructs
+    * the snapshot at read, a trigger excludes its OWN era before
+    * folding, and `dropDuplicates` collapses a crashed append's
+    * re-delivered identical rows — so a replayed batch emits identical
+    * credits and the state holds one copy. Only TOUCHED users append
+    * (eras stay O(batch)). Caller contract: event time only moves
+    * forward across triggers (the per-row order guard raises otherwise);
+    * `windowDays`/`scheme` are frozen with the state.
+    */
+  def attributionGateWriter(events: DataFrame, statePath: String,
+                            sink: (DataFrame, Long) => Unit,
+                            windowDays: Int = 7,
+                            scheme: graft.operators.Attribution.Scheme =
+                              graft.operators.Attribution.Linear,
+                            convType: String = "purchase",
+                            touchType: String = "click",
+                            userCol: String = "user_id")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val path = s"$statePath/touch_state"
+        val empty = graft.operators.Attribution.attributionState(
+          b.limit(0), windowDays, convType, touchType, userCol)
+        val stored = tableOr(spark, path, null) match {
+          case null => empty
+          case raw => graft.operators.Attribution.latestState(
+            raw, userCol, excludeEra = Some(batchId))
+        }
+        sink(graft.operators.Attribution.incrementAttribution(
+          stored, b, windowDays, scheme, convType, touchType, userCol), batchId)
+        // state append AFTER the sink (the crash-replay rule); only the
+        // batch's users append — untouched users' latest era still wins
+        graft.operators.Attribution.incrementAttributionState(
+            stored, b, windowDays, convType, touchType, userCol)
+          .join(b.filter(col("event_type").isin(convType, touchType))
+            .select(col(userCol)).distinct(), Seq(userCol), "left_semi")
+          .withColumn("era", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

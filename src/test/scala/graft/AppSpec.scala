@@ -513,6 +513,31 @@ class AppSpec extends SparkTestBase {
       "--events-path", "ev", "--output-path", "att"))
     storage.rows("att")
       .map(_.getAs[Long]("credit_fp")).sum shouldBe 10000000L
+    // scheme flags conserve the value exactly too
+    App.run(platform, Seq("attribution", "--events-path", "ev",
+      "--output-path", "attp", "--scheme", "position"))
+    storage.rows("attp").map(_.getAs[Long]("credit_fp")).sum shouldBe 10000000L
+    App.run(platform, Seq("attribution", "--events-path", "ev",
+      "--output-path", "attd", "--scheme", "timedecay", "--half-life-days", "1"))
+    storage.rows("attd").map(_.getAs[Long]("credit_fp")).sum shouldBe 10000000L
+    // incremental: head seeds the touch state (no conversions -> no
+    // credits), the tail shard's purchase credits against STORED clicks;
+    // chained shard credits == the one-shot report
+    App.run(platform, Seq("attribution", "--events-path", "ev_head",
+      "--state-path", "ast", "--output-path", "ai0"))
+    App.run(platform, Seq("attribution", "--events-path", "ev_tail",
+      "--state-path", "ast", "--output-path", "ai1"))
+    def credits(p: String) = storage.rows(p)
+      .map(r => (r.getAs[Long]("conv_event_id"), r.getAs[Long]("touch_event_id"),
+        r.getAs[Long]("credit_fp"))).toSet
+    credits("ai0") shouldBe empty
+    (credits("ai0") ++ credits("ai1")) shouldBe credits("att")
+    // conflicting ewma modes fail loudly instead of silently picking one
+    val exm = intercept[IllegalArgumentException] {
+      App.run(platform, Seq("ewma", "--events-path", "ev",
+        "--output-path", "nope", "--state-path", "st0", "--at-event", "true"))
+    }
+    exm.getMessage should include("mutually exclusive")
     // k-anonymity: user 7's 4 rows form one (user) class at k=5 -> at risk
     App.run(platform, Seq("k-anonymity",
       "--table-path", "ev", "--columns", "user_id,event_type",

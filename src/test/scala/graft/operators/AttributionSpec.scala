@@ -4,9 +4,12 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 
-/** Multi-touch linear attribution: hand-checked splits, exact credit
-  * conservation (remainder to the most recent touch), window pruning,
-  * unattributable conversions dropped, determinism.
+/** Multi-touch attribution: hand-checked splits for all three credit
+  * schemes, exact credit conservation (remainder to the most recent
+  * touch), window pruning, unattributable conversions dropped,
+  * determinism, and the incremental contract (increment == one-shot
+  * restricted to shard conversions; out-of-order shards raise; state
+  * stays window-bounded).
   */
 class AttributionSpec extends SparkTestBase {
   import spark.implicits._
@@ -71,5 +74,143 @@ class AttributionSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(6)))
         .sortBy(t => (t._1, t._2))
     run(big) shouldBe run(big.repartition(17))
+  }
+
+  test("U-shape: 40/20/40 with the last touch absorbing remainders; 1 and 2 touch edges") {
+    // 4 touches, v = 10.0 -> 10_000_000 fp: first 4_000_000, two middles
+    // 1_000_000 each, last 10M - 4M - 2M = 4_000_000
+    val e4 = Seq(
+      ev(1, 1, 6, 7, "click", 0.0), ev(2, 2, 6, 7, "click", 0.0),
+      ev(3, 3, 6, 7, "click", 0.0), ev(4, 4, 6, 7, "click", 0.0),
+      ev(5, 5, 6, 7, "purchase", 10.0),
+      // user 8: single touch takes everything
+      ev(6, 1, 6, 8, "click", 0.0), ev(7, 2, 6, 8, "purchase", 3.0),
+      // user 9: two touches split v div 2 / v - v div 2 (odd fp value)
+      ev(8, 1, 6, 9, "click", 0.0), ev(9, 2, 6, 9, "click", 0.0),
+      ev(10, 3, 6, 9, "purchase", 0.0000070)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.positionAttribution(e4, windowDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(6)))
+    out.filter(_._1 == 7L).map(t => t._2 -> t._3).toMap shouldBe
+      Map(1L -> 4000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 4000000L)
+    out.filter(_._1 == 8L).map(t => t._2 -> t._3).toMap shouldBe Map(6L -> 3000000L)
+    out.filter(_._1 == 9L).map(t => t._2 -> t._3).toMap shouldBe
+      Map(8L -> 3L, 9L -> 4L) // 7 fp units: 3 / 4, remainder on the last
+  }
+
+  test("time-decay: 2^(maxH - h) weights, shares floor, anchor absorbs the slack") {
+    // halfLife 1d, window 7d -> maxH = 6; touches 0/1/3 half-lives before
+    // the conversion weigh 64/32/8, W = 104, v = 10M fp
+    val e = Seq(
+      ev(1, 1, 6, 7, "click", 0.0),  // age 3d -> h=3 -> w=8
+      ev(2, 3, 6, 7, "click", 0.0),  // age exactly 1d -> h=1 -> w=32
+      ev(3, 4, 5, 7, "click", 0.0),  // age 1h -> h=0 -> w=64 (anchor)
+      ev(4, 4, 6, 7, "purchase", 10.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.timeDecayAttribution(e, windowDays = 7, halfLifeDays = 1)
+      .collect().map(r => r.getLong(3) -> r.getLong(6)).toMap
+    // floor(10M*64/104)=6153846 (+1 slack), floor(10M*32/104)=3076923,
+    // floor(10M*8/104)=769230
+    out shouldBe Map(3L -> 6153847L, 2L -> 3076923L, 1L -> 769230L)
+    out.values.sum shouldBe 10000000L
+    // a window spanning > 62 half-lives fails loudly (BIGINT weight domain)
+    val ex = intercept[IllegalArgumentException] {
+      Attribution.timeDecayAttribution(e, windowDays = 7 * 13, halfLifeDays = 1)
+    }
+    ex.getMessage should include("half-lives")
+  }
+
+  test("exact conservation holds for every scheme on random fan-outs") {
+    val big = (0L until 600L).map { i =>
+      val typ = if (i % 7 == 0) "purchase" else "click"
+      ev(i, (i % 28).toInt + 1, (i % 24).toInt, i % 11, typ, (i % 13) * 0.37)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expected = 600L / 7L + 1L // conversions exist; each conserves its value
+    for (run <- Seq(
+        Attribution.linearAttribution(big),
+        Attribution.positionAttribution(big),
+        Attribution.timeDecayAttribution(big, halfLifeDays = 2))) {
+      val sums = run.groupBy("user_id", "conv_event_id")
+        .agg(org.apache.spark.sql.functions.sum("credit_fp").as("s"))
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      sums should not be empty
+      sums.foreach { case (convId, s) =>
+        s shouldBe Math.round((convId % 13) * 0.37 * 1000000.0)
+      }
+    }
+  }
+
+  private val cut = Timestamp.valueOf("2024-01-15 00:00:00")
+
+  test("increment == one-shot restricted to shard conversions; chained shards cover everything") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = (0L until 800L).map { i =>
+      val typ = if (i % 6 == 0) "purchase" else "click"
+      ev(i, (i % 28).toInt + 1, (i % 24).toInt, i % 9, typ, (i % 13) * 0.37)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5), r.getLong(6)))
+        .sortBy(t => (t._1, t._2, t._3))
+    val first = big.filter(col("ts") < lit(cut))
+    val second = big.filter(col("ts") >= lit(cut))
+    val st0 = Attribution.attributionState(first)
+    // shard credits == the one-shot on EVERYTHING, restricted to the
+    // shard's conversions
+    val oneShotAll = Attribution.linearAttribution(big)
+    rows(Attribution.incrementAttribution(st0, second)) shouldBe
+      rows(oneShotAll.join(
+        second.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_event_id")), Seq("conv_event_id"), "left_semi")
+        .select(oneShotAll.columns.map(col).toSeq: _*))
+    // chained: first-shard one-shot + second-shard increment == one-shot
+    rows(Attribution.linearAttribution(first)
+      .unionByName(Attribution.incrementAttribution(st0, second))) shouldBe rows(oneShotAll)
+    // and the folded state equals the state built from everything at once
+    def stRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    stRows(Attribution.incrementAttributionState(st0, second)) shouldBe
+      stRows(Attribution.attributionState(big))
+    // scheme passthrough: the U-shape increment matches its restricted one-shot
+    val posAll = Attribution.positionAttribution(big)
+    rows(Attribution.incrementAttribution(st0, second, scheme = Attribution.Position)) shouldBe
+      rows(posAll.join(
+        second.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("conv_event_id")), Seq("conv_event_id"), "left_semi")
+        .select(posAll.columns.map(col).toSeq: _*))
+  }
+
+  test("state is window-bounded: pruned touches vanish, conversion-only users keep a position row") {
+    val e = Seq(
+      ev(1, 1, 6, 7, "click", 0.0),    // 20 days before the position: pruned
+      ev(2, 20, 6, 7, "click", 0.0),   // in-window: retained
+      ev(3, 21, 6, 7, "purchase", 1.0),
+      ev(4, 5, 6, 8, "purchase", 2.0)  // user 8: conversions only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val st = Attribution.attributionState(e, windowDays = 7).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    st.toSet shouldBe Set((7L, 2L), (8L, -1L))
+  }
+
+  test("an out-of-order shard raises — even when the stale event is a touch with no conversion") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val first = events.filter(col("ts") < lit(cut))
+    val st = Attribution.attributionState(first) // user 7 position: day 4 purchase
+    val staleTouch = Seq(ev(99, 2, 6, 7, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val ex1 = intercept[Exception] {
+      Attribution.incrementAttribution(st, staleTouch).collect()
+    }
+    ex1.getMessage should include("stream position")
+    val ex2 = intercept[Exception] {
+      Attribution.incrementAttributionState(st, staleTouch).collect()
+    }
+    ex2.getMessage should include("stream position")
+    // irrelevant event types are no-ops regardless of their timestamps
+    val staleView = Seq(ev(98, 2, 6, 7, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Attribution.incrementAttribution(st, staleView).collect() shouldBe empty
   }
 }

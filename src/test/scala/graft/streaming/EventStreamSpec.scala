@@ -737,6 +737,67 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming attribution gate: chained credits == one-shot; replay idempotent; state window-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val statePath = java.nio.file.Files.createTempDirectory("graft_attrgate").toString
+    def ev(id: Long, day: Int, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 06:00:00"), user, typ, v)
+    val b1 = Seq(ev(1, 1, 7, "click", 0.0), ev(2, 3, 7, "click", 0.0),
+      ev(3, 4, 7, "purchase", 10.0), ev(4, 2, 8, "click", 0.0))
+    // b2's purchase reaches back to b1's click 2 (in-window) but not
+    // click 1 (outside 7d); user 8's stored touch pairs with a b2 purchase
+    val b2 = Seq(ev(5, 9, 7, "purchase", 3.0), ev(6, 8, 8, "purchase", 5.0))
+    def runStream(batches: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double)]])
+        : Seq[Set[(Long, Long, Long)]] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, Long, Long)]]
+      val query = EventStream.attributionGateWriter(
+          input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+          statePath,
+          sink = (out, _) => got.synchronized {
+            got += out.select("conv_event_id", "touch_event_id", "credit_fp")
+              .as[(Long, Long, Long)].collect().toSet
+          })
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    try {
+      val first = runStream(Seq(b1))
+      // trigger 1 credits only the batch's own conversion
+      first.head shouldBe Set((3L, 1L, 5000000L), (3L, 2L, 5000000L))
+      // a FRESH stream re-delivers b1 as batchId 0 with its era-0 rows
+      // already in the log — the crash-replay shape; the own-era
+      // exclusion + dropDuplicates must make the replayed emission
+      // identical. The second trigger then chains b2.
+      val replayed = runStream(Seq(b1, b2))
+      replayed.head shouldBe first.head
+      // union of every trigger's credits == the one-shot recompute
+      val all = (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type", "value")
+      val oneShot = graft.operators.Attribution.linearAttribution(all)
+        .select("conv_event_id", "touch_event_id", "credit_fp")
+        .as[(Long, Long, Long)].collect().toSet
+      (replayed.head ++ replayed(1)) shouldBe oneShot
+      // the state log reconstructs the window-bounded one-shot state
+      val raw = spark.read.parquet(s"$statePath/touch_state")
+      val maxEra = raw.groupBy(col("user_id"))
+        .agg(org.apache.spark.sql.functions.max(col("era")).as("__me"))
+      val snapshot = raw.join(maxEra, Seq("user_id"))
+        .filter(col("era") === col("__me")).drop("era", "__me").dropDuplicates()
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(3))).toSet
+      snapshot shouldBe graft.operators.Attribution.attributionState(all)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(3))).toSet
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming url-dedup gate: chained micro-batches == one-shot urlDedup on stable columns") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
