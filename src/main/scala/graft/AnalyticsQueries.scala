@@ -473,7 +473,18 @@ object AnalyticsQueries {
     "q172_timedecay_attribution" -> ((s, dir) =>
       graft.operators.Attribution.timeDecayAttribution(
         SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
-        halfLifeDays = TimeDecayHalfLifeDays))
+        halfLifeDays = TimeDecayHalfLifeDays)),
+
+    // l-diversity companion to q165: per (lang, length-bucket) class the
+    // distinct-source count and modal-source share — a class can be
+    // k-large yet 1-diverse, the leak k-anonymity misses; two combinable
+    // aggregates bounded by the (quasi x sensitive) domain
+    "q173_ldiversity" -> ((s, dir) =>
+      graft.operators.Profile.lDiversity(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), expr("n_chars div 256").as("len_bucket"),
+            col("source")),
+        Seq("lang", "len_bucket"), "source", l = LDivL))
   )
 
   private val HeavyHitterSharePpm = 100000L
@@ -482,6 +493,11 @@ object AnalyticsQueries {
     * safe and at-risk classes.
     */
   private val KAnonK = 3L
+
+  /** q173's diversity floor: 2 — flags exactly the homogeneous
+    * (single-source) classes, the canonical l-diversity leak.
+    */
+  private val LDivL = 2L
 
   /** q168's lookback — wide enough that most purchases find clicks,
     * narrow enough that the window actually prunes pairs.
@@ -1098,6 +1114,19 @@ object AnalyticsQueries {
          |      list_transform(xs[1:k], y -> y.v)),
          |    (acc, vv) -> (850000 * acc) // 1000000 + vv) AS ewma_fp
          |FROM x""".stripMargin,
+
+    // l-diversity twin: grouped per-(quasi, sensitive) counts re-grouped
+    // by quasi — countDistinct-with-NULL-as-a-value falls out of the
+    // two-level grouping; modal share is the q157 HUGEINT floor ppm
+    "q173_ldiversity" ->
+      s"""WITH pv AS (SELECT lang, n_chars // 256 AS len_bucket, source,
+         |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3)
+         |SELECT lang, len_bucket,
+         |  CAST(sum(c) AS BIGINT) AS class_size,
+         |  CAST(count(*) AS BIGINT) AS l_distinct,
+         |  CAST(CAST(max(c) AS HUGEINT) * 1000000 // CAST(sum(c) AS HUGEINT) AS BIGINT) AS modal_share_ppm,
+         |  CAST(count(*) < $LDivL AS INT) AS at_risk
+         |FROM pv GROUP BY 1, 2""".stripMargin,
 
     // k-anonymity twin: plain grouped count + flag
     "q165_kanonymity" ->

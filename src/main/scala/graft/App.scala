@@ -584,17 +584,25 @@ object App {
         println(s"[graft] attribution: wrote credit table to ${o("output-path")}")
 
       case "k-anonymity" =>
-        // quasi-identifier re-identification audit before a data release
+        // quasi-identifier re-identification audit before a data release;
+        // --sensitive-col switches to the l-diversity companion (a class
+        // can be k-large yet 1-diverse — homogeneous sensitive values
+        // leak even when the class size clears k)
         val o = parseArgs(args.tail)
         val table = fetcher.readParquet(spark, o.required("table-path"))
         val cols = o.required("columns").split(',').toSeq
           .map(_.trim).filter(_.nonEmpty)
-        val out = operators.Profile.kAnonymity(table, cols,
-          k = o.getOrElse("k", "5").toLong)
+        val out = o.get("sensitive-col") match {
+          case Some(sc) => operators.Profile.lDiversity(table, cols, sc,
+            l = o.getOrElse("l", "2").toLong)
+          case None => operators.Profile.kAnonymity(table, cols,
+            k = o.getOrElse("k", "5").toLong)
+        }
         writer.writeParquet(out, o.required("output-path"))
         val risky = fetcher.readParquet(spark, o.required("output-path"))
           .filter(org.apache.spark.sql.functions.col("at_risk") === 1).count()
-        println(s"[graft] k-anonymity: $risky at-risk class(es) -> ${o("output-path")}")
+        val kind = if (o.contains("sensitive-col")) "low-diversity" else "at-risk"
+        println(s"[graft] k-anonymity: $risky $kind class(es) -> ${o("output-path")}")
 
       case "trustrank" =>
         // seed-personalized PageRank: teleport lands only on the trusted
@@ -1482,7 +1490,9 @@ object App {
       |                     + shard touches, state folds forward
       |  k-anonymity        --table-path <path> --columns a,b
       |                     --output-path <path> [--k <n=5>]
-      |                     quasi-identifier re-identification audit
+      |                     [--sensitive-col <c> [--l <n=2>]]
+      |                     quasi-identifier re-identification audit;
+      |                     with --sensitive-col: l-diversity companion
       |  trustrank          --edges-path <path> --seeds-path <path>
       |                     --output-path <path> [--iters <n=5>]
       |                     seed-personalized PageRank (proximity to trust)

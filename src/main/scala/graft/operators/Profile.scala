@@ -205,6 +205,41 @@ object Profile {
       .withColumn("at_risk", (col("class_size") < k).cast("int"))
   }
 
+  /** L-diversity companion to [[kAnonymity]] (Machanavajjhala et al.
+    * 2007): a quasi-class can be k-LARGE yet 1-DIVERSE — every member
+    * sharing one sensitive value, so "you are one of 50" still leaks the
+    * value — which is exactly the disclosure k-anonymity misses. Per
+    * quasi-class: `class_size`, `l_distinct` (distinct sensitive values,
+    * NULL forming its own value — it is exactly as disclosing as any
+    * other shared value), `modal_share_ppm` (the most common sensitive
+    * value's share — 1e6 means homogeneous), and `at_risk`
+    * (l_distinct < l). Downstream: join at-risk classes back to suppress
+    * or generalize, like the k-anonymity report.
+    *
+    * Scale shape: TWO combinable aggregates — by (quasi, sensitive) then
+    * by quasi — so the shuffles are bounded by the distinct
+    * (quasi x sensitive) domain, never the corpus.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier column")
+    require(l >= 1, "l must be positive")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier " +
+        "(every class would trivially be 1-diverse)")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        max(col("__c")).as("__modal"))
+      .select(quasiCols.map(col) ++ Seq(col("class_size"), col("l_distinct"),
+        ExactPpm.ppm(col("__modal"), col("class_size")).as("modal_share_ppm"),
+        (col("l_distinct") < l).cast("int").as("at_risk")): _*)
+  }
+
   /** Drift report between two [[tableProfile]] snapshots — the
     * schema/data-quality alert a pipeline runs after every ingest or
     * curation stage: per column, the null-rate and distinct-count moves,

@@ -150,6 +150,29 @@ class ProfileSpec extends SparkTestBase {
     e.getMessage should include("nope")
   }
 
+  test("l-diversity: a k-large homogeneous class is flagged; NULL sensitive is its own value") {
+    val rows = Seq(
+      // class ("en", 0): 5 members, ALL source "a" — k-safe yet 1-diverse
+      (1L, "en", 0L, "a"), (2L, "en", 0L, "a"), (3L, "en", 0L, "a"),
+      (4L, "en", 0L, "a"), (5L, "en", 0L, "a"),
+      // class ("en", 1): 3 members over sources a/a/b — diverse, modal 2/3
+      (6L, "en", 1L, "a"), (7L, "en", 1L, "a"), (8L, "en", 1L, "b"),
+      // class ("de", 0): NULL + "a" — NULL counts as a second value
+      (9L, "de", 0L, null.asInstanceOf[String]), (10L, "de", 0L, "a")
+    ).toDF("id", "lang", "bucket", "src")
+    val out = Profile.lDiversity(rows, Seq("lang", "bucket"), "src", l = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    out(("en", 0L)) shouldBe ((5L, 1L, 1000000L, 1)) // homogeneous: flagged
+    out(("en", 1L)) shouldBe ((3L, 2L, 666666L, 0))  // floor ppm of 2/3
+    out(("de", 0L)) shouldBe ((2L, 2L, 500000L, 0))  // NULL diversifies
+    // the sensitive column cannot double as a quasi-identifier
+    val e = intercept[IllegalArgumentException] {
+      Profile.lDiversity(rows, Seq("lang", "src"), "src")
+    }
+    e.getMessage should include("quasi-identifier")
+  }
+
   test("heavy hitters: boundary share passes, deterministic under repartition") {
     // 'x' at exactly 20% (the >= boundary), 'y' just under
     val rows = (Seq.fill(20)("x") ++ Seq.fill(19)("y") ++
