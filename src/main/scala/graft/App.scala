@@ -475,15 +475,25 @@ object App {
 
       case "pagerank" =>
         // host/domain authority over an edge table (src, dst) — integer
-        // fixed-point power iteration, deterministic at any partitioning
+        // fixed-point power iteration, deterministic at any partitioning;
+        // --report-convergence prints the final round's total |delta| so
+        // the caller knows whether --iters sufficed for THEIR graph
         val o = parseArgs(args.tail)
-        writer.writeParquet(
-          operators.PageRank.rank(
-            fetcher.readParquet(spark, o.required("edges-path")),
-            iters = o.getOrElse("iters", "5").toInt,
-            srcCol = o.getOrElse("src-col", "src"),
-            dstCol = o.getOrElse("dst-col", "dst")),
-          o.required("output-path"))
+        val edges = fetcher.readParquet(spark, o.required("edges-path"))
+        val iters = o.getOrElse("iters", "5").toInt
+        val (srcCol, dstCol) =
+          (o.getOrElse("src-col", "src"), o.getOrElse("dst-col", "dst"))
+        val ranks =
+          if (o.getOrElse("report-convergence", "false").toBoolean) {
+            val (r, d) = operators.PageRank.rankWithConvergence(
+              edges, iters, srcCol = srcCol, dstCol = dstCol)
+            println(s"[graft] pagerank: final-round total |delta| = $d ppm " +
+              s"after $iters iterations" +
+              (if (d == 0L) " (fixed point reached)" else ""))
+            r
+          } else operators.PageRank.rank(
+            edges, iters, srcCol = srcCol, dstCol = dstCol)
+        writer.writeParquet(ranks, o.required("output-path"))
         val top = fetcher.readParquet(spark, o.required("output-path"))
           .orderBy(org.apache.spark.sql.functions.col("rank_ppm").desc)
           .limit(1).collect().headOption
@@ -608,14 +618,22 @@ object App {
         // seed-personalized PageRank: teleport lands only on the trusted
         // host whitelist — rank measures proximity to trust
         val o = parseArgs(args.tail)
-        writer.writeParquet(
-          operators.PageRank.trustRank(
-            fetcher.readParquet(spark, o.required("edges-path")),
-            fetcher.readParquet(spark, o.required("seeds-path")),
-            iters = o.getOrElse("iters", "5").toInt,
-            srcCol = o.getOrElse("src-col", "src"),
-            dstCol = o.getOrElse("dst-col", "dst")),
-          o.required("output-path"))
+        val edges = fetcher.readParquet(spark, o.required("edges-path"))
+        val seeds = fetcher.readParquet(spark, o.required("seeds-path"))
+        val iters = o.getOrElse("iters", "5").toInt
+        val (srcCol, dstCol) =
+          (o.getOrElse("src-col", "src"), o.getOrElse("dst-col", "dst"))
+        val ranks =
+          if (o.getOrElse("report-convergence", "false").toBoolean) {
+            val (r, d) = operators.PageRank.trustRankWithConvergence(
+              edges, seeds, iters, srcCol = srcCol, dstCol = dstCol)
+            println(s"[graft] trustrank: final-round total |delta| = $d ppm " +
+              s"after $iters iterations" +
+              (if (d == 0L) " (fixed point reached)" else ""))
+            r
+          } else operators.PageRank.trustRank(
+            edges, seeds, iters, srcCol = srcCol, dstCol = dstCol)
+        writer.writeParquet(ranks, o.required("output-path"))
         println(s"[graft] trustrank: wrote seeded host ranks to ${o("output-path")}")
 
       case "heavy-hitters" =>
@@ -1475,6 +1493,8 @@ object App {
       |                     --output-path <path>  score against frozen state
       |  pagerank           --edges-path <path> --output-path <path>
       |                     [--iters <n=5>] [--src-col src] [--dst-col dst]
+      |                     [--report-convergence true]  print the final
+      |                     round's total |delta| (0 = fixed point)
       |                     fixed-point host/domain authority ranking
       |  ewma               --events-path <path> --output-path <path>
       |                     [--decay-ppm <n=850000>] [--state-path <dir>]
@@ -1495,6 +1515,7 @@ object App {
       |                     with --sensitive-col: l-diversity companion
       |  trustrank          --edges-path <path> --seeds-path <path>
       |                     --output-path <path> [--iters <n=5>]
+      |                     [--report-convergence true]
       |                     seed-personalized PageRank (proximity to trust)
       |  heavy-hitters      --table-path <path> --output-path <path>
       |                     [--columns a,b] [--min-share-ppm <n=10000>]

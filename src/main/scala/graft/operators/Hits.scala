@@ -36,7 +36,30 @@ import org.apache.spark.sql.functions._
 object Hits {
 
   def rank(edges: DataFrame, iters: Int = 4,
-           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    rankCore(edges, iters, srcCol, dstCol, measure = false)._1
+
+  /** [[rank]] plus convergence observability: the FINAL iteration's total
+    * movement `sum(|hub_k - hub_{k-1}|) + sum(|auth_k - auth_{k-1}|)` in
+    * ppm — two combinable sums over node-count-sized checkpointed frames.
+    * 0 says the normalized integer fixed point was reached at or before K
+    * (a directed cycle reports 0 — HitsSpec pins it); see SCALING.md on
+    * choosing K.
+    */
+  def rankWithConvergence(edges: DataFrame, iters: Int = 4,
+                          srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, Long) =
+    rankCore(edges, iters, srcCol, dstCol, measure = true)
+
+  private def delta(prev: DataFrame, curr: DataFrame, scoreCol: String): Long =
+    prev.select(col("host"), col(scoreCol).as("__prev"))
+      .join(curr, Seq("host"))
+      .agg(coalesce(sum(abs(col(scoreCol) - col("__prev"))), lit(0L)))
+      .head().getLong(0)
+
+  private def rankCore(edges: DataFrame, iters: Int,
+                       srcCol: String, dstCol: String,
+                       measure: Boolean): (DataFrame, Long) = {
     require(iters >= 1, "hits needs at least one iteration")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keyOrRaise(c: String) =
@@ -74,7 +97,9 @@ object Hits {
     var h = nodes.select(col("host"), lit(1000000L).as("hub_ppm"))
       .localCheckpoint(true)
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
+    var lastDelta = -1L
+    for (i <- 1 to iters) {
+      val (hPrev, aPrev) = (h, a)
       // authority half-step: a(v) = sum of h(u) over in-edges (u -> v)
       val aRaw = nodes.join(
           e.join(h.select(col("host").as("src"), col("hub_ppm")), "src")
@@ -89,12 +114,17 @@ object Hits {
           Seq("host"), "left")
         .select(col("host"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
       h = normalized(hRaw, "hub_ppm").localCheckpoint(true)
+      // final-iteration movement: hub vs previous hub, auth vs previous
+      // auth (round 1 has no previous auth — hub movement alone)
+      if (measure && i == iters)
+        lastDelta = delta(hPrev, h, "hub_ppm") +
+          (if (aPrev == null) 0L else delta(aPrev, a, "auth_ppm"))
     }
     val out = h.join(a, Seq("host"))
       .select(col("host"), col("hub_ppm"), col("auth_ppm"))
       .persist(storage)
     out.count()
     e.unpersist(); nodes.unpersist()
-    out
+    (out, lastDelta)
   }
 }

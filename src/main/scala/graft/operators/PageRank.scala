@@ -62,7 +62,40 @@ object PageRank {
 
   def rank(edges: DataFrame, iters: Int = 5, dampPpm: Long = 850000L,
            srcCol: String = "src", dstCol: String = "dst",
-           danglingRedistribute: Boolean = false): DataFrame = {
+           danglingRedistribute: Boolean = false): DataFrame =
+    rankCore(edges, iters, dampPpm, srcCol, dstCol, danglingRedistribute,
+      measure = false)._1
+
+  /** [[rank]] plus convergence observability: also returns the FINAL
+    * round's total rank movement `sum(|rank_k - rank_{k-1}|)` in ppm —
+    * one combinable BIGINT sum over two node-count-sized frames, joined
+    * on the host key (driver reads a single row). The iteration count is
+    * otherwise a blind knob: 0 says the integer fixed point was reached
+    * at or before K (a cycle reports 0 — PageRankSpec pins it); a large
+    * delta says K was too few for THIS graph and top-k orderings may
+    * still be in flight. See SCALING.md on choosing K.
+    */
+  def rankWithConvergence(edges: DataFrame, iters: Int = 5, dampPpm: Long = 850000L,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          danglingRedistribute: Boolean = false): (DataFrame, Long) =
+    rankCore(edges, iters, dampPpm, srcCol, dstCol, danglingRedistribute,
+      measure = true)
+
+  /** One combinable sum of |a - b| over two rank frames sharing the node
+    * spine; -1 when not measured (iters == 1 has no previous round only
+    * when measurement is off — with it on, round 1 measures against the
+    * uniform init).
+    */
+  private def totalDelta(prev: DataFrame, curr: DataFrame): Long =
+    prev.select(col("host"), col("rank_ppm").as("__prev"))
+      .join(curr, Seq("host"))
+      .agg(coalesce(sum(abs(col("rank_ppm") - col("__prev"))), lit(0L)))
+      .head().getLong(0)
+
+  private def rankCore(edges: DataFrame, iters: Int, dampPpm: Long,
+                       srcCol: String, dstCol: String,
+                       danglingRedistribute: Boolean,
+                       measure: Boolean): (DataFrame, Long) = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -103,7 +136,8 @@ object PageRank {
       if (danglingRedistribute) df.localCheckpoint(true)
       else df.persist(storage)
     var r = materialize(nodes.select(col("host"), lit(1000000L).as("rank_ppm")))
-    for (_ <- 1 to iters) {
+    var lastDelta = -1L
+    for (i <- 1 to iters) {
       val contrib = e
         .join(r.select(col("host").as("src"), col("rank_ppm")), "src")
         .join(deg, "src")
@@ -131,8 +165,9 @@ object PageRank {
             .as("rank_ppm")))
       if (!danglingRedistribute) {
         rMat.count() // materialize before releasing the previous iteration
+        if (measure && i == iters) lastDelta = totalDelta(r, rMat)
         r.unpersist()
-      }
+      } else if (measure && i == iters) lastDelta = totalDelta(r, rMat)
       r = rMat
     }
     // the final ranks are materialized, so the big inputs can release;
@@ -142,7 +177,7 @@ object PageRank {
     nodes.unpersist()
     if (dangling != null) dangling.unpersist()
     if (nCount != null) nCount.unpersist()
-    r
+    (r, lastDelta)
   }
 
   /** TrustRank / personalized PageRank (Gyöngyi et al. 2004): the
@@ -168,7 +203,22 @@ object PageRank {
     */
   def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
                 dampPpm: Long = 850000L,
-                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    trustRankCore(edges, seeds, iters, dampPpm, srcCol, dstCol,
+      measure = false)._1
+
+  /** [[trustRank]] plus the final round's total rank movement — the
+    * [[rankWithConvergence]] companion for the seeded form.
+    */
+  def trustRankWithConvergence(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                               dampPpm: Long = 850000L,
+                               srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, Long) =
+    trustRankCore(edges, seeds, iters, dampPpm, srcCol, dstCol, measure = true)
+
+  private def trustRankCore(edges: DataFrame, seeds: DataFrame, iters: Int,
+                            dampPpm: Long, srcCol: String, dstCol: String,
+                            measure: Boolean): (DataFrame, Long) = {
     require(iters >= 1, "trustrank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -193,7 +243,8 @@ object PageRank {
     var r = nodes.select(col("host"),
         (col("__seed").cast("long") * lit(1000000L)).as("rank_ppm"))
       .persist(storage)
-    for (_ <- 1 to iters) {
+    var lastDelta = -1L
+    for (i <- 1 to iters) {
       val contrib = e
         .join(r.select(col("host").as("src"), col("rank_ppm")), "src")
         .join(deg, "src")
@@ -207,11 +258,12 @@ object PageRank {
             .as("rank_ppm"))
         .persist(storage)
       rMat.count() // materialize before releasing the previous iteration
+      if (measure && i == iters) lastDelta = totalDelta(r, rMat)
       r.unpersist()
       r = rMat
     }
     e.unpersist()
     nodes.unpersist()
-    r
+    (r, lastDelta)
   }
 }

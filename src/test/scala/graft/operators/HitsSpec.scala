@@ -25,6 +25,27 @@ class HitsSpec extends SparkTestBase {
         3L -> ((1000000L, 1000000L)))
   }
 
+  test("convergence report: a directed cycle reads delta 0; mixed graphs move at K=1") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (cr, cd) = Hits.rankWithConvergence(cycle, iters = 3)
+    cd shouldBe 0L
+    cr.collect().map(r => (r.getLong(1), r.getLong(2))).toSet shouldBe
+      Set((1000000L, 1000000L))
+    // the bipartite graph's scores approach the 1/phi fixed point only
+    // asymptotically (integer floor keeps them moving by a few ppm) — the
+    // report must show the movement SHRINKING, which is exactly the signal
+    // a caller uses to size K
+    val mixed = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val (_, d1) = Hits.rankWithConvergence(mixed, iters = 1)
+    val (mr, d4) = Hits.rankWithConvergence(mixed, iters = 4)
+    d1 should be > 0L
+    d4 should be < d1 / 10L // two extra rounds shrink movement >10x here
+    // measured == unmeasured byte-for-byte
+    mr.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      Hits.rank(mixed, iters = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
   test("hand-computed normalization on a mixed-degree bipartite graph") {
     // 1 -> 10, 2 -> 10, 2 -> 11; two iterations by hand:
     //   a1: raw (2e6, 1e6) -> (1e6, 500000); h1: raw (1e6, 1.5e6) -> (666666, 1e6)

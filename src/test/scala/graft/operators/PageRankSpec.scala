@@ -81,6 +81,30 @@ class PageRankSpec extends SparkTestBase {
     closed(2L) should be > leaky(2L) // receivers gain the recycled mass
   }
 
+  test("convergence report: a cycle reads delta 0; a hub graph is still moving at K=1") {
+    // a 3-cycle is the integer fixed point from round 1 — the report must
+    // say so exactly (delta 0), making K a measured knob instead of blind
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (cr, cd) = PageRank.rankWithConvergence(cycle, iters = 3)
+    cd shouldBe 0L
+    cr.collect().map(_.getLong(1)).toSet shouldBe Set(1000000L)
+    // a star graph at K=1 has not converged; by K=8 the damped geometric
+    // tail has shrunk the movement
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val (_, d1) = PageRank.rankWithConvergence(star, iters = 1)
+    val (_, d8) = PageRank.rankWithConvergence(star, iters = 8)
+    d1 should be > 0L
+    d8 should be < d1
+    // the seeded form converges to 0 on a seed-covered cycle too
+    val (_, td) = PageRank.trustRankWithConvergence(
+      cycle, Seq(1L, 2L, 3L).toDF("host"), iters = 12)
+    td shouldBe 0L
+    // the unmeasured public forms are byte-identical to the measured ones
+    PageRank.rank(star, iters = 3).collect().map(r => (r.get(0), r.getLong(1))).toSet shouldBe
+      PageRank.rankWithConvergence(star, iters = 3)._1
+        .collect().map(r => (r.get(0), r.getLong(1))).toSet
+  }
+
   test("danglingRedistribute truncates lineage per iteration (constant-size plan)") {
     // each redistribution round references the rank frame TWICE (contrib
     // join + dangling-mass aggregate) — without per-round truncation the
