@@ -1166,6 +1166,129 @@ object App {
         val clean = written.filter(org.apache.spark.sql.functions.col("clean") === 1).count()
         println(s"[graft] contamination-verdict: $clean / $total train docs clean -> ${o("output-path")}")
 
+      case "release" =>
+        // the CAPSTONE: compose every gate a real training-data release
+        // runs — curation verdict (q132), contamination verdict (q134),
+        // k-anonymity audit (q165), corpus card, tokenize+pack+shard
+        // export with integrity manifest — into one release directory
+        // whose single manifest JSON records each gate's verdict counts
+        // and the shard checksums. The manifest writes LAST: a crash
+        // mid-release leaves no manifest, and no manifest = no release.
+        val o = parseArgs(args.tail)
+        val out = o.required("output-path")
+        val docs = fetcher.readParquet(spark, o.required("docs-path"))
+        val bench = fetcher.readParquet(spark, o.required("benchmark-path"))
+        val srcCol = o.getOrElse("source-col", "source")
+        import org.apache.spark.sql.functions.{coalesce => cl, col => c, count => cnt, lit => l, sum => sm}
+        def seeds(pathKey: String, srcKey: String): org.apache.spark.sql.DataFrame =
+          (o.get(pathKey), o.get(srcKey)) match {
+            case (Some(p), _) => fetcher.readParquet(spark, p)
+            case (None, Some(srcs)) =>
+              docs.filter(c(srcCol).isin(srcs.split(',').toSeq: _*))
+            case _ => throw new IllegalArgumentException(
+              s"release needs --$pathKey or --$srcKey")
+          }
+        // gate 1: curation — keep/drop with a WHY bitmask
+        writer.writeParquet(operators.Verdicts.curationVerdict(docs,
+          positive = seeds("positive-path", "positive-sources"),
+          negative = seeds("negative-path", "negative-sources")),
+          s"$out/curation_verdict")
+        val curation = fetcher.readParquet(spark, s"$out/curation_verdict")
+        val kept = docs.join(curation.filter(c("keep") === 1)
+          .select(c("doc_id")), Seq("doc_id"), "left_semi")
+        // gate 2: contamination of the KEPT docs against the benchmark
+        val emb = (o.get("embeddings-path"), o.get("benchmark-embeddings-path")) match {
+          case (Some(te), Some(be)) =>
+            (Some(fetcher.readParquet(spark, te)), Some(fetcher.readParquet(spark, be)))
+          case (None, None) => (None, None)
+          case _ => throw new IllegalArgumentException(
+            "supply both --embeddings-path and --benchmark-embeddings-path or neither")
+        }
+        writer.writeParquet(operators.Verdicts.contaminationVerdict(
+          train = kept, bench = bench, trainEmb = emb._1, benchEmb = emb._2),
+          s"$out/contamination_verdict")
+        val contamination = fetcher.readParquet(spark, s"$out/contamination_verdict")
+        val released = kept.join(contamination.filter(c("clean") === 1)
+          .select(c("doc_id")), Seq("doc_id"), "left_semi")
+        writer.writeParquet(released, s"$out/documents")
+        val releasedDocs = fetcher.readParquet(spark, s"$out/documents")
+        val nReleased = releasedDocs.count()
+        // a release of nothing is an operator error, not an artifact: the
+        // downstream shard export would write an unreadable empty layout
+        // and a loader pointed at it would fail later and worse
+        require(nReleased > 0,
+          "release: zero documents survived the curation + contamination " +
+            "gates — nothing to release (inspect " +
+            s"$out/curation_verdict fail_mask / $out/contamination_verdict method_mask)")
+        // gate 3: k-anonymity audit over the RELEASED rows (a report — at
+        // risk classes ship in the manifest, suppression is the caller's
+        // policy call)
+        val quasi = o.getOrElse("quasi-columns", "lang,source")
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        writer.writeParquet(operators.Profile.kAnonymity(
+          releasedDocs.select(quasi.map(c): _*), quasi,
+          k = o.getOrElse("k", "5").toLong), s"$out/k_anonymity")
+        // gate 4: corpus card over the released corpus
+        val card = operators.CorpusCard.build(releasedDocs)
+        card.foreach { case (name, df) =>
+          writer.writeParquet(df, s"$out/corpus_card/$name") }
+        // gate 5: tokenize -> pack -> shard export + integrity manifest
+        val merges = o.get("merges-path") match {
+          case Some(mp) => fetcher.readParquet(spark, mp)
+          case None =>
+            writer.writeParquet(operators.Packing.bpeMergeTable(releasedDocs,
+              nMerges = o.getOrElse("n-merges", "8").toInt), s"$out/merges")
+            fetcher.readParquet(spark, s"$out/merges")
+        }
+        val packed = operators.Packing.packTokenRows(
+          operators.Packing.encodeToIds(releasedDocs, merges),
+          seqLen = o.getOrElse("seq-len", "64").toInt)
+        val rps = o.getOrElse("rows-per-shard", "128").toInt
+        writer.writeParquet(
+          operators.Packing.shardPacked(packed, rps, epoch = None)
+            .repartition(c("shard_id"))
+            .sortWithinPartitions(c("shard_id"), c("shard_pos")),
+          s"$out/shards", partitionBy = Seq("shard_id"))
+        // checksum the WRITTEN bytes — what the loader reads is what the
+        // manifest vouches for (the export-shards rule)
+        writer.writeParquet(operators.Packing.shardManifest(
+          fetcher.readParquet(spark, s"$out/shards")), s"$out/shards/_manifest")
+        // the release manifest: every gate's verdict counts + the global
+        // shard checksum, one JSON row, written last
+        val curStats = curation.agg(cnt(l(1)).as("t"),
+          cl(sm(c("keep")), l(0L)).as("k")).head()
+        val conStats = contamination.agg(cnt(l(1)).as("t"),
+          cl(sm(c("clean")), l(0L)).as("k")).head()
+        val kaStats = fetcher.readParquet(spark, s"$out/k_anonymity")
+          .agg(cnt(l(1)), cl(sm(c("at_risk")), l(0L))).head()
+        // content_sum is DECIMAL(38,0) (sums of 64-bit hashes overflow
+        // BIGINT) — it crosses into the JSON manifest as a STRING
+        val shStats = fetcher.readParquet(spark, s"$out/shards/_manifest")
+          .agg(cnt(l(1)), cl(sm(c("n_rows")), l(0L)),
+            cl(sm(c("content_sum")), l(0L).cast("decimal(38,0)")).cast("string")).head()
+        locally {
+          import spark.implicits._
+          writer.writeJson(Seq((
+            "curation,contamination,k_anonymity,corpus_card,shard_integrity",
+            curStats.getLong(0), curStats.getLong(1),
+            conStats.getLong(0), conStats.getLong(1),
+            nReleased,
+            kaStats.getLong(0), kaStats.getLong(1),
+            card.keys.toSeq.sorted.mkString(","),
+            shStats.getLong(0), shStats.getLong(1), shStats.getString(2)
+          )).toDF("gates",
+            "curation_total", "curation_kept",
+            "contamination_checked", "contamination_clean",
+            "released_docs",
+            "kanonymity_classes", "kanonymity_at_risk",
+            "corpus_card_tables",
+            "n_shards", "packed_rows", "shard_content_sum")
+            .coalesce(1), s"$out/manifest")
+        }
+        println(s"[graft] release: ${curStats.getLong(1)}/${curStats.getLong(0)} " +
+          s"curated, ${conStats.getLong(1)} clean, $nReleased released, " +
+          s"${shStats.getLong(0)} shards (${shStats.getLong(1)} rows) -> $out")
+
       case "pmi" =>
         // corpus collocations by pointwise mutual information
         val o = parseArgs(args.tail)
@@ -1508,6 +1631,18 @@ object App {
       |                     [--state-path <dir>]  incremental: events-path
       |                     is a SHARD; conversions credit against stored
       |                     + shard touches, state folds forward
+      |  release            --docs-path <path> --benchmark-path <path>
+      |                     --output-path <dir>
+      |                     (--positive-sources a,b | --positive-path <p>)
+      |                     (--negative-sources c,d | --negative-path <p>)
+      |                     [--embeddings-path <p> --benchmark-embeddings-path <p>]
+      |                     [--quasi-columns lang,source] [--k <n=5>]
+      |                     [--merges-path <p> | --n-merges <n=8>]
+      |                     [--seq-len <n=64>] [--rows-per-shard <n=128>]
+      |                     the full release: curation + contamination
+      |                     gates filter, k-anonymity + corpus card audit,
+      |                     tokenize->pack->shard with checksums; one
+      |                     manifest JSON (written LAST) records it all
       |  k-anonymity        --table-path <path> --columns a,b
       |                     --output-path <path> [--k <n=5>]
       |                     [--sensitive-col <c> [--l <n=2>]]

@@ -849,6 +849,79 @@ class AppSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("release capstone: every gate lands, the manifest names them all, verify-shards passes") {
+    import org.apache.spark.sql.functions.col
+    // REAL fetcher/writer: the release contract IS the on-disk layout
+    // (gate tables + sharded corpus + the manifest JSON written last)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_release").toString
+    val platform = Platform(spark, graft.sources.ProdFetcher, graft.sources.ProdWriter)
+    try {
+      // the raw synthetic one-line corpus fails Gopher/C4 wholesale (the
+      // q132 lesson) — append the constant clean-page suffix so the
+      // ensemble genuinely splits and some docs survive to release
+      val suffix = "\nThe editors have reviewed this report with care and attention." +
+        "\nWe hope that you find the coverage to be useful and fair." +
+        "\nPlease share the story of the day with friends and family."
+      val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // suffix the TRAIN side only: the benchmark needs no curation pass,
+      // and a suffix shared across the split would (correctly!) trip the
+      // substring-contamination gate on every doc
+      all.filter(col("doc_id") > 40)
+        .withColumn("text", org.apache.spark.sql.functions.concat(
+          col("text"), org.apache.spark.sql.functions.lit(suffix)))
+        .write.parquet(s"$tmp/docs")
+      all.filter(col("doc_id") <= 40).write.parquet(s"$tmp/bench")
+      // a gate set that drops EVERYTHING is a loud error, not an empty
+      // artifact: raw unsuffixed docs fail curation wholesale
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") > 40).write.parquet(s"$tmp/docs_raw")
+      val eEmpty = the[IllegalArgumentException] thrownBy App.run(platform, Seq("release",
+        "--docs-path", s"$tmp/docs_raw", "--benchmark-path", s"$tmp/bench",
+        "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--output-path", s"$tmp/rel_empty", "--rows-per-shard", "16", "--n-merges", "4"))
+      eEmpty.getMessage should include("zero documents survived")
+      App.run(platform, Seq("release",
+        "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
+        "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--output-path", s"$tmp/rel", "--rows-per-shard", "16", "--n-merges", "4"))
+      val m = spark.read.json(s"$tmp/rel/manifest").head()
+      // JSON inference may widen large integers to decimal — read
+      // numerics type-agnostically
+      def mL(name: String): Long = m.getAs[Number](name).longValue()
+      // the manifest names every gate
+      m.getAs[String]("gates").split(",").toSet shouldBe Set(
+        "curation", "contamination", "k_anonymity", "corpus_card", "shard_integrity")
+      // and its counts are consistent with the written gate tables
+      mL("curation_total") shouldBe
+        spark.read.parquet(s"$tmp/rel/curation_verdict").count()
+      mL("curation_total") shouldBe all.filter(col("doc_id") > 40).count()
+      val released = spark.read.parquet(s"$tmp/rel/documents")
+      mL("released_docs") shouldBe released.count()
+      mL("released_docs") should be > 0L
+      // contamination can only drop further; both gates genuinely filter
+      mL("curation_kept") should be >= mL("released_docs")
+      mL("curation_total") should be > mL("curation_kept")
+      mL("contamination_checked") shouldBe mL("curation_kept")
+      mL("kanonymity_classes") shouldBe
+        spark.read.parquet(s"$tmp/rel/k_anonymity").count()
+      m.getAs[String]("corpus_card_tables").split(",") should contain("languages")
+      // every named corpus-card table actually landed
+      m.getAs[String]("corpus_card_tables").split(",").foreach { t =>
+        spark.read.parquet(s"$tmp/rel/corpus_card/$t").count() should be > 0L
+      }
+      mL("n_shards") shouldBe
+        spark.read.parquet(s"$tmp/rel/shards/_manifest").count()
+      mL("packed_rows") shouldBe
+        spark.read.parquet(s"$tmp/rel/shards").count()
+      // the loader-side integrity gate passes on the released shards
+      App.run(platform, Seq("verify-shards", "--shards-path", s"$tmp/rel/shards"))
+      // released docs all cleared both filters
+      val verdicts = spark.read.parquet(s"$tmp/rel/curation_verdict")
+      released.join(verdicts.filter(col("keep") === 0), Seq("doc_id"), "left_semi")
+        .count() shouldBe 0L
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("curation-verdict subcommand: per-doc keep/drop with the 5-gate fail bitmask") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage
