@@ -124,12 +124,13 @@ object ScaleBench {
     // per-conversion fan-out stays constant — growth reads the operator's
     // cost in history length, not a semantically-forced pair blowup
     // (in-window density x10 would multiply the OUTPUT rows x100).
+    def eventsHistoryReplica(i: Int): DataFrame = ev0.select(
+      (col("event_id") + lit(Stride * i)).as("event_id"),
+      (col("ts") + expr(s"INTERVAL '${i * 40}' DAY")).as("ts"),
+      col("user_id"),
+      col("event_type"), col("value"))
     def scaledEventsHistory(k: Int): DataFrame =
-      (0 until k).map(i => ev0.select(
-        (col("event_id") + lit(Stride * i)).as("event_id"),
-        (col("ts") + expr(s"INTERVAL '${i * 40}' DAY")).as("ts"),
-        col("user_id"),
-        col("event_type"), col("value"))).reduce(_ unionByName _)
+      (0 until k).map(eventsHistoryReplica).reduce(_ unionByName _)
 
     val workloads: Seq[(String, Int => DataFrame)] = Seq(
       // q167 shape: per-user ordered collect + running fold emitting every
@@ -565,9 +566,32 @@ object ScaleBench {
         s""""corpus_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
+    // attribution increment-vs-full: the q170 claim — crediting ONE new
+    // event shard against stored window-bounded touch state costs ~shard,
+    // not ~history. State over the first (mult-1) history replicas is
+    // materialized to parquet OUTSIDE the timed region (the --state-path
+    // workflow); timed = incrementAttribution(1 shard) off the reloaded
+    // state vs the full one-shot recompute over all mult replicas. The
+    // ratio ALSO reflects that the increment only credits the shard's
+    // conversions — that is the contract, not a discount.
+    val attrIncRow = if (filterSpec.isDefined) Seq.empty[String] else Seq {
+      spark.sharedState.cacheManager.clearCache()
+      val stateDir = s"/tmp/graft_scalebench_attr_${spark.sparkContext.applicationId}"
+      try {
+        graft.operators.Attribution.attributionState(scaledEventsHistory(mult - 1))
+          .write.mode("overwrite").parquet(stateDir)
+        val stored = spark.read.parquet(stateDir)
+        val shard = eventsHistoryReplica(mult - 1)
+        val tInc = minOf2(graft.operators.Attribution.incrementAttribution(stored, shard))
+        spark.sharedState.cacheManager.clearCache()
+        val tFull = minOf2(graft.operators.Attribution.linearAttribution(scaledEventsHistory(mult)))
+        val ratio = if (tInc > 0 && tFull > 0) tInc / tFull else -1.0
+        s""""attribution_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    }
     prRanksPaths.values.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow ++ attrIncRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
