@@ -484,8 +484,56 @@ object AnalyticsQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("lang"), expr("n_chars div 256").as("len_bucket"),
             col("source")),
-        Seq("lang", "len_bucket"), "source", l = LDivL))
+        Seq("lang", "len_bucket"), "source", l = LDivL)),
+
+    // the conversions every attribution scheme skips — no in-window touch,
+    // so the value is organic; closes the revenue accounting (credits +
+    // unattributed = total); the q168 band join turned LEFT ANTI
+    "q174_unattributed_conversions" -> ((s, dir) =>
+      graft.operators.Attribution.unattributedConversions(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays)),
+
+    // conversion-path analysis: per conversion the (ts, id)-ordered
+    // in-window journey of touch types joined with ">" — the top-paths
+    // substrate; one band join + one per-conversion bounded ordered collect
+    "q175_conversion_paths" -> ((s, dir) =>
+      graft.operators.Attribution.conversionPaths(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
+        touchTypes = PathTouchTypes)),
+
+    // top-paths rollup: journeys grouped to (path, n_conversions,
+    // total_value_fp) — the classic marketing funnel table, a combinable
+    // aggregate over q175's bounded rows
+    "q176_top_paths" -> ((s, dir) =>
+      graft.operators.Attribution.conversionPaths(
+          SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
+          touchTypes = PathTouchTypes)
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value_fp")).as("total_value_fp"))),
+
+    // t-closeness: the third privacy audit — per quasi-class the exact
+    // floor-ppm total-variation distance between the class's source
+    // distribution and the global one (a k-large l-diverse class can
+    // still concentrate on globally-rare values); windows over the
+    // (quasi x sensitive)-bounded frame, never the corpus
+    "q177_tcloseness" -> ((s, dir) =>
+      graft.operators.Profile.tCloseness(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), expr("n_chars div 256").as("len_bucket"),
+            col("source")),
+        Seq("lang", "len_bucket"), "source", tPpm = TClosePpm))
   )
+
+  /** q175/q176's journey steps — the synthetic corpus' three
+    * non-conversion, non-error interaction types.
+    */
+  private val PathTouchTypes = Seq("click", "view", "signup")
+
+  /** q177's distance ceiling: 0.5 — small classes deviate far from the
+    * uniform 20-source global distribution and flag, large ones don't.
+    */
+  private val TClosePpm = 500000L
 
   private val HeavyHitterSharePpm = 100000L
 
@@ -1114,6 +1162,86 @@ object AnalyticsQueries {
          |      list_transform(xs[1:k], y -> y.v)),
          |    (acc, vv) -> (850000 * acc) // 1000000 + vv) AS ewma_fp
          |FROM x""".stripMargin,
+
+    // unattributed twin: NOT EXISTS over the same band predicate
+    "q174_unattributed_conversions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, ts_us AS touch_ts_us FROM e WHERE event_type = 'click')
+         |SELECT c.user_id, c.conv_event_id, c.conv_ts_us, c.v AS value_fp
+         |FROM c WHERE NOT EXISTS (SELECT 1 FROM t
+         |  WHERE t.user_id = c.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000)""".stripMargin,
+
+    // conversion-paths twin: string_agg ordered by (ts, id) over the same
+    // band join — the path is a pure function of the integer order
+    "q175_conversion_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us,
+         |  event_type AS tt FROM e
+         |  WHERE event_type IN (${PathTouchTypes.map(s => s"'$s'").mkString(", ")}))
+         |SELECT c.user_id, c.conv_event_id,
+         |  CAST(min(c.conv_ts_us) AS BIGINT) AS conv_ts_us,
+         |  string_agg(t.tt, '>' ORDER BY t.touch_ts_us, t.touch_event_id) AS path,
+         |  CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(min(c.v) AS BIGINT) AS value_fp
+         |FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000
+         |GROUP BY c.user_id, c.conv_event_id""".stripMargin,
+
+    // top-paths twin: the q175 body re-grouped by path
+    "q176_top_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us,
+         |  event_type AS tt FROM e
+         |  WHERE event_type IN (${PathTouchTypes.map(s => s"'$s'").mkString(", ")})),
+         |paths AS (SELECT c.user_id, c.conv_event_id,
+         |  string_agg(t.tt, '>' ORDER BY t.touch_ts_us, t.touch_event_id) AS path,
+         |  CAST(min(c.v) AS BIGINT) AS value_fp
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000
+         |  GROUP BY c.user_id, c.conv_event_id)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_conversions,
+         |  CAST(sum(value_fp) AS BIGINT) AS total_value_fp
+         |FROM paths GROUP BY path""".stripMargin,
+
+    // t-closeness twin: the same window formulation over the
+    // (quasi x sensitive) counts — HUGEINT floor ppm shares, the
+    // missing-values term via S_g minus the present global shares
+    "q177_tcloseness" ->
+      s"""WITH pv AS (SELECT lang, n_chars // 256 AS len_bucket, source,
+         |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3),
+         |sh AS (SELECT *,
+         |  CAST(sum(c) OVER (PARTITION BY lang, len_bucket) AS BIGINT) AS class_size,
+         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS g,
+         |  CAST(sum(c) OVER () AS BIGINT) AS n FROM pv),
+         |p AS (SELECT *,
+         |  CAST(CAST(c AS HUGEINT) * 1000000 // class_size AS BIGINT) AS pc,
+         |  CAST(CAST(g AS HUGEINT) * 1000000 // n AS BIGINT) AS pg FROM sh),
+         |sg AS (SELECT CAST(coalesce(sum(pg), 0) AS BIGINT) AS sgv
+         |  FROM (SELECT DISTINCT source, pg FROM p)),
+         |a AS (SELECT lang, len_bucket, class_size,
+         |  CAST(sum(abs(pc - pg)) AS BIGINT) AS present,
+         |  CAST(sum(pg) AS BIGINT) AS pgpresent
+         |  FROM p GROUP BY 1, 2, 3)
+         |SELECT lang, len_bucket, class_size,
+         |  CAST((present + sg.sgv - pgpresent) // 2 AS BIGINT) AS tvd_ppm,
+         |  CAST((present + sg.sgv - pgpresent) // 2 > $TClosePpm AS INT) AS at_risk
+         |FROM a, sg""".stripMargin,
 
     // l-diversity twin: grouped per-(quasi, sensitive) counts re-grouped
     // by quasi — countDistinct-with-NULL-as-a-value falls out of the

@@ -550,7 +550,13 @@ object App {
           case other => throw new IllegalArgumentException(
             s"attribution: unknown --scheme '$other' (linear|position|timedecay)")
         }
-        o.get("state-path") match {
+        if (o.getOrElse("unattributed", "false").toBoolean) {
+          // the complement report: conversions no scheme credits (no
+          // in-window touch) — credits + these values = total value
+          writer.writeParquet(operators.Attribution.unattributedConversions(
+            events, windowDays, convType, touchType), o.required("output-path"))
+          println(s"[graft] attribution: wrote unattributed conversions to ${o("output-path")}")
+        } else o.get("state-path") match {
           case None =>
             val fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
               scheme match {
@@ -591,7 +597,8 @@ object App {
               path, mode = "append")
             println(s"[graft] attribution: $action touch state at $sp")
         }
-        println(s"[graft] attribution: wrote credit table to ${o("output-path")}")
+        if (!o.getOrElse("unattributed", "false").toBoolean)
+          println(s"[graft] attribution: wrote credit table to ${o("output-path")}")
 
       case "k-anonymity" =>
         // quasi-identifier re-identification audit before a data release;
@@ -602,17 +609,46 @@ object App {
         val table = fetcher.readParquet(spark, o.required("table-path"))
         val cols = o.required("columns").split(',').toSeq
           .map(_.trim).filter(_.nonEmpty)
-        val out = o.get("sensitive-col") match {
-          case Some(sc) => operators.Profile.lDiversity(table, cols, sc,
+        val out = (o.get("sensitive-col"), o.get("t-ppm")) match {
+          case (Some(sc), Some(t)) =>
+            operators.Profile.tCloseness(table, cols, sc, tPpm = t.toLong)
+          case (Some(sc), None) => operators.Profile.lDiversity(table, cols, sc,
             l = o.getOrElse("l", "2").toLong)
-          case None => operators.Profile.kAnonymity(table, cols,
+          case (None, Some(_)) => throw new IllegalArgumentException(
+            "k-anonymity: --t-ppm needs --sensitive-col (t-closeness measures " +
+              "the sensitive distribution's distance from the global one)")
+          case (None, None) => operators.Profile.kAnonymity(table, cols,
             k = o.getOrElse("k", "5").toLong)
         }
         writer.writeParquet(out, o.required("output-path"))
         val risky = fetcher.readParquet(spark, o.required("output-path"))
           .filter(org.apache.spark.sql.functions.col("at_risk") === 1).count()
-        val kind = if (o.contains("sensitive-col")) "low-diversity" else "at-risk"
+        val kind =
+          if (o.contains("t-ppm")) "distribution-skewed"
+          else if (o.contains("sensitive-col")) "low-diversity"
+          else "at-risk"
         println(s"[graft] k-anonymity: $risky $kind class(es) -> ${o("output-path")}")
+
+      case "conversion-paths" =>
+        // journey analysis: per conversion the (ts, id)-ordered in-window
+        // touch-type path; --rollup true groups to the top-paths table
+        val o = parseArgs(args.tail)
+        val paths = operators.Attribution.conversionPaths(
+          fetcher.readParquet(spark, o.required("events-path")),
+          windowDays = o.getOrElse("window-days", "7").toInt,
+          convType = o.getOrElse("conv-type", "purchase"),
+          touchTypes = o.getOrElse("touch-types", "click,view,signup")
+            .split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        val out =
+          if (o.getOrElse("rollup", "false").toBoolean)
+            paths.groupBy(col("path")).agg(
+              org.apache.spark.sql.functions.count(lit(1)).as("n_conversions"),
+              org.apache.spark.sql.functions.sum(col("value_fp")).as("total_value_fp"))
+          else paths
+        writer.writeParquet(out, o.required("output-path"))
+        println(s"[graft] conversion-paths: wrote " +
+          s"${if (o.getOrElse("rollup", "false").toBoolean) "top-paths rollup" else "per-conversion journeys"} " +
+          s"to ${o("output-path")}")
 
       case "trustrank" =>
         // seed-personalized PageRank: teleport lands only on the trusted
@@ -1228,6 +1264,15 @@ object App {
         writer.writeParquet(operators.Profile.kAnonymity(
           releasedDocs.select(quasi.map(c): _*), quasi,
           k = o.getOrElse("k", "5").toLong), s"$out/k_anonymity")
+        // optional gate 3b: l-diversity over a sensitive column (a class
+        // can clear k yet be homogeneous — the leak k-anonymity misses)
+        val lDivStats = o.get("sensitive-col").map { sc =>
+          writer.writeParquet(operators.Profile.lDiversity(
+            releasedDocs.select((quasi :+ sc).map(c): _*), quasi, sc,
+            l = o.getOrElse("l", "2").toLong), s"$out/l_diversity")
+          fetcher.readParquet(spark, s"$out/l_diversity")
+            .agg(cnt(l(1)), cl(sm(c("at_risk")), l(0L))).head()
+        }
         // gate 4: corpus card over the released corpus
         val card = operators.CorpusCard.build(releasedDocs)
         card.foreach { case (name, df) =>
@@ -1268,12 +1313,17 @@ object App {
             cl(sm(c("content_sum")), l(0L).cast("decimal(38,0)")).cast("string")).head()
         locally {
           import spark.implicits._
+          val gates = "curation,contamination,k_anonymity," +
+            (if (lDivStats.isDefined) "l_diversity," else "") +
+            "corpus_card,shard_integrity"
           writer.writeJson(Seq((
-            "curation,contamination,k_anonymity,corpus_card,shard_integrity",
+            gates,
             curStats.getLong(0), curStats.getLong(1),
             conStats.getLong(0), conStats.getLong(1),
             nReleased,
             kaStats.getLong(0), kaStats.getLong(1),
+            lDivStats.map(_.getLong(0)).getOrElse(-1L),
+            lDivStats.map(_.getLong(1)).getOrElse(-1L),
             card.keys.toSeq.sorted.mkString(","),
             shStats.getLong(0), shStats.getLong(1), shStats.getString(2)
           )).toDF("gates",
@@ -1281,6 +1331,7 @@ object App {
             "contamination_checked", "contamination_clean",
             "released_docs",
             "kanonymity_classes", "kanonymity_at_risk",
+            "ldiversity_classes", "ldiversity_at_risk",
             "corpus_card_tables",
             "n_shards", "packed_rows", "shard_content_sum")
             .coalesce(1), s"$out/manifest")
@@ -1631,12 +1682,21 @@ object App {
       |                     [--state-path <dir>]  incremental: events-path
       |                     is a SHARD; conversions credit against stored
       |                     + shard touches, state folds forward
+      |                     [--unattributed true]  the complement report:
+      |                     conversions with no in-window touch
+      |  conversion-paths   --events-path <path> --output-path <path>
+      |                     [--window-days <n=7>] [--conv-type purchase]
+      |                     [--touch-types click,view,signup]
+      |                     [--rollup true]  per-conversion journey strings
+      |                     or the grouped top-paths table
       |  release            --docs-path <path> --benchmark-path <path>
       |                     --output-path <dir>
       |                     (--positive-sources a,b | --positive-path <p>)
       |                     (--negative-sources c,d | --negative-path <p>)
       |                     [--embeddings-path <p> --benchmark-embeddings-path <p>]
       |                     [--quasi-columns lang,source] [--k <n=5>]
+      |                     [--sensitive-col <c> [--l <n=2>]]  adds the
+      |                     l-diversity gate to the manifest
       |                     [--merges-path <p> | --n-merges <n=8>]
       |                     [--seq-len <n=64>] [--rows-per-shard <n=128>]
       |                     the full release: curation + contamination
@@ -1645,9 +1705,10 @@ object App {
       |                     manifest JSON (written LAST) records it all
       |  k-anonymity        --table-path <path> --columns a,b
       |                     --output-path <path> [--k <n=5>]
-      |                     [--sensitive-col <c> [--l <n=2>]]
+      |                     [--sensitive-col <c> [--l <n=2> | --t-ppm <n>]]
       |                     quasi-identifier re-identification audit;
-      |                     with --sensitive-col: l-diversity companion
+      |                     with --sensitive-col: l-diversity companion;
+      |                     adding --t-ppm: t-closeness distribution audit
       |  trustrank          --edges-path <path> --seeds-path <path>
       |                     --output-path <path> [--iters <n=5>]
       |                     [--report-convergence true]

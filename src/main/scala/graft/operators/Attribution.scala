@@ -213,6 +213,79 @@ object Attribution {
       col("credit_fp"))
   }
 
+  /** The conversions every attribution scheme SKIPS — no touch inside the
+    * lookback window, so their value is organic/unattributable (the
+    * scaladoc's "separate query", made first-class so the revenue
+    * accounting closes: attributed credits + unattributed values = total
+    * conversion value). Output: (userCol, conv_event_id, conv_ts_us,
+    * value_fp). One user-keyed band join turned LEFT ANTI — same
+    * per-user-bounded fan-out as the credit path.
+    */
+  def unattributedConversions(events: DataFrame, windowDays: Int = 7,
+                              convType: String = "purchase",
+                              touchType: String = "click",
+                              userCol: String = "user_id", tsCol: String = "ts",
+                              idCol: String = "event_id",
+                              typeCol: String = "event_type",
+                              valueCol: String = "value"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val windowUs = windowDays.toLong * 86400000000L
+    val conv = convsOf(events, convType, userCol, tsCol, idCol, typeCol, valueCol)
+    val touch = touchesOf(events, touchType, userCol, tsCol, idCol, typeCol)
+    conv.join(touch,
+        conv(userCol) === touch(userCol) &&
+          col("touch_ts_us") <= col("conv_ts_us") &&
+          col("touch_ts_us") > col("conv_ts_us") - lit(windowUs),
+        "left_anti")
+      .select(col(userCol), col("conv_event_id"), col("conv_ts_us"),
+        col("__v").as("value_fp"))
+  }
+
+  /** Conversion-PATH analysis — the journey report attribution models
+    * argue about: for each conversion, the (time, event id)-ordered
+    * sequence of in-window touch event TYPES joined with ">" (e.g.
+    * "view>click>click"), plus the touch count and the conversion's
+    * fixed-point value. `touchTypes` picks which event types count as
+    * journey steps; conversions with no in-window step produce no row
+    * ([[unattributedConversions]] is their report). Downstream `groupBy
+    * (path)` rolls journeys up to the classic top-paths table.
+    *
+    * Engine-exact: the path is a pure function of the (ts, id) order —
+    * no floats anywhere. Scale shape: the same user-keyed band join as
+    * the credit path + ONE per-conversion ordered collect, bounded by
+    * per-user in-window activity, never corpus size.
+    */
+  def conversionPaths(events: DataFrame, windowDays: Int = 7,
+                      convType: String = "purchase",
+                      touchTypes: Seq[String] = Seq("click", "view", "signup"),
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      idCol: String = "event_id",
+                      typeCol: String = "event_type",
+                      valueCol: String = "value"): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    require(touchTypes.nonEmpty, "conversionPaths needs at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type $convType cannot also be a journey step " +
+        "(every path would end in its own conversion)")
+    val windowUs = windowDays.toLong * 86400000000L
+    val conv = convsOf(events, convType, userCol, tsCol, idCol, typeCol, valueCol)
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(idCol).as("touch_event_id"),
+        tsOrRaise(tsCol).as("touch_ts_us"), col(typeCol).as("__tt"))
+    conv.join(touch, Seq(userCol))
+      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
+        col("touch_ts_us") > col("conv_ts_us") - lit(windowUs))
+      .groupBy(col(userCol), col("conv_event_id"))
+      .agg(min(col("conv_ts_us")).as("conv_ts_us"),
+        min(col("__v")).as("value_fp"),
+        count(lit(1)).as("n_touches"),
+        sort_array(collect_list(struct(
+          col("touch_ts_us"), col("touch_event_id"), col("__tt")))).as("__steps"))
+      .select(col(userCol), col("conv_event_id"), col("conv_ts_us"),
+        expr("array_join(transform(__steps, s -> s.__tt), '>')").as("path"),
+        col("n_touches"), col("value_fp"))
+  }
+
   // ---- incremental form ----------------------------------------------
 
   /** Build the appendable attribution state from an initial event batch:

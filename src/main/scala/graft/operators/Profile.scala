@@ -240,6 +240,58 @@ object Profile {
         (col("l_distinct") < l).cast("int").as("at_risk")): _*)
   }
 
+  /** T-closeness companion to [[kAnonymity]]/[[lDiversity]] (Li et al.
+    * 2007): a class can be k-large AND l-diverse yet still leak — its
+    * sensitive-value DISTRIBUTION can sit far from the table's, so
+    * membership alone shifts an attacker's posterior. Per quasi-class:
+    * the total-variation distance between the class's sensitive
+    * distribution and the global one, in exact floor ppm —
+    * `tvd = (sum_present |p_c - p_g| + (S_g - sum_present p_g)) div 2`
+    * where the second term covers global values ABSENT from the class —
+    * plus `at_risk` (tvd > t). 0 = identical distribution; ~1e6 = the
+    * class concentrates on values rare globally.
+    *
+    * Scale shape: one combinable (quasi x sensitive) aggregate, then
+    * window sums OVER that domain-bounded frame (never the corpus — the
+    * unpartitioned window sees one row per distinct (quasi, sensitive)
+    * pair), one distinct-values 1-row aggregate broadcast back. Windows
+    * instead of joins keep NULL quasi/sensitive values grouped exactly
+    * like [[kAnonymity]] (an equi-join would silently drop them).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 tPpm: Long = 500000L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier column")
+    require(tPpm >= 0 && tPpm <= 1000000L, "tPpm must be in [0, 1e6]")
+    val missing = (quasiCols :+ sensitiveCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier " +
+        "(every class distribution would trivially be a point mass)")
+    import org.apache.spark.sql.expressions.Window
+    val pv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val withShares = pv
+      .withColumn("class_size",
+        sum(col("__c")).over(Window.partitionBy(quasiCols.map(col): _*)))
+      .withColumn("__g",
+        sum(col("__c")).over(Window.partitionBy(col(sensitiveCol))))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .withColumn("__pc", ExactPpm.ppm(col("__c"), col("class_size")))
+      .withColumn("__pg", ExactPpm.ppm(col("__g"), col("__n")))
+    // S_g: the global floor-ppm shares summed once over DISTINCT values
+    val sg = withShares.select(col(sensitiveCol), col("__pg")).distinct()
+      .agg(coalesce(sum(col("__pg")), lit(0L)).as("__sg"))
+    withShares
+      .groupBy((quasiCols.map(col) :+ col("class_size")): _*)
+      .agg(sum(abs(col("__pc") - col("__pg"))).as("__present"),
+        sum(col("__pg")).as("__pgpresent"))
+      .crossJoin(broadcast(sg))
+      .select(quasiCols.map(col) ++ Seq(col("class_size"),
+        expr("(__present + __sg - __pgpresent) div 2").as("tvd_ppm"),
+        (expr("(__present + __sg - __pgpresent) div 2") > tPpm)
+          .cast("int").as("at_risk")): _*)
+  }
+
   /** Drift report between two [[tableProfile]] snapshots — the
     * schema/data-quality alert a pipeline runs after every ingest or
     * curation stage: per column, the null-rate and distinct-count moves,

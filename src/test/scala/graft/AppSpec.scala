@@ -538,12 +538,37 @@ class AppSpec extends SparkTestBase {
         "--output-path", "nope", "--state-path", "st0", "--at-event", "true"))
     }
     exm.getMessage should include("mutually exclusive")
+    // unattributed complement: no purchase lacks an in-window click here
+    App.run(platform, Seq("attribution", "--events-path", "ev",
+      "--output-path", "attu", "--unattributed", "true"))
+    storage.rows("attu") shouldBe empty
+    // conversion paths + rollup through the CLI
+    App.run(platform, Seq("conversion-paths", "--events-path", "ev",
+      "--output-path", "paths"))
+    storage.rows("paths").map(_.getAs[String]("path")).toSet shouldBe
+      Set("click>click")
+    App.run(platform, Seq("conversion-paths", "--events-path", "ev",
+      "--output-path", "tops", "--rollup", "true"))
+    storage.rows("tops").head.getAs[Long]("n_conversions") shouldBe 1L
     // k-anonymity: user 7's 4 rows form one (user) class at k=5 -> at risk
     App.run(platform, Seq("k-anonymity",
       "--table-path", "ev", "--columns", "user_id,event_type",
       "--output-path", "ka", "--k", "2"))
     storage.rows("ka").find(_.getAs[String]("event_type") == "purchase")
       .get.getAs[Int]("at_risk") shouldBe 1
+    // t-closeness through the same command; --t-ppm without the sensitive
+    // column is a loud error
+    App.run(platform, Seq("k-anonymity",
+      "--table-path", "ev", "--columns", "user_id",
+      "--sensitive-col", "event_type",
+      "--output-path", "tc", "--t-ppm", "100000"))
+    storage.rows("tc").head.getAs[Long]("tvd_ppm") shouldBe 0L // one class == global
+    val ext = intercept[IllegalArgumentException] {
+      App.run(platform, Seq("k-anonymity",
+        "--table-path", "ev", "--columns", "user_id",
+        "--output-path", "nope", "--t-ppm", "100000"))
+    }
+    ext.getMessage should include("--sensitive-col")
   }
 
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
@@ -883,14 +908,18 @@ class AppSpec extends SparkTestBase {
       App.run(platform, Seq("release",
         "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
         "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--quasi-columns", "lang", "--sensitive-col", "source",
         "--output-path", s"$tmp/rel", "--rows-per-shard", "16", "--n-merges", "4"))
       val m = spark.read.json(s"$tmp/rel/manifest").head()
       // JSON inference may widen large integers to decimal — read
       // numerics type-agnostically
       def mL(name: String): Long = m.getAs[Number](name).longValue()
-      // the manifest names every gate
+      // the manifest names every gate (--sensitive-col adds l_diversity)
       m.getAs[String]("gates").split(",").toSet shouldBe Set(
-        "curation", "contamination", "k_anonymity", "corpus_card", "shard_integrity")
+        "curation", "contamination", "k_anonymity", "l_diversity",
+        "corpus_card", "shard_integrity")
+      mL("ldiversity_classes") shouldBe
+        spark.read.parquet(s"$tmp/rel/l_diversity").count()
       // and its counts are consistent with the written gate tables
       mL("curation_total") shouldBe
         spark.read.parquet(s"$tmp/rel/curation_verdict").count()

@@ -140,6 +140,38 @@ class AttributionSpec extends SparkTestBase {
     }
   }
 
+  test("unattributed conversions: the anti-join closes the revenue accounting") {
+    // conversion 5 (no in-window click) and user 8's conversion (no clicks
+    // at all) are exactly the rows linearAttribution skips
+    val out = Attribution.unattributedConversions(events, windowDays = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    out shouldBe Map(5L -> 1000000L, 6L -> 5000000L)
+    // credits + unattributed values == total conversion value, exactly
+    val credits = Attribution.linearAttribution(events, windowDays = 7)
+      .collect().map(_.getLong(6)).sum
+    credits + out.values.sum shouldBe 16000000L // 10.0 + 1.0 + 5.0 in fp
+  }
+
+  test("conversion paths: (ts, id)-ordered journey strings; rollup conserves counts") {
+    val e = Seq(
+      ev(1, 1, 6, 7, "view", 0.0), ev(2, 2, 6, 7, "click", 0.0),
+      ev(3, 2, 7, 7, "signup", 0.0), ev(4, 3, 6, 7, "purchase", 2.0),
+      ev(5, 4, 6, 7, "click", 0.0), ev(6, 5, 6, 7, "purchase", 1.0),
+      ev(7, 1, 6, 8, "purchase", 9.0) // no steps: no path row
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.conversionPaths(e, windowDays = 7)
+      .collect().map(r => r.getLong(1) -> (r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    out(4L) shouldBe (("view>click>signup", 3L, 2000000L))
+    // conversion 6's window still reaches all four earlier steps
+    out(6L) shouldBe (("view>click>signup>click", 4L, 1000000L))
+    out.keySet shouldBe Set(4L, 6L)
+    // a conversion type doubling as a step is a loud error
+    val ex = intercept[IllegalArgumentException] {
+      Attribution.conversionPaths(e, touchTypes = Seq("click", "purchase"))
+    }
+    ex.getMessage should include("journey step")
+  }
+
   private val cut = Timestamp.valueOf("2024-01-15 00:00:00")
 
   test("increment == one-shot restricted to shard conversions; chained shards cover everything") {

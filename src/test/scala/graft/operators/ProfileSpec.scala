@@ -173,6 +173,38 @@ class ProfileSpec extends SparkTestBase {
     e.getMessage should include("quasi-identifier")
   }
 
+  test("t-closeness: point-mass classes score the missing-mass distance; global-matching classes score ~0") {
+    // a single class IS the global distribution -> tvd exactly 0
+    val one = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"), (4L, "x", "c"))
+      .toDF("id", "q", "src")
+    Profile.tCloseness(one, Seq("q"), "src", tPpm = 300000L)
+      .head().getLong(2) shouldBe 0L
+    // global over both classes: a 250000, b 125000, c 625000 ppm
+    val rows = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"), (4L, "x", "c"),
+      (5L, "y", "c"), (6L, "y", "c"), (7L, "y", "c"), (8L, "y", "c")
+    ).toDF("id", "q", "src")
+    val out = Profile.tCloseness(rows, Seq("q"), "src", tPpm = 300000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // x (a 500000, b 250000, c 250000): (250000 + 125000 + 375000) / 2
+    out("x") shouldBe ((4L, 375000L, 1))
+    // y (point mass on c): present |1e6 - 625000| + missing (a + b
+    // = 375000) = 750000 -> / 2
+    out("y") shouldBe ((4L, 375000L, 1))
+    // NULL sensitive values participate as their own value (window
+    // partitioning, not an equi-join that would drop them)
+    val withNull = rows.unionByName(
+      Seq((9L, "z", null.asInstanceOf[String])).toDF("id", "q", "src"))
+    val z = Profile.tCloseness(withNull, Seq("q"), "src", tPpm = 300000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // z is a point mass on NULL (global share 1/9) — far from global
+    z("z") should be > 800000L
+    val e = intercept[IllegalArgumentException] {
+      Profile.tCloseness(rows, Seq("src"), "src")
+    }
+    e.getMessage should include("quasi-identifier")
+  }
+
   test("heavy hitters: boundary share passes, deterministic under repartition") {
     // 'x' at exactly 20% (the >= boundary), 'y' just under
     val rows = (Seq.fill(20)("x") ++ Seq.fill(19)("y") ++
