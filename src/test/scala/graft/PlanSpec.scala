@@ -170,7 +170,11 @@ class PlanSpec extends SparkTestBase {
       "q161_hits",
       // q169 embeds q119's broadcast-centroid assignment; the pair stage
       // and the grid sweep are keyed joins/aggregates
-      "q169_semdedup_calibration")
+      "q169_semdedup_calibration",
+      // q177's only cross join is the one-row S_g (sum of distinct global
+      // floor-ppm shares) against the quasi-class aggregate — the q43
+      // scalar-broadcast shape over a domain-bounded frame
+      "q177_tcloseness")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
