@@ -148,6 +148,18 @@ object ScaleBench {
       // so conversions xk at constant fan-out should also read ~linear
       "ewma_at_event_history" -> (k => graft.operators.DecayFeatures.ewmaAtEvent(scaledEventsHistory(k))),
       "attribution_history" -> (k => graft.operators.Attribution.linearAttribution(scaledEventsHistory(k))),
+      // q175 shape under history growth: the per-conversion ordered collect
+      // is WINDOW-bounded (the 40-day replica gap keeps journeys from
+      // spanning replicas), so conversions xk at constant journey length
+      // should read ~linear
+      "conversion_paths_history" -> (k => graft.operators.Attribution.conversionPaths(scaledEventsHistory(k))),
+      // q177 shape: every shuffle is bounded by the (quasi x sensitive)
+      // DOMAIN — corpus growth should read the two map-side-combined
+      // scans' linearity with a near-constant exchange
+      "tcloseness" -> (k => graft.operators.Profile.tCloseness(
+        scaledDocs(k).select(col("lang"),
+          expr("length(text) div 256").as("len_bucket"), col("source")),
+        Seq("lang", "len_bucket"), "source")),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)
