@@ -574,20 +574,43 @@ object App {
             writer.writeParquet(fn(events), o.required("output-path"))
           case Some(sp) =>
             val path = s"$sp/touch_state"
+            val eraDir = s"$sp/touch_state_eras"
+            // crash-safe era appends: a Hadoop job commit moves part-files
+            // sequentially (NOT atomic), so a crash mid-append leaves a
+            // PARTIAL era visible — and a partial era winning
+            // latest-era-per-user hands affected users a truncated touch
+            // pool (silent under-crediting on retry). The streaming gate is
+            // safe via its own-era exclusion (batchId identity); the CLI
+            // has no replay identity, so it brackets every append with a
+            // pending marker: eras whose marker survived a crash are
+            // excluded from reads forever, and nextEra skips past them so
+            // a retry never interleaves with a crashed append's partials
+            val pending = fetcher.listMarkers(spark, eraDir)
+              .filter(_.startsWith("pending_era_"))
+              .map(_.stripPrefix("pending_era_").toLong).toSet
             val (stored, nextEra, action) =
               if (fetcher.exists(spark, path)) {
                 val raw = fetcher.readParquet(spark, path)
-                (operators.Attribution.latestState(raw),
-                  raw.agg(org.apache.spark.sql.functions.max("era")).head().getLong(0) + 1L,
+                val committed =
+                  if (pending.isEmpty) raw
+                  else raw.filter(!col("era").isin(pending.toSeq.map(Long.box): _*))
+                val maxData = raw
+                  .agg(org.apache.spark.sql.functions.max("era")).head() match {
+                    case r if r.isNullAt(0) => -1L
+                    case r => r.getLong(0)
+                  }
+                (operators.Attribution.latestState(committed),
+                  math.max(maxData, pending.foldLeft(-1L)(math.max)) + 1L,
                   "folded shard into")
               } else (operators.Attribution.attributionState(
-                events.limit(0), windowDays, convType, touchType), 0L, "initialized")
+                events.limit(0), windowDays, convType, touchType),
+                pending.foldLeft(-1L)(math.max) + 1L, "initialized")
             writer.writeParquet(operators.Attribution.incrementAttribution(
               stored, events, windowDays, scheme, convType, touchType),
               o.required("output-path"))
-            // OUTPUT first, state append after (the crash-retry rule); a
-            // retried append lands a new era with identical rows —
-            // latest-era-wins keeps the snapshot unchanged
+            // OUTPUT first (the crash-retry rule), then marker -> state
+            // append -> marker delete
+            writer.putMarker(spark, eraDir, s"pending_era_$nextEra")
             writer.writeParquet(
               operators.Attribution.incrementAttributionState(
                   stored, events, windowDays, convType, touchType)
@@ -595,6 +618,7 @@ object App {
                   .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
                 .withColumn("era", lit(nextEra)),
               path, mode = "append")
+            writer.deleteMarker(spark, eraDir, s"pending_era_$nextEra")
             println(s"[graft] attribution: $action touch state at $sp")
         }
         if (!o.getOrElse("unattributed", "false").toBoolean)

@@ -191,13 +191,17 @@ object Attribution {
         // weight = 2^(maxH - h), h = whole elapsed half-lives; the product
         // v * w runs in DECIMAL(38,0) (the PageRank overflow discipline),
         // the floor shares sum per conversion, and the anchor absorbs
-        // v - sum(shares)
+        // v - sum(shares). The WEIGHT SUM is DECIMAL(38,0) too: a single
+        // weight fits BIGINT (maxH <= 62), but n touches in the newest
+        // bucket sum to n*2^maxH, which wraps a BIGINT sum silently under
+        // non-ANSI Spark at e.g. maxH=62, n=2 — the oracle's HUGEINT sum
+        // would diverge in exactly those configs.
         val maxH = (windowUs - 1) / halfLifeUs
         val weighted = base.withColumn("__w", expr(
           s"shiftleft(CAST(1 AS BIGINT), CAST($maxH - " +
             s"(conv_ts_us - touch_ts_us) div ${halfLifeUs}L AS INT))"))
         val sums = weighted.groupBy(col(userCol), col("conv_event_id"))
-          .agg(sum(col("__w")).as("__wsum"))
+          .agg(sum(col("__w").cast("decimal(38,0)")).as("__wsum"))
         val shared = weighted.join(sums, Seq(userCol, "conv_event_id"))
           .withColumn("__share", expr(
             "CAST((CAST(__v AS DECIMAL(38,0)) * __w) div __wsum AS BIGINT)"))

@@ -38,27 +38,38 @@ object Fusion {
   def reciprocalRankFusion(signals: Seq[DataFrame], m: Int = 1000,
                            kRrf: Long = 60L,
                            idCol: String = "doc_id",
-                           scoreCol: String = "score_fp"): DataFrame = {
+                           scoreCol: String = "score_fp",
+                           strictDistinct: Boolean = false): DataFrame = {
     require(signals.nonEmpty, "reciprocalRankFusion needs at least one signal")
     require(m > 0, "m (per-signal list depth) must be positive")
     require(kRrf >= 0, "kRrf must be non-negative")
     val perList = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
-    val contribs = signals.map { s =>
-      // A signal may carry duplicate ids (e.g. a raw posting list): keep
-      // each id's best row WITHIN the m-row cut, so one id can never
-      // contribute twice to a signal's sum or inflate n_signals past the
-      // signal count. The dedup window partitions <= m rows (bounded,
-      // after the TakeOrdered cut — never a corpus shuffle); a signal with
-      // in-cut duplicates yields < m distinct docs, the standard
-      // ranked-list-of-distinct-documents reading. Unique-id signals are
-      // bit-unchanged (the dedup is the identity, ranks re-number the
-      // same rows).
-      s.select(col(idCol), col(scoreCol))
-        .orderBy(col(scoreCol).desc, col(idCol).asc).limit(m)
-        .withColumn("__dup", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col(scoreCol).desc)))
-        .filter(col("__dup") === 1).drop("__dup")
-        .withColumn("rank", row_number().over(perList))
+    val contribs = signals.map { s0 =>
+      // A signal may carry duplicate ids (e.g. a raw posting list). Two
+      // dedup placements, one semantic trade:
+      //  - default (strictDistinct=false): keep each id's best row WITHIN
+      //    the m-row cut. Shuffle-free (TakeOrdered, then a window over
+      //    <= m rows), but a signal with in-cut duplicates contributes
+      //    FEWER than m distinct docs.
+      //  - strictDistinct=true: per-id best row BEFORE the cut — the
+      //    conventional ranked-list-of-distinct-documents reading, always
+      //    m distinct docs when the signal has them. Costs one combinable
+      //    exchange per signal (groupBy max — map-side combine collapses
+      //    duplicates before the shuffle, the frame is two narrow cols).
+      // Either way one id can never contribute twice to a signal's sum or
+      // inflate n_signals past the signal count, and unique-id signals
+      // are bit-identical under both.
+      val s =
+        if (strictDistinct)
+          s0.groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
+        else s0.select(col(idCol), col(scoreCol))
+      val cut = s.orderBy(col(scoreCol).desc, col(idCol).asc).limit(m)
+      val dedup =
+        if (strictDistinct) cut
+        else cut.withColumn("__dup", row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col(scoreCol).desc)))
+          .filter(col("__dup") === 1).drop("__dup")
+      dedup.withColumn("rank", row_number().over(perList))
         .select(col(idCol), col("rank"),
           expr(s"CAST(1000000000L div ($kRrf + rank) AS BIGINT)").as("__c"))
     }

@@ -24,6 +24,18 @@ trait Fetcher {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Names of the sentinel marker files under `dir` (see
+    * [[Writer.putMarker]] — the crash-safe append protocol's begin/commit
+    * brackets). Default: a Hadoop directory listing; the in-memory double
+    * overrides with a map scan. An absent directory means no markers.
+    */
+  def listMarkers(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator.map(_.getPath.getName).toSeq
+  }
+
   /** Parquet scan (reference: Fetchers.scala:79-90). With an explicit schema
     * the scan starts instantly (no footer sampling) and column pruning /
     * predicate pushdown still apply via the vectorized reader.

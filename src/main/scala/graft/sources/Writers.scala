@@ -13,6 +13,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait Writer {
 
+  /** Create the empty sentinel file `dir/name` — one atomic single-file
+    * create, the begin/commit bracket of the crash-safe append protocol:
+    * a writer puts a `pending_…` marker BEFORE a multi-file append and
+    * deletes it after, so a crash mid-append (Hadoop job commit moves
+    * part-files sequentially — it is NOT atomic) leaves the marker behind
+    * and readers know to exclude the partial data. Markers live in a
+    * SIBLING directory, never inside the parquet directory (schema
+    * inference and file listings stay untouched).
+    */
+  def putMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(dir, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
+  /** Remove the sentinel `dir/name` (the protocol's commit half). */
+  def deleteMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(dir, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    ()
+  }
+
   /** Parquet sink (reference: ProdWriter.scala:23-35). */
   def writeParquet(df: DataFrame, path: String, mode: String = "overwrite",
       partitionBy: Seq[String] = Seq.empty): Unit = {

@@ -571,6 +571,44 @@ class AppSpec extends SparkTestBase {
     ext.getMessage should include("--sensitive-col")
   }
 
+  test("attribution state: a crashed partial era (surviving pending marker) is excluded") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val storage = new InMemoryStorage
+    val fetcher = new TestFetcher(storage)
+    val writer = new TestWriter(storage)
+    val platform = Platform(spark, fetcher, writer)
+    def ev(id: Long, day: Int, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 06:00:00"), user, typ, v)
+    val events = Seq(
+      ev(1, 1, 7, "click", 1.0), ev(2, 2, 7, "click", 2.0),
+      ev(3, 3, 7, "purchase", 10.0), ev(4, 4, 7, "click", 0.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    storage.write("ev_head", events.filter(col("event_id") <= 2), "overwrite")
+    storage.write("ev_tail", events.filter(col("event_id") > 2), "overwrite")
+    // era 0 committed: user 7 holds touches 1 and 2
+    App.run(platform, Seq("attribution", "--events-path", "ev_head",
+      "--state-path", "cst", "--output-path", "ci0"))
+    storage.markers shouldBe empty // a clean append leaves no marker behind
+    // simulate a crash mid-append of era 1: the pending marker survives and
+    // the era's rows are TRUNCATED (the file carrying touch 2 never landed)
+    writer.putMarker(spark, "cst/touch_state_eras", "pending_era_1")
+    writer.writeParquet(
+      fetcher.readParquet(spark, "cst/touch_state")
+        .filter(col("touch_event_id") === 1L).withColumn("era", lit(1L)),
+      "cst/touch_state", mode = "append")
+    // the retry folds the tail shard: the purchase must credit BOTH stored
+    // clicks (5M/5M) — reading the partial era would hand it touch 1 only
+    // (10M to one click, silent under-crediting of touch 2)
+    App.run(platform, Seq("attribution", "--events-path", "ev_tail",
+      "--state-path", "cst", "--output-path", "ci1"))
+    storage.rows("ci1")
+      .map(r => r.getAs[Long]("touch_event_id") -> r.getAs[Long]("credit_fp"))
+      .toMap shouldBe Map(1L -> 5000000L, 2L -> 5000000L)
+    // the retry skipped PAST the condemned era and committed its own
+    storage.rows("cst/touch_state").map(_.getAs[Long]("era")).max shouldBe 2L
+    storage.markers.toSet shouldBe Set("cst/touch_state_eras/pending_era_1")
+  }
+
   test("fuzzy-contamination, perplexity-buckets, dup-profile, and entropy subcommands") {
     import org.apache.spark.sql.functions.col
     val storage = new InMemoryStorage

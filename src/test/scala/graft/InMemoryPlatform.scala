@@ -16,6 +16,8 @@ import graft.sources.{Fetcher, Writer}
 class InMemoryStorage {
   val rows: mutable.Map[String, Seq[Row]] = mutable.Map.empty
   val schemas: mutable.Map[String, StructType] = mutable.Map.empty
+  /** Sentinel marker files: "dir/name" keys (the Writer.putMarker double). */
+  val markers: mutable.Set[String] = mutable.Set.empty
 
   def write(key: String, df: DataFrame, mode: String): Unit = synchronized {
     val data = df.collect().toSeq
@@ -37,7 +39,7 @@ class InMemoryStorage {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows(key), 2), schemas(key))
 
-  def clear(): Unit = synchronized { rows.clear(); schemas.clear() }
+  def clear(): Unit = synchronized { rows.clear(); schemas.clear(); markers.clear() }
 }
 
 class TestFetcher(storage: InMemoryStorage) extends Fetcher {
@@ -52,6 +54,12 @@ class TestFetcher(storage: InMemoryStorage) extends Fetcher {
       delimiter: String): DataFrame = storage.read(spark, path)
   override def readTable(spark: SparkSession, tableName: String): DataFrame =
     storage.read(spark, tableName)
+  override def listMarkers(spark: SparkSession, dir: String): Seq[String] =
+    storage.synchronized {
+      storage.markers.toSeq.collect {
+        case m if m.startsWith(dir + "/") => m.stripPrefix(dir + "/")
+      }
+    }
 }
 
 class TestWriter(storage: InMemoryStorage) extends Writer {
@@ -67,6 +75,11 @@ class TestWriter(storage: InMemoryStorage) extends Writer {
   override def insertOverwriteBucketedTable(df: DataFrame, tableName: String,
       numBuckets: Int, bucketCol: String,
       partitionBy: Seq[String]): Unit = storage.write(tableName, df, "overwrite")
+
+  override def putMarker(spark: SparkSession, dir: String, name: String): Unit =
+    storage.synchronized { storage.markers += s"$dir/$name"; () }
+  override def deleteMarker(spark: SparkSession, dir: String, name: String): Unit =
+    storage.synchronized { storage.markers -= s"$dir/$name"; () }
 
   /** Dynamic-partition-overwrite emulation: replace stored rows whose
     * partition values appear in `df`, keep all others.

@@ -120,6 +120,24 @@ class AttributionSpec extends SparkTestBase {
     ex.getMessage should include("half-lives")
   }
 
+  test("time-decay weight SUMS don't wrap BIGINT: 2 touches in the newest bucket at maxH=62") {
+    // windowDays=63 / halfLife=1d -> maxH=62: each newest-bucket touch
+    // weighs 2^62 (fits BIGINT), but TWO of them sum to 2^63 — a plain
+    // BIGINT sum wraps negative and the shares go garbage while the
+    // anchor's slack silently absorbs the corruption. The decimal(38,0)
+    // weight sum keeps the split exact: 5M / 5M.
+    val e = Seq(
+      ev(1, 4, 5, 7, "click", 0.0),   // age 1h  -> h=0 -> w=2^62
+      ev(2, 4, 4, 7, "click", 0.0),   // age 2h  -> h=0 -> w=2^62
+      ev(3, 4, 6, 7, "purchase", 10.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.timeDecayAttribution(e, windowDays = 63, halfLifeDays = 1)
+      .collect().map(r => r.getLong(3) -> r.getLong(6)).toMap
+    out shouldBe Map(1L -> 5000000L, 2L -> 5000000L)
+    out.values.foreach(_ should be >= 0L)
+    out.values.sum shouldBe 10000000L
+  }
+
   test("exact conservation holds for every scheme on random fan-outs") {
     val big = (0L until 600L).map { i =>
       val typ = if (i % 7 == 0) "purchase" else "click"

@@ -46,6 +46,26 @@ class FusionSpec extends SparkTestBase {
     all(out.values.map(_._2)) should be <= 2L
   }
 
+  test("strictDistinct dedups BEFORE the cut: in-cut duplicates no longer shrink the list") {
+    // doc 10 appears twice inside a top-2 cut: the default (in-cut dedup)
+    // yields only ONE distinct doc from this signal at m=2, while
+    // strictDistinct dedups first and fills the cut with 10 and 20 — the
+    // conventional ranked-list-of-distinct-documents reading (r15 advice)
+    val dup = Seq((10L, 100L), (10L, 90L), (20L, 80L)).toDF("doc_id", "score_fp")
+    val loose = Fusion.reciprocalRankFusion(Seq(dup), m = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    loose.keySet shouldBe Set(10L) // 10's duplicate crowded 20 out of the cut
+    val strict = Fusion.reciprocalRankFusion(Seq(dup), m = 2, strictDistinct = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    strict shouldBe Map(10L -> 1, 20L -> 2)
+    // duplicate-free signals are bit-identical under both placements
+    def rows(strictDistinct: Boolean) =
+      Fusion.reciprocalRankFusion(Seq(s1, s2), strictDistinct = strictDistinct)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).sortBy(_._1)
+    rows(strictDistinct = true) shouldBe rows(strictDistinct = false)
+  }
+
   test("deterministic under repartition (integer ranks and sums)") {
     val big1 = (0L until 500L).map(i => (i, (i * 37) % 499)).toDF("doc_id", "score_fp")
     val big2 = (0L until 500L).map(i => (i, (i * 91) % 499)).toDF("doc_id", "score_fp")
