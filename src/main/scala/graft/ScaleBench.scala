@@ -224,6 +224,16 @@ object ScaleBench {
           scaledDocs(k).withColumn("text", concat(col("text"), lit(banner))),
           maxBucket = 64)
       }),
+      // the VOCAB-SIZE axis (r15 "next round" #2): merges xk at a FIXED
+      // corpus, batch scaled with the vocab so the round budget stays
+      // constant (ideal 4 rounds at every k). Pre-batching this was one
+      // full distinct-word pass + one argmax job PER MERGE — wall time
+      // xk by construction; batched rounds should hold the growth well
+      // below k (rounds constant, per-round selection/rewrite slightly
+      // wider). Conflict-limited under-fill extends rounds (cap 4x) —
+      // a -1 here means the fill degenerated, a finding not a crash.
+      "bpe_vocab_size" -> (k => graft.operators.Packing.bpeMergeTable(
+        scaledDocs(1), nMerges = 8 * k, batchSize = 2 * k)),
       // q99/q103 shapes: the pinned-ln LM scores — the distinct-word /
       // distinct-bigram tables are where the math runs; rotation grows
       // the distinct domains linearly (worst case for the trick)

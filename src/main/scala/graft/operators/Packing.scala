@@ -601,41 +601,69 @@ object Packing {
 
   /** REAL byte-pair-encoding training: the iterative merge loop (Sennrich
     * et al. 2016) rather than [[bpePieces]]' frequency-ranked n-gram
-    * stand-in. Each of the `nMerges` rounds counts every adjacent symbol
-    * pair across the corpus's word occurrences, merges the most frequent
-    * pair (ties: lexicographic (left, right) asc — fully deterministic),
-    * and rewrites the symbolization. Output is the merge TABLE — (step,
-    * pa, pb, merged, pair_tf), one row per round, fewer if the corpus
-    * exhausts its pairs — i.e. exactly what a tokenizer ships as its
-    * merges file; feed the `merged` column to [[greedyTokenCounts]] for
-    * counting with the trained inventory (PackingSpec pins the classic
+    * stand-in. Each round counts every adjacent symbol pair across the
+    * corpus's word occurrences, merges the most frequent pair(s) (ties:
+    * lexicographic (left, right) asc — fully deterministic), and rewrites
+    * the symbolization. Output is the merge TABLE — (step, pa, pb,
+    * merged, pair_tf), one row per merge, fewer if the corpus exhausts
+    * its pairs — i.e. exactly what a tokenizer ships as its merges file;
+    * feed the `merged` column to [[greedyTokenCounts]] for counting with
+    * the trained inventory (PackingSpec pins the classic
     * low/lower/newest/widest merge sequence).
+    *
+    * BATCHED TRAINING (`batchSize` > 1) — the scale path to real
+    * vocabularies: one full pass + one argmax PER MERGE means a 32k-merge
+    * vocab would chain 32k Spark jobs; instead each round greedily
+    * selects up to `batchSize` top-ranked pairs that are MUTUALLY
+    * NON-CONFLICTING — no symbol of a later pick (pa, pb, or its merged
+    * form) may appear among any earlier pick's {pa, pb, merged} — and
+    * applies them all in one rewrite pass. Disjointness makes the batch
+    * order-independent: a replace can neither create nor destroy another
+    * batch-mate's occurrences (new symbols it mints are conflict-excluded
+    * from the batch). `batchSize = 1` degenerates to the classic
+    * sequential loop bit-for-bit (the selection fold always takes the
+    * ranked argmax first — PackingSpec pins the parity). The selection
+    * scans the top `8*batchSize + 64` ranked candidates per round; heavy
+    * symbol sharing among top pairs (natural text: everything touches
+    * 'e') under-fills a round, so the loop runs until `nMerges` merges
+    * land, bounded at 4x the conflict-free round count — exhausting THAT
+    * fails loudly (raise batchSize) rather than degenerating to the
+    * per-merge chain.
     *
     * Spark shape: the loop is driver-side but every ITERATION is a plan,
     * not data on the driver — pair counting explodes the DISTINCT-word
     * symbolization (Heaps-sublinear, tf-weighted; the corpus is never
-    * re-scanned), the argmax is an `orderBy.limit(1)` frame CROSS-joined
-    * back (1-row broadcast, the quantile-threshold pattern — no collect),
-    * and the rewrite is one row-local `replace`. Each word's
+    * re-scanned), the ranked candidate prefix is an `orderBy.limit`
+    * (TakeOrdered) collapsed to ONE sorted-array row, the greedy
+    * selection is a row-local fold over that array, and the batch
+    * rewrite is one row-local fold of `replace`s CROSS-joined back as a
+    * 1-row broadcast (the quantile-threshold pattern — no collect; the
+    * only per-round driver action is a count of the <= batchSize
+    * selected-merge frame, needed to advance the loop). Each word's
     * symbolization is a `||`-fenced string ("||n||e||w||" — tokens are
     * [a-z0-9]+ so the fence never collides); a merge rewrites
     * `|a||b| -> |ab|`, and leftmost non-overlapping replace-all is
-    * precisely BPE's merge-application semantics. nMerges is bounded
-    * (each round is a shuffle of short pair rows).
+    * precisely BPE's merge-application semantics.
     *
     * Lineage discipline: each round's state references the previous one
-    * TWICE (through the argmax and through the rewrite), so the raw
+    * TWICE (through the selection and through the rewrite), so the raw
     * logical plan doubles per round — at 8 rounds the plan STRING alone
     * is gigabytes and the driver dies before any data moves. `persist`
     * does not help (the analyzed logical tree keeps full lineage);
     * `localCheckpoint` is the standard iterative-algorithm cut (GraphX /
-    * ALS do the same) — each round's state and merge row become a
+    * ALS do the same) — each round's state and merge rows become a
     * LogicalRDD, constant plan depth, data stays on executors.
     */
   def bpeMergeTable(docs: DataFrame, nMerges: Int, textCol: String = "text",
-                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64,
-      s"nMerges must be in [1, 64] (each round is a full pass): got $nMerges")
+                    storage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+                    batchSize: Int = 1): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive: got $nMerges")
+    require(batchSize >= 1, s"batchSize must be positive: got $batchSize")
+    val idealRounds = (nMerges + batchSize - 1) / batchSize
+    require(idealRounds <= 64,
+      s"ceil(nMerges / batchSize) = $idealRounds rounds and each round is a " +
+        "full distinct-word pass — raise batchSize (round cap 64)")
+    val candCap = 8 * batchSize + 64
     val wordTf = docs
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("tf"))
@@ -645,7 +673,15 @@ object Packing {
         concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")).as("r")),
       storage).localCheckpoint(false)
     val merges = Seq.newBuilder[DataFrame]
-    for (step <- 1 to nMerges) {
+    var done = 0
+    var rounds = 0
+    var exhausted = false
+    while (done < nMerges && !exhausted) {
+      rounds += 1
+      if (rounds > 4 * idealRounds) throw new IllegalStateException(
+        s"bpeMergeTable: only $done/$nMerges merges after $rounds rounds — " +
+          "symbol conflicts keep batches under-filled; raise batchSize")
+      val want = math.min(batchSize, nMerges - done)
       val pairs = state
         .select(col("tf"), expr("split(trim(BOTH '|' FROM r), '\\\\|\\\\|')").as("__s"))
         .select(col("tf"), explode(expr(
@@ -655,19 +691,57 @@ object Packing {
             |  array())""".stripMargin)).as("p"))
         .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .agg(sum(col("tf")).as("pair_tf"))
-      val best = pairs
-        .orderBy(col("pair_tf").desc, col("pa").asc, col("pb").asc).limit(1)
-        .select(lit(step).as("step"), col("pa"), col("pb"),
-          concat(col("pa"), col("pb")).as("merged"), col("pair_tf"))
+      // ranked candidate prefix as ONE sorted-array row: negated tf makes
+      // the struct sort reproduce (tf desc, pa asc, pb asc) exactly
+      val cand = pairs
+        .orderBy(col("pair_tf").desc, col("pa").asc, col("pb").asc).limit(candCap)
+        .agg(array_sort(collect_list(struct((-col("pair_tf")).as("ntf"),
+          col("pa"), col("pb")))).as("__cand"))
+      // greedy non-conflicting selection in rank order: a candidate is
+      // skipped when any of its symbols (pa, pb, or the string it would
+      // mint) already belongs to an earlier pick's {pa, pb, merged}
+      val sel = cand.select(posexplode(expr(
+        s"""aggregate(__cand,
+           |  named_struct(
+           |    'used', CAST(array() AS array<string>),
+           |    'sel', CAST(array() AS array<struct<ntf: BIGINT, pa: STRING, pb: STRING>>)),
+           |  (acc, c) -> IF(size(acc.sel) >= $want
+           |      OR array_contains(acc.used, c.pa)
+           |      OR array_contains(acc.used, c.pb)
+           |      OR array_contains(acc.used, concat(c.pa, c.pb)), acc,
+           |    named_struct(
+           |      'used', concat(acc.used, array(c.pa, c.pb, concat(c.pa, c.pb))),
+           |      'sel', concat(acc.sel, array(c)))),
+           |  acc -> acc.sel)""".stripMargin)).as(Seq("__i", "c")))
+        .select((lit(done + 1) + col("__i")).cast("int").as("step"),
+          col("c.pa").as("pa"), col("c.pb").as("pb"),
+          concat(col("c.pa"), col("c.pb")).as("merged"),
+          (-col("c.ntf")).as("pair_tf"))
         .localCheckpoint(false)
-      merges += best
-      state = state
-        .crossJoin(broadcast(best.select(col("pa").as("__ba"), col("pb").as("__bb"))))
-        .select(col("tf"), expr(
-          "replace(r, '|' || __ba || '||' || __bb || '|', '|' || __ba || __bb || '|')"
-        ).as("r"))
-        .localCheckpoint(false)
+      // the one per-round driver action: how many merges landed (<= want
+      // rows, already checkpointed — a bounded count, never corpus data)
+      val landed = sel.count().toInt
+      if (landed == 0) exhausted = true
+      else {
+        merges += sel
+        done += landed
+        val selArr = sel.agg(sort_array(collect_list(struct(
+          col("step"), col("pa"), col("pb")))).as("__sel"))
+        state = state
+          .crossJoin(broadcast(selArr))
+          .select(col("tf"), expr(
+            """aggregate(__sel, r, (acc, m) ->
+              |  replace(acc, '|' || m.pa || '||' || m.pb || '|',
+              |             '|' || m.pa || m.pb || '|'))""".stripMargin).as("r"))
+          .localCheckpoint(false)
+      }
     }
-    merges.result().reduce(_ unionByName _)
+    merges.result() match {
+      case Seq() => // pair-less corpus: an EMPTY table with the contract schema
+        docs.sparkSession.emptyDataFrame
+          .select(lit(0).as("step"), lit("").as("pa"), lit("").as("pb"),
+            lit("").as("merged"), lit(0L).as("pair_tf")).limit(0)
+      case ms => ms.reduce(_ unionByName _)
+    }
   }
 }

@@ -230,6 +230,69 @@ class PackingSpec extends SparkTestBase {
     val got = Packing.bpeMergeTable(docs, nMerges = 4)
       .as[(Int, String, String, String, Long)].collect().toSeq
     got shouldBe Seq((1, "a", "b", "ab", 3L))
+    // a pair-less corpus (all 1-char words) yields the EMPTY table with
+    // the contract schema, not a crash
+    val none = Packing.bpeMergeTable(Seq((1L, "a b a")).toDF("doc_id", "text"),
+      nMerges = 2, batchSize = 2)
+    none.columns.toSeq shouldBe Seq("step", "pa", "pb", "merged", "pair_tf")
+    none.count() shouldBe 0L
+  }
+
+  test("batched BPE: batchSize=1 reproduces the sequential table bit-for-bit") {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    def rows(b: Int) = Packing.bpeMergeTable(docs, nMerges = 4, batchSize = b)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    rows(1) shouldBe Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L))
+  }
+
+  test("batched BPE: batchSize=2 selects mutually non-conflicting top pairs per round") {
+    // classic corpus, hand-derived at B=2. Round-1 ranked pairs:
+    // (e,s,9), (s,t,9), (w,e,8), (l,o,7), (o,w,7), ... Greedy: take
+    // (e,s); skip (s,t) [shares s]; skip (w,e) [shares e]; take (l,o).
+    // After applying both: low->[lo,w], lower->[lo,w,e,r],
+    // newest->[n,e,w,es,t], widest->[w,i,d,es,t]. Round-2 ranked:
+    // (es,t,9), (lo,w,7), ... Take (es,t); take (lo,w) [disjoint from
+    // {es,t,est}]. Same 4 merges as sequential here, different ORDER
+    // ((l,o) lands at step 2) — and pair_tf reads the count at the
+    // round the pair was SELECTED.
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.bpeMergeTable(docs, nMerges = 4, batchSize = 2)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "l", "o", "lo", 7L),
+      (3, "es", "t", "est", 9L),
+      (4, "lo", "w", "low", 7L))
+    // the batch-trained inventory is a drop-in vocabulary like the
+    // sequential one: same 4 merged pieces
+    got.map(_._4).toSet shouldBe Set("es", "est", "lo", "low")
+  }
+
+  test("batched BPE: under-filled rounds keep looping to nMerges; a hopeless fill fails loudly") {
+    // "abababab...": every round has exactly ONE selectable merge (all
+    // candidates share symbols), so B=4 rounds land 1 merge each — the
+    // loop keeps going past ceil(nMerges/B) rounds and still reaches 3
+    val chain = Seq((1L, ("ab" * 16) + " " + ("ab" * 16))).toDF("doc_id", "text")
+    val got = Packing.bpeMergeTable(chain, nMerges = 3, batchSize = 4)
+      .orderBy("step").as[(Int, String, String, String, Long)].collect().toSeq
+    got.map(m => (m._1, m._4)) shouldBe Seq((1, "ab"), (2, "abab"), (3, "abababab"))
+    // but 1 merge/round against a 4x-ideal round budget exhausts at
+    // nMerges=8, batchSize=8 (ideal 1 round, cap 4): loud, not quiet
+    val ex = intercept[IllegalStateException] {
+      Packing.bpeMergeTable(chain, nMerges = 8, batchSize = 8).collect()
+    }
+    ex.getMessage should include("under-filled")
+    // and a round budget over 64 is rejected at plan time
+    an[IllegalArgumentException] should be thrownBy
+      Packing.bpeMergeTable(chain, nMerges = 200, batchSize = 2)
   }
 
   /** Hand merge table: (step, pa, pb, merged, pair_tf). */
