@@ -522,7 +522,20 @@ object AnalyticsQueries {
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("lang"), expr("n_chars div 256").as("len_bucket"),
             col("source")),
-        Seq("lang", "len_bucket"), "source", tPpm = TClosePpm))
+        Seq("lang", "len_bucket"), "source", tPpm = TClosePpm)),
+
+    // privacy ENFORCEMENT — the audits applied: rows in quasi-classes
+    // failing k-anonymity (q165's k), l-diversity (q173's l), or
+    // t-closeness (q177's t) are suppressed; the q64 decontaminate
+    // anti-join shape, NULL-SAFE on the quasi tuple, one domain-bounded
+    // broadcast back against the corpus
+    "q178_suppress_at_risk" -> ((s, dir) =>
+      graft.operators.Profile.suppressAtRisk(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 256").as("len_bucket"), col("source")),
+        Seq("lang", "len_bucket"), k = KAnonK,
+        sensitiveCol = Some("source"), l = LDivL, tPpm = Some(TClosePpm)))
   )
 
   /** q175/q176's journey steps — the synthetic corpus' three
@@ -1242,6 +1255,38 @@ object AnalyticsQueries {
          |  CAST((present + sg.sgv - pgpresent) // 2 AS BIGINT) AS tvd_ppm,
          |  CAST((present + sg.sgv - pgpresent) // 2 > $TClosePpm AS INT) AS at_risk
          |FROM a, sg""".stripMargin,
+
+    // suppression twin: the three audit CTEs' at-risk classes unioned,
+    // then a NULL-SAFE NOT EXISTS anti-join back to the corpus
+    "q178_suppress_at_risk" ->
+      s"""WITH pv AS (SELECT lang, n_chars // 256 AS len_bucket, source,
+         |  CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2, 3),
+         |kl AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS class_size,
+         |  CAST(count(*) AS BIGINT) AS l_distinct FROM pv GROUP BY 1, 2),
+         |sh AS (SELECT *,
+         |  CAST(sum(c) OVER (PARTITION BY lang, len_bucket) AS BIGINT) AS class_size,
+         |  CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS g,
+         |  CAST(sum(c) OVER () AS BIGINT) AS n FROM pv),
+         |p AS (SELECT *,
+         |  CAST(CAST(c AS HUGEINT) * 1000000 // class_size AS BIGINT) AS pc,
+         |  CAST(CAST(g AS HUGEINT) * 1000000 // n AS BIGINT) AS pg FROM sh),
+         |sg AS (SELECT CAST(coalesce(sum(pg), 0) AS BIGINT) AS sgv
+         |  FROM (SELECT DISTINCT source, pg FROM p)),
+         |tv AS (SELECT lang, len_bucket,
+         |  CAST(sum(abs(pc - pg)) AS BIGINT) AS present,
+         |  CAST(sum(pg) AS BIGINT) AS pgpresent FROM p GROUP BY 1, 2),
+         |risky AS (
+         |  SELECT lang, len_bucket FROM kl
+         |    WHERE class_size < $KAnonK OR l_distinct < $LDivL
+         |  UNION
+         |  SELECT tv.lang, tv.len_bucket FROM tv, sg
+         |    WHERE (present + sg.sgv - pgpresent) // 2 > $TClosePpm),
+         |d AS (SELECT doc_id, lang, n_chars // 256 AS len_bucket, source
+         |  FROM documents)
+         |SELECT doc_id, lang, len_bucket, source FROM d
+         |WHERE NOT EXISTS (SELECT 1 FROM risky r
+         |  WHERE r.lang IS NOT DISTINCT FROM d.lang
+         |    AND r.len_bucket IS NOT DISTINCT FROM d.len_bucket)""".stripMargin,
 
     // l-diversity twin: grouped per-(quasi, sensitive) counts re-grouped
     // by quasi — countDistinct-with-NULL-as-a-value falls out of the

@@ -1268,8 +1268,34 @@ object App {
           train = kept, bench = bench, trainEmb = emb._1, benchEmb = emb._2),
           s"$out/contamination_verdict")
         val contamination = fetcher.readParquet(spark, s"$out/contamination_verdict")
-        val released = kept.join(contamination.filter(c("clean") === 1)
+        val candidate = kept.join(contamination.filter(c("clean") === 1)
           .select(c("doc_id")), Seq("doc_id"), "left_semi")
+        val quasi = o.getOrElse("quasi-columns", "lang,source")
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        // optional gate 2b: privacy ENFORCEMENT before anything is written
+        // — rows in quasi-classes failing k-anonymity (and l-diversity /
+        // t-closeness when their knobs are given) are dropped
+        // (--enforce-privacy true|drop) or quasi-generalized to NULL
+        // (--enforce-privacy generalize); default false keeps the audits
+        // report-only. Post-enforcement, the gate-3 audit below re-runs on
+        // the RELEASED rows — in drop mode it must read 0 at-risk classes,
+        // and the manifest records the suppressed count.
+        val enforceMode = o.getOrElse("enforce-privacy", "false")
+        val (released, nSuppressed) = enforceMode match {
+          case "false" => (candidate, -1L)
+          case m @ ("true" | "drop" | "generalize") =>
+            val nCand = candidate.count()
+            val enforced = operators.Profile.suppressAtRisk(
+              candidate, quasi, k = o.getOrElse("k", "5").toLong,
+              sensitiveCol = o.get("sensitive-col"),
+              l = o.getOrElse("l", "2").toLong,
+              tPpm = o.get("t-ppm").map(_.toLong),
+              generalize = m == "generalize")
+            (enforced, nCand - enforced.count())
+          case other => throw new IllegalArgumentException(
+            s"release: unknown --enforce-privacy '$other' " +
+              "(false|true|drop|generalize)")
+        }
         writer.writeParquet(released, s"$out/documents")
         val releasedDocs = fetcher.readParquet(spark, s"$out/documents")
         val nReleased = releasedDocs.count()
@@ -1278,13 +1304,11 @@ object App {
         // and a loader pointed at it would fail later and worse
         require(nReleased > 0,
           "release: zero documents survived the curation + contamination " +
-            "gates — nothing to release (inspect " +
+            (if (enforceMode == "false") "gates" else "+ privacy gates") +
+            " — nothing to release (inspect " +
             s"$out/curation_verdict fail_mask / $out/contamination_verdict method_mask)")
-        // gate 3: k-anonymity audit over the RELEASED rows (a report — at
-        // risk classes ship in the manifest, suppression is the caller's
-        // policy call)
-        val quasi = o.getOrElse("quasi-columns", "lang,source")
-          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        // gate 3: k-anonymity audit over the RELEASED rows (report-only
+        // unless --enforce-privacy already applied the policy above)
         writer.writeParquet(operators.Profile.kAnonymity(
           releasedDocs.select(quasi.map(c): _*), quasi,
           k = o.getOrElse("k", "5").toLong), s"$out/k_anonymity")
@@ -1337,13 +1361,16 @@ object App {
             cl(sm(c("content_sum")), l(0L).cast("decimal(38,0)")).cast("string")).head()
         locally {
           import spark.implicits._
-          val gates = "curation,contamination,k_anonymity," +
+          val gates = "curation,contamination," +
+            (if (enforceMode != "false") "privacy_enforcement," else "") +
+            "k_anonymity," +
             (if (lDivStats.isDefined) "l_diversity," else "") +
             "corpus_card,shard_integrity"
           writer.writeJson(Seq((
             gates,
             curStats.getLong(0), curStats.getLong(1),
             conStats.getLong(0), conStats.getLong(1),
+            enforceMode, nSuppressed,
             nReleased,
             kaStats.getLong(0), kaStats.getLong(1),
             lDivStats.map(_.getLong(0)).getOrElse(-1L),
@@ -1353,6 +1380,7 @@ object App {
           )).toDF("gates",
             "curation_total", "curation_kept",
             "contamination_checked", "contamination_clean",
+            "privacy_enforced", "privacy_suppressed",
             "released_docs",
             "kanonymity_classes", "kanonymity_at_risk",
             "ldiversity_classes", "ldiversity_at_risk",

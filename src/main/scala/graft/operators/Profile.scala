@@ -292,6 +292,61 @@ object Profile {
           .cast("int").as("at_risk")): _*)
   }
 
+  /** Privacy ENFORCEMENT — closes the audit→apply loop the three audit
+    * reports ([[kAnonymity]], [[lDiversity]], [[tCloseness]]) leave open
+    * (contamination has its apply step in `decontaminate`; this is the
+    * privacy twin): rows whose quasi-identifier class FAILS any enabled
+    * audit are suppressed. Audits enable by their knobs — k-anonymity
+    * always; l-diversity when `sensitiveCol` is set; t-closeness when
+    * `tPpm` is ALSO set (a `tPpm` without a sensitive column is the same
+    * loud error as the audit CLI).
+    *
+    * `generalize = false` (default) DROPS the at-risk rows — the q64
+    * decontaminate anti-join shape. `generalize = true` keeps them but
+    * NULLs every quasi column (generalization to the top of the
+    * hierarchy): the released rows then merge into the all-NULL class,
+    * trading precision for retention. Either way the released table has
+    * the input's exact schema.
+    *
+    * NULL quasi values form their own class in every audit, so the join
+    * back is NULL-SAFE (`<=>`) — a plain equi-join would silently leak
+    * every at-risk NULL-quasi row into the release.
+    *
+    * Scale shape: the audit frames are bounded by the distinct
+    * (quasi x sensitive) domain, the at-risk subset is smaller still, and
+    * it joins back as ONE broadcast against the corpus — one corpus scan
+    * beyond the audits themselves, never a corpus-keyed shuffle.
+    */
+  def suppressAtRisk(df: DataFrame, quasiCols: Seq[String], k: Long = 5L,
+                     sensitiveCol: Option[String] = None, l: Long = 2L,
+                     tPpm: Option[Long] = None,
+                     generalize: Boolean = false): DataFrame = {
+    require(sensitiveCol.isDefined || tPpm.isEmpty,
+      "suppressAtRisk: tPpm needs sensitiveCol (t-closeness measures the " +
+        "sensitive distribution's distance from the global one)")
+    def riskClasses(audit: DataFrame): DataFrame =
+      audit.filter(col("at_risk") === 1).select(quasiCols.map(col): _*)
+    val audits = Seq(riskClasses(kAnonymity(df, quasiCols, k))) ++
+      sensitiveCol.map(sc => riskClasses(lDiversity(df, quasiCols, sc, l))) ++
+      (sensitiveCol zip tPpm).map { case (sc, t) =>
+        riskClasses(tCloseness(df, quasiCols, sc, t)) }
+    val risky = audits.reduce(_ unionByName _).distinct()
+      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val hit = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
+    if (!generalize)
+      df.join(broadcast(risky), hit, "left_anti")
+    else {
+      val nulled = df.columns.map { c =>
+        if (quasiCols.contains(c))
+          when(col("__rk").isNotNull, lit(null).cast(df.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }
+      df.join(broadcast(risky.withColumn("__rk", lit(1))), hit, "left")
+        .select(nulled.toSeq: _*)
+    }
+  }
+
   /** Drift report between two [[tableProfile]] snapshots — the
     * schema/data-quality alert a pipeline runs after every ingest or
     * curation stage: per column, the null-rate and distinct-count moves,

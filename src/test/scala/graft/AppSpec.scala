@@ -986,6 +986,37 @@ class AppSpec extends SparkTestBase {
       val verdicts = spark.read.parquet(s"$tmp/rel/curation_verdict")
       released.join(verdicts.filter(col("keep") === 0), Seq("doc_id"), "left_semi")
         .count() shouldBe 0L
+      // the report-only manifest records that no enforcement ran
+      m.getAs[String]("privacy_enforced") shouldBe "false"
+      // --enforce-privacy: the audits become a GATE — at-risk quasi
+      // classes drop before packing, the manifest names the gate and the
+      // accounting closes (clean candidates = released + suppressed),
+      // and the post-enforcement audits over the released rows read clean
+      App.run(platform, Seq("release",
+        "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
+        "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--quasi-columns", "lang", "--sensitive-col", "source",
+        "--enforce-privacy", "true",
+        "--output-path", s"$tmp/rel_enf", "--rows-per-shard", "16", "--n-merges", "4"))
+      val me = spark.read.json(s"$tmp/rel_enf/manifest").head()
+      def meL(name: String): Long = me.getAs[Number](name).longValue()
+      me.getAs[String]("gates").split(",").toSet should contain("privacy_enforcement")
+      me.getAs[String]("privacy_enforced") shouldBe "true"
+      meL("privacy_suppressed") shouldBe
+        (meL("contamination_clean") - meL("released_docs"))
+      meL("privacy_suppressed") should be >= 0L
+      meL("released_docs") shouldBe
+        spark.read.parquet(s"$tmp/rel_enf/documents").count()
+      // dropping a class never changes another class's size or diversity,
+      // so the re-run audits must show zero surviving at-risk classes
+      meL("kanonymity_at_risk") shouldBe 0L
+      meL("ldiversity_at_risk") shouldBe 0L
+      // an unknown mode is a loud error
+      val eMode = the[IllegalArgumentException] thrownBy App.run(platform, Seq("release",
+        "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
+        "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--enforce-privacy", "nope", "--output-path", s"$tmp/rel_bad"))
+      eMode.getMessage should include("enforce-privacy")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 

@@ -171,6 +171,12 @@ class PlanSpec extends SparkTestBase {
       // q169 embeds q119's broadcast-centroid assignment; the pair stage
       // and the grid sweep are keyed joins/aggregates
       "q169_semdedup_calibration",
+      // q178 embeds q177's t-closeness audit, so it inherits the same
+      // one-row S_g scalar cross join; its own join back to the corpus is
+      // a null-safe BROADCAST anti-join on the quasi tuple (<=> keys give
+      // Spark no equi-join hash keys, so the bounded at-risk frame rides
+      // BNLJ by construction — domain-bounded, never corpus x corpus)
+      "q178_suppress_at_risk",
       // q177's only cross join is the one-row S_g (sum of distinct global
       // floor-ppm shares) against the quasi-class aggregate — the q43
       // scalar-broadcast shape over a domain-bounded frame

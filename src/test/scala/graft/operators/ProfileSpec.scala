@@ -205,6 +205,47 @@ class ProfileSpec extends SparkTestBase {
     e.getMessage should include("quasi-identifier")
   }
 
+  test("suppressAtRisk: classes failing any enabled audit drop; generalize NULLs the quasi tuple") {
+    val rows = Seq(
+      // class ("en", 0): 5 members, a/a/b/b/c — k-safe, 3-diverse, and
+      // near the global source distribution (tvd 266666 ppm) -> SURVIVES
+      (1L, "en", 0L, "a"), (2L, "en", 0L, "a"), (3L, "en", 0L, "b"),
+      (4L, "en", 0L, "b"), (5L, "en", 0L, "c"),
+      // class ("en", 1): 2 members -> fails k=3
+      (6L, "en", 1L, "a"), (7L, "en", 1L, "b"),
+      // class ("de", 0): 4 members all "a" -> k-safe but 1-diverse
+      (8L, "de", 0L, "a"), (9L, "de", 0L, "a"),
+      (10L, "de", 0L, "a"), (11L, "de", 0L, "a"),
+      // class (NULL, 0): singleton — the NULL-safe join must still catch it
+      (12L, null.asInstanceOf[String], 0L, "a")
+    ).toDF("id", "lang", "bucket", "src")
+    val kept = Profile.suppressAtRisk(rows, Seq("lang", "bucket"), k = 3L,
+      sensitiveCol = Some("src"), l = 2L, tPpm = Some(500000L))
+    kept.columns.toSeq shouldBe rows.columns.toSeq // released schema == input
+    kept.select("id").as[Long].collect().sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    // generalize: every row survives, at-risk rows' quasi tuple NULLs out
+    // (top-of-hierarchy generalization), clean rows are untouched
+    val gen = Profile.suppressAtRisk(rows, Seq("lang", "bucket"), k = 3L,
+        sensitiveCol = Some("src"), l = 2L, tPpm = Some(500000L),
+        generalize = true)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    gen.size shouldBe 12
+    gen(1L) shouldBe ((Some("en"), 0L))
+    gen(6L) shouldBe ((None, -1L))
+    gen(8L) shouldBe ((None, -1L))
+    gen(12L) shouldBe ((None, -1L))
+    // k-anonymity alone: only the small classes go (1-diverse "de" stays)
+    Profile.suppressAtRisk(rows, Seq("lang", "bucket"), k = 3L)
+      .select("id").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L, 11L)
+    // tPpm without a sensitive column is the audit CLI's loud error
+    val ex = intercept[IllegalArgumentException] {
+      Profile.suppressAtRisk(rows, Seq("lang", "bucket"), tPpm = Some(1L))
+    }
+    ex.getMessage should include("sensitiveCol")
+  }
+
   test("heavy hitters: boundary share passes, deterministic under repartition") {
     // 'x' at exactly 20% (the >= boundary), 'y' just under
     val rows = (Seq.fill(20)("x") ++ Seq.fill(19)("y") ++
