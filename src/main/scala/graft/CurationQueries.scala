@@ -489,6 +489,18 @@ object CurationQueries {
       Sampling.mixturePlan(s.read.parquet(s"$dir/documents.parquet"),
         MixWeightsPpm, MixBudgetTokens)),
 
+    // the plan APPLIED: every doc joins its source's integer repetition
+    // factor and expands floor(epochs) copies + one content-hash-gated
+    // fractional copy — q106's table materialized with q76's machinery;
+    // one group-sized broadcast join + a row-local explode, zero shuffle
+    "q179_apply_mixture_plan" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Sampling.applyMixturePlan(d,
+        Sampling.mixturePlan(d, MixWeightsPpm, MixBudgetTokens))
+        .select(col("doc_id"), col("source"), col("epochs_ppm"),
+          col("n_copies"), col("epoch"))
+    }),
+
     // model-based filtering: NB log-odds trained on source-labeled seed
     // corpora, scoring ALL docs — the out-of-seed sources exercise the
     // neither-class OOV path, integer pinned-ln end to end
@@ -2294,6 +2306,28 @@ object CurationQueries {
          |    THEN (((weight_ppm * $MixBudgetTokens) // 1000000) * 1000000) // n_tokens
          |    ELSE 0 END AS BIGINT) AS epochs_ppm
          |FROM w""".stripMargin
+    },
+
+    // apply twin: the q106 plan CTE + the q76 copy-expansion shape
+    // (floor-of-ppm whole copies, polyhash-gated fractional copy)
+    "q179_apply_mixture_plan" -> {
+      val caseW = "CASE " + MixWeightsPpm.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }
+        .mkString(" ") + " ELSE 0 END"
+      s"""WITH t AS (SELECT source,
+         |  CAST(coalesce(sum(CASE WHEN text IS NULL THEN 0 ELSE len($toksSql) END), 0) AS BIGINT) AS n_tokens
+         |FROM documents GROUP BY source),
+         |plan AS (SELECT source, CAST(CASE WHEN n_tokens > 0
+         |    THEN (((CAST($caseW AS BIGINT) * $MixBudgetTokens) // 1000000) * 1000000) // n_tokens
+         |    ELSE 0 END AS BIGINT) AS epochs_ppm FROM t),
+         |x AS (SELECT d.doc_id, d.source, p.epochs_ppm,
+         |  p.epochs_ppm // 1000000
+         |    + CASE WHEN (${polyHashSql("d.text")} % 1000000) < p.epochs_ppm % 1000000
+         |      THEN 1 ELSE 0 END AS n
+         |  FROM documents d JOIN plan p ON d.source IS NOT DISTINCT FROM p.source)
+         |SELECT doc_id, source, epochs_ppm, CAST(n AS BIGINT) AS n_copies,
+         |  CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+         |FROM x""".stripMargin
     },
 
     // keep-best twin: first_value over (score DESC NULLS LAST, id ASC) is

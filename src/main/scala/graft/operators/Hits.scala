@@ -48,8 +48,24 @@ object Hits {
     */
   def rankWithConvergence(edges: DataFrame, iters: Int = 4,
                           srcCol: String = "src", dstCol: String = "dst")
-      : (DataFrame, Long) =
-    rankCore(edges, iters, srcCol, dstCol, measure = true)
+      : (DataFrame, Long) = {
+    val (r, _, d) = rankCore(edges, iters, srcCol, dstCol, measure = true)
+    (r, d)
+  }
+
+  /** [[PageRank.rankUntil]] for HITS: iterate until the round's total
+    * movement (hub + authority, vs the previous round) drops to `epsPpm`
+    * or below, or `maxIters` rounds run. Returns (scores, iterations run,
+    * final delta); scores equal a fixed-K [[rank]] at the stop count
+    * bit-for-bit. Each round pays two combinable 1-row delta aggregates —
+    * the convergence path's cost.
+    */
+  def rankUntil(edges: DataFrame, epsPpm: Long, maxIters: Int = 50,
+                srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, Int, Long) = {
+    require(epsPpm >= 0, "epsPpm must be non-negative")
+    rankCore(edges, maxIters, srcCol, dstCol, measure = true, epsPpm = epsPpm)
+  }
 
   private def delta(prev: DataFrame, curr: DataFrame, scoreCol: String): Long =
     prev.select(col("host"), col(scoreCol).as("__prev"))
@@ -59,7 +75,8 @@ object Hits {
 
   private def rankCore(edges: DataFrame, iters: Int,
                        srcCol: String, dstCol: String,
-                       measure: Boolean): (DataFrame, Long) = {
+                       measure: Boolean,
+                       epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "hits needs at least one iteration")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keyOrRaise(c: String) =
@@ -98,7 +115,10 @@ object Hits {
       .localCheckpoint(true)
     var a: DataFrame = null
     var lastDelta = -1L
-    for (i <- 1 to iters) {
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
       val (hPrev, aPrev) = (h, a)
       // authority half-step: a(v) = sum of h(u) over in-edges (u -> v)
       val aRaw = nodes.join(
@@ -114,17 +134,20 @@ object Hits {
           Seq("host"), "left")
         .select(col("host"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
       h = normalized(hRaw, "hub_ppm").localCheckpoint(true)
-      // final-iteration movement: hub vs previous hub, auth vs previous
-      // auth (round 1 has no previous auth — hub movement alone)
-      if (measure && i == iters)
+      // movement: hub vs previous hub, auth vs previous auth (round 1 has
+      // no previous auth — hub movement alone). Until-mode measures every
+      // round (the stop test needs it); plain convergence mode the final
+      // round only.
+      if (epsPpm >= 0 || (measure && i == iters))
         lastDelta = delta(hPrev, h, "hub_ppm") +
           (if (aPrev == null) 0L else delta(aPrev, a, "auth_ppm"))
+      if (epsPpm >= 0 && lastDelta <= epsPpm) converged = true
     }
     val out = h.join(a, Seq("host"))
       .select(col("host"), col("hub_ppm"), col("auth_ppm"))
       .persist(storage)
     out.count()
     e.unpersist(); nodes.unpersist()
-    (out, lastDelta)
+    (out, i, lastDelta)
   }
 }

@@ -77,9 +77,31 @@ object PageRank {
     */
   def rankWithConvergence(edges: DataFrame, iters: Int = 5, dampPpm: Long = 850000L,
                           srcCol: String = "src", dstCol: String = "dst",
-                          danglingRedistribute: Boolean = false): (DataFrame, Long) =
-    rankCore(edges, iters, dampPpm, srcCol, dstCol, danglingRedistribute,
-      measure = true)
+                          danglingRedistribute: Boolean = false): (DataFrame, Long) = {
+    val (r, _, d) = rankCore(edges, iters, dampPpm, srcCol, dstCol,
+      danglingRedistribute, measure = true)
+    (r, d)
+  }
+
+  /** AUTO-K: iterate until the round's total rank movement drops to
+    * `epsPpm` or below, or `maxIters` rounds run — K stops being a blind
+    * input (the r15 convergence plumbing made the delta observable; this
+    * closes the loop on it). Returns (ranks, iterations run, final
+    * delta). Every round pays the delta's one combinable 1-row aggregate
+    * — already the convergence path's cost — and the ranks equal a
+    * fixed-K run at the stop count bit-for-bit (the rounds are the same
+    * computation; PageRankSpec pins it). An integer fixed point reports
+    * delta 0, so `epsPpm = 0` means "run to the exact fixed point or
+    * maxIters, whichever first".
+    */
+  def rankUntil(edges: DataFrame, epsPpm: Long, maxIters: Int = 50,
+                dampPpm: Long = 850000L,
+                srcCol: String = "src", dstCol: String = "dst",
+                danglingRedistribute: Boolean = false): (DataFrame, Int, Long) = {
+    require(epsPpm >= 0, "epsPpm must be non-negative")
+    rankCore(edges, maxIters, dampPpm, srcCol, dstCol, danglingRedistribute,
+      measure = true, epsPpm = epsPpm)
+  }
 
   /** One combinable sum of |a - b| over two rank frames sharing the node
     * spine; -1 when not measured (iters == 1 has no previous round only
@@ -95,7 +117,8 @@ object PageRank {
   private def rankCore(edges: DataFrame, iters: Int, dampPpm: Long,
                        srcCol: String, dstCol: String,
                        danglingRedistribute: Boolean,
-                       measure: Boolean): (DataFrame, Long) = {
+                       measure: Boolean,
+                       epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -137,7 +160,10 @@ object PageRank {
       else df.persist(storage)
     var r = materialize(nodes.select(col("host"), lit(1000000L).as("rank_ppm")))
     var lastDelta = -1L
-    for (i <- 1 to iters) {
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
       val contrib = e
         .join(r.select(col("host").as("src"), col("rank_ppm")), "src")
         .join(deg, "src")
@@ -163,12 +189,16 @@ object PageRank {
           (lit(teleport) + expr(
             s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * __mass) div 1000000 AS BIGINT)"))
             .as("rank_ppm")))
+      // until-mode measures EVERY round (the stop test needs it); plain
+      // convergence mode measures the final round only
+      val needDelta = epsPpm >= 0 || (measure && i == iters)
       if (!danglingRedistribute) {
         rMat.count() // materialize before releasing the previous iteration
-        if (measure && i == iters) lastDelta = totalDelta(r, rMat)
+        if (needDelta) lastDelta = totalDelta(r, rMat)
         r.unpersist()
-      } else if (measure && i == iters) lastDelta = totalDelta(r, rMat)
+      } else if (needDelta) lastDelta = totalDelta(r, rMat)
       r = rMat
+      if (epsPpm >= 0 && lastDelta <= epsPpm) converged = true
     }
     // the final ranks are materialized, so the big inputs can release;
     // a cache-evicted recompute of `r` would re-derive them (slower,
@@ -177,7 +207,7 @@ object PageRank {
     nodes.unpersist()
     if (dangling != null) dangling.unpersist()
     if (nCount != null) nCount.unpersist()
-    (r, lastDelta)
+    (r, i, lastDelta)
   }
 
   /** TrustRank / personalized PageRank (Gyöngyi et al. 2004): the
@@ -213,12 +243,30 @@ object PageRank {
   def trustRankWithConvergence(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
                                dampPpm: Long = 850000L,
                                srcCol: String = "src", dstCol: String = "dst")
-      : (DataFrame, Long) =
-    trustRankCore(edges, seeds, iters, dampPpm, srcCol, dstCol, measure = true)
+      : (DataFrame, Long) = {
+    val (r, _, d) = trustRankCore(edges, seeds, iters, dampPpm, srcCol, dstCol,
+      measure = true)
+    (r, d)
+  }
+
+  /** [[rankUntil]] for the seeded form: iterate until the round's total
+    * movement drops to `epsPpm` or below, or `maxIters` rounds run.
+    * Returns (ranks, iterations run, final delta); ranks equal a fixed-K
+    * [[trustRank]] at the stop count bit-for-bit.
+    */
+  def trustRankUntil(edges: DataFrame, seeds: DataFrame, epsPpm: Long,
+                     maxIters: Int = 50, dampPpm: Long = 850000L,
+                     srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, Int, Long) = {
+    require(epsPpm >= 0, "epsPpm must be non-negative")
+    trustRankCore(edges, seeds, maxIters, dampPpm, srcCol, dstCol,
+      measure = true, epsPpm = epsPpm)
+  }
 
   private def trustRankCore(edges: DataFrame, seeds: DataFrame, iters: Int,
                             dampPpm: Long, srcCol: String, dstCol: String,
-                            measure: Boolean): (DataFrame, Long) = {
+                            measure: Boolean,
+                            epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "trustrank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
     val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -244,7 +292,10 @@ object PageRank {
         (col("__seed").cast("long") * lit(1000000L)).as("rank_ppm"))
       .persist(storage)
     var lastDelta = -1L
-    for (i <- 1 to iters) {
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      i += 1
       val contrib = e
         .join(r.select(col("host").as("src"), col("rank_ppm")), "src")
         .join(deg, "src")
@@ -258,12 +309,13 @@ object PageRank {
             .as("rank_ppm"))
         .persist(storage)
       rMat.count() // materialize before releasing the previous iteration
-      if (measure && i == iters) lastDelta = totalDelta(r, rMat)
+      if (epsPpm >= 0 || (measure && i == iters)) lastDelta = totalDelta(r, rMat)
       r.unpersist()
       r = rMat
+      if (epsPpm >= 0 && lastDelta <= epsPpm) converged = true
     }
     e.unpersist()
     nodes.unpersist()
-    (r, lastDelta)
+    (r, i, lastDelta)
   }
 }

@@ -421,6 +421,54 @@ object Sampling {
       .select(col(idCol), (col("__off") + col("__r") - 1).as("shuffle_pos"))
   }
 
+  /** Materialize a [[mixturePlan]] — the apply step the planning table
+    * leaves open (q106 emits integer repetition factors; nothing turned
+    * them into the mixed corpus): each document joins its source's
+    * `epochs_ppm` and expands through [[epochMix]]'s machinery —
+    * `epochs_ppm div 1e6` whole copies plus ONE more iff the content
+    * bucket falls under the fractional remainder — so each source's
+    * EXPECTED realized tokens equal the plan's `target_tokens` (exact
+    * when the plan lands on whole epochs; the fractional copy is a
+    * deterministic content-hash gate, not RNG, so reruns and engines
+    * replay the same mix bit-for-bit). Sources the plan weights 0 emit
+    * nothing; sources ABSENT from the plan are dropped too (the plan
+    * DEFINES the release — [[mixturePlan]] always carries every source it
+    * saw, so absence means a foreign plan, and weight-0 is its only sane
+    * reading). A NULL / negative / >1e9 (1000-epoch) factor raises
+    * per-row — the [[epochMix]] weight guard, enforced on DATA because
+    * the plan arrives as a frame, not driver literals.
+    *
+    * Output: the input row + (epochs_ppm, n_copies, epoch in
+    * [1, n_copies]). Scale shape: the plan is group-sized — one
+    * null-safe broadcast join + a row-local explode, zero shuffle;
+    * output volume is the mix the plan asked for, never an intermediate.
+    */
+  def applyMixturePlan(docs: DataFrame, plan: DataFrame,
+                       sourceCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    require(plan.columns.contains("epochs_ppm"),
+      "applyMixturePlan needs a mixturePlan frame (no epochs_ppm column)")
+    require(plan.columns.contains(sourceCol),
+      s"applyMixturePlan: plan has no '$sourceCol' column")
+    val p = plan.select(col(sourceCol).as("__mp_src"),
+      when(col("epochs_ppm").isNull || col("epochs_ppm") < 0 ||
+          col("epochs_ppm") > 1000000000L,
+        raise_error(concat(lit("applyMixturePlan: epochs_ppm "),
+          col("epochs_ppm").cast("string"),
+          lit(" outside [0, 1e9] — a repetition factor above 1000 epochs "),
+          lit("(or below zero) is almost certainly a bug"))))
+        .otherwise(col("epochs_ppm")).as("epochs_ppm"))
+    docs.join(broadcast(p), col(sourceCol) <=> col("__mp_src"))
+      .drop("__mp_src")
+      .withColumn("n_copies",
+        expr("epochs_ppm div 1000000") +
+          when(contentBucket(col(textCol), 1000000) <
+            col("epochs_ppm") % 1000000L, 1L).otherwise(0L))
+      .withColumn("epoch",
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget MIXTURE PLAN: given target mixture weights per source
     * (ppm, summing to <= 1e6) and a total token budget, report for every
     * source its inventory and the repetition factor that realizes the
@@ -431,7 +479,8 @@ object Sampling {
     *  - `target_tokens = budget * weight_ppm div 1e6`
     *  - `epochs_ppm = target_tokens * 1e6 div n_tokens` — over 1e6 means
     *    upsampling (repeat the source), under means a sampling rate;
-    *    [[epochMix]] consumes exactly this shape of factor.
+    *    [[epochMix]] and [[applyMixturePlan]] consume exactly this shape
+    *    of factor.
     *
     * Sources absent from `weightsPpm` get weight 0 (dropped from the
     * mix but still reported — the audit sees what the plan excludes).

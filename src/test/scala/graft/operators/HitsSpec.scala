@@ -46,6 +46,31 @@ class HitsSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  test("rankUntil: a cycle stops at round 1; a moving graph runs to maxIters at eps 0; == fixed-K at stop") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (cr, cn, cd) = Hits.rankUntil(cycle, epsPpm = 0L, maxIters = 8)
+    cn shouldBe 1
+    cd shouldBe 0L
+    // the bipartite graph approaches its fixed point asymptotically (the
+    // convergence-report test's graph): still moving at round 3, so
+    // maxIters wins at eps 0 — and the scores equal the fixed-K run
+    val mixed = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val (mr, mn, md) = Hits.rankUntil(mixed, epsPpm = 0L, maxIters = 3)
+    mn shouldBe 3
+    md should be > 0L
+    rows(mr) shouldBe rows(Hits.rank(mixed, iters = 3))
+    // a loose eps stops as soon as the movement falls under it
+    val (er, en, ed) = Hits.rankUntil(mixed, epsPpm = 100000L, maxIters = 12)
+    en should be < 12
+    ed should be <= 100000L
+    rows(er) shouldBe rows(Hits.rank(mixed, iters = en))
+    an[IllegalArgumentException] should be thrownBy
+      Hits.rankUntil(cycle, epsPpm = -5L)
+    Seq(cr, mr, er).foreach(_.unpersist())
+  }
+
   test("hand-computed normalization on a mixed-degree bipartite graph") {
     // 1 -> 10, 2 -> 10, 2 -> 11; two iterations by hand:
     //   a1: raw (2e6, 1e6) -> (1e6, 500000); h1: raw (1e6, 1.5e6) -> (666666, 1e6)

@@ -105,6 +105,44 @@ class PageRankSpec extends SparkTestBase {
         .collect().map(r => (r.get(0), r.getLong(1))).toSet
   }
 
+  test("rankUntil: fixed point stops the loop; maxIters bounds it; ranks == fixed-K at the stop count") {
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the cycle IS the integer fixed point: round 1 reads delta 0
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (r0, n0, d0) = PageRank.rankUntil(cycle, epsPpm = 0L, maxIters = 10)
+    n0 should be <= 2
+    d0 shouldBe 0L
+    m(r0) shouldBe Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    // the chain settles node-by-node: a tight budget stops at maxIters
+    // still moving; a loose one runs to the exact fixed point and stops
+    // ITSELF well before the budget
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val (r2, n2, d2) = PageRank.rankUntil(chain, epsPpm = 0L, maxIters = 2)
+    n2 shouldBe 2
+    d2 should be > 0L
+    m(r2) shouldBe m(PageRank.rank(chain, iters = 2))
+    val (rf, nf, d3) = PageRank.rankUntil(chain, epsPpm = 0L, maxIters = 20)
+    d3 shouldBe 0L
+    nf should (be > 2 and be < 20)
+    m(rf) shouldBe m(PageRank.rank(chain, iters = nf))
+    // the dangling-redistribution path rides the same loop
+    val hub = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    val (rd, nd, _) = PageRank.rankUntil(hub, epsPpm = 0L, maxIters = 3,
+      danglingRedistribute = true)
+    m(rd) shouldBe m(PageRank.rank(hub, iters = nd, danglingRedistribute = true))
+    // trustrank: trust floods hop by hop, then the loop stops itself
+    val seeds = Seq(Tuple1(1L)).toDF("host")
+    val (tr, tn, td) = PageRank.trustRankUntil(chain, seeds,
+      epsPpm = 0L, maxIters = 15)
+    td shouldBe 0L
+    tn should be < 15
+    m(tr) shouldBe m(PageRank.trustRank(chain, seeds, iters = tn))
+    an[IllegalArgumentException] should be thrownBy
+      PageRank.rankUntil(cycle, epsPpm = -1L)
+    Seq(r0, r2, rf, rd, tr).foreach(_.unpersist())
+  }
+
   test("danglingRedistribute truncates lineage per iteration (constant-size plan)") {
     // each redistribution round references the rank frame TWICE (contrib
     // join + dangling-mass aggregate) — without per-round truncation the

@@ -308,4 +308,51 @@ class SamplingSpec extends SparkTestBase {
     // other: excluded from the mix but visible in the audit
     plan("other") shouldBe ("other", 1L, 2L, 0L, 0L, 0L)
   }
+
+  test("applyMixturePlan: whole epochs realize targets exactly, fractional gate recomputes, weight-0 vanishes") {
+    val docs = Seq(
+      // source a: 4 docs x 2 tokens = 8; weight 500000 of budget 48 ->
+      // target 24 -> epochs_ppm 3000000 (exactly 3 epochs)
+      (1L, "a", "aa bb"), (2L, "a", "cc dd"), (3L, "a", "ee ff"), (4L, "a", "gg hh"),
+      // source b: 3 x 2 = 6; weight 250000 -> target 12 -> exactly 2 epochs
+      (5L, "b", "ii jj"), (6L, "b", "kk ll"), (7L, "b", "mm nn"),
+      // source c: 5 x 2 = 10; weight 250000 -> target 12 -> 1200000 ppm
+      // (1 whole copy + a 200000-ppm fractional gate)
+      (8L, "c", "oo pp"), (9L, "c", "qq rr"), (10L, "c", "ss tt"),
+      (11L, "c", "uu vv"), (12L, "c", "ww xx"),
+      // source d: no weight -> plan weight 0 -> no copies at all
+      (13L, "d", "yy zz")
+    ).toDF("doc_id", "source", "text")
+    val plan = Sampling.mixturePlan(docs,
+      Map("a" -> 500000L, "b" -> 250000L, "c" -> 250000L), budgetTokens = 48L)
+    val out = Sampling.applyMixturePlan(docs, plan)
+    val perSource = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // whole-epoch sources realize the plan's target tokens EXACTLY
+    perSource("a") shouldBe 12L // 4 docs x 3 copies x 2 tokens = 24 = target
+    perSource("b") shouldBe 6L  // 3 docs x 2 copies x 2 tokens = 12 = target
+    perSource.get("d") shouldBe None
+    // the fractional source: one whole copy each + the content-hash gate
+    // at 200000 ppm, recomputed independently of the operator
+    val gated = docs.filter(col("source") === "c")
+      .filter(Sampling.contentBucket(col("text"), 1000000) < 200000).count()
+    perSource("c") shouldBe (5L + gated)
+    // epochs number 1..n_copies per doc (the q76 contract)
+    out.filter(col("doc_id") === 1L).select("epoch").as[Long].collect()
+      .sorted shouldBe Seq(1L, 2L, 3L)
+    // deterministic under repartition
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Sampling.applyMixturePlan(d, plan)
+        .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    rows(docs) shouldBe rows(docs.repartition(7))
+    // an insane repetition factor raises per-row; a non-plan frame is a
+    // plan-time error
+    val ex = intercept[Exception] {
+      Sampling.applyMixturePlan(docs,
+        plan.withColumn("epochs_ppm", lit(2000000000L))).collect()
+    }
+    ex.getMessage should include("epochs_ppm")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.applyMixturePlan(docs, docs)
+  }
 }
