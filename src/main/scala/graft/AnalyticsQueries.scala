@@ -535,7 +535,17 @@ object AnalyticsQueries {
           .select(col("doc_id"), col("lang"),
             expr("n_chars div 256").as("len_bucket"), col("source")),
         Seq("lang", "len_bucket"), k = KAnonK,
-        sensitiveCol = Some("source"), l = LDivL, tPpm = Some(TClosePpm)))
+        sensitiveCol = Some("source"), l = LDivL, tPpm = Some(TClosePpm))),
+
+    // Markov removal-effect attribution: per channel, the exact share of
+    // conversions (and value) whose observed q175 journey contains it —
+    // the data-driven scheme the rule-based splits compare against;
+    // q175's band join + one channel-exploded combinable aggregate +
+    // a 1-row totals broadcast, output bounded by the channel list
+    "q180_removal_effect" -> ((s, dir) =>
+      graft.operators.Attribution.removalEffectAttribution(
+        SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
+        touchTypes = PathTouchTypes))
   )
 
   /** q175/q176's journey steps — the synthetic corpus' three
@@ -1255,6 +1265,44 @@ object AnalyticsQueries {
          |  CAST((present + sg.sgv - pgpresent) // 2 AS BIGINT) AS tvd_ppm,
          |  CAST((present + sg.sgv - pgpresent) // 2 > $TClosePpm AS INT) AS at_risk
          |FROM a, sg""".stripMargin,
+
+    // removal-effect twin: the q175 paths CTE + a per-channel
+    // NOT-contains recount (left join ON TRUE keeps channels alive on an
+    // empty journey table), HUGEINT floor-ppm shares
+    "q180_removal_effect" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ns(ts) // 1000 AS ts_us,
+         |  CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+         |c AS (SELECT user_id, event_id AS conv_event_id, ts_us AS conv_ts_us, v
+         |  FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_event_id, ts_us AS touch_ts_us,
+         |  event_type AS tt FROM e
+         |  WHERE event_type IN (${PathTouchTypes.map(s => s"'$s'").mkString(", ")})),
+         |paths AS (SELECT c.user_id, c.conv_event_id,
+         |  string_agg(t.tt, '>' ORDER BY t.touch_ts_us, t.touch_event_id) AS path,
+         |  CAST(min(c.v) AS BIGINT) AS value_fp
+         |  FROM c JOIN t ON c.user_id = t.user_id
+         |  AND t.touch_ts_us <= c.conv_ts_us
+         |  AND t.touch_ts_us > c.conv_ts_us - ${AttributionWindowDays}::BIGINT * 86400000000
+         |  GROUP BY c.user_id, c.conv_event_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+         |  CAST(coalesce(sum(value_fp), 0) AS BIGINT) AS total_value_fp FROM paths),
+         |ch AS (SELECT unnest([${PathTouchTypes.map(s => s"'$s'").mkString(", ")}]) AS channel),
+         |lost AS (SELECT ch.channel,
+         |  CAST(coalesce(sum(CASE WHEN list_contains(string_split(p.path, '>'), ch.channel)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lost,
+         |  CAST(coalesce(sum(CASE WHEN list_contains(string_split(p.path, '>'), ch.channel)
+         |    THEN p.value_fp ELSE 0 END), 0) AS BIGINT) AS value_lost_fp
+         |  FROM ch LEFT JOIN paths p ON TRUE GROUP BY ch.channel)
+         |SELECT l.channel, tot.n_conversions, tot.total_value_fp,
+         |  l.n_lost, l.value_lost_fp,
+         |  CAST(CASE WHEN tot.n_conversions > 0
+         |    THEN CAST(l.n_lost AS HUGEINT) * 1000000 // tot.n_conversions
+         |    ELSE 0 END AS BIGINT) AS removal_effect_ppm,
+         |  CAST(CASE WHEN tot.total_value_fp > 0
+         |    THEN CAST(l.value_lost_fp AS HUGEINT) * 1000000 // tot.total_value_fp
+         |    ELSE 0 END AS BIGINT) AS value_effect_ppm
+         |FROM lost l, tot""".stripMargin,
 
     // suppression twin: the three audit CTEs' at-risk classes unioned,
     // then a NULL-SAFE NOT EXISTS anti-join back to the corpus

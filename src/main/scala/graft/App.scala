@@ -655,24 +655,38 @@ object App {
 
       case "conversion-paths" =>
         // journey analysis: per conversion the (ts, id)-ordered in-window
-        // touch-type path; --rollup true groups to the top-paths table
+        // touch-type path; --rollup true groups to the top-paths table;
+        // --removal-effect true reports the per-channel Markov removal
+        // effect over the same journeys instead
         val o = parseArgs(args.tail)
-        val paths = operators.Attribution.conversionPaths(
-          fetcher.readParquet(spark, o.required("events-path")),
-          windowDays = o.getOrElse("window-days", "7").toInt,
-          convType = o.getOrElse("conv-type", "purchase"),
-          touchTypes = o.getOrElse("touch-types", "click,view,signup")
-            .split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        val events = fetcher.readParquet(spark, o.required("events-path"))
+        val windowDays = o.getOrElse("window-days", "7").toInt
+        val convType = o.getOrElse("conv-type", "purchase")
+        val touchTypes = o.getOrElse("touch-types", "click,view,signup")
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val rollup = o.getOrElse("rollup", "false").toBoolean
+        val removal = o.getOrElse("removal-effect", "false").toBoolean
+        require(!(rollup && removal),
+          "conversion-paths: --rollup and --removal-effect are mutually " +
+            "exclusive reports — pick one")
         val out =
-          if (o.getOrElse("rollup", "false").toBoolean)
-            paths.groupBy(col("path")).agg(
-              org.apache.spark.sql.functions.count(lit(1)).as("n_conversions"),
-              org.apache.spark.sql.functions.sum(col("value_fp")).as("total_value_fp"))
-          else paths
+          if (removal) operators.Attribution.removalEffectAttribution(
+            events, windowDays, convType, touchTypes)
+          else {
+            val paths = operators.Attribution.conversionPaths(
+              events, windowDays, convType, touchTypes)
+            if (rollup)
+              paths.groupBy(col("path")).agg(
+                org.apache.spark.sql.functions.count(lit(1)).as("n_conversions"),
+                org.apache.spark.sql.functions.sum(col("value_fp")).as("total_value_fp"))
+            else paths
+          }
         writer.writeParquet(out, o.required("output-path"))
-        println(s"[graft] conversion-paths: wrote " +
-          s"${if (o.getOrElse("rollup", "false").toBoolean) "top-paths rollup" else "per-conversion journeys"} " +
-          s"to ${o("output-path")}")
+        val kind =
+          if (removal) "per-channel removal effects"
+          else if (rollup) "top-paths rollup"
+          else "per-conversion journeys"
+        println(s"[graft] conversion-paths: wrote $kind to ${o("output-path")}")
 
       case "trustrank" =>
         // seed-personalized PageRank: teleport lands only on the trusted

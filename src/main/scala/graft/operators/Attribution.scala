@@ -290,6 +290,65 @@ object Attribution {
         col("n_touches"), col("value_fp"))
   }
 
+  /** Markov REMOVAL-EFFECT attribution — the data-driven scheme real
+    * platforms compare rule-based splits (linear / U-shape / time-decay)
+    * against: a channel's importance is what would be LOST without it.
+    * On the OBSERVED [[conversionPaths]] journeys, a channel's removal
+    * effect is `1 - (conversions still reachable when every path
+    * containing that channel is dropped / total conversions)` — which on
+    * observed paths reduces to the exact share of conversions whose
+    * journey touches the channel (no transition-matrix chain inversion:
+    * the counts are exact integers, engine-portable, and bounded by the
+    * observed-path domain). Reported per channel in `touchTypes` (a
+    * channel in no journey scores 0):
+    *
+    *   - `n_conversions` / `total_value_fp` — the corpus totals (repeated
+    *     per row, the denominator audit);
+    *   - `n_lost` / `value_lost_fp` — conversions (and their fixed-point
+    *     value) whose journey contains the channel;
+    *   - `removal_effect_ppm` / `value_effect_ppm` — exact floor-ppm
+    *     shares of each (0 when the journey table is empty).
+    *
+    * Effects across channels sum to MORE than 1e6 when journeys span
+    * channels (each multi-channel conversion is lost by several removals)
+    * — that is the semantics, not double counting; normalize downstream
+    * when a credit SPLIT is wanted.
+    *
+    * Scale shape: [[conversionPaths]]' user-keyed band join + bounded
+    * ordered collect, then one channel-exploded combinable aggregate over
+    * the per-conversion rows (distinct channels per journey — never
+    * per-touch fan-out) and a 1-row totals broadcast; the channel list
+    * joins in as a literal array, so the output is |touchTypes| rows.
+    */
+  def removalEffectAttribution(events: DataFrame, windowDays: Int = 7,
+                               convType: String = "purchase",
+                               touchTypes: Seq[String] = Seq("click", "view", "signup"),
+                               userCol: String = "user_id", tsCol: String = "ts",
+                               idCol: String = "event_id",
+                               typeCol: String = "event_type",
+                               valueCol: String = "value"): DataFrame = {
+    val paths = conversionPaths(events, windowDays, convType, touchTypes,
+      userCol, tsCol, idCol, typeCol, valueCol)
+    val totals = paths.agg(count(lit(1)).as("n_conversions"),
+      coalesce(sum(col("value_fp")), lit(0L)).as("total_value_fp"))
+    val perChannel = paths
+      .select(col("value_fp"),
+        explode(array_distinct(split(col("path"), ">"))).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_lost"), sum(col("value_fp")).as("value_lost_fp"))
+    events.sparkSession.range(1)
+      .select(explode(typedLit(touchTypes.distinct)).as("channel"))
+      .join(perChannel, Seq("channel"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("channel"), col("n_conversions"), col("total_value_fp"),
+        coalesce(col("n_lost"), lit(0L)).as("n_lost"),
+        coalesce(col("value_lost_fp"), lit(0L)).as("value_lost_fp"),
+        coalesce(ExactPpm.ppm(coalesce(col("n_lost"), lit(0L)),
+          col("n_conversions")), lit(0L)).as("removal_effect_ppm"),
+        coalesce(ExactPpm.ppm(coalesce(col("value_lost_fp"), lit(0L)),
+          col("total_value_fp")), lit(0L)).as("value_effect_ppm"))
+  }
+
   // ---- incremental form ----------------------------------------------
 
   /** Build the appendable attribution state from an initial event batch:

@@ -550,6 +550,18 @@ class AppSpec extends SparkTestBase {
     App.run(platform, Seq("conversion-paths", "--events-path", "ev",
       "--output-path", "tops", "--rollup", "true"))
     storage.rows("tops").head.getAs[Long]("n_conversions") shouldBe 1L
+    // removal-effect report over the same journeys: click is in the one
+    // journey (effect 1e6), the unused channels score 0
+    App.run(platform, Seq("conversion-paths", "--events-path", "ev",
+      "--output-path", "reff", "--removal-effect", "true"))
+    storage.rows("reff")
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("removal_effect_ppm"))
+      .toMap shouldBe Map("click" -> 1000000L, "view" -> 0L, "signup" -> 0L)
+    val exr = intercept[IllegalArgumentException] {
+      App.run(platform, Seq("conversion-paths", "--events-path", "ev",
+        "--output-path", "nope2", "--rollup", "true", "--removal-effect", "true"))
+    }
+    exr.getMessage should include("mutually exclusive")
     // k-anonymity: user 7's 4 rows form one (user) class at k=5 -> at risk
     App.run(platform, Seq("k-anonymity",
       "--table-path", "ev", "--columns", "user_id,event_type",

@@ -190,6 +190,31 @@ class AttributionSpec extends SparkTestBase {
     ex.getMessage should include("journey step")
   }
 
+  test("removal effect: per-channel lost-conversion shares; absent channels score 0") {
+    val e = Seq(
+      ev(1, 1, 6, 7, "view", 0.0), ev(2, 2, 6, 7, "click", 0.0),
+      ev(3, 3, 6, 7, "purchase", 2.0),                               // view>click
+      ev(4, 4, 6, 7, "click", 0.0), ev(5, 5, 6, 7, "purchase", 1.0), // view>click>click
+      ev(6, 1, 6, 8, "view", 0.0), ev(7, 2, 6, 8, "purchase", 4.0)   // view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.removalEffectAttribution(e, windowDays = 7,
+        touchTypes = Seq("click", "view", "signup"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // 3 conversions worth 7e6 fp total; click appears in 2 journeys
+    // (3e6 fp), view in all 3, signup in none
+    out("click") shouldBe ((3L, 7000000L, 2L, 3000000L, 666666L, 428571L))
+    out("view") shouldBe ((3L, 7000000L, 3L, 7000000L, 1000000L, 1000000L))
+    out("signup") shouldBe ((3L, 7000000L, 0L, 0L, 0L, 0L))
+    // a journey-less corpus still reports every channel, all-zero
+    import org.apache.spark.sql.functions.col
+    val none = Attribution.removalEffectAttribution(
+        e.filter(col("event_type") === "purchase"), windowDays = 7,
+        touchTypes = Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    none shouldBe Map("click" -> ((0L, 0L)), "view" -> ((0L, 0L)))
+  }
+
   private val cut = Timestamp.valueOf("2024-01-15 00:00:00")
 
   test("increment == one-shot restricted to shard conversions; chained shards cover everything") {
