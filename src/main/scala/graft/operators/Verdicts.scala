@@ -30,7 +30,42 @@ object Verdicts {
     * repetitiveness floor.
     */
   def curationVerdict(docs: DataFrame, positive: DataFrame, negative: DataFrame,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    curationCore(docs, positive, negative,
+      Dedup.exact(docs.select(col(idCol), col(textCol)), idCol = idCol, textCol = textCol)
+        .select(col(idCol), (lit(1) - col("is_dup")).as("not_dup")),
+      idCol, textCol)
+
+  /** [[curationVerdict]] with the duplicate gate widened to EVERYTHING
+    * already ingested — the streaming release gate's form: a doc is a
+    * duplicate when its md5 content hash appears in `seenHashes` (one
+    * `content_hash` column — the stored state of every earlier batch) OR
+    * an earlier (lower-id) doc of THIS batch carries it. With an empty
+    * state this is exactly [[curationVerdict]]; with id-ascending
+    * batches, streamed verdicts equal the one-shot batch verdict over
+    * everything ingested, bit-for-bit (EventStreamSpec pins both). The
+    * other four gates are row-local or frozen-seed-trained, so they need
+    * no state at all.
+    */
+  def curationVerdictAgainst(docs: DataFrame, positive: DataFrame,
+                             negative: DataFrame, seenHashes: DataFrame,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    val inBatch = Dedup.exact(docs.select(col(idCol), col(textCol)),
+      idCol = idCol, textCol = textCol)
+    val seen = seenHashes.select(col("content_hash")).distinct()
+      .withColumn("__seen", lit(1))
+    val notDup = inBatch.join(seen, Seq("content_hash"), "left")
+      .select(col(idCol),
+        when(col("is_dup") === 1 || col("__seen").isNotNull, 0)
+          .otherwise(1).as("not_dup"))
+    curationCore(docs, positive, negative, notDup, idCol, textCol)
+  }
+
+  /** The four stateless gates + the supplied duplicate flags -> bitmask. */
+  private def curationCore(docs: DataFrame, positive: DataFrame,
+                           negative: DataFrame, notDup: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
     def pick(rules: Seq[(String, Column)], name: String): Column =
       rules.find(_._1 == name).get._2
     val d = docs.select(col(idCol), col(textCol))
@@ -45,11 +80,9 @@ object Verdicts {
       .select(col(idCol), when(col("n_tokens") > 0L &&
         col("entropy_fp") >= col("n_tokens") *
           lit(graft.functions.PinnedMath.FpScale), 1).otherwise(0).as("entropy_ok"))
-    val dup = Dedup.exact(d, idCol = idCol, textCol = textCol)
-      .select(col(idCol), (lit(1) - col("is_dup")).as("not_dup"))
     d.select(col(idCol))
       .join(gop, idCol).join(c4k, idCol).join(nb, idCol)
-      .join(ent, idCol).join(dup, idCol)
+      .join(ent, idCol).join(notDup, idCol)
       .withColumn("fail_mask",
         (lit(1) - col("g_keep")) + (lit(1) - col("c_keep")) * 2 +
           (lit(1) - col("nb_pos")) * 4 + (lit(1) - col("entropy_ok")) * 8 +

@@ -944,6 +944,95 @@ object EventStream {
           .write.mode("append").parquet(path)
       }
 
+  /** Streaming RELEASE gate — `App release`'s ingest-time form: each
+    * arriving micro-batch of documents runs the SAME two verdict
+    * composites the batch capstone gates on — curation
+    * ([[graft.operators.Verdicts.curationVerdictAgainst]]: the q132
+    * bitmask with the duplicate gate widened to everything already
+    * ingested) and contamination against the FROZEN benchmark
+    * ([[graft.operators.Verdicts.contaminationVerdict]], the q134 mask,
+    * over the curation-kept docs like the batch release) — and only docs
+    * passing BOTH append to the released-docs state. Per trigger the
+    * sink receives one row per batch doc: (idCol, fail_mask, keep,
+    * method_mask, clean, released) — fail_mask/method_mask are
+    * bit-identical to the batch verdicts (EventStreamSpec pins it);
+    * method_mask/clean are NULL for docs curation already dropped
+    * (contamination never ran on them, the release semantics).
+    *
+    * State layout under `statePath`: `seen_hashes` (every ingested
+    * doc's md5 content hash, era-tagged — a duplicate of a DROPPED doc
+    * is still a duplicate), `released_docs` (the released rows,
+    * era-tagged), and `manifest` (one row, OVERWRITTEN LAST each
+    * trigger, recomputed off the MERGED state — after any completed
+    * trigger it describes exactly the docs released so far; a crash
+    * mid-trigger leaves it one trigger stale until the replay).
+    *
+    * Frozen-reference contract: `positive`/`negative` (the NB seed
+    * frames) and `bench` are STATIC frames frozen with the state, so
+    * every gate is a pure per-doc function given the stored hashes — a
+    * crash-replayed batch emits identical verdicts, the seen-hash read
+    * excludes the batch's OWN era (replayed docs never read as
+    * duplicates of themselves), and the re-appended rows are identical
+    * (the merged-state reads dropDuplicates). Caller contract: doc ids
+    * are unique and ascend with the stream (the incremental family's
+    * shard discipline) — that is what makes streamed == one-shot exact.
+    */
+  def releaseGateWriter(docs: DataFrame, statePath: String,
+                        positive: DataFrame, negative: DataFrame,
+                        bench: DataFrame,
+                        sink: (DataFrame, Long) => Unit,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val hashPath = s"$statePath/seen_hashes"
+        val relPath = s"$statePath/released_docs"
+        val seen = tableOr(spark, hashPath, null) match {
+          case null => b.limit(0)
+            .select(md5(col(textCol).cast("binary")).as("content_hash"))
+          case raw => raw.filter(col("era") =!= lit(batchId))
+            .select(col("content_hash"))
+        }
+        val cur = graft.operators.Verdicts.curationVerdictAgainst(
+          b, positive, negative, seen, idCol, textCol)
+        val kept = b.join(cur.filter(col("keep") === 1).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        val con = graft.operators.Verdicts.contaminationVerdict(
+          kept, bench, idCol = idCol, textCol = textCol)
+        val verdicts = cur.select(col(idCol), col("fail_mask"), col("keep"))
+          .join(con.select(col(idCol), col("method_mask"), col("clean")),
+            Seq(idCol), "left")
+          .withColumn("released",
+            (col("keep") === 1 && coalesce(col("clean"), lit(0)) === 1).cast("int"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(verdicts, batchId)
+          // state appends AFTER the sink (the crash-replay rule)
+          b.join(verdicts.filter(col("released") === 1).select(col(idCol)),
+              Seq(idCol), "left_semi")
+            .withColumn("era", lit(batchId))
+            .write.mode("append").parquet(relPath)
+          b.select(md5(col(textCol).cast("binary")).as("content_hash"))
+            .distinct()
+            .withColumn("era", lit(batchId))
+            .write.mode("append").parquet(hashPath)
+          // the manifest writes LAST, recomputed off the merged state
+          val released = spark.read.parquet(relPath)
+            .dropDuplicates(idCol).count()
+          val seenHashes = spark.read.parquet(hashPath)
+            .select(col("content_hash")).distinct().count()
+          locally {
+            import spark.implicits._
+            Seq((released, seenHashes, batchId))
+              .toDF("released_docs", "distinct_hashes_seen", "last_era")
+              .coalesce(1).write.mode("overwrite").json(s"$statePath/manifest")
+          }
+        } finally { verdicts.unpersist(); () }
+      }
+
   def kvSyncWriter(states: Dataset[UserFeatureState],
                    clientFactory: () => KVClient,
                    keyPrefix: String = "features_rt:"): DataStreamWriter[UserFeatureState] =

@@ -1170,6 +1170,102 @@ class EventStreamSpec extends SparkTestBase {
       byId(2L).toDouble / 3 should be > byId(1L).toDouble / 3
     } finally { query.stop(); model.wordLn.unpersist(); model.lnD.unpersist() }
   }
+
+  test("streaming release gate: streamed masks == batch q132/q134 bit-for-bit; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val statePath = java.nio.file.Files.createTempDirectory("graft_relgate").toString
+    // the AppSpec release corpus: suffix the train side so the curation
+    // ensemble genuinely splits instead of dropping everything
+    val suffix = "\nThe editors have reviewed this report with care and attention." +
+      "\nWe hope that you find the coverage to be useful and fair." +
+      "\nPlease share the story of the day with friends and family."
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = all.filter(col("doc_id") > 40)
+      .withColumn("text", concat(col("text"), lit(suffix)))
+      .select(col("doc_id"), col("text"), col("source")).persist()
+    val bench = all.filter(col("doc_id") <= 40).select("doc_id", "text").persist()
+    val pos = train.filter(col("source").isin("src0", "src1", "src2"))
+      .select("doc_id", "text").persist()
+    val neg = train.filter(col("source") === "src3").select("doc_id", "text").persist()
+    val base = train.select("doc_id", "text")
+    // planted duplicates, ids ascending with the stream: 9000 re-sends a
+    // BATCH-1 text (cross-batch dup via stored hashes), 9001 re-sends a
+    // batch-2 text (in-batch dup)
+    val t1 = base.filter(col("doc_id") === 50).head().getString(1)
+    val t2 = base.filter(col("doc_id") === 400).head().getString(1)
+    val b1 = base.filter(col("doc_id") <= 250).as[(Long, String)].collect().toSeq
+    val b2 = base.filter(col("doc_id") > 250).as[(Long, String)].collect().toSeq ++
+      Seq((9000L, t1), (9001L, t2))
+    val docsAll = (b1 ++ b2).toDF("doc_id", "text")
+    type V = (Long, Int, Int, Option[Int], Option[Int], Int)
+    def runStream(batches: Seq[Seq[(Long, String)]]): Seq[Set[V]] = {
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Set[V]]
+      val query = EventStream.releaseGateWriter(
+          input.toDF().toDF("doc_id", "text"), statePath, pos, neg, bench,
+          sink = (out, _) => got.synchronized {
+            got += out.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+              if (r.isNullAt(3)) None else Some(r.getInt(3)),
+              if (r.isNullAt(4)) None else Some(r.getInt(4)),
+              r.getInt(5))).toSet
+          })
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    try {
+      // crash-replay shape FIRST (the pack-gate pattern): run b1 alone —
+      // its era-0 state commits but the checkpoint is discarded — then a
+      // fresh stream re-delivers b1 as batch 0 over that state and chains
+      // b2. Own-era exclusion keeps b1's docs from reading as duplicates
+      // of themselves on the replay.
+      val first = runStream(Seq(b1)).head
+      val triggers = runStream(Seq(b1, b2))
+      triggers.head shouldBe first
+      val streamed = triggers.flatten.toSet
+      // batch references over everything ingested: q132's curation masks
+      // and q134's contamination masks on the curation-kept docs
+      val curB = graft.operators.Verdicts.curationVerdict(docsAll, pos, neg)
+      val keptB = docsAll.join(curB.filter(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val conB = graft.operators.Verdicts.contaminationVerdict(keptB, bench)
+      val conMap = conB.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("method_mask"), r.getAs[Int]("clean")))).toMap
+      val expected = curB.collect().map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val con = conMap.get(id)
+        (id, r.getAs[Int]("fail_mask"), r.getAs[Int]("keep"),
+          con.map(_._1), con.map(_._2),
+          if (r.getAs[Int]("keep") == 1 && con.exists(_._2 == 1)) 1 else 0)
+      }.toSet
+      streamed shouldBe expected
+      // the planted duplicates were refused with exactly the dup bit set
+      streamed.filter(v => v._1 >= 9000L).foreach { v =>
+        (v._2 & 16) shouldBe 16
+        v._6 shouldBe 0
+      }
+      // released state + manifest reconcile with the batch release set
+      val releasedIds = expected.filter(_._6 == 1).map(_._1)
+      releasedIds should not be empty
+      spark.read.parquet(s"$statePath/released_docs")
+        .dropDuplicates("doc_id").select("doc_id").as[Long].collect().toSet shouldBe releasedIds
+      val manifest = spark.read.json(s"$statePath/manifest").head()
+      manifest.getAs[Long]("released_docs") shouldBe releasedIds.size.toLong
+      manifest.getAs[Long]("last_era") shouldBe 1L
+      // the replayed era-0 append landed identical rows only: the merged
+      // released state holds ONE copy per doc
+      spark.read.parquet(s"$statePath/released_docs")
+        .dropDuplicates("doc_id").count() shouldBe releasedIds.size.toLong
+    } finally {
+      Seq(train, bench, pos, neg).foreach(_.unpersist())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
 }
 
 /** streaming label row for the attribution test */
