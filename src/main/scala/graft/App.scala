@@ -477,22 +477,33 @@ object App {
         // host/domain authority over an edge table (src, dst) — integer
         // fixed-point power iteration, deterministic at any partitioning;
         // --report-convergence prints the final round's total |delta| so
-        // the caller knows whether --iters sufficed for THEIR graph
+        // the caller knows whether --iters sufficed for THEIR graph;
+        // --eps-ppm switches to AUTO-K (iterate until the movement drops
+        // to eps or --iters bounds the budget)
         val o = parseArgs(args.tail)
         val edges = fetcher.readParquet(spark, o.required("edges-path"))
         val iters = o.getOrElse("iters", "5").toInt
         val (srcCol, dstCol) =
           (o.getOrElse("src-col", "src"), o.getOrElse("dst-col", "dst"))
-        val ranks =
-          if (o.getOrElse("report-convergence", "false").toBoolean) {
+        val ranks = o.get("eps-ppm") match {
+          case Some(eps) =>
+            val (r, n, d) = operators.PageRank.rankUntil(
+              edges, eps.toLong, maxIters = iters,
+              srcCol = srcCol, dstCol = dstCol)
+            println(s"[graft] pagerank: stopped after $n iteration(s), " +
+              s"final-round total |delta| = $d ppm" +
+              (if (d <= eps.toLong) "" else s" (maxIters $iters hit before eps)"))
+            r
+          case None if o.getOrElse("report-convergence", "false").toBoolean =>
             val (r, d) = operators.PageRank.rankWithConvergence(
               edges, iters, srcCol = srcCol, dstCol = dstCol)
             println(s"[graft] pagerank: final-round total |delta| = $d ppm " +
               s"after $iters iterations" +
               (if (d == 0L) " (fixed point reached)" else ""))
             r
-          } else operators.PageRank.rank(
+          case None => operators.PageRank.rank(
             edges, iters, srcCol = srcCol, dstCol = dstCol)
+        }
         writer.writeParquet(ranks, o.required("output-path"))
         val top = fetcher.readParquet(spark, o.required("output-path"))
           .orderBy(org.apache.spark.sql.functions.col("rank_ppm").desc)
@@ -697,16 +708,25 @@ object App {
         val iters = o.getOrElse("iters", "5").toInt
         val (srcCol, dstCol) =
           (o.getOrElse("src-col", "src"), o.getOrElse("dst-col", "dst"))
-        val ranks =
-          if (o.getOrElse("report-convergence", "false").toBoolean) {
+        val ranks = o.get("eps-ppm") match {
+          case Some(eps) =>
+            val (r, n, d) = operators.PageRank.trustRankUntil(
+              edges, seeds, eps.toLong, maxIters = iters,
+              srcCol = srcCol, dstCol = dstCol)
+            println(s"[graft] trustrank: stopped after $n iteration(s), " +
+              s"final-round total |delta| = $d ppm" +
+              (if (d <= eps.toLong) "" else s" (maxIters $iters hit before eps)"))
+            r
+          case None if o.getOrElse("report-convergence", "false").toBoolean =>
             val (r, d) = operators.PageRank.trustRankWithConvergence(
               edges, seeds, iters, srcCol = srcCol, dstCol = dstCol)
             println(s"[graft] trustrank: final-round total |delta| = $d ppm " +
               s"after $iters iterations" +
               (if (d == 0L) " (fixed point reached)" else ""))
             r
-          } else operators.PageRank.trustRank(
+          case None => operators.PageRank.trustRank(
             edges, seeds, iters, srcCol = srcCol, dstCol = dstCol)
+        }
         writer.writeParquet(ranks, o.required("output-path"))
         println(s"[graft] trustrank: wrote seeded host ranks to ${o("output-path")}")
 

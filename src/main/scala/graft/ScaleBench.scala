@@ -160,6 +160,32 @@ object ScaleBench {
         scaledDocs(k).select(col("lang"),
           expr("length(text) div 256").as("len_bucket"), col("source")),
         Seq("lang", "len_bucket"), "source")),
+      // q178 shape: the three privacy audits + the NULL-safe broadcast
+      // anti-join back to the corpus — every audit exchange is bounded by
+      // the (quasi x sensitive) domain, so growth should read the two
+      // corpus scans' linearity
+      "suppress_at_risk" -> (k => graft.operators.Profile.suppressAtRisk(
+        scaledDocs(k).select(col("doc_id"), col("lang"),
+          expr("length(text) div 256").as("len_bucket"), col("source")),
+        Seq("lang", "len_bucket"), k = 3L,
+        sensitiveCol = Some("source"), l = 2L, tPpm = Some(500000L))),
+      // q179 shape: group-sized plan + broadcast join + row-local explode;
+      // the token budget scales with the corpus so the realized mix grows
+      // with it (a fixed budget would shrink the repetition factors and
+      // read sublinear for free)
+      "apply_mixture_plan" -> (k => {
+        val d = scaledDocs(k)
+        graft.operators.Sampling.applyMixturePlan(d,
+          graft.operators.Sampling.mixturePlan(d,
+            Map("src0" -> 400000L, "src1" -> 250000L,
+              "src2" -> 150000L, "src3" -> 100000L),
+            budgetTokens = 1000000L * k))
+      }),
+      // q180 shape under user growth: conversionPaths' user-keyed band
+      // join + one channel-exploded combinable aggregate — linear in
+      // conversions at constant per-user fan-out
+      "removal_effect" -> (k => graft.operators.Attribution
+        .removalEffectAttribution(scaledEvents(k))),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)

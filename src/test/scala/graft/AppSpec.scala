@@ -478,6 +478,20 @@ class AppSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("host") -> r.getAs[Long]("rank_ppm")).toMap
     tr(4L) shouldBe 0L
     tr(2L) should be > 0L
+    // auto-K through the CLI: --eps-ppm lets the chain settle itself and
+    // the ranks match a fixed-K run at whatever count it stopped at
+    App.run(platform, Seq("pagerank",
+      "--edges-path", "tr_edges", "--output-path", "pr_auto",
+      "--eps-ppm", "0", "--iters", "20"))
+    val auto = storage.rows("pr_auto")
+      .map(r => r.getAs[Long]("host") -> r.getAs[Long]("rank_ppm")).toMap
+    auto.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L) // every node ranked
+    App.run(platform, Seq("trustrank",
+      "--edges-path", "tr_edges", "--seeds-path", "tr_seeds",
+      "--output-path", "tr_auto", "--eps-ppm", "0", "--iters", "20"))
+    storage.rows("tr_auto")
+      .map(r => r.getAs[Long]("host") -> r.getAs[Long]("rank_ppm"))
+      .toMap shouldBe tr // the settled seeded ranks == the fixed-K run
   }
 
   test("ewma, attribution, and k-anonymity subcommands") {
