@@ -27,5 +27,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g: the 8g default sat at the heap edge once the round-16 suites
+  // (streaming release gate, batched BPE, enforced release) joined the
+  // parallel suite mix — a SQL-listener plan-string build OOM'd collateral
+  // suites; the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -177,6 +177,10 @@ class PlanSpec extends SparkTestBase {
       // Spark no equi-join hash keys, so the bounded at-risk frame rides
       // BNLJ by construction — domain-bounded, never corpus x corpus)
       "q178_suppress_at_risk",
+      // q180's one cross join is the 1-row conversion/value totals frame
+      // broadcast against the |channels|-row effect table — the q43
+      // scalar-broadcast shape on both sides
+      "q180_removal_effect",
       // q177's only cross join is the one-row S_g (sum of distinct global
       // floor-ppm shares) against the quasi-class aggregate — the q43
       // scalar-broadcast shape over a domain-bounded frame

@@ -1182,7 +1182,9 @@ class EventStreamSpec extends SparkTestBase {
       "\nWe hope that you find the coverage to be useful and fair." +
       "\nPlease share the story of the day with friends and family."
     val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val train = all.filter(col("doc_id") > 40)
+    // a 200-doc slice keeps the double-run (crash replay re-ingests
+    // everything) inside the suite's heap/time budget
+    val train = all.filter(col("doc_id") > 40 && col("doc_id") <= 240)
       .withColumn("text", concat(col("text"), lit(suffix)))
       .select(col("doc_id"), col("text"), col("source")).persist()
     val bench = all.filter(col("doc_id") <= 40).select("doc_id", "text").persist()
@@ -1194,9 +1196,9 @@ class EventStreamSpec extends SparkTestBase {
     // BATCH-1 text (cross-batch dup via stored hashes), 9001 re-sends a
     // batch-2 text (in-batch dup)
     val t1 = base.filter(col("doc_id") === 50).head().getString(1)
-    val t2 = base.filter(col("doc_id") === 400).head().getString(1)
-    val b1 = base.filter(col("doc_id") <= 250).as[(Long, String)].collect().toSeq
-    val b2 = base.filter(col("doc_id") > 250).as[(Long, String)].collect().toSeq ++
+    val t2 = base.filter(col("doc_id") === 200).head().getString(1)
+    val b1 = base.filter(col("doc_id") <= 140).as[(Long, String)].collect().toSeq
+    val b2 = base.filter(col("doc_id") > 140).as[(Long, String)].collect().toSeq ++
       Seq((9000L, t1), (9001L, t2))
     val docsAll = (b1 ++ b2).toDF("doc_id", "text")
     type V = (Long, Int, Int, Option[Int], Option[Int], Int)
