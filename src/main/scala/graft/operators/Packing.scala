@@ -639,7 +639,9 @@ object Packing {
     * rewrite is one row-local fold of `replace`s CROSS-joined back as a
     * 1-row broadcast (the quantile-threshold pattern — no collect; the
     * only per-round driver action is a count of the <= batchSize
-    * selected-merge frame, needed to advance the loop). Each word's
+    * selected-merge frame, needed to advance the loop — and it exists in
+    * the BATCHED form only: batchSize = 1 keeps the pre-batching
+    * action-free argmax plan, measured ~80ms/round cheaper). Each word's
     * symbolization is a `||`-fenced string ("||n||e||w||" — tokens are
     * [a-z0-9]+ so the fence never collides); a merge rewrites
     * `|a||b| -> |ab|`, and leftmost non-overlapping replace-all is
@@ -672,7 +674,44 @@ object Packing {
       wordTf.select(col("tf"),
         concat(regexp_replace(col("w"), "(.)", "||$1"), lit("||")).as("r")),
       storage).localCheckpoint(false)
+    // adjacent-pair tf counts over the current symbolization — shared by
+    // both loop forms
+    def pairCounts(st: DataFrame): DataFrame = st
+      .select(col("tf"), expr("split(trim(BOTH '|' FROM r), '\\\\|\\\\|')").as("__s"))
+      .select(col("tf"), explode(expr(
+        """IF(size(__s) >= 2,
+          |  transform(sequence(1, size(__s) - 1),
+          |    i -> struct(element_at(__s, i) AS pa, element_at(__s, i + 1) AS pb)),
+          |  array())""".stripMargin)).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum(col("tf")).as("pair_tf"))
     val merges = Seq.newBuilder[DataFrame]
+    if (batchSize == 1) {
+      // the sequential loop keeps its PRE-BATCHING plan: a limit(1) argmax
+      // cross-joined back, ZERO driver actions per round — the batched
+      // path's ranked-candidate fold + landed-count job cost ~80ms/round,
+      // a measured 1.4-1.6x on the 8-round contract queries, pure
+      // accounting overhead a batch of one never needs (exhaustion just
+      // yields empty argmax frames, as it always did). PackingSpec pins
+      // the classic table through this path; the batched path's
+      // batch-degeneracy is pinned by the hand-derived batch=2 case.
+      for (step <- 1 to nMerges) {
+        val pairs = pairCounts(state)
+        val best = pairs
+          .orderBy(col("pair_tf").desc, col("pa").asc, col("pb").asc).limit(1)
+          .select(lit(step).as("step"), col("pa"), col("pb"),
+            concat(col("pa"), col("pb")).as("merged"), col("pair_tf"))
+          .localCheckpoint(false)
+        merges += best
+        state = state
+          .crossJoin(broadcast(best.select(col("pa").as("__ba"), col("pb").as("__bb"))))
+          .select(col("tf"), expr(
+            "replace(r, '|' || __ba || '||' || __bb || '|', '|' || __ba || __bb || '|')"
+          ).as("r"))
+          .localCheckpoint(false)
+      }
+      return merges.result().reduce(_ unionByName _)
+    }
     var done = 0
     var rounds = 0
     var exhausted = false
@@ -682,15 +721,7 @@ object Packing {
         s"bpeMergeTable: only $done/$nMerges merges after $rounds rounds — " +
           "symbol conflicts keep batches under-filled; raise batchSize")
       val want = math.min(batchSize, nMerges - done)
-      val pairs = state
-        .select(col("tf"), expr("split(trim(BOTH '|' FROM r), '\\\\|\\\\|')").as("__s"))
-        .select(col("tf"), explode(expr(
-          """IF(size(__s) >= 2,
-            |  transform(sequence(1, size(__s) - 1),
-            |    i -> struct(element_at(__s, i) AS pa, element_at(__s, i + 1) AS pb)),
-            |  array())""".stripMargin)).as("p"))
-        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-        .agg(sum(col("tf")).as("pair_tf"))
+      val pairs = pairCounts(state)
       // ranked candidate prefix as ONE sorted-array row: negated tf makes
       // the struct sort reproduce (tf desc, pa asc, pb asc) exactly
       val cand = pairs
