@@ -545,8 +545,65 @@ object AnalyticsQueries {
     "q180_removal_effect" -> ((s, dir) =>
       graft.operators.Attribution.removalEffectAttribution(
         SparkEntry.events(s, dir), windowDays = AttributionWindowDays,
-        touchTypes = PathTouchTypes))
+        touchTypes = PathTouchTypes)),
+
+    // RFM segmentation: per-user recency/frequency/monetary + exact
+    // value-based quantile scores (tie-stable, never ntile) composed to
+    // the classic 3-digit cell; one user-keyed agg + three bounded
+    // histogram rank tables + a 1-row recency-anchor broadcast
+    "q181_rfm_segments" -> ((s, dir) =>
+      graft.operators.Rfm.rfmSegments(
+        SparkEntry.events(s, dir), nBuckets = RfmBuckets)),
+
+    // traffic anomaly: day-grain volume z-test against the trailing
+    // 7-day window, cross-multiplied to exact integers (no sqrt, no
+    // division); corpus collapses to one combinable day count, all
+    // windows run over the bounded day domain
+    "q182_traffic_anomaly" -> ((s, dir) =>
+      graft.operators.Anomaly.trafficAnomaly(
+        SparkEntry.events(s, dir), windowDays = AnomalyWindowDays,
+        kNum = AnomalyKNum, kDen = AnomalyKDen)),
+
+    // incremental RFM: fold the post-cut shard into the pre-cut metric
+    // state (every field an order-free monoid: max/sum/sum), score off
+    // merged state — equals the one-shot q181 bit-for-bit (the q163
+    // increment contract)
+    "q183_rfm_incremental" -> ((s, dir) => {
+      val e = SparkEntry.events(s, dir)
+      val cut = lit(EwmaCutDate).cast("timestamp")
+      graft.operators.Rfm.rfmFromState(
+        graft.operators.Rfm.incrementRfm(
+          graft.operators.Rfm.rfmState(e.filter(col("ts") < cut)),
+          e.filter(col("ts") >= cut)),
+        nBuckets = RfmBuckets)
+    }),
+
+    // incremental traffic anomaly: fold the post-cut shard's day counts
+    // into stored counts (sum-merge — late days just re-open), re-score
+    // the merged day domain — equals the one-shot q182 bit-for-bit
+    "q184_anomaly_incremental" -> ((s, dir) => {
+      val e = SparkEntry.events(s, dir)
+      val cut = lit(EwmaCutDate).cast("timestamp")
+      graft.operators.Anomaly.trafficAnomalyFromCounts(
+        graft.operators.Anomaly.incrementDailyCounts(
+          graft.operators.Anomaly.dailyCounts(e.filter(col("ts") < cut)),
+          e.filter(col("ts") >= cut)),
+        windowDays = AnomalyWindowDays,
+        kNum = AnomalyKNum, kDen = AnomalyKDen)
+    })
   )
+
+  /** q181's score axes: classic quintiles. */
+  private val RfmBuckets = 5
+
+  /** q182's window and threshold: 7 trailing days, z > 1 (kNum/kDen = 1/1).
+    * The sf corpus' daily volume is near-uniform, so a z=3 ops threshold
+    * would flag nothing; z>1 exercises both verdicts (and the first 7
+    * days pin the NULL incomplete-window path).
+    */
+  private val AnomalyWindowDays = 7
+  private val AnomalyKNum = 1L
+  private val AnomalyKDen = 1L
 
   /** q175/q176's journey steps — the synthetic corpus' three
     * non-conversion, non-error interaction types.
@@ -1374,8 +1431,74 @@ object AnalyticsQueries {
          |SELECT col_name, v AS value, cnt,
          |  CAST(CAST(cnt AS HUGEINT) * 1000000 // n AS BIGINT) AS share_ppm,
          |  CAST(row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v ASC) AS INT) AS rank
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // RFM twin: identical exact arithmetic — value-based quantile bucket
+    // ceil(cum·n/N) over each metric's distinct-value histogram, recency
+    // inverted so nBuckets always means best
+    "q181_rfm_segments" -> RfmOracleSql,
+
+    // increment == one-shot: the incremental forms' oracle IS the
+    // one-shot twin (the q163 contract)
+    "q183_rfm_incremental" -> RfmOracleSql,
+    "q184_anomaly_incremental" -> AnomalyOracleSql,
+
+    // traffic-anomaly twin: the same cross-multiplied integer z-test in
+    // HUGEINT, trailing calendar-day RANGE window, NULL until the window
+    // is complete
+    "q182_traffic_anomaly" -> AnomalyOracleSql
   )
+
+  private lazy val RfmOracleSql: String = {
+      def bucket(metric: String): String =
+        s"""SELECT v, (cum * $RfmBuckets + n - 1) // n AS b FROM (
+           |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+           |  FROM (SELECT $metric AS v, count(*) AS c FROM m GROUP BY 1))""".stripMargin
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+         |  CASE WHEN event_type = 'purchase'
+         |    THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END AS v
+         |  FROM events),
+         |anch AS (SELECT max(us) AS anchor FROM e),
+         |m AS (SELECT user_id,
+         |  (anch.anchor - max(us)) // 86400000000 AS recency_days,
+         |  CAST(count(*) AS BIGINT) AS frequency,
+         |  CAST(sum(v) AS BIGINT) AS monetary_fp
+         |  FROM e, anch GROUP BY user_id, anch.anchor),
+         |rb AS (${bucket("recency_days")}),
+         |fb AS (${bucket("frequency")}),
+         |mb AS (${bucket("monetary_fp")})
+         |SELECT m.user_id, CAST(m.recency_days AS BIGINT) AS recency_days,
+         |  m.frequency, m.monetary_fp,
+         |  CAST(${RfmBuckets + 1} - rb.b AS BIGINT) AS r_score,
+         |  CAST(fb.b AS BIGINT) AS f_score,
+         |  CAST(mb.b AS BIGINT) AS m_score,
+         |  CAST((${RfmBuckets + 1} - rb.b) * 100 + fb.b * 10 + mb.b AS BIGINT)
+         |    AS rfm_cell
+         |FROM m JOIN rb ON m.recency_days = rb.v
+         |  JOIN fb ON m.frequency = fb.v
+         |  JOIN mb ON m.monetary_fp = mb.v""".stripMargin
+  }
+
+  private lazy val AnomalyOracleSql: String =
+      s"""WITH d AS (SELECT epoch_ns(ts) // 1000 // 86400000000 AS day,
+         |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+         |w AS (SELECT day, n,
+         |  CAST(count(n) OVER win AS BIGINT) AS w_days,
+         |  CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS w_sum,
+         |  coalesce(sum(CAST(n AS HUGEINT) * n) OVER win, 0) AS w_sumsq
+         |  FROM d WINDOW win AS (ORDER BY day
+         |    RANGE BETWEEN $AnomalyWindowDays PRECEDING AND 1 PRECEDING))
+         |SELECT CAST(day AS BIGINT) AS day, n, w_days, w_sum,
+         |  CAST(n * $AnomalyWindowDays - w_sum AS BIGINT) AS dev_x_w,
+         |  CAST(CASE WHEN w_days = $AnomalyWindowDays THEN
+         |    CASE WHEN CAST(n * $AnomalyWindowDays - w_sum AS HUGEINT)
+         |        * (n * $AnomalyWindowDays - w_sum)
+         |        * ${AnomalyKDen * AnomalyKDen}
+         |      > ${AnomalyKNum * AnomalyKNum}
+         |        * ($AnomalyWindowDays * w_sumsq - CAST(w_sum AS HUGEINT) * w_sum)
+         |    THEN 1 ELSE 0 END
+         |  END AS INT) AS is_anomaly
+         |FROM w""".stripMargin
 
   /** One q150/q154 profile UNION ALL arm over relation `rel`: every count
     * CAST to BIGINT (DuckDB count is BIGINT but sum is HUGEINT), min/max

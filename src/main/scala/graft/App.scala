@@ -539,6 +539,65 @@ object App {
         writer.writeParquet(out, o.required("output-path"))
         println(s"[graft] ewma: wrote features to ${o("output-path")}")
 
+      case "rfm" =>
+        // per-user recency/frequency/monetary scores: exact value-based
+        // quantile buckets (tie-stable — never ntile), recency inverted
+        // so --buckets always means best. --state-path folds the shard
+        // at events-path into stored metric state (output = updated
+        // STATE, the ewma convention — every field an order-free
+        // monoid, so shards fold in any order); --from-state true scores
+        // a stored state table without rescanning any event
+        val o = parseArgs(args.tail)
+        val in = fetcher.readParquet(spark, o.required("events-path"))
+        val nB = o.getOrElse("buckets", "5").toInt
+        val bc = o.getOrElse("broadcast-ranks", "true").toBoolean
+        val mt = o.getOrElse("monetary-type", "purchase")
+        require(!(o.contains("state-path") &&
+            o.getOrElse("from-state", "false").toBoolean),
+          "rfm: --state-path and --from-state are mutually exclusive — " +
+            "a state fold's input is a shard, not a state table")
+        val out = (o.get("state-path"),
+            o.getOrElse("from-state", "false").toBoolean) match {
+          case (Some(sp), _) =>
+            operators.Rfm.incrementRfm(fetcher.readParquet(spark, sp), in, mt)
+          case (_, true) => operators.Rfm.rfmFromState(in, nB, bc)
+          case _ =>
+            operators.Rfm.rfmSegments(in, nB, mt, broadcastRanks = bc)
+        }
+        writer.writeParquet(out, o.required("output-path"))
+        println(s"[graft] rfm: wrote to ${o("output-path")}")
+
+      case "traffic-anomaly" =>
+        // day-grain volume anomaly verdicts against the trailing window:
+        // exact integer z-test, NULL verdict until the window is
+        // complete. --state-path folds the shard's day counts into
+        // stored counts (output = updated STATE; sum-merge — late days
+        // re-open); --from-state true scores a stored (day, n) table
+        val o = parseArgs(args.tail)
+        val in = fetcher.readParquet(spark, o.required("events-path"))
+        val w = o.getOrElse("window-days", "7").toInt
+        val kN = o.getOrElse("k-num", "3").toLong
+        val kD = o.getOrElse("k-den", "1").toLong
+        require(!(o.contains("state-path") &&
+            o.getOrElse("from-state", "false").toBoolean),
+          "traffic-anomaly: --state-path and --from-state are mutually " +
+            "exclusive — a state fold's input is a shard, not a state table")
+        val out = (o.get("state-path"),
+            o.getOrElse("from-state", "false").toBoolean) match {
+          case (Some(sp), _) => operators.Anomaly.incrementDailyCounts(
+            fetcher.readParquet(spark, sp), in)
+          case (_, true) =>
+            operators.Anomaly.trafficAnomalyFromCounts(in, w, kN, kD)
+          case _ => operators.Anomaly.trafficAnomaly(in, w, kN, kD)
+        }
+        writer.writeParquet(out, o.required("output-path"))
+        if (!o.contains("state-path")) {
+          val flagged = out.filter(col("is_anomaly") === 1).count()
+          println(s"[graft] traffic-anomaly: $flagged anomalous day(s) -> " +
+            s"${o("output-path")}")
+        } else println(s"[graft] traffic-anomaly: folded day counts into " +
+          s"state -> ${o("output-path")}")
+
       case "attribution" =>
         // multi-touch conversion attribution with exact credit
         // conservation (anchor touch absorbs floor remainders); --scheme
@@ -1521,6 +1580,20 @@ object App {
           graceMs = o.get("grace-minutes").map(_.toLong * 60000L).getOrElse(3600000L))
         println(s"[graft] vacuum-table: $tbl retained ${fetcher.tableVersions(spark, tbl).size} versions")
 
+      case "compact-table" =>
+        // small-file maintenance: rewrite the live snapshot as one
+        // compacted data dir (new version; data identical; old versions
+        // time-travelable until vacuum)
+        val o = parseArgs(args.tail)
+        val tbl = o.required("table")
+        val target = o.getOrElse("target-records", (1L << 20).toString).toLong
+        writer.compactTable(spark, tbl, target) match {
+          case Some(st) => println(s"[graft] compact-table: $tbl v${st.version} " +
+            s"files ${st.filesBefore} -> ${st.filesAfter}")
+          case None => println(s"[graft] compact-table: $tbl is not a " +
+            "versioned table — nothing to compact")
+        }
+
       // one-command walkthrough (the reference's `make demo`): backfill ->
       // derive labels -> point-in-time join -> online sync -> both serving
       // lookups, against the bundled sample events unless overridden
@@ -1702,6 +1775,9 @@ object App {
       |                     time travel: read a retained snapshot
       |  vacuum-table       --table <table> [--keep-last <n=3>] [--grace-minutes <m=60>]
       |                     drop old snapshots + unreferenced data dirs
+      |  compact-table      --table <table> [--target-records <n=1048576>]
+      |                     rewrite the live snapshot as one compacted data
+      |                     dir (small-file maintenance; data identical)
       |  table-diff         --table <table> --from <v> --to <v> [--output-path <p>]
       |                     added/removed/changed/unchanged between snapshots
       |  serve              --features-table <table> [--port <p=8080>]
@@ -1760,6 +1836,16 @@ object App {
       |                     [--decay-ppm <n=850000>] [--state-path <dir>]
       |                     [--at-event true]  decayed per-user features:
       |                     state (default), shard ingest, or per-event
+      |  rfm                --events-path <path> --output-path <path>
+      |                     [--buckets <n=5>] [--monetary-type purchase]
+      |                     [--broadcast-ranks <b=true>] [--state-path <dir>]
+      |                     [--from-state true]
+      |                     per-user R/F/M scores + the 3-digit rfm_cell;
+      |                     state fold (shard ingest) or score-from-state
+      |  traffic-anomaly    --events-path <path> --output-path <path>
+      |                     [--window-days <n=7>] [--k-num <n=3>] [--k-den <n=1>]
+      |                     [--state-path <dir>] [--from-state true]
+      |                     day-volume z-test verdicts vs the trailing window
       |  attribution        --events-path <path> --output-path <path>
       |                     [--window-days <n=7>] [--conv-type purchase]
       |                     [--touch-type click]

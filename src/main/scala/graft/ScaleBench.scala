@@ -186,6 +186,16 @@ object ScaleBench {
       // conversions at constant per-user fan-out
       "removal_effect" -> (k => graft.operators.Attribution
         .removalEffectAttribution(scaledEvents(k))),
+      // q181 shape under user growth: one combinable user-keyed agg +
+      // three histogram rank tables bounded by distinct metric values +
+      // a 1-row anchor broadcast — linear in users
+      "rfm_segments" -> (k => graft.operators.Rfm
+        .rfmSegments(scaledEvents(k))),
+      // q182 shape under history growth: the day domain grows xk (40-day
+      // shifted replicas), so both the corpus->day collapse AND the
+      // bounded window frame scale — reads the day-grain agg's linearity
+      "traffic_anomaly_history" -> (k => graft.operators.Anomaly
+        .trafficAnomaly(scaledEventsHistory(k))),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)

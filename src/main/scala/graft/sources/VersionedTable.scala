@@ -287,6 +287,65 @@ object VersionedTable {
     sb.toString
   }
 
+  /** Result of a [[compact]] run: the committed version and the live
+    * parquet file counts before/after (the number a small-file-bound
+    * reader cares about).
+    */
+  final case class CompactStats(version: Long, filesBefore: Long, filesAfter: Long)
+
+  /** Rewrite the CURRENT snapshot into one fresh data dir and commit it
+    * as a new version — the small-file maintenance pass every
+    * incremental-append table eventually needs: daily
+    * [[commitPartitions]] runs each add a data dir, so after a year a
+    * reader of one partition may open hundreds of fragment files. The
+    * data is bit-identical (compaction reads the LIVE snapshot only and
+    * writes it once); prior versions stay time-travelable until
+    * [[vacuum]] drops them, and the commit rides the same CAS publish as
+    * every writer — concurrent incremental commits lose the race cleanly
+    * and re-merge ON TOP of the compacted entries.
+    *
+    * File-count bound: unpartitioned tables repartition to
+    * ceil(rows / targetRecordsPerFile); partitioned tables hash-cluster
+    * on the partition columns over the same task count, so a partition's
+    * rows land contiguously (typically ONE file per partition dir) while
+    * the task count still scales with total volume. At 100 TB compaction
+    * is one distributed read + shuffle + write of live data — run it per
+    * heavy partition range via a filtered read + [[commitPartitions]] if
+    * a full rewrite is too big a bite.
+    */
+  def compact(spark: SparkSession, rootStr: String,
+      targetRecordsPerFile: Long = 1L << 20): CompactStats = {
+    require(targetRecordsPerFile > 0,
+      s"targetRecordsPerFile must be positive: got $targetRecordsPerFile")
+    val (fs, root) = fsRoot(spark, rootStr)
+    val v = latestVersion(fs, root).getOrElse(
+      throw new NoSuchElementException(s"no committed version under $root"))
+    val m = readManifest(fs, root, v)
+    val before = liveFileCount(fs, root, m)
+    val df = read(spark, rootStr, Some(v))
+    val rows = df.count()
+    val nTasks = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val clustered =
+      if (m.partitionBy.isEmpty) df.repartition(nTasks)
+      else df.repartition(nTasks, m.partitionBy.map(col): _*)
+    val newV = commitOverwrite(clustered, rootStr, m.partitionBy)
+    val after = liveFileCount(fs, root, readManifest(fs, root, newV))
+    CompactStats(newV, before, after)
+  }
+
+  /** Parquet data files the manifest's snapshot actually serves. */
+  private def liveFileCount(fs: FileSystem, root: Path, m: TableManifest): Long =
+    (if (m.partitionBy.isEmpty) m.entries.values.toSeq.distinct.map(new Path(root, _))
+     else m.entries.toSeq.map { case (p, d) => new Path(new Path(root, d), p) })
+      .map { dir =>
+        val it = fs.listFiles(dir, true)
+        var n = 0L
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }.sum
+
   // ---- internals ------------------------------------------------------
 
   private def fsRoot(spark: SparkSession, rootStr: String): (FileSystem, Path) = {

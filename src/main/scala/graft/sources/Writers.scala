@@ -242,6 +242,22 @@ trait Writer {
         VersionedTable.vacuum(spark, loc.toString, keepLast, graceMs)
     }
 
+  /** Small-file maintenance on a versioned table: rewrite the live
+    * snapshot into one compacted data dir as a new version
+    * ([[VersionedTable.compact]] — data bit-identical, prior versions
+    * still time-travelable until vacuum) and re-point the catalog mirror
+    * at it. Returns the compact stats, or None for non-versioned tables.
+    */
+  def compactTable(spark: SparkSession, tableName: String,
+      targetRecordsPerFile: Long = 1L << 20): Option[VersionedTable.CompactStats] =
+    WarehousePaths.resolve(spark, tableName).flatMap { case (fs, loc) =>
+      if (VersionedTable.isVersioned(fs, loc)) {
+        val stats = VersionedTable.compact(spark, loc.toString, targetRecordsPerFile)
+        syncCatalogMirror(spark, tableName, fs, loc)
+        Some(stats)
+      } else None
+    }
+
   /** Drop a table this writer manages: the versioned root (all snapshots)
     * and the catalog entry (view or legacy table).
     */

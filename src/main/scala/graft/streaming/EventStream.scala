@@ -890,6 +890,54 @@ object EventStream {
         } finally { touched.unpersist(); () }
       }
 
+  /** Streaming TRAFFIC-ANOMALY gate: each arriving micro-batch's events
+    * fold into the day-grain volume state, then the WHOLE merged day
+    * domain re-scores — verdicts are as-of-ingest and may legitimately
+    * flip when late data re-opens a day (the honest semantics of a
+    * volume monitor). One code path with batch q182:
+    * [[graft.operators.Anomaly.trafficAnomalyFromCounts]] over
+    * [[graft.operators.Anomaly.mergeDailyCounts]], so after N triggers
+    * the state equals the one-shot [[graft.operators.Anomaly.dailyCounts]]
+    * of everything ingested, bit-for-bit.
+    *
+    * State layout: `counts/batch=<id>/` — the [[trigramGateWriter]]
+    * discipline for sum-merged partials: batch-scoped OVERWRITE makes a
+    * crash-replayed batch rewrite its own partial instead of
+    * double-counting, and a trigger excludes its OWN batch id from the
+    * stored side so the replayed sink emission matches the original.
+    * `sink` receives the full scored day table per trigger (bounded by
+    * the day domain — thousands of rows, never the corpus).
+    */
+  def trafficAnomalyGateWriter(events: DataFrame, statePath: String,
+                               sink: (DataFrame, Long) => Unit,
+                               windowDays: Int = 7,
+                               kNum: Long = 3L, kDen: Long = 1L,
+                               tsCol: String = "ts")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val countsPath = s"$statePath/counts"
+        // persist: the scoring windows and the state write both read the
+        // batch partial (and the batch aggregate is the expensive pass)
+        val bCounts = graft.operators.Anomaly.dailyCounts(batch.toDF(), tsCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val merged = tableOr(spark, countsPath, null) match {
+          case null => graft.operators.Anomaly.mergeDailyCounts(
+            bCounts, bCounts.limit(0))
+          case raw => graft.operators.Anomaly.mergeDailyCounts(
+            raw.filter(col("batch") =!= batchId), bCounts)
+        }
+        try {
+          sink(graft.operators.Anomaly.trafficAnomalyFromCounts(
+            merged, windowDays, kNum, kDen), batchId)
+          // batch-scoped OVERWRITE after the sink: replays rewrite their
+          // own partial, never double-count
+          bCounts.write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
+        } finally { bCounts.unpersist(); () }
+      }
+
   /** Streaming ATTRIBUTION ingest gate: each arriving micro-batch's
     * conversions are credited against everything ingested so far (stored
     * in-window touches + the batch's own), then the batch folds into the

@@ -101,9 +101,15 @@ class AppSpec extends SparkTestBase {
         "--output-path", dp))
       spark.read.parquet(dp).select("id", "status").as[(Long, String)]
         .collect().toSet shouldBe Set((1L, "removed"), (2L, "added"), (3L, "added"))
+      // compaction: a new version with identical data (small-file
+      // maintenance); the prior snapshots stay time-travelable
+      App.run(platform, Seq("compact-table", "--table", tbl))
+      graft.sources.ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(1L, 2L, 3L)
+      graft.sources.ProdFetcher.readTableVersion(spark, tbl, 3L)
+        .as[(Long, String)].collect().toSet shouldBe Set((2L, "b"), (3L, "c"))
       App.run(platform, Seq("vacuum-table",
         "--table", tbl, "--keep-last", "1", "--grace-minutes", "0"))
-      graft.sources.ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(2L)
+      graft.sources.ProdFetcher.tableVersions(spark, tbl) shouldBe Seq(3L)
       // time travel to the vacuumed snapshot now fails loudly
       an[Exception] should be thrownBy
         graft.sources.ProdFetcher.readTableVersion(spark, tbl, 1L).collect()
@@ -1105,5 +1111,46 @@ class AppSpec extends SparkTestBase {
       r.getAs[Int]("fuzzy_hit"))).toSet shouldBe
       rows.map(r => (r.getLong(0), r.getAs[Int]("ngram_hit"), r.getAs[Int]("substr_hit"),
         r.getAs[Int]("fuzzy_hit"))).toSet
+  }
+
+  test("rfm and traffic-anomaly subcommands") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    def ev(id: Long, day: Int, user: Long, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), user, typ, v)
+    // RfmSpec's hand case: cells 222/222/111/121 at 2 buckets
+    val events = Seq(
+      ev(1, 1, 1, "purchase", 2.0), ev(2, 9, 1, "view", 9.9),
+      ev(3, 8, 2, "click", 0.0), ev(4, 8, 2, "purchase", 5.5),
+      ev(5, 5, 3, "view", 0.0),
+      ev(6, 1, 4, "purchase", 1.0), ev(7, 2, 4, "view", 0.0),
+      ev(8, 3, 4, "click", 0.0), ev(9, 4, 4, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    storage.write("ev", events, "overwrite")
+    App.run(platform, Seq("rfm", "--events-path", "ev",
+      "--output-path", "seg", "--buckets", "2"))
+    storage.rows("seg")
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rfm_cell"))
+      .toMap shouldBe Map(1L -> 222L, 2L -> 222L, 3L -> 111L, 4L -> 121L)
+
+    // AnomalySpec's hand case: counts 10,10,10,16,10 at W=2, k=1 —
+    // the spike day flags, the first two days have no complete window
+    val traffic = (1 to 5).flatMap { d =>
+      val n = if (d == 4) 16 else 10
+      (1 to n).map(i => (d * 100L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")))
+    }.toDF("event_id", "ts")
+    storage.write("traffic", traffic, "overwrite")
+    App.run(platform, Seq("traffic-anomaly", "--events-path", "traffic",
+      "--output-path", "verdicts", "--window-days", "2",
+      "--k-num", "1", "--k-den", "1"))
+    val byDay = storage.rows("verdicts").map { r =>
+      r.getAs[Long]("day") ->
+        (if (r.isNullAt(r.fieldIndex("is_anomaly"))) None
+         else Some(r.getAs[Int]("is_anomaly")))
+    }.toMap
+    byDay shouldBe Map(
+      19723L -> None, 19724L -> None,
+      19725L -> Some(0), 19726L -> Some(1), 19727L -> Some(0))
   }
 }

@@ -184,7 +184,11 @@ class PlanSpec extends SparkTestBase {
       // q177's only cross join is the one-row S_g (sum of distinct global
       // floor-ppm shares) against the quasi-class aggregate — the q43
       // scalar-broadcast shape over a domain-bounded frame
-      "q177_tcloseness")
+      "q177_tcloseness",
+      // q181's one cross join is the 1-row recency anchor (corpus max ts)
+      // broadcast against the per-user metrics frame — the q43
+      // scalar-broadcast shape; every bucket lookup is an equi-join
+      "q181_rfm_segments")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {

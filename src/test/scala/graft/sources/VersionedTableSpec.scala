@@ -131,6 +131,54 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.versions(fs(root), new Path(root)) shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("compact: fragmented partition commits collapse to few files, data identical, history intact") {
+    val root = tmpRoot("cp")
+    // five incremental commits to five DISTINCT partitions -> the live
+    // snapshot spans five data dirs, each partition split into four
+    // fragment files (the daily-append small-file accretion shape)
+    (1 to 5).foreach { i =>
+      VersionedTable.commitPartitions(
+        days((1 to 4).map(j => (i * 10L + j, s"d$i", j.toLong)): _*)
+          .repartition(4),
+        root, Seq("day"))
+    }
+    val before = VersionedTable.read(spark, root).collect().toSet
+    before.size shouldBe 20
+    val stats = VersionedTable.compact(spark, root, targetRecordsPerFile = 1L << 20)
+    stats.version shouldBe 6L
+    // 5 partitions x up to 4 round-robin fragments (round-robin start
+    // offsets vary per input split, so some fragments coalesce)
+    stats.filesBefore should be >= 10L
+    stats.filesAfter shouldBe 5L // one hash-clustered file per partition dir
+    // data bit-identical; prior versions still time-travel
+    VersionedTable.read(spark, root).collect().toSet shouldBe before
+    VersionedTable.read(spark, root, Some(5L)).collect().toSet shouldBe before
+    VersionedTable.read(spark, root, Some(1L)).count() shouldBe 4L
+    // an incremental commit AFTER compaction lands on top of it
+    VersionedTable.commitPartitions(days((77L, "d1", 7L)), root, Seq("day"))
+    VersionedTable.read(spark, root).filter(col("day") === "d1").count() shouldBe 1L
+    VersionedTable.read(spark, root).filter(col("day") =!= "d1").count() shouldBe 16L
+    // vacuum after compaction drops the fragment dirs, live stays whole
+    VersionedTable.vacuum(spark, root, keepLast = 2, graceMs = 0L)
+    VersionedTable.read(spark, root).count() shouldBe 17L
+    an[Exception] should be thrownBy
+      VersionedTable.read(spark, root, Some(3L)).collect()
+  }
+
+  test("compact: unpartitioned table honours targetRecordsPerFile; empty-log raises") {
+    val root = tmpRoot("cpu")
+    VersionedTable.commitOverwrite(
+      (1L to 100L).toDF("id").repartition(16), root)
+    val stats = VersionedTable.compact(spark, root, targetRecordsPerFile = 50L)
+    stats.filesBefore shouldBe 16L
+    stats.filesAfter shouldBe 2L // ceil(100 / 50)
+    VersionedTable.read(spark, root).as[Long].collect().toSet shouldBe (1L to 100L).toSet
+    an[NoSuchElementException] should be thrownBy
+      VersionedTable.compact(spark, tmpRoot("cpu_empty"))
+    an[IllegalArgumentException] should be thrownBy
+      VersionedTable.compact(spark, root, targetRecordsPerFile = 0L)
+  }
+
   test("vacuum drops unreferenced data dirs and manifests, keeps the live snapshot") {
     val root = tmpRoot("vac")
     VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)

@@ -737,6 +737,62 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming traffic-anomaly gate: merged verdicts == batch; late days re-open; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("graft_tagate").toString
+    def day(d: Int, n: Int): Seq[(Long, java.sql.Timestamp)] =
+      (1 to n).map(i => (d * 100L + i,
+        java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")))
+    val b1 = day(0, 10) ++ day(1, 10) ++ day(2, 10)
+    // b2 carries new days AND a late day-0 straggler — the merged state
+    // must re-open day 0, exactly like the batch increment
+    val b2 = day(3, 16) ++ day(4, 10) ++
+      Seq((9999L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00")))
+    def runStream(batches: Seq[Seq[(Long, java.sql.Timestamp)]])
+        : Seq[Seq[(Long, Long, Option[Int])]] = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long, Option[Int])]]
+      val query = EventStream.trafficAnomalyGateWriter(
+          input.toDF().toDF("event_id", "ts"), statePath,
+          sink = (out, _) => got.synchronized {
+            got += out.orderBy("day").select("day", "n", "is_anomaly")
+              .as[(Long, Long, Option[Int])].collect().toSeq
+          }, windowDays = 2, kNum = 1, kDen = 1)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    try {
+      val first = runStream(Seq(b1))
+      // crash-replay shape: a fresh stream re-delivers b1 as batchId 0
+      // while the batch=0 partial already sits in the state dir — the
+      // own-batch exclusion must emit the identical verdict table, then
+      // trigger 2 folds b2 in
+      val replayed = runStream(Seq(b1, b2))
+      replayed.head shouldBe first.head
+      // the final emission == the one-shot batch operator over everything
+      val want = graft.operators.Anomaly.trafficAnomaly(
+          (b1 ++ b2).toDF("event_id", "ts"), windowDays = 2, kNum = 1, kDen = 1)
+        .orderBy("day").select("day", "n", "is_anomaly")
+        .as[(Long, Long, Option[Int])].collect().toSeq
+      replayed(1) shouldBe want
+      // state partials sum-merge to the one-shot day counts (day 0 = 11)
+      graft.operators.Anomaly.mergeDailyCounts(
+          spark.read.parquet(s"$statePath/counts"),
+          spark.emptyDataFrame.select(
+            org.apache.spark.sql.functions.lit(0L).as("day"),
+            org.apache.spark.sql.functions.lit(0L).as("n")).limit(0))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap shouldBe
+        graft.operators.Anomaly.dailyCounts((b1 ++ b2).toDF("event_id", "ts"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statePath))
+    }
+  }
+
   test("streaming attribution gate: chained credits == one-shot; replay idempotent; state window-bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
