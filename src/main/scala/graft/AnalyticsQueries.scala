@@ -590,6 +590,26 @@ object AnalyticsQueries {
           e.filter(col("ts") >= cut)),
         windowDays = AnomalyWindowDays,
         kNum = AnomalyKNum, kDen = AnomalyKDen)
+    }),
+
+    // declarative expectations: all row-local rules fold into ONE
+    // combinable aggregate over a single scan; unique adds one keyed
+    // agg, the foreign key one anti-join vs the parent's distinct keys;
+    // rules chosen so both verdicts appear (lang/len/regex fail, the
+    // key and referential rules pass)
+    "q185_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      check(docs, Seq(
+        NotNull("text"),
+        Unique(Seq("doc_id")),
+        InSet("lang", Seq("en", "de", "fr")),
+        InRange("n_chars", 0L, 256L),
+        MatchesRegex("source", "^src[0-9]$"),
+        RowCountBetween(1L, 1000000000L)))
+        .unionByName(check(SparkEntry.events(s, dir), Seq(
+          ForeignKey(Seq("user_id"),
+            s.read.parquet(s"$dir/customer.parquet"), Seq("c_custkey")))))
     })
   )
 
@@ -1442,6 +1462,42 @@ object AnalyticsQueries {
     // one-shot twin (the q163 contract)
     "q183_rfm_incremental" -> RfmOracleSql,
     "q184_anomaly_incremental" -> AnomalyOracleSql,
+
+    // expectations twin: per-rule CASE sums off one scan, the unique
+    // rollup, a NOT EXISTS referential probe, floor-ppm + cross-
+    // multiplied pass verdicts (tol = 0 -> v = 0)
+    "q185_expectations" ->
+      s"""WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         |  CAST(sum(CASE WHEN lang IS NOT NULL
+         |    AND lang NOT IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+         |  CAST(sum(CASE WHEN n_chars IS NOT NULL
+         |    AND (n_chars < 0 OR n_chars > 256) THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+         |  CAST(sum(CASE WHEN source IS NOT NULL
+         |    AND NOT regexp_matches(source, '^src[0-9]$$') THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+         |  FROM documents),
+         |uq AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS v
+         |  FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id)),
+         |fk AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM events ev
+         |    WHERE ev.user_id IS NOT NULL AND NOT EXISTS
+         |      (SELECT 1 FROM customer c WHERE c.c_custkey = ev.user_id)) AS v),
+         |rows_out AS (
+         |  SELECT 'not_null' AS rule, 'text' AS target, n AS n_rows, v_nn AS n_violations FROM base
+         |  UNION ALL SELECT 'unique', 'doc_id', n, v FROM uq
+         |  UNION ALL SELECT 'in_set', 'lang', n, v_set FROM base
+         |  UNION ALL SELECT 'in_range', 'n_chars', n, v_rng FROM base
+         |  UNION ALL SELECT 'matches_regex', 'source', n, v_re FROM base
+         |  UNION ALL SELECT 'row_count_between', '[1, 1000000000]', n,
+         |    CASE WHEN n BETWEEN 1 AND 1000000000 THEN 0 ELSE 1 END FROM base
+         |  UNION ALL SELECT 'foreign_key', 'user_id', n, v FROM fk)
+         |SELECT rule, target, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+         |  CASE WHEN n_rows > 0 THEN
+         |    CAST(CAST(n_violations AS HUGEINT) * 1000000 // n_rows AS BIGINT) END
+         |    AS violation_ppm,
+         |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+         |FROM rows_out""".stripMargin,
 
     // traffic-anomaly twin: the same cross-multiplied integer z-test in
     // HUGEINT, trailing calendar-day RANGE window, NULL until the window

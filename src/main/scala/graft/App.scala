@@ -598,6 +598,57 @@ object App {
         } else println(s"[graft] traffic-anomaly: folded day counts into " +
           s"state -> ${o("output-path")}")
 
+      case "expectations" =>
+        // declarative data-quality gate: evaluate a rule list in bulk
+        // (row-local rules share one scan), write the verdict table, and
+        // optionally fail the run on any failed rule
+        val o = parseArgs(args.tail)
+        val df = fetcher.readParquet(spark, o.required("docs-path"))
+        import operators.Expectations._
+        def split2(spec: String, sep: String): (String, String) = {
+          val at = spec.indexOf(sep)
+          require(at > 0, s"expectations: bad rule spec '$spec' (missing '$sep')")
+          (spec.take(at).trim, spec.drop(at + sep.length))
+        }
+        def specs(flag: String): Seq[String] =
+          o.get(flag).toSeq.flatMap(_.split(';').toSeq).filter(_.nonEmpty)
+        val rules = Seq.newBuilder[Rule]
+        o.get("not-null").foreach(_.split(',').toSeq.map(_.trim)
+          .filter(_.nonEmpty).foreach(c => rules += NotNull(c)))
+        specs("unique").foreach(t =>
+          rules += Unique(t.split(',').toSeq.map(_.trim)))
+        specs("in-set").foreach { s0 =>
+          val (c, vs) = split2(s0, "=")
+          rules += InSet(c, vs.split('|').toSeq)
+        }
+        specs("in-range").foreach { s0 =>
+          val (c, r) = split2(s0, "=")
+          val (lo, hi) = split2(r, "..")
+          rules += InRange(c, lo.toLong, hi.toLong)
+        }
+        specs("regex").foreach { s0 =>
+          val (c, p) = split2(s0, "=")
+          rules += MatchesRegex(c, p)
+        }
+        o.get("row-count").foreach { r =>
+          val (lo, hi) = split2(r, "..")
+          rules += RowCountBetween(lo.toLong, hi.toLong)
+        }
+        specs("fk").foreach { s0 =>
+          val (childCols, rhs) = split2(s0, "->")
+          val (pPath, pCols) = split2(rhs, ":")
+          rules += ForeignKey(childCols.split(',').toSeq.map(_.trim),
+            fetcher.readParquet(spark, pPath),
+            pCols.split(',').toSeq.map(_.trim))
+        }
+        val out = operators.Expectations.check(df, rules.result())
+        writer.writeParquet(out, o.required("output-path"))
+        val failed = out.filter(col("passed") === 0).count()
+        println(s"[graft] expectations: $failed failed rule(s) -> ${o("output-path")}")
+        if (o.getOrElse("fail-on-violation", "false").toBoolean && failed > 0)
+          throw new IllegalStateException(
+            s"expectations: $failed rule(s) failed — refusing to promote")
+
       case "attribution" =>
         // multi-touch conversion attribution with exact credit
         // conservation (anchor touch absorbs floor remainders); --scheme
@@ -1846,6 +1897,14 @@ object App {
       |                     [--window-days <n=7>] [--k-num <n=3>] [--k-den <n=1>]
       |                     [--state-path <dir>] [--from-state true]
       |                     day-volume z-test verdicts vs the trailing window
+      |  expectations       --docs-path <path> --output-path <path>
+      |                     [--not-null a,b] [--unique "a,b;c"]
+      |                     [--in-set "col=v1|v2;..."] [--in-range "col=lo..hi"]
+      |                     [--regex "col=pattern"] [--row-count lo..hi]
+      |                     [--fk "cols-><parent-path>:pcols;..."]
+      |                     [--fail-on-violation true]
+      |                     bulk rule verdicts (Deequ-style); row-local
+      |                     rules share one scan; ';' separates rule specs
       |  attribution        --events-path <path> --output-path <path>
       |                     [--window-days <n=7>] [--conv-type purchase]
       |                     [--touch-type click]

@@ -196,6 +196,17 @@ object ScaleBench {
       // bounded window frame scale — reads the day-grain agg's linearity
       "traffic_anomaly_history" -> (k => graft.operators.Anomaly
         .trafficAnomaly(scaledEventsHistory(k))),
+      // q185 shape: four row-local rules in ONE combinable aggregate +
+      // the unique rule's keyed agg — two scans total at any rule count
+      "expectations" -> (k => {
+        import graft.operators.Expectations._
+        graft.operators.Expectations.check(scaledDocs(k), Seq(
+          NotNull("text"),
+          InSet("lang", Seq("en", "de", "fr")),
+          MatchesRegex("source", "^src[0-9]+$"),
+          Unique(Seq("doc_id")),
+          RowCountBetween(1L, Long.MaxValue / 2)))
+      }),
       // q37 shape: LSH pairs -> iterative component propagation
       "dedup_clusters" -> (k => {
         val d = scaledDocs(k)

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the Deequ/Great-Expectations
+  * check pass a production pipeline runs before promoting a table: a
+  * rule list (non-null, unique key, value range, value set, regex shape,
+  * row-count bounds, referential integrity) evaluated in bulk, emitting
+  * one verdict row per rule with exact violation counts. Complements the
+  * DESCRIPTIVE audits ([[Profile.tableProfile]] reports what IS;
+  * expectations assert what MUST BE — the audit→gate step).
+  *
+  * Exactness: every count is integer, the pass verdict is the
+  * cross-multiplied rational `n_violations · 1e6 ≤ tolerancePpm · n_rows`
+  * (no division — holds for the 0-row table), and `violation_ppm` is
+  * [[ExactPpm]] floor ppm. NULL semantics are separated by design: a
+  * NULL value violates ONLY [[Expectations.NotNull]] — range/set/regex/
+  * foreign-key rules skip NULLs rather than double-counting them, so a
+  * column with nulls fails exactly the rule that names the problem.
+  *
+  * Scale shape: every row-local rule (non-null, range, set, regex,
+  * row-count) folds into ONE shared combinable aggregate over a single
+  * scan — adding a rule adds a conditional sum, never a pass. Each
+  * [[Expectations.Unique]] adds one key-grouped aggregate (the exact
+  * dedup shuffle shape); each [[Expectations.ForeignKey]] adds one
+  * anti-join against the parent's distinct keys (broadcast for dimension
+  * tables via `broadcastParent`, shuffle-hash otherwise). The verdict
+  * output is |rules| rows.
+  */
+object Expectations {
+
+  sealed trait Rule { def tolerancePpm: Long }
+
+  /** `column` must not be NULL. */
+  final case class NotNull(column: String, tolerancePpm: Long = 0L) extends Rule
+
+  /** The `columns` tuple must identify rows uniquely; a violation is a
+    * row that SHARES its key with at least one other row (so 3 copies
+    * count 3 violations — the rows a dedup would have to adjudicate).
+    * NULL key parts compare equal, as in GROUP BY.
+    */
+  final case class Unique(columns: Seq[String], tolerancePpm: Long = 0L) extends Rule
+
+  /** Non-NULL values of `column` must sit in [min, max] (integer domain
+    * — cast fixed-point first for decimals, the repo-wide convention).
+    */
+  final case class InRange(column: String, min: Long, max: Long,
+                           tolerancePpm: Long = 0L) extends Rule
+
+  /** Non-NULL values of `column` must be one of `allowed`. */
+  final case class InSet(column: String, allowed: Seq[String],
+                         tolerancePpm: Long = 0L) extends Rule
+
+  /** Non-NULL values of `column` must fully match `pattern` (rlike
+    * anchored by the caller — pass `^...$` for a full match).
+    */
+  final case class MatchesRegex(column: String, pattern: String,
+                                tolerancePpm: Long = 0L) extends Rule
+
+  /** Total row count must sit in [min, max]; the verdict row reports
+    * n_violations 0 or 1 (the check holds or it does not).
+    */
+  final case class RowCountBetween(min: Long, max: Long) extends Rule {
+    val tolerancePpm = 0L
+  }
+
+  /** Referential integrity: every non-NULL `columns` tuple must exist as
+    * a `parentColumns` tuple in `parent` (rows with any NULL key part
+    * are skipped — that's [[NotNull]]'s job). `broadcastParent` for
+    * dimension-sized parents; the 100 TB fact side never shuffles then.
+    */
+  final case class ForeignKey(columns: Seq[String], parent: DataFrame,
+                              parentColumns: Seq[String],
+                              tolerancePpm: Long = 0L,
+                              broadcastParent: Boolean = true) extends Rule {
+    require(columns.nonEmpty && columns.size == parentColumns.size,
+      s"foreign key arity mismatch: $columns vs $parentColumns")
+  }
+
+  /** One verdict row per rule: `(rule, target, n_rows, n_violations,
+    * violation_ppm, passed)` — rules evaluated over `df` in the passes
+    * described above, in the given order.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "expectations: empty rule list")
+
+    // ---- the single shared scan for every row-local rule ----
+    val rowLocal: Seq[(Rule, String, String, Column)] = rules.zipWithIndex.collect {
+      case (r @ NotNull(c, _), i) =>
+        (r, "not_null", c,
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__v$i"))
+      case (r @ InRange(c, lo, hi, _), i) =>
+        (r, "in_range", c, coalesce(sum(when(col(c).isNotNull &&
+          (col(c) < lo || col(c) > hi), 1L).otherwise(0L)), lit(0L)).as(s"__v$i"))
+      case (r @ InSet(c, allowed, _), i) =>
+        (r, "in_set", c, coalesce(sum(when(col(c).isNotNull &&
+          !col(c).isin(allowed: _*), 1L).otherwise(0L)), lit(0L)).as(s"__v$i"))
+      case (r @ MatchesRegex(c, p, _), i) =>
+        (r, "matches_regex", c, coalesce(sum(when(col(c).isNotNull &&
+          !col(c).rlike(p), 1L).otherwise(0L)), lit(0L)).as(s"__v$i"))
+    }
+    val shared: DataFrame =
+      df.agg(count(lit(1)).as("__n"), rowLocal.map(_._4): _*)
+
+    val frames: Seq[DataFrame] = rules.zipWithIndex.map {
+      case (RowCountBetween(lo, hi), _) =>
+        shared.select(lit("row_count_between").as("rule"),
+          lit(s"[$lo, $hi]").as("target"),
+          col("__n").as("n_rows"),
+          when(col("__n") >= lo && col("__n") <= hi, 0L).otherwise(1L)
+            .as("n_violations"))
+      case (r, i) if rowLocal.exists(_._1 eq r) =>
+        val (_, kind, target, _) = rowLocal.find(_._1 eq r).get
+        shared.select(lit(kind).as("rule"), lit(target).as("target"),
+          col("__n").as("n_rows"), col(s"__v$i").as("n_violations"))
+      case (Unique(cols, _), _) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+            coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)), lit(0L))
+              .as("n_violations"))
+          .select(lit("unique").as("rule"),
+            lit(cols.mkString(",")).as("target"),
+            col("n_rows"), col("n_violations"))
+      case (ForeignKey(cols, parent, pCols, _, bc), _) =>
+        val pKeys = parent
+          .select(pCols.zip(cols).map { case (p, c) => col(p).as(s"__fk_$c") }: _*)
+          .distinct()
+        val side = if (bc) broadcast(pKeys) else pKeys.hint("shuffle_hash")
+        val orphans = df
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+          .join(side, cols.map(c => col(c) === col(s"__fk_$c")).reduce(_ && _),
+            "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        // two 1-row frames — the q43 sanctioned scalar cross join
+        shared.select(col("__n").as("n_rows"))
+          .crossJoin(broadcast(orphans))
+          .select(lit("foreign_key").as("rule"),
+            lit(cols.mkString(",")).as("target"),
+            col("n_rows"), col("n_violations"))
+      case (r, _) =>
+        throw new IllegalArgumentException(s"unhandled rule: $r")
+    }
+
+    // the pass verdict cross-multiplies (no division — exact for the
+    // 0-row table); tolerance rides each frame as a literal so per-rule
+    // thresholds survive the union. DECIMAL keeps 1e6 x trillion-row
+    // counts inside the domain.
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    rules.zip(frames).map { case (r, f) =>
+      f.withColumn("__tol", lit(r.tolerancePpm))
+    }.reduce(_ unionByName _)
+      .withColumn("violation_ppm", ExactPpm.ppm(col("n_violations"), col("n_rows")))
+      .withColumn("passed",
+        (dec(col("n_violations")) * dec(lit(1000000L)) <=
+          dec(col("__tol")) * dec(col("n_rows"))).cast("int"))
+      .drop("__tol")
+  }
+}

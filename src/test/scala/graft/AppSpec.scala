@@ -1113,6 +1113,39 @@ class AppSpec extends SparkTestBase {
         r.getAs[Int]("fuzzy_hit"))).toSet
   }
 
+  test("expectations subcommand: rule parsing, verdicts, fail-on-violation") {
+    val storage = new InMemoryStorage
+    val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
+    storage.write("d", Seq(
+      (1L, Option("aaa"), Option("en"), 10L, "src1"),
+      (2L, Option("bbb"), Option("de"), 20L, "src2"),
+      (2L, Option("ccc"), Option("xx"), 30L, "src3"),
+      (4L, None, None, 99L, "weird"))
+      .toDF("id", "text", "lang", "score", "source"), "overwrite")
+    storage.write("parent", Seq(1L, 2L).toDF("pid"), "overwrite")
+    App.run(platform, Seq("expectations",
+      "--docs-path", "d", "--output-path", "v",
+      "--not-null", "text", "--unique", "id",
+      "--in-set", "lang=en|de", "--in-range", "score=0..50",
+      "--regex", "source=^src[0-9]$", "--row-count", "1..1000",
+      "--fk", "id->parent:pid"))
+    val out = storage.rows("v")
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_violations"), r.getAs[Int]("passed"))).toMap
+    out("not_null") shouldBe ((1L, 0))
+    out("unique") shouldBe ((2L, 0))
+    out("in_set") shouldBe ((1L, 0))
+    out("in_range") shouldBe ((1L, 0))
+    out("matches_regex") shouldBe ((1L, 0))
+    out("row_count_between") shouldBe ((0L, 1))
+    out("foreign_key") shouldBe ((1L, 0))
+    // the gate form refuses to promote
+    an[IllegalStateException] should be thrownBy
+      App.run(platform, Seq("expectations",
+        "--docs-path", "d", "--output-path", "v2",
+        "--not-null", "text", "--fail-on-violation", "true"))
+  }
+
   test("rfm and traffic-anomaly subcommands") {
     val storage = new InMemoryStorage
     val platform = Platform(spark, new TestFetcher(storage), new TestWriter(storage))
