@@ -604,44 +604,9 @@ object App {
         // optionally fail the run on any failed rule
         val o = parseArgs(args.tail)
         val df = fetcher.readParquet(spark, o.required("docs-path"))
-        import operators.Expectations._
-        def split2(spec: String, sep: String): (String, String) = {
-          val at = spec.indexOf(sep)
-          require(at > 0, s"expectations: bad rule spec '$spec' (missing '$sep')")
-          (spec.take(at).trim, spec.drop(at + sep.length))
-        }
-        def specs(flag: String): Seq[String] =
-          o.get(flag).toSeq.flatMap(_.split(';').toSeq).filter(_.nonEmpty)
-        val rules = Seq.newBuilder[Rule]
-        o.get("not-null").foreach(_.split(',').toSeq.map(_.trim)
-          .filter(_.nonEmpty).foreach(c => rules += NotNull(c)))
-        specs("unique").foreach(t =>
-          rules += Unique(t.split(',').toSeq.map(_.trim)))
-        specs("in-set").foreach { s0 =>
-          val (c, vs) = split2(s0, "=")
-          rules += InSet(c, vs.split('|').toSeq)
-        }
-        specs("in-range").foreach { s0 =>
-          val (c, r) = split2(s0, "=")
-          val (lo, hi) = split2(r, "..")
-          rules += InRange(c, lo.toLong, hi.toLong)
-        }
-        specs("regex").foreach { s0 =>
-          val (c, p) = split2(s0, "=")
-          rules += MatchesRegex(c, p)
-        }
-        o.get("row-count").foreach { r =>
-          val (lo, hi) = split2(r, "..")
-          rules += RowCountBetween(lo.toLong, hi.toLong)
-        }
-        specs("fk").foreach { s0 =>
-          val (childCols, rhs) = split2(s0, "->")
-          val (pPath, pCols) = split2(rhs, ":")
-          rules += ForeignKey(childCols.split(',').toSeq.map(_.trim),
-            fetcher.readParquet(spark, pPath),
-            pCols.split(',').toSeq.map(_.trim))
-        }
-        val out = operators.Expectations.check(df, rules.result())
+        val rules = operators.Expectations.parseRules(
+          o.required("rules"), p => fetcher.readParquet(spark, p))
+        val out = operators.Expectations.check(df, rules)
         writer.writeParquet(out, o.required("output-path"))
         val failed = out.filter(col("passed") === 0).count()
         println(s"[graft] expectations: $failed failed rule(s) -> ${o("output-path")}")
@@ -1392,6 +1357,21 @@ object App {
             case _ => throw new IllegalArgumentException(
               s"release needs --$pathKey or --$srcKey")
           }
+        // gate 0 (optional): declarative expectations over the INPUT —
+        // a release from a malformed table (null ids, duplicate keys,
+        // broken references) should refuse before any gate spends work.
+        // Verdicts land first so a refused release leaves its evidence.
+        val expectationsRan = o.get("expectations").map { spec =>
+          val rules = operators.Expectations.parseRules(
+            spec, p => fetcher.readParquet(spark, p))
+          writer.writeParquet(operators.Expectations.check(docs, rules),
+            s"$out/expectations")
+          val failed = fetcher.readParquet(spark, s"$out/expectations")
+            .filter(c("passed") === 0).count()
+          require(failed == 0, s"release: $failed expectation rule(s) " +
+            s"failed on the input — refusing to release (see $out/expectations)")
+          true
+        }.getOrElse(false)
         // gate 1: curation — keep/drop with a WHY bitmask
         writer.writeParquet(operators.Verdicts.curationVerdict(docs,
           positive = seeds("positive-path", "positive-sources"),
@@ -1505,7 +1485,8 @@ object App {
             cl(sm(c("content_sum")), l(0L).cast("decimal(38,0)")).cast("string")).head()
         locally {
           import spark.implicits._
-          val gates = "curation,contamination," +
+          val gates = (if (expectationsRan) "expectations," else "") +
+            "curation,contamination," +
             (if (enforceMode != "false") "privacy_enforcement," else "") +
             "k_anonymity," +
             (if (lDivStats.isDefined) "l_diversity," else "") +
@@ -1898,13 +1879,12 @@ object App {
       |                     [--state-path <dir>] [--from-state true]
       |                     day-volume z-test verdicts vs the trailing window
       |  expectations       --docs-path <path> --output-path <path>
-      |                     [--not-null a,b] [--unique "a,b;c"]
-      |                     [--in-set "col=v1|v2;..."] [--in-range "col=lo..hi"]
-      |                     [--regex "col=pattern"] [--row-count lo..hi]
-      |                     [--fk "cols-><parent-path>:pcols;..."]
+      |                     --rules "not_null:c;unique:a,b;in_set:c=v1|v2;
+      |                       in_range:c=lo..hi;regex:c=pat;row_count:lo..hi;
+      |                       fk:cols-><parent-path>:pcols"
       |                     [--fail-on-violation true]
       |                     bulk rule verdicts (Deequ-style); row-local
-      |                     rules share one scan; ';' separates rule specs
+      |                     rules share one scan; ';' separates rules
       |  attribution        --events-path <path> --output-path <path>
       |                     [--window-days <n=7>] [--conv-type purchase]
       |                     [--touch-type click]
@@ -1930,6 +1910,8 @@ object App {
       |                     l-diversity gate to the manifest
       |                     [--merges-path <p> | --n-merges <n=8>]
       |                     [--seq-len <n=64>] [--rows-per-shard <n=128>]
+      |                     [--expectations "<rule spec>"]  gate 0: refuse
+      |                     the release if any input expectation fails
       |                     the full release: curation + contamination
       |                     gates filter, k-anonymity + corpus card audit,
       |                     tokenize->pack->shard with checksums; one

@@ -78,6 +78,54 @@ object Expectations {
       s"foreign key arity mismatch: $columns vs $parentColumns")
   }
 
+  /** Parse the one-string rule DSL the CLI and the release capstone
+    * share: ';'-separated `kind:body` items —
+    * {{{
+    *   not_null:col            unique:a,b          in_set:col=v1|v2
+    *   in_range:col=lo..hi     regex:col=pattern   row_count:lo..hi
+    *   fk:cols->parentPath:pcols
+    * }}}
+    * `loadParent` resolves an fk rule's parent path to a frame (the
+    * caller's Fetcher, so the in-memory test double works).
+    */
+  def parseRules(spec: String,
+                 loadParent: String => DataFrame): Seq[Rule] = {
+    def split2(s: String, sep: String): (String, String) = {
+      val at = s.indexOf(sep)
+      require(at > 0, s"expectations: bad rule spec '$s' (missing '$sep')")
+      (s.take(at).trim, s.drop(at + sep.length))
+    }
+    val rules = spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+      val (kind, body) = split2(item, ":")
+      kind match {
+        case "not_null" => NotNull(body.trim)
+        case "unique" => Unique(body.split(',').toSeq.map(_.trim))
+        case "in_set" =>
+          val (c, vs) = split2(body, "=")
+          InSet(c, vs.split('|').toSeq)
+        case "in_range" =>
+          val (c, r) = split2(body, "=")
+          val (lo, hi) = split2(r, "..")
+          InRange(c, lo.toLong, hi.toLong)
+        case "regex" =>
+          val (c, p) = split2(body, "=")
+          MatchesRegex(c, p)
+        case "row_count" =>
+          val (lo, hi) = split2(body, "..")
+          RowCountBetween(lo.toLong, hi.toLong)
+        case "fk" =>
+          val (childCols, rhs) = split2(body, "->")
+          val (pPath, pCols) = split2(rhs, ":")
+          ForeignKey(childCols.split(',').toSeq.map(_.trim),
+            loadParent(pPath), pCols.split(',').toSeq.map(_.trim))
+        case other => throw new IllegalArgumentException(
+          s"expectations: unknown rule kind '$other' in '$item'")
+      }
+    }
+    require(rules.nonEmpty, s"expectations: no rules in spec '$spec'")
+    rules
+  }
+
   /** One verdict row per rule: `(rule, target, n_rows, n_violations,
     * violation_ppm, passed)` — rules evaluated over `df` in the passes
     * described above, in the given order.

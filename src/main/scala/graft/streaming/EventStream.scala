@@ -395,6 +395,45 @@ object EventStream {
         finally { b.unpersist(); () }
       }
 
+  /** Streaming EXPECTATIONS gate: each arriving micro-batch is checked
+    * against a FROZEN rule list ([[graft.operators.Expectations.check]]
+    * — the batch q185 operator, one code path), emitting the per-batch
+    * verdict table. Stateless like [[profileDriftGateWriter]]: the rules
+    * assert properties of each shard in isolation (a batch with null
+    * ids, duplicate keys within the shard, broken references is the
+    * thing ingest-time validation exists to catch); CROSS-batch
+    * uniqueness is [[urlDedupGateWriter]]-family territory, not a rule
+    * here. `failOnViolation` turns the gate into a circuit breaker: a
+    * failing batch throws inside foreachBatch, stopping the query
+    * instead of ingesting bad data.
+    */
+  def expectationsGateWriter(docs: DataFrame,
+                             rules: Seq[graft.operators.Expectations.Rule],
+                             sink: (DataFrame, Long) => Unit,
+                             failOnViolation: Boolean = false)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // persist: every row-local rule shares one scan by design, but
+        // unique/fk rules re-read the batch — pin it for the trigger
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val verdicts = graft.operators.Expectations.check(b, rules)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            sink(verdicts, batchId)
+            if (failOnViolation) {
+              val failed = verdicts.filter(col("passed") === 0).count()
+              if (failed > 0) throw new IllegalStateException(
+                s"expectations gate: $failed rule(s) failed on batch $batchId " +
+                  "— refusing to ingest")
+            }
+          } finally { verdicts.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+
   /** Streaming trigram-LM gate with a GROWING model: each arriving
     * micro-batch scores against the trigram stupid-backoff model of
     * EVERYTHING ingested so far INCLUDING the batch itself (the as-of-

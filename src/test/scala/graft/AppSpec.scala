@@ -979,15 +979,20 @@ class AppSpec extends SparkTestBase {
         "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
         "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
         "--quasi-columns", "lang", "--sensitive-col", "source",
+        "--expectations", "not_null:text;unique:doc_id",
         "--output-path", s"$tmp/rel", "--rows-per-shard", "16", "--n-merges", "4"))
       val m = spark.read.json(s"$tmp/rel/manifest").head()
       // JSON inference may widen large integers to decimal — read
       // numerics type-agnostically
       def mL(name: String): Long = m.getAs[Number](name).longValue()
-      // the manifest names every gate (--sensitive-col adds l_diversity)
+      // the manifest names every gate (--sensitive-col adds l_diversity,
+      // --expectations adds gate 0)
       m.getAs[String]("gates").split(",").toSet shouldBe Set(
-        "curation", "contamination", "k_anonymity", "l_diversity",
-        "corpus_card", "shard_integrity")
+        "expectations", "curation", "contamination", "k_anonymity",
+        "l_diversity", "corpus_card", "shard_integrity")
+      // gate 0's verdict table landed, all rules green
+      spark.read.parquet(s"$tmp/rel/expectations")
+        .filter(col("passed") === 0).count() shouldBe 0L
       mL("ldiversity_classes") shouldBe
         spark.read.parquet(s"$tmp/rel/l_diversity").count()
       // and its counts are consistent with the written gate tables
@@ -1049,6 +1054,17 @@ class AppSpec extends SparkTestBase {
         "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
         "--enforce-privacy", "nope", "--output-path", s"$tmp/rel_bad"))
       eMode.getMessage should include("enforce-privacy")
+      // a failing input expectation refuses the release BEFORE any gate
+      // runs — the verdict evidence lands, the manifest does not
+      val eExp = the[IllegalArgumentException] thrownBy App.run(platform, Seq("release",
+        "--docs-path", s"$tmp/docs", "--benchmark-path", s"$tmp/bench",
+        "--positive-sources", "src0,src1,src2", "--negative-sources", "src3",
+        "--expectations", "in_set:lang=zz",
+        "--output-path", s"$tmp/rel_exp", "--rows-per-shard", "16", "--n-merges", "4"))
+      eExp.getMessage should include("expectation")
+      spark.read.parquet(s"$tmp/rel_exp/expectations")
+        .filter(col("passed") === 0).count() shouldBe 1L
+      new java.io.File(s"$tmp/rel_exp/manifest").exists() shouldBe false
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
@@ -1125,10 +1141,9 @@ class AppSpec extends SparkTestBase {
     storage.write("parent", Seq(1L, 2L).toDF("pid"), "overwrite")
     App.run(platform, Seq("expectations",
       "--docs-path", "d", "--output-path", "v",
-      "--not-null", "text", "--unique", "id",
-      "--in-set", "lang=en|de", "--in-range", "score=0..50",
-      "--regex", "source=^src[0-9]$", "--row-count", "1..1000",
-      "--fk", "id->parent:pid"))
+      "--rules", "not_null:text;unique:id;in_set:lang=en|de;" +
+        "in_range:score=0..50;regex:source=^src[0-9]$;row_count:1..1000;" +
+        "fk:id->parent:pid"))
     val out = storage.rows("v")
       .map(r => r.getAs[String]("rule") ->
         (r.getAs[Long]("n_violations"), r.getAs[Int]("passed"))).toMap
@@ -1143,7 +1158,12 @@ class AppSpec extends SparkTestBase {
     an[IllegalStateException] should be thrownBy
       App.run(platform, Seq("expectations",
         "--docs-path", "d", "--output-path", "v2",
-        "--not-null", "text", "--fail-on-violation", "true"))
+        "--rules", "not_null:text", "--fail-on-violation", "true"))
+    // unknown rule kinds fail loudly at parse time
+    an[IllegalArgumentException] should be thrownBy
+      App.run(platform, Seq("expectations",
+        "--docs-path", "d", "--output-path", "v3",
+        "--rules", "uniq:id"))
   }
 
   test("rfm and traffic-anomaly subcommands") {

@@ -75,6 +75,28 @@ class ExpectationsSpec extends SparkTestBase {
       .select("n_violations").as[Long].head() shouldBe 1L
   }
 
+  test("parseRules: the one-string DSL round-trips every rule kind") {
+    val parent = Seq(1L).toDF("pid")
+    val rules = Expectations.parseRules(
+      "not_null:text; unique:id,lang; in_set:lang=en|de; " +
+        "in_range:score=0..50; regex:source=^src[0-9]$; row_count:1..10; " +
+        "fk:id->p:pid",
+      { p => p shouldBe "p"; parent })
+    rules.map(_.getClass.getSimpleName) shouldBe Seq("NotNull", "Unique",
+      "InSet", "InRange", "MatchesRegex", "RowCountBetween", "ForeignKey")
+    rules(1) shouldBe Unique(Seq("id", "lang"))
+    rules(2) shouldBe InSet("lang", Seq("en", "de"))
+    rules(3) shouldBe InRange("score", 0L, 50L)
+    // parsed rules drive check() identically to the constructed forms
+    Expectations.check(docs, rules.take(6)).count() shouldBe 6L
+    an[IllegalArgumentException] should be thrownBy
+      Expectations.parseRules("uniq:id", _ => parent)
+    an[IllegalArgumentException] should be thrownBy
+      Expectations.parseRules("", _ => parent)
+    an[IllegalArgumentException] should be thrownBy
+      Expectations.parseRules("in_range:score=0", _ => parent)
+  }
+
   test("0-row table passes everything except row-count floors; empty rules raise") {
     val empty = docs.filter("id < 0")
     val out = Expectations.check(empty, Seq(

@@ -737,6 +737,43 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("streaming expectations gate: per-batch verdicts == batch operator; circuit breaker stops bad ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Expectations._
+    val rules = Seq(NotNull("text"), Unique(Seq("id")),
+      InSet("lang", Seq("en", "de")))
+    val good = Seq((1L, Option("a"), "en"), (2L, Option("b"), "de"))
+    val bad = Seq((3L, Option.empty[String], "xx"), (3L, Option("c"), "en"))
+    def run(batches: Seq[Seq[(Long, Option[String], String)]],
+            breaker: Boolean): Seq[Map[String, (Long, Int)]] = {
+      val input = MemoryStream[(Long, Option[String], String)]
+      val got = scala.collection.mutable.ArrayBuffer.empty[Map[String, (Long, Int)]]
+      val query = EventStream.expectationsGateWriter(
+          input.toDF().toDF("id", "text", "lang"), rules,
+          sink = (out, _) => got.synchronized {
+            got += out.select("rule", "n_violations", "passed")
+              .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+          }, failOnViolation = breaker)
+        .start()
+      try {
+        batches.foreach { b => input.addData(b); query.processAllAvailable() }
+        got.toSeq
+      } finally { query.stop(); () }
+    }
+    // verdicts match the batch operator per micro-batch
+    val out = run(Seq(good, bad), breaker = false)
+    out(0) shouldBe graft.operators.Expectations.check(
+        good.toDF("id", "text", "lang"), rules)
+      .select("rule", "n_violations", "passed")
+      .as[(String, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out(0).values.map(_._2).toSet shouldBe Set(1)
+    out(1) shouldBe Map("not_null" -> (1L, 0), "unique" -> (2L, 0),
+      "in_set" -> (1L, 0))
+    // the circuit breaker refuses the bad batch (good one passes first)
+    an[Exception] should be thrownBy run(Seq(good, bad), breaker = true)
+  }
+
   test("streaming traffic-anomaly gate: merged verdicts == batch; late days re-open; replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
