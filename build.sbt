@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // parallel suite mix — a SQL-listener plan-string build OOM'd collateral
   // suites; the box has 128 GiB
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // 512m code cache (default 240m): the 59-workload scale sweep generates
+  // enough whole-stage-codegen classes to exhaust it, silently degrading
+  // LATE workloads to interpreter speed — pii_redaction read 11x growth
+  // at position ~30 of the full sweep vs 2.7x isolated, same binary
+  "-XX:ReservedCodeCacheSize=512m",
 )
