@@ -148,46 +148,59 @@ object Expectations {
         (r, "matches_regex", c, coalesce(sum(when(col(c).isNotNull &&
           !col(c).rlike(p), 1L).otherwise(0L)), lit(0L)).as(s"__v$i"))
     }
-    val shared: DataFrame =
-      df.agg(count(lit(1)).as("__n"), rowLocal.map(_._4): _*)
-
-    val frames: Seq[DataFrame] = rules.zipWithIndex.map {
-      case (RowCountBetween(lo, hi), _) =>
-        shared.select(lit("row_count_between").as("rule"),
-          lit(s"[$lo, $hi]").as("target"),
-          col("__n").as("n_rows"),
-          when(col("__n") >= lo && col("__n") <= hi, 0L).otherwise(1L)
-            .as("n_violations"))
+    // EVERY shared-scan rule (row-local + row-count) rides the single
+    // aggregate row and explodes into its verdict rows there — a union
+    // of per-rule selects over the agg frame would re-execute the whole
+    // corpus scan once per branch (the plan audit caught exactly that)
+    val sharedStructs: Seq[Column] = rules.zipWithIndex.flatMap {
+      case (RowCountBetween(lo, hi), _) => Some(struct(
+        lit("row_count_between").as("rule"),
+        lit(s"[$lo, $hi]").as("target"),
+        col("__n").as("n_rows"),
+        when(col("__n") >= lo && col("__n") <= hi, 0L).otherwise(1L)
+          .as("n_violations"),
+        lit(0L).as("__tol")))
       case (r, i) if rowLocal.exists(_._1 eq r) =>
         val (_, kind, target, _) = rowLocal.find(_._1 eq r).get
-        shared.select(lit(kind).as("rule"), lit(target).as("target"),
-          col("__n").as("n_rows"), col(s"__v$i").as("n_violations"))
-      case (Unique(cols, _), _) =>
+        Some(struct(lit(kind).as("rule"), lit(target).as("target"),
+          col("__n").as("n_rows"), col(s"__v$i").as("n_violations"),
+          lit(r.tolerancePpm).as("__tol")))
+      case _ => None
+    }
+    val sharedFrame: Option[DataFrame] =
+      if (sharedStructs.isEmpty) None
+      else Some(df.agg(count(lit(1)).as("__n"), rowLocal.map(_._4): _*)
+        .select(explode(array(sharedStructs: _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.target").as("target"),
+          col("r.n_rows").as("n_rows"), col("r.n_violations").as("n_violations"),
+          col("r.__tol").as("__tol")))
+
+    val heavyFrames: Seq[DataFrame] = rules.collect {
+      case Unique(cols, tol) =>
         df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
           .agg(coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
             coalesce(sum(when(col("__c") > 1L, col("__c")).otherwise(0L)), lit(0L))
               .as("n_violations"))
           .select(lit("unique").as("rule"),
             lit(cols.mkString(",")).as("target"),
-            col("n_rows"), col("n_violations"))
-      case (ForeignKey(cols, parent, pCols, _, bc), _) =>
+            col("n_rows"), col("n_violations"), lit(tol).as("__tol"))
+      case ForeignKey(cols, parent, pCols, tol, bc) =>
         val pKeys = parent
           .select(pCols.zip(cols).map { case (p, c) => col(p).as(s"__fk_$c") }: _*)
           .distinct()
+          .withColumn("__fk_hit", lit(1))
         val side = if (bc) broadcast(pKeys) else pKeys.hint("shuffle_hash")
-        val orphans = df
-          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
-          .join(side, cols.map(c => col(c) === col(s"__fk_$c")).reduce(_ && _),
-            "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-        // two 1-row frames — the q43 sanctioned scalar cross join
-        shared.select(col("__n").as("n_rows"))
-          .crossJoin(broadcast(orphans))
+        val keysPresent = cols.map(col(_).isNotNull).reduce(_ && _)
+        // ONE pass counts rows AND orphans: distinct parent keys make the
+        // left join match at most once, so the row count is preserved
+        df.join(side, cols.map(c => col(c) === col(s"__fk_$c")).reduce(_ && _),
+            "left_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(keysPresent && col("__fk_hit").isNull, 1L)
+              .otherwise(0L)), lit(0L)).as("n_violations"))
           .select(lit("foreign_key").as("rule"),
             lit(cols.mkString(",")).as("target"),
-            col("n_rows"), col("n_violations"))
-      case (r, _) =>
-        throw new IllegalArgumentException(s"unhandled rule: $r")
+            col("n_rows"), col("n_violations"), lit(tol).as("__tol"))
     }
 
     // the pass verdict cross-multiplies (no division — exact for the
@@ -195,9 +208,7 @@ object Expectations {
     // thresholds survive the union. DECIMAL keeps 1e6 x trillion-row
     // counts inside the domain.
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    rules.zip(frames).map { case (r, f) =>
-      f.withColumn("__tol", lit(r.tolerancePpm))
-    }.reduce(_ unionByName _)
+    (sharedFrame.toSeq ++ heavyFrames).reduce(_ unionByName _)
       .withColumn("violation_ppm", ExactPpm.ppm(col("n_violations"), col("n_rows")))
       .withColumn("passed",
         (dec(col("n_violations")) * dec(lit(1000000L)) <=

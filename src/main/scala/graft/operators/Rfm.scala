@@ -91,15 +91,25 @@ object Rfm {
 
   /** Score stored metric state without rescanning any event: the anchor
     * is the state's own latest activity, buckets as in [[rfmSegments]].
+    *
+    * The state is consumed five times (anchor, three metric histograms,
+    * the score join spine) — `storage` persists the users-sized frame
+    * across them so the upstream (a corpus aggregation when called via
+    * [[rfmSegments]]) runs ONCE; each histogram then reads the cache,
+    * never the corpus. StorageLevel.NONE opts out (cheap stored-state
+    * scans).
     */
   def rfmFromState(state: DataFrame, nBuckets: Int = 5,
-                   broadcastRanks: Boolean = true): DataFrame = {
+                   broadcastRanks: Boolean = true,
+                   storage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 9,
       s"nBuckets must be in [2, 9] (rfm_cell is one digit per axis): got $nBuckets")
 
+    val st = Caching.maybePersist(state, storage)
     // recency anchor: the latest activity in state — 1 row, broadcast
-    val anchor = state.agg(max(col("last_ts_us")).as("__anchor"))
-    val metrics = state
+    val anchor = st.agg(max(col("last_ts_us")).as("__anchor"))
+    val metrics = st
       .crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         expr(s"(__anchor - last_ts_us) div ${DayUs}L"))
@@ -109,7 +119,10 @@ object Rfm {
     val scored = Seq(
       ("recency_days", "__b_r"), ("frequency", "__b_f"), ("monetary_fp", "__b_m"))
       .foldLeft(metrics) { case (df, (metric, out)) =>
-        withBucket(df, metric, nBuckets, out, broadcastRanks)
+        // histograms read the CACHED metrics projection, never the
+        // accumulating join pyramid (each fold step would otherwise
+        // re-execute every prior join inside its histogram subtree)
+        withBucket(df, metrics, metric, nBuckets, out, broadcastRanks)
       }
     scored
       .withColumn("r_score", lit(nBuckets.toLong + 1L) - col("__b_r"))
@@ -123,12 +136,14 @@ object Rfm {
   }
 
   /** Exact value-based quantile bucket: histogram over distinct metric
-    * values, inclusive cumulative count, `ceil(cum · n / N)` in BIGINT.
-    * The rank table is bounded by the metric's distinct-value domain.
+    * values of `histSource`, inclusive cumulative count,
+    * `ceil(cum · n / N)` in BIGINT. The rank table is bounded by the
+    * metric's distinct-value domain.
     */
-  private def withBucket(df: DataFrame, metric: String, nBuckets: Int,
+  private def withBucket(df: DataFrame, histSource: DataFrame,
+                         metric: String, nBuckets: Int,
                          out: String, broadcastRanks: Boolean): DataFrame = {
-    val h = df.groupBy(col(metric).as("__rfm_v")).agg(count(lit(1)).as("__rfm_c"))
+    val h = histSource.groupBy(col(metric).as("__rfm_v")).agg(count(lit(1)).as("__rfm_c"))
     val ord = Window.orderBy(col("__rfm_v"))
     val ranks = h
       .withColumn("__rfm_cum", sum(col("__rfm_c"))

@@ -188,11 +188,10 @@ class PlanSpec extends SparkTestBase {
       // q181's one cross join is the 1-row recency anchor (corpus max ts)
       // broadcast against the per-user metrics frame — the q43
       // scalar-broadcast shape; every bucket lookup is an equi-join
-      // (q183 is the same scoring path over incrementally-folded state)
-      "q181_rfm_segments", "q183_rfm_incremental",
-      // q185's foreign-key verdict crosses TWO 1-row aggregates (total
-      // count x orphan count) — the q43 scalar shape on both sides
-      "q185_expectations")
+      // (q183 is the same scoring path over incrementally-folded state;
+      // q185's foreign-key verdict needs no sanction — the one-pass
+      // left-outer marker join made its BNLJ disappear)
+      "q181_rfm_segments", "q183_rfm_incremental")
     SparkEntry.queries.keys.filterNot(sanctioned).foreach { name =>
       val p = plan(name)
       withClue(s"$name uses a pair-blowup join:") {
