@@ -1512,7 +1512,8 @@ object AnalyticsQueries {
            |  FROM (SELECT $metric AS v, count(*) AS c FROM m GROUP BY 1))""".stripMargin
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
          |  CASE WHEN event_type = 'purchase'
-         |    THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END AS v
+         |    THEN coalesce(CAST(round(value * 1000000) AS BIGINT), 0)
+         |    ELSE 0 END AS v
          |  FROM events),
          |anch AS (SELECT max(us) AS anchor FROM e),
          |m AS (SELECT user_id,

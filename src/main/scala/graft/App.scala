@@ -550,7 +550,7 @@ object App {
         val o = parseArgs(args.tail)
         val in = fetcher.readParquet(spark, o.required("events-path"))
         val nB = o.getOrElse("buckets", "5").toInt
-        val bc = o.getOrElse("broadcast-ranks", "true").toBoolean
+        val bc = o.getOrElse("broadcast-ranks", "false").toBoolean
         val mt = o.getOrElse("monetary-type", "purchase")
         require(!(o.contains("state-path") &&
             o.getOrElse("from-state", "false").toBoolean),
@@ -1870,7 +1870,9 @@ object App {
       |                     state (default), shard ingest, or per-event
       |  rfm                --events-path <path> --output-path <path>
       |                     [--buckets <n=5>] [--monetary-type purchase]
-      |                     [--broadcast-ranks <b=true>] [--state-path <dir>]
+      |                     [--broadcast-ranks <b=false>, monetary only —
+      |                     recency/frequency histograms always broadcast]
+      |                     [--state-path <dir>]
       |                     [--from-state true]
       |                     per-user R/F/M scores + the 3-digit rfm_cell;
       |                     state fold (shard ingest) or score-from-state
@@ -1884,7 +1886,9 @@ object App {
       |                       fk:cols-><parent-path>:pcols"
       |                     [--fail-on-violation true]
       |                     bulk rule verdicts (Deequ-style); row-local
-      |                     rules share one scan; ';' separates rules
+      |                     rules share one scan; ';' separates rules and
+      |                     '|' separates in_set values — escape literal
+      |                     uses inside a value as \; and \|
       |  attribution        --events-path <path> --output-path <path>
       |                     [--window-days <n=7>] [--conv-type purchase]
       |                     [--touch-type click]

@@ -53,12 +53,18 @@ object Anomaly {
     * bit-for-bit. Verdicts recomputed off merged state can legitimately
     * CHANGE when late data lands — that is the honest semantics of a
     * volume monitor, not a replay bug.
+    *
+    * Day bucketing is FLOOR division (`a − pmod(a, W)) div W` in exact
+    * BIGINT — Spark's `div` truncates toward zero, which would put
+    * pre-1970 timestamps on the wrong day and make day 0 two days wide;
+    * floor matches the oracle's `//` for every epoch sign.
     */
   def dailyCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
     events
       .select(when(col(tsCol).isNull,
         raise_error(lit(s"trafficAnomaly: NULL $tsCol has no day")).cast("long"))
-        .otherwise(expr(s"unix_micros(`$tsCol`) div ${DayUs}L")).as("day"))
+        .otherwise(expr(s"(unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), ${DayUs}L))" +
+          s" div ${DayUs}L")).as("day"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n"))
 

@@ -85,6 +85,16 @@ object Expectations {
     *   in_range:col=lo..hi     regex:col=pattern   row_count:lo..hi
     *   fk:cols->parentPath:pcols
     * }}}
+    * RESERVED CHARACTERS: ';' separates rules and '|' separates in_set
+    * values; to use either inside a value (a regex matching semicolons, a
+    * set value containing a pipe), escape it as `\;` / `\|` — the
+    * backslash is removed at parse time. (In a regex body `\;` already
+    * means a literal ';' to the regex engine, so the unescape is
+    * semantics-preserving.) Every other backslash passes through
+    * verbatim (`\d` stays `\d`). Regex patterns are compiled at parse
+    * time so a mis-split or malformed pattern fails HERE, loudly, not
+    * mid-scan on an executor.
+    *
     * `loadParent` resolves an fk rule's parent path to a frame (the
     * caller's Fetcher, so the in-memory test double works).
     */
@@ -95,20 +105,28 @@ object Expectations {
       require(at > 0, s"expectations: bad rule spec '$s' (missing '$sep')")
       (s.take(at).trim, s.drop(at + sep.length))
     }
-    val rules = spec.split(';').toSeq.map(_.trim).filter(_.nonEmpty).map { item =>
+    val rules = splitEscaped(spec, ';').map(_.trim).filter(_.nonEmpty).map { item =>
       val (kind, body) = split2(item, ":")
       kind match {
         case "not_null" => NotNull(body.trim)
         case "unique" => Unique(body.split(',').toSeq.map(_.trim))
         case "in_set" =>
           val (c, vs) = split2(body, "=")
-          InSet(c, vs.split('|').toSeq)
+          InSet(c, splitEscaped(vs, '|'))
         case "in_range" =>
           val (c, r) = split2(body, "=")
           val (lo, hi) = split2(r, "..")
           InRange(c, lo.toLong, hi.toLong)
         case "regex" =>
           val (c, p) = split2(body, "=")
+          try java.util.regex.Pattern.compile(p)
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(
+                s"expectations: regex rule for '$c' has a malformed pattern " +
+                  s"'$p' (did a ';' or '|' need escaping as \\; / \\|?): " +
+                  e.getMessage)
+          }
           MatchesRegex(c, p)
         case "row_count" =>
           val (lo, hi) = split2(body, "..")
@@ -124,6 +142,25 @@ object Expectations {
     }
     require(rules.nonEmpty, s"expectations: no rules in spec '$spec'")
     rules
+  }
+
+  /** Split on `sep` honouring `\sep` as a literal occurrence (the escape
+    * backslash is removed); any other backslash passes through verbatim.
+    */
+  private def splitEscaped(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length && s.charAt(i + 1) == sep) {
+        cur.append(sep); i += 2
+      } else if (c == sep) {
+        out += cur.toString; cur.clear(); i += 1
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.result()
   }
 
   /** One verdict row per rule: `(rule, target, n_rows, n_violations,

@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per-user metrics are one combinable user-keyed
   * aggregation (the only corpus-sized exchange); the recency anchor is a
-  * 1-row broadcast (the q43 scalar shape); each bucket table is a
-  * histogram over DISTINCT metric values — bounded by the day span for
-  * recency and the per-user activity ceiling for frequency, both tiny;
-  * monetary can be as wide as the user count, so `broadcastRanks = false`
-  * turns its lookup into a shuffle-hash join of short rows (the
-  * [[Quantiles.percentileRank]] policy knob, same rationale).
+  * 1-row broadcast (the q43 scalar shape). Bucket lookup is PER-METRIC:
+  * the recency and frequency histograms are bounded by the day span and
+  * the per-user activity ceiling — tiny at any corpus size — so they
+  * always broadcast; the monetary histogram can be as wide as the user
+  * count, so it defaults to a shuffle-hash join of short rows and only
+  * broadcasts when `broadcastRanks = true` says the spend domain is
+  * known-small (the [[Quantiles.percentileRank]] policy knob, same
+  * rationale — a users-wide broadcast is a driver OOM at scale).
   */
 object Rfm {
 
@@ -41,7 +43,7 @@ object Rfm {
                   monetaryType: String = "purchase",
                   userCol: String = "user_id", tsCol: String = "ts",
                   typeCol: String = "event_type", valueCol: String = "value",
-                  broadcastRanks: Boolean = true): DataFrame =
+                  broadcastRanks: Boolean = false): DataFrame =
     rfmFromState(
       rfmState(events, monetaryType, userCol, tsCol, typeCol, valueCol),
       nBuckets, broadcastRanks)
@@ -61,8 +63,11 @@ object Rfm {
       when(col(tsCol).isNull,
         raise_error(lit(s"rfm: NULL $tsCol has no recency")).cast("long"))
         .otherwise(unix_micros(col(tsCol))).as("__us"),
+      // NULL value on a monetary event contributes 0 (not NULL — a NULL
+      // monetary_fp would sum to NULL and silently drop the user from the
+      // one-row-per-user output at the bucket join)
       when(col(typeCol) === monetaryType,
-        round(col(valueCol) * lit(1000000.0), 0).cast("long"))
+        coalesce(round(col(valueCol) * lit(1000000.0), 0).cast("long"), lit(0L)))
         .otherwise(lit(0L)).as("__v"))
       .groupBy(col("user_id"))
       .agg(max(col("__us")).as("last_ts_us"),
@@ -100,7 +105,7 @@ object Rfm {
     * scans).
     */
   def rfmFromState(state: DataFrame, nBuckets: Int = 5,
-                   broadcastRanks: Boolean = true,
+                   broadcastRanks: Boolean = false,
                    storage: org.apache.spark.storage.StorageLevel =
                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 9,
@@ -117,12 +122,15 @@ object Rfm {
       .drop("__anchor", "last_ts_us")
 
     val scored = Seq(
-      ("recency_days", "__b_r"), ("frequency", "__b_f"), ("monetary_fp", "__b_m"))
-      .foldLeft(metrics) { case (df, (metric, out)) =>
+      // recency/frequency domains are bounded (day span, activity
+      // ceiling) → always broadcast; monetary can be users-wide → policy
+      ("recency_days", "__b_r", true), ("frequency", "__b_f", true),
+      ("monetary_fp", "__b_m", broadcastRanks))
+      .foldLeft(metrics) { case (df, (metric, out, bc)) =>
         // histograms read the CACHED metrics projection, never the
         // accumulating join pyramid (each fold step would otherwise
         // re-execute every prior join inside its histogram subtree)
-        withBucket(df, metrics, metric, nBuckets, out, broadcastRanks)
+        withBucket(df, metrics, metric, nBuckets, out, bc)
       }
     scored
       .withColumn("r_score", lit(nBuckets.toLong + 1L) - col("__b_r"))
@@ -153,6 +161,9 @@ object Rfm {
       .select(col("__rfm_v"),
         expr(s"(__rfm_cum * $nBuckets + __rfm_n - 1) div __rfm_n").as(out))
     val lookup = if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
-    df.join(lookup, col(metric) === col("__rfm_v")).drop("__rfm_v")
+    // null-safe equality: a NULL metric value (none exist today — ts
+    // raises, value coalesces — but defense in depth) still finds its
+    // histogram row instead of silently dropping the user
+    df.join(lookup, col(metric) <=> col("__rfm_v")).drop("__rfm_v")
   }
 }

@@ -293,6 +293,11 @@ object VersionedTable {
     */
   final case class CompactStats(version: Long, filesBefore: Long, filesAfter: Long)
 
+  /** A maintenance commit found its base snapshot superseded by a
+    * concurrent writer and aborted rather than clobber the winner.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   /** Rewrite the CURRENT snapshot into one fresh data dir and commit it
     * as a new version — the small-file maintenance pass every
     * incremental-append table eventually needs: daily
@@ -300,9 +305,16 @@ object VersionedTable {
     * reader of one partition may open hundreds of fragment files. The
     * data is bit-identical (compaction reads the LIVE snapshot only and
     * writes it once); prior versions stay time-travelable until
-    * [[vacuum]] drops them, and the commit rides the same CAS publish as
-    * every writer — concurrent incremental commits lose the race cleanly
-    * and re-merge ON TOP of the compacted entries.
+    * [[vacuum]] drops them.
+    *
+    * Concurrency: a full-snapshot rewrite is only valid against the exact
+    * snapshot it read, so the publish VALIDATES inside the CAS loop that
+    * the base version is still latest — the conflict check Delta OPTIMIZE
+    * and Iceberg rewrite_data_files perform. If a concurrent commit lands
+    * during the (long) rewrite, compaction deletes its orphaned data dir
+    * and re-runs against the winner's snapshot (up to `maxAttempts`), so
+    * the concurrent commit's data is never lost regardless of which side
+    * wins the CAS race.
     *
     * File-count bound: unpartitioned tables repartition to
     * ceil(rows / targetRecordsPerFile); partitioned tables hash-cluster
@@ -314,23 +326,48 @@ object VersionedTable {
     * a full rewrite is too big a bite.
     */
   def compact(spark: SparkSession, rootStr: String,
-      targetRecordsPerFile: Long = 1L << 20): CompactStats = {
+      targetRecordsPerFile: Long = 1L << 20, maxAttempts: Int = 3,
+      beforePublish: () => Unit = () => ()): CompactStats = {
     require(targetRecordsPerFile > 0,
       s"targetRecordsPerFile must be positive: got $targetRecordsPerFile")
+    require(maxAttempts >= 1, s"maxAttempts must be positive: got $maxAttempts")
     val (fs, root) = fsRoot(spark, rootStr)
-    val v = latestVersion(fs, root).getOrElse(
-      throw new NoSuchElementException(s"no committed version under $root"))
-    val m = readManifest(fs, root, v)
-    val before = liveFileCount(fs, root, m)
-    val df = read(spark, rootStr, Some(v))
-    val rows = df.count()
-    val nTasks = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val clustered =
-      if (m.partitionBy.isEmpty) df.repartition(nTasks)
-      else df.repartition(nTasks, m.partitionBy.map(col): _*)
-    val newV = commitOverwrite(clustered, rootStr, m.partitionBy)
-    val after = liveFileCount(fs, root, readManifest(fs, root, newV))
-    CompactStats(newV, before, after)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v = latestVersion(fs, root).getOrElse(
+        throw new NoSuchElementException(s"no committed version under $root"))
+      val m = readManifest(fs, root, v)
+      val before = liveFileCount(fs, root, m)
+      val df = read(spark, rootStr, Some(v))
+      val rows = df.count()
+      val nTasks = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      val clustered =
+        if (m.partitionBy.isEmpty) df.repartition(nTasks)
+        else df.repartition(nTasks, m.partitionBy.map(col): _*)
+      val dataDir = writeDataDir(clustered, root, m.partitionBy)
+      val entries =
+        if (m.partitionBy.isEmpty) Map("" -> dataDir)
+        else discoverPartitions(fs, new Path(root, dataDir), m.partitionBy)
+          .map(_ -> dataDir).toMap
+      beforePublish() // test seam: deterministically race a concurrent commit
+      try {
+        val newV = publish(spark, fs, root) { (n, prev) =>
+          if (!prev.exists(_.version == v))
+            throw new CommitConflictException(
+              s"compaction base v$v of $root superseded by concurrent commit " +
+                s"(latest is now v${prev.map(_.version).getOrElse(-1L)})")
+          TableManifest(n, m.partitionBy, entries, clustered.schema.json)
+        }
+        val after = liveFileCount(fs, root, readManifest(fs, root, newV))
+        return CompactStats(newV, before, after)
+      } catch {
+        case e: CommitConflictException =>
+          fs.delete(new Path(root, dataDir), true) // orphaned rewrite, never published
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Parquet data files the manifest's snapshot actually serves. */

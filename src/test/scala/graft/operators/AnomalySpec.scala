@@ -85,6 +85,18 @@ class AnomalySpec extends SparkTestBase {
       .filter(s"day = $D0").select("n").as[Long].head() shouldBe 11L
   }
 
+  test("pre-1970 timestamps bucket with FLOOR division, and day 0 is one day wide") {
+    // 1969-12-31 18:00 UTC = -6h = day -1 under floor (truncation toward
+    // zero would wrongly fold it into day 0, making day 0 two days wide)
+    val e = Seq(
+      (1L, ts("1969-12-31 18:00:00")),
+      (2L, ts("1969-12-31 23:00:00")),
+      (3L, ts("1970-01-01 06:00:00"))
+    ).toDF("event_id", "ts")
+    Anomaly.dailyCounts(e).as[(Long, Long)].collect().toSet shouldBe
+      Set((-1L, 2L), (0L, 1L))
+  }
+
   test("NULL ts raises; out-of-range window and k rejected") {
     val e = Seq((1L, Option.empty[Timestamp])).toDF("event_id", "ts")
     an[Exception] should be thrownBy

@@ -97,6 +97,29 @@ class ExpectationsSpec extends SparkTestBase {
       Expectations.parseRules("in_range:score=0", _ => parent)
   }
 
+  test("parseRules: \\; and \\| escape the separators; malformed regex fails at parse time") {
+    val parent = Seq(1L).toDF("pid")
+    // a regex matching "a;b" and a set value containing '|' both survive
+    val rules = Expectations.parseRules(
+      """regex:text=^a\;b$; in_set:lang=en\|us|de; not_null:id""",
+      _ => parent)
+    rules.map(_.getClass.getSimpleName) shouldBe
+      Seq("MatchesRegex", "InSet", "NotNull")
+    rules(0) shouldBe MatchesRegex("text", "^a;b$")
+    rules(1) shouldBe InSet("lang", Seq("en|us", "de"))
+    // other backslashes pass through verbatim (\d stays a regex class)
+    Expectations.parseRules("""regex:source=^src\d$""", _ => parent)
+      .head shouldBe MatchesRegex("source", """^src\d$""")
+    // an unescaped ';' inside a pattern mis-splits -> the fragment fails
+    // loudly, and a malformed pattern fails AT PARSE with the escape hint
+    an[IllegalArgumentException] should be thrownBy
+      Expectations.parseRules("""regex:text=^a{2;3}$""", _ => parent)
+    val e = intercept[IllegalArgumentException] {
+      Expectations.parseRules("""regex:text=^a[;b$""", _ => parent)
+    }
+    e.getMessage should include("escaping")
+  }
+
   test("0-row table passes everything except row-count floors; empty rules raise") {
     val empty = docs.filter("id < 0")
     val out = Expectations.check(empty, Seq(

@@ -66,12 +66,25 @@ class RfmSpec extends SparkTestBase {
     out(4L) shouldBe 1L // recency 5
   }
 
-  test("broadcastRanks = false is bit-identical to the broadcast plan") {
+  test("broadcastRanks = true is bit-identical to the default shuffle-hash monetary plan") {
     val a = Rfm.rfmSegments(events, nBuckets = 3)
       .orderBy("user_id").collect().toSeq
-    val b = Rfm.rfmSegments(events, nBuckets = 3, broadcastRanks = false)
+    val b = Rfm.rfmSegments(events, nBuckets = 3, broadcastRanks = true)
       .orderBy("user_id").collect().toSeq
     a shouldBe b
+  }
+
+  test("NULL value on a monetary event keeps the user (monetary_fp 0, not a dropped row)") {
+    val e = Seq(
+      (1L, 1L, ts("2024-01-09 12:00:00"), "purchase", Option.empty[Double]),
+      (2L, 2L, ts("2024-01-08 12:00:00"), "purchase", Option(3.0)),
+      (3L, 3L, ts("2024-01-01 12:00:00"), "view", Option(0.0))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Rfm.rfmSegments(e, nBuckets = 2)
+      .select("user_id", "monetary_fp").as[(Long, Long)].collect().toMap
+    out.keySet shouldBe Set(1L, 2L, 3L) // one row per user, nobody vanishes
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 3000000L
   }
 
   test("incremental state folds order-free: increment == one-shot, either shard order") {

@@ -179,6 +179,65 @@ class VersionedTableSpec extends SparkTestBase {
       VersionedTable.compact(spark, root, targetRecordsPerFile = 0L)
   }
 
+  test("compact validates its base snapshot: a concurrent commit during the rewrite is never lost") {
+    val root = tmpRoot("cprace")
+    (1 to 3).foreach { i =>
+      VersionedTable.commitPartitions(days((i * 10L + 1L, s"d$i", 1L)), root, Seq("day"))
+    } // v1..v3, three fragment dirs
+    // a concurrent writer lands AFTER compaction wrote its rewrite and
+    // BEFORE it publishes — exactly the lost-update window
+    var fired = false
+    val stats = VersionedTable.compact(spark, root, beforePublish = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.commitPartitions(days((99L, "d9", 9L)), root, Seq("day")) // v4
+      }
+    })
+    // compaction detected the stale base, re-ran against v4, published v5
+    stats.version shouldBe 5L
+    VersionedTable.read(spark, root).as[(Long, String, Long)].collect().toSet shouldBe
+      Set((11L, "d1", 1L), (21L, "d2", 1L), (31L, "d3", 1L), (99L, "d9", 9L))
+    // the compacted snapshot ITSELF carries the concurrent partition
+    VersionedTable.readManifest(fs(root), new Path(root), 5L)
+      .entries.keySet should contain("day=d9")
+    // the aborted first rewrite's data dir was deleted: every dir on disk
+    // is referenced by some retained manifest
+    val f = fs(root)
+    val onDisk = f.listStatus(new Path(root)).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("data-"))
+      .map(_.getPath.getName).toSet
+    val referenced = VersionedTable.versions(f, new Path(root))
+      .flatMap(v => VersionedTable.readManifest(f, new Path(root), v).entries.values).toSet
+    onDisk shouldBe referenced
+    // maxAttempts = 1 fails LOUDLY instead of clobbering the winner
+    var fired2 = false
+    a[VersionedTable.CommitConflictException] should be thrownBy
+      VersionedTable.compact(spark, root, maxAttempts = 1, beforePublish = () => {
+        if (!fired2) {
+          fired2 = true
+          VersionedTable.commitPartitions(days((55L, "d5", 5L)), root, Seq("day"))
+        }
+      })
+    // the concurrent commit survived the aborted compaction intact
+    VersionedTable.read(spark, root).filter(col("day") === "d5").count() shouldBe 1L
+  }
+
+  test("vacuum vs a pinned reader: grace spares in-flight reads; grace-0 fails them loudly") {
+    val root = tmpRoot("vacpin")
+    VersionedTable.commitOverwrite((1L to 50L).toDF("id"), root)
+    val pinned = VersionedTable.read(spark, root) // resolved against v1
+    VersionedTable.commitOverwrite(Seq(999L).toDF("id"), root) // v2
+    // retention drops v1's manifest, but the default grace spares its
+    // young data dir — the pinned reader still sees its full snapshot
+    VersionedTable.vacuum(spark, root, keepLast = 1)
+    pinned.count() shouldBe 50L
+    // grace 0 actually deletes the dir: the pinned reader now fails LOUDLY
+    // (never a torn/partial result) — the documented retention caveat
+    VersionedTable.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    an[Exception] should be thrownBy pinned.count()
+    VersionedTable.read(spark, root).as[Long].collect().toSet shouldBe Set(999L)
+  }
+
   test("vacuum drops unreferenced data dirs and manifests, keeps the live snapshot") {
     val root = tmpRoot("vac")
     VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
