@@ -29,12 +29,17 @@ import org.apache.spark.sql.functions._
   * anti-join this`), not a NULL-touch row every aggregate downstream
   * would trip over.
   *
-  * Scale shape: ONE user-keyed join (conversions x touches, both sides
-  * hash-partitioned on the user — the q13 band-join discipline: the
-  * window predicate prunes pairs inside the join, fan-out bounded by
-  * per-user activity, never corpus-quadratic) + combinable
-  * per-conversion aggregates joined back on the (user, conversion) key.
-  * NULL event times raise per-row (the Sessionize rule).
+  * Scale shape: ONE (user, time-bucket)-keyed join (conversions x
+  * touches). The join key carries a time BUCKET of width = the lookback
+  * window (each conversion probes its own bucket and the previous one —
+  * every in-window touch provably lives in those two), so candidate
+  * pairs are bounded by per-user IN-WINDOW activity: a user-only key
+  * would materialize all-history conv x touch pairs per user and grow
+  * QUADRATICALLY in history length before the band predicate could
+  * prune them. The exact window predicate then filters inside the join,
+  * and combinable per-conversion aggregates join back on the (user,
+  * conversion) key. NULL event times raise per-row (the Sessionize
+  * rule).
   *
   * Output: (userCol, conv_event_id, conv_ts_us, touch_event_id,
   * touch_ts_us, n_touches, credit_fp).
@@ -128,6 +133,29 @@ object Attribution {
       .select(col(userCol), col(idCol).as("touch_event_id"),
         tsOrRaise(tsCol).as("touch_ts_us"))
 
+  /** The candidate-pair join every attribution form shares: conversions x
+    * touches on (user, time bucket) with the exact window predicate
+    * applied inside. Buckets are FLOOR(ts / windowUs) (exact BIGINT,
+    * sign-safe); a touch in `(conv_ts − window, conv_ts]` always lands in
+    * the conversion's bucket or the one before it, so each conversion
+    * probes exactly two buckets (an explode-by-2 on the smaller side) and
+    * each qualifying pair matches EXACTLY once (a touch has one bucket).
+    * Per-user all-history fan-out never materializes — the candidate set
+    * is linear in history where a user-only join key is quadratic.
+    */
+  private def bandPairs(conv: DataFrame, touch: DataFrame, windowUs: Long,
+                        userCol: String): DataFrame = {
+    def bucketOf(c: String) =
+      expr(s"($c - pmod($c, ${windowUs}L)) div ${windowUs}L")
+    val probed = conv.withColumn("__band",
+      explode(array(bucketOf("conv_ts_us") - lit(1L), bucketOf("conv_ts_us"))))
+    val banded = touch.withColumn("__band", bucketOf("touch_ts_us"))
+    probed.join(banded, Seq(userCol, "__band"))
+      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
+        col("touch_ts_us") > col("conv_ts_us") - lit(windowUs))
+      .drop("__band")
+  }
+
   private def oneShot(events: DataFrame, scheme: Scheme, windowDays: Int,
                       convType: String, touchType: String,
                       userCol: String, tsCol: String, idCol: String,
@@ -155,9 +183,7 @@ object Attribution {
             "or grow the half-life)")
       case _ => ()
     }
-    val pairs = conv.join(touch, Seq(userCol))
-      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
-        col("touch_ts_us") > col("conv_ts_us") - lit(windowUs))
+    val pairs = bandPairs(conv, touch, windowUs, userCol)
     // per-conversion touch count + the most recent (remainder anchor) and,
     // for the U-shape, the earliest touch — all combinable aggregates
     val perConv = pairs.groupBy(col(userCol), col("conv_event_id"))
@@ -236,11 +262,12 @@ object Attribution {
     val windowUs = windowDays.toLong * 86400000000L
     val conv = convsOf(events, convType, userCol, tsCol, idCol, typeCol, valueCol)
     val touch = touchesOf(events, touchType, userCol, tsCol, idCol, typeCol)
-    conv.join(touch,
-        conv(userCol) === touch(userCol) &&
-          col("touch_ts_us") <= col("conv_ts_us") &&
-          col("touch_ts_us") > col("conv_ts_us") - lit(windowUs),
-        "left_anti")
+    // attributed keys via the bucketed candidate join (linear in history),
+    // then one equi anti join — an anti join over the raw band predicate
+    // would re-materialize the per-user all-history pair fan-out
+    val attributed = bandPairs(conv, touch, windowUs, userCol)
+      .select(col(userCol), col("conv_event_id"))
+    conv.join(attributed, Seq(userCol, "conv_event_id"), "left_anti")
       .select(col(userCol), col("conv_event_id"), col("conv_ts_us"),
         col("__v").as("value_fp"))
   }
@@ -276,9 +303,7 @@ object Attribution {
     val touch = events.filter(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol), col(idCol).as("touch_event_id"),
         tsOrRaise(tsCol).as("touch_ts_us"), col(typeCol).as("__tt"))
-    conv.join(touch, Seq(userCol))
-      .filter(col("touch_ts_us") <= col("conv_ts_us") &&
-        col("touch_ts_us") > col("conv_ts_us") - lit(windowUs))
+    bandPairs(conv, touch, windowUs, userCol)
       .groupBy(col(userCol), col("conv_event_id"))
       .agg(min(col("conv_ts_us")).as("conv_ts_us"),
         min(col("__v")).as("value_fp"),
