@@ -240,6 +240,30 @@ object TextFunctions {
     *  - r4 <= 90% lines start a bullet
     */
   def gopherRules(text: Column): Seq[(String, Column)] = {
+    // ONE native byte-scan ([[GopherScan]]) computes every raw metric;
+    // all sixteen outputs read fields of the SAME struct subtree, so
+    // subexpression elimination evaluates the scan once per row and the
+    // generated code is one kernel call + integer math — the HOF form
+    // (kept below as the parity witness) split the text three ways and
+    // re-walked it per output column, the largest codegen producer in
+    // the corpus-quality family.
+    val m = GopherScan.gopherScan(text)
+    gopherDerived(
+      n = m.getField("n_words"),
+      sumLen = m.getField("sum_word_len"),
+      alphaWords = m.getField("alpha_words"),
+      symbols = m.getField("symbol_count"),
+      nLines = m.getField("n_lines"),
+      bulletLines = m.getField("bullet_lines"),
+      ellipsisLines = m.getField("ellipsis_lines"),
+      nStopPresent = m.getField("n_stop_present"))
+  }
+
+  /** The original HOF formulation of [[gopherRules]] — retained ONLY as
+    * the bit-parity witness for [[GopherScan]] (GopherRulesSpec asserts
+    * native == HOF on hand cases and random strings).
+    */
+  def gopherRulesHof(text: Column): Seq[(String, Column)] = {
     val words = filter(split(text, "\\s+"), w => length(w) > lit(0))
     val n = size(words).cast("long")
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
@@ -255,6 +279,17 @@ object TextFunctions {
     val nStopPresent = GopherStopSmall
       .map(s => when(array_contains(toks, s), lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
+    gopherDerived(n, sumLen, alphaWords, symbols, nLines, bulletLines,
+      ellipsisLines, nStopPresent)
+  }
+
+  /** Rule flags + report columns from the eight raw metrics — shared by
+    * the native and HOF formulations so parity is structural.
+    */
+  private def gopherDerived(n: Column, sumLen: Column, alphaWords: Column,
+                            symbols: Column, nLines: Column,
+                            bulletLines: Column, ellipsisLines: Column,
+                            nStopPresent: Column): Seq[(String, Column)] = {
     val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0))
     val r1 = flag(n >= GopherMinWords && n <= GopherMaxWords)
     val r2 = flag(n > 0 && sumLen >= lit(3L) * n && sumLen <= lit(10L) * n)

@@ -64,6 +64,31 @@ class GopherRulesSpec extends SparkTestBase {
     r("gopher_keep") shouldBe 0
   }
 
+  test("native GopherScan == HOF witness on hand docs and random strings") {
+    val hands = Seq(clean, "the cat sat with that hat",
+      "the of intro line\n- one\n- two\nplain tail line...\n### #x ...",
+      "   \n  \t ", "", "a", "...", ".....", "......", "#", " # .. ",
+      "- bullet\n  * spaced bullet\nplain",
+      "ends in dots...   \n...starts with dots",
+      "tab\tsep\tword\r\nwindows line\r\n",
+      "café naïve 你好 the of", // multi-byte code points
+      "UPPER THE OF AND lower the of and")
+    val gen = org.scalacheck.Gen.listOfN(300, org.scalacheck.Gen.frequency(
+      6 -> org.scalacheck.Gen.alphaNumChar,
+      2 -> org.scalacheck.Gen.oneOf(' ', ' ', '\n', '\t', '\r'),
+      1 -> org.scalacheck.Gen.oneOf('.', '#', '-', '*', 'é', '你'),
+      1 -> org.scalacheck.Gen.oneOf("the", "be", "to", "of", "and").flatMap(
+        s => org.scalacheck.Gen.const(s.charAt(0))))).map(_.mkString)
+    val randoms = (1 to 40).map(i => sample(gen, 5000L + i))
+    val docs = (hands ++ randoms).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = docs.select(col("id") +:
+      TextFunctions.gopherRules(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val hof = docs.select(col("id") +:
+      TextFunctions.gopherRulesHof(col("text")).map { case (n, c) => c.as(n) }: _*)
+    native.orderBy("id").collect().toSeq shouldBe hof.orderBy("id").collect().toSeq
+  }
+
   test("metrics count what the flags compare: bullets, ellipsis lines, symbols") {
     val doc = "the of intro line\n- one\n- two\nplain tail line...\n### #x ..."
     val r = rules(doc)
