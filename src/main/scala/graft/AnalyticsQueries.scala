@@ -610,7 +610,16 @@ object AnalyticsQueries {
         .unionByName(check(SparkEntry.events(s, dir), Seq(
           ForeignKey(Seq("user_id"),
             s.read.parquet(s"$dir/customer.parquet"), Seq("c_custkey")))))
-    })
+    }),
+
+    // STREAMING under the oracle: the real Structured-Streaming ingest
+    // (watermarked dedup -> tumbling windowed counts, Append mode) driven
+    // through MemoryStream with replayed duplicates and a watermark-
+    // advancing sentinel — the emitted windows must hash-match the batch
+    // formulation's DuckDB twin
+    "q186_streaming_ingest" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedIngestReplay(
+        s, SparkEntry.events(s, dir)))
   )
 
   /** q181's score axes: classic quintiles. */
@@ -1502,7 +1511,20 @@ object AnalyticsQueries {
     // traffic-anomaly twin: the same cross-multiplied integer z-test in
     // HUGEINT, trailing calendar-day RANGE window, NULL until the window
     // is complete
-    "q182_traffic_anomaly" -> AnomalyOracleSql
+    "q182_traffic_anomaly" -> AnomalyOracleSql,
+
+    // streaming-ingest twin: the BATCH formulation of watermarked-dedup +
+    // tumbling windows — distinct (user, type, ts) rows (the replayed
+    // duplicates collapse; keys are unique in the corpus, so the kept
+    // value is deterministic) bucketed to floor-hour windows; the
+    // sentinel row never flushes in Append mode so it has no twin row
+    "q186_streaming_ingest" ->
+      """WITH e AS (SELECT DISTINCT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us, value FROM events)
+        |SELECT (us // 3600000000) * 3600000000 AS window_start_us,
+        |  user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(value) AS sum_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin
   )
 
   private lazy val RfmOracleSql: String = {

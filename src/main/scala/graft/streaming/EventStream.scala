@@ -135,6 +135,59 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** The ORACLE-GATED streaming contract (q186): run the real watermarked
+    * ingest — [[dedupedEvents]] into [[windowedCounts]], Append mode —
+    * over the batch event table through MemoryStream micro-batches, and
+    * return the emitted windows as a batch frame the DuckDB twin can
+    * hash-match. Two batches drive the production semantics end to end:
+    *
+    *  1. every event plus REPLAYED duplicates (each `event_id %
+    *     replayMod == 0` row re-added — the at-least-once-source norm the
+    *     dedup stage exists for);
+    *  2. one far-future sentinel that advances the event-time watermark
+    *     past every real window, so Append mode FLUSHES them all; the
+    *     sentinel's own window stays in state and never emits.
+    *
+    * The result is therefore exactly the batch formulation — distinct
+    * (user, type, ts) rows bucketed to tumbling windows — which is what
+    * the oracle SQL computes. The driver-side collect feeding MemoryStream
+    * is the harness contract of the in-memory source (a production job
+    * reads Kafka/files), not a pipeline pattern.
+    */
+  def windowedIngestReplay(spark: org.apache.spark.sql.SparkSession,
+                           events: DataFrame,
+                           replayMod: Long = 97L,
+                           windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+      .as[(Long, String, Long, Double, Long)].collect()
+    require(rows.nonEmpty, "streaming contract needs a non-empty event table")
+    val replays = rows.filter(_._5 % replayMod == 0L)
+    val maxUs = rows.iterator.map(_._3).max
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Double)]
+    val stream = input.toDF().toDF("user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val name = "graft_stream_q186_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowedCounts(dedupedEvents(stream), windowLen, watermark)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((rows ++ replays).toSeq.map(r => (r._1, r._2, r._3, r._4)))
+      q.processAllAvailable()
+      // 30 days clears any windowLen/watermark a caller could pass
+      input.addData(Seq((-1L, "__sentinel", maxUs + 30L * 86400000000L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("user_id"), col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   case class Event(user_id: String, event_type: String, ts: Timestamp, value: Double)
 
   /** Running per-user feature snapshot (streaming twin of the online-sync
