@@ -229,16 +229,34 @@ object Profile {
     require(!quasiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier " +
         "(every class would trivially be 1-diverse)")
+    lDiversityFromCounts(pairCounts(df, quasiCols, sensitiveCol), quasiCols, l)
+  }
+
+  /** The shared (quasi x sensitive) count table — the ONE corpus-sized
+    * aggregate every sensitive-aware audit derives from. */
+  private def pairCounts(df: DataFrame, quasiCols: Seq[String],
+                         sensitiveCol: String): DataFrame =
     df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
-      .groupBy(quasiCols.map(col): _*)
+
+  /** [[kAnonymity]] read off a pre-aggregated (quasi x sensitive) count
+    * table instead of the corpus. */
+  private def kAnonymityFromCounts(pv: DataFrame, quasiCols: Seq[String],
+                                   k: Long): DataFrame =
+    pv.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).cast("long").as("class_size"))
+      .withColumn("at_risk", (col("class_size") < k).cast("int"))
+
+  /** [[lDiversity]] read off the pre-aggregated count table. */
+  private def lDiversityFromCounts(pv: DataFrame, quasiCols: Seq[String],
+                                   l: Long): DataFrame =
+    pv.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("__c")).cast("long").as("class_size"),
         count(lit(1)).as("l_distinct"),
         max(col("__c")).as("__modal"))
       .select(quasiCols.map(col) ++ Seq(col("class_size"), col("l_distinct"),
         ExactPpm.ppm(col("__modal"), col("class_size")).as("modal_share_ppm"),
         (col("l_distinct") < l).cast("int").as("at_risk")): _*)
-  }
 
   /** T-closeness companion to [[kAnonymity]]/[[lDiversity]] (Li et al.
     * 2007): a class can be k-large AND l-diverse yet still leak — its
@@ -267,9 +285,15 @@ object Profile {
     require(!quasiCols.contains(sensitiveCol),
       s"sensitive column $sensitiveCol cannot also be a quasi-identifier " +
         "(every class distribution would trivially be a point mass)")
+    tClosenessFromCounts(pairCounts(df, quasiCols, sensitiveCol),
+      quasiCols, sensitiveCol, tPpm)
+  }
+
+  /** [[tCloseness]] read off the pre-aggregated count table: the windows
+    * run over the domain-bounded pv frame exactly as before. */
+  private def tClosenessFromCounts(pv: DataFrame, quasiCols: Seq[String],
+                                   sensitiveCol: String, tPpm: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("__c"))
     val withShares = pv
       .withColumn("class_size",
         sum(col("__c")).over(Window.partitionBy(quasiCols.map(col): _*)))
@@ -312,10 +336,13 @@ object Profile {
     * back is NULL-SAFE (`<=>`) — a plain equi-join would silently leak
     * every at-risk NULL-quasi row into the release.
     *
-    * Scale shape: the audit frames are bounded by the distinct
-    * (quasi x sensitive) domain, the at-risk subset is smaller still, and
-    * it joins back as ONE broadcast against the corpus — one corpus scan
-    * beyond the audits themselves, never a corpus-keyed shuffle.
+    * Scale shape: ONE corpus scan total for every enabled audit — the
+    * shared (quasi x sensitive) count aggregate is persisted and all
+    * three audits read it (they are pure functions of those counts; the
+    * naive composition re-scanned the corpus per audit) — then the
+    * at-risk subset, bounded by the quasi domain and smaller still,
+    * joins back as ONE broadcast against the corpus: two corpus scans
+    * end to end, never a corpus-keyed shuffle.
     */
   def suppressAtRisk(df: DataFrame, quasiCols: Seq[String], k: Long = 5L,
                      sensitiveCol: Option[String] = None, l: Long = 2L,
@@ -326,12 +353,33 @@ object Profile {
         "sensitive distribution's distance from the global one)")
     def riskClasses(audit: DataFrame): DataFrame =
       audit.filter(col("at_risk") === 1).select(quasiCols.map(col): _*)
-    val audits = Seq(riskClasses(kAnonymity(df, quasiCols, k))) ++
-      sensitiveCol.map(sc => riskClasses(lDiversity(df, quasiCols, sc, l))) ++
-      (sensitiveCol zip tPpm).map { case (sc, t) =>
-        riskClasses(tCloseness(df, quasiCols, sc, t)) }
-    val risky = audits.reduce(_ unionByName _).distinct()
-      .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*)
+    val audits = sensitiveCol match {
+      case None => Seq(riskClasses(kAnonymity(df, quasiCols, k)))
+      case Some(sc) =>
+        val pv = Caching.maybePersist(pairCounts(df, quasiCols, sc),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // materialize the cache EAGERLY: the audit subtrees evaluate
+        // concurrently, and concurrent stages racing on an unbuilt cache
+        // each recompute it from the corpus — the one-count job here pins
+        // the corpus scan count at one
+        pv.count()
+        Seq(riskClasses(kAnonymityFromCounts(pv, quasiCols, k)),
+          riskClasses(lDiversityFromCounts(pv, quasiCols, l))) ++
+          tPpm.map(t => riskClasses(tClosenessFromCounts(pv, quasiCols, sc, t)))
+    }
+    // persist + materialize the at-risk class list (bounded by the quasi
+    // domain — tiny) BEFORE the release join: the optimizer pushes a
+    // left-anti join through a Union left side into every branch
+    // (PushdownLeftSemiAntiJoin), and an unmaterialized broadcast side
+    // would rebuild the whole audit subtree once per branch — observed as
+    // 10 copies of the window/aggregate machinery over a 10-replica
+    // corpus, with no exchange reuse. Cached, each pushed-down join
+    // broadcasts a cache read and the audits run exactly once.
+    val risky = Caching.maybePersist(
+      audits.reduce(_ unionByName _).distinct()
+        .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    risky.count()
     val hit = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
     if (!generalize)
       df.join(broadcast(risky), hit, "left_anti")
