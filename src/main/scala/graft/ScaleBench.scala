@@ -658,9 +658,38 @@ object ScaleBench {
         s""""attribution_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
+    // audio STATE-path growth: the q146-shape contract for audio — pairs
+    // read off pre-built (id, hash) fingerprint state (payload decode paid
+    // ONCE at state-append time, exactly the --state-path workflow), so
+    // the curve reads the pigeonhole pair join's scaling alone. The
+    // one-shot audio_neardup row keeps reading fixture-encode + decode
+    // growth, which javax.sound's synchronized SPI lookup inflates — that
+    // cost is absent from the state path by construction.
+    val audioStateRow =
+      if (filterSpec.isDefined && !only("audio_state_pairs")) Seq.empty[String]
+      else Seq {
+        spark.sharedState.cacheManager.clearCache()
+        val base = s"/tmp/graft_scalebench_astate_${spark.sparkContext.applicationId}"
+        try {
+          def stateOf(k: Int, dir: String): DataFrame = {
+            Multimodal.audioFingerprintState(Multimodal.testToneMedia(
+              scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
+              "doc_id")).write.mode("overwrite").parquet(dir)
+            spark.read.parquet(dir)
+          }
+          val st1 = stateOf(1, s"$base/x1")
+          val stN = stateOf(mult, s"$base/x$mult")
+          val s1 = sampled(Multimodal.perceptualPairsFromState(st1))
+          spark.sharedState.cacheManager.clearCache()
+          val sN = sampled(Multimodal.perceptualPairsFromState(stN))
+          val (t1, tN) = (minOr(s1), minOr(sN))
+          val growth = if (t1 > 0 && tN > 0) tN / t1 else -1.0
+          s""""audio_state_pairs":{"x1":$t1,"x$mult":$tN,"growth":${math.rint(growth * 100) / 100},"x1_samples":${arr(s1)},"x${mult}_samples":${arr(sN)}}"""
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
     prRanksPaths.values.foreach(p =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
-    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow ++ attrIncRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scale_growth","mult":$mult,"queries":${(rows ++ recallRows ++ plantedRows ++ incRow ++ attrIncRow ++ audioStateRow).mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
