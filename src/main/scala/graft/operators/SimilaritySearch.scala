@@ -192,10 +192,15 @@ object SimilaritySearch {
       val newCv = sums.groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("cv"))
-      cent = cent.select(col("cid"), col("cv").as("cv0"))
+      // persist per iteration (the PageRank discipline): the loop's plan
+      // otherwise NESTS — iteration i embeds every prior iteration's full
+      // member-assignment pipeline, and each downstream reference to the
+      // trained centroids (assign, encode, ADC tables, probes) re-runs
+      // the whole training. The frame is K rows — caching is free.
+      cent = maybePersist(cent.select(col("cid"), col("cv").as("cv0"))
         .join(newCv, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
-        .withColumn("cnrm", vecNorm(col("cv")))
+        .withColumn("cnrm", vecNorm(col("cv"))), StorageLevel.MEMORY_AND_DISK)
     }
     cent
   }
@@ -467,10 +472,13 @@ object SimilaritySearch {
       val newCv = sums.groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("cv"))
-      cent = cent.select(col("cid"), col("sub"), col("cv").as("cv0"))
+      // per-iteration persist, same rationale as trainedCentroids: K x m
+      // rows, and every downstream encode/ADC reference re-runs the
+      // nested training plan without it
+      cent = maybePersist(cent.select(col("cid"), col("sub"), col("cv").as("cv0"))
         .join(newCv, Seq("sub", "cid"), "left")
         .select(col("cid"), col("sub"), coalesce(col("cv"), col("cv0")).as("cv"))
-        .withColumn("cvv", vecDot(col("cv"), col("cv")))
+        .withColumn("cvv", vecDot(col("cv"), col("cv"))), StorageLevel.MEMORY_AND_DISK)
     }
     cent
   }
@@ -562,7 +570,11 @@ object SimilaritySearch {
     require(dim % m == 0, s"buildPqIndex: dim $dim must split into $m subspaces")
     require(!embeddings.filter(codebookPred).limit(1).isEmpty,
       s"buildPqIndex: codebookPred '$codebookPred' selects no rows — empty codebook")
-    val cb = pqCodebook(embeddings.filter(codebookPred), m, dim, idCol, vecCol)
+    // persist the (tiny) codebook: build-encode, every addToPqIndex
+    // shard-encode, and every query ADC table re-reference it — without
+    // the pin each broadcast re-derives it from the source scan
+    val cb = maybePersist(
+      pqCodebook(embeddings.filter(codebookPred), m, dim, idCol, vecCol), storage)
     PqIndex(cb,
       pqEncode(maybePersist(pqSubbed(embeddings, m, dim, idCol, vecCol), storage), cb),
       m, dim)
@@ -694,12 +706,19 @@ object SimilaritySearch {
     require(!embeddings.filter(codebookPred).limit(1).isEmpty,
       s"ivfPqKnn: codebookPred '$codebookPred' selects no rows — empty codebook")
     val subDim = dim / m
-    val cents = ivfPqUnit(embeddings.filter(centroidPred), idCol, vecCol)
-      .select(col("id").as("ccid"), col("vn").as("cn"))
-    val cbook = ivfPqResidSubs(
+    // persist the (tiny) quantizer frames: the coarse centroids are
+    // referenced by the corpus assign, the codebook train, every
+    // addToIvfPqIndex shard assign, and every query probe; the residual
+    // codebook by every encode and every ADC table — without the pin
+    // each broadcast re-derives them from the source scan
+    val cents = maybePersist(
+      ivfPqUnit(embeddings.filter(centroidPred), idCol, vecCol)
+        .select(col("id").as("ccid"), col("vn").as("cn")), storage)
+    val cbook = maybePersist(ivfPqResidSubs(
         ivfPqAssigned(ivfPqUnit(embeddings.filter(codebookPred), idCol, vecCol), cents),
         Seq("id"), m, subDim)
-      .select(col("id").as("cid"), col("sub"), col("rv").as("cv"), col("rvv").as("cvv"))
+      .select(col("id").as("cid"), col("sub"), col("rv").as("cv"), col("rvv").as("cvv")),
+      storage)
     val corpus = maybePersist(ivfPqResidSubs(
       ivfPqAssigned(ivfPqUnit(embeddings, idCol, vecCol), cents),
       Seq("id", "ccid"), m, subDim), storage)
