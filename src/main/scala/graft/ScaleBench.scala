@@ -196,6 +196,37 @@ object ScaleBench {
       // bounded window frame scale — reads the day-grain agg's linearity
       "traffic_anomaly_history" -> (k => graft.operators.Anomaly
         .trafficAnomaly(scaledEventsHistory(k))),
+      // q15 shape + SKEW GUARD: the union-sorted as-of plan shuffles on
+      // user_id, and a window partition is per-key un-splittable — the
+      // documented 100x hazard is a hot user. The skewed twin remaps 1%
+      // of ALL rows onto one user (a key carrying ~32x the uniform
+      // per-key mass at 32 shuffle partitions); within ~2x of the
+      // uniform row = the hot partition stays bounded by the straggler
+      // task, not a plan collapse. (At 1000-executor partition counts a
+      // hot key this heavy would dominate its task; the mitigation is
+      // upstream salting/pre-aggregation of the feature side — this row
+      // documents where that threshold lives, on the real plan.)
+      "pit_asof_uniform" -> (k => {
+        val e = scaledEvents(k)
+        graft.operators.AsOfJoin.unionSorted(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("label_ts"), col("event_id")),
+          e.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("feat_ts"),
+              col("value").as("feat_value")),
+          "user_id", "label_ts", "feat_ts", Seq("feat_value"))
+      }),
+      "pit_asof_skewed" -> (k => {
+        val e = scaledEvents(k).withColumn("user_id",
+          when(col("event_id") % 100 === 0, lit(0L)).otherwise(col("user_id")))
+        graft.operators.AsOfJoin.unionSorted(
+          e.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("label_ts"), col("event_id")),
+          e.filter(col("event_type") === "view")
+            .select(col("user_id"), col("ts").as("feat_ts"),
+              col("value").as("feat_value")),
+          "user_id", "label_ts", "feat_ts", Seq("feat_value"))
+      }),
       // q185 shape: four row-local rules in ONE combinable aggregate +
       // the unique rule's keyed agg — two scans total at any rule count
       "expectations" -> (k => {
