@@ -173,9 +173,19 @@ object EventStream {
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val name = "graft_stream_q186_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowedCounts(dedupedEvents(stream), windowLen, watermark)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // contract-harness partitioning: TWO stateful operators each pay a
+    // state-store instance per shuffle partition per micro-batch, a fixed
+    // overhead that dwarfs the data at verification scale (a production
+    // job sizes partitions to volume; this harness pins a small count for
+    // the contract run and restores the session setting after)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        windowedCounts(dedupedEvents(stream), windowLen, watermark)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       input.addData((rows ++ replays).toSeq.map(r => (r._1, r._2, r._3, r._4)))
       q.processAllAvailable()
