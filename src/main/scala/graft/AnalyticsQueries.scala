@@ -1514,16 +1514,20 @@ object AnalyticsQueries {
     "q182_traffic_anomaly" -> AnomalyOracleSql,
 
     // streaming-ingest twin: the BATCH formulation of watermarked-dedup +
-    // tumbling windows — distinct (user, type, ts) rows (the replayed
-    // duplicates collapse; keys are unique in the corpus, so the kept
-    // value is deterministic) bucketed to floor-hour windows; the
-    // sentinel row never flushes in Append mode so it has no twin row
+    // tumbling windows — distinct FULL rows (the replayed duplicates are
+    // byte-identical redeliveries, so the dedup key includes the value)
+    // bucketed to floor-hour windows; value in 1e6 fixed point
+    // (floor(v·1e6 + 0.5), the q65 single-IEEE-op rule) so the window sum
+    // is exact BIGINT on both engines; the sentinel row never flushes in
+    // Append mode so it has no twin row
     "q186_streaming_ingest" ->
       """WITH e AS (SELECT DISTINCT user_id, event_type,
-        |  epoch_ns(ts) // 1000 AS us, value FROM events)
+        |  epoch_ns(ts) // 1000 AS us,
+        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_fp
+        |  FROM events)
         |SELECT (us // 3600000000) * 3600000000 AS window_start_us,
         |  user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  sum(value) AS sum_value
+        |  sum(value_fp) AS sum_value_fp
         |FROM e GROUP BY 1, 2, 3""".stripMargin
   )
 

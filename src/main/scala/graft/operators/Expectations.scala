@@ -146,6 +146,9 @@ object Expectations {
 
   /** Split on `sep` honouring `\sep` as a literal occurrence (the escape
     * backslash is removed); any other backslash passes through verbatim.
+    * TRAILING empty segments drop (Java `String.split` semantics, which
+    * this replaces): a trailing-'|' typo in an in_set rule must not
+    * silently admit "" as a valid value. Interior empties survive.
     */
   private def splitEscaped(s: String, sep: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
@@ -160,7 +163,7 @@ object Expectations {
       } else { cur.append(c); i += 1 }
     }
     out += cur.toString
-    out.result()
+    out.result().reverse.dropWhile(_.isEmpty).reverse
   }
 
   /** One verdict row per rule: `(rule, target, n_rows, n_violations,

@@ -351,10 +351,23 @@ object Profile {
     require(sensitiveCol.isDefined || tPpm.isEmpty,
       "suppressAtRisk: tPpm needs sensitiveCol (t-closeness measures the " +
         "sensitive distribution's distance from the global one)")
+    // the shared-count fast path below bypasses the public audits, so it
+    // must re-assert EVERY contract they enforce — a duplicated or
+    // missing column, k/l/t out of range would otherwise silently
+    // produce an audit that flags everything or nothing
+    require(quasiCols.nonEmpty, "suppressAtRisk needs at least one quasi-identifier column")
+    require(k >= 1, "k must be positive")
+    require(l >= 1, "l must be positive")
+    tPpm.foreach(t => require(t >= 0 && t <= 1000000L, "tPpm must be in [0, 1e6]"))
+    val needed = quasiCols ++ sensitiveCol.toSeq
+    val missing = needed.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    sensitiveCol.foreach(sc => require(!quasiCols.contains(sc),
+      s"sensitive column $sc cannot also be a quasi-identifier"))
     def riskClasses(audit: DataFrame): DataFrame =
       audit.filter(col("at_risk") === 1).select(quasiCols.map(col): _*)
-    val audits = sensitiveCol match {
-      case None => Seq(riskClasses(kAnonymity(df, quasiCols, k)))
+    val (audits, pvOwned) = sensitiveCol match {
+      case None => (Seq(riskClasses(kAnonymity(df, quasiCols, k))), None)
       case Some(sc) =>
         val pv = Caching.maybePersist(pairCounts(df, quasiCols, sc),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -363,9 +376,10 @@ object Profile {
         // each recompute it from the corpus — the one-count job here pins
         // the corpus scan count at one
         pv.count()
-        Seq(riskClasses(kAnonymityFromCounts(pv, quasiCols, k)),
+        (Seq(riskClasses(kAnonymityFromCounts(pv, quasiCols, k)),
           riskClasses(lDiversityFromCounts(pv, quasiCols, l))) ++
-          tPpm.map(t => riskClasses(tClosenessFromCounts(pv, quasiCols, sc, t)))
+          tPpm.map(t => riskClasses(tClosenessFromCounts(pv, quasiCols, sc, t))),
+          Some(pv))
     }
     // persist + materialize the at-risk class list (bounded by the quasi
     // domain — tiny) BEFORE the release join: the optimizer pushes a
@@ -380,6 +394,9 @@ object Profile {
         .select(quasiCols.map(c => col(c).as(s"__r_$c")): _*),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     risky.count()
+    // pv is dead once risky is materialized — release it so repeated
+    // calls in a long-lived session don't accumulate cached aggregates
+    pvOwned.foreach(_.unpersist(false))
     val hit = quasiCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _)
     if (!generalize)
       df.join(broadcast(risky), hit, "left_anti")

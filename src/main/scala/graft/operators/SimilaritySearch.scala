@@ -178,6 +178,7 @@ object SimilaritySearch {
   private[operators] def trainedCentroids(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cent = init.select(
       col("id").as("cid"), toDoubleVec(col("v")).as("cv"), col("nrm").as("cnrm"))
+    var prevOwned: Option[DataFrame] = None // iteration frames WE persisted
     for (_ <- 1 to iters) {
       val members = e.select(col("id"), col("v")).join(assignCells(e, cent), "id")
       val dims = members
@@ -197,10 +198,15 @@ object SimilaritySearch {
       // member-assignment pipeline, and each downstream reference to the
       // trained centroids (assign, encode, ADC tables, probes) re-runs
       // the whole training. The frame is K rows — caching is free.
+      // Materialize eagerly, then release the PREVIOUS round's frame so a
+      // long-lived session doesn't accumulate one dead entry per round.
       cent = maybePersist(cent.select(col("cid"), col("cv").as("cv0"))
         .join(newCv, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
         .withColumn("cnrm", vecNorm(col("cv"))), StorageLevel.MEMORY_AND_DISK)
+      cent.count()
+      prevOwned.foreach(_.unpersist(false))
+      prevOwned = Some(cent)
     }
     cent
   }
@@ -457,6 +463,7 @@ object SimilaritySearch {
   private[operators] def trainedSubCentroids(subs: DataFrame, init: DataFrame,
                                              iters: Int): DataFrame = {
     var cent = init
+    var prevOwned: Option[DataFrame] = None // iteration frames WE persisted
     for (_ <- 1 to iters) {
       val assigned = pqEncode(subs, cent)
       val dims = subs.select(col("id"), col("sub"), col("sv"))
@@ -474,11 +481,14 @@ object SimilaritySearch {
           s => s.getField("mean")).as("cv"))
       // per-iteration persist, same rationale as trainedCentroids: K x m
       // rows, and every downstream encode/ADC reference re-runs the
-      // nested training plan without it
+      // nested training plan without it; eager + previous-round release
       cent = maybePersist(cent.select(col("cid"), col("sub"), col("cv").as("cv0"))
         .join(newCv, Seq("sub", "cid"), "left")
         .select(col("cid"), col("sub"), coalesce(col("cv"), col("cv0")).as("cv"))
         .withColumn("cvv", vecDot(col("cv"), col("cv"))), StorageLevel.MEMORY_AND_DISK)
+      cent.count()
+      prevOwned.foreach(_.unpersist(false))
+      prevOwned = Some(cent)
     }
     cent
   }

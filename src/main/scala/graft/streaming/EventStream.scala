@@ -148,11 +148,19 @@ object EventStream {
     *     past every real window, so Append mode FLUSHES them all; the
     *     sentinel's own window stays in state and never emits.
     *
-    * The result is therefore exactly the batch formulation — distinct
-    * (user, type, ts) rows bucketed to tumbling windows — which is what
-    * the oracle SQL computes. The driver-side collect feeding MemoryStream
-    * is the harness contract of the in-memory source (a production job
-    * reads Kafka/files), not a pipeline pattern.
+    * Cross-engine discipline: `value` quantizes to 1e6 fixed point BEFORE
+    * the stream (floor(v·1e6 + 0.5), single IEEE ops — the q65 rule), so
+    * the windowed sum is exact BIGINT arithmetic, order- and
+    * engine-independent; a NULL value stays NULL (both engines' sums skip
+    * it). The dedup key is the FULL row (user, type, ts, value_fp) — a
+    * replay is a byte-identical redelivery — so the twin's DISTINCT is
+    * exact even if distinct events ever shared (user, type, ts). The
+    * result equals the batch formulation — distinct rows bucketed to
+    * tumbling windows — which is what the oracle SQL computes. The
+    * driver-side collect feeding MemoryStream is the harness contract of
+    * the in-memory source (a production job reads Kafka/files), not a
+    * pipeline pattern; windowLen/watermark must stay under the sentinel's
+    * 30-day horizon or the last real windows would never flush.
     */
   def windowedIngestReplay(spark: org.apache.spark.sql.SparkSession,
                            events: DataFrame,
@@ -162,13 +170,16 @@ object EventStream {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rows = events.select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
-      .as[(Long, String, Long, Double, Long)].collect()
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("value_fp"),
+        col("event_id"))
+      .as[(Long, String, Long, Option[Long], Long)].collect()
     require(rows.nonEmpty, "streaming contract needs a non-empty event table")
     val replays = rows.filter(_._5 % replayMod == 0L)
     val maxUs = rows.iterator.map(_._3).max
     val input = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, String, Long, Double)]
+      .MemoryStream[(Long, String, Long, Option[Long])]
     val stream = input.toDF().toDF("user_id", "event_type", "us", "value")
       .withColumn("ts", timestamp_micros(col("us"))).drop("us")
     val name = "graft_stream_q186_" +
@@ -182,20 +193,32 @@ object EventStream {
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
-        windowedCounts(dedupedEvents(stream), windowLen, watermark)
+        windowedCounts(
+          dedupedEvents(stream,
+            idCols = Seq("user_id", "event_type", "ts", "value"),
+            watermark = watermark),
+          windowLen, watermark)
           .writeStream.format("memory").queryName(name)
           .outputMode(OutputMode.Append()).start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       input.addData((rows ++ replays).toSeq.map(r => (r._1, r._2, r._3, r._4)))
       q.processAllAvailable()
-      // 30 days clears any windowLen/watermark a caller could pass
-      input.addData(Seq((-1L, "__sentinel", maxUs + 30L * 86400000000L, 0.0)))
+      input.addData(Seq((-1L, "__sentinel", maxUs + 30L * 86400000000L, Some(0L))))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    // materialize and DROP the memory-sink view: repeated harness calls
+    // in one session (Bench samples x2-3 + Verify) would otherwise each
+    // leave a driver-held sink table behind
+    val out = spark.table(name)
       .select(unix_micros(col("window_start")).as("window_start_us"),
-        col("user_id"), col("event_type"), col("n_events"), col("sum_value"))
+        col("user_id"), col("event_type"), col("n_events"),
+        col("sum_value").as("sum_value_fp"))
+    val schema = out.schema
+    val collected = out.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toIndexedSeq, 4), schema)
   }
 
   case class Event(user_id: String, event_type: String, ts: Timestamp, value: Double)

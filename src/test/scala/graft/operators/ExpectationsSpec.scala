@@ -110,6 +110,13 @@ class ExpectationsSpec extends SparkTestBase {
     // other backslashes pass through verbatim (\d stays a regex class)
     Expectations.parseRules("""regex:source=^src\d$""", _ => parent)
       .head shouldBe MatchesRegex("source", """^src\d$""")
+    // a trailing-'|' typo must NOT admit "" as a valid set value
+    // (String.split's trailing-empty drop, preserved); interior empties
+    // survive explicitly
+    Expectations.parseRules("in_set:lang=en|fr|", _ => parent)
+      .head shouldBe InSet("lang", Seq("en", "fr"))
+    Expectations.parseRules("in_set:lang=en||fr", _ => parent)
+      .head shouldBe InSet("lang", Seq("en", "", "fr"))
     // an unescaped ';' inside a pattern mis-splits -> the fragment fails
     // loudly, and a malformed pattern fails AT PARSE with the escape hint
     an[IllegalArgumentException] should be thrownBy
