@@ -178,7 +178,6 @@ object SimilaritySearch {
   private[operators] def trainedCentroids(e: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cent = init.select(
       col("id").as("cid"), toDoubleVec(col("v")).as("cv"), col("nrm").as("cnrm"))
-    var prevOwned: Option[DataFrame] = None // iteration frames WE persisted
     for (_ <- 1 to iters) {
       val members = e.select(col("id"), col("v")).join(assignCells(e, cent), "id")
       val dims = members
@@ -193,20 +192,19 @@ object SimilaritySearch {
       val newCv = sums.groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("cv"))
-      // persist per iteration (the PageRank discipline): the loop's plan
-      // otherwise NESTS — iteration i embeds every prior iteration's full
-      // member-assignment pipeline, and each downstream reference to the
-      // trained centroids (assign, encode, ADC tables, probes) re-runs
-      // the whole training. The frame is K rows — caching is free.
-      // Materialize eagerly, then release the PREVIOUS round's frame so a
-      // long-lived session doesn't accumulate one dead entry per round.
+      // persist per iteration: the loop's plan otherwise NESTS —
+      // iteration i embeds every prior iteration's full member-assignment
+      // pipeline, and each downstream reference to the trained centroids
+      // (assign, encode, ADC tables, probes) re-runs the whole training.
+      // LAZY persist deliberately — no eager count / previous-round
+      // unpersist (the PageRank rotation): an A/B on this tree read the
+      // eager form 2x SLOWER across the trained-ANN/semantic-dedup family
+      // (serialized materialization jobs vs fused downstream stages), and
+      // the retained frames are K rows each — eviction pressure nil.
       cent = maybePersist(cent.select(col("cid"), col("cv").as("cv0"))
         .join(newCv, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cv"), col("cv0")).as("cv"))
         .withColumn("cnrm", vecNorm(col("cv"))), StorageLevel.MEMORY_AND_DISK)
-      cent.count()
-      prevOwned.foreach(_.unpersist(false))
-      prevOwned = Some(cent)
     }
     cent
   }
@@ -463,7 +461,6 @@ object SimilaritySearch {
   private[operators] def trainedSubCentroids(subs: DataFrame, init: DataFrame,
                                              iters: Int): DataFrame = {
     var cent = init
-    var prevOwned: Option[DataFrame] = None // iteration frames WE persisted
     for (_ <- 1 to iters) {
       val assigned = pqEncode(subs, cent)
       val dims = subs.select(col("id"), col("sub"), col("sv"))
@@ -481,14 +478,11 @@ object SimilaritySearch {
           s => s.getField("mean")).as("cv"))
       // per-iteration persist, same rationale as trainedCentroids: K x m
       // rows, and every downstream encode/ADC reference re-runs the
-      // nested training plan without it; eager + previous-round release
+      // nested training plan without it; lazy for the same A/B reason
       cent = maybePersist(cent.select(col("cid"), col("sub"), col("cv").as("cv0"))
         .join(newCv, Seq("sub", "cid"), "left")
         .select(col("cid"), col("sub"), coalesce(col("cv"), col("cv0")).as("cv"))
         .withColumn("cvv", vecDot(col("cv"), col("cv"))), StorageLevel.MEMORY_AND_DISK)
-      cent.count()
-      prevOwned.foreach(_.unpersist(false))
-      prevOwned = Some(cent)
     }
     cent
   }
