@@ -619,6 +619,46 @@ object AnalyticsQueries {
     // formulation's DuckDB twin
     "q186_streaming_ingest" -> ((s, dir) =>
       graft.streaming.EventStream.windowedIngestReplay(
+        s, SparkEntry.events(s, dir))),
+
+    // q186 BISECTION PROBE (a): the same batch formulation computed
+    // directly in Spark — distinct quantized rows bucketed to floor-hour
+    // windows, NO streaming machinery — against the SAME oracle SQL. A
+    // red q186 next to a green q186a means the divergence is inside the
+    // stream (watermark/flush/state), not Spark-vs-DuckDB arithmetic.
+    "q186a_ingest_batch_probe" -> ((s, dir) =>
+      SparkEntry.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+            .as("value_fp"))
+        .distinct()
+        .withColumn("window_start_us", expr("(us div 3600000000) * 3600000000"))
+        .groupBy(col("window_start_us"), col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value_fp")).as("sum_value_fp"))),
+
+    // q186 BISECTION PROBE (b): the STREAMED output rolled up to one
+    // all-integer checksum row per window hour. A red q186 with a red
+    // q186b localizes WHICH hour diverged (and in which column family);
+    // a red q186 with a GREEN q186b would mean a per-row difference that
+    // cancels in every sum — i.e. the driver compare itself, not the data.
+    "q186b_ingest_window_checksum" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedIngestReplay(
+        s, SparkEntry.events(s, dir))
+        .groupBy(col("window_start_us"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("user_id")).as("sum_users"),
+          sum(length(col("event_type"))).as("sum_type_len"),
+          sum(col("n_events")).as("sum_events"),
+          sum(col("sum_value_fp")).as("sum_value_fp"))),
+
+    // SESSION WINDOWS under the oracle (q186's twin for the other
+    // stateful-window family): the real session_window aggregation
+    // driven through MemoryStream + sentinel, hash-matched against the
+    // gaps-and-islands DuckDB twin with Spark's exact session semantics
+    // (an exactly-gap successor starts a NEW session; end = last + gap)
+    "q187_streaming_sessions" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionIngestReplay(
         s, SparkEntry.events(s, dir)))
   )
 
@@ -1513,23 +1553,68 @@ object AnalyticsQueries {
     // is complete
     "q182_traffic_anomaly" -> AnomalyOracleSql,
 
-    // streaming-ingest twin: the BATCH formulation of watermarked-dedup +
-    // tumbling windows — distinct FULL rows (the replayed duplicates are
-    // byte-identical redeliveries, so the dedup key includes the value)
-    // bucketed to floor-hour windows; value in 1e6 fixed point
-    // (floor(v·1e6 + 0.5), the q65 single-IEEE-op rule) so the window sum
-    // is exact BIGINT on both engines; the sentinel row never flushes in
-    // Append mode so it has no twin row
-    "q186_streaming_ingest" ->
-      """WITH e AS (SELECT DISTINCT user_id, event_type,
-        |  epoch_ns(ts) // 1000 AS us,
-        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_fp
-        |  FROM events)
-        |SELECT (us // 3600000000) * 3600000000 AS window_start_us,
-        |  user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  sum(value_fp) AS sum_value_fp
-        |FROM e GROUP BY 1, 2, 3""".stripMargin
+    // streaming-ingest twin — see [[StreamingIngestOracleSql]]
+    "q186_streaming_ingest" -> StreamingIngestOracleSql,
+
+    // probe (a) shares the contract's oracle verbatim: same formulation,
+    // streaming machinery removed on the Spark side only
+    "q186a_ingest_batch_probe" -> StreamingIngestOracleSql,
+
+    // probe (b): the contract twin rolled up per window hour — every
+    // column an exact integer sum, so a divergent hour (and which column
+    // family moved) reads straight off the row diff
+    "q186b_ingest_window_checksum" ->
+      s"""WITH w AS ($StreamingIngestOracleSql)
+         |SELECT window_start_us, CAST(count(*) AS BIGINT) AS n_rows,
+         |  sum(user_id) AS sum_users,
+         |  sum(CAST(len(event_type) AS BIGINT)) AS sum_type_len,
+         |  sum(n_events) AS sum_events, sum(sum_value_fp) AS sum_value_fp
+         |FROM w GROUP BY 1""".stripMargin,
+
+    // session-window twin: gaps-and-islands (lag + running sum per user)
+    // over the SAME quantized rows, with Spark session_window semantics
+    // pinned exactly — break when the gap is >= 30 minutes (the [ts,
+    // ts+gap) window excludes an exactly-gap successor; q54's batch
+    // operator uses > and would merge it), session_end = last event + gap
+    "q187_streaming_sessions" ->
+      s"""WITH e AS (SELECT user_id,
+         |  epoch_ns(ts) // 1000 AS us,
+         |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_fp
+         |  FROM events),
+         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+         |n AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= $SessionGapUs
+         |  THEN 1 ELSE 0 END AS brk FROM l),
+         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM n)
+         |SELECT min(us) AS session_start_us, max(us) + $SessionGapUs AS session_end_us,
+         |  user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  sum(value_fp) AS sum_value_fp
+         |FROM g GROUP BY user_id, sid""".stripMargin
   )
+
+  /** q187's session gap in micros — 30 minutes, [[graft.streaming
+    * .EventStream.sessionIngestReplay]]'s default.
+    */
+  private val SessionGapUs = 1800000000L
+
+  /** The q186 contract's batch formulation in DuckDB: watermarked-dedup +
+    * tumbling windows == distinct FULL rows (the replayed duplicates are
+    * byte-identical redeliveries, so the dedup key includes the value)
+    * bucketed to floor-hour windows; value in 1e6 fixed point
+    * (floor(v·1e6 + 0.5), the q65 single-IEEE-op rule) so the window sum
+    * is exact BIGINT on both engines; the sentinel row never flushes in
+    * Append mode so it has no twin row. Shared verbatim by q186, the
+    * q186a batch-Spark probe, and (rolled up) the q186b checksum probe.
+    */
+  private lazy val StreamingIngestOracleSql: String =
+    """WITH e AS (SELECT DISTINCT user_id, event_type,
+      |  epoch_ns(ts) // 1000 AS us,
+      |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_fp
+      |  FROM events)
+      |SELECT (us // 3600000000) * 3600000000 AS window_start_us,
+      |  user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  sum(value_fp) AS sum_value_fp
+      |FROM e GROUP BY 1, 2, 3""".stripMargin
 
   private lazy val RfmOracleSql: String = {
       def bucket(metric: String): String =
