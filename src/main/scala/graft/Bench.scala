@@ -216,7 +216,15 @@ object Bench {
     }
     if (leftovers > 0)
       System.err.println(s"[bench] $leftovers persisted RDD(s) survived the final release")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$sm,"sample_starts":$st,"resampled":$rs,"suspect":$sus,"persist_leftovers":$leftovers,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
+    // top-level health verdict: a pass with post-cool-down suspects is NOT
+    // a committable round artifact — "quiet": false marks it so a stalled
+    // pass can never be committed by accident (the r17 "suspect" field
+    // proved the detector; this makes the verdict impossible to miss)
+    val quiet = suspectNames.isEmpty
+    if (!quiet)
+      System.err.println(s"[bench] NOT QUIET: post-cool-down suspects $sus — " +
+        "re-run on a quiet box before committing this artifact")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","quiet":$quiet,"queries":$qs,"samples":$sm,"sample_starts":$st,"resampled":$rs,"suspect":$sus,"persist_leftovers":$leftovers,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line

@@ -260,12 +260,20 @@ object CurationQueries {
     // of the same PCM fingerprint identically (integer band-energy
     // signature), the same pigeonhole band join finds them. The fixture
     // tone shares the test card's integer mix, so the q96 oracle replay
-    // value-checks this REAL decode path too (javax.sound, not ImageIO)
+    // value-checks this REAL decode path too (javax.sound, not ImageIO).
+    // STATE-FIRST since round 18 (the production shape, and the only
+    // scale-safe one for audio): payloads decode ONCE into (id, hash)
+    // fingerprint state, the pair join reads 64-bit signatures only —
+    // javax.sound's synchronized SPI lookup made the one-shot's repeated
+    // decode the suite's single superlinear sweep row; raw decode cost is
+    // attributed separately in the b138 bench twins and the
+    // audio_fingerprint_decode sweep row
     "q138_audio_neardup" -> ((s, dir) =>
-      Multimodal.perceptualAudioPairs(
-        Multimodal.testToneMedia(
-          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
-          "doc_id"))),
+      Multimodal.perceptualPairsFromState(
+        Multimodal.audioFingerprintState(
+          Multimodal.testToneMedia(
+            s.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+            "doc_id")))),
 
     // VIDEO near-dup — the last multimodal modality without one (images
     // q96, audio q138): real RIFF demux + per-frame ImageIO decode +
@@ -1360,6 +1368,10 @@ object CurationQueries {
       .write.mode("overwrite").parquet(s"$base/tones")
     Multimodal.testVideoMedia(keys, "doc_id")
       .write.mode("overwrite").parquet(s"$base/videos")
+    // pre-built audio fingerprint STATE: the b138s twin times the pair
+    // join with decode fully out of band (the q138 production shape)
+    Multimodal.audioFingerprintState(s.read.parquet(s"$base/tones"))
+      .write.mode("overwrite").parquet(s"$base/tone_state")
   }
 
   /** Bench-only attribution twins against [[materializeMediaFixtures]]:
@@ -1373,6 +1385,11 @@ object CurationQueries {
       Multimodal.perceptualImagePairs(s.read.parquet(s"$base/images"))),
     "b138_audio_pairs_only" -> ((s, _) =>
       Multimodal.perceptualAudioPairs(s.read.parquet(s"$base/tones"))),
+    // b138 minus b138s attributes the decode: b138 decodes stored payload
+    // bytes then joins; b138s joins pre-built (id, hash) state — the q138
+    // contract's production shape with zero payload reads
+    "b138s_audio_pairs_from_state" -> ((s, _) =>
+      Multimodal.perceptualPairsFromState(s.read.parquet(s"$base/tone_state"))),
     "b145_video_pairs_only" -> ((s, _) =>
       Multimodal.perceptualVideoPairs(s.read.parquet(s"$base/videos"))))
 

@@ -428,7 +428,7 @@ object ScaleBench {
         centroidPred = "vec_id >= 100 AND vec_id < 108",
         codebookPred = "vec_id >= 108 AND vec_id < 124",
         nProbe = 2)),
-      // q96/q138/q145 shapes: media fixture encode + perceptual fingerprint
+      // q96/q145 shapes: media fixture encode + perceptual fingerprint
       // + pigeonhole pair join. Keys sample 1-in-8 per replica (Stride is
       // divisible by 8, so the modulo is replica-uniform) to keep the
       // fixture-encode cost bounded; replica keys are distinct seeds, so
@@ -440,7 +440,15 @@ object ScaleBench {
         Multimodal.testCardMedia(
           scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
           "doc_id"))),
-      "audio_neardup" -> (k => Multimodal.perceptualAudioPairs(
+      // AUDIO: the contract (q138) moved to the state-first shape in
+      // round 18, so the sweep's pair-join scaling lives in the
+      // audio_state_pairs row below; this row attributes the DECODE cost
+      // alone (fixture encode + javax.sound decode + band-energy hash —
+      // the map-side pass a production pipeline pays once at ingest).
+      // Expect noisy super-1x growth: the JDK audio SPI lookup is
+      // synchronized, so 32 threads contend harder as rows grow — which
+      // is exactly WHY the pair contract no longer carries it.
+      "audio_fingerprint_decode" -> (k => Multimodal.audioFingerprintState(
         Multimodal.testToneMedia(
           scaledDocs(k).select("doc_id").filter(col("doc_id") % 8 === 0),
           "doc_id"))),
@@ -689,13 +697,14 @@ object ScaleBench {
         s""""attribution_increment_vs_full":{"increment":$tInc,"full_x$mult":$tFull,"ratio":${math.rint(ratio * 100) / 100}}"""
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
     }
-    // audio STATE-path growth: the q146-shape contract for audio — pairs
-    // read off pre-built (id, hash) fingerprint state (payload decode paid
-    // ONCE at state-append time, exactly the --state-path workflow), so
-    // the curve reads the pigeonhole pair join's scaling alone. The
-    // one-shot audio_neardup row keeps reading fixture-encode + decode
-    // growth, which javax.sound's synchronized SPI lookup inflates — that
-    // cost is absent from the state path by construction.
+    // audio STATE-path growth — THE q138 contract row since round 18:
+    // pairs read off pre-built (id, hash) fingerprint state (payload
+    // decode paid ONCE at state-append time, exactly the --state-path
+    // workflow), so the curve reads the pigeonhole pair join's scaling
+    // alone. Decode growth is attributed separately in the
+    // audio_fingerprint_decode row, which replaced the old one-shot
+    // audio_neardup row (decode + pairs fused — its 13.49x reading was
+    // javax.sound SPI-lock contention, not join fan-out).
     val audioStateRow =
       if (filterSpec.isDefined && !only("audio_state_pairs")) Seq.empty[String]
       else Seq {

@@ -33,6 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GopherScanImpl(stopwords: Array[String]) extends Serializable {
 
+  // presence is tracked in one 64-bit mask (`presentMask |= 1L << w`);
+  // a 65th entry would silently alias bit 0 (1L << 64 == 1L << 0) and
+  // undercount distinct stopwords — fail loudly instead
+  require(stopwords.length <= 64,
+    s"GopherScanImpl tracks stopword presence in a 64-bit mask: " +
+      s"got ${stopwords.length} stopwords (max 64)")
+
   @inline private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 

@@ -170,10 +170,17 @@ object Attribution {
   /** The band join + per-conversion aggregate + per-scheme credit split
     * all public forms share. `conv` carries (userCol, conv_event_id,
     * conv_ts_us, __v); `touch` carries (userCol, touch_event_id,
-    * touch_ts_us).
+    * touch_ts_us). The candidate-pair frame is read by BOTH the
+    * per-conversion aggregate and the credit join (TimeDecay adds two
+    * more), so it persists — without this the whole conv/touch band join
+    * re-derives per reference, the fixed overhead behind the r17 sweep
+    * row's flapping ratio. `storage = NONE` opts out (the streaming
+    * gate: one NEW plan per trigger would leak a cache entry each).
     */
   private def creditsFor(conv: DataFrame, touch: DataFrame, scheme: Scheme,
-                         windowUs: Long, userCol: String): DataFrame = {
+                         windowUs: Long, userCol: String,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     scheme match {
       case TimeDecay(halfLifeUs) =>
         require(halfLifeUs >= 1, "halfLifeUs must be positive")
@@ -183,7 +190,8 @@ object Attribution {
             "or grow the half-life)")
       case _ => ()
     }
-    val pairs = bandPairs(conv, touch, windowUs, userCol)
+    val pairs = Caching.maybePersist(
+      bandPairs(conv, touch, windowUs, userCol), storage)
     // per-conversion touch count + the most recent (remainder anchor) and,
     // for the U-shape, the earliest touch — all combinable aggregates
     val perConv = pairs.groupBy(col(userCol), col("conv_event_id"))
@@ -462,7 +470,9 @@ object Attribution {
                            userCol: String = "user_id", tsCol: String = "ts",
                            idCol: String = "event_id",
                            typeCol: String = "event_type",
-                           valueCol: String = "value"): DataFrame = {
+                           valueCol: String = "value",
+                           storage: org.apache.spark.storage.StorageLevel =
+                             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(windowDays >= 1, "windowDays must be positive")
     val windowUs = windowDays.toLong * 86400000000L
     val rel = shard.filter(col(typeCol).isin(convType, touchType))
@@ -471,7 +481,7 @@ object Attribution {
     val pool = state.filter(col("touch_event_id").isNotNull)
       .select(col(userCol), col("touch_event_id"), col("touch_ts_us"))
       .unionByName(touchesOf(shard, touchType, userCol, tsCol, idCol, typeCol))
-    val credits = creditsFor(conv, pool, scheme, windowUs, userCol)
+    val credits = creditsFor(conv, pool, scheme, windowUs, userCol, storage)
     // the out-of-order guard must fire even for a poisoned user with no
     // shard CONVERSION (their late touch silently never pairs with the
     // already-attributed stored conversions — the exact breach the

@@ -128,15 +128,21 @@ object LmScore {
     */
   def bigramSurprisal(docs: DataFrame, reference: Option[DataFrame] = None,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text",
+                      storage: org.apache.spark.storage.StorageLevel =
+                        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import graft.functions.TextFunctions
     def bigrams(d: DataFrame, cols: Seq[org.apache.spark.sql.Column]) =
       d.select(cols :+ explode(TextFunctions.wordShinglesAll(
         TextFunctions.tokens(col(textCol)), 2)).as("bg"): _*)
     val ref = reference.getOrElse(docs)
-    // unigram model (for the backoff path): tf over all token positions
-    val vocab = ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+    // unigram model (for the backoff path): tf over all token positions.
+    // Persisted: lnD5 and backoffLn both read it — without this the
+    // reference tokenizes once per model table (the trigram fix's twin)
+    val vocab = Caching.maybePersist(
+      ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tf")),
+      storage)
     val lnD5 = PinnedMath.lnFpSteps("lnd", "(__d * 5)")
       .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
         case (df, (alias, e)) => df.withColumn(alias, expr(e))
@@ -157,17 +163,26 @@ object LmScore {
       .foldLeft(vocab) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
       .select(col("w").as("__bk_w"), col("lbk_lnfp").as("__bk_fp"))
     // per-doc transitions: seen bigram -> ln(cu)-ln(cuv); unseen -> the
-    // backoff on the CURRENT token (OOV current token: tf=0 -> ln(2))
-    val trans = bigrams(docs, Seq(col(idCol)))
+    // backoff on the CURRENT token (OOV current token: tf=0 -> ln(2)).
+    // Positions collapse to (doc, bigram, k) FIRST and the model joins
+    // run once per DISTINCT doc bigram — the trigram plan's restructure,
+    // bit-identical by integer-sum reordering
+    val docBg = Caching.maybePersist(
+      bigrams(docs, Seq(col(idCol)))
+        .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("__k")),
+      storage)
+    val bgScores = docBg.select(col("bg")).distinct()
       .withColumn("__cur", substring_index(col("bg"), " ", -1))
       .join(seenLn, col("bg") === col("__sb_bg"), "left")
       .join(backoffLn, col("__cur") === col("__bk_w"), "left")
       .crossJoin(broadcast(lnD5))
-      .withColumn("__t_fp", coalesce(col("__sb_seen_fp"),
-        col("__lnd5_fp") - coalesce(col("__bk_fp"),
-          lit(PinnedMath.lnFp(2L)))))
+      .select(col("bg").as("__sc_bg"),
+        coalesce(col("__sb_seen_fp"),
+          col("__lnd5_fp") - coalesce(col("__bk_fp"),
+            lit(PinnedMath.lnFp(2L)))).as("__t_fp"))
+    val trans = docBg.join(bgScores, col("bg") === col("__sc_bg"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nt"), sum(col("__t_fp")).as("__s"))
+      .agg(sum(col("__k")).as("__nt"), sum(col("__k") * col("__t_fp")).as("__s"))
     docs.select(col(idCol))
       .join(trans, Seq(idCol), "left")
       .withColumn("n_transitions", coalesce(col("__nt"), lit(0L)))
@@ -252,15 +267,32 @@ object LmScore {
                             textCol: String = "text"): DataFrame =
     mergeTrigramStates(state, trigramState(shard, textCol))
 
-  /** [[trigramSurprisal]] read off (possibly incrementally grown) state. */
+  /** [[trigramSurprisal]] read off (possibly incrementally grown) state.
+    *
+    * Plan shape (reworked round 18 — the sweep's biggest absolute row):
+    * the model-side ln tables always ran once per DISTINCT gram, but the
+    * DOC side joined every trigram POSITION through three keyed joins,
+    * and the `state` subtree re-aggregated once per model table (4-5
+    * tokenize passes when the state is built inline, as q152 does). Now
+    * (a) `state` persists across its readers (`storage` opts out — the
+    * streaming gate persists its own merged state and a per-trigger
+    * persist would leak), and (b) positions collapse FIRST: one
+    * (doc, trigram, k) aggregate, the three model joins run once per
+    * DISTINCT doc trigram, and credits rejoin through a single keyed
+    * join with the per-doc sum weighted by k. Bit-identical (integer
+    * sums reorder freely); the per-position shuffle count drops 3 -> 1.
+    */
   def trigramSurprisalFromState(docs: DataFrame, state: DataFrame,
                                 idCol: String = "doc_id",
-                                textCol: String = "text"): DataFrame = {
+                                textCol: String = "text",
+                                storage: org.apache.spark.storage.StorageLevel =
+                                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     import graft.functions.TextFunctions
     def grams(d: DataFrame, n: Int, cols: Seq[org.apache.spark.sql.Column], as: String) =
       d.select(cols :+ explode(TextFunctions.wordShinglesAll(
         TextFunctions.tokens(col(textCol)), n)).as(as): _*)
-    val vocab = state.filter(col("ord") === 1)
+    val st = Caching.maybePersist(state, storage)
+    val vocab = st.filter(col("ord") === 1)
       .select(col("gram").as("w"), col("cnt").as("tf"))
     // one-row floor constant: ln(25 * (N + V))
     val lnD25 = PinnedMath.lnFpSteps("lnd", "(__d * 25)")
@@ -269,7 +301,7 @@ object LmScore {
       }
       .select(col("lnd_lnfp").as("__lnd25_fp"))
     // bigram level: counts + prefix totals -> ln(5*c(v.)) - ln(2*c(vw))
-    val bg = state.filter(col("ord") === 2)
+    val bg = st.filter(col("ord") === 2)
       .select(col("gram").as("bg"), col("cnt").as("cuv"))
       .withColumn("__u", substring_index(col("bg"), " ", 1))
     val pre = bg.groupBy(col("__u")).agg(sum(col("cuv")).as("cu"))
@@ -281,7 +313,7 @@ object LmScore {
       .select(col("bg").as("__s2_bg"),
         (col("l5cu_lnfp") - col("l2cuv_lnfp")).as("__s2_fp"))
     // trigram level: counts + context totals -> ln(c(uv.)) - ln(c(uvw))
-    val tg = state.filter(col("ord") === 3)
+    val tg = st.filter(col("ord") === 3)
       .select(col("gram").as("tg"), col("cnt").as("c3"))
       .withColumn("__p2", substring_index(col("tg"), " ", 2))
     val pre3 = tg.groupBy(col("__p2")).agg(sum(col("c3")).as("c2x"))
@@ -295,18 +327,29 @@ object LmScore {
     val backoffLn = PinnedMath.lnFpSteps("lbk", "(4 * (tf + 1))")
       .foldLeft(vocab) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }
       .select(col("w").as("__bk_w"), col("lbk_lnfp").as("__bk_fp"))
-    val trans = grams(docs, 3, Seq(col(idCol)), "tg")
+    // collapse positions before the model joins: (doc, trigram, k) via
+    // one map-side-combining aggregate, score each DISTINCT doc trigram
+    // once through the three model joins, rejoin by trigram. The distinct
+    // table is read twice (its own joins + as the docTg join's build
+    // side), so the collapsed frame persists under the same storage knob.
+    val docTg = Caching.maybePersist(
+      grams(docs, 3, Seq(col(idCol)), "tg")
+        .groupBy(col(idCol), col("tg")).agg(count(lit(1)).as("__k")),
+      storage)
+    val tgScores = docTg.select(col("tg")).distinct()
       .withColumn("__mid", substring_index(col("tg"), " ", -2))
       .withColumn("__cur", substring_index(col("tg"), " ", -1))
       .join(seen3, col("tg") === col("__s3_tg"), "left")
       .join(seen2, col("__mid") === col("__s2_bg"), "left")
       .join(backoffLn, col("__cur") === col("__bk_w"), "left")
       .crossJoin(broadcast(lnD25))
-      .withColumn("__t_fp", coalesce(col("__s3_fp"), col("__s2_fp"),
-        col("__lnd25_fp") - coalesce(col("__bk_fp"),
-          lit(PinnedMath.lnFp(4L)))))
+      .select(col("tg").as("__sc_tg"),
+        coalesce(col("__s3_fp"), col("__s2_fp"),
+          col("__lnd25_fp") - coalesce(col("__bk_fp"),
+            lit(PinnedMath.lnFp(4L)))).as("__t_fp"))
+    val trans = docTg.join(tgScores, col("tg") === col("__sc_tg"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__nt"), sum(col("__t_fp")).as("__s"))
+      .agg(sum(col("__k")).as("__nt"), sum(col("__k") * col("__t_fp")).as("__s"))
     docs.select(col(idCol))
       .join(trans, Seq(idCol), "left")
       .withColumn("n_trigrams", coalesce(col("__nt"), lit(0L)))

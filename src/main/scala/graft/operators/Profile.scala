@@ -369,7 +369,11 @@ object Profile {
     val (audits, pvOwned) = sensitiveCol match {
       case None => (Seq(riskClasses(kAnonymity(df, quasiCols, k))), None)
       case Some(sc) =>
-        val pv = Caching.maybePersist(pairCounts(df, quasiCols, sc),
+        // persistIfNew, not maybePersist: a logically-identical pairCounts
+        // plan may already sit in the cache (an earlier audit in the same
+        // session, or the user's own persist) — the unpersist below must
+        // then stay with the owner, not evict a shared entry
+        val (pv, pvIsOurs) = Caching.persistIfNew(pairCounts(df, quasiCols, sc),
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // materialize the cache EAGERLY: the audit subtrees evaluate
         // concurrently, and concurrent stages racing on an unbuilt cache
@@ -379,7 +383,7 @@ object Profile {
         (Seq(riskClasses(kAnonymityFromCounts(pv, quasiCols, k)),
           riskClasses(lDiversityFromCounts(pv, quasiCols, l))) ++
           tPpm.map(t => riskClasses(tClosenessFromCounts(pv, quasiCols, sc, t))),
-          Some(pv))
+          if (pvIsOurs) Some(pv) else None)
     }
     // persist + materialize the at-risk class list (bounded by the quasi
     // domain — tiny) BEFORE the release join: the optimizer pushes a

@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One committed snapshot of a versioned table.
@@ -25,8 +25,21 @@ final case class TableManifest(
     version: Long,
     partitionBy: Seq[String],
     entries: Map[String, String],
-    schemaJson: String) {
+    schemaJson: String,
+    dirSchemas: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** The schema a specific data dir was WRITTEN with. Snapshot schema
+    * (`schemaJson`) is the read contract; a dir committed before a column
+    * was added serves NULL for it. Manifests from builds predating
+    * per-dir schemas (empty `dirSchemas`) fall back to the snapshot
+    * schema — correct for them, because those builds required every live
+    * dir to share it.
+    */
+  def schemaOf(dir: String): StructType =
+    dirSchemas.get(dir)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(schema)
 }
 
 /** Manifest-versioned tables on plain parquet — the transactional layer the
@@ -113,7 +126,15 @@ object VersionedTable {
     val entries = es.properties().iterator()
     val b = Map.newBuilder[String, String]
     while (entries.hasNext) { val e = entries.next(); b += e.getKey -> e.getValue.asText() }
-    TableManifest(n.get("version").asLong(), pb, b.result(), n.get("schemaJson").asText())
+    // optional since round 18 (add-column evolution); older manifests
+    // have one schema for every dir
+    val ds = Map.newBuilder[String, String]
+    Option(n.get("dirSchemas")).foreach { node =>
+      val it = node.properties().iterator()
+      while (it.hasNext) { val e = it.next(); ds += e.getKey -> e.getValue.asText() }
+    }
+    TableManifest(n.get("version").asLong(), pb, b.result(),
+      n.get("schemaJson").asText(), ds.result())
   }
 
   private def manifestBytes(m: TableManifest): Array[Byte] = {
@@ -124,6 +145,8 @@ object VersionedTable {
     val es = n.putObject("entries")
     m.entries.toSeq.sortBy(_._1).foreach { case (k, v) => es.put(k, v) }
     n.put("schemaJson", m.schemaJson)
+    val ds = n.putObject("dirSchemas")
+    m.dirSchemas.toSeq.sortBy(_._1).foreach { case (k, v) => ds.put(k, v) }
     (mapper.writeValueAsString(n) + "\n").getBytes(StandardCharsets.UTF_8)
   }
 
@@ -139,7 +162,8 @@ object VersionedTable {
       else discoverPartitions(fs, new Path(root, dataDir), partitionBy)
         .map(_ -> dataDir).toMap
     publish(df.sparkSession, fs, root) { (n, _) =>
-      TableManifest(n, partitionBy, entries, df.schema.json)
+      TableManifest(n, partitionBy, entries, df.schema.json,
+        Map(dataDir -> df.schema.json))
     }
   }
 
@@ -148,6 +172,15 @@ object VersionedTable {
     * them. The merge against the previous manifest happens INSIDE the CAS
     * retry loop, so a concurrent commit between read and publish is
     * re-merged, never clobbered.
+    *
+    * Schema evolution contract (pinned round 18): incremental commits may
+    * ADD columns — the new writer schema becomes the snapshot schema, and
+    * dirs written before the column existed serve NULL for it at read
+    * (Iceberg's add-column semantics; each dir's own schema is recorded
+    * in the manifest). Dropping, renaming, or retyping a column that any
+    * prior commit wrote is REJECTED loudly — old files would silently
+    * read through the wrong schema — use [[commitOverwrite]], which
+    * replaces every live file, for those.
     */
   def commitPartitions(df: DataFrame, rootStr: String,
       partitionBy: Seq[String]): Long = {
@@ -160,9 +193,48 @@ object VersionedTable {
       prev.foreach { p =>
         require(p.partitionBy == partitionBy,
           s"partition layout mismatch: table has ${p.partitionBy}, write has $partitionBy")
+        requireAdditiveEvolution(p.schema, df.schema, rootStr)
       }
       val base = prev.map(_.entries).getOrElse(Map.empty[String, String])
-      TableManifest(n, partitionBy, base ++ fresh, df.schema.json)
+      val entries = base ++ fresh
+      // carry forward only the dir schemas still referenced; the fresh
+      // dir records the (possibly wider) writer schema
+      val liveDirs = entries.values.toSet
+      val carried = prev.map(p =>
+        p.entries.values.toSet.filter(liveDirs)
+          .map(d => d -> p.schemaOf(d).json).toMap)
+        .getOrElse(Map.empty[String, String])
+      TableManifest(n, partitionBy, entries, df.schema.json,
+        carried + (dataDir -> df.schema.json))
+    }
+  }
+
+  /** The add-column-only evolution gate [[commitPartitions]] enforces:
+    * every column of the previous snapshot schema must survive in the new
+    * writer schema with the same type (nullability aside). Inductively
+    * this covers every live dir's schema, since each prior commit passed
+    * the same gate against ITS predecessor.
+    */
+  private def requireAdditiveEvolution(prev: StructType, next: StructType,
+      rootStr: String): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { f =>
+      nextByName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"schema evolution: incremental commit to $rootStr drops or renames " +
+            s"column '${f.name}' — commitPartitions only ADDS columns " +
+            "(old files would read through the wrong schema); rewrite the " +
+            "table with commitOverwrite to drop/rename")
+        // catalogString ignores nullability — the comparison Spark's own
+        // sameType does, without reaching into a private[sql] API
+        case Some(nf) if nf.dataType.catalogString != f.dataType.catalogString =>
+          throw new IllegalArgumentException(
+            s"schema evolution: incremental commit to $rootStr retypes column " +
+              s"'${f.name}' from ${f.dataType.sql} to ${nf.dataType.sql} — " +
+              "commitPartitions only ADDS columns; rewrite the table with " +
+              "commitOverwrite to change a type")
+        case _ => ()
+      }
     }
   }
 
@@ -186,8 +258,14 @@ object VersionedTable {
       else
         m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
           val base = new Path(root, dir).toString
-          spark.read.option("basePath", base)
+          val branch = spark.read.option("basePath", base)
             .parquet(es.keys.toSeq.sorted.map(p => s"$base/$p"): _*)
+          // add-column evolution: a dir written before a column existed
+          // serves NULL for it (the commitPartitions contract)
+          val have = branch.columns.toSet
+          branch.select(schema.fields.toIndexedSeq.map(f =>
+            (if (have(f.name)) col(f.name) else lit(null).cast(f.dataType))
+              .as(f.name)): _*)
         }.reduce(_.unionByName(_))
     raw.select(schema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
@@ -235,12 +313,17 @@ object VersionedTable {
       s"SELECT * FROM parquet.${quoteIdent(s"$rootStr/${m.entries("")}")}"
     } else {
       require(m.entries.nonEmpty, "empty partitioned snapshot has no SQL form")
-      val selectCols = schema.fields.map { f =>
-        if (m.partitionBy.contains(f.name))
-          s"CAST(${quoteIdent(f.name)} AS ${f.dataType.sql}) AS ${quoteIdent(f.name)}"
-        else quoteIdent(f.name)
-      }.mkString(", ")
       m.entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (dir, es) =>
+        // per-dir select list: a dir written before a column was added
+        // (commitPartitions' add-column evolution) serves typed NULL
+        val have = m.schemaOf(dir).fieldNames.toSet
+        val selectCols = schema.fields.map { f =>
+          if (!have.contains(f.name))
+            s"CAST(NULL AS ${f.dataType.sql}) AS ${quoteIdent(f.name)}"
+          else if (m.partitionBy.contains(f.name))
+            s"CAST(${quoteIdent(f.name)} AS ${f.dataType.sql}) AS ${quoteIdent(f.name)}"
+          else quoteIdent(f.name)
+        }.mkString(", ")
         val pred = es.keys.toSeq.sorted
           .map(rel => partitionPredicate(rel, m.partitionBy)).mkString(" OR ")
         s"SELECT $selectCols FROM parquet.${quoteIdent(s"$rootStr/$dir")} WHERE $pred"
@@ -346,25 +429,35 @@ object VersionedTable {
         if (m.partitionBy.isEmpty) df.repartition(nTasks)
         else df.repartition(nTasks, m.partitionBy.map(col): _*)
       val dataDir = writeDataDir(clustered, root, m.partitionBy)
-      val entries =
-        if (m.partitionBy.isEmpty) Map("" -> dataDir)
-        else discoverPartitions(fs, new Path(root, dataDir), m.partitionBy)
-          .map(_ -> dataDir).toMap
-      beforePublish() // test seam: deterministically race a concurrent commit
+      // any exit without a published manifest — conflict, manifest IO
+      // error, publish livelock — must delete the staged rewrite: nothing
+      // references it, so vacuum would never find it and the full table
+      // copy would leak on disk
+      var published = false
       try {
-        val newV = publish(spark, fs, root) { (n, prev) =>
-          if (!prev.exists(_.version == v))
-            throw new CommitConflictException(
-              s"compaction base v$v of $root superseded by concurrent commit " +
-                s"(latest is now v${prev.map(_.version).getOrElse(-1L)})")
-          TableManifest(n, m.partitionBy, entries, clustered.schema.json)
+        val entries =
+          if (m.partitionBy.isEmpty) Map("" -> dataDir)
+          else discoverPartitions(fs, new Path(root, dataDir), m.partitionBy)
+            .map(_ -> dataDir).toMap
+        beforePublish() // test seam: deterministically race a concurrent commit
+        try {
+          val newV = publish(spark, fs, root) { (n, prev) =>
+            if (!prev.exists(_.version == v))
+              throw new CommitConflictException(
+                s"compaction base v$v of $root superseded by concurrent commit " +
+                  s"(latest is now v${prev.map(_.version).getOrElse(-1L)})")
+            TableManifest(n, m.partitionBy, entries, clustered.schema.json,
+              Map(dataDir -> clustered.schema.json))
+          }
+          published = true
+          val after = liveFileCount(fs, root, readManifest(fs, root, newV))
+          return CompactStats(newV, before, after)
+        } catch {
+          case e: CommitConflictException =>
+            if (attempt >= maxAttempts) throw e
         }
-        val after = liveFileCount(fs, root, readManifest(fs, root, newV))
-        return CompactStats(newV, before, after)
-      } catch {
-        case e: CommitConflictException =>
-          fs.delete(new Path(root, dataDir), true) // orphaned rewrite, never published
-          if (attempt >= maxAttempts) throw e
+      } finally {
+        if (!published) fs.delete(new Path(root, dataDir), true)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -685,7 +685,10 @@ object EventStream {
           ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           sink(graft.operators.LmScore.trigramSurprisalFromState(
-            b, merged, idCol, textCol), batchId)
+            b, merged, idCol, textCol,
+            // NONE: merged is persisted above; the operator's internal
+            // (doc, trigram) persist would leak one entry per trigger
+            storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
           // batch-scoped OVERWRITE after the sink: replayed batches rewrite
           // their own partial (idempotent), never double-count
           bState.write.mode("overwrite").parquet(s"$countsPath/batch=$batchId")
@@ -1212,7 +1215,10 @@ object EventStream {
             raw, userCol, excludeEra = Some(batchId))
         }
         sink(graft.operators.Attribution.incrementAttribution(
-          stored, b, windowDays, scheme, convType, touchType, userCol), batchId)
+          stored, b, windowDays, scheme, convType, touchType, userCol,
+          // NONE: every trigger is a new plan — the default persist would
+          // leak one cache entry per micro-batch for the stream's lifetime
+          storage = org.apache.spark.storage.StorageLevel.NONE), batchId)
         // state append AFTER the sink (the crash-replay rule); only the
         // batch's users append — untouched users' latest era still wins
         graft.operators.Attribution.incrementAttributionState(

@@ -254,6 +254,28 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("q181/q183: RFM null-safe bucket lookups stay broadcast hash joins") {
+    // the recency/frequency rank tables are bounded -> broadcast ALWAYS;
+    // the lookup is null-safe (<=>), and EqualNullSafe must keep planning
+    // as a BroadcastHashJoin equi-key — a demotion to BNLJ here would be
+    // a users-x-ranks pair blowup at scale (the r17 q183 regression
+    // suspicion; this pins the plan either way)
+    Seq("q181_rfm_segments", "q183_rfm_incremental").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        // r/f rank lookups broadcast; monetary takes the shuffle_hash
+        // policy path. A demoted <=> would show as a conditioned BNLJ and
+        // drop these counts (the 1-row anchor crossJoins are BNLJ Cross
+        // with NO condition — sanctioned, covered by the global BNLJ test)
+        p.linesIterator.count(
+          _.matches("""\(\d+\) BroadcastHashJoin.*""")) should be >= 2
+        p.linesIterator.count(
+          _.matches("""\(\d+\) ShuffledHashJoin.*""")) should be >= 1
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
   test("q160: per-signal RRF cuts are TakeOrdered, never a corpus-wide sort") {
     val p = plan("q160_rrf_fusion")
     p should include("TakeOrderedAndProject")

@@ -332,4 +332,110 @@ class VersionedTableSpec extends SparkTestBase {
     f.exists(loc) shouldBe false
     spark.catalog.tableExists(tbl) shouldBe false
   }
+
+  test("add-column evolution: partition commits widen; old dirs read NULL; time travel keeps the old shape") {
+    val root = tmpRoot("evolve")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L)), root, Seq("day"))
+    // v2 ADDS `extra` on a new partition — legal, snapshot schema widens
+    val v2 = VersionedTable.commitPartitions(
+      Seq((3L, "2024-01-03", 30L, "x3")).toDF("user_id", "day", "value", "extra"),
+      root, Seq("day"))
+    val latest = VersionedTable.read(spark, root)
+    latest.schema.fieldNames should contain("extra")
+    latest.select("user_id", "extra").as[(Long, Option[String])].collect().toSet shouldBe
+      Set((1L, None), (2L, None), (3L, Some("x3")))
+    // time travel to v1: the old shape, no phantom column
+    VersionedTable.read(spark, root, Some(1L)).schema.fieldNames should
+      not contain "extra"
+    // rewriting an OLD day with the wide schema replaces its dir
+    VersionedTable.commitPartitions(
+      Seq((1L, "2024-01-01", 11L, "x1")).toDF("user_id", "day", "value", "extra"),
+      root, Seq("day"))
+    VersionedTable.read(spark, root)
+      .select("user_id", "value", "extra")
+      .as[(Long, Long, Option[String])].collect().toSet shouldBe
+      Set((1L, 11L, Some("x1")), (2L, 20L, None), (3L, 30L, Some("x3")))
+    // the SQL mirror serves the same snapshot: typed NULL for the old dir
+    val m = VersionedTable.readManifest(fs(root), new Path(root),
+      VersionedTable.latestVersion(fs(root), new Path(root)).get)
+    spark.sql(VersionedTable.snapshotSql(m, root))
+      .select("user_id", "value", "extra")
+      .as[(Long, Long, Option[String])].collect().toSet shouldBe
+      Set((1L, 11L, Some("x1")), (2L, 20L, None), (3L, 30L, Some("x3")))
+    // v2's manifest carries per-dir schemas (old dir narrower than snapshot)
+    val m2 = VersionedTable.readManifest(fs(root), new Path(root), v2)
+    m2.dirSchemas.values.map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet)
+      .toSet shouldBe Set(Set("user_id", "day", "value"),
+        Set("user_id", "day", "value", "extra"))
+  }
+
+  test("dropping, renaming, or retyping a column in a partition commit fails loudly") {
+    val root = tmpRoot("evolve_reject")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 10L)), root, Seq("day"))
+    val dropped = intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitions(
+        Seq((2L, "2024-01-02")).toDF("user_id", "day"), root, Seq("day"))
+    }
+    dropped.getMessage should include("drops or renames")
+    val renamed = intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitions(
+        Seq((2L, "2024-01-02", 20L)).toDF("user_id", "day", "amount"),
+        root, Seq("day"))
+    }
+    renamed.getMessage should include("drops or renames")
+    val retyped = intercept[IllegalArgumentException] {
+      VersionedTable.commitPartitions(
+        Seq((2L, "2024-01-02", "not-a-long")).toDF("user_id", "day", "value"),
+        root, Seq("day"))
+    }
+    retyped.getMessage should include("retypes")
+    // the table is untouched: still v1, still readable
+    VersionedTable.read(spark, root).count() shouldBe 1L
+    // commitOverwrite remains the escape hatch for a reshape
+    VersionedTable.commitOverwrite(
+      Seq((5L, "2024-01-05", "s")).toDF("user_id", "day", "value_str"),
+      root, Seq("day"))
+    VersionedTable.read(spark, root).schema.fieldNames should contain("value_str")
+  }
+
+  test("compact after add-column evolution: data identical, NULLs materialized, one dir schema") {
+    val root = tmpRoot("evolve_compact")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L)), root, Seq("day"))
+    VersionedTable.commitPartitions(
+      Seq((3L, "2024-01-03", 30L, "x3")).toDF("user_id", "day", "value", "extra"),
+      root, Seq("day"))
+    val pre = VersionedTable.read(spark, root)
+      .select("user_id", "value", "extra")
+      .as[(Long, Long, Option[String])].collect().toSet
+    val stats = VersionedTable.compact(spark, root)
+    VersionedTable.read(spark, root)
+      .select("user_id", "value", "extra")
+      .as[(Long, Long, Option[String])].collect().toSet shouldBe pre
+    val m = VersionedTable.readManifest(fs(root), new Path(root), stats.version)
+    m.dirSchemas.keySet shouldBe m.entries.values.toSet
+  }
+
+  test("compact cleans its staged rewrite on ANY pre-publish failure, not just conflicts") {
+    val root = tmpRoot("compact_leak")
+    VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
+    val m1 = VersionedTable.readManifest(fs(root), new Path(root), 1L)
+    val liveDirs = m1.entries.values.toSet
+    val boom = intercept[RuntimeException] {
+      VersionedTable.compact(spark, root,
+        beforePublish = () => throw new RuntimeException("manifest IO exploded"))
+    }
+    boom.getMessage should include("exploded")
+    // no orphaned data-* rewrite dir leaked (vacuum could never find it)
+    val dataDirs = fs(root).listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("data-")).toSet
+    dataDirs shouldBe liveDirs
+    // the table is untouched and a later compact still works
+    VersionedTable.read(spark, root).count() shouldBe 1L
+    VersionedTable.compact(spark, root).version shouldBe 2L
+  }
 }
