@@ -659,6 +659,15 @@ object AnalyticsQueries {
     // (an exactly-gap successor starts a NEW session; end = last + gap)
     "q187_streaming_sessions" -> ((s, dir) =>
       graft.streaming.EventStream.sessionIngestReplay(
+        s, SparkEntry.events(s, dir))),
+
+    // STREAM-STREAM interval join under the oracle — the third stateful
+    // family (q186 windows, q187 sessions, q188 join state): purchase
+    // labels attributed to the same user's events in the trailing hour,
+    // both sides streamed, hash-matched against a plain DuckDB interval
+    // self-join
+    "q188_streaming_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinReplay(
         s, SparkEntry.events(s, dir)))
   )
 
@@ -1576,6 +1585,25 @@ object AnalyticsQueries {
     // pinned exactly — break when the gap is >= 30 minutes (the [ts,
     // ts+gap) window excludes an exactly-gap successor; q54's batch
     // operator uses > and would merge it), session_end = last event + gap
+    // interval-join twin: the q188 stream result is exactly the batch
+    // interval join of quantized events x derived purchase labels —
+    // inclusive both bounds (ts <= as_of AND ts >= as_of - lookback),
+    // the purchase's own event row self-matches at distance 0, and
+    // every column is exact BIGINT/string; sentinels never leave the
+    // harness (the -1 user is filtered before the dump)
+    "q188_streaming_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us,
+        |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_fp
+        |  FROM events),
+        |l AS (SELECT user_id, us AS as_of_us, value_fp AS label_fp
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.as_of_us, l.label_fp, e.event_type,
+        |  e.us AS event_ts_us, e.value_fp
+        |FROM e JOIN l ON e.user_id = l.user_id
+        |  AND e.us <= l.as_of_us
+        |  AND e.us >= l.as_of_us - 3600000000""".stripMargin,
+
     "q187_streaming_sessions" ->
       s"""WITH e AS (SELECT user_id,
          |  epoch_ns(ts) // 1000 AS us,

@@ -359,9 +359,15 @@ object Attribution {
                                userCol: String = "user_id", tsCol: String = "ts",
                                idCol: String = "event_id",
                                typeCol: String = "event_type",
-                               valueCol: String = "value"): DataFrame = {
-    val paths = conversionPaths(events, windowDays, convType, touchTypes,
-      userCol, tsCol, idCol, typeCol, valueCol)
+                               valueCol: String = "value",
+                               storage: org.apache.spark.storage.StorageLevel =
+                                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // persisted: the corpus totals AND the per-channel explode both read
+    // the journey table, and each evaluation re-runs the whole band-join
+    // + path-assembly pipeline (the creditsFor persist rule)
+    val paths = Caching.maybePersist(
+      conversionPaths(events, windowDays, convType, touchTypes,
+        userCol, tsCol, idCol, typeCol, valueCol), storage)
     val totals = paths.agg(count(lit(1)).as("n_conversions"),
       coalesce(sum(col("value_fp")), lit(0L)).as("total_value_fp"))
     val perChannel = paths

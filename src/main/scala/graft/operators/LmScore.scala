@@ -576,16 +576,22 @@ object LmScore {
   def perplexityBuckets(docs: DataFrame, reference: DataFrame,
                         nBuckets: Int = 3, groupCol: String = "lang",
                         idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text",
+                        storage: org.apache.spark.storage.StorageLevel =
+                          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1000,
       s"nBuckets must be in [2, 1000]: got $nBuckets")
     import org.apache.spark.sql.expressions.Window
     val scored = surprisalWithModel(docs.select(col(idCol), col(textCol)),
       unigramModel(reference, textCol), idCol, textCol)
-    val means = docs.select(col(idCol), col(groupCol))
+    // persisted: the histogram ranking AND the final bucket join both
+    // read this frame, and each evaluation re-runs the whole scoring
+    // subtree (docs tokenize + model join + reference tokenize twice
+    // inside unigramModel) — the round-18 LM-family persist rule
+    val means = Caching.maybePersist(docs.select(col(idCol), col(groupCol))
       .join(scored, Seq(idCol))
       .withColumn("mean_mnats", when(col("n_tokens") > 0L,
-        expr("(surprisal_fp div n_tokens) div 1000000")))
+        expr("(surprisal_fp div n_tokens) div 1000000"))), storage)
     val grp = Window.partitionBy(col(groupCol))
     val ranked = means.filter(col("mean_mnats").isNotNull)
       .groupBy(col(groupCol), col("mean_mnats").as("v"))

@@ -207,6 +207,84 @@ object EventStream {
         col("user_id"), col("n_events"),
         col("sum_value").as("sum_value_fp")))
 
+  /** The STREAM-STREAM INTERVAL JOIN oracle contract (q188 — the third
+    * stateful family under the oracle after q186's windows and q187's
+    * sessions): run the real [[attributedLabels]] join — every purchase
+    * label against the SAME user's events in the `lookback` window
+    * before it, both sides unbounded streams with watermarks — through
+    * TWO MemoryStreams, and return the attributed rows as a batch frame
+    * the DuckDB twin (a plain interval self-join) can hash-match.
+    *
+    * Inner stream-stream joins emit each matched pair exactly once, when
+    * the later side arrives — no watermark-gated flush holds rows back
+    * (watermarks only bound the join STATE here), but the harness still
+    * runs the shared quiescence barrier before reading the sink, and
+    * both sides get the far-future sentinel so state GC exercises the
+    * production path. The labels side is derived batch-side from the
+    * same event table (purchase rows), exactly like the batch
+    * point-in-time pipelines derive theirs; `value` quantizes to 1e6
+    * fixed point before the stream so every output column is exact.
+    */
+  def intervalJoinReplay(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame,
+                         lookback: String = "1 hour",
+                         watermark: String = "2 hours",
+                         statePartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(statePartitions >= 1, "statePartitions must be positive")
+    val rows = events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("value_fp"))
+      .as[(Long, String, Long, Option[Long])].collect()
+    require(rows.nonEmpty, "streaming contract needs a non-empty event table")
+    val labelRows = rows.filter(_._2 == "purchase").map(r => (r._1, r._3, r._4))
+    val maxUs = rows.iterator.map(_._3).max
+    val eIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Option[Long])]
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Option[Long])]
+    val eStream = eIn.toDF().toDF("user_id", "event_type", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val lStream = lIn.toDF().toDF("user_id", "as_of_us", "label")
+      .withColumn("as_of_ts", timestamp_micros(col("as_of_us"))).drop("as_of_us")
+    val name = "graft_stream_q188_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        attributedLabels(eStream, lStream, lookback, watermark, watermark)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      eIn.addData(rows.toSeq)
+      lIn.addData(labelRows.toSeq)
+      q.processAllAvailable()
+      val sentinelUs = maxUs + 30L * 86400000000L
+      eIn.addData(Seq((-1L, "__sentinel", sentinelUs, Some(0L))))
+      lIn.addData(Seq((-1L, sentinelUs, Some(0L))))
+      q.processAllAvailable()
+      awaitQuiescent(spark, q, name)
+    } finally q.stop()
+    val out = spark.table(name)
+      // the sentinel label matches its own sentinel event (same user,
+      // zero distance) — harness plumbing, not contract output
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), unix_micros(col("as_of_ts")).as("as_of_us"),
+        col("label").as("label_fp"), col("event_type"),
+        unix_micros(col("event_ts")).as("event_ts_us"),
+        col("value").as("value_fp"))
+    val schema = out.schema
+    val collected = out.collect()
+    logReplayProgress("q188", q, collected.length.toLong)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toIndexedSeq, 4), schema)
+  }
+
   /** Shared MemoryStream replay harness behind the oracle-gated streaming
     * contracts (q186/q187): feed the quantized event rows (plus, when
     * `replayMod` is set, every `event_id % replayMod == 0` row again —

@@ -113,4 +113,29 @@ class StreamingDeterminismSpec extends SparkTestBase {
       withClue(s"run $i: ") { got shouldBe expected }
     }
   }
+
+  test("interval-join replay is bit-identical across runs and equals the batch interval join") {
+    val lookbackUs = 3600000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr("CAST(floor(value * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+        .as("value_fp"))
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("l_user"), col("us").as("as_of_us"),
+        col("value_fp").as("label_fp"))
+    val expected = canon(e.join(l,
+        col("user_id") === col("l_user") &&
+          col("us") <= col("as_of_us") &&
+          col("us") >= col("as_of_us") - lookbackUs)
+      .select(col("user_id"), col("as_of_us"), col("label_fp"),
+        col("event_type"), col("us").as("event_ts_us"), col("value_fp")))
+    expected should not be empty
+    (0 until 3).foreach { i =>
+      val got = canon(EventStream.intervalJoinReplay(
+        spark, events, statePartitions = Seq(2, 4, 7)(i))
+        .select("user_id", "as_of_us", "label_fp", "event_type",
+          "event_ts_us", "value_fp"))
+      withClue(s"run $i: ") { got shouldBe expected }
+    }
+  }
 }
