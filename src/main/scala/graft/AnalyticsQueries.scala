@@ -668,6 +668,16 @@ object AnalyticsQueries {
     // self-join
     "q188_streaming_interval_join" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinReplay(
+        s, SparkEntry.events(s, dir))),
+
+    // ARBITRARY STATE (flatMapGroupsWithState) under the oracle — the
+    // fourth stateful family: per-user running snapshots across two
+    // micro-batches split at the event-time midpoint, so cross-batch
+    // state continuation is itself hash-checked (batch-1 snapshots ==
+    // prefix aggregates; batch-2 snapshots == full-history aggregates of
+    // suffix-active users, folded on top of batch-1 state)
+    "q189_streaming_state_snapshots" -> ((s, dir) =>
+      graft.streaming.EventStream.statefulSnapshotReplay(
         s, SparkEntry.events(s, dir)))
   )
 
@@ -1603,6 +1613,28 @@ object AnalyticsQueries {
         |FROM e JOIN l ON e.user_id = l.user_id
         |  AND e.us <= l.as_of_us
         |  AND e.us >= l.as_of_us - 3600000000""".stripMargin,
+
+    // arbitrary-state twin: snapshots after each of the two midpoint-split
+    // batches. flatMapGroupsWithState emits only for groups WITH input
+    // rows in a trigger, so batch 2's rows are the full-history aggregate
+    // restricted to suffix-active users; user_id crosses as VARCHAR (the
+    // typed Dataset[Event] key)
+    "q189_streaming_state_snapshots" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user_id, event_type,
+        |  epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+        |b1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS purchase_count,
+        |  max(us) AS last_event_us
+        |  FROM e, c WHERE us <= cut GROUP BY user_id),
+        |act2 AS (SELECT DISTINCT user_id FROM e, c WHERE us > cut),
+        |b2 AS (SELECT e.user_id, CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS purchase_count,
+        |  max(us) AS last_event_us
+        |  FROM e JOIN act2 USING (user_id) GROUP BY e.user_id)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2""".stripMargin,
 
     "q187_streaming_sessions" ->
       s"""WITH e AS (SELECT user_id,

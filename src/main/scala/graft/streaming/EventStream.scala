@@ -285,6 +285,68 @@ object EventStream {
       spark.sparkContext.parallelize(collected.toIndexedSeq, 4), schema)
   }
 
+  /** The ARBITRARY-STATE oracle contract (q189 — the fourth stateful
+    * family after q186 windows, q187 sessions, q188 join state):
+    * [[runningUserFeatures]] (flatMapGroupsWithState) driven through
+    * MemoryStream in TWO micro-batches split at the event-time midpoint
+    * `(min_us + max_us) div 2`, so the emitted rows are each user's
+    * snapshot AFTER BATCH 1 (users active in the prefix) and after batch
+    * 2 (users active in the suffix, folded ON TOP of their batch-1
+    * state) — cross-batch state continuation is therefore itself under
+    * the hash, not just the final answer. The DuckDB twin is the
+    * prefix-aggregate UNION the full-history aggregate restricted to
+    * suffix-active users (flatMapGroupsWithState only emits for groups
+    * with input rows in the trigger). Every output column is an exact
+    * integer: counts and max-of-micros; within-batch fold order is
+    * irrelevant (count/max are order-free).
+    */
+  def statefulSnapshotReplay(spark: org.apache.spark.sql.SparkSession,
+                             events: DataFrame,
+                             statePartitions: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(statePartitions >= 1, "statePartitions must be positive")
+    val rows = events.select(col("user_id").cast("string"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(String, String, Long)].collect()
+    require(rows.nonEmpty, "streaming contract needs a non-empty event table")
+    val (minUs, maxUs) = (rows.iterator.map(_._3).min, rows.iterator.map(_._3).max)
+    val cut = Math.floorDiv(minUs + maxUs, 2L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)]
+    val stream = input.toDF().toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("value", lit(0.0)) // unused by the state fold
+      .drop("us")
+      .as[Event]
+    val name = "graft_stream_q189_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        runningUserFeatures(stream).toDF()
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      input.addData(rows.filter(_._3 <= cut).toSeq)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._3 > cut).toSeq)
+      q.processAllAvailable()
+      awaitQuiescent(spark, q, name)
+    } finally q.stop()
+    val out = spark.table(name)
+      .select(col("user_id"), col("event_count"), col("purchase_count"),
+        unix_micros(col("last_event_ts")).as("last_event_us"))
+    val schema = out.schema
+    val collected = out.collect()
+    logReplayProgress("q189", q, collected.length.toLong)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toIndexedSeq, 4), schema)
+  }
+
   /** Shared MemoryStream replay harness behind the oracle-gated streaming
     * contracts (q186/q187): feed the quantized event rows (plus, when
     * `replayMod` is set, every `event_id % replayMod == 0` row again —

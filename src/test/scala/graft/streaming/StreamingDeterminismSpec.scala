@@ -138,4 +138,29 @@ class StreamingDeterminismSpec extends SparkTestBase {
       withClue(s"run $i: ") { got shouldBe expected }
     }
   }
+
+  test("stateful-snapshot replay is bit-identical across runs and equals the two-batch fold") {
+    val e = events.select(col("user_id").cast("string").as("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val r = e.agg(min(col("us")), max(col("us"))).head()
+    val cut = Math.floorDiv(r.getLong(0) + r.getLong(1), 2L)
+    def aggOf(d: DataFrame) = d.groupBy("user_id")
+      .agg(count(lit(1)).as("event_count"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchase_count"),
+        max(col("us")).as("last_event_us"))
+    val b1 = aggOf(e.filter(col("us") <= cut))
+    val b2 = aggOf(e).join(
+      e.filter(col("us") > cut).select("user_id").distinct(),
+      Seq("user_id"), "left_semi")
+    val expected = canon(b1.unionByName(b2)
+      .select("user_id", "event_count", "purchase_count", "last_event_us"))
+    expected should not be empty
+    (0 until 3).foreach { i =>
+      val got = canon(EventStream.statefulSnapshotReplay(
+        spark, events, statePartitions = Seq(2, 4, 7)(i))
+        .select("user_id", "event_count", "purchase_count", "last_event_us"))
+      withClue(s"run $i: ") { got shouldBe expected }
+    }
+  }
 }
