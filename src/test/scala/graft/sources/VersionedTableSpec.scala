@@ -420,6 +420,47 @@ class VersionedTableSpec extends SparkTestBase {
     m.dirSchemas.keySet shouldBe m.entries.values.toSet
   }
 
+  test("pre-r18 manifests (no dirSchemas field) read through the snapshot-schema fallback") {
+    val root = tmpRoot("legacy_manifest")
+    VersionedTable.commitOverwrite(
+      days((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L)), root, Seq("day"))
+    // rewrite v1's manifest WITHOUT the dirSchemas field — the exact
+    // bytes a pre-evolution build committed
+    val f = fs(root)
+    val mPath = new Path(s"$root/${VersionedTable.LogDirName}/${"%020d".format(1)}.json")
+    val raw = {
+      val in = f.open(mPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    raw should include("\"dirSchemas\"")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(raw)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("dirSchemas")
+    val legacy = mapper.writeValueAsString(node)
+    legacy should not include "dirSchemas"
+    f.delete(mPath, false)
+    val out = f.create(mPath, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    // reads fall back to the snapshot schema for every dir
+    val m = VersionedTable.readManifest(f, new Path(root), 1L)
+    m.dirSchemas shouldBe empty
+    m.entries.keys.foreach(p =>
+      m.schemaOf(m.entries(p)).fieldNames.toSeq shouldBe m.schema.fieldNames.toSeq)
+    VersionedTable.read(spark, root).as[(Long, String, Long)].collect().toSet shouldBe
+      Set((1L, "2024-01-01", 10L), (2L, "2024-01-02", 20L))
+    spark.sql(VersionedTable.snapshotSql(m, root)).count() shouldBe 2L
+    // an add-column commit ON TOP of the legacy manifest starts tracking
+    // per-dir schemas and still NULL-fills the legacy dir
+    VersionedTable.commitPartitions(
+      Seq((3L, "2024-01-03", 30L, "x")).toDF("user_id", "day", "value", "extra"),
+      root, Seq("day"))
+    VersionedTable.read(spark, root)
+      .select("user_id", "extra").as[(Long, Option[String])].collect().toSet shouldBe
+      Set((1L, None), (2L, None), (3L, Some("x")))
+  }
+
   test("compact cleans its staged rewrite on ANY pre-publish failure, not just conflicts") {
     val root = tmpRoot("compact_leak")
     VersionedTable.commitOverwrite(Seq((1L, "a")).toDF("id", "s"), root)
