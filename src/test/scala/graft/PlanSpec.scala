@@ -254,6 +254,18 @@ class PlanSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("multi-reader frames stay persisted: LM scoring, attribution pairs, journey/means tables") {
+    // the round-18 persist rule: a frame consumed by >=2 downstream reads
+    // must cache, or its whole subtree re-derives per reader (tokenize
+    // passes, band joins). A dropped maybePersist shows here as a missing
+    // InMemoryRelation, not as a silent 2-5x sweep regression.
+    Seq("q152_trigram_surprisal", "q103_bigram_surprisal",
+        "q168_attribution", "q180_removal_effect",
+        "q126_perplexity_buckets").foreach { q =>
+      withClue(s"$q: ") { plan(q) should include("InMemoryRelation") }
+    }
+  }
+
   test("q181/q183: RFM null-safe bucket lookups stay broadcast hash joins") {
     // the recency/frequency rank tables are bounded -> broadcast ALWAYS;
     // the lookup is null-safe (<=>), and EqualNullSafe must keep planning
