@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * tiebreak makes the order — and therefore the assignment — fully
   * deterministic even for same-timestamp events.
   *
+  * Boundary contract: the break is strictly `> gapSeconds` — an event
+  * arriving EXACTLY `gapSeconds` after its predecessor stays in the same
+  * session. This matches Spark's `session_window` (verified empirically
+  * on 4.1.2, batch and streaming: two events exactly one gap apart merge
+  * into a single [t, t+2·gap) session), so composing this batch operator
+  * with [[graft.streaming.EventStream.sessionStats]] yields identical
+  * session counts on boundary data; SessionizeSpec pins the boundary on
+  * both sides.
+  *
   * Scale shape: ONE shuffle, partitioned by `user_id` — the same key
   * layout every feature pipeline here shuffles on, so a pre-bucketed
   * events table (Writers `--buckets`) serves this without an exchange.

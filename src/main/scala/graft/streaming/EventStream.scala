@@ -187,8 +187,11 @@ object EventStream {
     * emitted sessions as a batch frame. The DuckDB twin is the
     * gaps-and-islands formulation (lag + running sum per user) with
     * Spark's session semantics: an event exactly `gap` after its
-    * predecessor starts a NEW session (the [ts, ts+gap) window excludes
-    * it), and session_end = last event + gap. No replayed duplicates
+    * predecessor MERGES into the session (session_window treats the
+    * touching [ts+gap, …) start as part of the [ts, ts+gap] extent —
+    * verified empirically on Spark 4.1.2, batch and streaming; the
+    * break is strictly `> gap`, identical to q54's batch sessionizer),
+    * and session_end = last event + gap. No replayed duplicates
     * here — ingest dedup is q186's contract; this one isolates session
     * merge/flush. Same cross-engine discipline: `value` quantizes to 1e6
     * fixed point BEFORE the stream so every output column is exact
@@ -445,8 +448,18 @@ object EventStream {
       val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
       val n = spark.table(view).count()
       if (idle && n == last) stable += 1
-      else { stable = 0; last = n; Thread.sleep(50) }
+      else { stable = 0; last = n }
+      // sleep between EVERY poll (stable ones included) so the three
+      // confirmations span a real time window — a watermark-acting
+      // no-data micro-batch that is scheduled but not yet running could
+      // otherwise slip past three back-to-back sub-ms looks
+      if (stable < 3) Thread.sleep(50)
     }
+    if (stable < 3)
+      System.err.println(
+        s"[quiescence] WARNING: 60s deadline expired before 3 stable " +
+          s"confirmations (view=$view, lastRows=$last) — proceeding; any " +
+          "missed flush surfaces as a row-count mismatch downstream")
   }
 
   /** Per-micro-batch breadcrumbs for the replay contracts — printed AFTER

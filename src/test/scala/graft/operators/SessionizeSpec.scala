@@ -39,6 +39,26 @@ class SessionizeSpec extends SparkTestBase {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 2L)
   }
 
+  test("exactly-gap boundary: batch assign and session_window agree (both merge)") {
+    // the contract pinned in the scaladoc: an exactly-gap successor stays
+    // in the session on BOTH the gaps-and-islands operator and Spark's
+    // session_window aggregation, so composing them is safe on boundary data
+    val e = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:10:00"), "view"),      // == 600s: merges
+      (3L, 2L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, 2L, ts("2024-01-01 10:10:00.000001"), "view") // 600s + 1us: splits
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val batch = Sessionize.assign(e, gapSeconds = 600L)
+      .groupBy("user_id").agg(max("session_seq").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val sw = e.groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .count().groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    batch shouldBe Map(1L -> 1L, 2L -> 2L)
+    sw shouldBe batch
+  }
+
   test("same-timestamp events order by event_id — assignment is deterministic") {
     val e = Seq(
       (20L, 1L, ts("2024-01-01 10:00:00"), "view"),

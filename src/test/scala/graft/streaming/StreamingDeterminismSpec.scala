@@ -29,13 +29,27 @@ class StreamingDeterminismSpec extends SparkTestBase {
     */
   private lazy val events: DataFrame = {
     val base = 1704067200000000L // 2024-01-01T00:00Z in micros
-    (0 until 600).map { i =>
+    val generated = (0 until 600).map { i =>
       val user = (i * 37 % 23).toLong
       val etype = Seq("click", "view", "purchase")(i % 3)
       val us = base + (i.toLong * 7919L % 259200L) * 1000000L
       val value = if (i % 11 == 0) None else Some((i * 31 % 997).toDouble / 10.0)
       (i.toLong, user, etype, new Timestamp(us / 1000L), value)
-    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    }
+    // Session-gap boundary pins (no generated pair lands exactly on the
+    // 30-min gap, so these make the boundary load-bearing): user 100 has
+    // two events exactly gap apart (MUST merge into one session — Spark
+    // session_window's `>` break, same as q54); user 101 has two events
+    // gap+1s apart (MUST split into two sessions).
+    val gapUs = 1800000000L
+    val boundary = Seq(
+      (600L, 100L, "click", new Timestamp(base / 1000L), Some(1.5)),
+      (601L, 100L, "view", new Timestamp((base + gapUs) / 1000L), Some(2.5)),
+      (602L, 101L, "click", new Timestamp(base / 1000L), Some(3.5)),
+      (603L, 101L, "view",
+        new Timestamp((base + gapUs + 1000000L) / 1000L), Some(4.5)))
+    (generated ++ boundary)
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
   }
 
   /** The q186 batch formulation (distinct quantized rows -> floor-hour
@@ -86,7 +100,8 @@ class StreamingDeterminismSpec extends SparkTestBase {
 
   test("session ingest replay is bit-identical across runs and equals the gaps-and-islands twin") {
     // gaps-and-islands in batch Spark with session_window's exact
-    // semantics: break on diff >= gap, end = last + gap
+    // semantics: break only on diff > gap (an exactly-gap successor
+    // merges — the fixture's user 100 pins this), end = last + gap
     val gapUs = 1800000000L
     val e = events.select(col("user_id"),
       unix_micros(col("ts")).as("us"),
@@ -94,17 +109,23 @@ class StreamingDeterminismSpec extends SparkTestBase {
         .as("value_fp"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("us")
-    val expected = canon(e
+    val twin = e
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("brk", when(col("prev_us").isNull ||
-        col("us") - col("prev_us") >= gapUs, 1L).otherwise(0L))
+        col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sid"))
       .agg(min(col("us")).as("session_start_us"),
         (max(col("us")) + gapUs).as("session_end_us"),
         count(lit(1)).as("n_events"), sum(col("value_fp")).as("sum_value_fp"))
-      .select("session_start_us", "session_end_us", "user_id", "n_events", "sum_value_fp"))
+      .select("session_start_us", "session_end_us", "user_id", "n_events", "sum_value_fp")
+    // boundary pin: exactly-gap pair (user 100) merges into ONE session,
+    // gap+1s pair (user 101) splits into TWO — the semantics Spark
+    // session_window exhibits empirically (batch + streaming, 4.1.2)
+    twin.filter(col("user_id") === 100L).count() shouldBe 1L
+    twin.filter(col("user_id") === 101L).count() shouldBe 2L
+    val expected = canon(twin)
     expected should not be empty
     (0 until 5).foreach { i =>
       val got = canon(EventStream.sessionIngestReplay(

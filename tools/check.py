@@ -8,6 +8,16 @@ matching oracle SQL from oracle_sql.json in DuckDB with the sf tables
 registered as views, and compares: schema (column names), row count, and
 values (rows sorted by all columns, column order normalized by name).
 Dev-only tooling — the shipped Scala library has no Python dependency.
+
+TYPE DISCIPLINE (round 19): value comparison alone is structurally blind
+to the bug class that red-rowed r9 (DECIMAL) and r17/r18 (HUGEINT): Python
+`123 == 123.0`, but the driver hashes a pandas/Arrow rendering where a
+HUGEINT/DECIMAL column becomes float64 ("123.0" vs "123"). So this gate
+additionally (a) LINTS every oracle_sql.json entry's bound result types —
+any HUGEINT/UHUGEINT/DECIMAL column fails loudly even on subset runs, and
+(b) fails when a got/exp column pair lands in different type classes
+(int vs float vs string ...). An uncast `sum()` over BIGINT can no longer
+pass locally and red at the driver.
 """
 import json
 import math
@@ -17,6 +27,49 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# DuckDB types the driver's Arrow/pandas hasher renders differently than
+# the Spark dump (HUGEINT -> float64 "123.0"; DECIMAL -> Decimal/float
+# renderings) — banned from oracle results outright.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def type_class(t):
+    """Coarse class a column type hashes as downstream: two columns in
+    different classes WILL diverge under the driver even when Python
+    values compare equal."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t
+
+
+def lint_oracle_types(con, oracle):
+    """Bind (not execute) every oracle query and reject banned types."""
+    bad = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            rel = con.sql(sql)
+        except Exception as e:
+            bad.append((name, "<bind>", f"bind error: {e}"))
+            continue
+        for col, t in zip(rel.columns, rel.types):
+            ts = str(t).upper()
+            if ts.startswith(BANNED_TYPES):
+                bad.append((name, col, ts))
+    for name, col, ts in bad:
+        print(f"TYPELINT FAIL {name}: column '{col}' is {ts} — cast it "
+              f"(driver hashes this type differently than the Spark dump)")
+    return len(bad)
 
 
 def canon(rows):
@@ -49,7 +102,11 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    # global type lint FIRST, over every oracle entry (binding only, so
+    # it is cheap and runs even on --subset): the close-time guard the
+    # r18 verdict asked for
+    n_fail = lint_oracle_types(con, oracle)
+    n_pass = 0
     import os
     for name, sql in sorted(oracle.items()):
         if not os.path.isdir(f"{out_dir}/{name}"):
@@ -59,19 +116,31 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = list(got_rel.columns)
+            got_types = [str(t).upper() for t in got_rel.types]
+            got_rows = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t).upper() for t in exp_rel.types]
+            exp_rows = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        tmm = [(c, gt, et) for c, gt, et in zip(
+                   sorted(got_cols),
+                   [got_types[got_cols.index(c)] for c in sorted(got_cols)],
+                   [exp_types[exp_cols.index(c)] for c in sorted(exp_cols)])
+               if type_class(gt) != type_class(et)]
+        if tmm:
+            for c, gt, et in tmm:
+                print(f"FAIL {name}: column '{c}' type class differs — "
+                      f"got {gt} vs oracle {et} (driver would hash-red this)")
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
