@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   * the normalization. K iterations = 2K edge-linear rounds; edges and
   * the node spine persist once. No windows, no collect.
   *
-  * The returned frame stays persisted (one row per node) — the
-  * [[PageRank.rank]] contract; release it when done.
+  * The returned frame is checkpoint-cached on first materialization (one
+  * row per node) — the [[PageRank.rank]] contract; blocks release with
+  * the session's cache cleanup.
   */
 object Hits {
 
@@ -78,7 +79,6 @@ object Hits {
                        measure: Boolean,
                        epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "hits needs at least one iteration")
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keyOrRaise(c: String) =
       when(col(c).isNull, raise_error(lit(
         s"hits: NULL $c — a null endpoint has no node identity " +
@@ -87,13 +87,20 @@ object Hits {
     val e = edges.select(keyOrRaise(srcCol).as("src"),
         keyOrRaise(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .persist(storage)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
-      .persist(storage)
+      .localCheckpoint(false)
     // re-normalize a raw BIGINT score column to [0, 1e6] by the round max:
-    // exact integer floor division on a DECIMAL(38,0) product
-    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+    // exact integer floor division on a DECIMAL(38,0) product. `raw` is
+    // lazily checkpoint-cached first: the normalization references it
+    // twice (the 1-row max + the projection), and without the leaf plan
+    // the logical tree would DOUBLE per half-step (2^(2*iters) nodes — a
+    // driver OOM on the plan STRING alone); the cache also makes the
+    // second reference read blocks instead of re-running the half-step's
+    // join+aggregate.
+    def normalized(raw0: DataFrame, scoreCol: String): DataFrame = {
+      val raw = raw0.localCheckpoint(false)
       val mx = raw.agg(max(col(scoreCol)).as("__mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("host"),
@@ -101,18 +108,21 @@ object Hits {
             s"CAST((CAST($scoreCol AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)"))
             .otherwise(lit(0L)).as(scoreCol))
     }
-    // each half-step's frame is LINEAGE-TRUNCATED (eager localCheckpoint),
-    // not merely persisted: the normalization references its input twice
-    // (raw + its 1-row max), so an un-truncated plan DOUBLES per half-step
-    // — 2^(2*iters) plan nodes, which OOMs the driver on the plan STRING
-    // alone long before any data moves. Checkpointed frames are
-    // node-count-sized; the blocks release with the session's cache
+    // every loop-carried frame is LAZILY localCheckpoint-ed: the logical
+    // plan truncates to a LogicalRDD leaf immediately (lineage can never
+    // re-embed the edge build or double through the normalization), but
+    // NO job runs inside the loop — the consumer's single action executes
+    // the whole 2K-half-step chain, caching each node-count-sized frame
+    // (MEMORY_AND_DISK) as it passes. The old EAGER checkpoints spent one
+    // Spark job per half-step purely on materialization (8 jobs at K=4,
+    // the q161 bench cost); measure/until modes still act per round — the
+    // delta needs the value. Blocks release with the session's cache
     // cleanup (Bench clears persistent RDDs between queries). On a real
     // cluster swap localCheckpoint for reliable checkpointing if executor
     // loss mid-iteration must be survivable — the standard iterative-
     // graph tradeoff; results are unaffected (the math is order-free).
     var h = nodes.select(col("host"), lit(1000000L).as("hub_ppm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var a: DataFrame = null
     var lastDelta = -1L
     var i = 0
@@ -126,14 +136,14 @@ object Hits {
             .groupBy(col("dst").as("host")).agg(sum(col("hub_ppm")).as("auth_ppm")),
           Seq("host"), "left")
         .select(col("host"), coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
-      a = normalized(aRaw, "auth_ppm").localCheckpoint(true)
+      a = normalized(aRaw, "auth_ppm").localCheckpoint(false)
       // hub half-step: h(u) = sum of a(v) over out-edges (u -> v)
       val hRaw = nodes.join(
           e.join(a.select(col("host").as("dst"), col("auth_ppm")), "dst")
             .groupBy(col("src").as("host")).agg(sum(col("auth_ppm")).as("hub_ppm")),
           Seq("host"), "left")
         .select(col("host"), coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"))
-      h = normalized(hRaw, "hub_ppm").localCheckpoint(true)
+      h = normalized(hRaw, "hub_ppm").localCheckpoint(false)
       // movement: hub vs previous hub, auth vs previous auth (round 1 has
       // no previous auth — hub movement alone). Until-mode measures every
       // round (the stop test needs it); plain convergence mode the final
@@ -145,9 +155,7 @@ object Hits {
     }
     val out = h.join(a, Seq("host"))
       .select(col("host"), col("hub_ppm"), col("auth_ppm"))
-      .persist(storage)
-    out.count()
-    e.unpersist(); nodes.unpersist()
+      .localCheckpoint(false)
     (out, i, lastDelta)
   }
 }

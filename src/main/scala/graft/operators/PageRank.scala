@@ -45,15 +45,25 @@ import org.apache.spark.sql.functions._
   * exchange) + one combinable groupBy(dst) sum + a left join back to the
   * node spine (+ with redistribution: one node-count-sized combinable
   * aggregate, broadcast back as a single row). K iterations = K such
-  * rounds over an edge table that never grows; ranks/edges persist across
-  * iterations (edges once, each rank frame until its successor
-  * materializes). No windows, no collect, no pair blowup — edge-linear
-  * per iteration at any graph size.
+  * rounds over an edge table that never grows; edges/spine/degrees and
+  * each round's ranks are LAZILY localCheckpoint-ed — leaf logical plans
+  * per round (no re-embedded edge-build subtrees, no per-round plan
+  * growth) and ZERO materialization jobs inside the loop: the consumer's
+  * single action runs the whole chain, caching each round's
+  * node-count-sized blocks (MEMORY_AND_DISK) as it passes. No windows,
+  * no collect, no pair blowup — edge-linear per iteration at any graph
+  * size.
   *
-  * The RETURNED frame stays persisted (node-count-sized — one row per
-  * host) so consumers read the materialized ranks instead of replaying
-  * the iteration lineage; long-lived callers ranking many graphs should
-  * `unpersist()` results they are done with. No incremental form on
+  * The RETURNED frame is checkpoint-cached on first materialization
+  * (node-count-sized — one row per host) so consumers re-read
+  * materialized ranks instead of replaying the iteration lineage. Cached
+  * blocks (inputs + rounds) release with the session's cache cleanup
+  * (Bench clears persistent RDDs between queries); long-lived callers
+  * ranking many graphs should release via
+  * `spark.sparkContext.getPersistentRDDs` when done. On a multi-executor
+  * cluster prefer reliable `checkpoint()` if executor loss mid-iteration
+  * must be survivable (results are unaffected — the math is order-free).
+  * No incremental form on
   * purpose: ranks are a GLOBAL fixed point of the whole graph — new
   * edges shift every node's rank, so "increment == recompute" holds
   * trivially and an appendable-state variant would be a lie.
@@ -121,44 +131,59 @@ object PageRank {
                        epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "pagerank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keyOrRaise(c: String) =
       when(col(c).isNull, raise_error(lit(
         s"pagerank: NULL $c — a null endpoint has no node identity " +
           "(it would drop through every keyed join and silently lose edges)")))
         .otherwise(col(c))
+    // LAZY localCheckpoint on every loop input and every loop-carried
+    // frame: the returned Dataset's logical plan is a LogicalRDD leaf
+    // IMMEDIATELY (truncation does not wait for materialization), and the
+    // RDD caches (MEMORY_AND_DISK) the first time an action computes it.
+    // Two problems this kills at once, measured on the r19 bench:
+    //  - plan blowup: a persist() does NOT truncate the logical plan, and
+    //    each iteration references e/nodes/deg again, re-embedding the
+    //    full edge-build subtree ~4x per round — q155's final plan printed
+    //    at ~2 MB of text, and the analyzer re-walked that tree on every
+    //    one of the 5 per-iteration materializations (driver-side cost,
+    //    guide §7.3);
+    //  - job count: the old persist+count()-per-iteration rotation ran one
+    //    Spark job per round purely to materialize before releasing the
+    //    predecessor. With lazy checkpoints the WHOLE K-round chain runs
+    //    in the consumer's single action, each round's blocks caching as
+    //    the job passes through them (iterations are inherently
+    //    sequential — their shuffles pipeline inside one job just fine).
+    // With redistribution ON each iteration additionally references the
+    // rank frame twice (contrib join + dangling-mass aggregate) — under
+    // persist() THAT plan would DOUBLE per round (2^K nodes, a driver OOM
+    // on plan analysis alone); the leaf-plan truncation makes both shapes
+    // linear and tiny. Cache release: nothing here unpersists — blocks
+    // are node/edge-count-sized and release with the session's cache
+    // cleanup (Bench clears persistent RDDs between queries; long-lived
+    // library callers should release via sparkContext.getPersistentRDDs
+    // or catalog.clearCache when done ranking). Until/measure modes still
+    // run one delta action per round — the stop test needs the value.
     val e = edges.select(keyOrRaise(srcCol).as("src"),
         keyOrRaise(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .persist(storage)
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
-      .persist(storage)
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(false)
     val teleport = 1000000L - dampPpm
     // redistribution inputs, built once: the dangling node set (in the
     // spine, absent from the out-degree table) and the 1-row node count
     val dangling =
       if (!danglingRedistribute) null
       else nodes.join(e.select(col("src").as("host")).distinct(),
-        Seq("host"), "left_anti").persist(storage)
+        Seq("host"), "left_anti").localCheckpoint(false)
     val nCount =
       if (!danglingRedistribute) null
-      else nodes.agg(count(lit(1)).as("__N")).persist(storage)
-    // With redistribution ON, each iteration's plan references the rank
-    // frame TWICE (the contrib join AND the dangling-mass aggregate in the
-    // spine); persist does not truncate lineage, so the logical plan would
-    // DOUBLE per iteration — 2^iters nodes, which OOMs the driver on plan
-    // analysis alone long before any data moves (the Hits.rank hazard).
-    // Eager localCheckpoint truncates the lineage each round; checkpointed
-    // frames are node-count-sized and release with the session's cache
-    // cleanup (they cannot be unpersisted mid-loop — their cached blocks
-    // ARE the data). The single-reference leaky path keeps the cheaper
-    // persist+unpersist rotation (linear lineage, blocks released eagerly).
-    def materialize(df: DataFrame): DataFrame =
-      if (danglingRedistribute) df.localCheckpoint(true)
-      else df.persist(storage)
-    var r = materialize(nodes.select(col("host"), lit(1000000L).as("rank_ppm")))
+      else nodes.agg(count(lit(1)).as("__N")).localCheckpoint(false)
+    var r = nodes.select(col("host"), lit(1000000L).as("rank_ppm"))
+      .localCheckpoint(false)
     var lastDelta = -1L
     var i = 0
     var converged = false
@@ -182,31 +207,21 @@ object PageRank {
             .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("__dsum"))
             .crossJoin(nCount)
             .select(expr("__dsum div __N").as("__share"))))
-      val rMat = materialize(spine
+      val rMat = spine
         .join(contrib.select(col("dst").as("host"), col("__cs")), Seq("host"), "left")
         .withColumn("__mass", coalesce(col("__cs"), lit(0L)) + share)
         .select(col("host"),
           (lit(teleport) + expr(
             s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * __mass) div 1000000 AS BIGINT)"))
-            .as("rank_ppm")))
+            .as("rank_ppm"))
+        .localCheckpoint(false)
       // until-mode measures EVERY round (the stop test needs it); plain
       // convergence mode measures the final round only
-      val needDelta = epsPpm >= 0 || (measure && i == iters)
-      if (!danglingRedistribute) {
-        rMat.count() // materialize before releasing the previous iteration
-        if (needDelta) lastDelta = totalDelta(r, rMat)
-        r.unpersist()
-      } else if (needDelta) lastDelta = totalDelta(r, rMat)
+      if (epsPpm >= 0 || (measure && i == iters))
+        lastDelta = totalDelta(r, rMat)
       r = rMat
       if (epsPpm >= 0 && lastDelta <= epsPpm) converged = true
     }
-    // the final ranks are materialized, so the big inputs can release;
-    // a cache-evicted recompute of `r` would re-derive them (slower,
-    // still correct)
-    e.unpersist()
-    nodes.unpersist()
-    if (dangling != null) dangling.unpersist()
-    if (nCount != null) nCount.unpersist()
     (r, i, lastDelta)
   }
 
@@ -228,8 +243,8 @@ object PageRank {
     * K-edge-linear-rounds scale shape plus ONE broadcast-able seed-flag
     * join on the node spine built once. `seeds` is a 1-column frame of
     * node keys (extra rows that match no node are ignored — they receive
-    * no edges and appear in no spine). The returned frame stays
-    * persisted ([[rank]]'s contract).
+    * no edges and appear in no spine). The returned frame is
+    * checkpoint-cached on first materialization ([[rank]]'s contract).
     */
   def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
                 dampPpm: Long = 850000L,
@@ -269,28 +284,32 @@ object PageRank {
                             epsPpm: Long = -1L): (DataFrame, Int, Long) = {
     require(iters >= 1, "trustrank needs at least one iteration")
     require(dampPpm >= 0 && dampPpm <= 1000000L, "dampPpm must be in [0, 1e6]")
-    val storage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def keyOrRaise(c: String) =
       when(col(c).isNull, raise_error(lit(
         s"trustrank: NULL $c — a null endpoint has no node identity " +
           "(it would drop through every keyed join and silently lose edges)")))
         .otherwise(col(c))
+    // same lazy-localCheckpoint shape as [[rankCore]]: leaf plans per
+    // round (no re-embedded edge-build subtrees), zero per-round
+    // materialization jobs — the whole K-round chain runs in the
+    // consumer's single action, caching each round's blocks as it goes.
     val e = edges.select(keyOrRaise(srcCol).as("src"),
         keyOrRaise(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .persist(storage)
+      .localCheckpoint(false)
     val seedKeys = seeds.select(seeds.columns.head).toDF("host").distinct()
     // the spine carries the seed flag once; every iteration reads it
     val nodes = e.select(col("src").as("host"))
       .union(e.select(col("dst").as("host"))).distinct()
       .join(seedKeys.select(col("host"), lit(1).as("__seed")), Seq("host"), "left")
       .select(col("host"), coalesce(col("__seed"), lit(0)).as("__seed"))
-      .persist(storage)
+      .localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .localCheckpoint(false)
     val teleport = 1000000L - dampPpm
     var r = nodes.select(col("host"),
         (col("__seed").cast("long") * lit(1000000L)).as("rank_ppm"))
-      .persist(storage)
+      .localCheckpoint(false)
     var lastDelta = -1L
     var i = 0
     var converged = false
@@ -307,15 +326,11 @@ object PageRank {
           (col("__seed").cast("long") * lit(teleport) + expr(
             s"CAST((CAST($dampPpm AS DECIMAL(38,0)) * coalesce(__cs, 0L)) div 1000000 AS BIGINT)"))
             .as("rank_ppm"))
-        .persist(storage)
-      rMat.count() // materialize before releasing the previous iteration
+        .localCheckpoint(false)
       if (epsPpm >= 0 || (measure && i == iters)) lastDelta = totalDelta(r, rMat)
-      r.unpersist()
       r = rMat
       if (epsPpm >= 0 && lastDelta <= epsPpm) converged = true
     }
-    e.unpersist()
-    nodes.unpersist()
     (r, i, lastDelta)
   }
 }
