@@ -174,8 +174,32 @@ object Bench {
         name -> ((s ++ extra.map(_._1).toSeq, ts ++ extra.map(_._2).toSeq))
       }.toMap
     }
+    // Suspect-convergence rounds: a pass that still carries suspects after
+    // the cool-down sample is unusable for cross-round comparison ("quiet":
+    // false), so instead of only flagging it, retry the remaining suspects
+    // serially — up to 2 extra rounds of ONE sample each — and let a burst
+    // that has since passed converge the artifact to quiet on its own. The
+    // rounds taken ship in the JSON ("suspect_rounds") so a converged pass
+    // still records that it needed convergence.
+    var convergedSamples: Map[String, (Seq[Double], Seq[Long])] = cooled
+    def samplesOf(name: String, base: (Seq[Double], Seq[Long], Boolean)): Seq[Double] =
+      convergedSamples.get(name).map(_._1).getOrElse(base._1)
+    var suspectRounds = 0
+    while (suspectRounds < 2 &&
+        sampledResults.exists { case (name, base) => overLine(name, samplesOf(name, base)) }) {
+      suspectRounds += 1
+      val fns = SparkEntry.queries
+      sampledResults.foreach { case (name, (s, ts, _)) =>
+        val (cs, cts) = convergedSamples.getOrElse(name, (s, ts))
+        if (overLine(name, cs)) {
+          val extra = once(fns(name))
+          releaseCaches()
+          convergedSamples += name -> ((cs ++ extra.map(_._1).toSeq, cts ++ extra.map(_._2).toSeq))
+        }
+      }
+    }
     val finalSamples = sampledResults.map { case (name, (s, ts, burst)) =>
-      val (s2, ts2) = cooled.getOrElse(name, (s, ts))
+      val (s2, ts2) = convergedSamples.getOrElse(name, (s, ts))
       (name, (s2, ts2, burst))
     }
     val results = finalSamples.map { case (name, (s, _, _)) => name -> minOr(s) }
@@ -224,7 +248,7 @@ object Bench {
     if (!quiet)
       System.err.println(s"[bench] NOT QUIET: post-cool-down suspects $sus — " +
         "re-run on a quiet box before committing this artifact")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","quiet":$quiet,"queries":$qs,"samples":$sm,"sample_starts":$st,"resampled":$rs,"suspect":$sus,"persist_leftovers":$leftovers,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","quiet":$quiet,"queries":$qs,"samples":$sm,"sample_starts":$st,"resampled":$rs,"suspect":$sus,"suspect_rounds":$suspectRounds,"persist_leftovers":$leftovers,"log_stacks":${stackEvents.size},"sf":"$sfDir"}"""
     println(line)
     // The driver's captured tail truncates at 2000 chars — half the suite's
     // per-query timings vanish from BENCH_r*.json. Persist the full line

@@ -474,10 +474,16 @@ object CurationQueries {
     "q140_pack_ids_incremental" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
+      // enc feeds BOTH halves (head pack + shard increment) — persist so
+      // the BPE train + greedy encode run once, not once per half; head
+      // feeds the tail descriptor, the increment, AND replaceTail's
+      // stored side — same reasoning (all are id/ids metadata rows)
       val enc = Packing.encodeToIds(d,
         Packing.bpeMergeTable(d, nMerges = BpeMerges), maxWordLen = BpeMaxWordLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val head = Packing.packTokenRows(
         enc.filter(col("doc_id") <= IncrSplitId2), seqLen = PackSeqLen)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Packing.replaceTail(head,
         Packing.packTokenRowsIncremental(head,
           enc.filter(col("doc_id") > IncrSplitId2), seqLen = PackSeqLen))

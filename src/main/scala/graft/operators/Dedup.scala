@@ -177,13 +177,16 @@ object Dedup {
     *
     * Scale shape: the edge list (near-dup pairs) is tiny relative to the
     * corpus; each round shuffles (id, label) rows on id — the same key both
-    * joins use. Each round's labels are `localCheckpoint`ed (eager): that
-    * both materializes the round AND truncates the LOGICAL plan to the
-    * checkpointed RDD — a plain persist leaves the logical plan nesting one
-    * level per round, so analysis cost grows quadratically and a deep
-    * iteration overflows the analyzer's stack. On a multi-executor cluster
-    * prefer reliable `checkpoint()` (localCheckpoint blocks are lost with
-    * an executor); the loop structure is unchanged.
+    * joins use. Each round's labels are `localCheckpoint`ed LAZILY: the
+    * logical plan truncates to the checkpointed RDD immediately (a plain
+    * persist leaves the logical plan nesting one level per round, so
+    * analysis cost grows quadratically and a deep iteration overflows the
+    * analyzer's stack), and the round's one convergence action — the label
+    * sum, or the changed-label join for non-numeric ids — is what
+    * materializes it, so each round runs exactly ONE Spark job where the
+    * eager form ran two (checkpoint job + sum job). On a multi-executor
+    * cluster prefer reliable `checkpoint()` (localCheckpoint blocks are
+    * lost with an executor); the loop structure is unchanged.
     *
     * Output reuses [[exact]]'s keeper semantics: every doc in `docs` gets a
     * row — singletons form their own cluster — with cluster_id = min doc id
@@ -210,11 +213,11 @@ object Dedup {
     // is a small fraction of the corpus, and the full doc set joins the
     // converged labels exactly once below.
     val endpoints = edges.select(col("src").as("id"))
-    // eager localCheckpoint: materializes AND truncates the logical plan —
-    // see scaladoc. Old rounds' blocks are released by the ContextCleaner
-    // once unreferenced.
+    // LAZY localCheckpoint: truncates the logical plan now; the round's
+    // convergence action below materializes it — see scaladoc. Old rounds'
+    // blocks are released by the ContextCleaner once unreferenced.
     var labels = endpoints.distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+      .select(col("id"), col("id").as("label")).localCheckpoint(false)
     // Convergence, numeric ids: labels only ever DECREASE, so the (exact,
     // decimal — long ids could overflow a bigint sum) label total strictly
     // drops on any change; a stable total means a fixpoint. One
@@ -246,7 +249,7 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       converged =
         if (idIsNumeric) {
           val nextSum = labelSum(next)

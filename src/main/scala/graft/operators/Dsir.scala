@@ -103,7 +103,12 @@ object Dsir {
     * [[trainModel]] and [[resampleFromCorpus]] so the one-pass and
     * composed forms stay identical by construction.
     */
-  private def modelFromMerged(merged: DataFrame, buckets: Int): DsirModel = {
+  private def modelFromMerged(merged0: DataFrame, buckets: Int): DsirModel = {
+    // persisted: the merged count table (<= buckets rows) feeds BOTH the
+    // per-bucket weights and the one-row base-rate aggregate — without
+    // the persist each consumer re-runs the full-outer count merge (and,
+    // on the trainModel path, both corpus tokenize+count passes)
+    val merged = maybePersist(merged0, StorageLevel.MEMORY_AND_DISK)
     val bucketLn = PinnedMath.lnFpSteps("lp", "(cp + 1)")
       .++(PinnedMath.lnFpSteps("lq", "(cq + 1)"))
       .foldLeft(merged) { case (df, (alias, e)) => df.withColumn(alias, expr(e)) }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{PinnedMath, TextFunctions}
 
@@ -48,7 +49,7 @@ object QualityClassifier {
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame =
     nbOverFeatures(docs, positive, negative, idCol,
-      TextFunctions.tokens(col(textCol)), "n_tokens")
+      TextFunctions.tokens(col(textCol)), "n_tokens", boundedModel = false)
 
   /** [[nbLogOdds]] in the HASHED feature space [[Dsir]] uses: every
     * unigram AND word-bigram hashed into `buckets` slots. Bigrams give
@@ -67,7 +68,7 @@ object QualityClassifier {
                       textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     nbOverFeatures(docs, positive, negative, idCol,
-      Dsir.featureBuckets(col(textCol), buckets), "n_feats")
+      Dsir.featureBuckets(col(textCol), buckets), "n_feats", boundedModel = true)
   }
 
   /** [[nbLogOdds]] over hashed CHARACTER n-grams of the normalized token
@@ -88,7 +89,7 @@ object QualityClassifier {
     require(n >= 1, "n must be positive")
     require(buckets > 0, "buckets must be positive")
     nbOverFeatures(docs, positive, negative, idCol,
-      charNgramBuckets(col(textCol), n, buckets), "n_feats")
+      charNgramBuckets(col(textCol), n, buckets), "n_feats", boundedModel = true)
   }
 
   /** Hashed char-n-gram buckets of one document's normalized token
@@ -133,10 +134,18 @@ object QualityClassifier {
     def feats(d: DataFrame) = d.select(explode(featureExpr).as("w"))
     val posTf = feats(positive).groupBy(col("w")).agg(count(lit(1)).as("tfp"))
     val negTf = feats(negative).groupBy(col("w")).agg(count(lit(1)).as("tfn"))
-    val vocab = posTf.join(negTf, Seq("w"), "full_outer")
-      .select(col("w"),
-        coalesce(col("tfp"), lit(0L)).as("tfp"),
-        coalesce(col("tfn"), lit(0L)).as("tfn"))
+    // persisted: the union vocabulary feeds BOTH the per-feature weights
+    // and the one-row smoothing-constants aggregate — without the persist
+    // each consumer re-tokenizes both seed corpora and re-runs the
+    // full-outer tf merge (the plan showed the whole subtree twice). The
+    // frame is the model itself: bounded by `buckets` for the hashed
+    // families, Heaps-bounded for the word space.
+    val vocab = Caching.maybePersist(
+      posTf.join(negTf, Seq("w"), "full_outer")
+        .select(col("w"),
+          coalesce(col("tfp"), lit(0L)).as("tfp"),
+          coalesce(col("tfn"), lit(0L)).as("tfn")),
+      StorageLevel.MEMORY_AND_DISK)
     // per-distinct-feature weight: lnfp(tfp+1) - lnfp(tfn+1)
     val wordW = (PinnedMath.lnFpSteps("lp", "(tfp + 1)") ++
         PinnedMath.lnFpSteps("lq", "(tfn + 1)"))
@@ -168,10 +177,20 @@ object QualityClassifier {
   private def nbScoreFromModel(docs: DataFrame, wordW: DataFrame,
                                consts: DataFrame, idCol: String,
                                featureExpr: org.apache.spark.sql.Column,
-                               nName: String): DataFrame = {
+                               nName: String,
+                               boundedModel: Boolean): DataFrame = {
     val docWords = docs.select(col(idCol), explode(featureExpr).as("w"))
+    // Join strategy, chosen by what bounds the weight table (guide §3.1):
+    // the hashed/char-n-gram spaces are <= `buckets` rows — broadcast at
+    // any corpus size, so the exploded (doc, feature) table is never
+    // exchanged or sorted for this join. The word space is Heaps-bounded
+    // (grows with the corpus), so it takes a SHUFFLE_HASH hint instead:
+    // both sides still exchange on the feature key, but the corpus-sized
+    // exploded side skips the SortMergeJoin's O(n log n) sort/spill and
+    // only the weight table is hashed per partition.
+    val weights = if (boundedModel) broadcast(wordW) else wordW.hint("shuffle_hash")
     val perDoc = docWords
-      .join(wordW, Seq("w"), "left") // neither-seed feature: weight 0
+      .join(weights, Seq("w"), "left") // neither-seed feature: weight 0
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),
         sum(coalesce(col("__w_fp"), lit(0L))).as("__s"))
@@ -192,9 +211,10 @@ object QualityClassifier {
   private def nbOverFeatures(docs: DataFrame, positive: DataFrame,
                              negative: DataFrame, idCol: String,
                              featureExpr: org.apache.spark.sql.Column,
-                             nName: String): DataFrame = {
+                             nName: String,
+                             boundedModel: Boolean): DataFrame = {
     val (wordW, consts) = nbModelOverFeatures(positive, negative, featureExpr)
-    nbScoreFromModel(docs, wordW, consts, idCol, featureExpr, nName)
+    nbScoreFromModel(docs, wordW, consts, idCol, featureExpr, nName, boundedModel)
   }
 
   /** [[nbLogOddsHashed]]'s trained model as two persistable frames:
@@ -221,7 +241,7 @@ object QualityClassifier {
                              textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     nbScoreFromModel(docs, weights, consts, idCol,
-      Dsir.featureBuckets(col(textCol), buckets), "n_feats")
+      Dsir.featureBuckets(col(textCol), buckets), "n_feats", boundedModel = true)
   }
 
   /** [[nbLogOddsCharNgram]]'s trained model — same split as
@@ -245,7 +265,7 @@ object QualityClassifier {
     require(n >= 1, "n must be positive")
     require(buckets > 0, "buckets must be positive")
     nbScoreFromModel(docs, weights, consts, idCol,
-      charNgramBuckets(col(textCol), n, buckets), "n_feats")
+      charNgramBuckets(col(textCol), n, buckets), "n_feats", boundedModel = true)
   }
 
   /** Calibration sweep: confusion counts and exact-ppm precision / recall /

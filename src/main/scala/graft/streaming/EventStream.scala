@@ -1166,11 +1166,16 @@ object EventStream {
               raw.filter(col("era") =!= lit(batchId)))
             if (collapsed.limit(1).isEmpty) null else collapsed
         }
+        // StorageLevel.NONE: the per-trigger persist below covers the
+        // double consumption; the operators' internal default persist
+        // would leak one cache entry per trigger
         val newRows =
           if (stored == null)
-            graft.operators.Packing.packTokenRows(enc, seqLen, idCol)
+            graft.operators.Packing.packTokenRows(enc, seqLen, idCol,
+              storage = org.apache.spark.storage.StorageLevel.NONE)
           else
-            graft.operators.Packing.packTokenRowsIncremental(stored, enc, seqLen, idCol)
+            graft.operators.Packing.packTokenRowsIncremental(stored, enc, seqLen, idCol,
+              storage = org.apache.spark.storage.StorageLevel.NONE)
         // persist: the sink and the state append both consume the rows —
         // without it the batch re-encodes and re-packs twice
         val rows = newRows.persist(
