@@ -403,8 +403,18 @@ object SimilaritySearch {
 
   /** ADC scan: the query distance tables (exact distance to every
     * codeword, quantized to integer 1e-9 units — |queries| * m * K rows,
-    * broadcast-sized) meet the codes on (sub, cid); order-free BIGINT
-    * sums, (adist, id) tie-break, top-k per query.
+    * broadcast-sized) meet the codes row-locally: each vector's m codes
+    * gather into ONE array row (the only code shuffle — N rows, no query
+    * or subspace fan-out), each query's table broadcasts as ONE
+    * (sub, cid) -> dfp map row, and the ADC sum is a row-local integer
+    * fold over the code array. The pre-fusion form joined codes to the
+    * table on (sub, cid) and aggregated N x m x |queries| scored partials
+    * through a (query, id) shuffle; the fold computes the identical
+    * order-free BIGINT sum (integer addition reorders freely) with the
+    * m x |queries| factor gone from the exchange. Same (adist, id)
+    * tie-break, top-k per query. A code whose (sub, cid) is missing from
+    * a query's table would mean a codebook mismatch — raised loudly, not
+    * a silent NULL that would sort first and fake a nearest neighbor.
     */
   private def pqAdcQuery(codes: DataFrame, cb: DataFrame,
                          querySubs: DataFrame, k: Int): DataFrame = {
@@ -415,11 +425,18 @@ object SimilaritySearch {
       .withColumn("dfp", expr(
         "CAST(floor(d2 * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
       .select(col("query_id"), col("sub"), col("cid"), col("dfp"))
+    val dtMap = dt.groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        struct(col("sub"), col("cid")).as("key"), col("dfp").as("value")))).as("__dt"))
+    val codeArr = codes.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("cid")))).as("__cids"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist_fp").asc, col("id").asc)
-    codes.join(broadcast(dt), Seq("sub", "cid"))
+    codeArr.crossJoin(broadcast(dtMap))
       .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("dfp")).as("adist_fp"))
+      .withColumn("adist_fp", expr(
+        """aggregate(__cids, 0L, (acc, c) -> acc +
+          |  coalesce(element_at(__dt, named_struct('sub', c.sub, 'cid', c.cid)),
+          |    CAST(raise_error('pqAdcQuery: code (sub, cid) missing from the query ADC table - codebook mismatch') AS BIGINT)))""".stripMargin))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("adist_fp"), col("rank"))
