@@ -115,12 +115,21 @@ class PlanSpec extends SparkTestBase {
       "q140_pack_ids_incremental",
       // q109/q110/q112's one-row ln(N) totals cross the aggregated
       // (distinct-domain) tables — the same q43 scalar-broadcast shape,
-      // never corpus x corpus (q111/q113/q114/q116's joins are all
-      // keyed: they stay under the full guard); q115 is q109's read off
-      // merged state
+      // never corpus x corpus (q116's joins are all keyed: they stay
+      // under the full guard); q115 is q109's read off merged state
       "q109_source_kl", "q109a_source_kl_probe", "q109b_source_kl_millinats",
       "q110_tfidf_terms",
       "q112_pmi_collocations", "q115_source_kl_incremental",
+      // the fused PQ ADC scan (q111/q113/q114/q117) crosses the broadcast
+      // per-query distance maps — |queries| rows, each one bounded
+      // m x K map — into the gathered code arrays: the q28
+      // broadcast-query shape, with the ADC sum a row-local fold (the
+      // BNLJ emits the (query, candidate) score rows the old keyed form
+      // emitted m x |queries| partials for, never corpus x corpus); the
+      // dedicated q114 guard below pins the count to exactly one and the
+      // rerank join as keyed
+      "q111_knn_pq", "q113_knn_pq_incremental", "q114_knn_pq_reranked",
+      "q117_knn_pq_trained",
       // q119 embeds the q35 trained quantizer: the only cross join is the
       // tiny broadcast centroid set against the corpus (assignment
       // argmax); its in-cell pair stage stays a keyed join on cid —
@@ -561,7 +570,15 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q114_knn_pq_reranked")
     p should include("BroadcastExchange")
     p should not include "CartesianProduct"
-    p should not include "BroadcastNestedLoopJoin"
+    // the ONE nested-loop shape is the fused ADC scan's broadcast
+    // query-map cross (|queries| rows, bounded m x K map each); the
+    // exact-rerank join back to the vectors must stay a keyed hash or
+    // merge join — a second BNLJ would mean the rerank re-introduced the
+    // pair blowup
+    p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) shouldBe 1
+    (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin")) shouldBe true
   }
 
   test("q94: the corpus collapses to the log-bucket histogram BEFORE any window") {
