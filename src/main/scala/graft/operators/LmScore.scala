@@ -44,12 +44,21 @@ object LmScore {
   case class UnigramLm(wordLn: DataFrame, lnD: DataFrame)
 
   /** Train the add-one unigram model of `reference`: every expensive op
-    * (the pinned-ln series) runs once per DISTINCT word.
+    * (the pinned-ln series) runs once per DISTINCT word. The vocab table
+    * persists under `storage` (NONE opts out) — the ln(N+V) constant and
+    * the per-word ln table both read it, and without the persist the
+    * reference tokenizes once per model table. Train-once semantics:
+    * callers that freeze the model to parquet (the streaming gate, `App
+    * lm-train`) pay the persist exactly once.
     */
-  def unigramModel(reference: DataFrame, textCol: String = "text"): UnigramLm = {
-    val vocab = reference
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("tf"))
+  def unigramModel(reference: DataFrame, textCol: String = "text",
+                   storage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): UnigramLm = {
+    val vocab = Caching.maybePersist(
+      reference
+        .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("tf")),
+      storage)
     // one-row model constant: ln(N + V), fixed-point
     val lnD = PinnedMath.lnFpSteps("lnd", "__d")
       .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
@@ -136,20 +145,31 @@ object LmScore {
       d.select(cols :+ explode(TextFunctions.wordShinglesAll(
         TextFunctions.tokens(col(textCol)), 2)).as("bg"): _*)
     val ref = reference.getOrElse(docs)
-    // unigram model (for the backoff path): tf over all token positions.
-    // Persisted: lnD5 and backoffLn both read it — without this the
-    // reference tokenizes once per model table (the trigram fix's twin)
-    val vocab = Caching.maybePersist(
-      ref.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("tf")),
+    // uni+bi gram counts in ONE tokenize pass over the reference (the
+    // [[trigramState]] shape, two orders): the unigram table (backoff
+    // path) and the bigram table previously each re-tokenized the
+    // reference — one full corpus scan per model table. Persisted: lnD5,
+    // backoffLn, and the bigram level all read it.
+    val st = Caching.maybePersist(
+      ref.select(TextFunctions.tokens(col(textCol)).as("__toks"))
+        .select(explode(concat(
+          transform(col("__toks"),
+            w => struct(lit(1).as("ord"), w.as("gram"))),
+          transform(TextFunctions.wordShinglesAll(col("__toks"), 2),
+            g => struct(lit(2).as("ord"), g.as("gram"))))).as("p"))
+        .select(col("p.ord").as("ord"), col("p.gram").as("gram"))
+        .groupBy(col("ord"), col("gram")).agg(count(lit(1)).as("cnt")),
       storage)
+    val vocab = st.filter(col("ord") === 1)
+      .select(col("gram").as("w"), col("cnt").as("tf"))
     val lnD5 = PinnedMath.lnFpSteps("lnd", "(__d * 5)")
       .foldLeft(vocab.agg((sum(col("tf")) + count(lit(1))).as("__d"))) {
         case (df, (alias, e)) => df.withColumn(alias, expr(e))
       }
       .select(col("lnd_lnfp").as("__lnd5_fp"))
     // bigram counts and their prefix totals, each ln'd once per distinct
-    val bg = bigrams(ref, Seq.empty).groupBy(col("bg")).agg(count(lit(1)).as("cuv"))
+    val bg = st.filter(col("ord") === 2)
+      .select(col("gram").as("bg"), col("cnt").as("cuv"))
       .withColumn("__u", substring_index(col("bg"), " ", 1))
     val prefix = bg.groupBy(col("__u")).agg(sum(col("cuv")).as("cu"))
     val seenLn = PinnedMath.lnFpSteps("lcu", "cu")
@@ -586,8 +606,8 @@ object LmScore {
       unigramModel(reference, textCol), idCol, textCol)
     // persisted: the histogram ranking AND the final bucket join both
     // read this frame, and each evaluation re-runs the whole scoring
-    // subtree (docs tokenize + model join + reference tokenize twice
-    // inside unigramModel) — the round-18 LM-family persist rule
+    // subtree (docs tokenize + model join) — the round-18 LM-family
+    // persist rule
     val means = Caching.maybePersist(docs.select(col(idCol), col(groupCol))
       .join(scored, Seq(idCol))
       .withColumn("mean_mnats", when(col("n_tokens") > 0L,
